@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Event-table queries: time bucketing (the batch shape of SURVEY §2.8 T8
+  * tumbling windows), JSON property extraction (§2.7 scalar functions), and
+  * event-time ordering. Streaming variants live in graft.streaming; these
+  * batch forms are the DuckDB-verifiable projections of the same semantics.
+  */
+object Events {
+
+  private def money(c: Column): Column = c.cast(DecimalType(15, 2))
+
+  def defs: Seq[QueryDef] = Seq(
+    // Tumbling 1-hour window as a batch groupBy: date + hour keys are
+    // engine-portable (no timestamp-precision mismatch in the output).
+    QueryDef.sqlBacked(
+      "q30_hourly_events",
+      """SELECT CAST(ts AS DATE) AS d, CAST(HOUR(ts) AS INT) AS h, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY d, h, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"),
+          hour(col("ts")).cast("int").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("total_value"))
+        .orderBy(col("d"), col("h"), col("event_type"))
+    },
+
+    // JSON property extraction from the props column.
+    QueryDef.sqlBacked(
+      "q31_json_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // Sliding-window (batch form): per-user ordered event sequence with
+    // time-to-previous-event — the batch projection of sessionization input.
+    QueryDef.sqlBacked(
+      "q32_event_gaps",
+      """SELECT user_id, event_id,
+        |  EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) AS gap_us
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Sessionization with a 30-minute inactivity gap, expressed relationally
+    // (window lag + cumulative sum) so DuckDB can verify it; the streaming
+    // twin uses session_window in graft.streaming.
+    QueryDef.sqlBacked(
+      "q33_sessionize",
+      """SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                IS NULL THEN 1
+        |           WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull, 1)
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  )
+}

@@ -1,0 +1,584 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2.3–2.7) over the TPC-H-ish
+  * TESTDATA tables. Every query here is SQL-expressible, so each carries a
+  * DuckDB oracle with IDENTICAL column aliases.
+  *
+  * Float-determinism convention: aggregation over double money columns is
+  * order-dependent in the last ulp, so any SUM over a non-integral double is
+  * computed in exact decimal (money = DECIMAL(15,2), rate = DECIMAL(4,2);
+  * both lossless for the 2-decimal synthetic data) and cast to double only
+  * at the end. Exact decimal → double conversion is deterministic and
+  * identical across Spark and DuckDB, making the driver's hash compare
+  * stable. Integral doubles (l_quantity) sum exactly in binary and need no
+  * cast. Every window/order-by carries a unique tiebreak so ranking is
+  * deterministic.
+  */
+object Relational {
+
+  private def money(c: Column): Column = c.cast(DecimalType(15, 2))
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  private val oneD: Column = lit(BigDecimal(1)).cast(DecimalType(3, 2))
+
+  // DuckDB-side mirrors of the helpers above.
+  private val M = "DECIMAL(15,2)"
+  private val R = "DECIMAL(4,2)"
+  private val ONE = "CAST(1 AS DECIMAL(3,2))"
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Aggregation (§2.4)
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $M)) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R)) * ($ONE + CAST(l_tax AS $R))) AS DOUBLE) AS sum_charge,
+         |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))) *
+            (oneD + rate(col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Filter + projection pushdown + top-n (§2.2 P1/P2, §2.6 O3)
+    QueryDef.sqlBacked(
+      "q2_filter_topn",
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // Joins (§2.3)
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q3_shipping_priority",
+      s"""SELECT l_orderkey,
+         |  CAST(SUM(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R))) AS DOUBLE) AS revenue,
+         |  o_orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Left-semi join (EXISTS)
+    QueryDef.sqlBacked(
+      "q4_order_priority",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // 6-way star join (broadcast dims) — TPC-H Q5 shape
+    QueryDef.sqlBacked(
+      "q5_local_supplier_volume",
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R))) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.load(s, dir, "lineitem")
+      val su = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Selective single-row aggregate (pushdown showcase) — TPC-H Q6 shape
+    QueryDef.sqlBacked(
+      "q6_forecast_revenue",
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS $M) * CAST(l_discount AS $R)) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Left-anti join (NOT EXISTS)
+    QueryDef.sqlBacked(
+      "q7_customers_without_orders",
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      val n = Tables.load(s, dir, "nation")
+      c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"))
+    },
+
+    // Left-outer join preserving unmatched rows
+    QueryDef.sqlBacked(
+      "q8_customer_order_counts",
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Full-outer join of two aggregates
+    QueryDef.sqlBacked(
+      "q9_nation_balances",
+      s"""SELECT COALESCE(s.nk, c.nk) AS nationkey, s.supp_bal, c.cust_bal
+         |FROM (SELECT s_nationkey AS nk,
+         |        CAST(SUM(CAST(s_acctbal AS $M)) AS DOUBLE) AS supp_bal
+         |      FROM supplier GROUP BY s_nationkey) s
+         |FULL JOIN (SELECT c_nationkey AS nk,
+         |        CAST(SUM(CAST(c_acctbal AS $M)) AS DOUBLE) AS cust_bal
+         |      FROM customer GROUP BY c_nationkey) c
+         |ON s.nk = c.nk
+         |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val sb = Tables.load(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(sum(money(col("s_acctbal"))).cast("double").as("supp_bal"))
+      val cb = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(money(col("c_acctbal"))).cast("double").as("cust_bal"))
+      sb.as("s").join(cb.as("c"), col("s.nk") === col("c.nk"), "full_outer")
+        .select(coalesce(col("s.nk"), col("c.nk")).as("nationkey"),
+          col("supp_bal"), col("cust_bal"))
+        .orderBy(col("nationkey"))
+    },
+
+    // Join + agg + top-k — TPC-H Q10 shape
+    QueryDef.sqlBacked(
+      "q10_returned_items",
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R))) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // Window functions (§2.5)
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q11_topk_per_supplier",
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    QueryDef.sqlBacked(
+      "q12_running_total",
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(SUM(CAST(o_totalprice AS $M)) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+         |FROM orders
+         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(money(col("o_totalprice"))).over(w).cast("double").as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    QueryDef.sqlBacked(
+      "q13_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice) OVER w AS prev_price,
+        |  LEAD(o_totalprice) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    QueryDef.sqlBacked(
+      "q14_rank_ntile",
+      """SELECT o_orderkey,
+        |  RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rk,
+        |  DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drk,
+        |  NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val byPrice = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice").desc)
+      val total = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          rank().over(byPrice).as("rk"),
+          dense_rank().over(byPrice).as("drk"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // Distinct / set ops (§2.7)
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q15_distinct_counts",
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    QueryDef.sqlBacked(
+      "q16_setops",
+      """SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val b = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val inter = b.intersect(o).agg(count(lit(1)).as("n"))
+        .select(lit("intersect").as("op"), col("n"))
+      val exc = b.except(o).agg(count(lit(1)).as("n"))
+        .select(lit("except").as("op"), col("n"))
+      val uni = b.union(o).distinct().agg(count(lit(1)).as("n"))
+        .select(lit("union").as("op"), col("n"))
+      inter.union(exc).union(uni).orderBy(col("op"))
+    },
+
+    // ------------------------------------------------------------------
+    // Rollup / cube (§2.4)
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q17_rollup_docs",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+
+    QueryDef.sqlBacked(
+      "q18_cube_orders",
+      s"""SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS $M)) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar functions (§2.7)
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q19_string_funcs",
+      """SELECT n_nationkey,
+        |  UPPER(n_name) AS uname,
+        |  LOWER(r_name) AS lrname,
+        |  SUBSTR(n_name, 1, 6) AS prefix,
+        |  CONCAT_WS('/', n_name, r_name) AS path,
+        |  CAST(LENGTH(n_name) AS BIGINT) AS name_len,
+        |  REPLACE(n_name, 'NATION', 'N') AS short_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"),
+          upper(col("n_name")).as("uname"),
+          lower(col("r_name")).as("lrname"),
+          substring(col("n_name"), 1, 6).as("prefix"),
+          concat_ws("/", col("n_name"), col("r_name")).as("path"),
+          length(col("n_name")).cast("long").as("name_len"),
+          regexp_replace(col("n_name"), "NATION", "N").as("short_name"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    QueryDef.sqlBacked(
+      "q20_date_funcs",
+      s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+         |  CAST(MONTH(o_orderdate) AS INT) AS m,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS $M)) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY 1, 2
+         |ORDER BY y, m""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("y"), col("m"))
+    },
+
+    QueryDef.sqlBacked(
+      "q21_case_buckets",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // Theta / range / as-of joins (§2.3)
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q22_theta_join",
+      """SELECT a.n_regionkey AS regionkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |GROUP BY a.n_regionkey
+        |ORDER BY regionkey""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "nation").as("a")
+      val b = Tables.load(s, dir, "nation").as("b")
+      a.join(b, col("a.n_regionkey") === col("b.n_regionkey") &&
+          col("a.n_nationkey") < col("b.n_nationkey"))
+        .groupBy(col("a.n_regionkey").as("regionkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("regionkey"))
+    },
+
+    QueryDef.sqlBacked(
+      "q23_range_join",
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_shipped,
+         |  CAST(SUM(CAST(l_extendedprice AS $M)) AS DOUBLE) AS value_shipped
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  AND l_shipdate >= o_orderdate
+         |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_shipped"),
+          sum(money(col("l_extendedprice"))).cast("double").as("value_shipped"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // As-of join: latest order (by o_orderdate <= event ts) per event,
+    // matching events.user_id = orders.o_custkey. Composed from an
+    // equi-join + window (SURVEY §2.3) — no O(n²).
+    QueryDef.sqlBacked(
+      "q24_asof_join",
+      """SELECT event_id, o_orderkey AS asof_orderkey
+        |FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events").as("e")
+      val o = Tables.load(s, dir, "orders").as("o")
+      val w = Window.partitionBy(col("e.event_id"))
+        .orderBy(col("o.o_orderdate").desc, col("o.o_orderkey").desc)
+      e.join(o, col("e.user_id") === col("o.o_custkey") &&
+          col("o.o_orderdate") <= col("e.ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("e.event_id"), col("o.o_orderkey").as("asof_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
+    // Global top-k with deterministic tiebreak (§2.6 O3)
+    QueryDef.sqlBacked(
+      "q25_global_topk",
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .limit(20)
+    },
+
+    // Grouping sets (§2.4)
+    QueryDef.sqlBacked(
+      "q26_grouping_sets",
+      s"""SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      // DataFrame API has no grouping-sets builder pre-3.4 groupingSets; SQL is the
+      // canonical Spark surface for it and still plans a single Expand node.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }
+  )
+}

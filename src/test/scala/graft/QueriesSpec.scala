@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Smoke + semantic checks for every registry query at sf0.001. The full
+  * value-level verification is the DuckDB oracle (tools/check_oracle.py /
+  * the driver's t2 gate); here we assert shape and a few pinned facts.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("registry names are unique and every oracle key exists") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs and returns rows") {
+      val df = q.fn(spark, sf)
+      assert(df.count() > 0, s"${q.name} returned no rows at sf0.001")
+    }
+  }
+
+  test("q1 aggregates to the six flag/status groups") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    val totalCount = rows.map(_.getAs[Long]("count_order")).sum
+    // sf0.001 lineitem has 6000 rows, ~54% pass the shipdate cutoff
+    assert(totalCount > 3000 && totalCount <= 6000)
+  }
+
+  test("q16 set ops satisfy |union| = |A| + |B| - |intersect|") {
+    val m = SparkEntry.queries("q16_setops")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = Tables.load(spark, sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").distinct().count()
+    val b = Tables.load(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O")
+      .select("o_custkey").distinct().count()
+    assert(m("union") == a + b - m("intersect"))
+    assert(m("except") == a - m("intersect"))
+  }
+}
