@@ -11,7 +11,9 @@ object SparkEntry {
   /** Full operator registry. Order matters only for readability. */
   def registry: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++
-      _root_.graft.queries.Events.defs
+      _root_.graft.queries.Events.defs ++
+      _root_.graft.queries.Text.defs ++
+      _root_.graft.queries.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

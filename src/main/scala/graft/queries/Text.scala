@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operator inventory (SURVEY.md §2.9) over
+  * the documents table. SQL-backed where DuckDB can express the identical
+  * computation; the LSH/SimHash scale paths are Spark-only (verified in
+  * ScalaTest against the SQL-backed brute-force baselines).
+  */
+object Text {
+
+  def defs: Seq[QueryDef] = Seq(
+    // Token statistics (tokenization + counting)
+    QueryDef.sqlBacked(
+      "q40_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT) AS n_distinct,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            size(toks)).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic (stopword-ratio vote), profiled per labeled lang
+    QueryDef.sqlBacked(
+      "q41_lang_profile",
+      """SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT lang,
+        |    CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |           t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'
+        |                OR t = 'to' OR t = 'in')) AS DOUBLE)
+        |         / len(string_split_regex(trim(text), '\s+')) >= 0.05
+        |      THEN 'en' ELSE 'other' END AS predicted
+        |  FROM documents)
+        |GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          when(TextOps.stopwordHits(toks).cast("double") / size(toks) >= 0.05, "en")
+            .otherwise("other").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // Quality scoring: diversity, stopword ratio, length — fixed-form
+    // double arithmetic (identical expression shape in both engines).
+    QueryDef.sqlBacked(
+      "q42_quality_score",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+        |  CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'
+        |       OR t = 'and' OR t = 'to' OR t = 'in')) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+        |   + (1.0 - CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a'
+        |        OR t = 'of' OR t = 'and' OR t = 'to' OR t = 'in')) AS DOUBLE)
+        |      / len(toks)) * 0.4
+        |   + LEAST(1.0, len(toks) / 100.0) * 0.2) AS quality
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+            .as("diversity"),
+          (TextOps.stopwordHits(col("toks")).cast("double") / size(col("toks")))
+            .as("stop_ratio"),
+          ((size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) * 0.4
+            + (lit(1.0) - TextOps.stopwordHits(col("toks")).cast("double")
+              / size(col("toks"))) * 0.4
+            + least(lit(1.0), size(col("toks")) / 100.0) * 0.2).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting + exact dedup over a corpus with planted
+    // byte-exact copies: md5 of normalized text, portable to DuckDB.
+    QueryDef.sqlBacked(
+      "q43_fingerprint_dedup",
+      s"""WITH corpus AS (${TextOps.exactDupCorpusSql})
+         |SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |  MIN(doc_id) AS keeper
+         |FROM corpus
+         |GROUP BY 1
+         |HAVING COUNT(*) > 1
+         |ORDER BY keeper""".stripMargin) { (s, dir) =>
+      TextOps.exactDupCorpus(s, dir)
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("keeper"))
+    },
+
+    // Exact dedup keep-first over a composite key (hash-partitioned
+    // row_number — the canonical 100 TB exact-dedup shape).
+    QueryDef.sqlBacked(
+      "q44_exact_dedup",
+      """WITH ranked AS (
+        |  SELECT l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+        |      ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, SUM(l_quantity) AS kept_qty
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_kept"), sum(col("l_quantity")).as("kept_qty"))
+    },
+
+    // N-gram Jaccard near-dup — brute-force-complete baseline: the
+    // inverted shingle index generates every pair sharing ≥1 shingle
+    // (complete for jaccard > 0), then exact Jaccard filters ≥ 0.6.
+    QueryDef.sqlBacked(
+      "q45_ngram_jaccard",
+      s"""WITH corpus AS (${TextOps.nearDupCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+         |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |             FROM corpus)),
+         |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(COUNT(*) AS BIGINT) AS inter
+         |          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sg) AS n FROM sh)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sg"))
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+      pairs
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // MinHash + LSH banding — the scale path for the same near-dup
+    // semantics: candidates come from banded signature buckets (linear),
+    // then exact-Jaccard verification. Spark-only; QueriesSpec asserts it
+    // reproduces q45's pairs at sf0.001.
+    QueryDef.sparkOnly("q46_minhash_lsh") { (s, dir) =>
+      val sh = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sg"))
+      val sigs = sh.select(col("doc_id"), col("sg"),
+        TextOps.minhashSignature(col("sg")).as("sig"))
+      val banded = sigs.select(col("doc_id"), col("sg"),
+          explode(TextOps.bands(col("sig"))).as("band"))
+        .select(col("doc_id"), col("sg"),
+          col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sg").as("sg_a"), col("b.sg").as("sg_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand.select(col("doc_a"), col("doc_b"),
+          TextOps.jaccard(col("sg_a"), col("sg_b")).as("jac"))
+        .filter(col("jac") >= 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash near-dup — 64-bit fingerprints, 4×16-bit pigeonhole blocks
+    // for candidate generation, hamming ≤ 8 verification. Spark-only.
+    QueryDef.sparkOnly("q47_simhash") { (s, dir) =>
+      val fp = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          TextOps.simhashBlocks(TextOps.tokens(col("text"))).as("blocks"))
+      val exploded = fp.select(col("doc_id"), col("blocks"),
+          posexplode(col("blocks")).as(Seq("blk_idx", "blk_val")))
+      val cand = exploded.as("a").join(exploded.as("b"),
+          col("a.blk_idx") === col("b.blk_idx") &&
+            col("a.blk_val") === col("b.blk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.blocks").as("blocks_a"), col("b.blocks").as("blocks_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand.select(col("doc_a"), col("doc_b"),
+          TextOps.hammingFromBlocks(col("blocks_a"), col("blocks_b")).as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  )
+}

