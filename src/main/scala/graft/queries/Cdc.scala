@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Murmur3X86
+import graft.txn._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC / transaction-log operator inventory (SURVEY.md §2.1, §2.8): the
+  * engine's own versioned-parquet table format exercised end-to-end. The
+  * fixture derives deterministically from the lineitem table, so the CDC
+  * replay counts and time-travel row counts ARE DuckDB-expressible — the
+  * oracle recomputes them from lineitem directly.
+  *
+  * Fixture (per SURVEY §7.2, FIXTURES.md C):
+  *   v0: all lineitem rows, hive-partitioned by l_returnflag   (ts=1000)
+  *   v1: remove partition l_returnflag='R'; add rows l_orderkey%97=0 (ts=2000)
+  *   v2: schema-change Metadata + add rows l_orderkey%89=0     (ts=3000)
+  */
+object Cdc {
+
+  /** Deterministic fixture dir per scale factor. */
+  def fixtureDir(sfDir: String): String =
+    s"target/fixtures/cdc_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** Build (or reuse — content is deterministic) the 3-version fixture,
+    * with remove+add folded into single commits.
+    */
+  def buildFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = fixtureDir(sfDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // v0: full table
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    // v1: remove the R partition AND add the %97 patch in one commit
+    val doomed = new TxnLog(dir, conf).snapshotLatest().files
+      .filter(_.partitionValues.get("l_returnflag").contains("R"))
+      .map(f => RemoveFile(f.path, 2000L, f.partitionValues))
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 97 === 0),
+      dir, partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L,
+      operation = "MERGE", extraActions = doomed)
+    // v2: metadata change + the %89 patch
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 89 === 0),
+      dir, partitionBy = Seq("l_returnflag"), version = 2L, commitTs = 3000L,
+      operation = "WRITE",
+      extraActions = Seq(Metadata(li.schema.json, Seq("l_returnflag"))))
+    dir
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // CDC replay: full-copy + incremental envelope, counted by op.
+    QueryDef.sqlBacked(
+      "q60_cdc_replay",
+      """SELECT 'c' AS op,
+        |  CAST(COUNT(*)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 97 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 89 = 0) AS BIGINT) AS n
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'm' AS op, CAST(1 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'r' AS op,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n
+        |FROM lineitem
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      CdcReader.cdc(s, table, startingVersion = 0L, includeHistory = true)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("op"))
+    },
+
+    // Time travel: row counts at each version (versionAsOf reads).
+    QueryDef.sqlBacked(
+      "q61_time_travel",
+      """SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+        |UNION ALL
+        |SELECT 1 AS version,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R')
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 97 = 0) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 2 AS version,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R')
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 97 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 89 = 0) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      def countAt(v: Long): DataFrame =
+        SnapshotReader.read(s, table, versionAsOf = Some(v))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(v.toInt).as("version"), col("n_rows"))
+      countAt(0).unionAll(countAt(1)).unionAll(countAt(2))
+        .orderBy(col("version"))
+    },
+
+    // Partition routing: canonical partition_value string + the
+    // reference's murmur3_32 & MAX_VALUE % N slot (Spark-only — DuckDB
+    // has no murmur3-x86; pinned vectors are tested in Murmur3Spec).
+    QueryDef.sparkOnly("q62_partition_routing") { (s, dir) =>
+      val table = buildFixture(s, dir)
+      CdcReader.cdc(s, table, startingVersion = 0L, includeHistory = true)
+        .filter(col("op") =!= "m")
+        .groupBy(col("partition_value"),
+          Murmur3X86.routeIndex(col("partition_value"), 8).as("slot"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("partition_value"))
+    }
+  )
+}

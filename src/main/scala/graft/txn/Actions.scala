@@ -1,0 +1,60 @@
+package graft.txn
+
+/** Transaction-log action ADT — the Delta-protocol-style log records the
+  * reference consumes through delta-standalone (SURVEY.md §1.1; field set
+  * per DeltaReader.java:202–208, 227–232, 237–243, 213–220). Serialized as
+  * one JSON object per line, one file per commit version.
+  */
+sealed trait Action
+
+/** A data file added to the table at some version.
+  * @param partitionValues partition-column → value (empty for unpartitioned)
+  * @param modificationTime epoch millis; becomes CDC event time for 'c' rows
+  */
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    modificationTime: Long,
+    dataChange: Boolean) extends Action
+
+/** A data file logically removed (physically retained for CDC replay).
+  * @param deletionTimestamp epoch millis; CDC event time for 'r' rows
+  */
+final case class RemoveFile(
+    path: String,
+    deletionTimestamp: Long,
+    partitionValues: Map[String, String]) extends Action
+
+/** Table metadata: schema (Spark StructType JSON) + partition columns.
+  * A Metadata action inside a commit marks a schema change; CDC surfaces
+  * it as an op='m' control row (reference: DeltaRecord.java:93–97).
+  */
+final case class Metadata(
+    schemaJson: String,
+    partitionColumns: Seq[String]) extends Action
+
+/** Commit provenance; `timestamp` drives timestamp-as-of time travel. */
+final case class CommitInfo(
+    operation: String,
+    timestamp: Long) extends Action
+
+/** One JSON line of a commit file — exactly one field is set. */
+final case class LogLine(
+    add: Option[AddFile] = None,
+    remove: Option[RemoveFile] = None,
+    metaData: Option[Metadata] = None,
+    commitInfo: Option[CommitInfo] = None) {
+  def action: Action =
+    add.orElse[Action](remove).orElse(metaData).orElse(commitInfo)
+      .getOrElse(throw new IllegalArgumentException("empty log line"))
+}
+
+object LogLine {
+  def apply(a: Action): LogLine = a match {
+    case x: AddFile    => LogLine(add = Some(x))
+    case x: RemoveFile => LogLine(remove = Some(x))
+    case x: Metadata   => LogLine(metaData = Some(x))
+    case x: CommitInfo => LogLine(commitInfo = Some(x))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.txn
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned-parquet table writer: stages a DataFrame write, then commits
+  * AddFile actions atomically — the "Delta sink" of SURVEY.md §7.1 step 3.
+  * Files are written by Spark's distributed parquet writer (one task per
+  * partition), so the data path scales with the cluster; only the
+  * file-list commit is driver-side.
+  */
+object TableWriter {
+
+  /** Write `df` as version `v` of `tablePath` (appending to prior
+    * versions), optionally hive-partitioned by `partitionBy`.
+    * `commitTs` is the deterministic event/commit time recorded in the
+    * log (epoch millis) so fixtures and tests are reproducible.
+    */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      version: Long = 0L,
+      commitTs: Long = 0L,
+      operation: String = "WRITE",
+      extraActions: Seq[Action] = Seq.empty): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val staging = new Path(tablePath, s".staging-$version")
+    fs.delete(staging, true)
+
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*)
+    else df.write
+    writer.mode("overwrite").parquet(staging.toString)
+
+    // Move staged parts into the table tree under stable names and build
+    // the AddFile actions from their (relative) paths.
+    val adds = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    def visit(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) visit(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet")) {
+          val destRel =
+            (if (rel.isEmpty) "" else s"$rel/") +
+              f"part-$version%05d-${adds.size}%05d.parquet"
+          val dest = new Path(table, destRel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            throw new IllegalStateException(s"rename failed: $dest")
+          adds += AddFile(
+            path = destRel,
+            partitionValues = partitionValuesOf(rel),
+            size = st.getLen,
+            modificationTime = commitTs,
+            dataChange = true)
+        }
+      }
+    visit(staging, "")
+    fs.delete(staging, true)
+
+    val meta = Metadata(df.schema.json, partitionBy)
+    val log = new TxnLog(tablePath, conf)
+    val metaAction: Seq[Action] =
+      if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
+      else Seq.empty
+    log.commit(version,
+      metaAction ++ extraActions.filterNot(_.isInstanceOf[Metadata]) ++
+        adds.toSeq :+ CommitInfo(operation, commitTs))
+  }
+
+  /** Commit RemoveFile actions for every live file whose partitionValues
+    * satisfy `pred` — partition-granularity delete, the CDC-generating
+    * delete shape of the reference (RemoveFile actions,
+    * DeltaReader.java:221–235). Data files are retained for replay.
+    */
+  def removeWhere(
+      spark: SparkSession,
+      tablePath: String,
+      pred: Map[String, String] => Boolean,
+      version: Long,
+      commitTs: Long): Seq[RemoveFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val doomed = log.snapshotLatest().files.filter(f => pred(f.partitionValues))
+    val removes = doomed.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues))
+    log.commit(version, removes :+ CommitInfo("DELETE", commitTs))
+    removes
+  }
+
+  /** `l_returnflag=A/...` → Map(l_returnflag -> A) (hive-style dirs). */
+  private[txn] def partitionValuesOf(rel: String): Map[String, String] =
+    if (rel.isEmpty) Map.empty
+    else rel.split('/').filter(_.contains('=')).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> v
+    }.toMap
+}

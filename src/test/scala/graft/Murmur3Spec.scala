@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.Murmur3X86
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pinned vectors for the reference-parity murmur3 x86 32 (seed 0 unless
+  * stated). Cross-checked against an independent implementation and the
+  * published smhasher vectors (seed-1 empty string = 0x514E28B7,
+  * "abc" = 0xB3DD93FA).
+  */
+class Murmur3Spec extends AnyFunSuite {
+
+  test("published vectors") {
+    assert(Murmur3X86.hashString("", 0) == 0)
+    assert(Murmur3X86.hashString("", 1) == 0x514e28b7)
+    assert(Murmur3X86.hashString("abc", 0) == 0xb3dd93fa)
+  }
+
+  test("pinned vectors (independent implementation)") {
+    val expected = Map(
+      "a" -> 1009084850,
+      "ab" -> -1681926305,
+      "abc" -> -1277324294,
+      "abcd" -> 1139631978,
+      "hello world" -> 1586663183,
+      "l_returnflag=A" -> 2059156738,
+      "l_returnflag=R" -> 982207208,
+      "o_orderstatus=F,o_orderpriority=1-URGENT" -> 1694765989,
+      "héllo" -> -1130389400)
+    expected.foreach { case (s, h) =>
+      assert(Murmur3X86.hashString(s) == h, s"vector '$s'")
+    }
+  }
+
+  test("column expression matches the scala implementation (codegen path)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val inputs = Seq("", "a", "l_returnflag=A", "héllo",
+      "o_orderstatus=F,o_orderpriority=1-URGENT")
+    val got = inputs.toDF("s")
+      .select(Murmur3X86.murmur3_32(org.apache.spark.sql.functions.col("s")))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == inputs.map(Murmur3X86.hashString(_)))
+  }
+
+  test("route index is non-negative and matches reference formula") {
+    val vals = Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R", "")
+    vals.foreach { v =>
+      val idx = Murmur3X86.partitionIndex(v, 8)
+      assert(idx >= 0 && idx < 8)
+      assert(idx == (Murmur3X86.hashString(v) & Integer.MAX_VALUE) % 8)
+    }
+  }
+}
