@@ -101,6 +101,32 @@ object Cdc {
         .orderBy(col("version"))
     },
 
+    // Streaming micro-batch runner over the CDC log: batch 0 = FULL_COPY
+    // snapshot, batch 1 = incremental tail (v1+v2 events incl. the 'm'
+    // control row) — per-batch event counts are derivable from lineitem.
+    QueryDef.sqlBacked(
+      "q63_cdc_stream_batches",
+      """SELECT 0 AS batch_idx, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 1 AS batch_idx,
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 97 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 89 = 0)
+        |    + COUNT(*) FILTER (WHERE l_returnflag = 'R')
+        |    + 1 AS BIGINT) AS n_events
+        |FROM lineitem
+        |ORDER BY batch_idx""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      val ck = java.nio.file.Files.createTempDirectory("cdc_stream_q63").toString
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      graft.streaming.CdcStreamRunner.run(s, table, ck)(df => counts += df.count())
+      import s.implicits._
+      counts.toSeq.zipWithIndex
+        .map { case (n, i) => (i, n) }
+        .toDF("batch_idx", "n_events")
+        .orderBy(col("batch_idx"))
+    },
+
     // Partition routing: canonical partition_value string + the
     // reference's murmur3_32 & MAX_VALUE % N slot (Spark-only — DuckDB
     // has no murmur3-x86; pinned vectors are tested in Murmur3Spec).

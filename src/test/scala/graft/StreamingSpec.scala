@@ -1,0 +1,93 @@
+package graft
+
+import graft.queries.Cdc
+import graft.streaming.{CdcStreamRunner, EventStreams}
+import graft.txn.CdcReader
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  test("tumbling window with watermark drops too-late rows") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "value", "user_id")
+    val agg = EventStreams.tumblingCounts(events,
+      windowLen = "10 minutes", lateness = "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // batch 1: two events in [00:00,00:10), one in [00:10,00:20)
+      mem.addData((ts(1), "click", 1.0, 1L), (ts(2), "click", 2.0, 1L),
+        (ts(11), "click", 3.0, 1L))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past the first window...
+      mem.addData((ts(40), "click", 4.0, 1L))
+      q.processAllAvailable()
+      // batch 3: a *too-late* event for [00:00,00:10) — must be dropped
+      mem.addData((ts(3), "click", 99.0, 1L))
+      q.processAllAvailable()
+      mem.addData((ts(59), "click", 5.0, 1L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT win_start, n, total_value FROM tumbling_out ORDER BY win_start")
+        .collect()
+      val first = rows.find(_.getTimestamp(0) == ts(0)).get
+      assert(first.getLong(1) == 2L, "late row must not be re-counted")
+      assert(first.getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("session window groups by inactivity gap in streaming mode") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "value", "user_id")
+    val agg = EventStreams.sessionCounts(events, gap = "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("session_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // user 1: burst at 00:00-00:02 (one session), burst at 00:30 (another)
+      mem.addData((ts(0), "a", 0.0, 1L), (ts(2), "a", 0.0, 1L), (ts(30), "a", 0.0, 1L))
+      q.processAllAvailable()
+      mem.addData((ts(59), "a", 0.0, 1L)) // advance watermark to close sessions
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM session_out ORDER BY session_start").collect()
+      assert(rows.map(_.getLong(1)).take(2).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("cdc stream runner: split runs equal one uninterrupted run") {
+    val table = Cdc.buildFixture(spark, sf)
+    val ck1 = Files.createTempDirectory("cdc_ck1").toString
+    var counts1 = Vector.empty[Long]
+    // interrupted: one batch, then "restart" (fresh call, same checkpoint)
+    CdcStreamRunner.run(spark, table, ck1, maxBatches = 1)(df => counts1 :+= df.count())
+    CdcStreamRunner.run(spark, table, ck1)(df => counts1 :+= df.count())
+    val ck2 = Files.createTempDirectory("cdc_ck2").toString
+    var counts2 = Vector.empty[Long]
+    CdcStreamRunner.run(spark, table, ck2)(df => counts2 :+= df.count())
+    assert(counts1.sum == counts2.sum)
+    assert(counts1.sum == CdcReader.cdc(spark, table).count())
+    // drained: nothing more to process in either checkpoint lineage
+    var extra = 0
+    CdcStreamRunner.run(spark, table, ck1)(_ => extra += 1)
+    assert(extra == 0)
+  }
+}
