@@ -15,8 +15,11 @@ object EmbeddingOps {
   /** list<float> → array<double> for deterministic double-precision math. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.functions.DotProduct) — sequential
+    * left-to-right accumulation, same order as the interpreted
+    * formulation and DuckDB's, so oracle determinism is preserved.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -87,11 +87,26 @@ object TextOps {
   val NumHashes = 32
   val NumBands = 16 // r = 2 rows/band ⇒ P(candidate | j=0.6) ≈ 0.999
 
-  /** 32-wide MinHash signature over the distinct shingle set. */
-  def minhashSignature(shingleCol: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      seed => array_min(transform(shingleCol,
-        sh => xxhash64(sh, seed))))
+  /** Distinct 64-bit shingle hashes — the compact set representation the
+    * candidate joins and Jaccard verification run on (longs shuffle and
+    * compare an order of magnitude cheaper than shingle strings; a 64-bit
+    * collision across a corpus-wide shingle vocabulary is ~1e-9).
+    * Compiled kernel (graft.functions.ShingleHashesExpr) straight from
+    * the token array — one pass, one hash per token.
+    */
+  def hashedShingles(toks: Column, k: Int = 3): Column =
+    graft.functions.SketchExprs.shingle_hashes(toks, k)
+
+  /** Interpreted-transform variant kept for reference/tests. */
+  def shingleHashes(shingleCol: Column): Column =
+    array_distinct(transform(shingleCol, sh => xxhash64(sh)))
+
+  /** 32-wide MinHash signature over the distinct shingle strings —
+    * compiled kernel (graft.functions.MinHashSigExpr): one base hash per
+    * shingle + 32 cheap remixes, in a tight loop.
+    */
+  def minhashSignature(shingleStrings: Column): Column =
+    graft.functions.SketchExprs.minhash_sig(shingleStrings, NumHashes)
 
   /** Explode a signature into (band_id, band_hash) rows for bucket join. */
   def bands(sig: Column): Column =
@@ -108,30 +123,25 @@ object TextOps {
 
   // ----------------------------------------------------------------------
   // SimHash (64-bit) — complements MinHash for token-multiset similarity.
+  // The fingerprint is ONE packed long: candidate pairs join on 16-bit
+  // pigeonhole blocks (hamming ≤ 3 guarantees a shared block; larger
+  // hamming is found best-effort through collisions), and verification is
+  // a single codegen'd bit_count(a^b) — no per-pair array work.
   // ----------------------------------------------------------------------
 
-  /** Per-token 64 bit-votes: +1 where the token hash has the bit set,
-    * -1 where not; summed per document and thresholded into a sign bit.
-    * Returns the 64-bit simhash packed as 4×16-bit block values so that
-    * near-dup candidate search can pigeonhole-join on block equality
-    * (hamming ≤ 3 ⇒ at least one of 4 blocks identical).
+  /** Packed 64-bit SimHash of the token array — compiled kernel
+    * (graft.functions.SimHash64Expr): majority vote per bit over token
+    * hashes in a tight loop.
     */
-  def simhashBlocks(toks: Column): Column = {
-    val votes = aggregate(
-      transform(toks, t => transform(sequence(lit(0), lit(63)),
-        b => when(call_function("shiftright", xxhash64(t), b)
-          .bitwiseAND(1) === 1, 1).otherwise(-1))),
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
-      (acc, x) => zip_with(acc, x, (a, b) => a + b))
-    val bits = transform(votes, v => when(v > 0, 1L).otherwise(0L))
-    transform(sequence(lit(0), lit(3)), blk =>
-      aggregate(sequence(lit(0), lit(15)),
-        lit(0L),
-        (acc, i) => acc * 2 + element_at(bits, blk * 16 + i + 1)))
-  }
+  def simhash64(toks: Column): Column =
+    graft.functions.SketchExprs.simhash_64(toks)
 
-  /** Hamming distance between two 4×16-bit block arrays. */
-  def hammingFromBlocks(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0), (acc, x) => acc + x)
+  /** The 4 16-bit pigeonhole blocks of a packed simhash. */
+  def simhashBlocks64(sig: Column): Column =
+    transform(sequence(lit(0), lit(3)), blk =>
+      call_function("shiftright", sig, blk * 16).bitwiseAND(0xffffL))
+
+  /** Hamming distance between packed simhashes — codegen'd popcount. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 }

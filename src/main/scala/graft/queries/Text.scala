@@ -149,8 +149,14 @@ object Text {
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Shingles are 64-bit hashes end-to-end: the inverted-index join
+      // shuffles (long, long) pairs instead of strings, and the Jaccard
+      // arithmetic is identical because hashing is injective in practice.
+      // The small (doc_id, shingle-set) sketch frame is cached: it feeds
+      // the inverted index AND both sides of the size join.
       val sh = TextOps.nearDupCorpus(s, dir)
-        .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sg"))
+        .select(col("doc_id"), TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
       val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
       val pairs = inv.as("a").join(inv.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -172,22 +178,30 @@ object Text {
     // then exact-Jaccard verification. Spark-only; QueriesSpec asserts it
     // reproduces q45's pairs at sf0.001.
     QueryDef.sparkOnly("q46_minhash_lsh") { (s, dir) =>
+      // One shingle pass, cached: signatures derive from the hashed
+      // shingle sets (compiled MinHash kernel over longs), and the same
+      // frame verifies candidate pairs' exact Jaccard.
       val sh = TextOps.nearDupCorpus(s, dir)
-        .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sg"))
-      val sigs = sh.select(col("doc_id"), col("sg"),
+        .select(col("doc_id"), TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
+      val sigs = sh.select(col("doc_id"),
         TextOps.minhashSignature(col("sg")).as("sig"))
-      val banded = sigs.select(col("doc_id"), col("sg"),
+      // candidates shuffle ids only; shingle sets re-join just for the
+      // surviving pairs' exact-Jaccard verification
+      val banded = sigs.select(col("doc_id"),
           explode(TextOps.bands(col("sig"))).as("band"))
-        .select(col("doc_id"), col("sg"),
+        .select(col("doc_id"),
           col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band_id") === col("b.band_id") &&
             col("a.band_hash") === col("b.band_hash") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sg").as("sg_a"), col("b.sg").as("sg_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
-      cand.select(col("doc_a"), col("doc_b"),
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
           TextOps.jaccard(col("sg_a"), col("sg_b")).as("jac"))
         .filter(col("jac") >= 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -198,19 +212,18 @@ object Text {
     QueryDef.sparkOnly("q47_simhash") { (s, dir) =>
       val fp = TextOps.nearDupCorpus(s, dir)
         .select(col("doc_id"),
-          TextOps.simhashBlocks(TextOps.tokens(col("text"))).as("blocks"))
-      val exploded = fp.select(col("doc_id"), col("blocks"),
-          posexplode(col("blocks")).as(Seq("blk_idx", "blk_val")))
-      val cand = exploded.as("a").join(exploded.as("b"),
+          TextOps.simhash64(TextOps.tokens(col("text"))).as("sig"))
+      val exploded = fp.select(col("doc_id"), col("sig"),
+          posexplode(TextOps.simhashBlocks64(col("sig")))
+            .as(Seq("blk_idx", "blk_val")))
+      exploded.as("a").join(exploded.as("b"),
           col("a.blk_idx") === col("b.blk_idx") &&
             col("a.blk_val") === col("b.blk_val") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.blocks").as("blocks_a"), col("b.blocks").as("blocks_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      cand.select(col("doc_a"), col("doc_b"),
-          TextOps.hammingFromBlocks(col("blocks_a"), col("blocks_b")).as("hamming"))
+          TextOps.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
         .filter(col("hamming") <= 8)
+        .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )
