@@ -564,6 +564,33 @@ object Relational {
         .limit(20)
     },
 
+    // Custom typed aggregate (§2.4, Aggregator[IN,BUF,OUT]) — quantity-
+    // weighted average price per return flag, exact-decimal buffer.
+    QueryDef.sqlBacked(
+      "q27_weighted_avg",
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CAST(l_extendedprice AS $M) * CAST(l_quantity AS $M)) AS DOUBLE)
+         |    / CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) AS wavg_price
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val wavg = udaf(graft.operators.TypedAggs.WeightedAvg)
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // HyperLogLog approximate distinct (§2.4) — Spark-only (DuckDB's HLL
+    // implementation differs); QueriesSpec bounds the relative error.
+    QueryDef.sparkOnly("q28_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Grouping sets (§2.4)
     QueryDef.sqlBacked(
       "q26_grouping_sets",

@@ -96,7 +96,10 @@ object CdcReader {
       }
     }
 
-    val schema = log.snapshotLatest().metadata
+    // Read with the LOG's declared schema (latest Metadata action), not
+    // whatever file Spark samples first — after a schema-change commit,
+    // older files surface the added columns as nulls (Delta semantics).
+    val declaredSchema = log.snapshotLatest().metadata
       .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
@@ -107,7 +110,8 @@ object CdcReader {
     val envelope = fileEvents.toSeq
       .toDF("_cdc_path", "op", "ts", "commit_version")
 
-    val reader = spark.read.option("basePath", tablePath)
+    val reader0 = spark.read.option("basePath", tablePath)
+    val reader = declaredSchema.fold(reader0)(reader0.schema)
     val data = reader.parquet(fileEvents.map(_._1).distinct.toSeq: _*)
       .withColumn("_cdc_path", col("_metadata.file_path"))
 

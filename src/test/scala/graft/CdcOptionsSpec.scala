@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.Cdc
+import graft.txn.{CdcOptions, Metadata, TableWriter, TxnLog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CdcOptionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("tablePath is required and non-empty") {
+    intercept[IllegalArgumentException] { CdcOptions.parse(Map.empty) }
+    intercept[IllegalArgumentException] { CdcOptions.parse(Map("tablePath" -> " ")) }
+  }
+
+  test("startingVersion XOR startingTimestamp") {
+    intercept[IllegalArgumentException] {
+      CdcOptions.parse(Map("tablePath" -> "t",
+        "startingVersion" -> "1",
+        "startingTimestamp" -> "2021-09-29T20:17:46.384Z"))
+    }
+  }
+
+  test("defaults to latest; parses number, 'latest', ISO-8601") {
+    assert(CdcOptions.parse(Map("tablePath" -> "t")).latest)
+    assert(CdcOptions.parse(Map("tablePath" -> "t", "startingVersion" -> "latest")).latest)
+    assert(CdcOptions.parse(Map("tablePath" -> "t", "startingVersion" -> "3"))
+      .startingVersion.contains(3L))
+    assert(CdcOptions.parse(Map("tablePath" -> "t",
+      "startingTimestamp" -> "2021-09-29T20:17:46.384Z"))
+      .startingTimestamp.contains(1632946666384L))
+    intercept[IllegalArgumentException] {
+      CdcOptions.parse(Map("tablePath" -> "t", "startingVersion" -> "abc"))
+    }
+    intercept[IllegalArgumentException] {
+      CdcOptions.parse(Map("tablePath" -> "t", "startingTimestamp" -> "yesterday"))
+    }
+  }
+
+  test("option-driven cdc read resolves version/timestamp starts") {
+    val table = Cdc.buildFixture(spark, sf)
+    // startingVersion=0 + history = everything
+    val full = CdcOptions.cdc(spark,
+      Map("tablePath" -> table, "startingVersion" -> "0", "includeHistory" -> "true"))
+    // startingTimestamp resolving to v1 (commit ts 2000) — incremental from v1
+    val fromV1 = CdcOptions.cdc(spark,
+      Map("tablePath" -> table, "startingTimestamp" -> "1970-01-01T00:00:02Z"))
+    val v2Only = fromV1.filter(col("commit_version") === 2)
+    assert(full.count() > fromV1.count())
+    assert(fromV1.count() > 0 && v2Only.count() > 0)
+    // nonexistent startingVersion errors (strict, unlike the reference's
+    // silent fallback-to-latest)
+    intercept[IllegalArgumentException] {
+      CdcOptions.cdc(spark, Map("tablePath" -> table, "startingVersion" -> "99"))
+    }
+  }
+
+  test("schema-change commit surfaces op='m' and the new schema (T7)") {
+    val dir = java.nio.file.Files.createTempDirectory("schema_change").toString
+    val li = Tables.load(spark, sf, "lineitem").limit(100)
+    TableWriter.write(spark, li, dir, version = 0L, commitTs = 1000L)
+    // v1: add a column (schema change) + new data carrying it
+    val li2 = li.withColumn("extra_flag", lit(1)).limit(10)
+    TableWriter.write(spark, li2, dir, version = 1L, commitTs = 2000L,
+      extraActions = Seq(Metadata(li2.schema.json, Seq.empty)))
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    assert(log.snapshotLatest().metadata.get.schemaJson.contains("extra_flag"))
+    val cdc = graft.txn.CdcReader.cdc(spark, dir)
+    assert(cdc.filter(col("op") === "m").count() == 1)
+    assert(cdc.columns.contains("extra_flag"))
+    // rows from v0 files have null extra_flag; v1 rows carry it
+    assert(cdc.filter(col("op") === "c" && col("commit_version") === 1 &&
+      col("extra_flag").isNotNull).count() == 10)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the properties that keep these operators viable at
+  * 100 TB — filter pushdown reaching the parquet scan, column pruning,
+  * broadcast joins for dimensions, whole-stage codegen on hot paths.
+  * A refactor that silently loses one of these should fail here, not in
+  * production.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q6 selective agg: filters pushed to the parquet scan") {
+    val p = planOf("q6_forecast_revenue")
+    assert(p.contains("PushedFilters") &&
+      p.contains("l_shipdate") && p.contains("GreaterThanOrEqual"),
+      s"no pushed filters in:\n${p.take(2000)}")
+  }
+
+  test("q2 projection: scan reads only the needed columns") {
+    val p = planOf("q2_filter_topn")
+    // 5 projected + 2 filter columns; l_extendedprice must NOT be read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "column pruning lost")
+    assert(!p.contains("l_tax"), "column pruning lost")
+  }
+
+  test("q5 star join: dimension tables broadcast") {
+    val p = planOf("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+  }
+
+  test("q1 agg: whole-stage codegen covers the aggregate") {
+    // AQE reports codegen spans only once the plan is finalized — run it
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark WholeStageCodegen spans in the compact form
+    assert(p.contains("*(") , "codegen missing")
+    assert(p.contains("*(2) HashAggregate") || p.contains("*(1) HashAggregate"),
+      "hash agg should be inside a codegen span")
+  }
+
+  test("q8 outer join + agg stays shuffle-partitioned (no cartesian)") {
+    val p = planOf("q8_customer_order_counts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q44 dedup: single shuffle on the dedup key (window, not self-join)") {
+    val p = planOf("q44_exact_dedup")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+}

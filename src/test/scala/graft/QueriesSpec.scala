@@ -50,6 +50,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(totalCount > 3000 && totalCount <= 6000)
   }
 
+  test("q28 approx distinct within 5% of exact") {
+    val rows = SparkEntry.queries("q28_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("q16 set ops satisfy |union| = |A| + |B| - |intersect|") {
     val m = SparkEntry.queries("q16_setops")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
