@@ -127,6 +127,40 @@ object Cdc {
         .orderBy(col("batch_idx"))
     },
 
+    // The DataSource V2 streaming surface (readStream.format(...)): same
+    // envelope as q60 but through Spark's MicroBatchExecution + the
+    // row-granular partition readers; oracle identical to q60's.
+    QueryDef.sqlBacked(
+      "q64_cdc_stream_v2",
+      """SELECT 'c' AS op,
+        |  CAST(COUNT(*)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 97 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 89 = 0) AS BIGINT) AS n
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'm' AS op, CAST(1 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'r' AS op,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n
+        |FROM lineitem
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      val view = s"cdc_v2_${math.abs(dir.hashCode)}"
+      val q = s.readStream.format("graft.sources.GraftCdc")
+        .option("tablePath", table)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(view)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_v2_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(view).groupBy(col("op")).agg(count(lit(1)).as("n"))
+        .orderBy(col("op"))
+    },
+
     // Partition routing: canonical partition_value string + the
     // reference's murmur3_32 & MAX_VALUE % N slot (Spark-only — DuckDB
     // has no murmur3-x86; pinned vectors are tested in Murmur3Spec).

@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-granular reader for one CDC file event. Streams parquet rows via
+  * parquet-mr's example Group API — intentionally the same physical
+  * approach as the reference's ParquetReaderUtils (java:72–91) but
+  * iterator-based (no whole-file List on the heap) and with correct typed
+  * extraction per the DECLARED Spark schema, fixing the reference's
+  * positional-index addressing (defect #13) by resolving fields by NAME.
+  *
+  * Partition-column values come from the log's partitionValues (hive-dir
+  * style), cast to the declared type. Timestamps are INT64 micros
+  * (TableWriter pins outputTimestampType=TIMESTAMP_MICROS).
+  */
+private[sources] class CdcPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case f: CdcFilePartition => new CdcFileReader(f)
+      case m: CdcMetaPartition => new CdcMetaReader(m)
+    }
+}
+
+private[sources] class CdcMetaReader(p: CdcMetaPartition)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  private val payload = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  override def next(): Boolean = if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow = {
+    val row = new Array[Any](GraftCdc.EnvelopeCols + payload.length)
+    row(0) = UTF8String.fromString("m")
+    row(1) = UTF8String.fromString("")
+    row(2) = 0L
+    row(3) = p.version
+    new GenericInternalRow(row)
+  }
+  override def close(): Unit = ()
+}
+
+private[sources] class CdcFileReader(p: CdcFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val payload: StructType = {
+    val full = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+    StructType(full.fields.drop(GraftCdc.EnvelopeCols))
+  }
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.filePath))
+      .withConf(new Configuration())
+      .build()
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new Array[Any](GraftCdc.EnvelopeCols + payload.length)
+    row(0) = UTF8String.fromString(p.op)
+    row(1) = UTF8String.fromString(p.partitionValue)
+    row(2) = p.ts
+    row(3) = p.version
+    val fileSchema = current.getType
+    var i = 0
+    while (i < payload.length) {
+      val f = payload(i)
+      row(GraftCdc.EnvelopeCols + i) =
+        if (p.partitionValues.contains(f.name))
+          castPartitionValue(p.partitionValues(f.name), f.dataType)
+        else {
+          val idx = fileSchema.getFieldIndex(f.name)
+          if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
+          else extract(current, idx, f.dataType)
+        }
+      i += 1
+    }
+    new GenericInternalRow(row)
+  }
+
+  private def extract(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case IntegerType => g.getInteger(idx, 0)
+    case LongType => g.getLong(idx, 0)
+    case DoubleType => g.getDouble(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case BooleanType => g.getBoolean(idx, 0)
+    case ShortType => g.getInteger(idx, 0).toShort
+    case ByteType => g.getInteger(idx, 0).toByte
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes
+    case TimestampType | TimestampNTZType =>
+      g.getLong(idx, 0) // INT64 micros by writer contract
+    case DateType => g.getInteger(idx, 0)
+    case other => throw new UnsupportedOperationException(
+      s"streaming reader does not support $other yet (use the batch CDC path)")
+  }
+
+  private def castPartitionValue(s: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(s)
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case DoubleType => s.toDouble
+    case BooleanType => s.toBoolean
+    case other => throw new UnsupportedOperationException(
+      s"partition column type $other not supported in streaming reader")
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -25,6 +25,9 @@ object TableWriter {
       commitTs: Long = 0L,
       operation: String = "WRITE",
       extraActions: Seq[Action] = Seq.empty): Unit = {
+    // INT64-micros timestamps (not INT96) so every reader — including the
+    // row-granular streaming PartitionReader — sees a plain long column.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)

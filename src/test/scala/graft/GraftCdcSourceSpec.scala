@@ -1,0 +1,103 @@
+package graft
+
+import graft.queries.Cdc
+import graft.txn.{CdcReader, TableWriter}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The DataSource V2 streaming surface: spark.readStream.format(
+  * "graft.sources.GraftCdc") over the engine's own table, checkpointed by
+  * Spark's StreamingQuery machinery (offsets = CdcOffset JSON).
+  */
+class GraftCdcSourceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val fmt = "graft.sources.GraftCdc"
+
+  test("streaming read reproduces the batch CDC envelope") {
+    val table = Cdc.buildFixture(spark, sf)
+    val q = spark.readStream.format(fmt)
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_stream_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.sql(
+      "SELECT op, COUNT(*) AS n FROM cdc_stream_out GROUP BY op")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = CdcReader.cdc(spark, table).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("payload values and partition columns survive the row reader") {
+    val table = Cdc.buildFixture(spark, sf)
+    val q = spark.readStream.format(fmt)
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_stream_vals")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // spot-compare a whole column aggregate against the source table
+    val got = spark.sql(
+      """SELECT l_returnflag, SUM(l_quantity) AS q
+        |FROM cdc_stream_vals WHERE op = 'c' AND commit_version = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    val want = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      .orderBy("l_returnflag").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    // timestamps decoded as timestamps
+    val ship = spark.sql(
+      "SELECT MIN(l_shipdate) FROM cdc_stream_vals WHERE op='c'").collect()(0)
+    assert(!ship.isNullAt(0))
+  }
+
+  test("restart from Spark checkpoint resumes, new commits flow") {
+    val src = Cdc.buildFixture(spark, sf)
+    // private copy so we can append a v3 commit
+    val table = Files.createTempDirectory("cdc_grow").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.limit(500), table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    val ck = Files.createTempDirectory("ck").toString
+    val out = Files.createTempDirectory("cdc_out").toString + "/sink"
+
+    // memory sink can't recover from a checkpoint; a file sink can — and
+    // it also proves exactly-once end-to-end (no duplicate rows on resume)
+    def runOnce(): Long = {
+      val q = spark.readStream.format(fmt)
+        .option("tablePath", table)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).count()
+    }
+    assert(runOnce() == 500)
+    // append a new commit, restart the stream from the same checkpoint
+    TableWriter.write(spark, li.limit(600).except(li.limit(500)), table,
+      partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
+    val total = runOnce()
+    // resumed run appends ONLY the 100 new rows — no snapshot replay
+    assert(total == 600, s"expected 600 total rows after resume, got $total")
+  }
+}
