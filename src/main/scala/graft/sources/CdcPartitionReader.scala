@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -56,7 +55,7 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
   private val reader: ParquetReader[Group] =
     ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.filePath))
-      .withConf(new Configuration())
+      .withConf(p.conf.value)
       .build()
 
   private var current: Group = _

@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 import java.util
 import scala.jdk.CollectionConverters._
@@ -88,7 +89,11 @@ private[sources] class GraftCdcMicroBatchStream(
     options: Map[String, String]) extends MicroBatchStream {
 
   private val opts = CdcOptions.parse(options)
-  private def log = new TxnLog(opts.tablePath, new Configuration())
+  // session Hadoop conf captured on the driver, shipped to executors in
+  // each partition — s3a/hdfs credentials configured on the session work
+  private val serConf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private def log = new TxnLog(opts.tablePath, serConf.value)
 
   override def initialOffset(): Offset = {
     val start = opts.resolveStartVersion(log)
@@ -114,7 +119,8 @@ private[sources] class GraftCdcMicroBatchStream(
 
     def filePart(rel: String, pv: Map[String, String], op: String, ts: Long, v: Long): Unit =
       parts += CdcFilePartition(s"${opts.tablePath}/$rel", op,
-        CdcReader.partitionValueString(pv), pv, ts, v, schema.json, partCols)
+        CdcReader.partitionValueString(pv), pv, ts, v, schema.json, partCols,
+        serConf)
 
     if (s.phase == CdcOffset.FullCopy) {
       val snap = l.snapshot(s.version)
@@ -152,7 +158,8 @@ private[sources] case class CdcFilePartition(
     ts: Long,
     version: Long,
     schemaJson: String,
-    partitionColumns: Seq[String]) extends InputPartition
+    partitionColumns: Seq[String],
+    conf: SerializableConfiguration) extends InputPartition
 
 /** A schema-change control row (op='m'). */
 private[sources] case class CdcMetaPartition(
