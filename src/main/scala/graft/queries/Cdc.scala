@@ -34,6 +34,10 @@ object Cdc {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
 
+    // One writer task per partition value ⇒ 3 large files at v0. A
+    // repartition(8) variant (24 files) was measured and REJECTED: the
+    // per-file reader overhead made every CDC query ~2× slower at sf0.1
+    // (small-files problem) — fewer, larger files win here.
     val li = Tables.load(spark, sfDir, "lineitem")
     // v0: full table
     TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
@@ -145,20 +149,29 @@ object Cdc {
         |FROM lineitem
         |ORDER BY op""".stripMargin) { (s, dir) =>
       val table = buildFixture(s, dir)
-      val view = s"cdc_v2_${math.abs(dir.hashCode)}"
+      // foreachBatch: each micro-batch is aggregated DISTRIBUTED-side
+      // (op → count); only the tiny per-op totals reach the driver — a
+      // memory sink would collect every row.
+      val totals = scala.collection.mutable.Map.empty[String, Long]
       val q = s.readStream.format("graft.sources.GraftCdc")
         .option("tablePath", table)
         .option("startingVersion", "0")
         .option("includeHistory", "true")
         .load()
         .writeStream.outputMode("append")
-        .format("memory").queryName(view)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("op")).agg(count(lit(1)).as("n"))
+            .collect()
+            .foreach(r => totals.updateWith(r.getString(0)) {
+              c => Some(c.getOrElse(0L) + r.getLong(1))
+            })
+        }
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("cdc_v2_ck").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(view).groupBy(col("op")).agg(count(lit(1)).as("n"))
-        .orderBy(col("op"))
+      import s.implicits._
+      totals.toSeq.toDF("op", "n").orderBy(col("op"))
     },
 
     // Partition routing: canonical partition_value string + the
