@@ -74,7 +74,7 @@ object Events {
     QueryDef.sqlBacked(
       "q33_sessionize",
       """SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  EPOCH_US(MIN(ts)) AS session_start_us, EPOCH_US(MAX(ts)) AS session_end_us
         |FROM (
         |  SELECT user_id, ts,
         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -101,8 +101,8 @@ object Events {
         .withColumn("session_id", sum(col("is_new")).over(cum))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"))
+          unix_micros(min(col("ts"))).as("session_start_us"),
+          unix_micros(max(col("ts"))).as("session_end_us"))
         .orderBy(col("user_id"), col("session_id"))
     }
   )

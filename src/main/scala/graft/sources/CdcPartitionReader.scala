@@ -78,9 +78,13 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
       row(GraftCdc.EnvelopeCols + i) =
         if (p.partitionValues.contains(f.name))
           castPartitionValue(p.partitionValues(f.name), f.dataType)
-        else {
+        else if (!fileSchema.containsField(f.name)) {
+          // Schema evolution: file predates an add-column Metadata commit —
+          // surface the column as null (getFieldIndex would throw).
+          null
+        } else {
           val idx = fileSchema.getFieldIndex(f.name)
-          if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
+          if (current.getFieldRepetitionCount(idx) == 0) null
           else extract(current, idx, f.dataType)
         }
       i += 1

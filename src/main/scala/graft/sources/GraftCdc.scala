@@ -63,7 +63,9 @@ object GraftCdc {
         StructField("partition_value", StringType, nullable = false) ::
         StructField("ts", LongType, nullable = false) ::
         StructField("commit_version", LongType, nullable = false) ::
-        payload.fields.toList)
+        // payload is always nullable on read: under schema evolution, files
+        // written before an add-column commit surface that column as null
+        payload.fields.map(_.copy(nullable = true)).toList)
 }
 
 private[sources] class GraftCdcTable(

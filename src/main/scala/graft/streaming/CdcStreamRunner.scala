@@ -21,32 +21,47 @@ import java.nio.charset.StandardCharsets
   */
 object CdcStreamRunner {
 
-  private def offsetPath(checkpointDir: String) = new Path(checkpointDir, "offset.json")
+  // Offsets are monotonically-named files (offset-<n>.json); the current
+  // offset is the max n. A crash can therefore never observe a "no offset"
+  // state mid-commit — the previous file is untouched until the new one is
+  // fully renamed into place (rename-to-fresh-name, never delete-then-rename).
+  private val OffsetRe = """offset-(\d+)\.json""".r
+
+  private def listOffsets(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case OffsetRe(n) => Some((n.toLong, st.getPath))
+        case _           => None
+      }
+    }.sortBy(_._1)
 
   def readOffset(spark: SparkSession, checkpointDir: String): Option[CdcOffset] = {
-    val p = offsetPath(checkpointDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
+    val dir = new Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    listOffsets(fs, dir).lastOption.map { case (_, p) =>
       val in = fs.open(p)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
-        Some(CdcOffset.fromJson(bytes.toString("UTF-8")))
+        CdcOffset.fromJson(bytes.toString("UTF-8"))
       } finally in.close()
     }
   }
 
   private def writeOffset(spark: SparkSession, checkpointDir: String, o: CdcOffset): Unit = {
-    val p = offsetPath(checkpointDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(checkpointDir, ".offset.json.tmp")
+    val dir = new Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val existing = listOffsets(fs, dir)
+    val next = existing.lastOption.map(_._1 + 1).getOrElse(0L)
+    val tmp = new Path(checkpointDir, s".offset-$next.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(o.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
+    if (!fs.rename(tmp, new Path(checkpointDir, s"offset-$next.json")))
       throw new IllegalStateException(s"offset commit failed at $checkpointDir")
+    // retain the latest two; older ones are garbage
+    existing.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** Drain available commits, at most `maxBatches` micro-batches. Returns

@@ -99,14 +99,28 @@ object CdcReader {
     // Read with the LOG's declared schema (latest Metadata action), not
     // whatever file Spark samples first — after a schema-change commit,
     // older files surface the added columns as nulls (Delta semantics).
-    val declaredSchema = log.snapshotLatest().metadata
+    val latestSnap = log.snapshotLatest()
+    val declaredSchema = latestSnap.metadata
       .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
-    if (fileEvents.isEmpty)
+    if (fileEvents.isEmpty && metaRows.isEmpty)
       throw new IllegalArgumentException(s"no CDC events at $tablePath")
 
     import spark.implicits._
+
+    if (fileEvents.isEmpty) {
+      // Schema-change-only commit range: emit the op='m' control rows with
+      // null payload columns (same shape the DSv2 source produces).
+      val m = metaRows.toDF("op", "ts", "commit_version")
+        .withColumn("partition_value", lit(""))
+      val payloadFields = declaredSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
+      val withPayload = payloadFields.foldLeft(m)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      return withPayload.select(
+        (Seq(col("op"), col("partition_value"), col("ts"),
+          col("commit_version")) ++ payloadFields.map(f => col(f.name))): _*)
+    }
     val envelope = fileEvents.toSeq
       .toDF("_cdc_path", "op", "ts", "commit_version")
 
@@ -122,7 +136,7 @@ object CdcReader {
         .withColumn("_cdc_path", regexp_replace(col("_cdc_path"), "^file:/+", "/"))),
         "_cdc_path")
 
-    val partCols = log.snapshotLatest().metadata
+    val partCols = latestSnap.metadata
       .map(_.partitionColumns).getOrElse(Seq.empty)
     val pvExpr =
       if (partCols.isEmpty) lit("")

@@ -27,7 +27,27 @@ object TableWriter {
       extraActions: Seq[Action] = Seq.empty): Unit = {
     // INT64-micros timestamps (not INT96) so every reader — including the
     // row-granular streaming PartitionReader — sees a plain long column.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Scoped to this write: the previous session value is restored after.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try doWrite(spark, df, tablePath, partitionBy, version, commitTs,
+      operation, extraActions)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None    => spark.conf.unset(tsTypeKey)
+    }
+  }
+
+  private def doWrite(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String],
+      version: Long,
+      commitTs: Long,
+      operation: String,
+      extraActions: Seq[Action]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)

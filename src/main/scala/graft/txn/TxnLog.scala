@@ -37,19 +37,30 @@ final class TxnLog(val tablePath: String, conf: Configuration) {
 
   def latestVersion(): Option[Long] = versions().lastOption
 
-  /** Atomically commit `actions` as version `v`. Fails if v exists. */
+  /** Atomically commit `actions` as version `v`. Fails if v exists.
+    *
+    * Mutual exclusion comes from `fs.create(dest, overwrite = false)`,
+    * which fails-if-exists on local and HDFS filesystems (POSIX rename —
+    * what a write-temp+rename protocol would rely on — silently
+    * OVERWRITES on RawLocalFileSystem, so rename gives no exclusion
+    * there). The full payload is written in one call before close; a
+    * reader racing the close may observe a shorter file on local FS, the
+    * same caveat Delta's LogStore documents per-filesystem. Object stores
+    * without conditional-put need an external coordinator, as in Delta.
+    */
   def commit(v: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, f".$v%020d.json.tmp")
-    val out = fs.create(tmp, true)
+    val out =
+      try fs.create(commitFile(v), false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException if fs.exists(commitFile(v)) =>
+          throw new IllegalStateException(
+            s"concurrent commit: version $v already exists at $tablePath")
+      }
     try out.write(actions.map(a => Serialization.write(LogLine(a)))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, commitFile(v))) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent commit: version $v already exists at $tablePath")
-    }
   }
 
   /** Parse the actions of one commit, in file order. */

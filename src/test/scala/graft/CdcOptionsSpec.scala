@@ -55,6 +55,25 @@ class CdcOptionsSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata-only commit range yields op='m' rows, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("meta_only").toString
+    val li = Tables.load(spark, sf, "lineitem").limit(50)
+    TableWriter.write(spark, li, dir, version = 0L, commitTs = 1000L)
+    // v1 is a pure schema-change commit: Metadata + CommitInfo, no files
+    val newSchema = li.withColumn("extra_flag", lit(1)).schema
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    log.commit(1L, Seq(Metadata(newSchema.json, Seq.empty),
+      graft.txn.CommitInfo("SET_SCHEMA", 2000L)))
+    // incremental read of (0, latest] sees only the 'm' control row
+    val df = graft.txn.CdcReader.cdc(spark, dir, startingVersion = 0L,
+      includeHistory = false)
+    assert(df.count() == 1)
+    val m = df.collect()(0)
+    assert(m.getAs[String]("op") == "m")
+    assert(m.getAs[Long]("commit_version") == 1L)
+    assert(df.columns.contains("extra_flag"))
+  }
+
   test("schema-change commit surfaces op='m' and the new schema (T7)") {
     val dir = java.nio.file.Files.createTempDirectory("schema_change").toString
     val li = Tables.load(spark, sf, "lineitem").limit(100)

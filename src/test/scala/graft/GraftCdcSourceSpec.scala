@@ -66,6 +66,31 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     assert(!ship.isNullAt(0))
   }
 
+  test("streaming read survives schema evolution (pre-add-column files)") {
+    val table = Files.createTempDirectory("schema_stream").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem").limit(100)
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    // v1 adds a column: v0 files must read as null under the evolved schema
+    val li2 = li.withColumn("extra_flag", lit(1)).limit(10)
+    TableWriter.write(spark, li2, table, version = 1L, commitTs = 2000L,
+      extraActions = Seq(graft.txn.Metadata(li2.schema.json, Seq.empty)))
+    val q = spark.readStream.format(fmt)
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_stream_evolved")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("cdc_stream_evolved")
+    assert(out.columns.contains("extra_flag"))
+    assert(out.filter(col("op") === "c" && col("extra_flag").isNull).count() == 100)
+    assert(out.filter(col("op") === "c" && col("extra_flag") === 1).count() == 10)
+    assert(out.filter(col("op") === "m").count() == 1)
+  }
+
   test("restart from Spark checkpoint resumes, new commits flow") {
     val src = Cdc.buildFixture(spark, sf)
     // private copy so we can append a v3 commit
