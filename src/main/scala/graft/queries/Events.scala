@@ -68,6 +68,25 @@ object Events {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // Batch twin of the watermarked stream-stream interval join (J10):
+    // same EventStreams.purchaseClickJoin declaration, run on batch frames
+    // (withWatermark is a no-op in batch). The streaming side is spec-
+    // verified with two MemoryStreams in StreamingSpec.
+    QueryDef.sqlBacked(
+      "q34_interval_join",
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.streaming.EventStreams.purchaseClickJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+    },
+
     // Sessionization with a 30-minute inactivity gap, expressed relationally
     // (window lag + cumulative sum) so DuckDB can verify it; the streaming
     // twin uses session_window in graft.streaming.

@@ -249,6 +249,22 @@ object Relational {
         .orderBy(col("nationkey"))
     },
 
+    // Right-outer join preserving unmatched right-side rows (J3): parts
+    // never ordered keep a zero count.
+    QueryDef.sqlBacked(
+      "q29_right_outer",
+      """SELECT p_partkey, CAST(COUNT(l_orderkey) AS BIGINT) AS n_lines
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"), "right_outer")
+        .groupBy(col("p_partkey"))
+        .agg(count(col("l_orderkey")).as("n_lines"))
+        .orderBy(col("p_partkey"))
+    },
+
     // Join + agg + top-k — TPC-H Q10 shape
     QueryDef.sqlBacked(
       "q10_returned_items",

@@ -38,6 +38,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Stream-stream interval join (SURVEY §2.3 J10): each purchase pairs
+    * with the same user's clicks in the `maxGap` window before it.
+    * Watermarks on BOTH inputs plus the two-sided time-range predicate let
+    * Spark bound the join state (buffered rows age out once the watermark
+    * passes `p_ts` / `c_ts + maxGap`) — without them a stream-stream join
+    * holds all history. The same declaration runs on batch frames
+    * (withWatermark is a no-op in batch), which is how the DuckDB-verified
+    * q34 batch twin exercises identical join semantics.
+    */
+  def purchaseClickJoin(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      maxGap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxGap") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Session window with an inactivity gap, per user — the streaming twin
     * of the relational q33_sessionize.
     */

@@ -73,6 +73,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val pMem = MemoryStream[(Timestamp, Long, Long)]
+    val cMem = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = pMem.toDF().toDF("ts", "event_id", "user_id")
+    val clicks = cMem.toDF().toDF("ts", "event_id", "user_id")
+    val joined = EventStreams.purchaseClickJoin(purchases, clicks,
+      maxGap = "30 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // clicks at 00:10 and 00:20 (user 1), 00:20 (user 2), 00:05 (user 1,
+      // outside the 30-minute window of the later purchase)
+      cMem.addData((ts(10), 101L, 1L), (ts(20), 102L, 1L),
+        (ts(20), 103L, 2L), (ts(5), 104L, 1L))
+      // purchase at 00:40 (user 1): window [00:10, 00:40]
+      pMem.addData((ts(40), 201L, 1L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, purchase_id, click_id FROM ss_join_out " +
+          "ORDER BY purchase_id, click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 201L, 101L), (1L, 201L, 102L)))
+      // advance watermark far past the window on BOTH sides, then feed a
+      // too-late click that would otherwise match — state must be gone
+      pMem.addData((ts(55, 59), 202L, 9L))
+      cMem.addData((ts(55, 59), 105L, 9L))
+      q.processAllAvailable()
+      cMem.addData((ts(15), 106L, 1L)) // late: watermark is far past 00:15
+      q.processAllAvailable()
+      val n = spark.sql("SELECT COUNT(*) FROM ss_join_out").collect()(0).getLong(0)
+      assert(n == 3, s"late click must not produce a pair (got $n rows)")
+    } finally q.stop()
+  }
+
   test("cdc stream runner: split runs equal one uninterrupted run") {
     val table = Cdc.buildFixture(spark, sf)
     val ck1 = Files.createTempDirectory("cdc_ck1").toString
