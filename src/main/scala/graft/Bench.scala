@@ -19,19 +19,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Full materialization, not count(): the noop sink evaluates every
+    // column of every row (count() lets Catalyst prune unevaluated
+    // projections, flattering projection-heavy queries).
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // untimed warmup: JIT/codegen + the one-time CDC fixture build
     try {
       queries.Cdc.buildFixture(spark, sfDir)
-      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+      consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order; any cache a query builds is scoped to its
+    // own measurement (cleared after the clock stops, so no query rides on
+    // or pays for another's cached state).
+    // optional args: restrict to queries whose name contains any arg
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -600,11 +600,17 @@ object Relational {
     // HyperLogLog approximate distinct (§2.4) — Spark-only (DuckDB's HLL
     // implementation differs); QueriesSpec bounds the relative error.
     QueryDef.sparkOnly("q28_approx_distinct") { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-        .orderBy(col("l_returnflag"))
+      // exact and approx in SEPARATE aggregates: combining countDistinct
+      // with approx_count_distinct in one agg triggers the distinct-rewrite
+      // Expand, which allocates an HLL partial buffer per (flag, orderkey)
+      // group — ~GBs of churn at sf0.1, unbounded at scale. Two scans of a
+      // 2-column pruned parquet + a 3-row broadcast join is strictly better.
+      val li = Tables.load(s, dir, "lineitem")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      exact.join(approx, "l_returnflag").orderBy(col("l_returnflag"))
     },
 
     // Grouping sets (§2.4)

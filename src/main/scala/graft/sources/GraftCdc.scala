@@ -88,7 +88,9 @@ private[sources] class GraftCdcTable(
 
 private[sources] class GraftCdcMicroBatchStream(
     schema: StructType,
-    options: Map[String, String]) extends MicroBatchStream {
+    options: Map[String, String])
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val opts = CdcOptions.parse(options)
   // session Hadoop conf captured on the driver, shipped to executors in
@@ -107,6 +109,58 @@ private[sources] class GraftCdcMicroBatchStream(
   override def latestOffset(): Offset = {
     val latest = log.latestVersion().getOrElse(0L)
     WrappedOffset(CdcOffset(CdcOffset.Incremental, latest, -1, -1))
+  }
+
+  // ------ admission control (backpressure) ------
+  // The Spark-native form of the reference's bounded blocking queue
+  // (DeltaLakeConnectorSource.java:57, 98–100): each micro-batch admits at
+  // most maxVersionsPerTrigger commits and/or maxFilesPerTrigger data-file
+  // events, so a restart against a deep backlog drains in bounded batches
+  // instead of swallowing the whole log at once.
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    if (opts.maxVersionsPerTrigger.isDefined || opts.maxFilesPerTrigger.isDefined)
+      ReadLimit.maxFiles(
+        opts.maxFilesPerTrigger.orElse(opts.maxVersionsPerTrigger).get.toInt)
+    else ReadLimit.allAvailable()
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[WrappedOffset].o
+    val l = log
+    val latest = l.latestVersion().getOrElse(0L)
+    val limited =
+      opts.maxVersionsPerTrigger.isDefined || opts.maxFilesPerTrigger.isDefined
+    if (!limited) return latestOffset()
+    if (s.phase == CdcOffset.FullCopy)
+      // first admitted batch is the snapshot alone; incremental caps apply
+      // from the next batch on
+      return WrappedOffset(CdcOffset(CdcOffset.Incremental, s.version, -1, -1))
+    var endV = s.version
+    var files = 0L
+    var versions = 0L
+    val capV = opts.maxVersionsPerTrigger.getOrElse(Long.MaxValue)
+    val capF = opts.maxFilesPerTrigger.getOrElse(Long.MaxValue)
+    val it = l.changes(s.version + 1).iterator
+    var stop = false
+    while (!stop && it.hasNext && versions < capV) {
+      val (v, actions) = it.next()
+      val n = actions.count(a =>
+        a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])
+      // always admit at least one version per batch, else never progress
+      if (versions > 0 && files + n > capF) stop = true
+      else {
+        endV = v
+        files += n
+        versions += 1
+        if (files >= capF) stop = true
+      }
+    }
+    WrappedOffset(CdcOffset(CdcOffset.Incremental, math.max(endV, s.version), -1, -1))
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -20,7 +20,9 @@ final case class CdcOptions(
     startingVersion: Option[Long],
     startingTimestamp: Option[Long], // epoch millis
     latest: Boolean,
-    includeHistory: Boolean) {
+    includeHistory: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None) {
 
   /** Resolve the concrete start version against a table's log. */
   def resolveStartVersion(log: TxnLog): Long = {
@@ -66,6 +68,18 @@ object CdcOptions {
             s"startingTimestamp must be ISO-8601 (e.g. 2021-09-29T20:17:46.384Z), got '$s'")
       }
     }
+    def positiveLong(key: String): Option[Long] =
+      opts.get(key).filter(_.nonEmpty).map { s =>
+        val n =
+          try s.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"$key must be a positive number, got '$s'")
+          }
+        if (n <= 0)
+          throw new IllegalArgumentException(s"$key must be positive, got $n")
+        n
+      }
+
     CdcOptions(
       tablePath = tablePath,
       startingVersion = version,
@@ -73,7 +87,9 @@ object CdcOptions {
       latest = latest || (version.isEmpty && ts.isEmpty),
       includeHistory =
         opts.get("includeHistory").orElse(opts.get("includeHistoryData"))
-          .exists(_.equalsIgnoreCase("true")))
+          .exists(_.equalsIgnoreCase("true")),
+      maxVersionsPerTrigger = positiveLong("maxVersionsPerTrigger"),
+      maxFilesPerTrigger = positiveLong("maxFilesPerTrigger"))
   }
 
   /** Option-driven CDC read — the engine's `open(config)` equivalent. */

@@ -91,6 +91,36 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     assert(out.filter(col("op") === "m").count() == 1)
   }
 
+  test("maxVersionsPerTrigger drains a commit backlog in bounded batches") {
+    val table = Files.createTempDirectory("cdc_admission").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+    // 3-commit backlog before the stream ever starts
+    TableWriter.write(spark, li.limit(100), table, version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, li.limit(150).except(li.limit(100)), table,
+      version = 1L, commitTs = 2000L)
+    TableWriter.write(spark, li.limit(180).except(li.limit(150)), table,
+      version = 2L, commitTs = 3000L)
+    val q = spark.readStream.format(fmt)
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_admission_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // snapshot batch + one batch per backlog commit = 3 non-empty batches
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length == 3,
+        s"expected 3 bounded batches, got ${nonEmpty.map(_.numInputRows).mkString(",")}")
+      assert(nonEmpty.map(_.numInputRows).toSeq == Seq(100L, 50L, 30L))
+      assert(spark.table("cdc_admission_out").count() == 180)
+    } finally q.stop()
+  }
+
   test("restart from Spark checkpoint resumes, new commits flow") {
     val src = Cdc.buildFixture(spark, sf)
     // private copy so we can append a v3 commit
