@@ -59,10 +59,19 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
       .build()
 
   private var current: Group = _
+  private var rowIdx: Long = -1L
 
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    // mid-file resume bounds: yield only rows in [skipRows, untilRow)
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowIdx += 1
+      if (p.untilRow >= 0 && rowIdx >= p.untilRow) return false
+      if (rowIdx >= p.skipRows) return true
+      // else: before the resume point — keep skipping
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {
@@ -105,6 +114,20 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
     case TimestampType | TimestampNTZType =>
       g.getLong(idx, 0) // INT64 micros by writer contract
     case DateType => g.getInteger(idx, 0)
+    case dt: DecimalType =>
+      // Spark's parquet writer encodes decimals by precision:
+      // ≤9 INT32, ≤18 INT64, else FIXED_LEN_BYTE_ARRAY (big-endian
+      // two's-complement unscaled value) — read all three.
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => Decimal(g.getInteger(idx, 0).toLong, dt.precision, dt.scale)
+        case INT64 => Decimal(g.getLong(idx, 0), dt.precision, dt.scale)
+        case FIXED_LEN_BYTE_ARRAY | BINARY =>
+          val unscaled = new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
+          Decimal(new java.math.BigDecimal(unscaled, dt.scale), dt.precision, dt.scale)
+        case other => throw new UnsupportedOperationException(
+          s"decimal stored as $other not supported")
+      }
     case other => throw new UnsupportedOperationException(
       s"streaming reader does not support $other yet (use the batch CDC path)")
   }
@@ -115,6 +138,8 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
     case LongType => s.toLong
     case DoubleType => s.toDouble
     case BooleanType => s.toBoolean
+    case d: DecimalType =>
+      Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
     case other => throw new UnsupportedOperationException(
       s"partition column type $other not supported in streaming reader")
   }

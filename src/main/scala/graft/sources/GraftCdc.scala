@@ -118,13 +118,41 @@ private[sources] class GraftCdcMicroBatchStream(
   // events, so a restart against a deep backlog drains in bounded batches
   // instead of swallowing the whole log at once.
 
+  /** Ordered file events of one commit (log order — the index space of
+    * CdcOffset.fileIndex for INCREMENTAL offsets).
+    */
+  private def fileEventsOf(l: TxnLog, v: Long): IndexedSeq[(String, Map[String, String], String, Long)] =
+    l.read(v).collect {
+      case a: AddFile    => (a.path, a.partitionValues, "c", a.modificationTime)
+      case r: RemoveFile => (r.path, r.partitionValues, "r", r.deletionTimestamp)
+    }.toIndexedSeq
+
+  /** Snapshot file list at v (replay order — the FULL_COPY index space). */
+  private def snapshotEventsOf(l: TxnLog, v: Long): IndexedSeq[(String, Map[String, String], String, Long)] =
+    l.snapshot(v).files.map(f =>
+      (f.path, f.partitionValues, "c", f.modificationTime)).toIndexedSeq
+
+  // parquet footer row counts, cached per stream instance; only the files
+  // a row-capped trigger walks are ever read (bounded driver work)
+  private val rowCountCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def rowCountOf(rel: String): Long =
+    rowCountCache.getOrElseUpdate(rel, {
+      val p = new org.apache.hadoop.fs.Path(s"${opts.tablePath}/$rel")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, serConf.value)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    })
+
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    if (opts.maxVersionsPerTrigger.isDefined || opts.maxFilesPerTrigger.isDefined)
-      ReadLimit.maxFiles(
-        opts.maxFilesPerTrigger.orElse(opts.maxVersionsPerTrigger).get.toInt)
-    else ReadLimit.allAvailable()
+    (opts.maxRowsPerTrigger, opts.maxFilesPerTrigger, opts.maxVersionsPerTrigger) match {
+      case (Some(r), _, _) => ReadLimit.maxRows(r)
+      case (_, Some(f), _) => ReadLimit.maxFiles(f.toInt)
+      case (_, _, Some(_)) => ReadLimit.allAvailable() // versions: our own notion
+      case _               => ReadLimit.allAvailable()
+    }
   }
 
   override def latestOffset(
@@ -132,10 +160,71 @@ private[sources] class GraftCdcMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[WrappedOffset].o
     val l = log
-    val latest = l.latestVersion().getOrElse(0L)
-    val limited =
-      opts.maxVersionsPerTrigger.isDefined || opts.maxFilesPerTrigger.isDefined
+    val limited = opts.maxVersionsPerTrigger.isDefined ||
+      opts.maxFilesPerTrigger.isDefined || opts.maxRowsPerTrigger.isDefined
     if (!limited) return latestOffset()
+
+    opts.maxRowsPerTrigger match {
+      case Some(capR) => rowCappedEnd(l, s, capR)
+      case None       => coarseCappedEnd(l, s)
+    }
+  }
+
+  /** Row-granular admission: walk file events from the start position,
+    * accumulating parquet footer row counts, and stop mid-file when the
+    * cap is hit — producing the reference's mid-file checkpoint shape.
+    * At least one row is always admitted, so the stream can never stall.
+    */
+  private def rowCappedEnd(l: TxnLog, s: CdcOffset, capR: Long): Offset = {
+    var remaining = capR
+    // returns Some(midOffset) if the cap lands inside this segment
+    def walk(events: IndexedSeq[(String, Map[String, String], String, Long)],
+        phase: Int, v: Long, startIdx: Int, startRow: Long): Option[CdcOffset] = {
+      var i = startIdx
+      var row = startRow
+      while (i < events.size) {
+        val avail = rowCountOf(events(i)._1) - row
+        if (remaining < avail)
+          return Some(CdcOffset(phase, v, i, row + remaining))
+        remaining -= avail
+        i += 1
+        row = 0
+      }
+      None
+    }
+    if (s.phase == CdcOffset.FullCopy) {
+      val mid = walk(snapshotEventsOf(l, s.version), CdcOffset.FullCopy,
+        s.version, math.max(s.fileIndex, 0).toInt, math.max(s.rowNum, 0))
+      // snapshot completes within this batch; incremental starts next batch
+      WrappedOffset(mid.getOrElse(
+        CdcOffset(CdcOffset.Incremental, s.version, -1, -1)))
+    } else {
+      var end = CdcOffset(CdcOffset.Incremental, s.version, -1, -1)
+      var versions = 0L
+      val capV = opts.maxVersionsPerTrigger.getOrElse(Long.MaxValue)
+      if (s.fileIndex >= 0) {
+        // finish the partially-consumed version first
+        walk(fileEventsOf(l, s.version), CdcOffset.Incremental, s.version,
+          s.fileIndex.toInt, s.rowNum) match {
+          case Some(mid) => return WrappedOffset(mid)
+          case None      => versions += 1
+        }
+      }
+      val it = l.changes(s.version + 1).iterator
+      var stop = false
+      while (!stop && it.hasNext && remaining > 0 && versions < capV) {
+        val (v, _) = it.next()
+        walk(fileEventsOf(l, v), CdcOffset.Incremental, v, 0, 0L) match {
+          case Some(mid) => end = mid; stop = true
+          case None      => end = CdcOffset(CdcOffset.Incremental, v, -1, -1); versions += 1
+        }
+      }
+      WrappedOffset(end)
+    }
+  }
+
+  /** Version/file-count admission (no footer reads needed). */
+  private def coarseCappedEnd(l: TxnLog, s: CdcOffset): Offset = {
     if (s.phase == CdcOffset.FullCopy)
       // first admitted batch is the snapshot alone; incremental caps apply
       // from the next batch on
@@ -173,23 +262,64 @@ private[sources] class GraftCdcMicroBatchStream(
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val partCols = l.snapshotLatest().metadata.map(_.partitionColumns).getOrElse(Nil)
 
-    def filePart(rel: String, pv: Map[String, String], op: String, ts: Long, v: Long): Unit =
+    def filePart(rel: String, pv: Map[String, String], op: String, ts: Long,
+        v: Long, skipRows: Long, untilRow: Long): Unit =
       parts += CdcFilePartition(s"${opts.tablePath}/$rel", op,
         CdcReader.partitionValueString(pv), pv, ts, v, schema.json, partCols,
-        serConf)
+        serConf, skipRows, untilRow)
+
+    // Emit the events of one indexed segment (snapshot or a commit),
+    // bounded below by the start position and above by the end position.
+    def emitRange(events: IndexedSeq[(String, Map[String, String], String, Long)],
+        v: Long, startIdx: Long, startRow: Long,
+        endIdx: Long, endRow: Long): Unit = {
+      val from = math.max(startIdx, 0L).toInt
+      val to = if (endIdx >= 0) math.min(endIdx, events.size - 1L).toInt
+      else events.size - 1
+      var i = from
+      while (i <= to) {
+        val (rel, pv, op, ts) = events(i)
+        val skip = if (i == startIdx) math.max(startRow, 0L) else 0L
+        val until = if (endIdx >= 0 && i == endIdx) endRow else -1L
+        // an event fully consumed by the start bound, or empty under the
+        // end bound, still plans (the reader just yields no rows) — cheap
+        // and keeps the planner logic simple
+        filePart(rel, pv, op, ts, v, skip, until)
+        i += 1
+      }
+    }
 
     if (s.phase == CdcOffset.FullCopy) {
-      val snap = l.snapshot(s.version)
-      snap.files.foreach(f =>
-        filePart(f.path, f.partitionValues, "c", f.modificationTime, snap.version))
+      val snapEvents = snapshotEventsOf(l, s.version)
+      val (endIdx, endRow) =
+        if (e.phase == CdcOffset.FullCopy) (e.fileIndex, e.rowNum) else (-1L, -1L)
+      emitRange(snapEvents, s.version, s.fileIndex, s.rowNum, endIdx, endRow)
+      if (e.phase == CdcOffset.FullCopy) return parts.toArray
     }
+
+    // finish a partially-consumed incremental version first
+    if (s.phase == CdcOffset.Incremental && s.fileIndex >= 0) {
+      val events = fileEventsOf(l, s.version)
+      val (endIdx, endRow) =
+        if (e.version == s.version && e.fileIndex >= 0) (e.fileIndex, e.rowNum)
+        else (-1L, -1L)
+      emitRange(events, s.version, s.fileIndex, s.rowNum, endIdx, endRow)
+      if (e.version == s.version) return parts.toArray
+    }
+
     l.changes(s.version + 1).takeWhile(_._1 <= e.version).foreach { case (v, actions) =>
+      // meta rows emit in the batch that FIRST enters version v (v >
+      // s.version here by construction, so a version split across
+      // row-capped batches emits its 'm' row exactly once)
       actions.foreach {
-        case a: AddFile => filePart(a.path, a.partitionValues, "c", a.modificationTime, v)
-        case r: RemoveFile => filePart(r.path, r.partitionValues, "r", r.deletionTimestamp, v)
         case _: graft.txn.Metadata => parts += CdcMetaPartition(v, schema.json)
         case _ => ()
       }
+      val events = fileEventsOf(l, v)
+      val (endIdx, endRow) =
+        if (v == e.version && e.fileIndex >= 0) (e.fileIndex, e.rowNum)
+        else (-1L, -1L)
+      emitRange(events, v, -1L, -1L, endIdx, endRow)
     }
     parts.toArray
   }
@@ -205,7 +335,11 @@ private[sources] case class WrappedOffset(o: CdcOffset) extends Offset {
   override def json(): String = o.json
 }
 
-/** One data-file CDC event; fields are all JVM-serializable. */
+/** One data-file CDC event; fields are all JVM-serializable.
+  * `skipRows`/`untilRow` bound the rows read for mid-file resume: the
+  * reader yields rows with index in [skipRows, untilRow) (untilRow = -1
+  * means end-of-file).
+  */
 private[sources] case class CdcFilePartition(
     filePath: String,
     op: String,
@@ -215,7 +349,9 @@ private[sources] case class CdcFilePartition(
     version: Long,
     schemaJson: String,
     partitionColumns: Seq[String],
-    conf: SerializableConfiguration) extends InputPartition
+    conf: SerializableConfiguration,
+    skipRows: Long = 0L,
+    untilRow: Long = -1L) extends InputPartition
 
 /** A schema-change control row (op='m'). */
 private[sources] case class CdcMetaPartition(

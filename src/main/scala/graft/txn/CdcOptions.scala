@@ -22,7 +22,8 @@ final case class CdcOptions(
     latest: Boolean,
     includeHistory: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None) {
+    maxFilesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None) {
 
   /** Resolve the concrete start version against a table's log. */
   def resolveStartVersion(log: TxnLog): Long = {
@@ -89,7 +90,8 @@ object CdcOptions {
         opts.get("includeHistory").orElse(opts.get("includeHistoryData"))
           .exists(_.equalsIgnoreCase("true")),
       maxVersionsPerTrigger = positiveLong("maxVersionsPerTrigger"),
-      maxFilesPerTrigger = positiveLong("maxFilesPerTrigger"))
+      maxFilesPerTrigger = positiveLong("maxFilesPerTrigger"),
+      maxRowsPerTrigger = positiveLong("maxRowsPerTrigger"))
   }
 
   /** Option-driven CDC read — the engine's `open(config)` equivalent. */

@@ -5,8 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Offset into the CDC stream — the engine's DeltaCheckpoint
   * (DeltaCheckpoint.java:28–89) with the documented total order and the
-  * boxed-compare defect (#11) fixed: (phase, version, fileIndex, rowNum)
-  * compared field-by-field, FULL_COPY < INCREMENTAL at equal fields.
+  * boxed-compare defect (#11) fixed. Positions are EXCLUSIVE consumed
+  * counts (the reference's mid-file checkpoint, DeltaReader.java:263–282):
+  *
+  *  - `(FULL_COPY, v, -1, -1)` — snapshot at v pending, nothing consumed
+  *  - `(FULL_COPY, v, f, r)` — snapshot files 0..f-1 fully consumed plus
+  *    the first r rows of snapshot file f
+  *  - `(INCREMENTAL, v, f, r)` — versions ≤ v-1 fully consumed, plus
+  *    files 0..f-1 of version v and the first r rows of file f
+  *  - `(INCREMENTAL, v, -1, -1)` — version v fully consumed
+  *
+  * The sentinel -1 therefore sorts FIRST within a FULL_COPY version
+  * (nothing consumed) but LAST within an INCREMENTAL one (all consumed).
   */
 final case class CdcOffset(
     phase: Int, // 0 = FULL_COPY, 1 = INCREMENTAL_COPY
@@ -18,9 +28,14 @@ final case class CdcOffset(
     if (c1 != 0) return c1
     val c2 = java.lang.Long.compare(version, that.version)
     if (c2 != 0) return c2
-    val c3 = java.lang.Long.compare(fileIndex, that.fileIndex)
+    // same phase at this point; -1 is phase-dependent (see class doc)
+    def norm(x: Long): Long =
+      if (x >= 0) x
+      else if (phase == CdcOffset.Incremental) Long.MaxValue
+      else -1L
+    val c3 = java.lang.Long.compare(norm(fileIndex), norm(that.fileIndex))
     if (c3 != 0) return c3
-    java.lang.Long.compare(rowNum, that.rowNum)
+    java.lang.Long.compare(norm(rowNum), norm(that.rowNum))
   }
   def json: String =
     s"""{"phase":$phase,"version":$version,"fileIndex":$fileIndex,"rowNum":$rowNum}"""

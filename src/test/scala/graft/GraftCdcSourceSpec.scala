@@ -91,6 +91,32 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     assert(out.filter(col("op") === "m").count() == 1)
   }
 
+  test("decimal columns round-trip through the streaming row reader") {
+    val table = Files.createTempDirectory("cdc_decimal").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem").limit(50)
+      .select(col("l_orderkey"),
+        col("l_extendedprice").cast("decimal(9,2)").as("d32"),   // INT32
+        col("l_extendedprice").cast("decimal(12,2)").as("d64"),  // INT64
+        (col("l_extendedprice") * 1000000).cast("decimal(25,4)").as("dbig")) // FLBA
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    val q = spark.readStream.format(fmt)
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_stream_decimal")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql(
+      "SELECT SUM(d32), SUM(d64), SUM(dbig) FROM cdc_stream_decimal").collect()(0)
+    val want = li.agg(sum("d32"), sum("d64"), sum("dbig")).collect()(0)
+    assert(got.getDecimal(0) == want.getDecimal(0))
+    assert(got.getDecimal(1) == want.getDecimal(1))
+    assert(got.getDecimal(2) == want.getDecimal(2))
+  }
+
   test("maxVersionsPerTrigger drains a commit backlog in bounded batches") {
     val table = Files.createTempDirectory("cdc_admission").toString + "/t"
     val li = Tables.load(spark, sf, "lineitem")
