@@ -16,6 +16,33 @@ object TableWriter {
     * `commitTs` is the deterministic event/commit time recorded in the
     * log (epoch millis) so fixtures and tests are reproducible.
     */
+  /** Route every row to one of `n` buckets by the reference's output
+    * contract — murmur3_x86_32 of the canonical partition-value string
+    * modulo n (DeltaReader.java:60–63, DeltaRecord.java:228–234) — and
+    * make the routing a SINK property: one shuffle, bucket i's rows land
+    * in files under `route=i`. A downstream consumer (the reference's
+    * per-partition Pulsar producers) reads its slot's directory only.
+    */
+  def writeRouted(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String],
+      routeBuckets: Int,
+      version: Long = 0L,
+      commitTs: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val pvExpr =
+      if (partitionBy.isEmpty) lit("")
+      else concat_ws(",", partitionBy.sorted.map(c =>
+        concat_ws("=", lit(c), col(c).cast("string"))): _*)
+    val routed = df
+      .withColumn("route", graft.functions.Murmur3X86.routeIndex(pvExpr, routeBuckets))
+      .repartition(routeBuckets, col("route"))
+    write(spark, routed, tablePath, partitionBy = Seq("route") ++ partitionBy,
+      version = version, commitTs = commitTs, operation = "WRITE_ROUTED")
+  }
+
   def write(
       spark: SparkSession,
       df: DataFrame,

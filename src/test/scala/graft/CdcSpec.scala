@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.Murmur3X86
 import graft.queries.Cdc
 import graft.txn._
 import org.apache.spark.sql.functions._
@@ -19,6 +20,34 @@ class CdcSpec extends AnyFunSuite {
   private lazy val nR = li.filter(col("l_returnflag") === "R").count()
   private lazy val n97 = li.filter(col("l_orderkey") % 97 === 0).count()
   private lazy val n89 = li.filter(col("l_orderkey") % 89 === 0).count()
+
+  test("routed sink: every file's rows hash to the file's route slot") {
+    val dir = java.nio.file.Files.createTempDirectory("routed_sink").toString + "/t"
+    val n = 8
+    TableWriter.writeRouted(spark, li.limit(2000), dir,
+      partitionBy = Seq("l_returnflag"), routeBuckets = n, commitTs = 1000L)
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    val files = log.snapshotLatest().files
+    assert(files.nonEmpty)
+    // file ↔ slot alignment: the route dir of each file equals
+    // murmur3(canonical pv) % n of the file's own partition values
+    files.foreach { f =>
+      val route = f.partitionValues("route").toInt
+      val pv = CdcReader.partitionValueString(f.partitionValues - "route")
+      assert(route == Murmur3X86.partitionIndex(pv, n),
+        s"file ${f.path}: route=$route pv=$pv")
+    }
+    // row-level: reading any single route dir yields only rows whose
+    // partition value hashes to that slot — and all rows are preserved
+    val back = spark.read.option("basePath", dir)
+      .parquet(files.map(f => s"$dir/${f.path}").distinct: _*)
+    assert(back.count() == 2000)
+    val slots = back.select(col("route"),
+        Murmur3X86.routeIndex(concat_ws("=", lit("l_returnflag"),
+          col("l_returnflag").cast("string")), n).as("want"))
+      .filter(col("route") =!= col("want")).count()
+    assert(slots == 0)
+  }
 
   test("cdc replay op counts match the commit contents") {
     val m = CdcReader.cdc(spark, table).groupBy("op").count()

@@ -60,6 +60,43 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { log.snapshot(0L) }
   }
 
+  test("checkpointed snapshot reads checkpoint + tail, not the whole log") {
+    val dir = java.nio.file.Files.createTempDirectory("txn_cp").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val log = new TxnLog(dir, conf) // default interval 10
+    val n = 200
+    (0 until n).foreach { v =>
+      val actions = Seq[Action](
+        AddFile(s"part-$v.parquet", Map.empty, 10L, 1000L + v, dataChange = true)) ++
+        (if (v % 3 == 0 && v > 0) Seq(RemoveFile(s"part-${v - 1}.parquet", 2000L + v, Map.empty))
+         else Seq.empty) :+ CommitInfo("WRITE", 1000L + v)
+      log.commit(v.toLong, actions)
+    }
+    assert(log.checkpointVersions().nonEmpty)
+    // a fresh reader resolves the snapshot from checkpoint + ≤ 10 tail commits
+    val reader = new TxnLog(dir, conf)
+    val snap = reader.snapshot(199L)
+    assert(reader.commitReads <= log.checkpointInterval + 1,
+      s"snapshot read ${reader.commitReads} commit files")
+    // state identical to a full no-checkpoint replay
+    val noCp = new TxnLog(java.nio.file.Files.createTempDirectory("txn_nocp").toString,
+      conf, checkpointInterval = 0)
+    (0 until n).foreach { v =>
+      val actions = Seq[Action](
+        AddFile(s"part-$v.parquet", Map.empty, 10L, 1000L + v, dataChange = true)) ++
+        (if (v % 3 == 0 && v > 0) Seq(RemoveFile(s"part-${v - 1}.parquet", 2000L + v, Map.empty))
+         else Seq.empty) :+ CommitInfo("WRITE", 1000L + v)
+      noCp.commit(v.toLong, actions)
+    }
+    val want = noCp.snapshot(199L)
+    assert(snap.version == want.version)
+    assert(snap.files.map(_.path) == want.files.map(_.path))
+    assert(snap.metadata == want.metadata)
+    // mid-log time travel between checkpoints also matches
+    val mid = new TxnLog(dir, conf).snapshot(97L)
+    assert(mid.files.map(_.path) == noCp.snapshot(97L).files.map(_.path))
+  }
+
   // Seeded exhaustive-ish property checks over the small offset lattice
   // (2 phases × 6 versions × 7 fileIndexes × 7 rowNums = 588 points).
   private val lattice: Seq[CdcOffset] = for {
