@@ -26,23 +26,24 @@ object EmbeddingOps {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Sign-random-projection bucket id over `bits` pseudo-random
-    * hyperplanes. Hyperplane j's k-th component is ±1 derived from
-    * xxhash64(j*1024 + k) — deterministic, seedable, and computed inline in
-    * Catalyst so the whole bucketing stays in codegen. Positive scaling of
-    * a vector never changes its signs, so exact/scaled duplicates always
-    * land in the same bucket (recall 1.0 for them by construction).
+  /** Banded multi-table sign-LSH slots (compiled kernel — see
+    * [[graft.functions.VectorExprs.signLshBands]]): `tables` bands of
+    * `bits` hyperplanes, element t = (t << 32) | bucket. Candidates share
+    * ANY slot. Scale-invariant: scaled duplicates collide in every band.
     */
-  def lshBucket(v: Column, bits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), j => {
-        val signedSum = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1), (x, k) =>
-            when(xxhash64(j * 1024 + k).bitwiseAND(1) === 1, x).otherwise(-x)),
-          lit(0.0), (acc, x) => acc + x)
-        when(signedSum > 0, 1L).otherwise(0L)
-      }),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+  def lshBandSlots(v: Column, tables: Int, bits: Int): Column =
+    graft.functions.VectorExprs.signLshBands(v, tables, bits)
+
+  /** Corpus-adaptive band width: bits so that expected bucket occupancy
+    * ≈ `occupancy` (bucket count grows linearly with n, so per-bucket
+    * pair generation stays ~O(occupancy²·n/occupancy) = O(n) instead of
+    * the O(n²/2^bits) a FIXED bucket space degrades to at scale).
+    */
+  def lshAutoBits(n: Long, occupancy: Int = 32): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / occupancy)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
 
   /** embeddings ∪ positively-scaled copies (vec_id+100000, ×1.01) of every
     * 10th vector — cosine-1.0 planted near-dups, mirrored in SQL below.

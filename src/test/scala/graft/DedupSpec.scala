@@ -1,5 +1,8 @@
 package graft
 
+import graft.operators.EmbeddingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Spark-only LSH scale paths must reproduce their brute-force
@@ -41,6 +44,31 @@ class DedupSpec extends AnyFunSuite {
       .filter { case (a, b) => b == a + 100000 }
     assert((planted intersect sim).size >= 25,
       s"simhash found only ${(planted intersect sim).size} planted pairs")
+  }
+
+  test("banded LSH candidate pairs grow sub-quadratically with corpus size") {
+    // deterministic pseudo-random 64-dim corpus of size n
+    def corpus(n: Int): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), k =>
+          (pmod(xxhash64(col("id") * 64 + k), lit(2001)) - 1000)
+            .cast("double") / 1000.0).as("v"))
+    def candidates(n: Int): Long = {
+      val bits = EmbeddingOps.lshAutoBits(n)
+      val slots = corpus(n).select(col("vec_id"),
+        explode(EmbeddingOps.lshBandSlots(col("v"), 8, bits)).as("slot"))
+      slots.as("a").join(slots.as("b"),
+          col("a.slot") === col("b.slot") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .dropDuplicates().count()
+    }
+    val small = candidates(400)
+    val big = candidates(4000)
+    assert(small > 0)
+    // a FIXED bucket space would scale pairs ~quadratically (100× here);
+    // corpus-adaptive band width must stay far below that
+    assert(big < 30 * small,
+      s"candidate growth not sub-quadratic: $small -> $big")
   }
 
   test("ANN LSH top-k neighbors are true neighbors (subset sanity)") {
