@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingOps {
 
-  /** list<float> → array<double> for deterministic double-precision math. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** list<float> → array<double> for deterministic double-precision math.
+    * Native element-wise Cast (codegen'd) — NOT transform(_.cast), whose
+    * interpreted lambda costs ~µs/element (see perf playbook).
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Codegen'd dot product (graft.functions.DotProduct) — sequential
     * left-to-right accumulation, same order as the interpreted

@@ -96,8 +96,8 @@ object Events {
         |  EPOCH_US(MIN(ts)) AS session_start_us, EPOCH_US(MAX(ts)) AS session_end_us
         |FROM (
         |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, event_id, ts,
         |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

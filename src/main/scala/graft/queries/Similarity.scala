@@ -74,12 +74,16 @@ object Similarity {
     // Spark-only; spec asserts parity with q51 and sub-quadratic pair
     // growth on a 10× corpus.
     QueryDef.sparkOnly("q52_embedding_neardup_lsh") { (s, dir) =>
-      // cached: feeds the count, both sides of the slot join, and both
-      // verification joins (Bench/Verify clear caches per query)
+      // band width from a column-pruned count of the raw parquet (footer
+      // metadata, no vector math) — the corpus is base + every-10th copy
+      val nBase = Tables.load(s, dir, "embeddings").count()
+      val bits = lshAutoBits(nBase + nBase / 10)
+      // c cached: feeds both verification joins; slots cached: the LSH
+      // kernel runs ONCE even though the frame sits on both sides of the
+      // candidate self-join (Bench/Verify clear caches per query)
       val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v"))).cache()
-      val bits = lshAutoBits(c.count())
       val slots = c.select(col("vec_id"),
-        explode(lshBandSlots(col("v"), 8, bits)).as("slot"))
+        explode(lshBandSlots(col("v"), 8, bits)).as("slot")).cache()
       val cand = slots.as("a").join(slots.as("b"),
           col("a.slot") === col("b.slot") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -98,11 +102,13 @@ object Similarity {
     // the corpus scanned — the standard IVF recall/cost trade; recall
     // measured in SimilaritySpec). Spark-only.
     QueryDef.sparkOnly("q54_ann_ivf_topk") { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
+      val base = Tables.load(s, dir, "embeddings")
+      // column-pruned footer count for index sizing — no vector math
+      val n = base.count()
+      val e = base
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v")))
         .cache()
-      val n = e.count()
       val cents = graft.operators.IvfIndex.centroids(s, dir, n)
       val probes = graft.operators.IvfIndex.probesFor(
         graft.operators.IvfIndex.kFor(n))
@@ -140,13 +146,17 @@ object Similarity {
     // 8 tables (multi-probe union), candidates dedup to ids, cosine ranks
     // the union. Spark-only (approximation has no SQL-exact oracle).
     QueryDef.sparkOnly("q53_ann_lsh_topk") { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
+      val base = Tables.load(s, dir, "embeddings")
+      // column-pruned footer count — no vector kernels evaluated for sizing
+      val bits = lshAutoBits(base.count())
+      val e = base
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v")))
         .cache()
-      val bits = lshAutoBits(e.count())
+      // cached: the signLshBands kernel evaluates ONCE; the frame feeds the
+      // probe side and (filtered) the query side of the candidate join
       val slots = e.select(col("vec_id"),
-        explode(lshBandSlots(col("v"), 8, bits)).as("slot"))
+        explode(lshBandSlots(col("v"), 8, bits)).as("slot")).cache()
       val qslots = slots.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("slot"))
       val cand = broadcast(qslots).join(slots, Seq("slot"))
