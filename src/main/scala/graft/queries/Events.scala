@@ -123,6 +123,36 @@ object Events {
           unix_micros(min(col("ts"))).as("session_start_us"),
           unix_micros(max(col("ts"))).as("session_end_us"))
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Stateful sessionization via flatMapGroupsWithState (SURVEY §2.8 T8
+    // arbitrary keyed state) — batch twin of StatefulSessions.sessionize-
+    // Stream, verified against the same relational session decomposition
+    // as q33 (sans the ordinal session_id; sessions key on their start).
+    QueryDef.sqlBacked(
+      "q35_stateful_sessions",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  EPOCH_US(MIN(ts)) AS session_start_us, EPOCH_US(MAX(ts)) AS session_end_us
+        |FROM (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                IS NULL THEN 1
+        |           WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      graft.streaming.StatefulSessions
+        .sessionizeBatch(Tables.load(s, dir, "events"))
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          col("session_start_us"), col("session_end_us"))
+        .orderBy(col("user_id"), col("session_start_us"))
     }
   )
 }

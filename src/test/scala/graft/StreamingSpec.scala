@@ -112,6 +112,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions carry keyed state across batches") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val gapUs = 300000000L // 5 minutes
+    val sessions = graft.streaming.StatefulSessions
+      .sessionizeStream(events, gapUs = gapUs, lateness = "5 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("fmgws_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // batch 1: user 1 opens a session
+      mem.addData((ts(0), 1L), (ts(2), 1L))
+      q.processAllAvailable()
+      // batch 2: user 1 EXTENDS the open session from state (within gap);
+      // user 2 opens one — nothing closed yet, no output expected
+      mem.addData((ts(4), 1L), (ts(10), 2L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM fmgws_out")
+        .collect()(0).getLong(0) == 0L, "open sessions must not emit")
+      // batch 3: user 1 jumps past the gap — closes the 3-event session
+      mem.addData((ts(40), 1L))
+      q.processAllAvailable()
+      // batch 4: sentinel advances the watermark far past every open
+      // session's gap horizon — event-time timeouts flush them
+      mem.addData((ts(59, 59), 9L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, session_start_us, session_end_us, n_events " +
+          "FROM fmgws_out ORDER BY user_id, session_start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      // user 1: (00:00-00:04 n=3) closed by gap, (00:40 n=1) by timeout;
+      // user 2: (00:10 n=1) by timeout; user 9's session is still open
+      assert(got == Seq((1L, 3L), (1L, 1L), (2L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization batch twin matches the relational q33 shape") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf, "events")
+    val got = graft.streaming.StatefulSessions.sessionizeBatch(events)
+      .toDF()
+    // relational decomposition (the q33/q35 oracle shape), in Spark
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("cdc stream runner: split runs equal one uninterrupted run") {
     val table = Cdc.buildFixture(spark, sf)
     val ck1 = Files.createTempDirectory("cdc_ck1").toString
