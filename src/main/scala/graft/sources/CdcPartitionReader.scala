@@ -128,6 +128,59 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
         case other => throw new UnsupportedOperationException(
           s"decimal stored as $other not supported")
       }
+    case ArrayType(et, _) =>
+      // Standard 3-level parquet LIST (Spark's writer default):
+      //   optional group col (LIST) { repeated group list { <element>; } }
+      val lst = g.getGroup(idx, 0)
+      val n = lst.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val entry = lst.getGroup(0, j)
+        out(j) =
+          if (entry.getFieldRepetitionCount(0) == 0) null
+          else extract(entry, 0, et)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case MapType(kt, vt, _) =>
+      // Standard parquet MAP:
+      //   optional group col (MAP) { repeated group key_value { key; value; } }
+      val mp = g.getGroup(idx, 0)
+      val n = mp.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val kv = mp.getGroup(0, j)
+        keys(j) = extract(kv, 0, kt)
+        vals(j) =
+          if (kv.getFieldRepetitionCount(1) == 0) null
+          else extract(kv, 1, vt)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+    case st: StructType =>
+      // Nested group: recurse with the same name-resolved extraction the
+      // top level uses (schema evolution inside structs reads as null).
+      val sub = g.getGroup(idx, 0)
+      val subType = sub.getType
+      val out = new Array[Any](st.length)
+      var j = 0
+      while (j < st.length) {
+        val f = st(j)
+        out(j) =
+          if (!subType.containsField(f.name)) null
+          else {
+            val subIdx = subType.getFieldIndex(f.name)
+            if (sub.getFieldRepetitionCount(subIdx) == 0) null
+            else extract(sub, subIdx, f.dataType)
+          }
+        j += 1
+      }
+      new GenericInternalRow(out)
     case other => throw new UnsupportedOperationException(
       s"streaming reader does not support $other yet (use the batch CDC path)")
   }
