@@ -32,11 +32,16 @@ object IvfIndex {
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_index")
 
-  private def centroidDir(dir: String, k: Int): String = {
+  /** Keyed by (table dir, k, row count): a rewrite or growth of the
+    * embeddings table changes n and so invalidates the cached index —
+    * without this, kFor(n)'s clamping could silently reuse stale
+    * centroids (degraded recall, no signal).
+    */
+  private def centroidDir(dir: String, k: Int, n: Long): String = {
     val key = java.lang.Long.toHexString(
       graft.functions.SketchExprs.hash64(
         org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
-    s"$indexRoot/ivf_${key}_k$k"
+    s"$indexRoot/ivf_${key}_k${k}_n$n"
   }
 
   /** Persisted centroids for the embeddings table at `dir`:
@@ -46,7 +51,7 @@ object IvfIndex {
     */
   def centroids(spark: SparkSession, dir: String, n: Long): DataFrame = {
     val k = kFor(n)
-    val path = new Path(centroidDir(dir, k))
+    val path = new Path(centroidDir(dir, k, n))
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) buildAndPersist(spark, dir, n, k, path)
     spark.read.parquet(path.toString)

@@ -172,21 +172,30 @@ private[sources] class GraftCdcMicroBatchStream(
 
   /** Row-granular admission: walk file events from the start position,
     * accumulating parquet footer row counts, and stop mid-file when the
-    * cap is hit — producing the reference's mid-file checkpoint shape.
-    * At least one row is always admitted, so the stream can never stall.
+    * row cap is hit — producing the reference's mid-file checkpoint shape.
+    * A `maxFilesPerTrigger` cap composes: the walk also stops at a file
+    * boundary once that many files have been touched this batch. At least
+    * one row is always admitted, so the stream can never stall.
     */
   private def rowCappedEnd(l: TxnLog, s: CdcOffset, capR: Long): Offset = {
     var remaining = capR
-    // returns Some(midOffset) if the cap lands inside this segment
+    var fileBudget = opts.maxFilesPerTrigger.getOrElse(Long.MaxValue)
+    // returns Some(midOffset) if a cap lands inside this segment
     def walk(events: IndexedSeq[(String, Map[String, String], String, Long)],
         phase: Int, v: Long, startIdx: Int, startRow: Long): Option[CdcOffset] = {
       var i = startIdx
       var row = startRow
       while (i < events.size) {
+        if (fileBudget <= 0 && row == 0)
+          // file-count cap: stop at the boundary BEFORE file i (an end
+          // offset of (i, 0) admits nothing from it; capF >= 1 guarantees
+          // the batch admitted at least one file already)
+          return Some(CdcOffset(phase, v, i, 0))
         val avail = rowCountOf(events(i)._1) - row
         if (remaining < avail)
           return Some(CdcOffset(phase, v, i, row + remaining))
         remaining -= avail
+        fileBudget -= 1
         i += 1
         row = 0
       }
@@ -212,7 +221,8 @@ private[sources] class GraftCdcMicroBatchStream(
       }
       val it = l.changes(s.version + 1).iterator
       var stop = false
-      while (!stop && it.hasNext && remaining > 0 && versions < capV) {
+      while (!stop && it.hasNext && remaining > 0 && fileBudget > 0 &&
+          versions < capV) {
         val (v, _) = it.next()
         walk(fileEventsOf(l, v), CdcOffset.Incremental, v, 0, 0L) match {
           case Some(mid) => end = mid; stop = true

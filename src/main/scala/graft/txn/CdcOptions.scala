@@ -19,7 +19,6 @@ final case class CdcOptions(
     tablePath: String,
     startingVersion: Option[Long],
     startingTimestamp: Option[Long], // epoch millis
-    latest: Boolean,
     includeHistory: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
@@ -54,7 +53,9 @@ object CdcOptions {
       throw new IllegalArgumentException(
         "startingVersion and startingTimestamp are mutually exclusive")
 
-    val latest = sv.contains("latest")
+    // "latest" (or no start option at all) leaves startingVersion and
+    // startingTimestamp both empty; resolveStartVersion then falls
+    // through to the log's latest version
     val version = sv.filterNot(_ == "latest").map { s =>
       try s.toLong catch {
         case _: NumberFormatException =>
@@ -85,7 +86,6 @@ object CdcOptions {
       tablePath = tablePath,
       startingVersion = version,
       startingTimestamp = ts,
-      latest = latest || (version.isEmpty && ts.isEmpty),
       includeHistory =
         opts.get("includeHistory").orElse(opts.get("includeHistoryData"))
           .exists(_.equalsIgnoreCase("true")),

@@ -31,11 +31,18 @@ object TableWriter {
       routeBuckets: Int,
       version: Long = 0L,
       commitTs: Long = 0L): Unit = {
-    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit}
+    // null partition values hash as the canonical hive form the txn log
+    // records ("col=__HIVE_DEFAULT_PARTITION__") — concat_ws would DROP
+    // the null part and silently route to a slot that disagrees with the
+    // file's recorded partitionValues
     val pvExpr =
       if (partitionBy.isEmpty) lit("")
-      else concat_ws(",", partitionBy.sorted.map(c =>
-        concat_ws("=", lit(c), col(c).cast("string"))): _*)
+      else concat(partitionBy.sorted.zipWithIndex.flatMap { case (c, i) =>
+        val part = Seq(lit(c), lit("="),
+          coalesce(col(c).cast("string"), lit("__HIVE_DEFAULT_PARTITION__")))
+        if (i == 0) part else lit(",") +: part
+      }: _*)
     val routed = df
       .withColumn("route", graft.functions.Murmur3X86.routeIndex(pvExpr, routeBuckets))
       .repartition(routeBuckets, col("route"))

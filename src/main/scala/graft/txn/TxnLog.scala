@@ -54,13 +54,20 @@ final class TxnLog(
     * which fails-if-exists on local and HDFS filesystems (POSIX rename —
     * what a write-temp+rename protocol would rely on — silently
     * OVERWRITES on RawLocalFileSystem, so rename gives no exclusion
-    * there). The full payload is written in one call before close; a
-    * reader racing the close may observe a shorter file on local FS, the
-    * same caveat Delta's LogStore documents per-filesystem. Object stores
-    * without conditional-put need an external coordinator, as in Delta.
+    * there). Visibility atomicity comes from a TERMINATOR invariant: the
+    * last line of every commit file is a CommitInfo, and [[read]] refuses
+    * (after a short grace) any file that does not end in one — so a reader
+    * racing the writer's close can never mistake a truncated prefix for
+    * the full commit. Object stores without conditional-put need an
+    * external coordinator, as in Delta.
     */
   def commit(v: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logDir)
+    // terminator invariant: CommitInfo lines sort last, synthesizing one
+    // if the caller supplied none
+    val (infos, rest) = actions.partition(_.isInstanceOf[CommitInfo])
+    val terminated = rest ++ (if (infos.nonEmpty) infos
+      else Seq(CommitInfo("COMMIT", System.currentTimeMillis())))
     val out =
       try fs.create(commitFile(v), false)
       catch {
@@ -69,27 +76,72 @@ final class TxnLog(
           throw new IllegalStateException(
             s"concurrent commit: version $v already exists at $tablePath")
       }
-    try out.write(actions.map(a => Serialization.write(LogLine(a)))
+    try out.write(terminated.map(a => Serialization.write(LogLine(a)))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // Periodic parquet checkpoint (Delta's pre-checkpoint driver
     // bottleneck fix): snapshot resolution then reads one checkpoint +
     // ≤ interval tail commits instead of replaying the whole log.
+    // Best-effort: version v IS committed at this point, so a checkpoint
+    // failure must not fail commit() (snapshot() falls back to replaying
+    // commit files when no checkpoint exists).
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
-      writeCheckpoint(v)
+      try writeCheckpoint(v)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[txnlog] checkpoint at $v failed (non-fatal): ${e.getMessage}")
+      }
   }
 
-  /** Parse the actions of one commit, in file order. */
+  /** Parse the actions of one commit, in file order.
+    *
+    * Completeness gate: a commit is only visible once its CommitInfo
+    * terminator line (with trailing newline) is readable. A file still
+    * being flushed by a racing writer fails the gate; we retry briefly
+    * (the writer's close is imminent) and then throw — never silently
+    * return a truncated prefix.
+    */
   def read(v: Long): Seq[Action] = {
     commitReads += 1
-    val in = fs.open(commitFile(v))
+    var attempt = 0
+    while (true) {
+      tryReadComplete(v) match {
+        case Right(actions) => return actions
+        case Left(problem) =>
+          attempt += 1
+          if (attempt >= 5) throw new IllegalStateException(
+            s"incomplete or corrupt commit file for version $v at " +
+              s"$tablePath ($problem) — writer crashed mid-write?")
+          Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def tryReadComplete(v: Long): Either[String, Seq[Action]] = {
+    // a torn concurrent write can also surface as an IO/checksum error
+    // (e.g. LocalFileSystem's crc) — same treatment as a short read
     val text = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-      bytes.toString("UTF-8")
-    } finally in.close()
-    text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-      .map(l => Serialization.read[LogLine](l).action).toSeq
+      val in = fs.open(commitFile(v))
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        bytes.toString("UTF-8")
+      } finally in.close()
+    } catch {
+      case e: java.io.FileNotFoundException => throw e // truly absent: caller bug
+      case e: java.io.IOException => return Left(s"read failed: ${e.getMessage}")
+    }
+    if (text.isEmpty || text.last != '\n')
+      return Left("no trailing newline")
+    val actions =
+      try text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(l => Serialization.read[LogLine](l).action).toSeq
+      catch { case e: Exception => return Left(s"unparseable line: ${e.getMessage}") }
+    if (!actions.lastOption.exists(_.isInstanceOf[CommitInfo]))
+      return Left("missing CommitInfo terminator")
+    Right(actions)
   }
 
   /** Commit iterator from `fromVersion` (inclusive) — the engine's

@@ -22,8 +22,13 @@ class CdcOptionsSpec extends AnyFunSuite {
   }
 
   test("defaults to latest; parses number, 'latest', ISO-8601") {
-    assert(CdcOptions.parse(Map("tablePath" -> "t")).latest)
-    assert(CdcOptions.parse(Map("tablePath" -> "t", "startingVersion" -> "latest")).latest)
+    // "latest" / no start option → both start fields empty, so
+    // resolveStartVersion falls through to the log's newest version
+    val dflt = CdcOptions.parse(Map("tablePath" -> "t"))
+    assert(dflt.startingVersion.isEmpty && dflt.startingTimestamp.isEmpty)
+    val lat = CdcOptions.parse(
+      Map("tablePath" -> "t", "startingVersion" -> "latest"))
+    assert(lat.startingVersion.isEmpty && lat.startingTimestamp.isEmpty)
     assert(CdcOptions.parse(Map("tablePath" -> "t", "startingVersion" -> "3"))
       .startingVersion.contains(3L))
     assert(CdcOptions.parse(Map("tablePath" -> "t",

@@ -49,6 +49,29 @@ class CdcSpec extends AnyFunSuite {
     assert(slots == 0)
   }
 
+  test("routed sink: null partition values route by the canonical hive form") {
+    val dir = java.nio.file.Files.createTempDirectory("routed_null").toString + "/t"
+    val n = 4
+    val src = li.limit(300).withColumn("pcol",
+      when(col("l_orderkey") % 3 === 0, lit(null))
+        .otherwise(col("l_returnflag")))
+    TableWriter.writeRouted(spark, src, dir,
+      partitionBy = Seq("pcol"), routeBuckets = n, commitTs = 1000L)
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    val files = log.snapshotLatest().files
+    // null rows exist and land under the hive default-partition dir
+    assert(files.exists(_.partitionValues("pcol") == "__HIVE_DEFAULT_PARTITION__"))
+    // the file ↔ slot contract must hold for null partitions too: the
+    // route dir equals murmur3 of the SAME canonical string the txn log
+    // records (concat_ws would drop the null part and break this)
+    files.foreach { f =>
+      val route = f.partitionValues("route").toInt
+      val pv = CdcReader.partitionValueString(f.partitionValues - "route")
+      assert(route == Murmur3X86.partitionIndex(pv, n),
+        s"file ${f.path}: route=$route pv=$pv")
+    }
+  }
+
   test("cdc replay op counts match the commit contents") {
     val m = CdcReader.cdc(spark, table).groupBy("op").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

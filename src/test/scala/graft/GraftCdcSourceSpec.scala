@@ -181,6 +181,36 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxRowsPerTrigger composes with maxFilesPerTrigger") {
+    val table = Files.createTempDirectory("cdc_rows_files").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+    // 3 hive partitions -> 3 files in the v0 snapshot
+    TableWriter.write(spark, li.limit(300), table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    val q = spark.readStream.format(fmt)
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .option("maxRowsPerTrigger", "100000") // never binds
+      .option("maxFilesPerTrigger", "1")     // must still bound each batch
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_rows_files_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      val perFile = li.limit(300).groupBy("l_returnflag").count()
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(nonEmpty.length == perFile.size,
+        s"expected ${perFile.size} one-file batches, got " +
+          nonEmpty.map(_.numInputRows).mkString(","))
+      assert(nonEmpty.map(_.numInputRows).sorted.toSeq == perFile)
+      assert(spark.table("cdc_rows_files_out").count() == 300)
+    } finally q.stop()
+  }
+
   test("restart from Spark checkpoint resumes, new commits flow") {
     val src = Cdc.buildFixture(spark, sf)
     // private copy so we can append a v3 commit

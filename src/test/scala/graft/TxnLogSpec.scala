@@ -60,6 +60,38 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { log.snapshot(0L) }
   }
 
+  test("truncated commit files are rejected, never silently prefix-read") {
+    val log = freshLog()
+    log.commit(0L, Seq(
+      AddFile("a.parquet", Map.empty, 1, 10L, dataChange = true),
+      AddFile("b.parquet", Map.empty, 1, 10L, dataChange = true),
+      CommitInfo("WRITE", 10L)))
+    val f = new java.io.File(log.tablePath, "_txn_log/00000000000000000000.json")
+    val full = java.nio.file.Files.readAllBytes(f.toPath)
+    // truncate ON a line boundary (drop the CommitInfo terminator line):
+    // a prefix read here would silently lose rows — must throw instead
+    val boundary = new String(full, "UTF-8").split('\n').init.init
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    java.nio.file.Files.write(f.toPath, boundary)
+    val e1 = intercept[IllegalStateException] { log.read(0L) }
+    assert(e1.getMessage.contains("incomplete"))
+    // truncate MID-line: unparseable tail must also throw, not crash-loop
+    java.nio.file.Files.write(f.toPath, full.dropRight(7))
+    intercept[IllegalStateException] { log.read(0L) }
+    // restore → reads again
+    java.nio.file.Files.write(f.toPath, full)
+    assert(log.read(0L).size == 3)
+  }
+
+  test("commits without CommitInfo get a synthesized terminator") {
+    val log = freshLog()
+    log.commit(0L, Seq(
+      AddFile("a.parquet", Map.empty, 1, 10L, dataChange = true)))
+    val got = log.read(0L)
+    assert(got.head == AddFile("a.parquet", Map.empty, 1, 10L, dataChange = true))
+    assert(got.last.isInstanceOf[CommitInfo])
+  }
+
   test("checkpointed snapshot reads checkpoint + tail, not the whole log") {
     val dir = java.nio.file.Files.createTempDirectory("txn_cp").toString
     val conf = new org.apache.hadoop.conf.Configuration()
