@@ -555,15 +555,29 @@ object Relational {
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "events").as("e")
-      val o = Tables.load(s, dir, "orders").as("o")
-      val w = Window.partitionBy(col("e.event_id"))
-        .orderBy(col("o.o_orderdate").desc, col("o.o_orderkey").desc)
-      e.join(o, col("e.user_id") === col("o.o_custkey") &&
-          col("o.o_orderdate") <= col("e.ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("e.event_id"), col("o.o_orderkey").as("asof_orderkey"))
+      // Sort-merge-shaped as-of: tag both sides, union, and carry the
+      // running "latest order so far" down a per-user (ts, kind) sort.
+      // The intermediate is |events| + |orders| rows and ONE shuffle on
+      // the user key — never events × orders-per-user like the naive
+      // join+rank composition (PlanSpec asserts the plan has no join).
+      // kind 0 (orders) sorts before kind 1 (events) at equal ts, making
+      // the o_orderdate <= ts bound inclusive; same-date orders resolve
+      // to the max o_orderkey because last() takes the sort's latest.
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("u"), col("o_orderdate").cast("timestamp").as("t"),
+        lit(0).as("kind"), col("o_orderkey").as("ok"),
+        lit(null).cast("long").as("event_id"))
+      val e = Tables.load(s, dir, "events").select(
+        col("user_id").as("u"), col("ts").as("t"),
+        lit(1).as("kind"), lit(null).cast("long").as("ok"),
+        col("event_id"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("t"), col("kind"), col("ok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionAll(e)
+        .withColumn("asof_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("asof_orderkey").isNotNull)
+        .select(col("event_id"), col("asof_orderkey"))
         .orderBy(col("event_id"))
     },
 

@@ -50,6 +50,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q24 as-of: union+window, intermediate never multiplies (no join)") {
+    val p = planOf("q24_asof_join")
+    assert(!p.contains("Join"),
+      s"as-of must not join events x orders-per-user:\n${p.take(2000)}")
+    assert(p.contains("Union") && p.contains("Window"))
+  }
+
   test("q44 dedup: single shuffle on the dedup key (window, not self-join)") {
     val p = planOf("q44_exact_dedup")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
