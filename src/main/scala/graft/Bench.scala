@@ -32,6 +32,7 @@ object Bench {
       queries.Cdc.buildFixture(spark, sfDir)
       val e = Tables.load(spark, sfDir, "embeddings")
       operators.IvfIndex.centroids(spark, sfDir, e.count())
+      queries.Bucketing.ensureBucketed(spark, sfDir) // one-time bucketed copies
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

@@ -642,6 +642,100 @@ object Relational {
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // Pivot (§2.4): order-status columns per priority — Spark's relational
+    // pivot; the oracle expresses the identical FILTERed aggregation.
+    QueryDef.sqlBacked(
+      "q36_pivot",
+      s"""SELECT o_orderpriority,
+         |  CAST(COALESCE(SUM(CAST(o_totalprice AS $M)) FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS F,
+         |  CAST(COALESCE(SUM(CAST(o_totalprice AS $M)) FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS O,
+         |  CAST(COALESCE(SUM(CAST(o_totalprice AS $M)) FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS P
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        // explicit value list: no extra distinct-values job, stable columns
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(coalesce(sum(money(col("o_totalprice"))),
+          lit(BigDecimal(0)).cast(DecimalType(15, 2))).cast("double"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Exact percentiles (§2.4): continuous-interpolation quantiles over an
+    // integral double column (interpolation of integers is exact in
+    // binary, so both engines agree bit-for-bit).
+    QueryDef.sqlBacked(
+      "q37_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Distribution windows (§2.5): percent_rank/cume_dist are rational
+    // (rank-1)/(n-1), k/n — IEEE division of the same integers in both
+    // engines, so values are deterministic; first/last/nth over an
+    // explicit ROWS frame with a unique tiebreak.
+    QueryDef.sqlBacked(
+      "q38_window_analytics",
+      """SELECT o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS first_ok,
+        |  last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val head = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(head).as("first_ok"),
+          last(col("o_orderkey")).over(full).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Bucketed co-located join (§2.3 at scale): both sides pre-bucketed on
+    // the join key, so the join plans WITHOUT a shuffle (PlanSpec asserts
+    // no Exchange feeds it) — the Spark form of the 100 TB "co-partition
+    // your fact tables" discipline. The bucketed copies are written once
+    // per scale dir and reused.
+    QueryDef.sqlBacked(
+      "q39_bucketed_join",
+      s"""SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_li,
+         |  CAST(SUM(CAST(l.l_extendedprice AS $M)) AS DOUBLE) AS revenue
+         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_custkey
+         |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val (ot, lt) = Bucketing.ensureBucketed(s, dir)
+      s.table(ot).as("o").join(s.table(lt).as("l"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("o.o_custkey"))
+        .agg(count(lit(1)).as("n_li"),
+          sum(money(col("l.l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy(col("o_custkey"))
     }
   )
 }

@@ -126,6 +126,90 @@ object Text {
         .agg(count(lit(1)).as("n_kept"), sum(col("l_quantity")).as("kept_qty"))
     },
 
+    // Vocabulary / word-frequency (tokenize → explode → count): the
+    // term-stats pass every corpus pipeline runs; one shuffle on token.
+    QueryDef.sqlBacked(
+      "q48_word_freq",
+      """SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |      FROM documents)
+        |GROUP BY t
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    },
+
+    // Overlapping token-window chunking (window 50, stride 40) — the
+    // context-window document splitter of a training pipeline, fully
+    // distributed (explode of per-doc chunk starts; no driver loops).
+    QueryDef.sqlBacked(
+      "q49_doc_chunks",
+      """SELECT doc_id, CAST(s / 40 AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(t, s + 1, s + 50)) AS INT) AS n_tokens,
+        |  md5(array_to_string(list_slice(t, s + 1, s + 50), ' ')) AS chunk_fp
+        |FROM (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 40)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(40))).as("s"))
+        .select(col("doc_id"),
+          (col("s") / 40).cast("int").as("chunk_idx"),
+          size(slice(col("t"), col("s") + 1, lit(50))).as("n_tokens"),
+          md5(concat_ws(" ", slice(col("t"), col("s") + 1, lit(50)))
+            .cast("binary")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // PII scrubbing: email redaction first, then digit runs, over a
+    // corpus with planted contacts in every 5th doc (raw documents are
+    // digit-free). Patterns stay in the RE2 ∩ java.util.regex common
+    // subset so both engines redact identically.
+    QueryDef.sqlBacked(
+      "q55_pii_redact",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact 555' || CAST(doc_id AS VARCHAR) ||
+        |           ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]+')) AS INT) AS n_nums,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g')) AS redacted_fp
+        |FROM corpus
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+      val corpus = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact 555"),
+              col("doc_id").cast("string"), lit(" mail user"),
+              col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(col("text")).as("text"))
+      val deEmailed = regexp_replace(col("text"), email, "<EMAIL>")
+      corpus.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(deEmailed, lit("[0-9]+"), lit(0))).as("n_nums"),
+        md5(regexp_replace(deEmailed, "[0-9]+", "<NUM>").cast("binary"))
+          .as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // N-gram Jaccard near-dup — brute-force-complete baseline: the
     // inverted shingle index generates every pair sharing ≥1 shingle
     // (complete for jaccard > 0), then exact Jaccard filters ≥ 0.6.

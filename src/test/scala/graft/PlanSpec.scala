@@ -57,6 +57,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union") && p.contains("Window"))
   }
 
+  test("q39 bucketed join: no shuffle feeds the join (co-located buckets)") {
+    // at test SF the sides are broadcast-small; force the SMJ path the
+    // query takes at scale, where bucket co-location is what matters
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = SparkEntry.queries("q39_bucketed_join")(spark, sf)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+      val joinAt = p.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, s"expected a sort-merge join:\n${p.take(2000)}")
+      assert(p.contains("Bucketed: true"), "scan must be bucket-aware")
+      // the only Exchange allowed is AFTER the join (groupBy/orderBy);
+      // neither join input may re-shuffle bucketed data
+      val pre = p.substring(joinAt)
+      assert(!pre.contains("Exchange hashpartitioning(l_orderkey") &&
+        !pre.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join inputs must not shuffle:\n${pre.take(2000)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q44 dedup: single shuffle on the dedup key (window, not self-join)") {
     val p = planOf("q44_exact_dedup")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
