@@ -736,6 +736,32 @@ object Relational {
         .agg(count(lit(1)).as("n_li"),
           sum(money(col("l.l_extendedprice"))).cast("double").as("revenue"))
         .orderBy(col("o_custkey"))
+    },
+
+    // Salted join (§2.3 at scale): the hot-key mitigation when AQE's
+    // skew split isn't enough — the dim side replicates n_salt ways, the
+    // fact side salts deterministically, and the exchange partitions on
+    // (key, salt) so one hot key spreads over n_salt reducers. The
+    // oracle is the PLAIN join: salting must never change results.
+    QueryDef.sqlBacked(
+      "q58_salted_join",
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $M)) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val nSalt = 8
+      val fact = Tables.load(s, dir, "lineitem")
+        .withColumn("fsalt",
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(nSalt)))
+      val dim = Tables.load(s, dir, "orders")
+        .withColumn("dsalt", explode(sequence(lit(0), lit(nSalt - 1))))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey") &&
+          col("fsalt") === col("dsalt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }

@@ -210,6 +210,42 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic train/test split (mod-hash split, stratified counts
+    // per language) — the reproducible-split discipline of a data
+    // pipeline: membership derives from the key, never from randomness.
+    QueryDef.sqlBacked(
+      "q56_train_test_split",
+      """SELECT lang,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 10 < 8) AS BIGINT) AS n_train,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 10 >= 8) AS BIGINT) AS n_test
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(when(col("doc_id") % 10 < 8, 1)).as("n_train"),
+          count(when(col("doc_id") % 10 >= 8, 1)).as("n_test"))
+        .orderBy(col("lang"))
+    },
+
+    // Token-length histogram (width-10 buckets) — corpus length
+    // distribution; floor() keeps bucketing identical across engines
+    // (DuckDB CAST rounds, Spark CAST truncates — neither is used).
+    QueryDef.sqlBacked(
+      "q57_token_histogram",
+      """SELECT CAST(FLOOR(len(string_split_regex(trim(text), '\s+')) / 10)
+        |    * 10 AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy((floor(size(TextOps.tokens(col("text"))) / 10) * 10)
+          .cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
     // N-gram Jaccard near-dup — brute-force-complete baseline: the
     // inverted shingle index generates every pair sharing ≥1 shingle
     // (complete for jaccard > 0), then exact Jaccard filters ≥ 0.6.

@@ -65,6 +65,19 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Streaming exact dedup (§2.9 N1 in streaming form): duplicates of a
+    * key arriving within the watermark delay of each other emit once.
+    * State is bounded — a key's entry ages out once the watermark passes
+    * its event time, which is what makes this viable on an unbounded
+    * stream (a plain dropDuplicates would hold every key forever).
+    */
+  def dedupEvents(
+      events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session window with an inactivity gap, per user — the streaming twin
     * of the relational q33_sessionize.
     */

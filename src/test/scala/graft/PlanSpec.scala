@@ -79,6 +79,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q58 salted join: exchange partitions on (key, salt)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force the shuffle path salting targets
+    try {
+      val df = SparkEntry.queries("q58_salted_join")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("hashpartitioning(l_orderkey") && p.contains("fsalt"),
+        s"fact exchange must carry the salt:\n${p.take(2000)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q44 dedup: single shuffle on the dedup key (window, not self-join)") {
     val p = planOf("q44_exact_dedup")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))

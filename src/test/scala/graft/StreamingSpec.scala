@@ -112,6 +112,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits within-watermark duplicates exactly once") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val events = mem.toDF().toDF("ts", "event_id", "user_id")
+    val deduped = EventStreams.dedupEvents(events, lateness = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // same event twice in one batch + once more in the next (all within
+      // the watermark delay) — must emit exactly once
+      mem.addData((ts(1), 100L, 1L), (ts(1), 100L, 1L), (ts(2), 200L, 1L))
+      q.processAllAvailable()
+      mem.addData((ts(3), 100L, 1L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_id, COUNT(*) AS n FROM dedup_out GROUP BY event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(100L -> 1L, 200L -> 1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions carry keyed state across batches") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
