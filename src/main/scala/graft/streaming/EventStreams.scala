@@ -65,6 +65,19 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-static enrichment join: the per-batch dimension lookup every
+    * event pipeline runs. The static side broadcasts (no streaming state
+    * at all — unlike stream-stream joins this needs no watermark), and
+    * Spark re-plans it per micro-batch, so a slowly-refreshed dim table
+    * is picked up on restart.
+    */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Streaming exact dedup (§2.9 N1 in streaming form): duplicates of a
     * key arriving within the watermark delay of each other emit once.
     * State is bounded — a key's entry ages out once the watermark passes

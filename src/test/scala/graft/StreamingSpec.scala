@@ -112,6 +112,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each batch against the dim table") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "segment")
+    val q = EventStreams.enrich(events, dim, "user_id", "uid")
+      .select(col("user_id"), col("segment"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      mem.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 9L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, segment FROM enrich_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // left join: unknown user survives with null segment
+      assert(got == Map(1L -> "gold", 2L -> "silver", 9L -> null))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits within-watermark duplicates exactly once") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
