@@ -15,6 +15,7 @@ object SparkEntry {
       _root_.graft.queries.Text.defs ++
       _root_.graft.queries.Similarity.defs ++
       _root_.graft.queries.Cdc.defs ++
+      _root_.graft.queries.Maintenance.defs ++
       _root_.graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.txn._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operator inventory: OPTIMIZE-style compaction (CDC-
+  * invisible reorganization), and stats-based file skipping. Fixtures
+  * derive deterministically from lineitem, so the invariants are DuckDB-
+  * expressible.
+  */
+object Maintenance {
+
+  /** v0: lineitem %7 rows; v1: %11 rows (more files per partition);
+    * v2: compaction (dataChange=false).
+    */
+  def compactionFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/opt_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 11 === 0), dir,
+      partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
+    TableWriter.compact(spark, dir, version = 2L, commitTs = 3000L)
+    dir
+  }
+
+  /** v0: lineitem range-partitioned into 6 files on l_orderkey, so each
+    * file's footer stats carry a disjoint key range.
+    */
+  def skippingFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/skip_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark,
+      Tables.load(spark, sfDir, "lineitem")
+        .repartitionByRange(6, col("l_orderkey")),
+      dir, version = 0L, commitTs = 1000L)
+    dir
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Compaction invariance: replaying CDC across a compaction commit
+    // yields exactly the logical appends (a leaked reorganization event
+    // would inflate cdc_c), and the compacted snapshot holds the same
+    // rows. Both derivable straight from lineitem.
+    QueryDef.sqlBacked(
+      "q65_compaction_invariance",
+      """SELECT 'cdc_c' AS metric,
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 7 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 11 = 0) AS BIGINT) AS n
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'snapshot_rows' AS metric,
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 7 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 11 = 0) AS BIGINT) AS n
+        |FROM lineitem
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      val table = compactionFixture(s, dir)
+      val cdcC = CdcReader.cdc(s, table, startingVersion = 0L,
+        includeHistory = true)
+        .filter(col("op") === "c")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("cdc_c").as("metric"), col("n"))
+      val snapRows = SnapshotReader.read(s, table)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("snapshot_rows").as("metric"), col("n"))
+      cdcC.unionAll(snapRows).orderBy(col("metric"))
+    },
+
+    // Stats-based file skipping: the range read prunes the file list by
+    // AddFile footer stats before the scan; result must equal the plain
+    // predicate (CompactionSpec asserts the pruning itself).
+    QueryDef.sqlBacked(
+      "q66_data_skipping",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 2000""".stripMargin) { (s, dir) =>
+      val table = skippingFixture(s, dir)
+      DataSkipping.readRange(s, table, "l_orderkey", 100L, 2000L)
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    }
+  )
+}

@@ -123,8 +123,11 @@ private[sources] class GraftCdcMicroBatchStream(
     */
   private def fileEventsOf(l: TxnLog, v: Long): IndexedSeq[(String, Map[String, String], String, Long)] =
     l.read(v).collect {
-      case a: AddFile    => (a.path, a.partitionValues, "c", a.modificationTime)
-      case r: RemoveFile => (r.path, r.partitionValues, "r", r.deletionTimestamp)
+      // dataChange=false (compaction) is invisible to the CDC stream
+      case a: AddFile if a.dataChange =>
+        (a.path, a.partitionValues, "c", a.modificationTime)
+      case r: RemoveFile if r.dataChange =>
+        (r.path, r.partitionValues, "r", r.deletionTimestamp)
     }.toIndexedSeq
 
   /** Snapshot file list at v (replay order — the FULL_COPY index space). */

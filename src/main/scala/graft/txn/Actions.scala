@@ -7,24 +7,43 @@ package graft.txn
   */
 sealed trait Action
 
+/** Per-file column statistics for data skipping: row count plus
+  * stringified min/max per top-level primitive column (long/double/
+  * string shapes — the Delta stats idea). Readers parse them back by
+  * the declared column type; a column absent from the maps is simply
+  * not skippable.
+  */
+final case class FileStats(
+    numRecords: Long,
+    minValues: Map[String, String],
+    maxValues: Map[String, String])
+
 /** A data file added to the table at some version.
   * @param partitionValues partition-column → value (empty for unpartitioned)
   * @param modificationTime epoch millis; becomes CDC event time for 'c' rows
+  * @param dataChange false for reorganization (compaction) — CDC readers
+  *                   skip such events; snapshot state still updates
+  * @param stats optional footer-derived column stats for file skipping
   */
 final case class AddFile(
     path: String,
     partitionValues: Map[String, String],
     size: Long,
     modificationTime: Long,
-    dataChange: Boolean) extends Action
+    dataChange: Boolean,
+    stats: Option[FileStats] = None) extends Action
 
-/** A data file logically removed (physically retained for CDC replay).
+/** A data file logically removed (physically retained for CDC replay
+  * until vacuumed).
   * @param deletionTimestamp epoch millis; CDC event time for 'r' rows
+  * @param dataChange false for reorganization (compaction) — not a CDC
+  *                   event (json4s default keeps pre-stats logs readable)
   */
 final case class RemoveFile(
     path: String,
     deletionTimestamp: Long,
-    partitionValues: Map[String, String]) extends Action
+    partitionValues: Map[String, String],
+    dataChange: Boolean = true) extends Action
 
 /** Table metadata: schema (Spark StructType JSON) + partition columns.
   * A Metadata action inside a commit marks a schema change; CDC surfaces

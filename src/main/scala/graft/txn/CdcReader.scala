@@ -101,9 +101,10 @@ object CdcReader {
     var metaRows = Seq.empty[(String, Long, Long)] // (op,ts,version) for 'm'
     log.changes(startingVersion + 1).foreach { case (v, actions) =>
       actions.foreach {
-        case a: AddFile =>
+        // dataChange=false (compaction/reorganization) is not a CDC event
+        case a: AddFile if a.dataChange =>
           fileEvents += ((qualify(a.path), "c", a.modificationTime, v))
-        case r: RemoveFile =>
+        case r: RemoveFile if r.dataChange =>
           fileEvents += ((qualify(r.path), "r", r.deletionTimestamp, v))
         case m: Metadata if v > startingVersion =>
           metaRows ++= Seq(("m", 0L, v))

@@ -83,6 +83,31 @@ object TableWriter {
       operation: String,
       extraActions: Seq[Action]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    val adds = stageAndMove(spark, df, tablePath, partitionBy, version,
+      commitTs, dataChange = true)
+    val meta = Metadata(df.schema.json, partitionBy)
+    val log = new TxnLog(tablePath, conf)
+    val metaAction: Seq[Action] =
+      if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
+      else Seq.empty
+    log.commit(version,
+      metaAction ++ extraActions.filterNot(_.isInstanceOf[Metadata]) ++
+        adds :+ CommitInfo(operation, commitTs))
+  }
+
+  /** Write `df` under a staging dir, move the parts into the table tree
+    * under stable names, and return their AddFile actions (including
+    * footer-derived column stats for data skipping).
+    */
+  private def stageAndMove(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String],
+      version: Long,
+      commitTs: Long,
+      dataChange: Boolean): Seq[AddFile] = {
+    val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
     val staging = new Path(tablePath, s".staging-$version")
@@ -92,8 +117,6 @@ object TableWriter {
     else df.write
     writer.mode("overwrite").parquet(staging.toString)
 
-    // Move staged parts into the table tree under stable names and build
-    // the AddFile actions from their (relative) paths.
     val adds = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     def visit(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { st =>
@@ -112,20 +135,142 @@ object TableWriter {
             partitionValues = partitionValuesOf(rel),
             size = st.getLen,
             modificationTime = commitTs,
-            dataChange = true)
+            dataChange = dataChange,
+            stats = footerStats(dest, conf))
         }
       }
     visit(staging, "")
     fs.delete(staging, true)
+    adds.toSeq
+  }
 
-    val meta = Metadata(df.schema.json, partitionBy)
+  /** Column stats from the parquet footer (no data read): row count plus
+    * min/max for long/int/double/float/string columns across row groups.
+    */
+  private[txn] def footerStats(
+      p: Path, conf: org.apache.hadoop.conf.Configuration): Option[FileStats] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      var rows = 0L
+      val mins = scala.collection.mutable.Map.empty[String, Any]
+      val maxs = scala.collection.mutable.Map.empty[String, Any]
+      val skip = scala.collection.mutable.Set.empty[String] // no usable stats
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.size == 1) { // top-level primitives only
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) skip += name
+            else {
+              val prim = c.getPrimitiveType
+              val isString = prim.getLogicalTypeAnnotation != null &&
+                prim.getLogicalTypeAnnotation.toString == "STRING"
+              val mm: Option[(Any, Any, (Any, Any) => Boolean)] =
+                prim.getPrimitiveTypeName match {
+                  case INT64 => Some((st.genericGetMin, st.genericGetMax,
+                    (a: Any, b: Any) => a.asInstanceOf[Long] < b.asInstanceOf[Long]))
+                  case INT32 => Some((st.genericGetMin, st.genericGetMax,
+                    (a: Any, b: Any) => a.asInstanceOf[Int] < b.asInstanceOf[Int]))
+                  case DOUBLE => Some((st.genericGetMin, st.genericGetMax,
+                    (a: Any, b: Any) => a.asInstanceOf[Double] < b.asInstanceOf[Double]))
+                  case FLOAT => Some((st.genericGetMin, st.genericGetMax,
+                    (a: Any, b: Any) => a.asInstanceOf[Float] < b.asInstanceOf[Float]))
+                  case BINARY if isString => Some((
+                    st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                    (a: Any, b: Any) => a.asInstanceOf[String] < b.asInstanceOf[String]))
+                  case _ => None
+                }
+              mm match {
+                case None => skip += name
+                case Some((mn, mx, lt)) =>
+                  mins(name) = mins.get(name).filter(m => lt(m, mn)).getOrElse(mn)
+                  maxs(name) = maxs.get(name).filter(m => lt(mx, m)).getOrElse(mx)
+              }
+            }
+          }
+        }
+      }
+      skip.foreach { n => mins -= n; maxs -= n }
+      Some(FileStats(rows,
+        mins.map { case (k, v) => k -> v.toString }.toMap,
+        maxs.map { case (k, v) => k -> v.toString }.toMap))
+    } catch {
+      case _: Exception => None // stats are an optimization, never fatal
+    } finally reader.close()
+  }
+
+  /** Compact multi-file partitions into one file each (bin-packing) as a
+    * reorganization commit: new AddFiles and old RemoveFiles all carry
+    * dataChange=false, so CDC readers emit NOTHING for it while snapshot
+    * and time-travel state move to the compacted layout — the OPTIMIZE
+    * half of the small-files story. One distributed job (repartition by
+    * the partition columns), never a per-partition driver loop.
+    */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      commitTs: Long): Seq[AddFile] = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
-    val metaAction: Seq[Action] =
-      if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
-      else Seq.empty
-    log.commit(version,
-      metaAction ++ extraActions.filterNot(_.isInstanceOf[Metadata]) ++
-        adds.toSeq :+ CommitInfo(operation, commitTs))
+    val snap = log.snapshotLatest()
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    val doomed = snap.files.groupBy(_.partitionValues)
+      .filter(_._2.size > 1).values.flatten.toSeq
+    if (doomed.isEmpty) return Seq.empty
+    val src = spark.read
+      .option("basePath", tablePath)
+      .parquet(doomed.map(f => s"$tablePath/${f.path}"): _*)
+    val packed =
+      if (partCols.nonEmpty) src.repartition(partCols.map(col): _*)
+      else src.coalesce(1)
+    val adds = stageAndMove(spark, packed, tablePath, partCols, version,
+      commitTs, dataChange = false)
+    val removes = doomed.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues, dataChange = false))
+    log.commit(version, (removes ++ adds) :+ CommitInfo("OPTIMIZE", commitTs))
+    adds
+  }
+
+  /** Delete data files no longer referenced by the LATEST snapshot whose
+    * removal is older than `retainMillis` (Delta's VACUUM semantics:
+    * time travel and CDC replay to versions before the horizon stop
+    * working — that is the documented trade for reclaiming storage).
+    * Returns the deleted relative paths.
+    */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      retainMillis: Long,
+      nowMillis: Long): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val live = log.snapshotLatest().files.map(_.path).toSet
+    val cutoff = nowMillis - retainMillis
+    // newest removal timestamp per path (a path can be re-added later —
+    // the live check guards that)
+    val removedAt = scala.collection.mutable.Map.empty[String, Long]
+    log.changes(0L).foreach { case (_, actions) =>
+      actions.foreach {
+        case r: RemoveFile =>
+          removedAt(r.path) = math.max(r.deletionTimestamp,
+            removedAt.getOrElse(r.path, Long.MinValue))
+        case _ => ()
+      }
+    }
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val doomed = removedAt.toSeq
+      .filter { case (p, ts) => !live.contains(p) && ts <= cutoff }
+      .map(_._1).sorted
+    doomed.foreach(p => fs.delete(new Path(tablePath, p), false))
+    doomed
   }
 
   /** Commit RemoveFile actions for every live file whose partitionValues

@@ -1,0 +1,136 @@
+package graft
+
+import graft.txn._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Table-maintenance operations: OPTIMIZE-style compaction (invisible to
+  * CDC), VACUUM (storage reclaim past the retention horizon), and
+  * stats-based file skipping.
+  */
+class CompactionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshTable(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("compaction bin-packs partitions without emitting CDC events") {
+    val table = freshTable("compact")
+    val li = Tables.load(spark, sf, "lineitem").limit(600)
+    // three commits -> >=3 files per l_returnflag partition
+    TableWriter.write(spark, li.limit(200), table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, li.limit(400).except(li.limit(200)), table,
+      partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
+    TableWriter.write(spark, li.limit(600).except(li.limit(400)), table,
+      partitionBy = Seq("l_returnflag"), version = 2L, commitTs = 3000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val before = log.snapshotLatest()
+    assert(before.files.groupBy(_.partitionValues).values.exists(_.size > 1))
+    val cdcBefore = CdcReader.cdc(spark, table).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rowsBefore = SnapshotReader.read(spark, table).count()
+
+    val adds = TableWriter.compact(spark, table, version = 3L, commitTs = 4000L)
+    assert(adds.nonEmpty && adds.forall(!_.dataChange))
+
+    val after = log.snapshotLatest()
+    // one file per partition, same rows, same data
+    assert(after.files.groupBy(_.partitionValues).values.forall(_.size == 1))
+    assert(SnapshotReader.read(spark, table).count() == rowsBefore)
+    // CDC replay is UNCHANGED: the reorganization emitted no events and
+    // the snapshot phase replays logical content, not physical layout
+    val cdcAfter = CdcReader.cdc(spark, table).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdcAfter == cdcBefore, s"$cdcBefore -> $cdcAfter")
+    // time travel to the pre-compaction version still sees the old layout
+    assert(SnapshotReader.read(spark, table, versionAsOf = Some(2L)).count()
+      == rowsBefore)
+  }
+
+  test("the DSv2 stream emits nothing for a compaction commit") {
+    val table = freshTable("compact_stream")
+    val li = Tables.load(spark, sf, "lineitem").limit(200)
+    TableWriter.write(spark, li.limit(100), table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, li.limit(200).except(li.limit(100)), table,
+      partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
+    TableWriter.compact(spark, table, version = 2L, commitTs = 3000L)
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "false") // incremental only: v1 + v2
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("compact_stream_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("compact_stream_out")
+    assert(out.filter(col("commit_version") === 2).count() == 0,
+      "compaction commit must contribute zero stream rows")
+    assert(out.filter(col("commit_version") === 1).count() == 100)
+  }
+
+  test("vacuum deletes files unreferenced past the retention horizon") {
+    val table = freshTable("vacuum")
+    val li = Tables.load(spark, sf, "lineitem").limit(300)
+    TableWriter.write(spark, li, table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    val removed = TableWriter.removeWhere(spark, table,
+      pv => pv.get("l_returnflag").contains("R"), version = 1L, commitTs = 2000L)
+    assert(removed.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    removed.foreach(r => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(table, r.path)),
+      "removed files are retained until vacuum"))
+    // retention not yet reached -> nothing deleted
+    assert(TableWriter.vacuum(spark, table,
+      retainMillis = 10000L, nowMillis = 3000L).isEmpty)
+    // horizon passed -> exactly the removed files go
+    val deleted = TableWriter.vacuum(spark, table,
+      retainMillis = 1000L, nowMillis = 60000L)
+    assert(deleted.sorted == removed.map(_.path).sorted)
+    removed.foreach(r => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(table, r.path))))
+    // the latest snapshot never referenced them — still fully readable
+    assert(SnapshotReader.read(spark, table)
+      .filter(col("l_returnflag") === "R").count() == 0)
+    assert(SnapshotReader.read(spark, table).count() ==
+      li.filter(col("l_returnflag") =!= "R").count())
+  }
+
+  test("file stats prune a range read to the overlapping files only") {
+    val table = freshTable("skipping")
+    // range-partition by key so files carry disjoint [min,max] key ranges
+    val li = Tables.load(spark, sf, "lineitem")
+      .repartitionByRange(6, col("l_orderkey"))
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val files = log.snapshotLatest().files
+    assert(files.size == 6)
+    assert(files.forall(_.stats.exists(_.minValues.contains("l_orderkey"))))
+    val totalRows = files.map(_.stats.get.numRecords).sum
+    assert(totalRows == li.count())
+
+    val keys = li.select(min("l_orderkey"), max("l_orderkey")).collect()(0)
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) + 5)
+    val kept = DataSkipping.pruneFiles(files,
+      org.apache.spark.sql.types.LongType, "l_orderkey", lo, hi)
+    assert(kept.size < files.size,
+      s"narrow range must prune some of ${files.size} files")
+    // pruned read == full-scan filter
+    val got = DataSkipping.readRange(spark, table, "l_orderkey", lo, hi)
+    val want = SnapshotReader.read(spark, table)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // string-typed pruning is also exercised
+    val keptS = DataSkipping.pruneFiles(files,
+      org.apache.spark.sql.types.StringType, "l_returnflag", "A", "A")
+    assert(keptS.nonEmpty)
+  }
+}
