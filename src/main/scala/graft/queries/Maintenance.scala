@@ -48,6 +48,45 @@ object Maintenance {
     dir
   }
 
+  /** v0: lineitem %7; v1: MERGE of (%14 rows with qty+100) updates +
+    * (%9 ∧ ¬%7 rows) inserts, keyed by the lineitem PK.
+    */
+  def mergeFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/merge_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    val updates = li.filter(col("l_orderkey") % 14 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val inserts = li.filter(col("l_orderkey") % 9 === 0 &&
+      col("l_orderkey") % 7 =!= 0)
+    TableWriter.mergeUpsert(spark, dir, updates.unionByName(inserts),
+      keyCols = Seq("l_orderkey", "l_linenumber"),
+      version = 1L, commitTs = 2000L)
+    dir
+  }
+
+  /** v0: lineitem %7; v1: row-level DELETE WHERE l_suppkey % 5 = 0. */
+  def deleteFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/del_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Compaction invariance: replaying CDC across a compaction commit
     // yields exactly the logical appends (a leaked reorganization event
@@ -75,6 +114,36 @@ object Maintenance {
         .agg(count(lit(1)).as("n"))
         .select(lit("snapshot_rows").as("metric"), col("n"))
       cdcC.unionAll(snapRows).orderBy(col("metric"))
+    },
+
+    // MERGE / upsert: post-merge snapshot aggregate is derivable from
+    // lineitem (updates add 100 to every %14 row's quantity; inserts are
+    // the %9-not-%7 rows).
+    QueryDef.sqlBacked(
+      "q67_merge_upsert",
+      """SELECT
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 7 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 9 = 0 AND l_orderkey % 7 <> 0)
+        |    AS BIGINT) AS n,
+        |  COALESCE(SUM(l_quantity) FILTER (WHERE l_orderkey % 7 = 0), 0)
+        |    + 100 * COUNT(*) FILTER (WHERE l_orderkey % 14 = 0)
+        |    + COALESCE(SUM(l_quantity) FILTER (WHERE l_orderkey % 9 = 0
+        |        AND l_orderkey % 7 <> 0), 0) AS qty
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val table = mergeFixture(s, dir)
+      SnapshotReader.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    // Row-level DELETE: the snapshot holds exactly the non-matching rows.
+    QueryDef.sqlBacked(
+      "q68_row_delete",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 AND l_suppkey % 5 <> 0""".stripMargin) { (s, dir) =>
+      val table = deleteFixture(s, dir)
+      SnapshotReader.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
     },
 
     // Stats-based file skipping: the range read prunes the file list by

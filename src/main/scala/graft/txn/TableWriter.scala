@@ -273,6 +273,104 @@ object TableWriter {
     doomed
   }
 
+  /** MERGE / upsert at file granularity: rows of `source` replace target
+    * rows with the same key; unmatched source rows append. Only files
+    * that actually CONTAIN a matched key are rewritten — untouched files
+    * keep their paths (the property that makes MERGE affordable at
+    * 100 TB, where a key batch touches a sliver of the table). Affected
+    * files are discovered distributed-side via `_metadata.file_path`
+    * (a semi-join; only file NAMES reach the driver), their surviving
+    * rows anti-join the keys, and the rewrite commits RemoveFile+AddFile
+    * with dataChange=true — CDC sees the churned files, as an upsert
+    * should.
+    */
+  def mergeUpsert(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      version: Long,
+      commitTs: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    val byRel = {
+      val tableQ = {
+        val p = new Path(tablePath)
+        p.getFileSystem(conf).makeQualified(p)
+      }
+      snap.files.map(f => new Path(tableQ, f.path).toString
+        .replaceFirst("^file:/+", "/") -> f).toMap
+    }
+    val target = spark.read.option("basePath", tablePath)
+      .parquet(snap.files.map(f => s"$tablePath/${f.path}"): _*)
+      .withColumn("_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val affectedPaths = target
+      .join(srcKeys, keyCols, "left_semi")
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)) // file names only — bounded by |files|
+    val affected = affectedPaths.flatMap(byRel.get)
+
+    val survivors =
+      if (affected.isEmpty) source
+      else spark.read.option("basePath", tablePath)
+        .parquet(affected.map(f => s"$tablePath/${f.path}").toIndexedSeq: _*)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(source)
+    val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
+      commitTs, dataChange = true)
+    val removes = affected.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
+    log.commit(version, (removes ++ adds) :+ CommitInfo("MERGE", commitTs))
+  }
+
+  /** Row-level DELETE WHERE: rewrites only the files containing matching
+    * rows (same affected-file discovery as [[mergeUpsert]]); files with
+    * no match keep their paths. dataChange=true — the churn is real CDC.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      pred: org.apache.spark.sql.Column,
+      version: Long,
+      commitTs: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    val tableQ = {
+      val p = new Path(tablePath)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val byRel = snap.files.map(f => new Path(tableQ, f.path).toString
+      .replaceFirst("^file:/+", "/") -> f).toMap
+    val target = spark.read.option("basePath", tablePath)
+      .parquet(snap.files.map(f => s"$tablePath/${f.path}"): _*)
+      .withColumn("_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val affected = target.filter(pred)
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).flatMap(byRel.get)
+    if (affected.isEmpty) {
+      log.commit(version, Seq(CommitInfo("DELETE", commitTs)))
+      return
+    }
+    val survivors = spark.read.option("basePath", tablePath)
+      .parquet(affected.map(f => s"$tablePath/${f.path}").toIndexedSeq: _*)
+      .filter(!pred)
+    val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
+      commitTs, dataChange = true)
+    val removes = affected.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
+    log.commit(version, (removes ++ adds) :+ CommitInfo("DELETE", commitTs))
+  }
+
   /** Commit RemoveFile actions for every live file whose partitionValues
     * satisfy `pred` — partition-granularity delete, the CDC-generating
     * delete shape of the reference (RemoveFile actions,

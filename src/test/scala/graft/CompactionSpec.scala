@@ -103,6 +103,73 @@ class CompactionSpec extends AnyFunSuite {
       li.filter(col("l_returnflag") =!= "R").count())
   }
 
+  test("merge rewrites only the files containing matched keys") {
+    val table = freshTable("merge")
+    val li = Tables.load(spark, sf, "lineitem")
+    // range-partitioned files -> a narrow key batch touches few files
+    TableWriter.write(spark, li.repartitionByRange(6, col("l_orderkey")),
+      table, version = 0L, commitTs = 1000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val before = log.snapshotLatest().files.map(_.path).toSet
+    // the synthetic lineitem is NOT PK-unique on (orderkey, linenumber) —
+    // dedup so each source row owns its key
+    val loKeys = li.dropDuplicates("l_orderkey", "l_linenumber")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(20)
+    val updates = loKeys.withColumn("l_quantity", col("l_quantity") + 1000)
+    TableWriter.mergeUpsert(spark, table, updates,
+      keyCols = Seq("l_orderkey", "l_linenumber"),
+      version = 1L, commitTs = 2000L)
+    val after = log.snapshotLatest().files.map(_.path).toSet
+    // low keys live in the first range file(s): most files survive as-is
+    assert((before & after).nonEmpty, "untouched files must keep their paths")
+    assert((before -- after).size < before.size)
+    // every target copy of a matched key is replaced by its ONE source row
+    val keyCols = loKeys.select("l_orderkey", "l_linenumber")
+    val matchedRows = li.join(keyCols,
+      Seq("l_orderkey", "l_linenumber"), "left_semi").count()
+    val snap = SnapshotReader.read(spark, table)
+    assert(snap.count() == li.count() - matchedRows + 20)
+    val updated = snap.join(keyCols, Seq("l_orderkey", "l_linenumber"))
+    assert(updated.count() == 20)
+    assert(updated.filter(col("l_quantity") <= 1000).count() == 0)
+  }
+
+  test("merge inserts unmatched source rows") {
+    val table = freshTable("merge_ins")
+    val li = Tables.load(spark, sf, "lineitem").limit(100)
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    // keys far outside the table
+    val inserts = li.withColumn("l_orderkey", col("l_orderkey") + 900000000L)
+    TableWriter.mergeUpsert(spark, table, inserts,
+      keyCols = Seq("l_orderkey", "l_linenumber"),
+      version = 1L, commitTs = 2000L)
+    val snap = SnapshotReader.read(spark, table)
+    assert(snap.count() == 200)
+    assert(snap.filter(col("l_orderkey") >= 900000000L).count() == 100)
+  }
+
+  test("row-level delete rewrites only files with matches") {
+    val table = freshTable("rowdel")
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.repartitionByRange(6, col("l_orderkey")),
+      table, version = 0L, commitTs = 1000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val before = log.snapshotLatest().files.map(_.path).toSet
+    val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    // matches only in the top range file
+    TableWriter.deleteWhere(spark, table, col("l_orderkey") > maxKey - 10,
+      version = 1L, commitTs = 2000L)
+    val after = log.snapshotLatest().files.map(_.path).toSet
+    assert((before & after).nonEmpty, "files without matches must survive")
+    val want = li.filter(col("l_orderkey") <= maxKey - 10).count()
+    assert(SnapshotReader.read(spark, table).count() == want)
+    // CDC sees the churn (dataChange=true): v1 has both r and c events
+    val v1 = CdcReader.cdc(spark, table, startingVersion = 0L,
+      includeHistory = false)
+    assert(v1.filter(col("op") === "r").count() > 0)
+    assert(v1.filter(col("op") === "c").count() > 0)
+  }
+
   test("file stats prune a range read to the overlapping files only") {
     val table = freshTable("skipping")
     // range-partition by key so files carry disjoint [min,max] key ranges
