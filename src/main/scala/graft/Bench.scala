@@ -33,6 +33,10 @@ object Bench {
       val e = Tables.load(spark, sfDir, "embeddings")
       operators.IvfIndex.centroids(spark, sfDir, e.count())
       queries.Bucketing.ensureBucketed(spark, sfDir) // one-time bucketed copies
+      queries.Maintenance.compactionFixture(spark, sfDir)
+      queries.Maintenance.skippingFixture(spark, sfDir)
+      queries.Maintenance.mergeFixture(spark, sfDir)
+      queries.Maintenance.deleteFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
