@@ -32,9 +32,15 @@ object SnapshotReader {
         .getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read
-        .option("basePath", tablePath)
-        .parquet(snap.filePaths(tablePath): _*)
+      // read with the DECLARED schema as of this version (not whatever
+      // file Spark samples): after a schema-change commit, files written
+      // earlier surface the added columns as null (Delta semantics)
+      val reader0 = spark.read.option("basePath", tablePath)
+      val reader = snap.metadata.map(m =>
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .fold(reader0)(reader0.schema)
+      reader.parquet(snap.filePaths(tablePath): _*)
     }
   }
 }

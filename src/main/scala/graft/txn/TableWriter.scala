@@ -83,6 +83,25 @@ object TableWriter {
       operation: String,
       extraActions: Seq[Action]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    // Schema enforcement (Delta semantics): an append must match the
+    // table's declared schema by name+type unless the commit itself
+    // carries a Metadata action evolving it. Silent drift would poison
+    // every downstream reader that trusts the log's schema.
+    if (version > 0L && !extraActions.exists(_.isInstanceOf[Metadata])) {
+      val log0 = new TxnLog(tablePath, conf)
+      if (log0.latestVersion().isDefined)
+        log0.snapshotLatest().metadata.foreach { m =>
+          val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          def shape(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(f => (f.name, f.dataType)).toSeq
+          if (shape(declared) != shape(df.schema))
+            throw new IllegalArgumentException(
+              s"schema enforcement: append schema ${df.schema.simpleString} " +
+                s"does not match the table schema at $tablePath; include a " +
+                "Metadata action to evolve the schema")
+        }
+    }
     val adds = stageAndMove(spark, df, tablePath, partitionBy, version,
       commitTs, dataChange = true)
     val meta = Metadata(df.schema.json, partitionBy)

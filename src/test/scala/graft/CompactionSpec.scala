@@ -170,6 +170,21 @@ class CompactionSpec extends AnyFunSuite {
     assert(v1.filter(col("op") === "c").count() > 0)
   }
 
+  test("schema enforcement rejects drifted appends unless Metadata evolves") {
+    val table = freshTable("enforce")
+    val li = Tables.load(spark, sf, "lineitem").limit(50)
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    val drifted = li.withColumn("rogue", lit(1))
+    intercept[IllegalArgumentException] {
+      TableWriter.write(spark, drifted, table, version = 1L, commitTs = 2000L)
+    }
+    // same shape appends fine; declared evolution is the sanctioned path
+    TableWriter.write(spark, li, table, version = 1L, commitTs = 2000L)
+    TableWriter.write(spark, drifted, table, version = 2L, commitTs = 3000L,
+      extraActions = Seq(Metadata(drifted.schema.json, Seq.empty)))
+    assert(SnapshotReader.read(spark, table).columns.contains("rogue"))
+  }
+
   test("file stats prune a range read to the overlapping files only") {
     val table = freshTable("skipping")
     // range-partition by key so files carry disjoint [min,max] key ranges
