@@ -685,6 +685,20 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Approximate percentiles (§2.4 sketch path): the scale twin of
+    // q37 — exact percentile needs a per-group sort of all values, the
+    // approx sketch is a bounded-size mergeable summary. Spark-only
+    // (sketch internals are engine-specific); QueriesSpec bounds its
+    // error against the exact q37 values.
+    QueryDef.sparkOnly("q69_approx_percentile") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Distribution windows (§2.5): percent_rank/cume_dist are rational
     // (rank-1)/(n-1), k/n — IEEE division of the same integers in both
     // engines, so values are deterministic; first/last/nth over an

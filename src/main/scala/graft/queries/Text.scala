@@ -210,6 +210,30 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source contribution cap (source mixing): keep at most 30 docs
+    // per source by deterministic doc_id order — the "no single source
+    // dominates the corpus" discipline; one shuffle on source.
+    QueryDef.sqlBacked(
+      "q59_per_source_cap",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+
     // Deterministic train/test split (mod-hash split, stratified counts
     // per language) — the reproducible-split discipline of a data
     // pipeline: membership derives from the key, never from randomness.

@@ -60,6 +60,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q69 approx percentiles track the exact q37 values") {
+    val exact = SparkEntry.queries("q37_percentile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q69_approx_percentile")(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (m, p90) = exact(r.getString(0))
+      // l_quantity spans ~[1,50]; the 1000-bucket sketch should land
+      // within a couple of quantity units of the exact interpolation
+      assert(math.abs(r.getDouble(1) - m) <= 2.0, s"median ${r.getDouble(1)} vs $m")
+      assert(math.abs(r.getDouble(2) - p90) <= 2.0, s"p90 ${r.getDouble(2)} vs $p90")
+    }
+  }
+
   test("q16 set ops satisfy |union| = |A| + |B| - |intersect|") {
     val m = SparkEntry.queries("q16_setops")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
