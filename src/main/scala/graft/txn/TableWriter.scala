@@ -390,6 +390,40 @@ object TableWriter {
     log.commit(version, (removes ++ adds) :+ CommitInfo("DELETE", commitTs))
   }
 
+  /** RESTORE the table to the live-file state it had at `toVersion`, as
+    * a NEW commit (history is preserved; Delta's RESTORE semantics): the
+    * diff removes files added since and re-adds files removed since.
+    * dataChange=true — a restore is a real data change and CDC shows it.
+    */
+  def restore(
+      spark: SparkSession,
+      tablePath: String,
+      toVersion: Long,
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val current = log.snapshotLatest()
+    val target = log.snapshot(toVersion)
+    val currentByPath = current.files.map(f => f.path -> f).toMap
+    val targetByPath = target.files.map(f => f.path -> f).toMap
+    val removes = current.files.filterNot(f => targetByPath.contains(f.path))
+      .map(f => RemoveFile(f.path, commitTs, f.partitionValues))
+    val adds = target.files.filterNot(f => currentByPath.contains(f.path))
+      .map(_.copy(modificationTime = commitTs, dataChange = true))
+    // re-adding a vacuumed file would corrupt the snapshot — fail loudly
+    val fs = new Path(tablePath).getFileSystem(conf)
+    adds.foreach { a =>
+      if (!fs.exists(new Path(tablePath, a.path)))
+        throw new IllegalStateException(
+          s"cannot restore to $toVersion: ${a.path} was vacuumed")
+    }
+    val metaAction: Seq[Action] =
+      if (target.metadata != current.metadata) target.metadata.toSeq else Seq.empty
+    log.commit(version,
+      metaAction ++ removes ++ adds :+ CommitInfo("RESTORE", commitTs))
+  }
+
   /** Commit RemoveFile actions for every live file whose partitionValues
     * satisfy `pred` — partition-granularity delete, the CDC-generating
     * delete shape of the reference (RemoveFile actions,

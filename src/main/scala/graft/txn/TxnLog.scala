@@ -252,6 +252,19 @@ final class TxnLog(
     snapshot(latestVersion().getOrElse(
       throw new IllegalArgumentException(s"empty table at $tablePath")))
 
+  /** Commit history, newest first: (version, operation, timestamp,
+    * n_adds, n_removes) — the DESCRIBE HISTORY surface.
+    */
+  def history(): Seq[(Long, String, Long, Long, Long)] =
+    versions().reverse.map { v =>
+      val actions = read(v)
+      val ci = actions.collectFirst { case c: CommitInfo => c }
+        .getOrElse(CommitInfo("UNKNOWN", 0L))
+      (v, ci.operation, ci.timestamp,
+        actions.count(_.isInstanceOf[AddFile]).toLong,
+        actions.count(_.isInstanceOf[RemoveFile]).toLong)
+    }
+
   /** Timestamp-as-of resolution: greatest version whose CommitInfo
     * timestamp ≤ ts (reference intent: DeltaReader.java:134–146, made
     * strict: no silent fallback).

@@ -185,6 +185,83 @@ class CompactionSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).columns.contains("rogue"))
   }
 
+  test("history lists commits newest-first with op and file counts") {
+    val table = freshTable("history")
+    val li = Tables.load(spark, sf, "lineitem").limit(100)
+    TableWriter.write(spark, li, table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.removeWhere(spark, table,
+      pv => pv.get("l_returnflag").contains("R"), version = 1L, commitTs = 2000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val h = log.history()
+    assert(h.map(_._1) == Seq(1L, 0L))
+    assert(h.head._2 == "DELETE" && h.head._3 == 2000L && h.head._5 > 0)
+    assert(h(1)._2 == "WRITE" && h(1)._4 > 0 && h(1)._5 == 0)
+  }
+
+  test("restore returns the table to an old version as a new commit") {
+    val table = freshTable("restore")
+    val li = Tables.load(spark, sf, "lineitem").limit(200)
+    TableWriter.write(spark, li, table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    val n0 = SnapshotReader.read(spark, table).count()
+    TableWriter.removeWhere(spark, table,
+      pv => pv.get("l_returnflag").contains("R"), version = 1L, commitTs = 2000L)
+    assert(SnapshotReader.read(spark, table).count() < n0)
+    TableWriter.restore(spark, table, toVersion = 0L,
+      version = 2L, commitTs = 3000L)
+    // latest snapshot is back to v0's content; history is preserved
+    assert(SnapshotReader.read(spark, table).count() == n0)
+    assert(SnapshotReader.read(spark, table, versionAsOf = Some(1L)).count() < n0)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    assert(log.history().head._2 == "RESTORE")
+    // the restore churn is visible to CDC (dataChange=true re-adds)
+    val v2 = CdcReader.cdc(spark, table, startingVersion = 1L,
+      includeHistory = false)
+    assert(v2.filter(col("op") === "c").count() > 0)
+  }
+
+  test("streaming sink appends each batch exactly once (txn marker)") {
+    val table = freshTable("stream_sink")
+    val li = Tables.load(spark, sf, "lineitem")
+    val b0 = li.limit(100)
+    val b1 = li.limit(150).except(li.limit(100))
+    assert(graft.streaming.GraftTableSink.commitBatch(b0, table, 0L, commitTs = 1000L))
+    assert(graft.streaming.GraftTableSink.commitBatch(b1, table, 1L, commitTs = 2000L))
+    // re-delivery after a simulated restart: both batches no-op
+    assert(!graft.streaming.GraftTableSink.commitBatch(b0, table, 0L, commitTs = 3000L))
+    assert(!graft.streaming.GraftTableSink.commitBatch(b1, table, 1L, commitTs = 3000L))
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    assert(log.versions() == Seq(0L, 1L))
+    assert(SnapshotReader.read(spark, table).count() == 150)
+    // and the table's CDC stream tails the appends back out
+    val ops = CdcReader.cdc(spark, table).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops == Map("c" -> 150L))
+  }
+
+  test("the end-to-end pipe: MemoryStream -> graft table -> CDC read") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val table = freshTable("pipe")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.GraftTableSink.append(
+      mem.toDF().toDF("id", "k", "v"), table,
+      java.nio.file.Files.createTempDirectory("ck").toString)
+    try {
+      mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, "a", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotReader.read(spark, table).count() == 3)
+    val cdc = CdcReader.cdc(spark, table)
+    assert(cdc.filter(col("op") === "c").count() == 3)
+    assert(cdc.select("commit_version").distinct().count() == 2)
+  }
+
   test("file stats prune a range read to the overlapping files only") {
     val table = freshTable("skipping")
     // range-partition by key so files carry disjoint [min,max] key ranges
