@@ -664,6 +664,32 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Unpivot / melt (§2.4, inverse of q36): wide money columns to long
+    // (metric, value) rows — Spark's unpivot API, UNION ALL oracle.
+    QueryDef.sqlBacked(
+      "q73_unpivot",
+      s"""SELECT o_orderpriority, metric,
+         |  CAST(SUM(CAST(value AS $M)) AS DOUBLE) AS total
+         |FROM (
+         |  SELECT o_orderpriority, 'price' AS metric, o_totalprice AS value
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderpriority, 'key_parity' AS metric,
+         |    CAST(o_orderkey % 2 AS DOUBLE) AS value
+         |  FROM orders)
+         |GROUP BY o_orderpriority, metric
+         |ORDER BY o_orderpriority, metric""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          col("o_totalprice").as("price"),
+          (col("o_orderkey") % 2).cast("double").as("key_parity"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("price"), col("key_parity")), "metric", "value")
+        .groupBy(col("o_orderpriority"), col("metric"))
+        .agg(sum(money(col("value"))).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"), col("metric"))
+    },
+
     // Exact percentiles (§2.4): continuous-interpolation quantiles over an
     // integral double column (interpolation of integers is exact in
     // binary, so both engines agree bit-for-bit).

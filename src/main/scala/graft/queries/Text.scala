@@ -210,6 +210,26 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Collection-function surface (array sort/distinct/slice/join):
+    // identical list semantics across engines on string tokens.
+    QueryDef.sqlBacked(
+      "q74_array_ops",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(t)) AS INT) AS n_vocab,
+        |  array_to_string(list_slice(list_sort(list_distinct(t)), 1, 5), ',')
+        |    AS first5
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = TextOps.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(t)).as("n_vocab"),
+          concat_ws(",", slice(array_sort(array_distinct(t)), 1, 5))
+            .as("first5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-source contribution cap (source mixing): keep at most 30 docs
     // per source by deterministic doc_id order — the "no single source
     // dominates the corpus" discipline; one shuffle on source.
