@@ -231,11 +231,19 @@ object TableWriter {
     * half of the small-files story. One distributed job (repartition by
     * the partition columns), never a per-partition driver loop.
     */
+  /** @param clusterBy sort-cluster the compacted output on this column
+    *        (unpartitioned tables): range-partitioned into `targetFiles`
+    *        files with disjoint value ranges, so the footer stats become
+    *        maximally selective for [[DataSkipping]] — the OPTIMIZE …
+    *        ZORDER-lite analog for one dimension.
+    */
   def compact(
       spark: SparkSession,
       tablePath: String,
       version: Long,
-      commitTs: Long): Seq[AddFile] = {
+      commitTs: Long,
+      clusterBy: Option[String] = None,
+      targetFiles: Int = 1): Seq[AddFile] = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -247,9 +255,13 @@ object TableWriter {
     val src = spark.read
       .option("basePath", tablePath)
       .parquet(doomed.map(f => s"$tablePath/${f.path}"): _*)
-    val packed =
-      if (partCols.nonEmpty) src.repartition(partCols.map(col): _*)
-      else src.coalesce(1)
+    val packed = (partCols, clusterBy) match {
+      case (pcs, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
+      case (_, Some(c)) =>
+        src.repartitionByRange(math.max(1, targetFiles), col(c))
+          .sortWithinPartitions(col(c))
+      case _ => src.coalesce(1)
+    }
     val adds = stageAndMove(spark, packed, tablePath, partCols, version,
       commitTs, dataChange = false)
     val removes = doomed.map(f =>

@@ -185,6 +185,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).columns.contains("rogue"))
   }
 
+  test("cluster-by compaction makes file stats selective for skipping") {
+    val table = freshTable("cluster")
+    val li = Tables.load(spark, sf, "lineitem")
+    // unsorted 6-way layout: every file spans ~the whole key range
+    TableWriter.write(spark, li.repartition(6), table,
+      version = 0L, commitTs = 1000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val keys = li.select(min("l_orderkey"), max("l_orderkey")).collect()(0)
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) + 5)
+    val keptBefore = DataSkipping.pruneFiles(log.snapshotLatest().files,
+      org.apache.spark.sql.types.LongType, "l_orderkey", lo, hi)
+    assert(keptBefore.size == 6, "unsorted files all overlap a narrow range")
+    TableWriter.compact(spark, table, version = 1L, commitTs = 2000L,
+      clusterBy = Some("l_orderkey"), targetFiles = 6)
+    val after = log.snapshotLatest().files
+    assert(after.size == 6)
+    val keptAfter = DataSkipping.pruneFiles(after,
+      org.apache.spark.sql.types.LongType, "l_orderkey", lo, hi)
+    assert(keptAfter.size < keptBefore.size,
+      s"clustering must tighten stats (kept ${keptAfter.size})")
+    // content unchanged, rows preserved
+    assert(SnapshotReader.read(spark, table).count() == li.count())
+    assert(DataSkipping.readRange(spark, table, "l_orderkey", lo, hi).count() ==
+      li.filter(col("l_orderkey").between(lo, hi)).count())
+  }
+
   test("history lists commits newest-first with op and file counts") {
     val table = freshTable("history")
     val li = Tables.load(spark, sf, "lineitem").limit(100)

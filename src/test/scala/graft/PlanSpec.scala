@@ -92,6 +92,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q49 chunking: scan reads only doc_id and text") {
+    val p = planOf("q49_doc_chunks")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "chunking must not read unused document columns")
+  }
+
+  test("q55 redaction: scan reads only doc_id and text") {
+    val p = planOf("q55_pii_redact")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "redaction must not read unused document columns")
+  }
+
   test("q44 dedup: single shuffle on the dedup key (window, not self-join)") {
     val p = planOf("q44_exact_dedup")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
