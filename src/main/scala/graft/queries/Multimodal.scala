@@ -50,6 +50,33 @@ object Multimodal {
         .agg(count(lit(1)).as("n"),
           sum(length(col("frame_blob"))).as("total_bytes"))
         .orderBy(col("frame_idx"))
+    },
+
+    // Exact media dedup: md5 over the opaque BINARY blob (never the
+    // decoded content), over a corpus with planted byte-exact copies of
+    // every 10th blob — the image-dedup pass of a multimodal pipeline.
+    QueryDef.sqlBacked(
+      "q75_media_dedup",
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS media_id, text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  MIN(media_id) AS keeper
+        |FROM media
+        |GROUP BY 1
+        |HAVING COUNT(*) > 1
+        |ORDER BY keeper""".stripMargin) { (s, dir) =>
+      val m = MM.mediaTable(s, dir).select(col("media_id"), col("blob"))
+      val corpus = m.unionAll(
+        m.filter(col("media_id") % 10 === 0)
+          .select((col("media_id") + 100000).as("media_id"), col("blob")))
+      corpus
+        .groupBy(md5(col("blob")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keeper"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("keeper"))
     }
   )
 }
