@@ -48,6 +48,37 @@ object EmbeddingOps {
     math.min(24, math.max(4, raw))
   }
 
+  /** Symmetric int8 scalar quantization: per-vector scale = max|x|/127,
+    * stored as (array<tinyint>, scale float) — 4× smaller at rest and on
+    * the shuffle than float32, ~8× vs the double math frame; the dot of
+    * two quantized vectors times both scales approximates the true dot
+    * (SimilaritySpec measures the recall cost).
+    */
+  def quantize(v: Column): Column = {
+    val scale = greatest(aggregate(v, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x))), lit(1e-12)) / 127.0d
+    struct(
+      transform(v, x => round(x / scale).cast("tinyint")).as("q"),
+      scale.cast("float").as("scale"))
+  }
+
+  /** Approximate cosine from two quantized vectors: the per-vector
+    * scales cancel in cosine, so this is the plain cosine of the int8
+    * codes (native array cast feeds the compiled dot kernel; storage and
+    * shuffle stay int8). The rounding is the only approximation.
+    */
+  def quantizedCosine(a: Column, b: Column): Column = {
+    val da = a.getField("q").cast("array<double>")
+    val db = b.getField("q").cast("array<double>")
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+
+  /** Approximate dot: here the scales DO matter. */
+  def quantizedDot(a: Column, b: Column): Column =
+    dot(a.getField("q").cast("array<double>"),
+      b.getField("q").cast("array<double>")) *
+      a.getField("scale") * b.getField("scale")
+
   /** embeddings ∪ positively-scaled copies (vec_id+100000, ×1.01) of every
     * 10th vector — cosine-1.0 planted near-dups, mirrored in SQL below.
     */

@@ -142,6 +142,27 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Int8-quantized brute-force top-k — the memory-at-scale path: the
+    // corpus is stored/shuffled as (array<tinyint>, scale), 4× smaller
+    // than float32, and rounding is the only approximation (scales
+    // cancel in cosine). SimilaritySpec measures recall vs exact q50.
+    QueryDef.sparkOnly("q76_ann_quantized_topk") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(toDouble(col("embedding"))).as("qv"))
+        .cache()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          quantizedCosine(col("qq"), col("qv")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // Banded multi-table LSH ANN top-k — each query probes its slot in all
     // 8 tables (multi-probe union), candidates dedup to ids, cosine ranks
     // the union. Spark-only (approximation has no SQL-exact oracle).

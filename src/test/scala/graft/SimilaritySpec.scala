@@ -24,6 +24,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall { case (q, n) => q < 20 && n >= 0 && q != n })
   }
 
+  test("int8-quantized top-k recalls nearly all exact neighbors") {
+    val exact = top5("q50_cosine_topk")
+    val quant = top5("q76_ann_quantized_topk")
+    assert(quant.nonEmpty)
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    // rounding to 255 levels barely perturbs cosine ranking — this is a
+    // memory trade, not a recall trade
+    assert(recall >= 0.8, s"quantized recall@5 = $recall")
+  }
+
   test("IVF index persists: second access loads instead of retraining") {
     import graft.operators.IvfIndex
     val e = Tables.load(spark, sf, "embeddings")
