@@ -27,7 +27,11 @@ object DataSkipping {
         st.minValues.get(column).zip(st.maxValues.get(column))) match {
         case None => true
         case Some((mn, mx)) => dt match {
-          case LongType | IntegerType | DoubleType | FloatType | ShortType =>
+          case LongType | IntegerType | DoubleType | FloatType | ShortType |
+              // temporal stats are physical numbers: DATE = days (INT32),
+              // TIMESTAMP = micros (INT64, the TableWriter contract) —
+              // pass lo/hi in those units
+              DateType | TimestampType | TimestampNTZType =>
             // doubles cover the exact-integer range these tables use
             !(num(mx) < num(lo.toString) || num(mn) > num(hi.toString))
           case StringType =>
@@ -37,6 +41,17 @@ object DataSkipping {
       }
     }
   }
+
+  /** Conjunctive pruning: a file survives only if every range may
+    * overlap — the multi-dimension form (e.g. key range AND time range).
+    */
+  def pruneFilesAll(
+      files: Seq[AddFile],
+      schema: StructType,
+      preds: Seq[(String, Any, Any)]): Seq[AddFile] =
+    preds.foldLeft(files) { case (fs, (c, lo, hi)) =>
+      pruneFiles(fs, schema(c).dataType, c, lo, hi)
+    }
 
   /** Snapshot read with stats-based file pruning + the residual row
     * filter (pruning is file-granular; the filter is still applied and

@@ -318,4 +318,31 @@ class CompactionSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StringType, "l_returnflag", "A", "A")
     assert(keptS.nonEmpty)
   }
+
+  test("temporal and conjunctive stats pruning") {
+    val table = freshTable("skipts")
+    val li = Tables.load(spark, sf, "lineitem")
+      .repartitionByRange(6, col("l_shipdate"))
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val files = log.snapshotLatest().files
+    assert(files.forall(_.stats.exists(_.minValues.contains("l_shipdate"))))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      log.snapshotLatest().metadata.get.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // timestamp stats are INT64 micros (TableWriter pins TIMESTAMP_MICROS)
+    val bounds = li.select(
+      unix_micros(min(col("l_shipdate")).cast("timestamp")),
+      unix_micros(max(col("l_shipdate")).cast("timestamp")))
+      .collect()(0)
+    val (tLo, tHi) = (bounds.getLong(0), bounds.getLong(0) + 86400000000L)
+    val keptT = DataSkipping.pruneFiles(files,
+      org.apache.spark.sql.types.TimestampType, "l_shipdate", tLo, tHi)
+    assert(keptT.size < files.size, s"one-day range kept ${keptT.size}/6")
+    // conjunction prunes at least as hard as either predicate alone
+    val keptBoth = DataSkipping.pruneFilesAll(files, schema, Seq(
+      ("l_shipdate", tLo, tHi),
+      ("l_quantity", 1.0, 50.0)))
+    assert(keptBoth.size <= keptT.size && keptBoth.nonEmpty)
+  }
 }

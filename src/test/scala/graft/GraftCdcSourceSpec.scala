@@ -211,6 +211,39 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("table-to-table replication: CDC tail of A streams into table B") {
+    val a = Files.createTempDirectory("repl_a").toString + "/t"
+    val b = Files.createTempDirectory("repl_b").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.limit(100), a, version = 0L, commitTs = 1000L)
+    val payloadCols = li.columns.map(col).toIndexedSeq
+    val src = spark.readStream.format(fmt)
+      .option("tablePath", a)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .load()
+      .filter(col("op") === "c")
+      .select(payloadCols: _*)
+    val q = graft.streaming.GraftTableSink.append(src, b,
+      Files.createTempDirectory("ck").toString)
+    try {
+      q.processAllAvailable()
+      assert(graft.txn.SnapshotReader.read(spark, b).count() == 100)
+      // a new commit on A while the stream runs flows into B
+      TableWriter.write(spark, li.limit(130).except(li.limit(100)), a,
+        version = 1L, commitTs = 2000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val bSnap = graft.txn.SnapshotReader.read(spark, b)
+    val aSnap = graft.txn.SnapshotReader.read(spark, a)
+    assert(bSnap.count() == 130)
+    // replica holds exactly the source's live rows
+    assert(bSnap.exceptAll(aSnap).isEmpty && aSnap.exceptAll(bSnap).isEmpty)
+    // and B is itself a CDC-capable table
+    assert(graft.txn.CdcReader.cdc(spark, b)
+      .filter(col("op") === "c").count() == 130)
+  }
+
   test("restart from Spark checkpoint resumes, new commits flow") {
     val src = Cdc.buildFixture(spark, sf)
     // private copy so we can append a v3 commit
