@@ -57,4 +57,35 @@ object GraftTableSink {
         ()
       }
       .start()
+
+  /** Streaming MATERIALIZED VIEW: an update-mode aggregation whose
+    * per-batch changed rows MERGE into the table by key — the table
+    * always holds the current aggregate state, queryable by any batch
+    * reader mid-stream, with time travel over its refresh history.
+    * Idempotence: replayed batches re-merge the same rows (merge is
+    * idempotent for identical source rows), so a restart cannot
+    * double-count.
+    */
+  def upsertAggregate(
+      aggregated: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      checkpointLocation: String): StreamingQuery =
+    aggregated.writeStream
+      .outputMode("update") // only changed keys reach each batch
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+        val next = log.latestVersion().map(_ + 1).getOrElse(0L)
+        if (next == 0L)
+          TableWriter.write(spark, batch, tablePath, version = 0L,
+            commitTs = System.currentTimeMillis(),
+            operation = marker(batchId))
+        else if (!batch.isEmpty)
+          TableWriter.mergeUpsert(spark, tablePath, batch, keyCols,
+            version = next, commitTs = System.currentTimeMillis())
+        ()
+      }
+      .start()
 }

@@ -75,11 +75,18 @@ object CdcReader {
     * FULL_COPY phase, if includeHistory), then every later commit's
     * adds/removes/metadata as incremental events.
     */
+  /** @param partitionPred file-level pruning on partitionValues: only
+    *        events of matching partitions replay — a single-partition
+    *        backfill never lists, opens, or shuffles the other
+    *        partitions' files (None = all).
+    */
   def cdc(
       spark: SparkSession,
       tablePath: String,
       startingVersion: Long = 0L,
-      includeHistory: Boolean = true): DataFrame = {
+      includeHistory: Boolean = true,
+      partitionPred: Option[Map[String, String] => Boolean] = None): DataFrame = {
+    val keep: Map[String, String] => Boolean = partitionPred.getOrElse(_ => true)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, hadoopConf)
     // fully-qualified file URIs so the _metadata.file_path join matches
@@ -95,16 +102,16 @@ object CdcReader {
 
     if (includeHistory) {
       val snap = log.snapshot(startingVersion)
-      snap.files.foreach(f =>
+      snap.files.filter(f => keep(f.partitionValues)).foreach(f =>
         fileEvents += ((qualify(f.path), "c", f.modificationTime, snap.version)))
     }
     var metaRows = Seq.empty[(String, Long, Long)] // (op,ts,version) for 'm'
     log.changes(startingVersion + 1).foreach { case (v, actions) =>
       actions.foreach {
         // dataChange=false (compaction/reorganization) is not a CDC event
-        case a: AddFile if a.dataChange =>
+        case a: AddFile if a.dataChange && keep(a.partitionValues) =>
           fileEvents += ((qualify(a.path), "c", a.modificationTime, v))
-        case r: RemoveFile if r.dataChange =>
+        case r: RemoveFile if r.dataChange && keep(r.partitionValues) =>
           fileEvents += ((qualify(r.path), "r", r.deletionTimestamp, v))
         case m: Metadata if v > startingVersion =>
           metaRows ++= Seq(("m", 0L, v))
@@ -120,8 +127,24 @@ object CdcReader {
       .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
-    if (fileEvents.isEmpty && metaRows.isEmpty)
-      throw new IllegalArgumentException(s"no CDC events at $tablePath")
+    if (fileEvents.isEmpty && metaRows.isEmpty) {
+      // a pruned read legitimately matches nothing; a full read of an
+      // empty range is a caller error
+      if (partitionPred.isEmpty)
+        throw new IllegalArgumentException(s"no CDC events at $tablePath")
+      val payload = declaredSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("partition_value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("commit_version",
+            org.apache.spark.sql.types.LongType)) ++ payload)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
     import spark.implicits._
 

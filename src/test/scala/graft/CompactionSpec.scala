@@ -288,6 +288,55 @@ class CompactionSpec extends AnyFunSuite {
     assert(cdc.select("commit_version").distinct().count() == 2)
   }
 
+  test("streaming materialized view: update-mode agg merges into the table") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val table = freshTable("mview")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val agg = mem.toDF().toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val q = graft.streaming.GraftTableSink.upsertAggregate(agg, table,
+      keyCols = Seq("k"),
+      java.nio.file.Files.createTempDirectory("ck").toString)
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      val s1 = graft.txn.SnapshotReader.read(spark, table)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(s1 == Map("a" -> (2L, 3.0), "b" -> (1L, 5.0)))
+      // second batch touches only 'a' — 'b' must survive the merge
+      mem.addData(("a", 4.0))
+      q.processAllAvailable()
+      val s2 = graft.txn.SnapshotReader.read(spark, table)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(s2 == Map("a" -> (3L, 7.0), "b" -> (1L, 5.0)))
+      // refresh history is time-travelable
+      assert(graft.txn.SnapshotReader.read(spark, table,
+        versionAsOf = Some(0L)).count() == 2)
+    } finally q.stop()
+  }
+
+  test("partition-pruned CDC replay touches only matching partitions") {
+    val table = freshTable("cdc_pruned")
+    val li = Tables.load(spark, sf, "lineitem").limit(300)
+    TableWriter.write(spark, li, table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.removeWhere(spark, table,
+      pv => pv.get("l_returnflag").contains("N"), version = 1L, commitTs = 2000L)
+    val pruned = CdcReader.cdc(spark, table,
+      partitionPred = Some(pv => pv.get("l_returnflag").contains("R")))
+    val full = CdcReader.cdc(spark, table)
+    assert(pruned.count() ==
+      full.filter(col("partition_value") === "l_returnflag=R").count())
+    assert(pruned.filter(col("op") === "r").count() == 0) // only N removed
+    // a pruned read matching nothing is empty, not an error
+    assert(CdcReader.cdc(spark, table,
+      partitionPred = Some(_ => false)).count() == 0)
+  }
+
   test("file stats prune a range read to the overlapping files only") {
     val table = freshTable("skipping")
     // range-partition by key so files carry disjoint [min,max] key ranges
