@@ -53,6 +53,103 @@ object DataSkipping {
       pruneFiles(fs, schema(c).dataType, c, lo, hi)
     }
 
+  /** Derive stats-prunable (column, lo, hi) ranges from a RESOLVED
+    * predicate expression: conjunctions of =, <, <=, >, >= between a
+    * column and a literal (either side). Anything else contributes no
+    * range and is handled by the residual filter — pruning is always
+    * sound, never complete.
+    */
+  private[graft] def rangesOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: StructType): Seq[(String, Any, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def lift(v: Any): Any = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }
+    def nonStr(v: Any): Boolean = !lift(v).isInstanceOf[String]
+    // unbounded ends use huge sentinels; the numeric compare parses them
+    val NegInf = Double.MinValue
+    val PosInf = Double.MaxValue
+    e match {
+      case And(l, r) => rangesOf(l, schema) ++ rangesOf(r, schema)
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        Seq((a.name, lift(v), lift(v)))
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        Seq((a.name, lift(v), lift(v)))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if nonStr(v) =>
+        Seq((a.name, lift(v), PosInf))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if nonStr(v) =>
+        Seq((a.name, lift(v), PosInf))
+      case LessThan(a: AttributeReference, Literal(v, _)) if nonStr(v) =>
+        Seq((a.name, NegInf, lift(v)))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if nonStr(v) =>
+        Seq((a.name, NegInf, lift(v)))
+      case GreaterThan(Literal(v, _), a: AttributeReference) if nonStr(v) =>
+        Seq((a.name, NegInf, lift(v)))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if nonStr(v) =>
+        Seq((a.name, NegInf, lift(v)))
+      case LessThan(Literal(v, _), a: AttributeReference) if nonStr(v) =>
+        Seq((a.name, lift(v), PosInf))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if nonStr(v) =>
+        Seq((a.name, lift(v), PosInf))
+      case _ => Seq.empty
+    }
+  }
+
+  /** The predicate resolved against the table schema (Spark 4 Columns
+    * are lazy ColumnNode trees; analyzing a Filter over an empty frame
+    * yields real catalyst nodes with typed literals — UTF8String,
+    * date-days, timestamp-micros — exactly the units the stats use).
+    */
+  private def resolvedCondition(
+      spark: SparkSession,
+      schema: StructType,
+      pred: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+  }
+
+  /** The files a predicate's derivable ranges keep — the planning half
+    * of [[readWhere]], exposed for tests/observability.
+    */
+  private[graft] def filesFor(
+      spark: SparkSession,
+      tablePath: String,
+      pred: org.apache.spark.sql.Column): (Seq[AddFile], StructType) = {
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    val snap = log.snapshotLatest()
+    val schema = snap.metadata.map(m =>
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(s"no schema at $tablePath"))
+    val ranges = rangesOf(resolvedCondition(spark, schema, pred), schema)
+    (pruneFilesAll(snap.files, schema, ranges), schema)
+  }
+
+  /** Snapshot read with AUTOMATIC stats pruning: the ranges are derived
+    * from the predicate itself, then the full predicate applies as the
+    * residual filter (and still pushes into the scan).
+    */
+  def readWhere(
+      spark: SparkSession,
+      tablePath: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val (kept, schema) = filesFor(spark, tablePath, pred)
+    if (kept.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(pred)
+    spark.read
+      .option("basePath", tablePath)
+      .schema(schema)
+      .parquet(kept.map(f => s"$tablePath/${f.path}"): _*)
+      .filter(pred)
+  }
+
   /** Snapshot read with stats-based file pruning + the residual row
     * filter (pruning is file-granular; the filter is still applied and
     * still pushes down into the scan for row-group skipping).

@@ -368,6 +368,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(keptS.nonEmpty)
   }
 
+  test("readWhere derives pruning ranges from the predicate itself") {
+    val table = freshTable("readwhere")
+    val li = Tables.load(spark, sf, "lineitem")
+      .repartitionByRange(6, col("l_orderkey"))
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      log.snapshotLatest().metadata.get.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val _ = schema
+    val lo = li.agg(min("l_orderkey")).collect()(0).getLong(0)
+    val pred = col("l_orderkey") <= lo + 5 &&
+      col("l_quantity") >= 1.0 && col("l_returnflag") === "A"
+    // the derived key range prunes the 6-file range layout
+    val (kept, _) = DataSkipping.filesFor(spark, table, pred)
+    assert(kept.size < 6, s"kept ${kept.size} of 6")
+    // end-to-end: pruned result == plain filter result
+    val got = DataSkipping.readWhere(spark, table, pred)
+    val want = SnapshotReader.read(spark, table).filter(pred)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // unknown-shape predicates prune nothing but stay correct
+    val odd = DataSkipping.readWhere(spark, table, col("l_orderkey") % 2 === 0)
+    assert(odd.count() == li.filter(col("l_orderkey") % 2 === 0).count())
+  }
+
   test("temporal and conjunctive stats pruning") {
     val table = freshTable("skipts")
     val li = Tables.load(spark, sf, "lineitem")
