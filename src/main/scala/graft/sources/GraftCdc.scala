@@ -123,17 +123,22 @@ private[sources] class GraftCdcMicroBatchStream(
     */
   private def fileEventsOf(l: TxnLog, v: Long): IndexedSeq[(String, Map[String, String], String, Long)] =
     l.read(v).collect {
-      // dataChange=false (compaction) is invisible to the CDC stream
-      case a: AddFile if a.dataChange =>
+      // dataChange=false (compaction) is invisible to the CDC stream;
+      // partitionFilter prunes at the file-event level, so offsets
+      // index the FILTERED list (stable across restarts: the filter is
+      // part of the query's options)
+      case a: AddFile if a.dataChange && opts.keepPartition(a.partitionValues) =>
         (a.path, a.partitionValues, "c", a.modificationTime)
-      case r: RemoveFile if r.dataChange =>
+      case r: RemoveFile if r.dataChange && opts.keepPartition(r.partitionValues) =>
         (r.path, r.partitionValues, "r", r.deletionTimestamp)
     }.toIndexedSeq
 
   /** Snapshot file list at v (replay order — the FULL_COPY index space). */
   private def snapshotEventsOf(l: TxnLog, v: Long): IndexedSeq[(String, Map[String, String], String, Long)] =
-    l.snapshot(v).files.map(f =>
-      (f.path, f.partitionValues, "c", f.modificationTime)).toIndexedSeq
+    l.snapshot(v).files
+      .filter(f => opts.keepPartition(f.partitionValues))
+      .map(f => (f.path, f.partitionValues, "c", f.modificationTime))
+      .toIndexedSeq
 
   // parquet footer row counts, cached per stream instance; only the files
   // a row-capped trigger walks are ever read (bounded driver work)

@@ -22,7 +22,12 @@ final case class CdcOptions(
     includeHistory: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None) {
+    maxRowsPerTrigger: Option[Long] = None,
+    partitionFilter: Option[Map[String, String]] = None) {
+
+  /** Does a file's partitionValues pass the (conjunctive) filter? */
+  def keepPartition(pv: Map[String, String]): Boolean =
+    partitionFilter.forall(_.forall { case (k, v) => pv.get(k).contains(v) })
 
   /** Resolve the concrete start version against a table's log. */
   def resolveStartVersion(log: TxnLog): Long = {
@@ -91,7 +96,17 @@ object CdcOptions {
           .exists(_.equalsIgnoreCase("true")),
       maxVersionsPerTrigger = positiveLong("maxVersionsPerTrigger"),
       maxFilesPerTrigger = positiveLong("maxFilesPerTrigger"),
-      maxRowsPerTrigger = positiveLong("maxRowsPerTrigger"))
+      maxRowsPerTrigger = positiveLong("maxRowsPerTrigger"),
+      // "col=val,col2=val2" — all pairs must match (file-level pruning)
+      partitionFilter = opts.get("partitionFilter").filter(_.nonEmpty).map {
+        s => s.split(',').map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty => k -> v
+            case _ => throw new IllegalArgumentException(
+              s"partitionFilter must be col=value[,col=value...], got '$s'")
+          }
+        }.toMap
+      })
   }
 
   /** Option-driven CDC read — the engine's `open(config)` equivalent. */

@@ -236,6 +236,10 @@ object TableWriter {
     *        files with disjoint value ranges, so the footer stats become
     *        maximally selective for [[DataSkipping]] — the OPTIMIZE …
     *        ZORDER-lite analog for one dimension.
+    * @param minFileBytes only files SMALLER than this are compaction
+    *        candidates (Delta's OPTIMIZE policy): already-large files
+    *        keep their paths, so repeated OPTIMIZE runs converge instead
+    *        of rewriting the whole table each time.
     */
   def compact(
       spark: SparkSession,
@@ -243,13 +247,16 @@ object TableWriter {
       version: Long,
       commitTs: Long,
       clusterBy: Option[String] = None,
-      targetFiles: Int = 1): Seq[AddFile] = {
+      targetFiles: Int = 1,
+      minFileBytes: Long = Long.MaxValue): Seq[AddFile] = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
-    val doomed = snap.files.groupBy(_.partitionValues)
+    val doomed = snap.files
+      .filter(_.size < minFileBytes)
+      .groupBy(_.partitionValues)
       .filter(_._2.size > 1).values.flatten.toSeq
     if (doomed.isEmpty) return Seq.empty
     val src = spark.read

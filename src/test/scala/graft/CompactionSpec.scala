@@ -185,6 +185,27 @@ class CompactionSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).columns.contains("rogue"))
   }
 
+  test("size-aware compaction leaves already-large files untouched") {
+    val table = freshTable("sizeaware")
+    val li = Tables.load(spark, sf, "lineitem")
+    // one large file, then three small append commits
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val bigPath = log.snapshotLatest().files.head.path
+    val bigSize = log.snapshotLatest().files.head.size
+    (1 to 3).foreach { i =>
+      TableWriter.write(spark, li.limit(20 * i).except(li.limit(20 * (i - 1))),
+        table, version = i.toLong, commitTs = 1000L + i)
+    }
+    TableWriter.compact(spark, table, version = 4L, commitTs = 5000L,
+      minFileBytes = bigSize) // the big file is NOT a candidate
+    val after = log.snapshotLatest().files
+    assert(after.map(_.path).contains(bigPath), "large file must keep its path")
+    // the three smalls packed into one
+    assert(after.size == 2, s"expected big + 1 packed, got ${after.size}")
+    assert(SnapshotReader.read(spark, table).count() == li.count() + 60)
+  }
+
   test("cluster-by compaction makes file stats selective for skipping") {
     val table = freshTable("cluster")
     val li = Tables.load(spark, sf, "lineitem")

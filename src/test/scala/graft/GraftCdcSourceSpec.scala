@@ -211,6 +211,33 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partitionFilter prunes the stream to matching partitions only") {
+    val table = Files.createTempDirectory("cdc_pfilter").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem").limit(300)
+    TableWriter.write(spark, li, table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.write(spark,
+      Tables.load(spark, sf, "lineitem").limit(360)
+        .except(li), table,
+      partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
+    val q = spark.readStream.format(fmt)
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .option("partitionFilter", "l_returnflag=R")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_pfilter_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("cdc_pfilter_out")
+    val want = Tables.load(spark, sf, "lineitem").limit(360)
+      .filter(col("l_returnflag") === "R").count()
+    assert(out.count() == want, s"got ${out.count()}, want $want")
+    assert(out.filter(col("l_returnflag") =!= "R").count() == 0)
+  }
+
   test("table-to-table replication: CDC tail of A streams into table B") {
     val a = Files.createTempDirectory("repl_a").toString + "/t"
     val b = Files.createTempDirectory("repl_b").toString + "/t"
