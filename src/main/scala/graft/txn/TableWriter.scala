@@ -240,6 +240,9 @@ object TableWriter {
     *        candidates (Delta's OPTIMIZE policy): already-large files
     *        keep their paths, so repeated OPTIMIZE runs converge instead
     *        of rewriting the whole table each time.
+    * @param zorderBy two columns to Morton-cluster (OPTIMIZE … ZORDER
+    *        BY): every output file gets a bounded rectangle in BOTH
+    *        dimensions, so stats prune on either. Overrides clusterBy.
     */
   def compact(
       spark: SparkSession,
@@ -248,7 +251,8 @@ object TableWriter {
       commitTs: Long,
       clusterBy: Option[String] = None,
       targetFiles: Int = 1,
-      minFileBytes: Long = Long.MaxValue): Seq[AddFile] = {
+      minFileBytes: Long = Long.MaxValue,
+      zorderBy: Seq[String] = Seq.empty): Seq[AddFile] = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -262,9 +266,14 @@ object TableWriter {
     val src = spark.read
       .option("basePath", tablePath)
       .parquet(doomed.map(f => s"$tablePath/${f.path}"): _*)
-    val packed = (partCols, clusterBy) match {
-      case (pcs, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
-      case (_, Some(c)) =>
+    val packed = (partCols, zorderBy, clusterBy) match {
+      case (pcs, _, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
+      case (_, zs, _) if zs.size == 2 =>
+        ZOrder.withZ(src, zs)
+          .repartitionByRange(math.max(1, targetFiles), col("_z"))
+          .sortWithinPartitions(col("_z"))
+          .drop("_z")
+      case (_, _, Some(c)) =>
         src.repartitionByRange(math.max(1, targetFiles), col(c))
           .sortWithinPartitions(col(c))
       case _ => src.coalesce(1)

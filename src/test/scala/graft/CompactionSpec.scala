@@ -232,6 +232,50 @@ class CompactionSpec extends AnyFunSuite {
       li.filter(col("l_orderkey").between(lo, hi)).count())
   }
 
+  test("zorder compaction prunes on BOTH dimensions") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val schema = li.schema
+    def build(freshName: String)(
+        shape: (String, Long, Long) => Unit): String = {
+      val t = freshTable(freshName)
+      TableWriter.write(spark, li.repartition(6), t,
+        version = 0L, commitTs = 1000L)
+      shape(t, 1L, 2000L)
+      t
+    }
+    // one table z-ordered on (orderkey, suppkey), one sorted on orderkey
+    val zt = build("zorder") { (t, v, ts) =>
+      TableWriter.compact(spark, t, v, ts,
+        zorderBy = Seq("l_orderkey", "l_suppkey"), targetFiles = 16)
+    }
+    val st = build("sorted1d") { (t, v, ts) =>
+      TableWriter.compact(spark, t, v, ts,
+        clusterBy = Some("l_orderkey"), targetFiles = 16)
+    }
+    def kept(t: String, preds: Seq[(String, Any, Any)]): Int = {
+      val log = new TxnLog(t, spark.sessionState.newHadoopConf())
+      DataSkipping.pruneFilesAll(log.snapshotLatest().files, schema, preds).size
+    }
+    val ok = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_suppkey"), max("l_suppkey")).collect()(0)
+    val okMid = (ok.getLong(0) + ok.getLong(1)) / 2
+    val skMid = (ok.getLong(2) + ok.getLong(3)) / 2
+    val okBox = ("l_orderkey", okMid, okMid + (ok.getLong(1) - ok.getLong(0)) / 16)
+    val skBox = ("l_suppkey", skMid, skMid + (ok.getLong(3) - ok.getLong(2)) / 16)
+    // a suppkey-only box: the orderkey-sorted layout cannot prune it,
+    // the z-ordered one can
+    val zSupp = kept(zt, Seq(skBox))
+    val sSupp = kept(st, Seq(skBox))
+    assert(sSupp == 16, "1-D orderkey sort spans all suppkeys in every file")
+    assert(zSupp < sSupp, s"zorder must prune the second dim (kept $zSupp)")
+    // and the z layout still prunes the first dim too
+    assert(kept(zt, Seq(okBox)) < 16)
+    // both layouts return identical query results
+    val pred = col("l_suppkey").between(skBox._2, skBox._3)
+    assert(DataSkipping.readWhere(spark, zt, pred).count() ==
+      li.filter(pred).count())
+  }
+
   test("history lists commits newest-first with op and file counts") {
     val table = freshTable("history")
     val li = Tables.load(spark, sf, "lineitem").limit(100)
