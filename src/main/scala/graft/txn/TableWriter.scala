@@ -287,9 +287,13 @@ object TableWriter {
   }
 
   /** Delete data files no longer referenced by the LATEST snapshot whose
-    * removal is older than `retainMillis` (Delta's VACUUM semantics:
-    * time travel and CDC replay to versions before the horizon stop
-    * working — that is the documented trade for reclaiming storage).
+    * removal is older than `retainMillis`, plus ORPHANS — data files on
+    * disk never referenced by any commit (a writer that crashed after
+    * staging but before committing) whose modification time is past the
+    * horizon (Delta's VACUUM semantics: time travel and CDC replay to
+    * versions before the horizon stop working — that is the documented
+    * trade for reclaiming storage; the retention window is what keeps an
+    * IN-FLIGHT writer's freshly staged files safe).
     * Returns the deleted relative paths.
     */
   def vacuum(
@@ -302,22 +306,72 @@ object TableWriter {
     val live = log.snapshotLatest().files.map(_.path).toSet
     val cutoff = nowMillis - retainMillis
     // newest removal timestamp per path (a path can be re-added later —
-    // the live check guards that)
+    // the live check guards that); referenced = every path ANY commit
+    // has ever added
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
+    val referenced = scala.collection.mutable.Set.empty[String]
     log.changes(0L).foreach { case (_, actions) =>
       actions.foreach {
         case r: RemoveFile =>
           removedAt(r.path) = math.max(r.deletionTimestamp,
             removedAt.getOrElse(r.path, Long.MinValue))
+        case a: AddFile => referenced += a.path
         case _ => ()
       }
     }
-    val fs = new Path(tablePath).getFileSystem(conf)
-    val doomed = removedAt.toSeq
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val removed = removedAt.toSeq
       .filter { case (p, ts) => !live.contains(p) && ts <= cutoff }
-      .map(_._1).sorted
+      .map(_._1)
+    // orphan sweep: on-disk parquet never referenced by the log
+    val tableUri = fs.makeQualified(table).toUri
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_txn_log" && !name.startsWith(".")) walk(st.getPath)
+        } else if (name.endsWith(".parquet")) {
+          val rel = tableUri.relativize(
+            fs.makeQualified(st.getPath).toUri).getPath
+          if (!referenced.contains(rel) && st.getModificationTime <= cutoff)
+            orphans += rel
+        }
+      }
+    if (fs.exists(table)) walk(table)
+    val doomed = (removed ++ orphans).distinct.sorted
     doomed.foreach(p => fs.delete(new Path(tablePath, p), false))
     doomed
+  }
+
+  /** Append with automatic version assignment, retrying on a concurrent
+    * commit (optimistic concurrency: re-resolve the next version and
+    * re-commit the same already-staged intent — here re-staged, which is
+    * safe because staging is side-effect-free until commit succeeds).
+    */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      commitTs: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 3): Long = {
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    var attempt = 0
+    while (true) {
+      val next = log.latestVersion().map(_ + 1).getOrElse(0L)
+      try {
+        write(spark, df, tablePath, partitionBy, version = next,
+          commitTs = commitTs)
+        return next
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("concurrent") =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** MERGE / upsert at file granularity: rows of `source` replace target

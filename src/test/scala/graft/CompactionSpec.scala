@@ -74,6 +74,42 @@ class CompactionSpec extends AnyFunSuite {
     assert(out.filter(col("commit_version") === 1).count() == 100)
   }
 
+  test("vacuum sweeps orphaned files from crashed writers") {
+    val table = freshTable("vac_orphan")
+    val li = Tables.load(spark, sf, "lineitem").limit(100)
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    // simulate a crashed writer: a data file on disk with no commit
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(table, "part-99999-00000.parquet")
+    li.limit(5).coalesce(1).write.mode("overwrite")
+      .parquet(table + "/.orphan_stage")
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(table + "/.orphan_stage"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(staged, orphan)
+    fs.delete(new org.apache.hadoop.fs.Path(table + "/.orphan_stage"), true)
+    assert(fs.exists(orphan))
+    // inside retention: the orphan is safe (could be an in-flight write)
+    val now = System.currentTimeMillis() + 1000
+    assert(TableWriter.vacuum(spark, table,
+      retainMillis = 3600 * 1000L, nowMillis = now).isEmpty)
+    // past retention: swept; committed live files untouched
+    val swept = TableWriter.vacuum(spark, table,
+      retainMillis = 0L, nowMillis = now)
+    assert(swept == Seq("part-99999-00000.parquet"), s"swept $swept")
+    assert(!fs.exists(orphan))
+    assert(SnapshotReader.read(spark, table).count() == 100)
+  }
+
+  test("append auto-assigns versions") {
+    val table = freshTable("append_auto")
+    val li = Tables.load(spark, sf, "lineitem")
+    assert(TableWriter.append(spark, li.limit(50), table) == 0L)
+    assert(TableWriter.append(spark,
+      li.limit(80).except(li.limit(50)), table) == 1L)
+    assert(SnapshotReader.read(spark, table).count() == 80)
+  }
+
   test("vacuum deletes files unreferenced past the retention horizon") {
     val table = freshTable("vacuum")
     val li = Tables.load(spark, sf, "lineitem").limit(300)
