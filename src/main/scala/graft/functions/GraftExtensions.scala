@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Pmod}
+
+/** SQL surface for the engine's custom Catalyst expressions, via the
+  * standard `SparkSessionExtensions` hook:
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * registers them at session build (the cluster deployment path), and
+  * [[GraftExtensions.install]] registers the same functions on an
+  * already-running session (the notebook/test path). Either way,
+  * `spark.sql("SELECT graft_murmur3(...)...")` plans the same codegen'd
+  * expressions the DataFrame API uses — SQL users get routing parity
+  * and the vector kernels without touching Scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) for every exposed function. */
+  val functions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_murmur3",
+      info("graft_murmur3",
+        "graft_murmur3(str) - reference-parity murmur3_x86_32 of a string"),
+      (children: Seq[Expression]) => Murmur3X86Expr(children.head)),
+    ("graft_route",
+      info("graft_route",
+        "graft_route(pv, n) - murmur3 route slot in [0, n)"),
+      (children: Seq[Expression]) =>
+        // same & MAX_VALUE % n form as Murmur3X86.routeIndex
+        Pmod(org.apache.spark.sql.catalyst.expressions.BitwiseAnd(
+          Murmur3X86Expr(children.head),
+          org.apache.spark.sql.catalyst.expressions.Literal(Int.MaxValue)),
+          children(1))),
+    ("graft_dot",
+      info("graft_dot",
+        "graft_dot(a, b) - sequential-order dot product of double arrays"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+
+  /** Register on an already-built session (tests, notebooks). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

@@ -10,6 +10,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Murmur3Spec extends AnyFunSuite {
 
+  test("GraftExtensions exposes the kernels to SQL") {
+    import SparkTestSession._
+    graft.functions.GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT graft_murmur3('l_returnflag=R') AS h,
+        |  graft_route('l_returnflag=R', 8) AS slot,
+        |  graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) ==
+      graft.functions.Murmur3X86.hashString("l_returnflag=R"))
+    assert(r.getInt(1) ==
+      graft.functions.Murmur3X86.partitionIndex("l_returnflag=R", 8))
+    assert(r.getDouble(2) == 32.0)
+    // the cluster path (spark.sql.extensions) uses the same builders
+    assert(graft.functions.GraftExtensions.functions.map(_._1).toSet ==
+      Set("graft_murmur3", "graft_route", "graft_dot"))
+  }
+
   test("published vectors") {
     assert(Murmur3X86.hashString("", 0) == 0)
     assert(Murmur3X86.hashString("", 1) == 0x514e28b7)
