@@ -12,6 +12,50 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** The q45 inverted-index Jaccard pairs (doc_a, doc_b) — shared by the
+    * pair query and the connected-components clustering built on it.
+    */
+  private def jaccardPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sh = TextOps.nearDupCorpus(s, dir)
+      .select(col("doc_id"),
+        TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+      .cache()
+    val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+    pairs
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.6)
+  }
+
+  /** SQL mirror of [[jaccardPairs]], as a CTE body ending in `dup_pairs`. */
+  private val jaccardPairsSql: String =
+    s"""corpus AS (${TextOps.nearDupCorpusSql}),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(1, len(t) - 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+       |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |             FROM corpus)),
+       |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(COUNT(*) AS BIGINT) AS inter
+       |         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(sg) AS n FROM sh),
+       |dup_pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+       |    JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     // Token statistics (tokenization + counting)
     QueryDef.sqlBacked(
@@ -335,6 +379,58 @@ object Text {
             (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
         .filter(col("jac") >= 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Dedup clustering: connected components over the near-dup pair
+    // graph — the step between pair generation and keep-one selection
+    // (pairs alone under-delete: A~B, B~C must collapse to ONE keeper
+    // even when A~C was never emitted). Min-label propagation: a driver
+    // loop of ≤10 DISTRIBUTED join+min rounds (the Pregel shape —
+    // iteration count is graph diameter, not data size; dup clusters
+    // have tiny diameters). Oracle: recursive-CTE transitive closure.
+    QueryDef.sqlBacked(
+      "q77_dedup_clusters",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s)
+         |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(id) AS max_id
+         |FROM comp
+         |GROUP BY comp
+         |ORDER BY comp""".stripMargin) { (s, dir) =>
+      val p = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = p.unionAll(
+        p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+      var labels = edges.select(col("doc_a").as("id")).distinct()
+        .withColumn("comp", col("id")).cache()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < 10) {
+        val prop = edges
+          .join(labels.select(col("id").as("nbr"), col("comp").as("ncomp")),
+            col("doc_b") === col("nbr"))
+          .groupBy(col("doc_a").as("pid"))
+          .agg(min(col("ncomp")).as("pcomp"))
+        val next = labels.join(prop, col("id") === col("pid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
+            (col("pcomp") < col("comp")).as("chg"))
+          .cache()
+        changed = next.filter(col("chg")).count()
+        labels.unpersist()
+        labels = next.select(col("id"), col("comp")).cache()
+        iter += 1
+      }
+      labels
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .orderBy(col("comp"))
     },
 
     // MinHash + LSH banding — the scale path for the same near-dup
