@@ -404,30 +404,8 @@ object Text {
          |FROM comp
          |GROUP BY comp
          |ORDER BY comp""".stripMargin) { (s, dir) =>
-      val p = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = p.unionAll(
-        p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-      var labels = edges.select(col("doc_a").as("id")).distinct()
-        .withColumn("comp", col("id")).cache()
-      var iter = 0
-      var changed = 1L
-      while (changed > 0 && iter < 10) {
-        val prop = edges
-          .join(labels.select(col("id").as("nbr"), col("comp").as("ncomp")),
-            col("doc_b") === col("nbr"))
-          .groupBy(col("doc_a").as("pid"))
-          .agg(min(col("ncomp")).as("pcomp"))
-        val next = labels.join(prop, col("id") === col("pid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
-            (col("pcomp") < col("comp")).as("chg"))
-          .cache()
-        changed = next.filter(col("chg")).count()
-        labels.unpersist()
-        labels = next.select(col("id"), col("comp")).cache()
-        iter += 1
-      }
-      labels
+      graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
         .orderBy(col("comp"))

@@ -9,6 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * SQL-verified baselines at small scale (recall/precision checks).
   */
 class DedupSpec extends AnyFunSuite {
+
+  test("connected components: union-find and label propagation agree") {
+    import SparkTestSession._
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, triangle 20-21-22, self-contained 30-31
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (31L, 30L))
+      .toDF("doc_a", "doc_b")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = normalize(
+      graft.operators.ConnectedComponents.components(pairs))
+    val dist = normalize(
+      graft.operators.ConnectedComponents.components(pairs,
+        smallThreshold = 0L)) // force the distributed path
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(small == want)
+    assert(dist == want)
+  }
   import SparkTestSession._
 
   private def pairs(name: String): Set[(Long, Long)] =
