@@ -411,6 +411,39 @@ object Text {
         .orderBy(col("comp"))
     },
 
+    // The dedup pipeline's last mile: drop every doc whose component
+    // keeper is another doc (keeper = min id), keep the rest of the
+    // corpus — one anti-join against the (small) non-keeper set.
+    QueryDef.sqlBacked(
+      "q78_dedup_keep_one",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s),
+         |losers AS (SELECT id FROM comp WHERE id <> comp)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST((SELECT COUNT(*) FROM losers) AS BIGINT) AS n_removed,
+         |  MIN(doc_id) AS first_kept, MAX(doc_id) AS last_kept
+         |FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin) { (s, dir) =>
+      val comps = graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      val losers = comps.filter(col("id") =!= col("comp")).select(col("id"))
+      val corpus = TextOps.nearDupCorpus(s, dir)
+      val nRemoved = losers.count()
+      corpus.join(losers, corpus("doc_id") === losers("id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"),
+          lit(nRemoved).as("n_removed"),
+          min(col("doc_id")).as("first_kept"),
+          max(col("doc_id")).as("last_kept"))
+    },
+
     // MinHash + LSH banding — the scale path for the same near-dup
     // semantics: candidates come from banded signature buckets (linear),
     // then exact-Jaccard verification. Spark-only; QueriesSpec asserts it
