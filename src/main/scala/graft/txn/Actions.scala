@@ -58,14 +58,25 @@ final case class CommitInfo(
     operation: String,
     timestamp: Long) extends Action
 
+/** Forward-compatibility guard (the Delta protocol action): a reader
+  * whose supported version is below `minReaderVersion` must REFUSE the
+  * table — failing loudly beats silently misreading actions written by
+  * a newer engine.
+  */
+final case class Protocol(
+    minReaderVersion: Int,
+    minWriterVersion: Int) extends Action
+
 /** One JSON line of a commit file — exactly one field is set. */
 final case class LogLine(
     add: Option[AddFile] = None,
     remove: Option[RemoveFile] = None,
     metaData: Option[Metadata] = None,
-    commitInfo: Option[CommitInfo] = None) {
+    commitInfo: Option[CommitInfo] = None,
+    protocol: Option[Protocol] = None) {
   def action: Action =
     add.orElse[Action](remove).orElse(metaData).orElse(commitInfo)
+      .orElse(protocol)
       .getOrElse(throw new IllegalArgumentException("empty log line"))
 }
 
@@ -75,5 +86,6 @@ object LogLine {
     case x: RemoveFile => LogLine(remove = Some(x))
     case x: Metadata   => LogLine(metaData = Some(x))
     case x: CommitInfo => LogLine(commitInfo = Some(x))
+    case x: Protocol   => LogLine(protocol = Some(x))
   }
 }

@@ -184,6 +184,10 @@ final class TxnLog(
         writer.write(factory.newGroup()
           .append("kind", "meta").append("json", Serialization.write(LogLine(m))))
       }
+      snap.protocol.foreach { p =>
+        writer.write(factory.newGroup()
+          .append("kind", "protocol").append("json", Serialization.write(LogLine(p))))
+      }
       snap.files.foreach { a =>
         writer.write(factory.newGroup()
           .append("kind", "add").append("json", Serialization.write(LogLine(a))))
@@ -192,14 +196,16 @@ final class TxnLog(
     if (!fs.rename(tmp, checkpointFile(v))) fs.delete(tmp, false) // lost benign race
   }
 
-  /** Read a checkpoint back into (live files in original order, metadata). */
-  private def readCheckpoint(v: Long): (Seq[AddFile], Option[Metadata]) = {
+  /** Read a checkpoint back into (live files, metadata, protocol). */
+  private def readCheckpoint(v: Long)
+      : (Seq[AddFile], Option[Metadata], Option[Protocol]) = {
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), checkpointFile(v))
       .withConf(conf)
       .build()
     val files = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     var meta: Option[Metadata] = None
+    var proto: Option[Protocol] = None
     try {
       var g = reader.read()
       while (g != null) {
@@ -207,12 +213,13 @@ final class TxnLog(
         action match {
           case a: AddFile  => files += a
           case m: Metadata => meta = Some(m)
+          case p: Protocol => proto = Some(p)
           case _           => ()
         }
         g = reader.read()
       }
     } finally reader.close()
-    (files.toSeq, meta)
+    (files.toSeq, meta, proto)
   }
 
   /** Replay the log up to `asOf` (inclusive) into the live-file state,
@@ -229,20 +236,24 @@ final class TxnLog(
     val cp = checkpointVersions().filter(_ <= asOf).lastOption
     var files = scala.collection.immutable.ListMap.empty[String, AddFile]
     var meta: Option[Metadata] = None
+    var proto: Option[Protocol] = None
     cp.foreach { cv =>
-      val (cpFiles, cpMeta) = readCheckpoint(cv)
+      val (cpFiles, cpMeta, cpProto) = readCheckpoint(cv)
       files = scala.collection.immutable.ListMap(cpFiles.map(a => a.path -> a): _*)
       meta = cpMeta
+      proto = cpProto
     }
     vs.filter(v => cp.forall(v > _)).foreach { v =>
       read(v).foreach {
         case a: AddFile    => files += (a.path -> a)
         case r: RemoveFile => files -= r.path
         case m: Metadata   => meta = Some(m)
+        case p: Protocol   => proto = Some(p)
         case _: CommitInfo => ()
       }
     }
-    Snapshot(vs.last, files.values.toSeq, meta)
+    proto.foreach(TxnLog.assertReadable(_, tablePath))
+    Snapshot(vs.last, files.values.toSeq, meta, proto)
   }
 
   /** Latest snapshot; fails on an empty log (strict, per SURVEY §7.1 —
@@ -284,13 +295,28 @@ object TxnLog {
     * tail replay ≤ N commit files, checkpoint write amortized over N).
     */
   val DefaultCheckpointInterval = 10
+
+  /** Protocol versions this engine understands (the Delta protocol-
+    * action idea): a table whose log demands more must be REFUSED —
+    * failing loudly beats silently misreading newer actions.
+    */
+  val SupportedReaderVersion = 1
+  val SupportedWriterVersion = 1
+
+  private[txn] def assertReadable(p: Protocol, tablePath: String): Unit =
+    if (p.minReaderVersion > SupportedReaderVersion)
+      throw new UnsupportedOperationException(
+        s"table at $tablePath requires reader protocol " +
+          s"${p.minReaderVersion}; this engine supports " +
+          s"$SupportedReaderVersion — upgrade to read this table")
 }
 
 /** Live state of the table at a version. */
 final case class Snapshot(
     version: Long,
     files: Seq[AddFile],
-    metadata: Option[Metadata]) {
+    metadata: Option[Metadata],
+    protocol: Option[Protocol] = None) {
   def filePaths(tablePath: String): Seq[String] =
     files.map(f => s"$tablePath/${f.path}")
 }

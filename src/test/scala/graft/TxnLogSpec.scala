@@ -83,6 +83,41 @@ class TxnLogSpec extends AnyFunSuite {
     assert(log.read(0L).size == 3)
   }
 
+  test("protocol guard: newer-engine tables are refused, not misread") {
+    val log = freshLog()
+    log.commit(0L, Seq(
+      AddFile("a.parquet", Map.empty, 1, 10L, dataChange = true),
+      CommitInfo("WRITE", 10L)))
+    // a supported protocol passes and is carried on the snapshot
+    log.commit(1L, Seq(Protocol(1, 1), CommitInfo("UPGRADE", 20L)))
+    assert(log.snapshotLatest().protocol.contains(Protocol(1, 1)))
+    // a future protocol makes every snapshot read fail loudly
+    log.commit(2L, Seq(Protocol(99, 99), CommitInfo("UPGRADE", 30L)))
+    val e = intercept[UnsupportedOperationException] { log.snapshotLatest() }
+    assert(e.getMessage.contains("reader protocol 99"))
+    // time travel BEFORE the upgrade still works
+    assert(log.snapshot(1L).files.map(_.path) == Seq("a.parquet"))
+  }
+
+  test("protocol survives parquet checkpoints") {
+    val dir = Files.createTempDirectory("txnlog_proto").toString
+    val log = new TxnLog(dir, new org.apache.hadoop.conf.Configuration(),
+      checkpointInterval = 2)
+    log.commit(0L, Seq(
+      AddFile("a.parquet", Map.empty, 1, 10L, dataChange = true),
+      Protocol(1, 1), CommitInfo("WRITE", 10L)))
+    (1 to 4).foreach { v =>
+      log.commit(v.toLong, Seq(
+        AddFile(s"f$v.parquet", Map.empty, 1, 10L, dataChange = true),
+        CommitInfo("WRITE", 10L + v)))
+    }
+    assert(log.checkpointVersions().nonEmpty)
+    // a fresh log instance resolving from the checkpoint keeps the guard
+    val log2 = new TxnLog(dir, new org.apache.hadoop.conf.Configuration(),
+      checkpointInterval = 2)
+    assert(log2.snapshotLatest().protocol.contains(Protocol(1, 1)))
+  }
+
   test("commits without CommitInfo get a synthesized terminator") {
     val log = freshLog()
     log.commit(0L, Seq(
