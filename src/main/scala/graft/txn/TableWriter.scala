@@ -240,9 +240,10 @@ object TableWriter {
     *        candidates (Delta's OPTIMIZE policy): already-large files
     *        keep their paths, so repeated OPTIMIZE runs converge instead
     *        of rewriting the whole table each time.
-    * @param zorderBy two columns to Morton-cluster (OPTIMIZE … ZORDER
-    *        BY): every output file gets a bounded rectangle in BOTH
-    *        dimensions, so stats prune on either. Overrides clusterBy.
+    * @param zorderBy columns (≥2) to Morton-cluster (OPTIMIZE … ZORDER
+    *        BY): every output file gets a bounded hyper-rectangle in
+    *        EVERY listed dimension, so stats prune on any of them.
+    *        Overrides clusterBy.
     */
   def compact(
       spark: SparkSession,
@@ -268,7 +269,7 @@ object TableWriter {
       .parquet(doomed.map(f => s"$tablePath/${f.path}"): _*)
     val packed = (partCols, zorderBy, clusterBy) match {
       case (pcs, _, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
-      case (_, zs, _) if zs.size == 2 =>
+      case (_, zs, _) if zs.size >= 2 =>
         ZOrder.withZ(src, zs)
           .repartitionByRange(math.max(1, targetFiles), col("_z"))
           .sortWithinPartitions(col("_z"))

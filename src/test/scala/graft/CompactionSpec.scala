@@ -310,6 +310,11 @@ class CompactionSpec extends AnyFunSuite {
     val pred = col("l_suppkey").between(skBox._2, skBox._3)
     assert(DataSkipping.readWhere(spark, zt, pred).count() ==
       li.filter(pred).count())
+    // N-dimensional generalization: 3-column Morton codes compute fine
+    val z3 = ZOrder.withZ(li,
+      Seq("l_orderkey", "l_suppkey", "l_partkey"), bits = 10)
+    assert(z3.select(min(col("_z")), max(col("_z"))).collect()(0)
+      .getLong(1) >= 0)
   }
 
   test("history lists commits newest-first with op and file counts") {
