@@ -484,9 +484,12 @@ object Text {
       val fp = TextOps.nearDupCorpus(s, dir)
         .select(col("doc_id"),
           TextOps.simhash64(TextOps.tokens(col("text"))).as("sig"))
+      // cached: feeds both sides of the self-join — without it the
+      // tokenize+simhash kernel evaluates twice over the corpus
       val exploded = fp.select(col("doc_id"), col("sig"),
           posexplode(TextOps.simhashBlocks64(col("sig")))
             .as(Seq("blk_idx", "blk_val")))
+        .cache()
       exploded.as("a").join(exploded.as("b"),
           col("a.blk_idx") === col("b.blk_idx") &&
             col("a.blk_val") === col("b.blk_val") &&
