@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps
+
+/** Training-data pipeline operators, wave 4: the corpus-preparation
+  * passes between "filtered documents" and "training batches" —
+  * repetition filtering, passage-level corpus dedup, sequence packing,
+  * mixture sampling, export sharding, and benchmark decontamination.
+  *
+  * Reference basis: the reference connector (see
+  * /root/reference/src/main/java/org/apache/pulsar/ecosystem/io/deltalake —
+  * DeltaReader.java:1, DeltaRecord.java:1) moves table rows into a topic
+  * and has no corpus surface; these operators are the north-star
+  * extensions from SURVEY §2.9-2.10, designed Spark-first.
+  *
+  * Every query here is DuckDB-oracle-backed. Scale notes per query; the
+  * common theme: map-only where possible, one shuffle where not, and the
+  * only broadcast is the (small by construction) benchmark n-gram set.
+  */
+object Pipeline {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Repetition filter (Gopher-style): fraction of duplicated word
+    // bigrams per document. Map-only — bigrams are formed with native
+    // codegen'd array ops (arrays_zip over shifted slices), no HOF
+    // lambdas, no explode, no shuffle: at 100 TB this is a pure scan.
+    QueryDef.sqlBacked(
+      "q79_repetition_filter",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) - 1 AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(list_transform(range(1, len(t)),
+        |       i -> t[i] || ' ' || t[i+1]))) AS INT) AS n_distinct,
+        |  CAST(len(t) - 1 - len(list_distinct(list_transform(range(1, len(t)),
+        |       i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / (len(t) - 1) AS dup_frac,
+        |  CAST(len(t) - 1 - len(list_distinct(list_transform(range(1, len(t)),
+        |       i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / (len(t) - 1) >= 0.02
+        |    AS flagged
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val n = size(col("t"))
+      val bigrams = arrays_zip(
+        slice(col("t"), lit(1), n - 1),
+        slice(col("t"), lit(2), n - 1))
+      val nBig = (n - 1).as("n_bigrams")
+      val nDist = size(array_distinct(bigrams)).as("n_distinct")
+      val dupFrac = ((n - 1 - size(array_distinct(bigrams))).cast("double") /
+        (n - 1)).as("dup_frac")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), nBig, nDist, dupFrac,
+          (((n - 1 - size(array_distinct(bigrams))).cast("double") /
+            (n - 1)) >= 0.02).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Passage-level corpus dedup: 10-word chunks (stride 10), global
+    // first-occurrence keep. ONE shuffle, on the chunk text (the dedup
+    // key); keeper choice is the deterministic (doc_id, chunk_idx)
+    // minimum. At 100 TB the chunk column is the natural hash-partition
+    // key and AQE handles hot boilerplate chunks.
+    QueryDef.sqlBacked(
+      "q80_chunk_dedup",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |           FROM documents),
+        |c AS (SELECT doc_id, CAST(s / 10 AS INT) AS chunk_idx,
+        |        array_to_string(list_slice(t, s + 1, s + 10), ' ') AS chunk
+        |      FROM (SELECT doc_id, t, unnest(range(0, len(t), 10)) AS s FROM w)),
+        |r AS (SELECT doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY chunk
+        |                           ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val chunks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(10))).as("s"))
+        .select(col("doc_id"),
+          (col("s") / 10).cast("int").as("chunk_idx"),
+          concat_ws(" ", slice(col("t"), col("s") + 1, lit(10))).as("chunk"))
+      chunks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("chunk"))
+            .orderBy(col("doc_id"), col("chunk_idx"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1).otherwise(0)).as("n_dropped"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Training-sequence packing: concatenate each source's documents in
+    // doc_id order and cut at a 512-token budget; a document belongs to
+    // the bin its first token lands in. One shuffle (window on source);
+    // at scale the partition key is the source/shard and bins never
+    // cross partitions — the exact shape of a distributed packing job.
+    QueryDef.sqlBacked(
+      "q81_sequence_pack",
+      """WITH w AS (SELECT doc_id, source,
+        |             len(string_split_regex(trim(text), '\s+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, tok,
+        |        SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+        |SELECT source, CAST(FLOOR((cum - tok) / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin) {
+      (s, dir) =>
+        val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).as("tok"))
+          .withColumn("cum", sum(col("tok")).over(win))
+          .select(col("source"),
+            floor((col("cum") - col("tok")) / 512.0).as("seq_id"), col("tok"))
+          .groupBy(col("source"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).cast("bigint").as("seq_tokens"))
+          .orderBy(col("source"), col("seq_id"))
+    },
+
+    // Deterministic mixture sampling: per-language keep rates applied via
+    // a modular hash of the key — reproducible membership, never RNG, so
+    // re-runs (and the oracle) agree row-for-row. Map-only + one agg.
+    QueryDef.sqlBacked(
+      "q82_mixture_sample",
+      """WITH s AS (SELECT doc_id, lang,
+        |             (doc_id * 2654435761) % 1000 AS h FROM documents),
+        |k AS (SELECT lang, h,
+        |        CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 400
+        |                  WHEN 'es' THEN 300 WHEN 'de' THEN 200
+        |                  ELSE 100 END AS rate FROM s)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS kept_frac
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val rate = when(col("lang") === "en", 900)
+        .when(col("lang") === "zh", 400)
+        .when(col("lang") === "es", 300)
+        .when(col("lang") === "de", 200)
+        .otherwise(100)
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          pmod(col("doc_id") * lit(2654435761L), lit(1000)).as("h"),
+          rate.as("rate"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("h") < col("rate"), 1).otherwise(0)).as("kept"),
+          (sum(when(col("h") < col("rate"), 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("kept_frac"))
+        .orderBy(col("lang"))
+    },
+
+    // Sharded export shuffle: a deterministic pseudo-random permutation
+    // (affine hash) assigns each doc a shard and a position within it.
+    // No global sort: the window partitions by shard, so position
+    // assignment parallelizes across shards — the 100 TB export shape
+    // (one output file per shard, locally ordered).
+    QueryDef.sqlBacked(
+      "q83_export_shuffle",
+      """WITH k AS (SELECT doc_id,
+        |             (doc_id * 1103515245 + 12345) % 1000003 AS skey
+        |           FROM documents)
+        |SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8
+        |                          ORDER BY skey, doc_id) AS INT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+            lit(1000003L)).as("skey"))
+        .select(col("doc_id"),
+          pmod(col("skey"), lit(8)).cast("int").as("shard"),
+          row_number().over(
+            Window.partitionBy(pmod(col("skey"), lit(8)))
+              .orderBy(col("skey"), col("doc_id"))).as("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
+    // Benchmark decontamination: flag every training document sharing a
+    // 7-word n-gram with the benchmark set (each benchmark doc
+    // contributes its words[3..9] probe). The corpus includes byte-exact
+    // copies (exactDupCorpus), so contamination is caught in docs whose
+    // ids differ from any benchmark id — the real use case. The
+    // benchmark frame is small by construction and broadcast; the
+    // training side streams through explode without ever shuffling the
+    // full gram set.
+    QueryDef.sqlBacked(
+      "q84_decontaminate",
+      s"""WITH corpus AS (${TextOps.exactDupCorpusSql}),
+         |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |      FROM corpus),
+         |bench AS (SELECT doc_id AS bench_id,
+         |            array_to_string(list_slice(t, 3, 9), ' ') AS gram
+         |          FROM w WHERE doc_id % 13 = 3 AND doc_id < 200000),
+         |grams AS (SELECT doc_id,
+         |            unnest(list_transform(range(1, len(t) - 5),
+         |              i -> array_to_string(list_slice(t, i, i + 6), ' '))) AS gram
+         |          FROM w WHERE len(t) >= 7)
+         |SELECT g.doc_id, CAST(COUNT(DISTINCT b.bench_id) AS BIGINT)
+         |  AS n_bench_hits
+         |FROM grams g JOIN bench b ON g.gram = b.gram
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val corpus = TextOps.exactDupCorpus(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val bench = corpus
+        .filter(col("doc_id") % 13 === 3 && col("doc_id") < 200000)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(col("t"), 3, 7)).as("gram"))
+      val grams = corpus.filter(size(col("t")) >= 7)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 6)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("t"), col("i"), lit(7))).as("gram"))
+      grams.join(broadcast(bench), "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
