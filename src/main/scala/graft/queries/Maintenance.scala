@@ -87,6 +87,27 @@ object Maintenance {
     dir
   }
 
+  /** v0: lineitem %7 partitioned by l_returnflag; v1: DV-delete
+    * l_suppkey%5=0 (no file rewritten — sidecar only); v2: DV-delete
+    * l_partkey%3=0, unioning into the affected files' vectors.
+    */
+  def dvFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/dv_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_partkey") % 3 === 0,
+      version = 2L, commitTs = 3000L)
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Compaction invariance: replaying CDC across a compaction commit
     // yields exactly the logical appends (a leaked reorganization event
@@ -144,6 +165,36 @@ object Maintenance {
       val table = deleteFixture(s, dir)
       SnapshotReader.read(s, table)
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    // Deletion-vector DELETE: neither delete rewrites a data file, yet
+    // every read — current AND time-traveled — subtracts the dead rows,
+    // and the second delete unions into the first file's vector. The
+    // per-version states are derivable straight from lineitem.
+    QueryDef.sqlBacked(
+      "q85_dv_delete",
+      """SELECT 'v1' AS metric,
+        |  CAST(COUNT(*) FILTER (WHERE l_suppkey % 5 <> 0) AS BIGINT) AS n,
+        |  COALESCE(SUM(l_quantity) FILTER (WHERE l_suppkey % 5 <> 0), 0) AS qty
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT 'v2' AS metric,
+        |  CAST(COUNT(*) FILTER (WHERE l_suppkey % 5 <> 0
+        |    AND l_partkey % 3 <> 0) AS BIGINT) AS n,
+        |  COALESCE(SUM(l_quantity) FILTER (WHERE l_suppkey % 5 <> 0
+        |    AND l_partkey % 3 <> 0), 0) AS qty
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      val table = dvFixture(s, dir)
+      val v1 = SnapshotReader.read(s, table, versionAsOf = Some(1L))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("l_quantity")), lit(0.0)).as("qty"))
+        .select(lit("v1").as("metric"), col("n"), col("qty"))
+      val v2 = SnapshotReader.read(s, table)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("l_quantity")), lit(0.0)).as("qty"))
+        .select(lit("v2").as("metric"), col("n"), col("qty"))
+      v1.unionAll(v2).orderBy(col("metric"))
     },
 
     // Stats-based file skipping: the range read prunes the file list by

@@ -99,6 +99,22 @@ private[sources] class GraftCdcMicroBatchStream(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private def log = new TxnLog(opts.tablePath, serConf.value)
 
+  // The row-granular streaming reader has no deletion-vector filter yet;
+  // consuming a DV table here would resurrect deleted rows mid-stream.
+  // Refuse loudly with the remedy (batch CDC via CdcReader handles DVs).
+  locally {
+    val l = log
+    l.latestVersion().foreach { v =>
+      if (l.snapshot(v).files.exists(_.dv.isDefined))
+        throw new UnsupportedOperationException(
+          s"streaming CDC over a deletion-vector table is not supported: " +
+            s"${opts.tablePath} has files with DVs — run " +
+            "DeletionVectors.purge(...) (or OPTIMIZE) to fold the vectors " +
+            "into plain files first, or use batch CdcReader.cdc which " +
+            "applies DVs")
+    }
+  }
+
   override def initialOffset(): Offset = {
     val start = opts.resolveStartVersion(log)
     val phase =

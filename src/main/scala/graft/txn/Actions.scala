@@ -24,6 +24,12 @@ final case class FileStats(
   * @param dataChange false for reorganization (compaction) — CDC readers
   *                   skip such events; snapshot state still updates
   * @param stats optional footer-derived column stats for file skipping
+  *              (with a DV attached, numRecords is an upper bound and
+  *              min/max stay sound — deletion only narrows the file)
+  * @param dv optional deletion-vector directory (table-relative): rows of
+  *           this file listed there are logically deleted. A reader that
+  *           ignores this field would resurrect them — which is why DV
+  *           tables demand Protocol(2, _) (see TxnLog.SupportedReaderVersion)
   */
 final case class AddFile(
     path: String,
@@ -31,7 +37,8 @@ final case class AddFile(
     size: Long,
     modificationTime: Long,
     dataChange: Boolean,
-    stats: Option[FileStats] = None) extends Action
+    stats: Option[FileStats] = None,
+    dv: Option[String] = None) extends Action
 
 /** A data file logically removed (physically retained for CDC replay
   * until vacuumed).

@@ -54,7 +54,8 @@ object CdcOffset {
 
 /** Batch CDC reader: replays a table's transaction log into a
   * change-event DataFrame with the reference's envelope (SURVEY.md §1.4):
-  * op ∈ {c,r,m}, partition_value (canonical sorted k=v string), ts (event
+  * op ∈ {c,r,d,m} — 'd' is this engine's extension for deletion-vector
+  * row deletes — partition_value (canonical sorted k=v string), ts (event
   * time: AddFile.modificationTime / RemoveFile.deletionTimestamp), plus
   * commit_version, plus the payload columns.
   *
@@ -97,21 +98,38 @@ object CdcReader {
     def qualify(rel: String): String =
       new org.apache.hadoop.fs.Path(tableQ, rel).toString
 
-    // (filePath, op, eventTs, version) for every data-file-backed event
+    // (filePath, op, eventTs, version) for every whole-file event
     val fileEvents = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    // snapshot-phase files whose rows need the DV filter applied
+    val snapDv = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    var snapVersion = startingVersion
+    // DV transitions: (file, version) pairs whose newly-dead rows emit 'd'
+    val dvTransitions = scala.collection.mutable.ArrayBuffer.empty[(AddFile, Long)]
 
     if (includeHistory) {
       val snap = log.snapshot(startingVersion)
-      snap.files.filter(f => keep(f.partitionValues)).foreach(f =>
-        fileEvents += ((qualify(f.path), "c", f.modificationTime, snap.version)))
+      snapVersion = snap.version
+      snap.files.filter(f => keep(f.partitionValues)).foreach { f =>
+        if (f.dv.isDefined) snapDv += f
+        else fileEvents += ((qualify(f.path), "c", f.modificationTime, snap.version))
+      }
     }
     var metaRows = Seq.empty[(String, Long, Long)] // (op,ts,version) for 'm'
     log.changes(startingVersion + 1).foreach { case (v, actions) =>
+      // A DV delete commits Remove(p) + Add(p, dv) for each affected
+      // file: the CDC meaning is "these ROWS died", not "this file
+      // churned" — emit op='d' for the newly-dead rows and suppress the
+      // whole-file 'r'/'c' pair.
+      val dvPaths = actions.collect {
+        case a: AddFile if a.dataChange && a.dv.isDefined => a.path
+      }.toSet
       actions.foreach {
         // dataChange=false (compaction/reorganization) is not a CDC event
         case a: AddFile if a.dataChange && keep(a.partitionValues) =>
-          fileEvents += ((qualify(a.path), "c", a.modificationTime, v))
-        case r: RemoveFile if r.dataChange && keep(r.partitionValues) =>
+          if (a.dv.isDefined) dvTransitions += ((a, v))
+          else fileEvents += ((qualify(a.path), "c", a.modificationTime, v))
+        case r: RemoveFile if r.dataChange && keep(r.partitionValues) &&
+            !dvPaths.contains(r.path) =>
           fileEvents += ((qualify(r.path), "r", r.deletionTimestamp, v))
         case m: Metadata if v > startingVersion =>
           metaRows ++= Seq(("m", 0L, v))
@@ -127,7 +145,8 @@ object CdcReader {
       .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
-    if (fileEvents.isEmpty && metaRows.isEmpty) {
+    if (fileEvents.isEmpty && metaRows.isEmpty && snapDv.isEmpty &&
+        dvTransitions.isEmpty) {
       // a pruned read legitimately matches nothing; a full read of an
       // empty range is a caller error
       if (partitionPred.isEmpty)
@@ -148,7 +167,89 @@ object CdcReader {
 
     import spark.implicits._
 
-    if (fileEvents.isEmpty) {
+    val partCols = latestSnap.metadata
+      .map(_.partitionColumns).getOrElse(Seq.empty)
+    val pvExpr =
+      if (partCols.isEmpty) lit("")
+      else concat_ws(",", partCols.sorted.map(c =>
+        concat_ws("=", lit(c), col(c).cast("string"))): _*)
+    def normalize(p: String): String = p.replaceFirst("^file:/+", "/")
+    def readWithPath(paths: Seq[String]): DataFrame = {
+      val reader0 = spark.read.option("basePath", tablePath)
+      val reader = declaredSchema.fold(reader0)(reader0.schema)
+      reader.parquet(paths: _*)
+        .withColumn("_cdc_path",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    }
+    // project a (payload + handles) frame into the envelope shape
+    val handles = Set("_cdc_path", "_metadata", "op", "ts", "commit_version",
+      "_fn", "_ri", "_path")
+    def envelopeize(joined: DataFrame): DataFrame = {
+      val payloadCols = joined.columns.filterNot(handles.contains)
+      joined.select(
+        (Seq(col("op"), pvExpr.as("partition_value"), col("ts"),
+          col("commit_version")) ++ payloadCols.map(col)): _*)
+    }
+
+    // 1. whole-file events ('c' from plain adds/snapshot, 'r' from removes)
+    val wholeFrame =
+      if (fileEvents.isEmpty) None
+      else {
+        val envelope = fileEvents.toSeq
+          .toDF("_cdc_path", "op", "ts", "commit_version")
+          .withColumn("_cdc_path", regexp_replace(col("_cdc_path"), "^file:/+", "/"))
+        val data = readWithPath(fileEvents.map(_._1).distinct.toSeq)
+        Some(envelopeize(data.join(broadcast(envelope), "_cdc_path")))
+      }
+
+    // 2. snapshot-phase 'c' rows of DV-carrying files: live rows only
+    val snapDvFrame =
+      if (snapDv.isEmpty) None
+      else {
+        val filtered = DeletionVectors.readFiles(spark, tablePath,
+            snapDv.toSeq, declaredSchema, withRowMeta = true)
+          .withColumnRenamed("_path", "_cdc_path")
+        val env = snapDv.toSeq
+          .map(f => (normalize(qualify(f.path)), "c", f.modificationTime,
+            snapVersion))
+          .toDF("_cdc_path", "op", "ts", "commit_version")
+        Some(envelopeize(filtered.join(broadcast(env), "_cdc_path")))
+      }
+
+    // 3. op='d' rows for DV transitions: the rows whose deleted_at equals
+    // the transition's commit version, joined back to their payloads by
+    // (file_name, row_index). A file deleted from twice emits each row
+    // exactly once, at the version that killed it.
+    val dFrame =
+      if (dvTransitions.isEmpty) None
+      else {
+        val pairs = dvTransitions.toSeq
+          .map { case (a, v) =>
+            (new org.apache.hadoop.fs.Path(a.path).getName, a.dv.get, v,
+              a.modificationTime)
+          }
+          .toDF("_p_fn", "_p_dv", "_p_v", "_p_ts")
+        val dirs = dvTransitions.map(_._1.dv.get).distinct.toSeq
+        val dvr = spark.read.parquet(dirs.map(d => s"$tablePath/$d"): _*)
+          .withColumn("_dv_src",
+            regexp_extract(col("_metadata.file_path"), "(_dv/dv-\\d+)", 1))
+        val dead = dvr
+          .join(broadcast(pairs),
+            dvr("file_name") === pairs("_p_fn") &&
+              col("_dv_src") === col("_p_dv") &&
+              col("deleted_at") === col("_p_v"))
+          .select(col("file_name").as("_fn"), col("row_index").as("_ri"),
+            col("_p_v").as("commit_version"), col("_p_ts").as("ts"))
+        val data = readWithPath(
+            dvTransitions.map(t => qualify(t._1.path)).distinct.toSeq)
+          .withColumn("_fn", col("_metadata.file_name"))
+          .withColumn("_ri", col("_metadata.row_index"))
+        Some(envelopeize(
+          data.join(dead, Seq("_fn", "_ri")).withColumn("op", lit("d"))))
+      }
+
+    val frames = Seq(wholeFrame, snapDvFrame, dFrame).flatten
+    if (frames.isEmpty) {
       // Schema-change-only commit range: emit the op='m' control rows with
       // null payload columns (same shape the DSv2 source produces).
       val m = metaRows.toDF("op", "ts", "commit_version")
@@ -160,32 +261,7 @@ object CdcReader {
         (Seq(col("op"), col("partition_value"), col("ts"),
           col("commit_version")) ++ payloadFields.map(f => col(f.name))): _*)
     }
-    val envelope = fileEvents.toSeq
-      .toDF("_cdc_path", "op", "ts", "commit_version")
-
-    val reader0 = spark.read.option("basePath", tablePath)
-    val reader = declaredSchema.fold(reader0)(reader0.schema)
-    val data = reader.parquet(fileEvents.map(_._1).distinct.toSeq: _*)
-      .withColumn("_cdc_path", col("_metadata.file_path"))
-
-    // normalize file:/ vs file:/// prefixes before the broadcast join
-    val joined = data
-      .withColumn("_cdc_path", regexp_replace(col("_cdc_path"), "^file:/+", "/"))
-      .join(broadcast(envelope
-        .withColumn("_cdc_path", regexp_replace(col("_cdc_path"), "^file:/+", "/"))),
-        "_cdc_path")
-
-    val partCols = latestSnap.metadata
-      .map(_.partitionColumns).getOrElse(Seq.empty)
-    val pvExpr =
-      if (partCols.isEmpty) lit("")
-      else concat_ws(",", partCols.sorted.map(c =>
-        concat_ws("=", lit(c), col(c).cast("string"))): _*)
-
-    val payloadCols = data.columns.filterNot(c => c == "_cdc_path" || c == "_metadata")
-    val result = joined.select(
-      (Seq(col("op"), pvExpr.as("partition_value"), col("ts"),
-        col("commit_version")) ++ payloadCols.map(col)): _*)
+    val result = frames.reduce(_.unionByName(_))
 
     if (metaRows.isEmpty) result
     else {

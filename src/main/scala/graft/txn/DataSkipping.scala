@@ -143,10 +143,7 @@ object DataSkipping {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(pred)
-    spark.read
-      .option("basePath", tablePath)
-      .schema(schema)
-      .parquet(kept.map(f => s"$tablePath/${f.path}"): _*)
+    DeletionVectors.readFiles(spark, tablePath, kept, Some(schema))
       .filter(pred)
   }
 
@@ -171,9 +168,7 @@ object DataSkipping {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(col(column) >= lo && col(column) <= hi)
-    spark.read
-      .option("basePath", tablePath)
-      .parquet(kept.map(f => s"$tablePath/${f.path}"): _*)
+    DeletionVectors.readFiles(spark, tablePath, kept, None)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 }

@@ -1,0 +1,198 @@
+package graft.txn
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Deletion vectors: row-level DELETE that never rewrites a data file —
+  * the delete records WHICH rows died (by file + row position) in a small
+  * sidecar, and every reader subtracts them. At 100 TB this is the
+  * difference between "delete 1k rows = rewrite 1k × 1 GB files" and
+  * "delete 1k rows = write one KB-scale sidecar"; compaction ([[purge]])
+  * folds the vectors back into plain files asynchronously.
+  *
+  * Protocol: a table carrying DVs commits `Protocol(2, 2)` — engines that
+  * don't understand the `dv` pointer (this engine before round 4) REFUSE
+  * the table instead of silently resurrecting deleted rows.
+  *
+  * Layout: one DV directory per delete commit, `_dv/dv-<version>/`,
+  * holding parquet rows `(file_name, row_index, deleted_at)`. The
+  * affected `AddFile` re-commits with `dv` pointing at the directory;
+  * a file deleted from twice gets a NEW directory holding the UNION of
+  * its dead rows (pointers replace, never chain), with each row keeping
+  * the version that first deleted it — which is exactly what CDC needs
+  * to emit op='d' events per commit.
+  *
+  * Row identity is `_metadata.row_index` + `_metadata.file_name`: part
+  * file names embed (version, ordinal) so they are unique per table, and
+  * row_index is stable because data files are immutable.
+  */
+object DeletionVectors {
+
+  /** Relative DV directory for a delete commit. */
+  def dvDir(version: Long): String = f"_dv/dv-$version%020d"
+
+  private def declaredSchema(snap: Snapshot): Option[StructType] =
+    snap.metadata.map(m =>
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+
+  /** The valid DV rows for `files` — (file_name, row_index, deleted_at),
+    * honoring each file's CURRENT pointer (rows in superseded DV dirs for
+    * the same file are ignored). Empty frame when no file carries a DV.
+    */
+  private def dvRows(
+      spark: SparkSession,
+      tablePath: String,
+      files: Seq[AddFile]): Option[DataFrame] = {
+    val withDv = files.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return None
+    import spark.implicits._
+    // (file_name → its current dv dir): the validity map. Small by
+    // construction (one row per DV-carrying file) — broadcast.
+    val pointer = withDv
+      .map(f => (new Path(f.path).getName, f.dv.get)).toDF("file_name", "dv")
+    val dirs = withDv.map(_.dv.get).distinct
+    val rows = spark.read
+      .parquet(dirs.map(d => s"$tablePath/$d"): _*)
+      .withColumn("_dv_src",
+        regexp_extract(col("_metadata.file_path"), "(_dv/dv-\\d+)", 1))
+    Some(rows
+      .join(broadcast(pointer),
+        rows("file_name") === pointer("file_name") &&
+          rows("_dv_src") === pointer("dv"))
+      .select(rows("file_name").as("_dv_fn"), col("row_index").as("_dv_ri"),
+        col("deleted_at")))
+  }
+
+  /** Read `files` of the table with deletion vectors applied. With
+    * `withRowMeta`, the result keeps `_fn` (file name), `_ri` (row
+    * index) and `_path` (normalized full path) columns — the handles the
+    * delete/CDC machinery joins on.
+    */
+  def readFiles(
+      spark: SparkSession,
+      tablePath: String,
+      files: Seq[AddFile],
+      schema: Option[StructType],
+      withRowMeta: Boolean = false): DataFrame = {
+    require(files.nonEmpty, "readFiles needs at least one file")
+    val reader0 = spark.read.option("basePath", tablePath)
+    val reader = schema.fold(reader0)(reader0.schema)
+    // DV-free fast path: a plain vectorized scan with zero added columns
+    // (the common case must not pay for the feature)
+    if (!withRowMeta && files.forall(_.dv.isEmpty))
+      return reader.parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+    val raw = reader.parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+      .withColumn("_fn", col("_metadata.file_name"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .withColumn("_path",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val live = dvRows(spark, tablePath, files) match {
+      case None => raw
+      case Some(dv) =>
+        // dead rows are a sliver of the table; the join keys are the
+        // (name, index) pair, so only row handles shuffle — and with a
+        // small vector the anti-join broadcasts
+        raw.join(dv.select(col("_dv_fn").as("_fn"), col("_dv_ri").as("_ri")),
+          Seq("_fn", "_ri"), "left_anti")
+    }
+    if (withRowMeta) live else live.drop("_fn", "_ri", "_path")
+  }
+
+  /** Snapshot read with DVs applied (the [[SnapshotReader]] back end). */
+  def readSnapshot(
+      spark: SparkSession,
+      tablePath: String,
+      snap: Snapshot,
+      withRowMeta: Boolean = false): DataFrame =
+    readFiles(spark, tablePath, snap.files, declaredSchema(snap), withRowMeta)
+
+  /** Row-level DELETE WHERE via deletion vectors: no data file is
+    * rewritten — matched row positions are written to a new DV directory
+    * and the affected files re-commit with updated pointers.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      pred: Column,
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    // pred evaluates over the LIVE view (already-deleted rows can't
+    // re-match — their deleted_at must keep the original version)
+    // persisted: feeds both the affected-file discovery and the vector
+    // write — without it the predicate scan runs twice
+    val matched = readSnapshot(spark, tablePath, snap, withRowMeta = true)
+      .filter(pred)
+      .select(col("_fn").as("file_name"), col("_ri").as("row_index"),
+        lit(version).as("deleted_at"))
+      .persist()
+    try {
+    val affectedNames = matched.select("file_name").distinct()
+      .collect().map(_.getString(0)).toSet // file names only, ≤ |files|
+    if (affectedNames.isEmpty) {
+      log.commit(version, Seq(CommitInfo("DELETE_DV", commitTs)))
+      return
+    }
+    val affected = snap.files
+      .filter(f => affectedNames.contains(new Path(f.path).getName))
+    // union the affected files' EXISTING dead rows into the new vector
+    // (pointers replace, never chain), keeping original deleted_at
+    val carried = dvRows(spark, tablePath, affected.filter(_.dv.isDefined))
+      .map(_.select(col("_dv_fn").as("file_name"),
+        col("_dv_ri").as("row_index"), col("deleted_at")))
+    val allRows = carried.fold(matched)(matched.unionByName(_))
+
+    val rel = dvDir(version)
+    val staging = new Path(tablePath, s".staging-dv-$version")
+    val fs = staging.getFileSystem(conf)
+    fs.delete(staging, true)
+    allRows.write.mode("overwrite").parquet(staging.toString)
+    val dest = new Path(tablePath, rel)
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, true)
+    if (!fs.rename(staging, dest))
+      throw new IllegalStateException(s"rename failed: $dest")
+
+    val removes = affected.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues))
+    val adds = affected.map(_.copy(
+      modificationTime = commitTs, dataChange = true, dv = Some(rel)))
+    val protocol: Seq[Action] =
+      if (snap.protocol.exists(_.minReaderVersion >= 2)) Seq.empty
+      else Seq(Protocol(2, 2))
+    log.commit(version,
+      protocol ++ removes ++ adds :+ CommitInfo("DELETE_DV", commitTs))
+    } finally matched.unpersist()
+  }
+
+  /** Fold every deletion vector back into plain files: DV-carrying files
+    * rewrite without their dead rows as a REORGANIZATION commit
+    * (dataChange=false — the logical table is unchanged, so CDC emits
+    * nothing), clearing the pointers. The async-compaction half of the
+    * DV design: deletes are cheap at write time, and purge restores
+    * plain-reader speed (and v1-reader compatibility) off the hot path.
+    */
+  def purge(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      commitTs: Long): Seq[AddFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    val doomed = snap.files.filter(_.dv.isDefined)
+    if (doomed.isEmpty) return Seq.empty
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    val live = readFiles(spark, tablePath, doomed, declaredSchema(snap))
+    val adds = TableWriter.rewrite(spark, live, tablePath, partCols, version,
+      commitTs, dataChange = false)
+    val removes = doomed.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues, dataChange = false))
+    log.commit(version, (removes ++ adds) :+ CommitInfo("PURGE_DV", commitTs))
+    adds
+  }
+}

@@ -34,13 +34,12 @@ object SnapshotReader {
     } else {
       // read with the DECLARED schema as of this version (not whatever
       // file Spark samples): after a schema-change commit, files written
-      // earlier surface the added columns as null (Delta semantics)
-      val reader0 = spark.read.option("basePath", tablePath)
-      val reader = snap.metadata.map(m =>
-        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .fold(reader0)(reader0.schema)
-      reader.parquet(snap.filePaths(tablePath): _*)
+      // earlier surface the added columns as null (Delta semantics).
+      // Deletion vectors apply inside (DV-free tables take a plain scan).
+      DeletionVectors.readFiles(spark, tablePath, snap.files,
+        snap.metadata.map(m =>
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
     }
   }
 }

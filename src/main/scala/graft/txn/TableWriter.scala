@@ -114,6 +114,21 @@ object TableWriter {
         adds :+ CommitInfo(operation, commitTs))
   }
 
+  /** Stage-and-move for sibling txn modules (DeletionVectors.purge):
+    * write `df`'s parts into the table tree and return their AddFiles
+    * WITHOUT committing — the caller owns the commit.
+    */
+  private[txn] def rewrite(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String],
+      version: Long,
+      commitTs: Long,
+      dataChange: Boolean): Seq[AddFile] =
+    stageAndMove(spark, df, tablePath, partitionBy, version, commitTs,
+      dataChange)
+
   /** Write `df` under a staging dir, move the parts into the table tree
     * under stable names, and return their AddFile actions (including
     * footer-derived column stats for data skipping).
@@ -259,14 +274,18 @@ object TableWriter {
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
-    val doomed = snap.files
-      .filter(_.size < minFileBytes)
+    // DV-carrying files are ALWAYS candidates (even alone in their
+    // partition): compaction is where deletion vectors get folded back
+    // into plain files, and the rewrite below reads through the DV
+    // filter so dead rows stay dead
+    val candidates = snap.files
+      .filter(f => f.size < minFileBytes || f.dv.isDefined)
+    val doomed = candidates
       .groupBy(_.partitionValues)
-      .filter(_._2.size > 1).values.flatten.toSeq
+      .filter { case (_, fs) => fs.size > 1 || fs.exists(_.dv.isDefined) }
+      .values.flatten.toSeq
     if (doomed.isEmpty) return Seq.empty
-    val src = spark.read
-      .option("basePath", tablePath)
-      .parquet(doomed.map(f => s"$tablePath/${f.path}"): _*)
+    val src = DeletionVectors.readFiles(spark, tablePath, doomed, None)
     val packed = (partCols, zorderBy, clusterBy) match {
       case (pcs, _, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
       case (_, zs, _) if zs.size >= 2 =>
@@ -316,7 +335,9 @@ object TableWriter {
         case r: RemoveFile =>
           removedAt(r.path) = math.max(r.deletionTimestamp,
             removedAt.getOrElse(r.path, Long.MinValue))
-        case a: AddFile => referenced += a.path
+        case a: AddFile =>
+          referenced += a.path
+          a.dv.foreach(referenced += _) // DV dirs are log-referenced too
         case _ => ()
       }
     }
@@ -336,7 +357,11 @@ object TableWriter {
         } else if (name.endsWith(".parquet")) {
           val rel = tableUri.relativize(
             fs.makeQualified(st.getPath).toUri).getPath
-          if (!referenced.contains(rel) && st.getModificationTime <= cutoff)
+          // a referenced entry can be a file OR a directory (DV dirs):
+          // anything under a referenced prefix is protected
+          val isReferenced = referenced.contains(rel) ||
+            referenced.exists(r => rel.startsWith(r + "/"))
+          if (!isReferenced && st.getModificationTime <= cutoff)
             orphans += rel
         }
       }
@@ -407,10 +432,11 @@ object TableWriter {
       snap.files.map(f => new Path(tableQ, f.path).toString
         .replaceFirst("^file:/+", "/") -> f).toMap
     }
-    val target = spark.read.option("basePath", tablePath)
-      .parquet(snap.files.map(f => s"$tablePath/${f.path}"): _*)
-      .withColumn("_file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    // reads go through the DV filter — an upsert against a DV table must
+    // not resurrect (or re-match) already-deleted rows
+    val target = DeletionVectors
+      .readSnapshot(spark, tablePath, snap, withRowMeta = true)
+      .withColumnRenamed("_path", "_file")
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val affectedPaths = target
       .join(srcKeys, keyCols, "left_semi")
@@ -420,8 +446,8 @@ object TableWriter {
 
     val survivors =
       if (affected.isEmpty) source
-      else spark.read.option("basePath", tablePath)
-        .parquet(affected.map(f => s"$tablePath/${f.path}").toIndexedSeq: _*)
+      else DeletionVectors
+        .readFiles(spark, tablePath, affected.toIndexedSeq, None)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(source)
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
@@ -452,10 +478,9 @@ object TableWriter {
     }
     val byRel = snap.files.map(f => new Path(tableQ, f.path).toString
       .replaceFirst("^file:/+", "/") -> f).toMap
-    val target = spark.read.option("basePath", tablePath)
-      .parquet(snap.files.map(f => s"$tablePath/${f.path}"): _*)
-      .withColumn("_file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val target = DeletionVectors
+      .readSnapshot(spark, tablePath, snap, withRowMeta = true)
+      .withColumnRenamed("_path", "_file")
     val affected = target.filter(pred)
       .select(col("_file")).distinct()
       .collect().map(_.getString(0)).flatMap(byRel.get)
@@ -463,8 +488,8 @@ object TableWriter {
       log.commit(version, Seq(CommitInfo("DELETE", commitTs)))
       return
     }
-    val survivors = spark.read.option("basePath", tablePath)
-      .parquet(affected.map(f => s"$tablePath/${f.path}").toIndexedSeq: _*)
+    val survivors = DeletionVectors
+      .readFiles(spark, tablePath, affected.toIndexedSeq, None)
       .filter(!pred)
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)

@@ -299,9 +299,11 @@ object TxnLog {
   /** Protocol versions this engine understands (the Delta protocol-
     * action idea): a table whose log demands more must be REFUSED —
     * failing loudly beats silently misreading newer actions.
+    * Version 2 = deletion vectors (AddFile.dv); a v1 reader would
+    * resurrect DV-deleted rows, so DV commits demand Protocol(2, 2).
     */
-  val SupportedReaderVersion = 1
-  val SupportedWriterVersion = 1
+  val SupportedReaderVersion = 2
+  val SupportedWriterVersion = 2
 
   private[txn] def assertReadable(p: Protocol, tablePath: String): Unit =
     if (p.minReaderVersion > SupportedReaderVersion)

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.txn._
+
+/** Deletion vectors: row-level delete without file rewrite. Covers the
+  * sidecar layout, per-version reads, vector union, CDC 'd' emission,
+  * purge (fold-back), vacuum protection, and the protocol/streaming
+  * guards.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val li = Tables.load(spark, sf, "lineitem")
+    .filter(col("l_orderkey") % 7 === 0)
+  private lazy val table = queries.Maintenance.dvFixture(spark, sf)
+
+  private def log = new TxnLog(table, spark.sessionState.newHadoopConf())
+
+  test("DV delete rewrites no data file — only pointers move") {
+    val v0 = log.snapshot(0L).files
+    val v1 = log.snapshot(1L).files
+    assert(v0.map(_.path).toSet == v1.map(_.path).toSet)
+    assert(v0.forall(_.dv.isEmpty))
+    // files containing a matched row carry a vector; sizes unchanged
+    assert(v1.exists(_.dv.isDefined))
+    val sizes0 = v0.map(f => f.path -> f.size).toMap
+    assert(v1.forall(f => sizes0(f.path) == f.size))
+  }
+
+  test("reads subtract dead rows, per version (time travel included)") {
+    val all = li.count()
+    val after1 = li.filter(col("l_suppkey") % 5 =!= 0).count()
+    val after2 = li.filter(col("l_suppkey") % 5 =!= 0 &&
+      col("l_partkey") % 3 =!= 0).count()
+    assert(SnapshotReader.read(spark, table, versionAsOf = Some(0L)).count() == all)
+    assert(SnapshotReader.read(spark, table, versionAsOf = Some(1L)).count() == after1)
+    assert(SnapshotReader.read(spark, table).count() == after2)
+  }
+
+  test("second delete unions the vector, keeping original deleted_at") {
+    // the v2 vector must carry BOTH versions' dead rows for re-affected
+    // files (pointers replace, never chain)
+    val v2dv = spark.read.parquet(s"$table/${DeletionVectors.dvDir(2L)}")
+    val byVersion = v2dv.groupBy("deleted_at").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion.contains(2L))
+    assert(byVersion.contains(1L), "carried rows must keep deleted_at=1")
+  }
+
+  test("protocol bumped to reader v2 by the first DV commit") {
+    val p = log.snapshotLatest().protocol
+    assert(p.exists(_.minReaderVersion == 2))
+  }
+
+  test("CDC emits 'd' rows exactly for newly-dead rows, never 'r'") {
+    val cdc = CdcReader.cdc(spark, table, startingVersion = 0L,
+      includeHistory = true).cache()
+    try {
+      assert(cdc.filter(col("op") === "r").count() == 0)
+      assert(cdc.filter(col("op") === "c").count() == li.count())
+      val d1 = cdc.filter(col("op") === "d" && col("commit_version") === 1)
+      val d2 = cdc.filter(col("op") === "d" && col("commit_version") === 2)
+      assert(d1.count() == li.filter(col("l_suppkey") % 5 === 0).count())
+      // v2 kills only rows v1 left alive
+      assert(d2.count() == li.filter(col("l_partkey") % 3 === 0 &&
+        col("l_suppkey") % 5 =!= 0).count())
+      // payloads are the dead rows themselves
+      assert(d1.filter(col("l_suppkey") % 5 =!= 0).count() == 0)
+    } finally cdc.unpersist()
+  }
+
+  test("CDC snapshot phase of a DV table emits live rows only") {
+    // starting AT v2, the FULL_COPY phase must apply both vectors
+    val snap = CdcReader.cdc(spark, table, startingVersion = 2L,
+      includeHistory = true)
+    assert(snap.filter(col("op") === "c").count() ==
+      li.filter(col("l_suppkey") % 5 =!= 0 &&
+        col("l_partkey") % 3 =!= 0).count())
+  }
+
+  test("purge folds vectors into plain files, CDC-invisibly") {
+    // work on a copy so the shared fixture stays at v2
+    val dir = s"target/fixtures/dv_purge_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    val expected = li.filter(col("l_suppkey") % 5 =!= 0).count()
+    val adds = DeletionVectors.purge(spark, dir, version = 2L, commitTs = 3000L)
+    assert(adds.nonEmpty && adds.forall(_.dv.isEmpty))
+    val l = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    assert(l.snapshotLatest().files.forall(_.dv.isEmpty))
+    assert(SnapshotReader.read(spark, dir).count() == expected)
+    // reorganization: a full-history replay sees nothing from the purge
+    // commit (and the incremental range (1, ∞) is now legitimately empty
+    // — the strict reader refuses it as a caller error)
+    val replay = CdcReader.cdc(spark, dir, startingVersion = 0L,
+      includeHistory = true)
+    assert(replay.filter(col("commit_version") === 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      CdcReader.cdc(spark, dir, startingVersion = 1L,
+        includeHistory = false).count()
+    }
+  }
+
+  test("vacuum never sweeps a referenced DV directory") {
+    val before = SnapshotReader.read(spark, table).count()
+    // far-future now, zero retention: everything unreferenced would go
+    TableWriter.vacuum(spark, table, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L * 86400)
+    assert(SnapshotReader.read(spark, table).count() == before)
+  }
+
+  test("DV-aware paths: merge, delete, and skipping never resurrect") {
+    val deadPred = col("l_suppkey") % 5 === 0 || col("l_partkey") % 3 === 0
+    // data-skipping read applies vectors
+    val viaSkip = DataSkipping
+      .readWhere(spark, table, col("l_orderkey") >= 0)
+      .filter(deadPred).count()
+    assert(viaSkip == 0)
+    // rewrite-style delete on a DV table keeps prior deletes dead
+    val dir = s"target/fixtures/dv_mix_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("l_partkey") % 3 === 0,
+      version = 2L, commitTs = 3000L)
+    val got = SnapshotReader.read(spark, dir).count()
+    assert(got == li.filter(col("l_suppkey") % 5 =!= 0 &&
+      col("l_partkey") % 3 =!= 0).count())
+  }
+
+  test("streaming CDC refuses a DV table with a clear remedy") {
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", table).load()
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        s"target/fixtures/dv_stream_ckpt_${System.nanoTime()}")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(30000)
+      q.stop()
+      fail("stream over a DV table should not start")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[UnsupportedOperationException] &&
+        c.getMessage.contains("deletion-vector")))
+  }
+}
