@@ -224,6 +224,45 @@ object Pipeline {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
         .orderBy(col("doc_id"))
+    },
+
+    // BPE-ish subword token counting: whitespace tokens vs a GPT-2-style
+    // piece regex (letter runs / digit runs / punctuation runs, each with
+    // optional leading space), over a corpus with planted contacts so
+    // digits and punctuation actually occur. Fertility (pieces per word)
+    // is the budget number a training pipeline sizes sequences with.
+    // Pattern stays in the RE2 ∩ java.util.regex common subset. Map-only.
+    QueryDef.sqlBacked(
+      "q86_bpe_tokens",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact 555' || CAST(doc_id AS VARCHAR) ||
+        |           ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS fertility
+        |FROM corpus ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val text = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact 555"), col("doc_id").cast("string"),
+          lit(" mail user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(col("text"))
+      val pieces = regexp_extract_all(col("t"),
+        lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), text.as("t"))
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("t"))).as("n_ws"),
+          size(pieces).as("n_bpe"),
+          (size(pieces).cast("double") / size(TextOps.tokens(col("t"))))
+            .as("fertility"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -88,6 +88,16 @@ class PipelineSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q86: fertility is 1.0 on pure word soup, > 1.0 on planted contacts") {
+    val out = q("q86_bpe_tokens").cache()
+    try {
+      assert(out.filter(col("doc_id") % 5 =!= 0 &&
+        col("fertility") =!= 1.0).count() == 0)
+      assert(out.filter(col("doc_id") % 5 === 0 &&
+        col("fertility") <= 1.0).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q84: every benchmark doc self-flags; planted copies are caught") {
     val out = q("q84_decontaminate").cache()
     try {
