@@ -110,4 +110,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q79 repetition filter: map-only — the sort is the only exchange") {
+    // bigram stats must come from native array ops in the scan stage;
+    // only the final presentation orderBy may shuffle
+    val p = planOf("q79_repetition_filter")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"repetition filter must not aggregate or join:\n${p.take(2000)}")
+    assert(!p.contains("transform("), "bigrams must not use HOF lambdas")
+  }
+
+  test("q84 decontamination: benchmark side broadcasts, grams never shuffle") {
+    val p = planOf("q84_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench set must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q86 tokenizer: scan reads only doc_id and text") {
+    val p = planOf("q86_bpe_tokens")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "tokenizer must not read unused document columns")
+  }
 }
