@@ -61,15 +61,60 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
   private var current: Group = _
   private var rowIdx: Long = -1L
 
+  /** Deletion-vector row positions for THIS file, loaded lazily from the
+    * sidecar (small by design — dead rows, not file rows): in "live" mode
+    * the set is every dead row (skip them); in "dead" mode it is the rows
+    * that died at exactly dvVersion (emit only them, as op='d').
+    */
+  private lazy val dvSet: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (p.dvMode != "none") {
+      val fileName = new org.apache.hadoop.fs.Path(p.filePath).getName
+      val dir = new org.apache.hadoop.fs.Path(p.dvDir)
+      val fs = dir.getFileSystem(p.conf.value)
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val r = ParquetReader
+            .builder(new GroupReadSupport(), st.getPath)
+            .withConf(p.conf.value)
+            .build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val t = g.getType
+              if (g.getString(t.getFieldIndex("file_name"), 0) == fileName) {
+                val keep = p.dvMode match {
+                  case "live" => true
+                  case _ => g.getLong(t.getFieldIndex("deleted_at"), 0) ==
+                    p.dvVersion
+                }
+                if (keep) set.add(g.getLong(t.getFieldIndex("row_index"), 0))
+              }
+              g = r.read()
+            }
+          } finally r.close()
+        }
+    }
+    set
+  }
+
   override def next(): Boolean = {
-    // mid-file resume bounds: yield only rows in [skipRows, untilRow)
+    // mid-file resume bounds: yield only rows in [skipRows, untilRow) —
+    // RAW row positions; the DV filter below skips without renumbering
     while (true) {
       current = reader.read()
       if (current == null) return false
       rowIdx += 1
       if (p.untilRow >= 0 && rowIdx >= p.untilRow) return false
-      if (rowIdx >= p.skipRows) return true
-      // else: before the resume point — keep skipping
+      if (rowIdx >= p.skipRows) {
+        val emit = p.dvMode match {
+          case "live" => !dvSet.contains(rowIdx) // dead rows stay dead
+          case "dead" => dvSet.contains(rowIdx)  // only this commit's kills
+          case _      => true
+        }
+        if (emit) return true
+      }
+      // else: before the resume point or DV-filtered — keep skipping
     }
     false // unreachable
   }

@@ -99,21 +99,6 @@ private[sources] class GraftCdcMicroBatchStream(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private def log = new TxnLog(opts.tablePath, serConf.value)
 
-  // The row-granular streaming reader has no deletion-vector filter yet;
-  // consuming a DV table here would resurrect deleted rows mid-stream.
-  // Refuse loudly with the remedy (batch CDC via CdcReader handles DVs).
-  locally {
-    val l = log
-    l.latestVersion().foreach { v =>
-      if (l.snapshot(v).files.exists(_.dv.isDefined))
-        throw new UnsupportedOperationException(
-          s"streaming CDC over a deletion-vector table is not supported: " +
-            s"${opts.tablePath} has files with DVs — run " +
-            "DeletionVectors.purge(...) (or OPTIMIZE) to fold the vectors " +
-            "into plain files first, or use batch CdcReader.cdc which " +
-            "applies DVs")
-    }
-  }
 
   override def initialOffset(): Offset = {
     val start = opts.resolveStartVersion(log)
@@ -136,24 +121,48 @@ private[sources] class GraftCdcMicroBatchStream(
 
   /** Ordered file events of one commit (log order — the index space of
     * CdcOffset.fileIndex for INCREMENTAL offsets).
+    *
+    * Deletion-vector transitions (Remove(p) + Add(p, dv) in one commit)
+    * surface as ONE op='d' event whose reader emits only the rows that
+    * died at this version — the whole-file 'r'/'c' pair is suppressed.
+    * Offsets stay in RAW row-position space (the reader skips, never
+    * renumbers), so mid-file resume is unchanged.
     */
-  private def fileEventsOf(l: TxnLog, v: Long): IndexedSeq[(String, Map[String, String], String, Long)] =
-    l.read(v).collect {
+  private def fileEventsOf(l: TxnLog, v: Long): IndexedSeq[CdcFileEvent] = {
+    val actions = l.read(v)
+    val dvPaths = actions.collect {
+      case a: AddFile if a.dataChange && a.dv.isDefined => a.path
+    }.toSet
+    actions.collect {
       // dataChange=false (compaction) is invisible to the CDC stream;
       // partitionFilter prunes at the file-event level, so offsets
       // index the FILTERED list (stable across restarts: the filter is
       // part of the query's options)
       case a: AddFile if a.dataChange && opts.keepPartition(a.partitionValues) =>
-        (a.path, a.partitionValues, "c", a.modificationTime)
-      case r: RemoveFile if r.dataChange && opts.keepPartition(r.partitionValues) =>
-        (r.path, r.partitionValues, "r", r.deletionTimestamp)
+        if (a.dv.isDefined)
+          CdcFileEvent(a.path, a.partitionValues, "d", a.modificationTime,
+            dvMode = "dead", dvDir = a.dv.get, dvVersion = v)
+        else CdcFileEvent(a.path, a.partitionValues, "c", a.modificationTime)
+      case r: RemoveFile if r.dataChange && opts.keepPartition(r.partitionValues) &&
+          !dvPaths.contains(r.path) =>
+        CdcFileEvent(r.path, r.partitionValues, "r", r.deletionTimestamp)
     }.toIndexedSeq
+  }
 
-  /** Snapshot file list at v (replay order — the FULL_COPY index space). */
-  private def snapshotEventsOf(l: TxnLog, v: Long): IndexedSeq[(String, Map[String, String], String, Long)] =
+  /** Snapshot file list at v (replay order — the FULL_COPY index space).
+    * DV-carrying files emit live rows only (mode "live").
+    */
+  private def snapshotEventsOf(l: TxnLog, v: Long): IndexedSeq[CdcFileEvent] =
     l.snapshot(v).files
       .filter(f => opts.keepPartition(f.partitionValues))
-      .map(f => (f.path, f.partitionValues, "c", f.modificationTime))
+      .map { f =>
+        f.dv match {
+          case Some(d) => CdcFileEvent(f.path, f.partitionValues, "c",
+            f.modificationTime, dvMode = "live", dvDir = d)
+          case None => CdcFileEvent(f.path, f.partitionValues, "c",
+            f.modificationTime)
+        }
+      }
       .toIndexedSeq
 
   // parquet footer row counts, cached per stream instance; only the files
@@ -205,7 +214,7 @@ private[sources] class GraftCdcMicroBatchStream(
     var remaining = capR
     var fileBudget = opts.maxFilesPerTrigger.getOrElse(Long.MaxValue)
     // returns Some(midOffset) if a cap lands inside this segment
-    def walk(events: IndexedSeq[(String, Map[String, String], String, Long)],
+    def walk(events: IndexedSeq[CdcFileEvent],
         phase: Int, v: Long, startIdx: Int, startRow: Long): Option[CdcOffset] = {
       var i = startIdx
       var row = startRow
@@ -215,7 +224,9 @@ private[sources] class GraftCdcMicroBatchStream(
           // offset of (i, 0) admits nothing from it; capF >= 1 guarantees
           // the batch admitted at least one file already)
           return Some(CdcOffset(phase, v, i, 0))
-        val avail = rowCountOf(events(i)._1) - row
+        // raw row positions, even under a DV (the reader skips dead rows
+        // but never renumbers) — caps bound IO, emission may be less
+        val avail = rowCountOf(events(i).rel) - row
         if (remaining < avail)
           return Some(CdcOffset(phase, v, i, row + remaining))
         remaining -= avail
@@ -296,15 +307,18 @@ private[sources] class GraftCdcMicroBatchStream(
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val partCols = l.snapshotLatest().metadata.map(_.partitionColumns).getOrElse(Nil)
 
-    def filePart(rel: String, pv: Map[String, String], op: String, ts: Long,
-        v: Long, skipRows: Long, untilRow: Long): Unit =
-      parts += CdcFilePartition(s"${opts.tablePath}/$rel", op,
-        CdcReader.partitionValueString(pv), pv, ts, v, schema.json, partCols,
-        serConf, skipRows, untilRow)
+    def filePart(ev: CdcFileEvent, v: Long, skipRows: Long,
+        untilRow: Long): Unit =
+      parts += CdcFilePartition(s"${opts.tablePath}/${ev.rel}", ev.op,
+        CdcReader.partitionValueString(ev.pv), ev.pv, ev.ts, v, schema.json,
+        partCols, serConf, skipRows, untilRow,
+        dvMode = ev.dvMode,
+        dvDir = if (ev.dvDir.isEmpty) "" else s"${opts.tablePath}/${ev.dvDir}",
+        dvVersion = ev.dvVersion)
 
     // Emit the events of one indexed segment (snapshot or a commit),
     // bounded below by the start position and above by the end position.
-    def emitRange(events: IndexedSeq[(String, Map[String, String], String, Long)],
+    def emitRange(events: IndexedSeq[CdcFileEvent],
         v: Long, startIdx: Long, startRow: Long,
         endIdx: Long, endRow: Long): Unit = {
       val from = math.max(startIdx, 0L).toInt
@@ -312,13 +326,12 @@ private[sources] class GraftCdcMicroBatchStream(
       else events.size - 1
       var i = from
       while (i <= to) {
-        val (rel, pv, op, ts) = events(i)
         val skip = if (i == startIdx) math.max(startRow, 0L) else 0L
         val until = if (endIdx >= 0 && i == endIdx) endRow else -1L
         // an event fully consumed by the start bound, or empty under the
         // end bound, still plans (the reader just yields no rows) — cheap
         // and keeps the planner logic simple
-        filePart(rel, pv, op, ts, v, skip, until)
+        filePart(events(i), v, skip, until)
         i += 1
       }
     }
@@ -369,6 +382,19 @@ private[sources] case class WrappedOffset(o: CdcOffset) extends Offset {
   override def json(): String = o.json
 }
 
+/** One planned file event, pre-partition: `dvMode` ∈ none/live/dead —
+  * "live" (snapshot of a DV file) emits rows NOT in the vector; "dead"
+  * (a DV transition) emits only rows whose deleted_at == dvVersion.
+  */
+private[sources] case class CdcFileEvent(
+    rel: String,
+    pv: Map[String, String],
+    op: String,
+    ts: Long,
+    dvMode: String = "none",
+    dvDir: String = "",
+    dvVersion: Long = -1L)
+
 /** One data-file CDC event; fields are all JVM-serializable.
   * `skipRows`/`untilRow` bound the rows read for mid-file resume: the
   * reader yields rows with index in [skipRows, untilRow) (untilRow = -1
@@ -385,7 +411,10 @@ private[sources] case class CdcFilePartition(
     partitionColumns: Seq[String],
     conf: SerializableConfiguration,
     skipRows: Long = 0L,
-    untilRow: Long = -1L) extends InputPartition
+    untilRow: Long = -1L,
+    dvMode: String = "none",
+    dvDir: String = "",
+    dvVersion: Long = -1L) extends InputPartition
 
 /** A schema-change control row (op='m'). */
 private[sources] case class CdcMetaPartition(

@@ -139,22 +139,57 @@ class DeletionVectorSpec extends AnyFunSuite {
       col("l_partkey") % 3 =!= 0).count())
   }
 
-  test("streaming CDC refuses a DV table with a clear remedy") {
+  test("streaming CDC over a DV table: 'd' rows per version, no 'r'") {
     val q = spark.readStream.format("graft.sources.GraftCdc")
-      .option("tablePath", table).load()
-      .writeStream.format("noop")
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dv_stream_out")
       .option("checkpointLocation",
         s"target/fixtures/dv_stream_ckpt_${System.nanoTime()}")
       .start()
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination(30000)
-      q.stop()
-      fail("stream over a DV table should not start")
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-      c.isInstanceOf[UnsupportedOperationException] &&
-        c.getMessage.contains("deletion-vector")))
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT op, commit_version, COUNT(*) AS n FROM dv_stream_out " +
+          "GROUP BY op, commit_version ORDER BY op, commit_version")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val all = li.count()
+      val d1 = li.filter(col("l_suppkey") % 5 === 0).count()
+      val d2 = li.filter(col("l_partkey") % 3 === 0 &&
+        col("l_suppkey") % 5 =!= 0).count()
+      // snapshot at v0 is DV-free (full rows); each delete then streams
+      // exactly its newly-dead rows as 'd'; never a whole-file 'r'
+      assert(got == Seq(("c", 0L, all), ("d", 1L, d1), ("d", 2L, d2)),
+        s"got $got")
+      // payload sanity: the 'd' rows ARE the dead rows
+      val bad = spark.sql(
+        "SELECT COUNT(*) FROM dv_stream_out " +
+          "WHERE op = 'd' AND commit_version = 1 AND l_suppkey % 5 <> 0")
+        .collect()(0).getLong(0)
+      assert(bad == 0)
+    } finally q.stop()
+  }
+
+  test("streaming snapshot STARTING at a DV version emits live rows only") {
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", table)
+      .option("startingVersion", "2")
+      .option("includeHistory", "true")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dv_stream_snap")
+      .option("checkpointLocation",
+        s"target/fixtures/dv_stream_ckpt_${System.nanoTime()}")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT COUNT(*) FROM dv_stream_snap WHERE op = 'c'")
+        .collect()(0).getLong(0)
+      assert(n == li.filter(col("l_suppkey") % 5 =!= 0 &&
+        col("l_partkey") % 3 =!= 0).count())
+    } finally q.stop()
   }
 }
