@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.txn.{SnapshotReader, TableWriter}
+
+/** End-to-end incremental corpus ingestion: a raw landing table is tailed
+  * by the CDC stream, each micro-batch fingerprints its documents, drops
+  * in-batch and against-corpus duplicates, and appends the survivors to a
+  * versioned corpus table. The 100 TB shape every training-data pipeline
+  * runs continuously — built entirely from this engine's own primitives
+  * (GraftCdc tail → md5 fingerprint → anti-join → TableWriter.append).
+  */
+class IngestDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("incremental ingestion dedups arrivals against the corpus table") {
+    import spark.implicits._
+    val base = s"target/fixtures/ingest_${System.nanoTime()}"
+    val raw = s"$base/raw"
+    val corpus = s"$base/corpus"
+
+    def fingerprinted(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("fp", md5(col("text").cast("binary")))
+        .select(col("doc_id"), col("text"), col("fp"))
+
+    // batch A seeds both tables (already deduplicated)
+    val a = (0L until 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    TableWriter.write(spark, a, raw, version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, fingerprinted(a), corpus,
+      version = 0L, commitTs = 1000L)
+
+    // batch B: even ids repeat A's texts; 15 also duplicates 17 IN-batch
+    val b = (10L until 20L).map { i =>
+      val text = if (i % 2 == 0) s"text ${i - 10}"
+      else if (i == 17L) "text fresh-15" else s"text fresh-$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    TableWriter.append(spark, b, raw, commitTs = 2000L)
+
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", raw)
+      .option("startingVersion", "0") // corpus already holds v0 = batch A
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = fingerprinted(
+          batch.filter(col("op") === "c").select(col("doc_id"), col("text")))
+        // in-batch keep-first, then anti-join the corpus's fingerprints
+        val survivors = docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .join(SnapshotReader.read(spark, corpus).select(col("fp")),
+            Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("text"), col("fp"))
+        if (!survivors.isEmpty)
+          TableWriter.append(spark, survivors, corpus, commitTs = 3000L)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = SnapshotReader.read(spark, corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val expected =
+      (0L until 10L).map(i => (i, s"text $i")).toSet ++ // batch A survives
+        Set((11L, "text fresh-11"), (13L, "text fresh-13"),
+          (15L, "text fresh-15"), (19L, "text fresh-19"))
+    // even-id copies of A and the in-batch duplicate (17) are dropped;
+    // the corpus stays exactly the distinct-text set with first-seen ids
+    assert(got == expected, s"got $got")
+  }
+}
