@@ -197,6 +197,89 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Filtered vector search (the RAG shape: "nearest neighbors among
+    // docs tagged X"): brute-force-complete baseline — the metadata
+    // predicate prunes the corpus BEFORE any vector math, so the scan
+    // cost is |matching corpus|, not |corpus|.
+    QueryDef.sqlBacked(
+      "q87_filtered_topk",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.v, e.v) AS cos
+        |      FROM q CROSS JOIN e
+        |      WHERE q.vec_id <> e.vec_id AND e.label = 2),
+        |r AS (SELECT query_id, neighbor_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val corpus = e.filter(col("label") === 2) // prune before vector math
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(q).join(corpus, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Filtered ANN, IVF path: the label predicate prunes the ASSIGNED
+    // frame before the probe join — candidate generation already runs on
+    // the filtered sliver, the right order of operations at 100 TB
+    // (filter-then-probe; probing-then-filtering starves top-k recall
+    // when the filter is selective). SimilaritySpec checks recall vs q87.
+    QueryDef.sparkOnly("q88_ann_filtered_ivf") { (s, dir) =>
+      val base = Tables.load(s, dir, "embeddings")
+      val n = base.count()
+      val e = base
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .cache()
+      val cents = graft.operators.IvfIndex.centroids(s, dir, n)
+      val probes = graft.operators.IvfIndex.probesFor(
+        graft.operators.IvfIndex.kFor(n))
+      val byAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("adist"), col("cell"))
+      val assigned = e.join(broadcast(cents))
+        .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("v"), col("cv")))
+        .withColumn("arnk", row_number().over(byAssign))
+        .filter(col("arnk") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val filtered = assigned.filter(col("label") === 2)
+      val byDist = Window.partitionBy(col("query_id"))
+        .orderBy(col("cdist"), col("cell"))
+      val probed = broadcast(q).join(broadcast(cents))
+        .withColumn("cdist", col("cnorm2") - lit(2.0) * dot(col("qv"), col("cv")))
+        .withColumn("crnk", row_number().over(byDist))
+        .filter(col("crnk") <= probes)
+        .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probed.join(filtered, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rnk"))
     }
   )
 }

@@ -24,6 +24,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall { case (q, n) => q < 20 && n >= 0 && q != n })
   }
 
+  test("filtered IVF search recalls the filtered-brute neighbors") {
+    val exact = top5("q87_filtered_topk")
+    val ivf = top5("q88_ann_filtered_ivf")
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // same probe budget as q54 — the label filter shrinks each probed
+    // cell but cannot remove cells, so recall tracks the q54 floor
+    assert(recall >= 0.15, s"filtered IVF recall@5 = $recall")
+    // every hit must satisfy the filter (label = 2 in the fixture)
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ivf.forall { case (_, n) => labels(n) == 2 })
+  }
+
   test("int8-quantized top-k recalls nearly all exact neighbors") {
     val exact = top5("q50_cosine_topk")
     val quant = top5("q76_ann_quantized_topk")
