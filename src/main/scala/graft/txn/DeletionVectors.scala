@@ -121,6 +121,7 @@ object DeletionVectors {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
     // pred evaluates over the LIVE view (already-deleted rows can't
     // re-match — their deleted_at must keep the original version)
     // persisted: feeds both the affected-file discovery and the vector
@@ -184,6 +185,7 @@ object DeletionVectors {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
     val doomed = snap.files.filter(_.dv.isDefined)
     if (doomed.isEmpty) return Seq.empty
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)

@@ -89,8 +89,10 @@ object TableWriter {
     // every downstream reader that trusts the log's schema.
     if (version > 0L && !extraActions.exists(_.isInstanceOf[Metadata])) {
       val log0 = new TxnLog(tablePath, conf)
-      if (log0.latestVersion().isDefined)
-        log0.snapshotLatest().metadata.foreach { m =>
+      if (log0.latestVersion().isDefined) {
+        val snap0 = log0.snapshotLatest()
+        TxnLog.assertWritable(snap0, tablePath)
+        snap0.metadata.foreach { m =>
           val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
             .asInstanceOf[org.apache.spark.sql.types.StructType]
           def shape(s: org.apache.spark.sql.types.StructType) =
@@ -101,6 +103,7 @@ object TableWriter {
                 s"does not match the table schema at $tablePath; include a " +
                 "Metadata action to evolve the schema")
         }
+      }
     }
     val adds = stageAndMove(spark, df, tablePath, partitionBy, version,
       commitTs, dataChange = true)
@@ -273,6 +276,7 @@ object TableWriter {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
     // DV-carrying files are ALWAYS candidates (even alone in their
     // partition): compaction is where deletion vectors get folded back
@@ -423,6 +427,7 @@ object TableWriter {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
     val byRel = {
       val tableQ = {
@@ -471,6 +476,7 @@ object TableWriter {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
     val tableQ = {
       val p = new Path(tablePath)
@@ -512,12 +518,17 @@ object TableWriter {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val current = log.snapshotLatest()
+    TxnLog.assertWritable(current, tablePath)
     val target = log.snapshot(toVersion)
     val currentByPath = current.files.map(f => f.path -> f).toMap
     val targetByPath = target.files.map(f => f.path -> f).toMap
     val removes = current.files.filterNot(f => targetByPath.contains(f.path))
       .map(f => RemoveFile(f.path, commitTs, f.partitionValues))
-    val adds = target.files.filterNot(f => currentByPath.contains(f.path))
+    // re-add a file when it is absent from the current state OR its
+    // deletion-vector pointer differs (same path, different live rows —
+    // path identity alone would silently keep the wrong vector)
+    val adds = target.files.filter(f =>
+        currentByPath.get(f.path).forall(c => c.dv != f.dv))
       .map(_.copy(modificationTime = commitTs, dataChange = true))
     // re-adding a vacuumed file would corrupt the snapshot — fail loudly
     val fs = new Path(tablePath).getFileSystem(conf)
@@ -545,7 +556,9 @@ object TableWriter {
       commitTs: Long): Seq[RemoveFile] = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
-    val doomed = log.snapshotLatest().files.filter(f => pred(f.partitionValues))
+    val snap0 = log.snapshotLatest()
+    TxnLog.assertWritable(snap0, tablePath)
+    val doomed = snap0.files.filter(f => pred(f.partitionValues))
     val removes = doomed.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues))
     log.commit(version, removes :+ CommitInfo("DELETE", commitTs))

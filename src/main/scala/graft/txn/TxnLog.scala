@@ -311,6 +311,20 @@ object TxnLog {
         s"table at $tablePath requires reader protocol " +
           s"${p.minReaderVersion}; this engine supports " +
           s"$SupportedReaderVersion — upgrade to read this table")
+
+  /** Writer-side twin of [[assertReadable]]: an engine that commits to a
+    * table whose protocol it doesn't fully implement can corrupt it
+    * (e.g. compacting a DV file while ignoring the vector). Every
+    * TableWriter mutation calls this on the snapshot it already loads.
+    */
+  private[graft] def assertWritable(s: Snapshot, tablePath: String): Unit =
+    s.protocol.foreach { p =>
+      if (p.minWriterVersion > SupportedWriterVersion)
+        throw new UnsupportedOperationException(
+          s"table at $tablePath requires writer protocol " +
+            s"${p.minWriterVersion}; this engine supports " +
+            s"$SupportedWriterVersion — writing could corrupt the table")
+    }
 }
 
 /** Live state of the table at a version. */

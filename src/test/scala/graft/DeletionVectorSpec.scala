@@ -108,6 +108,64 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("writer protocol guard: a higher-protocol table refuses mutation") {
+    val dir = s"target/fixtures/dv_proto_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li.limit(10), dir, version = 0L, commitTs = 1000L)
+    // a future engine bumps the writer requirement past what we support
+    new TxnLog(dir, conf).commit(1L, Seq(Protocol(2, 99)))
+    intercept[UnsupportedOperationException] {
+      TableWriter.deleteWhere(spark, dir, col("l_orderkey") >= 0,
+        version = 2L, commitTs = 2000L)
+    }
+    intercept[UnsupportedOperationException] {
+      DeletionVectors.deleteWhere(spark, dir, col("l_orderkey") >= 0,
+        version = 2L, commitTs = 2000L)
+    }
+  }
+
+  test("DV pointers survive a parquet checkpoint") {
+    val conf = spark.sessionState.newHadoopConf()
+    val l = new TxnLog(table, conf)
+    val v = l.latestVersion().get
+    l.writeCheckpoint(v)
+    try {
+      // a fresh log resolves from the checkpoint (+ empty tail) and must
+      // still see the vectors — a dropped pointer would resurrect rows
+      val l2 = new TxnLog(table, conf)
+      val snap = l2.snapshot(v)
+      assert(l2.checkpointVersions().contains(v))
+      assert(snap.files.exists(_.dv.isDefined))
+      assert(SnapshotReader.read(spark, table).count() ==
+        li.filter(col("l_suppkey") % 5 =!= 0 &&
+          col("l_partkey") % 3 =!= 0).count())
+    } finally {
+      // leave the shared fixture checkpoint-free for other tests
+      val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(table,
+        f"_txn_log/$v%020d.checkpoint.parquet"), false)
+    }
+  }
+
+  test("RESTORE to a pre-DV version resurrects rows as a new commit") {
+    val dir = s"target/fixtures/dv_restore_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    TableWriter.restore(spark, dir, toVersion = 0L,
+      version = 2L, commitTs = 3000L)
+    // restore swaps back the DV-free AddFiles: full row set, history kept
+    assert(SnapshotReader.read(spark, dir).count() == li.count())
+    assert(SnapshotReader.read(spark, dir, versionAsOf = Some(1L)).count() ==
+      li.filter(col("l_suppkey") % 5 =!= 0).count())
+  }
+
   test("vacuum never sweeps a referenced DV directory") {
     val before = SnapshotReader.read(spark, table).count()
     // far-future now, zero retention: everything unreferenced would go
