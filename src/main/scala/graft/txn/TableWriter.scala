@@ -327,7 +327,12 @@ object TableWriter {
       nowMillis: Long): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
-    val live = log.snapshotLatest().files.map(_.path).toSet
+    val latestSnap = log.snapshotLatest()
+    val live = latestSnap.files.map(_.path).toSet
+    // DV dirs referenced by the LATEST snapshot are protected; superseded
+    // or purged vectors age out past the horizon like removed data files
+    // (same documented trade: time travel past the horizon stops working)
+    val liveDv = latestSnap.files.flatMap(_.dv).toSet
     val cutoff = nowMillis - retainMillis
     // newest removal timestamp per path (a path can be re-added later —
     // the live check guards that); referenced = every path ANY commit
@@ -339,9 +344,7 @@ object TableWriter {
         case r: RemoveFile =>
           removedAt(r.path) = math.max(r.deletionTimestamp,
             removedAt.getOrElse(r.path, Long.MinValue))
-        case a: AddFile =>
-          referenced += a.path
-          a.dv.foreach(referenced += _) // DV dirs are log-referenced too
+        case a: AddFile => referenced += a.path
         case _ => ()
       }
     }
@@ -361,10 +364,13 @@ object TableWriter {
         } else if (name.endsWith(".parquet")) {
           val rel = tableUri.relativize(
             fs.makeQualified(st.getPath).toUri).getPath
-          // a referenced entry can be a file OR a directory (DV dirs):
-          // anything under a referenced prefix is protected
-          val isReferenced = referenced.contains(rel) ||
-            referenced.exists(r => rel.startsWith(r + "/"))
+          // DV sidecars: protected only while the LATEST snapshot points
+          // at their dir; data files: protected while any commit ever
+          // added them (the removed/horizon rule above reclaims those)
+          val isReferenced =
+            if (rel.startsWith("_dv/"))
+              liveDv.exists(d => rel.startsWith(d + "/"))
+            else referenced.contains(rel)
           if (!isReferenced && st.getModificationTime <= cutoff)
             orphans += rel
         }
@@ -372,6 +378,16 @@ object TableWriter {
     if (fs.exists(table)) walk(table)
     val doomed = (removed ++ orphans).distinct.sorted
     doomed.foreach(p => fs.delete(new Path(tablePath, p), false))
+    // drop emptied DV directories so the _dv namespace doesn't
+    // accumulate husks of reclaimed vectors (recursive: local
+    // filesystems leave .crc shadows behind the deleted parquet)
+    doomed.filter(_.startsWith("_dv/"))
+      .map(p => new Path(tablePath, p).getParent).distinct
+      .foreach { d =>
+        if (fs.exists(d) &&
+            !fs.listStatus(d).exists(_.getPath.getName.endsWith(".parquet")))
+          fs.delete(d, true)
+      }
     doomed
   }
 

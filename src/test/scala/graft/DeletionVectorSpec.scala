@@ -166,12 +166,92 @@ class DeletionVectorSpec extends AnyFunSuite {
       li.filter(col("l_suppkey") % 5 =!= 0).count())
   }
 
-  test("vacuum never sweeps a referenced DV directory") {
-    val before = SnapshotReader.read(spark, table).count()
-    // far-future now, zero retention: everything unreferenced would go
-    TableWriter.vacuum(spark, table, retainMillis = 0L,
+  test("schema evolution composes with deletion vectors") {
+    import spark.implicits._
+    val dir = s"target/fixtures/dv_evolve_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val a = (0L until 10L).map(i => (i, s"t$i")).toDF("id", "text")
+    TableWriter.write(spark, a, dir, version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("id") % 2 === 0,
+      version = 1L, commitTs = 2000L)
+    // add-column commit: old (DV-carrying) files surface `score` as null
+    val b = (10L until 15L).map(i => (i, s"t$i", i * 1.0))
+      .toDF("id", "text", "score")
+    TableWriter.write(spark, b, dir, version = 2L, commitTs = 3000L,
+      extraActions = Seq(Metadata(b.schema.json, Seq.empty)))
+    val got = SnapshotReader.read(spark, dir)
+    assert(got.count() == 5 + 5) // odd ids of A + all of B
+    assert(got.filter(col("id") % 2 === 0 && col("id") < 10).count() == 0,
+      "evolution must not resurrect DV-deleted rows")
+    assert(got.filter(col("id") < 10 && col("score").isNotNull).count() == 0,
+      "pre-evolution files surface the new column as null")
+    // and a DV delete AFTER evolution can reference the new column
+    DeletionVectors.deleteWhere(spark, dir, col("score") >= 13.0,
+      version = 3L, commitTs = 4000L)
+    assert(SnapshotReader.read(spark, dir).count() == 8)
+  }
+
+  test("per-user erasure: DV delete, 'd' audit, purge, vacuum — gone") {
+    val dir = s"target/fixtures/dv_erase_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    val victim = col("l_suppkey") % 97 === 1 // the erasure-request cohort
+    val nVictim = li.filter(victim).count()
+    assert(nVictim > 0)
+    // 1. erase cheaply (no file rewritten), 2. the CDC 'd' stream IS the
+    // audit trail, 3. purge physically rewrites off the hot path,
+    // 4. vacuum reclaims the originals after the retention horizon
+    DeletionVectors.deleteWhere(spark, dir, victim, 1L, commitTs = 2000L)
+    val audit = CdcReader.cdc(spark, dir, startingVersion = 0L,
+      includeHistory = true).filter(col("op") === "d")
+    assert(audit.count() == nVictim)
+    DeletionVectors.purge(spark, dir, 2L, commitTs = 3000L)
+    TableWriter.vacuum(spark, dir, retainMillis = 0L,
       nowMillis = System.currentTimeMillis() + 1000L * 86400)
-    assert(SnapshotReader.read(spark, table).count() == before)
+    val remaining = SnapshotReader.read(spark, dir)
+    assert(remaining.filter(victim).count() == 0)
+    assert(remaining.count() == li.count() - nVictim)
+    // the erased bytes are physically gone: no pre-purge data file and no
+    // DV sidecar survives the vacuum
+    val l = new TxnLog(dir, conf)
+    val live = l.snapshotLatest().files.map(_.path).toSet
+    assert(live.forall(p => fs.exists(new org.apache.hadoop.fs.Path(dir, p))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      DeletionVectors.dvDir(1L))) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir,
+        DeletionVectors.dvDir(1L))).isEmpty,
+      "purged+vacuumed DV sidecars should not linger")
+  }
+
+  test("vacuum spares live DV dirs, reclaims superseded ones") {
+    // own copy: the sweep of superseded vectors breaks pre-horizon time
+    // travel by design, and the shared fixture's other tests need v1
+    val dir = s"target/fixtures/dv_vac_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_partkey") % 3 === 0,
+      version = 2L, commitTs = 3000L)
+    val before = SnapshotReader.read(spark, dir).count()
+    // far-future now, zero retention: everything unprotected goes
+    TableWriter.vacuum(spark, dir, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L * 86400)
+    // the LIVE vector (dv-2, which carries both versions' rows) survives;
+    // the superseded dv-1 dir is reclaimed like a removed data file
+    assert(SnapshotReader.read(spark, dir).count() == before)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+      DeletionVectors.dvDir(2L))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      DeletionVectors.dvDir(1L))))
   }
 
   test("DV-aware paths: merge, delete, and skipping never resurrect") {
