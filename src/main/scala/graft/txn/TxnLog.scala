@@ -68,17 +68,26 @@ final class TxnLog(
     val (infos, rest) = actions.partition(_.isInstanceOf[CommitInfo])
     val terminated = rest ++ (if (infos.nonEmpty) infos
       else Seq(CommitInfo("COMMIT", System.currentTimeMillis())))
-    val out =
-      try fs.create(commitFile(v), false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.io.IOException if fs.exists(commitFile(v)) =>
-          throw new IllegalStateException(
-            s"concurrent commit: version $v already exists at $tablePath")
-      }
-    try out.write(terminated.map(a => Serialization.write(LogLine(a)))
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // Same-JVM writers must serialize here: Hadoop's local ChecksumFileSystem
+    // implements create(overwrite=false) as check-then-create, so two
+    // threads racing the same version can BOTH "win" and one commit is
+    // silently truncated over (caught by the racing-writers spec). Cross-
+    // process exclusion still comes from create-no-overwrite where the
+    // filesystem makes it atomic (HDFS namenode); object stores need an
+    // external coordinator, as documented above.
+    TxnLog.commitLockFor(tablePath).synchronized {
+      val out =
+        try fs.create(commitFile(v), false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.io.IOException if fs.exists(commitFile(v)) =>
+            throw new IllegalStateException(
+              s"concurrent commit: version $v already exists at $tablePath")
+        }
+      try out.write(terminated.map(a => Serialization.write(LogLine(a)))
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     // Periodic parquet checkpoint (Delta's pre-checkpoint driver
     // bottleneck fix): snapshot resolution then reads one checkpoint +
     // ≤ interval tail commits instead of replaying the whole log.
@@ -295,6 +304,12 @@ object TxnLog {
     * tail replay ≤ N commit files, checkpoint write amortized over N).
     */
   val DefaultCheckpointInterval = 10
+
+  /** One commit lock per table path, JVM-wide (see [[TxnLog.commit]]). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLockFor(tablePath: String): Object =
+    commitLocks.computeIfAbsent(tablePath, _ => new Object)
 
   /** Protocol versions this engine understands (the Delta protocol-
     * action idea): a table whose log demands more must be REFUSED —

@@ -131,4 +131,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("n_chars") && !p.contains("lang"),
       "tokenizer must not read unused document columns")
   }
+
+  test("q85 DV read: the dead-row anti-join broadcasts the vector side") {
+    // the vector is small by design (dead rows, not file rows) — it must
+    // broadcast; a shuffled anti-join would tax every DV read at scale
+    val df = SparkEntry.queries("q85_dv_delete")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV subtraction should be a broadcast anti-join:\n${p.take(2000)}")
+  }
 }

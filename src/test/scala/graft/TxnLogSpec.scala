@@ -192,4 +192,51 @@ class TxnLogSpec extends AnyFunSuite {
   test("offset JSON round-trips across the lattice") {
     lattice.foreach(o => assert(CdcOffset.fromJson(o.json) == o))
   }
+
+  test("racing writers: one winner per version, log stays readable") {
+    // 8 real threads, each landing 20 commits via optimistic retry — the
+    // create(overwrite=false) mutual exclusion and the terminator-gated
+    // reads must hold under genuine contention, not just in sequence
+    val dir = Files.createTempDirectory("txnlog_race").toString
+    val writers = 8
+    val perWriter = 20
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          // one TxnLog per thread (the instance itself is not shared)
+          val log = new TxnLog(dir, new org.apache.hadoop.conf.Configuration())
+          var landed = 0
+          while (landed < perWriter) {
+            val v = log.latestVersion().map(_ + 1).getOrElse(0L)
+            try {
+              log.commit(v, Seq(
+                AddFile(s"part-w$w-$landed.parquet", Map.empty, 1L, v,
+                  dataChange = true),
+                CommitInfo(s"w$w-$landed", v)))
+              landed += 1
+            } catch {
+              case e: IllegalStateException
+                if e.getMessage.contains("concurrent") => () // lost; retry
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer died: ${errors.peek()}")
+    val log = new TxnLog(dir, new org.apache.hadoop.conf.Configuration())
+    val vs = log.versions()
+    // contiguous versions, one per landed commit, no gaps or dupes
+    assert(vs == (0L until (writers.toLong * perWriter)))
+    // every commit is complete and single-authored; all 160 authors distinct
+    val ops = vs.flatMap(v => log.read(v).collect {
+      case c: CommitInfo => c.operation
+    })
+    assert(ops.size == writers * perWriter)
+    assert(ops.distinct.size == ops.size)
+    // the replayed snapshot holds exactly one file per commit
+    assert(log.snapshotLatest().files.size == writers * perWriter)
+  }
 }
