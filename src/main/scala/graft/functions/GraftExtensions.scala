@@ -47,7 +47,31 @@ object GraftExtensions {
     ("graft_dot",
       info("graft_dot",
         "graft_dot(a, b) - sequential-order dot product of double arrays"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    ("graft_simhash",
+      info("graft_simhash",
+        "graft_simhash(tokens) - packed 64-bit SimHash of a string array"),
+      (children: Seq[Expression]) => SimHash64Expr(children.head)),
+    ("graft_shingles",
+      info("graft_shingles",
+        "graft_shingles(tokens, k) - distinct 64-bit k-shingle hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashesExpr(children.head, intLit(children(1), "graft_shingles"))),
+    ("graft_minhash",
+      info("graft_minhash",
+        "graft_minhash(shingle_hashes, n) - n-hash MinHash signature"),
+      (children: Seq[Expression]) =>
+        MinHashSigExpr(children.head, intLit(children(1), "graft_minhash"))))
+
+  /** SQL literal → Int for kernel shape parameters (k, numHashes): these
+    * fix the expression's output type/semantics, so a non-literal is a
+    * planning error, reported as one.
+    */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer shape parameter, got $other")
+  }
 
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -25,7 +25,33 @@ class Murmur3Spec extends AnyFunSuite {
     assert(r.getDouble(2) == 32.0)
     // the cluster path (spark.sql.extensions) uses the same builders
     assert(graft.functions.GraftExtensions.functions.map(_._1).toSet ==
-      Set("graft_murmur3", "graft_route", "graft_dot"))
+      Set("graft_murmur3", "graft_route", "graft_dot",
+        "graft_simhash", "graft_shingles", "graft_minhash"))
+  }
+
+  test("SQL sketch kernels agree with the DataFrame API") {
+    import SparkTestSession._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftExtensions.install(spark)
+    val toks = "the quick brown fox jumps over the lazy dog".split(' ')
+    val sqlRow = spark.sql(
+      s"""SELECT graft_simhash(array(${toks.map("'" + _ + "'").mkString(",")})) AS sh,
+         |  graft_minhash(graft_shingles(
+         |    array(${toks.map("'" + _ + "'").mkString(",")}), 3), 32) AS mh
+         |""".stripMargin).collect()(0)
+    import spark.implicits._
+    val dfRow = Seq(toks.toSeq).toDF("t")
+      .select(
+        graft.operators.TextOps.simhash64(col("t")).as("sh"),
+        graft.operators.TextOps.minhashSignature(
+          graft.operators.TextOps.hashedShingles(col("t"))).as("mh"))
+      .collect()(0)
+    assert(sqlRow.getLong(0) == dfRow.getLong(0))
+    assert(sqlRow.getSeq[Long](1) == dfRow.getSeq[Long](1))
+    // a non-literal shape parameter is a planning error, not silence
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles(array('a','b'), 1 + 2)").collect()
+    }
   }
 
   test("published vectors") {
