@@ -98,6 +98,17 @@ class PipelineSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("sampling and shuffling are deterministic: re-runs are identical") {
+    // the selling point of hash-based membership over RNG — a re-run of
+    // the same pipeline on the same data yields byte-identical splits
+    for (name <- Seq("q82_mixture_sample", "q83_export_shuffle",
+        "q81_sequence_pack")) {
+      val a = q(name).collect().toSeq
+      val b = q(name).collect().toSeq
+      assert(a == b, s"$name must be deterministic across runs")
+    }
+  }
+
   test("q84: every benchmark doc self-flags; planted copies are caught") {
     val out = q("q84_decontaminate").cache()
     try {
