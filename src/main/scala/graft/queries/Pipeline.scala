@@ -59,10 +59,12 @@ object Pipeline {
     },
 
     // Passage-level corpus dedup: 10-word chunks (stride 10), global
-    // first-occurrence keep. ONE shuffle, on the chunk text (the dedup
-    // key); keeper choice is the deterministic (doc_id, chunk_idx)
-    // minimum. At 100 TB the chunk column is the natural hash-partition
-    // key and AQE handles hot boilerplate chunks.
+    // first-occurrence keep. ONE shuffle — on the chunk's md5, not the
+    // chunk text, so the exchange carries 16-byte digests instead of
+    // raw passages (the DuckDB oracle partitions by the text itself:
+    // identical equivalence classes, collision odds ~1e-29 at corpus
+    // scale). Keeper choice is the deterministic (doc_id, chunk_idx)
+    // minimum; AQE handles hot boilerplate chunks.
     QueryDef.sqlBacked(
       "q80_chunk_dedup",
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -83,10 +85,11 @@ object Pipeline {
           explode(sequence(lit(0), size(col("t")) - 1, lit(10))).as("s"))
         .select(col("doc_id"),
           (col("s") / 10).cast("int").as("chunk_idx"),
-          concat_ws(" ", slice(col("t"), col("s") + 1, lit(10))).as("chunk"))
+          md5(concat_ws(" ", slice(col("t"), col("s") + 1, lit(10)))
+            .cast("binary")).as("chunk_fp"))
       chunks
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("chunk"))
+          Window.partitionBy(col("chunk_fp"))
             .orderBy(col("doc_id"), col("chunk_idx"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
@@ -124,6 +127,43 @@ object Pipeline {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("tok")).cast("bigint").as("seq_tokens"))
           .orderBy(col("source"), col("seq_id"))
+    },
+
+    // The 100 TB packing shape: bins scoped to (source, shard) so a
+    // source's documents pack across `nShards` independent windows
+    // instead of serializing through one partition — q81's semantic
+    // with the parallelism a 1000-executor run needs. Shard membership
+    // is the same deterministic modular hash as q82's sampling.
+    QueryDef.sqlBacked(
+      "q89_sequence_pack_sharded",
+      """WITH w AS (SELECT doc_id, source,
+        |             CAST((doc_id * 2654435761) % 16 AS INT) AS shard,
+        |             len(string_split_regex(trim(text), '\s+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, shard, doc_id, tok,
+        |        SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+        |SELECT source, shard, CAST(FLOOR((cum - tok) / 512.0) AS BIGINT)
+        |    AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY source, shard, seq_id
+        |ORDER BY source, shard, seq_id""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id") * lit(2654435761L), lit(16)).cast("int")
+            .as("shard"),
+          size(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("cum", sum(col("tok")).over(win))
+        .select(col("source"), col("shard"),
+          floor((col("cum") - col("tok")) / 512.0).as("seq_id"), col("tok"))
+        .groupBy(col("source"), col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast("bigint").as("seq_tokens"))
+        .orderBy(col("source"), col("shard"), col("seq_id"))
     },
 
     // Deterministic mixture sampling: per-language keep rates applied via
