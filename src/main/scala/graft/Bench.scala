@@ -58,10 +58,19 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Full-resolution per-query times (long names) go to stderr for humans;
+    // the machine-read line on stdout stays compact — short keys (the qNN
+    // prefix is unique across the registry) and millisecond precision — so
+    // the whole line fits a bounded log-tail capture.
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench-detail] $fullQs")
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
