@@ -153,6 +153,75 @@ object Events {
         .select(col("user_id"), col("n_events"),
           col("session_start_us"), col("session_end_us"))
         .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // Ordered funnel (view → click → purchase): each stage requires an
+    // event STRICTLY AFTER the user's previous-stage entry time. Scale
+    // shape: stage frames are per-user aggregates (users ≪ events), so
+    // each stage join broadcasts the small side; events shuffle only
+    // into the per-stage groupBy.
+    QueryDef.sqlBacked(
+      "q90_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        |p AS (SELECT DISTINCT e.user_id FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id")
+        .filter(col("ts") > col("vts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id")
+        .filter(col("ts") > col("cts"))
+        .select(col("user_id")).distinct()
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    },
+
+    // Cohort retention: cohort = date of a user's first event; one row
+    // per (cohort, day offset 0..7) counting users active that day.
+    // Scale shape: the per-user first-date frame is small (users ≪
+    // events) and broadcasts into the distinct-activity join; only two
+    // event-scale shuffles total (first-date agg, distinct-activity agg).
+    QueryDef.sqlBacked(
+      "q91_retention",
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT f.cohort, CAST(a.d - f.cohort AS INT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |WHERE a.d - f.cohort BETWEEN 0 AND 7
+        |GROUP BY f.cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val f = ev.groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("cohort"))
+      val a = ev.select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      a.join(broadcast(f), "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort")))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort"), col("day_offset"))
     }
   )
 }

@@ -133,6 +133,13 @@ private[sources] class GraftCdcMicroBatchStream(
     val dvPaths = actions.collect {
       case a: AddFile if a.dataChange && a.dv.isDefined => a.path
     }.toSet
+    // Pre-commit DV pointers, resolved only if this commit actually
+    // removes a file outside a DV transition (rewrite-style ops): a
+    // removed file that carried a vector emits only its LIVE rows as 'r'
+    // — its dead rows already streamed as op='d' at an earlier version.
+    lazy val preDv: Map[String, String] =
+      l.snapshot(v - 1).files.iterator
+        .flatMap(f => f.dv.map(f.path -> _)).toMap
     actions.collect {
       // dataChange=false (compaction) is invisible to the CDC stream;
       // partitionFilter prunes at the file-event level, so offsets
@@ -145,7 +152,12 @@ private[sources] class GraftCdcMicroBatchStream(
         else CdcFileEvent(a.path, a.partitionValues, "c", a.modificationTime)
       case r: RemoveFile if r.dataChange && opts.keepPartition(r.partitionValues) &&
           !dvPaths.contains(r.path) =>
-        CdcFileEvent(r.path, r.partitionValues, "r", r.deletionTimestamp)
+        preDv.get(r.path) match {
+          case Some(d) => CdcFileEvent(r.path, r.partitionValues, "r",
+            r.deletionTimestamp, dvMode = "live", dvDir = d)
+          case None =>
+            CdcFileEvent(r.path, r.partitionValues, "r", r.deletionTimestamp)
+        }
     }.toIndexedSeq
   }
 

@@ -105,13 +105,24 @@ object CdcReader {
     var snapVersion = startingVersion
     // DV transitions: (file, version) pairs whose newly-dead rows emit 'd'
     val dvTransitions = scala.collection.mutable.ArrayBuffer.empty[(AddFile, Long)]
+    // whole-file removes of DV-carrying files: only LIVE rows emit 'r'
+    // (rows already streamed as op='d' at an earlier version must not
+    // resurrect when a rewrite op later removes the file)
+    val removeLive = scala.collection.mutable.ArrayBuffer.empty[(AddFile, Long, Long)]
+
+    // Running path → DV pointer state as of the version being walked,
+    // seeded at startingVersion. Maintained across ALL adds/removes
+    // (dataChange=false compaction clears pointers too), so a remove
+    // always sees its file's pre-commit vector.
+    val dvByPath = scala.collection.mutable.HashMap.empty[String, String]
+    val seedSnap = log.snapshot(startingVersion)
+    seedSnap.files.foreach(f => f.dv.foreach(dvByPath(f.path) = _))
 
     if (includeHistory) {
-      val snap = log.snapshot(startingVersion)
-      snapVersion = snap.version
-      snap.files.filter(f => keep(f.partitionValues)).foreach { f =>
+      snapVersion = seedSnap.version
+      seedSnap.files.filter(f => keep(f.partitionValues)).foreach { f =>
         if (f.dv.isDefined) snapDv += f
-        else fileEvents += ((qualify(f.path), "c", f.modificationTime, snap.version))
+        else fileEvents += ((qualify(f.path), "c", f.modificationTime, seedSnap.version))
       }
     }
     var metaRows = Seq.empty[(String, Long, Long)] // (op,ts,version) for 'm'
@@ -130,9 +141,29 @@ object CdcReader {
           else fileEvents += ((qualify(a.path), "c", a.modificationTime, v))
         case r: RemoveFile if r.dataChange && keep(r.partitionValues) &&
             !dvPaths.contains(r.path) =>
-          fileEvents += ((qualify(r.path), "r", r.deletionTimestamp, v))
+          dvByPath.get(r.path) match {
+            // file carried a vector: its dead rows were already op='d'
+            // events — only the still-live rows are removed now.
+            // (Writers never reuse paths — UUID file names — so one path
+            // appears at most once in this buffer.)
+            case Some(d) => removeLive += ((AddFile(r.path, r.partitionValues,
+              0L, 0L, dataChange = true, dv = Some(d)), r.deletionTimestamp, v))
+            case None =>
+              fileEvents += ((qualify(r.path), "r", r.deletionTimestamp, v))
+          }
         case m: Metadata if v > startingVersion =>
           metaRows ++= Seq(("m", 0L, v))
+        case _ => ()
+      }
+      // advance the pointer state to post-commit: removes clear first so
+      // a same-commit Remove(p)+Add(p,dv) transition lands on the add
+      actions.foreach { case r: RemoveFile => dvByPath -= r.path; case _ => () }
+      actions.foreach {
+        case a: AddFile =>
+          a.dv match {
+            case Some(d) => dvByPath(a.path) = d
+            case None    => dvByPath -= a.path
+          }
         case _ => ()
       }
     }
@@ -146,7 +177,7 @@ object CdcReader {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
     if (fileEvents.isEmpty && metaRows.isEmpty && snapDv.isEmpty &&
-        dvTransitions.isEmpty) {
+        dvTransitions.isEmpty && removeLive.isEmpty) {
       // a pruned read legitimately matches nothing; a full read of an
       // empty range is a caller error
       if (partitionPred.isEmpty)
@@ -248,7 +279,21 @@ object CdcReader {
           data.join(dead, Seq("_fn", "_ri")).withColumn("op", lit("d"))))
       }
 
-    val frames = Seq(wholeFrame, snapDvFrame, dFrame).flatten
+    // 4. op='r' rows of removed DV-carrying files: live rows only (the
+    // dead ones already emitted 'd' at the version that killed them)
+    val rLiveFrame =
+      if (removeLive.isEmpty) None
+      else {
+        val filtered = DeletionVectors.readFiles(spark, tablePath,
+            removeLive.map(_._1).toSeq, declaredSchema, withRowMeta = true)
+          .withColumnRenamed("_path", "_cdc_path")
+        val env = removeLive.toSeq
+          .map { case (f, ts, v) => (normalize(qualify(f.path)), "r", ts, v) }
+          .toDF("_cdc_path", "op", "ts", "commit_version")
+        Some(envelopeize(filtered.join(broadcast(env), "_cdc_path")))
+      }
+
+    val frames = Seq(wholeFrame, snapDvFrame, dFrame, rLiveFrame).flatten
     if (frames.isEmpty) {
       // Schema-change-only commit range: emit the op='m' control rows with
       // null payload columns (same shape the DSv2 source produces).

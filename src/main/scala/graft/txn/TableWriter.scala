@@ -83,25 +83,31 @@ object TableWriter {
       operation: String,
       extraActions: Seq[Action]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    // Schema enforcement (Delta semantics): an append must match the
-    // table's declared schema by name+type unless the commit itself
-    // carries a Metadata action evolving it. Silent drift would poison
-    // every downstream reader that trusts the log's schema.
-    if (version > 0L && !extraActions.exists(_.isInstanceOf[Metadata])) {
+    if (version > 0L) {
       val log0 = new TxnLog(tablePath, conf)
       if (log0.latestVersion().isDefined) {
         val snap0 = log0.snapshotLatest()
+        // Writer-protocol guard on EVERY non-initial write — including
+        // schema-evolution commits (a Metadata action must not bypass the
+        // minWriterVersion check: that is exactly the corruption the
+        // guard exists to prevent).
         TxnLog.assertWritable(snap0, tablePath)
-        snap0.metadata.foreach { m =>
-          val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-          def shape(s: org.apache.spark.sql.types.StructType) =
-            s.fields.map(f => (f.name, f.dataType)).toSeq
-          if (shape(declared) != shape(df.schema))
-            throw new IllegalArgumentException(
-              s"schema enforcement: append schema ${df.schema.simpleString} " +
-                s"does not match the table schema at $tablePath; include a " +
-                "Metadata action to evolve the schema")
+        // Schema enforcement (Delta semantics): an append must match the
+        // table's declared schema by name+type unless the commit itself
+        // carries a Metadata action evolving it. Silent drift would
+        // poison every downstream reader that trusts the log's schema.
+        if (!extraActions.exists(_.isInstanceOf[Metadata])) {
+          snap0.metadata.foreach { m =>
+            val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            def shape(s: org.apache.spark.sql.types.StructType) =
+              s.fields.map(f => (f.name, f.dataType)).toSeq
+            if (shape(declared) != shape(df.schema))
+              throw new IllegalArgumentException(
+                s"schema enforcement: append schema ${df.schema.simpleString} " +
+                  s"does not match the table schema at $tablePath; include a " +
+                  "Metadata action to evolve the schema")
+          }
         }
       }
     }
@@ -552,6 +558,15 @@ object TableWriter {
       if (!fs.exists(new Path(tablePath, a.path)))
         throw new IllegalStateException(
           s"cannot restore to $toVersion: ${a.path} was vacuumed")
+    }
+    // ... and so would re-adding a DV POINTER whose sidecar dir vacuum
+    // reclaimed (superseded vectors age out like removed data files):
+    // the restore would commit fine and every later read would fail on
+    // the missing _dv path.
+    adds.flatMap(_.dv).distinct.foreach { d =>
+      if (!fs.exists(new Path(tablePath, d)))
+        throw new IllegalStateException(
+          s"cannot restore to $toVersion: deletion vector $d was vacuumed")
     }
     val metaAction: Seq[Action] =
       if (target.metadata != current.metadata) target.metadata.toSeq else Seq.empty

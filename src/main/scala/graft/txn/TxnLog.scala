@@ -27,6 +27,15 @@ final class TxnLog(
   private def fs: FileSystem = logDir.getFileSystem(conf)
 
   private def commitFile(v: Long): Path = new Path(logDir, f"$v%020d.json")
+  // Lock key must survive path aliasing (trailing slash, relative vs
+  // absolute, file: URI) — aliases taking DIFFERENT locks would reopen
+  // the check-then-create race the lock closes. Rebuilt from the URI
+  // parts because `makeQualified` preserves a null-vs-empty authority
+  // distinction ("file:/t" vs "file:///t") that toString keeps apart.
+  private lazy val lockKey: String = {
+    val u = fs.makeQualified(new Path(tablePath)).toUri
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
   private def checkpointFile(v: Long): Path =
     new Path(logDir, f"$v%020d.checkpoint.parquet")
 
@@ -75,7 +84,7 @@ final class TxnLog(
     // process exclusion still comes from create-no-overwrite where the
     // filesystem makes it atomic (HDFS namenode); object stores need an
     // external coordinator, as documented above.
-    TxnLog.commitLockFor(tablePath).synchronized {
+    TxnLog.commitLockFor(lockKey).synchronized {
       val out =
         try fs.create(commitFile(v), false)
         catch {
@@ -305,11 +314,14 @@ object TxnLog {
     */
   val DefaultCheckpointInterval = 10
 
-  /** One commit lock per table path, JVM-wide (see [[TxnLog.commit]]). */
+  /** One commit lock per QUALIFIED table URI, JVM-wide (see
+    * [[TxnLog.commit]]) — keyed by `fs.makeQualified(path).toUri`, never
+    * the raw string, so path aliases share one lock.
+    */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def commitLockFor(tablePath: String): Object =
-    commitLocks.computeIfAbsent(tablePath, _ => new Object)
+  private def commitLockFor(qualifiedUri: String): Object =
+    commitLocks.computeIfAbsent(qualifiedUri, _ => new Object)
 
   /** Protocol versions this engine understands (the Delta protocol-
     * action idea): a table whose log demands more must be REFUSED —

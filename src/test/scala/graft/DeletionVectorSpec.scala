@@ -124,6 +124,40 @@ class DeletionVectorSpec extends AnyFunSuite {
       DeletionVectors.deleteWhere(spark, dir, col("l_orderkey") >= 0,
         version = 2L, commitTs = 2000L)
     }
+    // a schema-evolution commit must not BYPASS the guard: carrying a
+    // Metadata action skips schema enforcement, never the protocol check
+    intercept[UnsupportedOperationException] {
+      val evolved = li.limit(10).withColumn("extra", lit(1L))
+      TableWriter.write(spark, evolved, dir, version = 2L, commitTs = 2000L,
+        extraActions = Seq(Metadata(evolved.schema.json, Seq.empty)))
+    }
+  }
+
+  test("RESTORE refuses a version whose DV sidecar was vacuumed") {
+    val dir = s"target/fixtures/dv_restore_vac_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_partkey") % 3 === 0,
+      version = 2L, commitTs = 3000L)
+    // vacuum reclaims the superseded dv-1 sidecar
+    TableWriter.vacuum(spark, dir, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L * 86400)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      DeletionVectors.dvDir(1L))))
+    // restoring to v1 would re-commit pointers at the missing dv-1 dir —
+    // every subsequent read would fail; the restore must refuse instead
+    val e = intercept[IllegalStateException] {
+      TableWriter.restore(spark, dir, toVersion = 1L,
+        version = 3L, commitTs = 4000L)
+    }
+    assert(e.getMessage.contains("deletion vector"))
+    // the refusal left no commit behind: the table still reads at v2 state
+    assert(new TxnLog(dir, conf).latestVersion().contains(2L))
   }
 
   test("DV pointers survive a parquet checkpoint") {
@@ -275,6 +309,72 @@ class DeletionVectorSpec extends AnyFunSuite {
     val got = SnapshotReader.read(spark, dir).count()
     assert(got == li.filter(col("l_suppkey") % 5 =!= 0 &&
       col("l_partkey") % 3 =!= 0).count())
+  }
+
+  // fixture: DV delete at v1, then a rewrite-style delete at v2 that
+  // REMOVES the DV-carrying files — the replay-resurrection scenario
+  private lazy val rewriteTable: String = {
+    val dir = s"target/fixtures/dv_rewrite_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark, li, dir, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("l_partkey") % 3 === 0,
+      version = 2L, commitTs = 3000L)
+    dir
+  }
+
+  test("CDC replay: removing a DV file emits only its LIVE rows as 'r'") {
+    val cdc = CdcReader.cdc(spark, rewriteTable, startingVersion = 0L,
+      includeHistory = true).cache()
+    try {
+      val d1 = cdc.filter(col("op") === "d" && col("commit_version") === 1)
+      assert(d1.count() == li.filter(col("l_suppkey") % 5 === 0).count())
+      val r2 = cdc.filter(col("op") === "r" && col("commit_version") === 2)
+      // rows the v1 vector killed must NOT resurrect as 'r' at v2
+      assert(r2.filter(col("l_suppkey") % 5 === 0).count() == 0,
+        "rewrite-remove of a DV file re-emitted DV-dead rows")
+      // self-consistency of the v2 rewrite: removed live rows = rewritten
+      // survivors + the rows the v2 delete killed (per affected file)
+      val c2 = cdc.filter(col("op") === "c" && col("commit_version") === 2)
+      val killedV2 = li.filter(col("l_partkey") % 3 === 0 &&
+        col("l_suppkey") % 5 =!= 0).count()
+      assert(r2.count() == c2.count() + killedV2)
+    } finally cdc.unpersist()
+  }
+
+  test("streaming CDC replay over a rewrite-removed DV file: no resurrection") {
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", rewriteTable)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dv_rewrite_stream")
+      .option("checkpointLocation",
+        s"target/fixtures/dv_stream_ckpt_${System.nanoTime()}")
+      .start()
+    try {
+      q.processAllAvailable()
+      val bad = spark.sql(
+        "SELECT COUNT(*) FROM dv_rewrite_stream " +
+          "WHERE op = 'r' AND commit_version = 2 AND l_suppkey % 5 = 0")
+        .collect()(0).getLong(0)
+      assert(bad == 0, "streaming 'r' of a removed DV file resurrected dead rows")
+      val counts = spark.sql(
+        "SELECT op, commit_version, COUNT(*) AS n FROM dv_rewrite_stream " +
+          "GROUP BY op, commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(counts(("c", 0L)) == li.count())
+      assert(counts(("d", 1L)) ==
+        li.filter(col("l_suppkey") % 5 === 0).count())
+      val killedV2 = li.filter(col("l_partkey") % 3 === 0 &&
+        col("l_suppkey") % 5 =!= 0).count()
+      assert(counts(("r", 2L)) == counts.getOrElse(("c", 2L), 0L) + killedV2)
+    } finally q.stop()
   }
 
   test("streaming CDC over a DV table: 'd' rows per version, no 'r'") {

@@ -198,6 +198,10 @@ class TxnLogSpec extends AnyFunSuite {
     // create(overwrite=false) mutual exclusion and the terminator-gated
     // reads must hold under genuine contention, not just in sequence
     val dir = Files.createTempDirectory("txnlog_race").toString
+    // path ALIASES of the same table — the lock is keyed by qualified
+    // URI, so a trailing slash or file: scheme must take the SAME lock
+    // (raw-string keys would reopen the check-then-create race)
+    val aliases = Seq(dir, dir + "/", "file:" + dir)
     val writers = 8
     val perWriter = 20
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -205,7 +209,8 @@ class TxnLogSpec extends AnyFunSuite {
       new Thread(() => {
         try {
           // one TxnLog per thread (the instance itself is not shared)
-          val log = new TxnLog(dir, new org.apache.hadoop.conf.Configuration())
+          val log = new TxnLog(aliases(w % aliases.size),
+            new org.apache.hadoop.conf.Configuration())
           var landed = 0
           while (landed < perWriter) {
             val v = log.latestVersion().map(_ + 1).getOrElse(0L)
