@@ -802,6 +802,36 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(money(col("l_extendedprice"))).cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Filtered aggregates (§2.4): several differently-predicated
+    // aggregates in ONE pass over the fact table — the alternative
+    // (one scan per predicate + join) multiplies I/O at scale. Spark's
+    // conditional-aggregation form (agg over CASE) compiles to the same
+    // single hash-aggregate as SQL's FILTER clause.
+    QueryDef.sqlBacked(
+      "q92_filtered_agg",
+      s"""SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n_all,
+         |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+         |  CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT) AS n_discounted,
+         |  CAST(SUM(CAST(l_extendedprice AS $M)) FILTER (WHERE l_tax >= 0.04) AS DOUBLE) AS taxed_rev,
+         |  SUM(l_quantity) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00') AS recent_qty
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("l_quantity") > 25, 1)).as("n_bulk"),
+          count(when(col("l_discount") >= 0.05, 1)).as("n_discounted"),
+          sum(when(col("l_tax") >= 0.04, money(col("l_extendedprice"))))
+            .cast("double").as("taxed_rev"),
+          sum(when(col("l_shipdate") >=
+              lit("1995-01-01 00:00:00").cast("timestamp"), col("l_quantity")))
+            .as("recent_qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

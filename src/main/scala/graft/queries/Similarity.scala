@@ -96,6 +96,35 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // SemDeDup-shaped cluster-scoped near-dup: k-means cells (the
+    // persisted IVF coarse quantizer) scope the candidate pairs, so the
+    // quadratic cosine check runs per-cell (n/k vectors each), never
+    // corpus-wide. Vectors are L2-NORMALIZED before assignment — cosine
+    // duplicates are scale-invariant, Euclidean cells are not, so
+    // assigning raw vectors would scatter scaled copies across cells.
+    // Spark-only; SimilaritySpec pins exact pair parity with brute q51.
+    QueryDef.sparkOnly("q94_semdedup") { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings").count()
+      val cents = graft.operators.IvfIndex.centroids(s, dir, n)
+      val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v")))
+        .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
+      val byAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("adist"), col("cell"))
+      val assigned = c.join(broadcast(cents))
+        .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("vhat"), col("cv")))
+        .withColumn("arnk", row_number().over(byAssign))
+        .filter(col("arnk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        // cached AFTER assignment: the frame feeds both sides of the
+        // per-cell self-join
+        .cache()
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= 0.95)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
     // IVF ANN top-k against the PERSISTED coarse quantizer (IvfIndex:
     // sample-fit once, k ~ √n cells, loaded per query — a query is never
     // a training job). Queries probe their ~k/4 nearest cells (~25% of

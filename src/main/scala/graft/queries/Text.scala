@@ -499,6 +499,73 @@ object Text {
         .filter(col("hamming") <= 8)
         .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Per-document salient terms: top-3 tokens ranked tf-idf-style but by
+    // the INTEGER-EXACT key (tf DESC, df ASC, token) — the same ordering
+    // ln(N/df) induces for fixed tf, without a transcendental whose last
+    // ulp could differ between engines. Scale shape: tf aggregates on
+    // (doc, token); df on token over the distinct pairs (reusing the tf
+    // frame, not a second corpus scan); the df join carries only
+    // vocabulary-sized rows.
+    QueryDef.sqlBacked(
+      "q93_salient_terms",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |             FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, t),
+        |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t)
+        |SELECT doc_id, t AS token, tf, df FROM (
+        |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.t) AS rn
+        |  FROM tf JOIN df ON tf.t = df.t)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, token""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+        .cache() // feeds both tf and df sides of the join
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("t"))
+      tf.join(df, "t")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("t").as("token"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("token"))
+    },
+
+    // Curriculum binning: per-source document-length quartiles via a
+    // PARTITIONED ntile (each source's window sorts independently — no
+    // global sort). At 100 TB the same shape swaps ntile for
+    // approx-quantile thresholds; the partitioned window is the exact
+    // small-per-group form.
+    QueryDef.sqlBacked(
+      "q95_quality_bins",
+      """SELECT source, CAST(bin AS INT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM (SELECT source, n_chars,
+        |        NTILE(4) OVER (PARTITION BY source
+        |          ORDER BY n_chars, doc_id) AS bin
+        |      FROM documents)
+        |GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          ntile(4).over(w).cast("int").as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"), col("bin"))
     }
   )
 }

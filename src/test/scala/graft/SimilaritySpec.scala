@@ -49,6 +49,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"quantized recall@5 = $recall")
   }
 
+  test("semdedup: cluster-scoped pairs match brute near-dup exactly") {
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("q51_embedding_neardup")
+    val sem = pairs("q94_semdedup")
+    assert(brute.nonEmpty)
+    // precision is exact by construction (candidates pass the same exact
+    // cosine cut); recall is exact on this corpus because duplicates are
+    // positive SCALINGS — L2-normalized they assign to the same cell, so
+    // cluster scoping cannot separate them
+    assert(sem == brute,
+      s"missing=${(brute -- sem).take(5)} extra=${(sem -- brute).take(5)}")
+  }
+
   test("IVF index persists: second access loads instead of retraining") {
     import graft.operators.IvfIndex
     val e = Tables.load(spark, sf, "embeddings")
