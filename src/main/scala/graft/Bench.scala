@@ -38,6 +38,7 @@ object Bench {
       queries.Maintenance.mergeFixture(spark, sfDir)
       queries.Maintenance.deleteFixture(spark, sfDir)
       queries.Maintenance.dvFixture(spark, sfDir)
+      queries.Maintenance.cloneFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

@@ -108,7 +108,67 @@ object Maintenance {
     dir
   }
 
+  /** src: unpartitioned lineitem %7 rows at v0. dst: zero-copy shallow
+    * clone of src, then DIVERGES — v1 appends the %11 rows, v2
+    * rewrite-deletes l_suppkey%4 rows. The source must still read its
+    * original v0 state afterwards (copy-on-write).
+    */
+  def cloneFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val src = s"target/fixtures/clone_src_$tag"
+    val dst = s"target/fixtures/clone_dst_$tag"
+    val conf = spark.sessionState.newHadoopConf()
+    if (new TxnLog(src, conf).versions() == Seq(0L) &&
+        new TxnLog(dst, conf).versions() == Seq(0L, 1L, 2L)) return (src, dst)
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), src,
+      version = 0L, commitTs = 1000L)
+    TableWriter.cloneShallow(spark, src, dst, commitTs = 2000L)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 11 === 0), dst,
+      version = 1L, commitTs = 3000L)
+    TableWriter.deleteWhere(spark, dst, col("l_suppkey") % 4 === 0,
+      version = 2L, commitTs = 4000L)
+    (src, dst)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // Shallow clone + copy-on-write divergence: the clone (append + a
+    // rewrite-delete after the zero-copy CLONE commit) and its UNTOUCHED
+    // source both read correct states — each derivable from lineitem.
+    QueryDef.sqlBacked(
+      "q96_shallow_clone",
+      """SELECT side, l_returnflag, n, sum_qty FROM (
+        |  SELECT 'src' AS side, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(l_quantity) AS sum_qty
+        |  FROM lineitem WHERE l_orderkey % 7 = 0
+        |  GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'clone' AS side, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(l_quantity) AS sum_qty
+        |  FROM (SELECT l_returnflag, l_quantity, l_suppkey FROM lineitem
+        |        WHERE l_orderkey % 7 = 0
+        |        UNION ALL
+        |        SELECT l_returnflag, l_quantity, l_suppkey FROM lineitem
+        |        WHERE l_orderkey % 11 = 0)
+        |  WHERE l_suppkey % 4 <> 0
+        |  GROUP BY l_returnflag)
+        |ORDER BY side, l_returnflag""".stripMargin) { (s, dir) =>
+      val (src, dst) = cloneFixture(s, dir)
+      val srcAgg = SnapshotReader.read(s, src)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(lit("src").as("side"), col("l_returnflag"), col("n"),
+          col("sum_qty"))
+      val cloneAgg = SnapshotReader.read(s, dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(lit("clone").as("side"), col("l_returnflag"), col("n"),
+          col("sum_qty"))
+      srcAgg.unionAll(cloneAgg).orderBy(col("side"), col("l_returnflag"))
+    },
     // Compaction invariance: replaying CDC across a compaction commit
     // yields exactly the logical appends (a leaked reorganization event
     // would inflate cdc_c), and the compacted snapshot holds the same

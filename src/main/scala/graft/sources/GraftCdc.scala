@@ -182,7 +182,8 @@ private[sources] class GraftCdcMicroBatchStream(
   private val rowCountCache = scala.collection.mutable.HashMap.empty[String, Long]
   private def rowCountOf(rel: String): Long =
     rowCountCache.getOrElseUpdate(rel, {
-      val p = new org.apache.hadoop.fs.Path(s"${opts.tablePath}/$rel")
+      val p = new org.apache.hadoop.fs.Path(
+        TxnLog.dataPath(opts.tablePath, rel))
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, serConf.value)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -321,11 +322,12 @@ private[sources] class GraftCdcMicroBatchStream(
 
     def filePart(ev: CdcFileEvent, v: Long, skipRows: Long,
         untilRow: Long): Unit =
-      parts += CdcFilePartition(s"${opts.tablePath}/${ev.rel}", ev.op,
+      parts += CdcFilePartition(TxnLog.dataPath(opts.tablePath, ev.rel), ev.op,
         CdcReader.partitionValueString(ev.pv), ev.pv, ev.ts, v, schema.json,
         partCols, serConf, skipRows, untilRow,
         dvMode = ev.dvMode,
-        dvDir = if (ev.dvDir.isEmpty) "" else s"${opts.tablePath}/${ev.dvDir}",
+        dvDir = if (ev.dvDir.isEmpty) ""
+          else TxnLog.dataPath(opts.tablePath, ev.dvDir),
         dvVersion = ev.dvVersion)
 
     // Emit the events of one indexed segment (snapshot or a commit),

@@ -96,7 +96,10 @@ object CdcReader {
       p.getFileSystem(hadoopConf).makeQualified(p)
     }
     def qualify(rel: String): String =
-      new org.apache.hadoop.fs.Path(tableQ, rel).toString
+      if (TxnLog.isExternal(rel)) {
+        val p = new org.apache.hadoop.fs.Path(rel)
+        p.getFileSystem(hadoopConf).makeQualified(p).toString
+      } else new org.apache.hadoop.fs.Path(tableQ, rel).toString
 
     // (filePath, op, eventTs, version) for every whole-file event
     val fileEvents = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
@@ -206,7 +209,12 @@ object CdcReader {
         concat_ws("=", lit(c), col(c).cast("string"))): _*)
     def normalize(p: String): String = p.replaceFirst("^file:/+", "/")
     def readWithPath(paths: Seq[String]): DataFrame = {
-      val reader0 = spark.read.option("basePath", tablePath)
+      // basePath (hive partition inference) only fits all-local file
+      // sets; shallow-clone imports are external AND unpartitioned
+      val tq = tableQ.toString
+      val reader0 =
+        if (paths.exists(p => !p.startsWith(tq))) spark.read
+        else spark.read.option("basePath", tablePath)
       val reader = declaredSchema.fold(reader0)(reader0.schema)
       reader.parquet(paths: _*)
         .withColumn("_cdc_path",

@@ -77,13 +77,19 @@ object DeletionVectors {
       schema: Option[StructType],
       withRowMeta: Boolean = false): DataFrame = {
     require(files.nonEmpty, "readFiles needs at least one file")
-    val reader0 = spark.read.option("basePath", tablePath)
+    // Shallow-clone imports live under the SOURCE root, so basePath
+    // (hive partition inference) only applies to all-local file sets —
+    // clones are unpartitioned by construction (cloneShallow refuses
+    // partitioned sources), so nothing is lost.
+    val reader0 =
+      if (files.exists(f => TxnLog.isExternal(f.path))) spark.read
+      else spark.read.option("basePath", tablePath)
     val reader = schema.fold(reader0)(reader0.schema)
     // DV-free fast path: a plain vectorized scan with zero added columns
     // (the common case must not pay for the feature)
     if (!withRowMeta && files.forall(_.dv.isEmpty))
-      return reader.parquet(files.map(f => s"$tablePath/${f.path}"): _*)
-    val raw = reader.parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+      return reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*)
+    val raw = reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*)
       .withColumn("_fn", col("_metadata.file_name"))
       .withColumn("_ri", col("_metadata.row_index"))
       .withColumn("_path",

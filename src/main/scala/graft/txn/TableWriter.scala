@@ -357,7 +357,10 @@ object TableWriter {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
     val removed = removedAt.toSeq
-      .filter { case (p, ts) => !live.contains(p) && ts <= cutoff }
+      // external (shallow-clone-imported) paths belong to the SOURCE
+      // table — the clone's vacuum must never reach outside its root
+      .filter { case (p, ts) =>
+        !live.contains(p) && ts <= cutoff && !TxnLog.isExternal(p) }
       .map(_._1)
     // orphan sweep: on-disk parquet never referenced by the log
     val tableUri = fs.makeQualified(table).toUri
@@ -572,6 +575,53 @@ object TableWriter {
       if (target.metadata != current.metadata) target.metadata.toSeq else Seq.empty
     log.commit(version,
       metaAction ++ removes ++ adds :+ CommitInfo("RESTORE", commitTs))
+  }
+
+  /** Shallow clone (Delta CLONE semantics): ZERO-COPY — version 0 of the
+    * destination references the source snapshot's data files by absolute
+    * path, so cloning a 100 TB table is one metadata commit. History
+    * starts fresh; later writes/deletes/compactions stage clone-local
+    * files (copy-on-write divergence), and the clone's VACUUM never
+    * deletes external (source-owned) files. Operational contract, same
+    * as Delta: the source must not vacuum files a live clone references.
+    *
+    * Scope: the source snapshot must be unpartitioned (external files
+    * cannot ride the clone's hive-path partition inference) and DV-free
+    * (DV pointers resolve clone-locally). Both are refused loudly.
+    * Returns the cloned source version.
+    */
+  def cloneShallow(
+      spark: SparkSession,
+      srcPath: String,
+      dstPath: String,
+      commitTs: Long,
+      versionAsOf: Option[Long] = None): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcLog = new TxnLog(srcPath, conf)
+    val snap = versionAsOf.map(srcLog.snapshot).getOrElse(srcLog.snapshotLatest())
+    // reading through the clone demands whatever the source demanded
+    snap.protocol.foreach(p => TxnLog.assertReadable(p, srcPath))
+    if (snap.metadata.exists(_.partitionColumns.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"shallow clone of a partitioned table is not supported " +
+          s"($srcPath partitions by " +
+          s"${snap.metadata.get.partitionColumns.mkString(",")})")
+    if (snap.files.exists(_.dv.isDefined))
+      throw new UnsupportedOperationException(
+        s"shallow clone of a DV-carrying snapshot is not supported " +
+          s"($srcPath@${snap.version}): DV pointers resolve clone-locally")
+    val srcP = new Path(srcPath)
+    val srcAbs = srcP.getFileSystem(conf).makeQualified(srcP).toUri.getPath
+    val adds = snap.files.map(f =>
+      f.copy(path = s"$srcAbs/${f.path}", modificationTime = commitTs,
+        dataChange = true))
+    val dstLog = new TxnLog(dstPath, conf)
+    if (dstLog.latestVersion().isDefined)
+      throw new IllegalStateException(s"clone destination $dstPath not empty")
+    dstLog.commit(0L,
+      snap.metadata.toSeq ++ snap.protocol.toSeq ++ adds :+
+        CommitInfo("CLONE", commitTs))
+    snap.version
   }
 
   /** Commit RemoveFile actions for every live file whose partitionValues

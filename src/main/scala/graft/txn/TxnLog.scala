@@ -344,6 +344,15 @@ object TxnLog {
     * (e.g. compacting a DV file while ignoring the vector). Every
     * TableWriter mutation calls this on the snapshot it already loads.
     */
+  /** Log-recorded data paths are table-relative, EXCEPT shallow-clone
+    * imports, which are absolute (they live under the SOURCE table's
+    * root). Every read site resolves through here.
+    */
+  private[graft] def isExternal(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains(":/")
+  private[graft] def dataPath(tablePath: String, rel: String): String =
+    if (isExternal(rel)) rel else s"$tablePath/$rel"
+
   private[graft] def assertWritable(s: Snapshot, tablePath: String): Unit =
     s.protocol.foreach { p =>
       if (p.minWriterVersion > SupportedWriterVersion)
@@ -359,7 +368,4 @@ final case class Snapshot(
     version: Long,
     files: Seq[AddFile],
     metadata: Option[Metadata],
-    protocol: Option[Protocol] = None) {
-  def filePaths(tablePath: String): Seq[String] =
-    files.map(f => s"$tablePath/${f.path}")
-}
+    protocol: Option[Protocol] = None)

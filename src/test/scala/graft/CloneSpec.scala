@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.txn._
+
+/** Shallow clone: zero-copy CLONE commit, copy-on-write divergence,
+  * vacuum containment (a clone must never reclaim source-owned files),
+  * time travel across the divergence, and the documented refusals.
+  */
+class CloneSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val li = Tables.load(spark, sf, "lineitem")
+  private lazy val conf = spark.sessionState.newHadoopConf()
+  // the shared q96 fixture: src v0 = %7 rows; clone then diverges
+  // (v1 appends %11 rows, v2 rewrite-deletes l_suppkey%4)
+  private lazy val (src, dst) = queries.Maintenance.cloneFixture(spark, sf)
+
+  private def fsOf(p: String) =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+
+  private def parquetCountUnder(dir: String): Int = {
+    val fs = fsOf(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def walk(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).map { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName == "_txn_log") 0 else walk(st.getPath)
+        } else if (st.getPath.getName.endsWith(".parquet")) 1
+        else 0
+      }.sum
+    if (fs.exists(root)) walk(root) else 0
+  }
+
+  test("CLONE is one metadata commit: v0 of the clone stages no data file") {
+    val l = new TxnLog(dst, conf)
+    val v0 = l.snapshot(0L)
+    assert(v0.files.nonEmpty)
+    assert(v0.files.forall(f => TxnLog.isExternal(f.path)),
+      "clone v0 must reference source files by absolute path")
+    // divergence staged clone-local files later, but none belong to v0
+    val localNow = parquetCountUnder(dst)
+    assert(localNow > 0, "diverged clone should own its new files")
+    assert(v0.files.forall(f => !f.path.contains(dst)))
+  }
+
+  test("clone v0 reads exactly the source snapshot (zero copy)") {
+    val expected = li.filter(col("l_orderkey") % 7 === 0).count()
+    assert(SnapshotReader.read(spark, dst, versionAsOf = Some(0L)).count()
+      == expected)
+    assert(SnapshotReader.read(spark, src).count() == expected)
+  }
+
+  test("copy-on-write: the diverged clone never mutated the source") {
+    // clone is at v2 (append + rewrite-delete); source must still be the
+    // untouched v0 row set
+    val srcRows = SnapshotReader.read(spark, src)
+    assert(new TxnLog(src, conf).latestVersion().contains(0L))
+    assert(srcRows.count() == li.filter(col("l_orderkey") % 7 === 0).count())
+    val expectClone =
+      li.filter(col("l_orderkey") % 7 === 0 && col("l_suppkey") % 4 =!= 0)
+        .count() +
+      li.filter(col("l_orderkey") % 11 === 0 && col("l_suppkey") % 4 =!= 0)
+        .count()
+    assert(SnapshotReader.read(spark, dst).count() == expectClone)
+  }
+
+  test("CDC replays the clone's own history (clone commit = 'c' events)") {
+    val cdc = CdcReader.cdc(spark, dst, startingVersion = 0L,
+      includeHistory = true).cache()
+    try {
+      val c0 = cdc.filter(col("op") === "c" && col("commit_version") === 0)
+      assert(c0.count() == li.filter(col("l_orderkey") % 7 === 0).count())
+      val c1 = cdc.filter(col("op") === "c" && col("commit_version") === 1)
+      assert(c1.count() == li.filter(col("l_orderkey") % 11 === 0).count())
+      // v2 rewrite: removed rows = rewritten survivors + deleted rows
+      val r2 = cdc.filter(col("op") === "r" && col("commit_version") === 2).count()
+      val c2 = cdc.filter(col("op") === "c" && col("commit_version") === 2).count()
+      val killed = cdc.filter(col("op") === "c" && col("commit_version") <= 1 &&
+        col("l_suppkey") % 4 === 0).count()
+      assert(r2 == c2 + killed)
+    } finally cdc.unpersist()
+  }
+
+  test("clone vacuum deletes clone-superseded files, NEVER source files") {
+    // own diverged clone — vacuum permanently reclaims replay history,
+    // so it must not touch the shared q96 fixture
+    val dir = s"target/fixtures/clone_vac_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    fsOf(dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.cloneShallow(spark, src, dir, commitTs = 2000L)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 11 === 0), dir,
+      version = 1L, commitTs = 3000L)
+    TableWriter.deleteWhere(spark, dir, col("l_suppkey") % 4 === 0,
+      version = 2L, commitTs = 4000L)
+    val srcFiles = new TxnLog(src, conf).snapshot(0L).files.map(_.path)
+    assert(srcFiles.nonEmpty)
+    // far-future vacuum with zero retention: everything unprotected goes
+    val reclaimed = TableWriter.vacuum(spark, dir, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L * 86400)
+    assert(reclaimed.nonEmpty, "v1 originals should be reclaimable")
+    val fs = fsOf(src)
+    srcFiles.foreach { p =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(src, p)),
+        s"clone vacuum reclaimed source file $p")
+    }
+    // the source still reads in full, and the vacuumed clone's LATEST
+    // snapshot stays intact
+    assert(SnapshotReader.read(spark, src).count() ==
+      li.filter(col("l_orderkey") % 7 === 0).count())
+    assert(SnapshotReader.read(spark, dir).count() ==
+      SnapshotReader.read(spark, dst).count())
+  }
+
+  test("deletion vectors compose ON a clone (local sidecar, external data)") {
+    val dir = s"target/fixtures/clone_dv_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = fsOf(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.cloneShallow(spark, src, dir, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 1L, commitTs = 3000L)
+    val expected = li.filter(col("l_orderkey") % 7 === 0 &&
+      col("l_suppkey") % 5 =!= 0).count()
+    assert(SnapshotReader.read(spark, dir).count() == expected)
+    // the sidecar is clone-local; the source is untouched
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+      DeletionVectors.dvDir(1L))))
+    assert(SnapshotReader.read(spark, src).count() ==
+      li.filter(col("l_orderkey") % 7 === 0).count())
+  }
+
+  test("refusals: partitioned source, DV source, non-empty destination") {
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    // partitioned source
+    val psrc = s"target/fixtures/clone_psrc_$tag"
+    fsOf(psrc).delete(new org.apache.hadoop.fs.Path(psrc), true)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 31 === 0), psrc,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    intercept[UnsupportedOperationException] {
+      TableWriter.cloneShallow(spark, psrc, psrc + "_c", commitTs = 2000L)
+    }
+    // DV-carrying source
+    val dvsrc = s"target/fixtures/clone_dvsrc_$tag"
+    fsOf(dvsrc).delete(new org.apache.hadoop.fs.Path(dvsrc), true)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 31 === 0), dvsrc,
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dvsrc, col("l_suppkey") % 2 === 0,
+      version = 1L, commitTs = 2000L)
+    intercept[UnsupportedOperationException] {
+      TableWriter.cloneShallow(spark, dvsrc, dvsrc + "_c", commitTs = 3000L)
+    }
+    // occupied destination
+    intercept[IllegalStateException] {
+      TableWriter.cloneShallow(spark, src, dst, commitTs = 9000L)
+    }
+  }
+}
