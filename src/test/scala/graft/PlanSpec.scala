@@ -132,6 +132,35 @@ class PlanSpec extends AnyFunSuite {
       "tokenizer must not read unused document columns")
   }
 
+  test("q90 funnel: per-user stage frames broadcast into the event joins") {
+    val p = planOf("q90_funnel")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stage frames (users << events) should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q91 retention: the cohort frame broadcasts") {
+    val p = planOf("q91_retention")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q92 filtered aggregates: ONE scan, one hash aggregate") {
+    val p = planOf("q92_filtered_agg")
+    // a FILTER-clause rewrite into per-predicate scans would show here
+    assert(p.split("FileScan").length - 1 == 1,
+      s"expected a single lineitem scan:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q94 semdedup: centroids broadcast; pair join keys on the cell") {
+    val p = planOf("q94_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "centroid assignment should broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must key on cell, never cross the corpus")
+  }
+
   test("q85 DV read: the dead-row anti-join broadcasts the vector side") {
     // the vector is small by design (dead rows, not file rows) — it must
     // broadcast; a shuffled anti-join would tax every DV read at scale
