@@ -96,6 +96,42 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-5 most-similar vectors of a DIFFERENT label (the negatives
+    // that actually challenge the model). Same broadcast-query shape as
+    // q50; the label inequality prunes inside the join.
+    QueryDef.sqlBacked(
+      "q97_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+        |        list_cosine_similarity(q.v, e.v) AS cos
+        |      FROM q CROSS JOIN e WHERE e.label <> q.label),
+        |r AS (SELECT query_id, neg_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neg_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, neg_id
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neg_id"))
+      broadcast(q).join(e, col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id").as("neg_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neg_id"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // SemDeDup-shaped cluster-scoped near-dup: k-means cells (the
     // persisted IVF coarse quantizer) scope the candidate pairs, so the
     // quadratic cosine check runs per-cell (n/k vectors each), never

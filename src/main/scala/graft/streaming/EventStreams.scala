@@ -65,6 +65,31 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: purchases WITHOUT a
+    * preceding click still emit (click_id null) — but only once the
+    * watermark passes the join window, when Spark can prove no matching
+    * click can still arrive. The state bound is the same as the inner
+    * form: both sides evict past watermark + interval.
+    */
+  def purchaseClickJoinOuter(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      maxGap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxGap") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Stream-static enrichment join: the per-batch dimension lookup every
     * event pipeline runs. The static side broadcasts (no streaming state
     * at all — unlike stream-stream joins this needs no watermark), and

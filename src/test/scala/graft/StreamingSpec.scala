@@ -112,6 +112,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LEFT OUTER stream-stream join emits unmatched purchases as null") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val pMem = MemoryStream[(Timestamp, Long, Long)]
+    val cMem = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = pMem.toDF().toDF("ts", "event_id", "user_id")
+    val clicks = cMem.toDF().toDF("ts", "event_id", "user_id")
+    val joined = EventStreams.purchaseClickJoinOuter(purchases, clicks,
+      maxGap = "30 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_outer_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // user 1: click then purchase (matches); user 3: purchase with NO
+      // click anywhere in its window
+      cMem.addData((ts(10), 101L, 1L))
+      pMem.addData((ts(20), 201L, 1L), (ts(20), 202L, 3L))
+      q.processAllAvailable()
+      // the matched pair may emit immediately; the unmatched purchase
+      // must NOT emit yet — a matching click could still arrive
+      val early = spark.sql(
+        "SELECT COUNT(*) FROM ss_outer_out WHERE click_id IS NULL")
+        .collect()(0).getLong(0)
+      assert(early == 0, "outer result emitted before the watermark closed")
+      // advance BOTH watermarks far past user 3's window: Spark can now
+      // prove no click will match, so the null-padded row emits
+      pMem.addData((ts(59, 59), 203L, 9L))
+      cMem.addData((ts(59, 59), 102L, 9L))
+      q.processAllAvailable()
+      // one more cycle so the watermark-advanced state eviction flushes
+      pMem.addData((ts(59, 59), 204L, 9L))
+      cMem.addData((ts(59, 59), 103L, 9L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT purchase_id, click_id FROM ss_outer_out ORDER BY purchase_id")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got.contains((201L, 101L)), s"matched pair missing: $got")
+      assert(got.contains((202L, -1L)),
+        s"unmatched purchase should null-pad after watermark: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch against the dim table") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
