@@ -73,4 +73,67 @@ class IngestDedupSpec extends AnyFunSuite {
     // the corpus stays exactly the distinct-text set with first-seen ids
     assert(got == expected, s"got $got")
   }
+
+  test("incremental NEAR-dup ingestion: LSH index state carries across batches") {
+    import spark.implicits._
+    import graft.operators.IncrementalNearDup
+    val base = s"target/fixtures/ingest_nd_${System.nanoTime()}"
+    val raw = s"$base/raw"
+    val corpus = s"$base/corpus"
+    val index = s"$base/index"
+
+    // ~20-token texts so 3-shingle sets are stable; nearCopy perturbs one
+    // trailing token (high Jaccard), fresh texts share nothing
+    def text(seed: Int): String =
+      (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    def nearCopy(seed: Int): String =
+      (0 until 19).map(i => s"w${seed}_$i").mkString(" ") + " changed_tail"
+
+    // batch A seeds raw + corpus + index (docs 0..4, all distinct)
+    val a = (0L until 5L).map(i => (i, text(i.toInt))).toDF("doc_id", "text")
+    TableWriter.write(spark, a, raw, version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, a, corpus, version = 0L, commitTs = 1000L)
+    IncrementalNearDup.seed(spark, a, index, commitTs = 1000L)
+    assert(IncrementalNearDup.indexedCount(spark, index) == 5)
+
+    // batch B: 10 near-copies corpus doc 2; 11 fresh; 12 near-copies 11
+    // IN-batch (keep-first drops 12)
+    val b = Seq((10L, nearCopy(2)), (11L, text(11)), (12L, nearCopy(11)))
+      .toDF("doc_id", "text")
+    TableWriter.append(spark, b, raw, commitTs = 2000L)
+    // batch C arrives later: 20 near-copies the BATCH-B survivor 11 —
+    // only droppable if the index state carried; 21 is fresh
+    val c = Seq((20L, nearCopy(11)), (21L, text(21))).toDF("doc_id", "text")
+
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", raw)
+      .option("startingVersion", "0") // corpus/index already hold batch A
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val arrivals = batch.filter(col("op") === "c")
+          .select(col("doc_id"), col("text"))
+        if (!arrivals.isEmpty) {
+          val survivors = IncrementalNearDup.processBatch(spark, arrivals,
+            index, commitTs = 5000L)
+          if (!survivors.isEmpty)
+            TableWriter.append(spark, survivors, corpus, commitTs = 5000L)
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TableWriter.append(spark, c, raw, commitTs = 3000L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = SnapshotReader.read(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    // near-copies 10 (vs corpus), 12 (in-batch), 20 (vs a batch-B
+    // survivor) all dropped; 11 and 21 accepted
+    assert(got == Set(0L, 1L, 2L, 3L, 4L, 11L, 21L), s"got $got")
+    assert(IncrementalNearDup.indexedCount(spark, index) == 7)
+  }
 }
