@@ -832,6 +832,65 @@ object Relational {
               lit("1995-01-01 00:00:00").cast("timestamp"), col("l_quantity")))
             .as("recent_qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Correlated subqueries through Catalyst's subquery machinery (run
+    // as SQL on temp views, not hand-decorrelated DataFrames): customers
+    // above their NATION's average balance who have at least one order.
+    // The above-average test cross-multiplies in exact decimal — no
+    // decimal division whose scale rules could differ between engines.
+    // Catalyst decorrelates both subqueries into aggregate+join; EXISTS
+    // becomes a left-semi join.
+    QueryDef.sqlBacked(
+      "q98_correlated_subquery",
+      s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+         |FROM customer c
+         |WHERE CAST(c_acctbal AS $M) *
+         |    (SELECT COUNT(*) FROM customer c2
+         |     WHERE c2.c_nationkey = c.c_nationkey)
+         |  > (SELECT SUM(CAST(c_acctbal AS $M)) FROM customer c2
+         |     WHERE c2.c_nationkey = c.c_nationkey)
+         |  AND EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey)
+         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+           |FROM customer c
+           |WHERE CAST(c_acctbal AS $M) *
+           |    (SELECT COUNT(*) FROM customer c2
+           |     WHERE c2.c_nationkey = c.c_nationkey)
+           |  > (SELECT SUM(CAST(c_acctbal AS $M)) FROM customer c2
+           |     WHERE c2.c_nationkey = c.c_nationkey)
+           |  AND EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Time-RANGE framed window (§2.5): per-customer rolling 90-day order
+    // total. The frame is RANGE over epoch-µs (identical tie semantics in
+    // both engines: all peers at the same instant join the frame). Scale
+    // shape: one shuffle on the partition key; frames never materialize
+    // beyond the running window.
+    QueryDef.sqlBacked(
+      "q99_rolling_range",
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(SUM(CAST(o_totalprice AS $M)) OVER (
+         |    PARTITION BY o_custkey ORDER BY EPOCH_US(o_orderdate)
+         |    RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS rolling_90d
+         |FROM orders
+         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      // NTZ → session-UTC timestamp is identity here (timeZone=UTC)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7776000000000L, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(money(col("o_totalprice"))).over(w)
+            .cast("double").as("rolling_90d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }
   )
 }
