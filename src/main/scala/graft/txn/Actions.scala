@@ -55,10 +55,15 @@ final case class RemoveFile(
 /** Table metadata: schema (Spark StructType JSON) + partition columns.
   * A Metadata action inside a commit marks a schema change; CDC surfaces
   * it as an op='m' control row (reference: DeltaRecord.java:93–97).
+  * @param constraints CHECK constraints — SQL boolean expressions every
+  *        written row must satisfy (NULL passes, per SQL CHECK
+  *        semantics). Optional with a default, so pre-constraint logs
+  *        and checkpoints read unchanged.
   */
 final case class Metadata(
     schemaJson: String,
-    partitionColumns: Seq[String]) extends Action
+    partitionColumns: Seq[String],
+    constraints: Seq[String] = Seq.empty) extends Action
 
 /** Commit provenance; `timestamp` drives timestamp-as-of time travel. */
 final case class CommitInfo(

@@ -83,37 +83,47 @@ object TableWriter {
       operation: String,
       extraActions: Seq[Action]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    if (version > 0L) {
-      val log0 = new TxnLog(tablePath, conf)
-      if (log0.latestVersion().isDefined) {
-        val snap0 = log0.snapshotLatest()
-        // Writer-protocol guard on EVERY non-initial write — including
-        // schema-evolution commits (a Metadata action must not bypass the
-        // minWriterVersion check: that is exactly the corruption the
-        // guard exists to prevent).
-        TxnLog.assertWritable(snap0, tablePath)
-        // Schema enforcement (Delta semantics): an append must match the
-        // table's declared schema by name+type unless the commit itself
-        // carries a Metadata action evolving it. Silent drift would
-        // poison every downstream reader that trusts the log's schema.
-        if (!extraActions.exists(_.isInstanceOf[Metadata])) {
-          snap0.metadata.foreach { m =>
-            val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-            def shape(s: org.apache.spark.sql.types.StructType) =
-              s.fields.map(f => (f.name, f.dataType)).toSeq
-            if (shape(declared) != shape(df.schema))
-              throw new IllegalArgumentException(
-                s"schema enforcement: append schema ${df.schema.simpleString} " +
-                  s"does not match the table schema at $tablePath; include a " +
-                  "Metadata action to evolve the schema")
+    val priorMeta: Option[Metadata] =
+      if (version > 0L) {
+        val log0 = new TxnLog(tablePath, conf)
+        if (log0.latestVersion().isDefined) {
+          val snap0 = log0.snapshotLatest()
+          // Writer-protocol guard on EVERY non-initial write — including
+          // schema-evolution commits (a Metadata action must not bypass
+          // the minWriterVersion check: that is exactly the corruption
+          // the guard exists to prevent).
+          TxnLog.assertWritable(snap0, tablePath)
+          // Schema enforcement (Delta semantics): an append must match
+          // the table's declared schema by name+type unless the commit
+          // itself carries a Metadata action evolving it. Silent drift
+          // would poison every downstream reader that trusts the log's
+          // schema.
+          if (!extraActions.exists(_.isInstanceOf[Metadata])) {
+            snap0.metadata.foreach { m =>
+              val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              def shape(s: org.apache.spark.sql.types.StructType) =
+                s.fields.map(f => (f.name, f.dataType)).toSeq
+              if (shape(declared) != shape(df.schema))
+                throw new IllegalArgumentException(
+                  s"schema enforcement: append schema ${df.schema.simpleString} " +
+                    s"does not match the table schema at $tablePath; include a " +
+                    "Metadata action to evolve the schema")
+            }
           }
-        }
-      }
-    }
+          snap0.metadata
+        } else None
+      } else None
+    // CHECK constraints: caller-supplied on this commit's Metadata, else
+    // carried forward from the table (schema evolution must not silently
+    // drop data-quality rules). Enforced BEFORE any file is staged.
+    val constraints = extraActions
+      .collectFirst { case m: Metadata if m.constraints.nonEmpty => m.constraints }
+      .getOrElse(priorMeta.map(_.constraints).getOrElse(Seq.empty))
+    enforceConstraints(df, constraints, tablePath)
     val adds = stageAndMove(spark, df, tablePath, partitionBy, version,
       commitTs, dataChange = true)
-    val meta = Metadata(df.schema.json, partitionBy)
+    val meta = Metadata(df.schema.json, partitionBy, constraints)
     val log = new TxnLog(tablePath, conf)
     val metaAction: Seq[Action] =
       if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
@@ -121,6 +131,62 @@ object TableWriter {
     log.commit(version,
       metaAction ++ extraActions.filterNot(_.isInstanceOf[Metadata]) ++
         adds :+ CommitInfo(operation, commitTs))
+  }
+
+  /** A row VIOLATES a CHECK constraint only when the expression is
+    * definitively false — NULL passes (SQL CHECK semantics).
+    */
+  private def constraintViolation(c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    not(coalesce(expr(c).cast("boolean"), lit(true)))
+  }
+
+  /** Fail loudly (naming every violated constraint with its row count)
+    * if any row of `df` violates any CHECK constraint — one pass.
+    */
+  private[txn] def enforceConstraints(
+      df: DataFrame,
+      constraints: Seq[String],
+      tablePath: String): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{count, when, lit}
+    val counts = df.agg(
+      count(when(constraintViolation(constraints.head), lit(1))),
+      constraints.tail.map(c =>
+        count(when(constraintViolation(c), lit(1)))): _*).head()
+    val violated = constraints.zipWithIndex
+      .map { case (c, i) => c -> counts.getLong(i) }
+      .filter(_._2 > 0)
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violation at $tablePath: " +
+          violated.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", "))
+  }
+
+  /** ADD CONSTRAINT: existing rows must already satisfy the expression
+    * (validated in one scan), then the constraint commits as evolved
+    * Metadata and every subsequent write enforces it.
+    */
+  def addConstraint(
+      spark: SparkSession,
+      tablePath: String,
+      constraint: String,
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val m = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no table metadata at $tablePath"))
+    val bad = SnapshotReader.read(spark, tablePath)
+      .filter(constraintViolation(constraint)).count()
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$constraint' at $tablePath: " +
+          s"$bad existing rows violate it")
+    log.commit(version, Seq(m.copy(constraints = m.constraints :+ constraint),
+      CommitInfo("ADD CONSTRAINT", commitTs)))
   }
 
   /** Stage-and-move for sibling txn modules (DeletionVectors.purge):
@@ -480,6 +546,10 @@ object TableWriter {
         .readFiles(spark, tablePath, affected.toIndexedSeq, None)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(source)
+    // MERGE introduces new/updated rows — CHECK constraints apply to the
+    // source side (survivors already passed when first written)
+    enforceConstraints(source,
+      snap.metadata.map(_.constraints).getOrElse(Seq.empty), tablePath)
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
