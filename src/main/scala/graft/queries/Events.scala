@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.Column
@@ -222,6 +223,55 @@ object Events {
         .groupBy(col("cohort"), col("day_offset"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy(col("cohort"), col("day_offset"))
+    },
+
+    // Forward-fill (gap-fill): per-user LOCF — carry the last non-null
+    // observation forward in event order. 'view' events are treated as
+    // the null observations to fill. IGNORE NULLS last_value over a
+    // running frame is the portable spelling (Spark: last(_, ignoreNulls));
+    // (ts, event_id) is a unique order so the fill is deterministic.
+    // Scale shape: one shuffle on user_id, running frame never
+    // materializes more than the carried scalar per row.
+    QueryDef.sqlBacked(
+      "q100_forward_fill",
+      """SELECT event_id, user_id,
+        |  CAST(LAST_VALUE(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          last(when(col("event_type") =!= "view", col("value")),
+            ignoreNulls = true).over(w).cast("double").as("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Cumulative reach: users' first-touch days → per-day new users →
+    // running total of distinct users ever seen (the growth-curve
+    // shape). The running window runs over the per-DAY frame (tiny after
+    // aggregation), not over events, so the single-partition window is
+    // deliberate and safe at any scale.
+    QueryDef.sqlBacked(
+      "q105_cumulative_reach",
+      """WITH firsts AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+        |                FROM events GROUP BY user_id)
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users,
+        |  CAST(SUM(COUNT(*)) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total_reach
+        |FROM firsts GROUP BY d ORDER BY d""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("new_users"))
+        .select(col("d"), col("new_users"),
+          sum(col("new_users")).over(w).as("total_reach"))
+        .orderBy(col("d"))
     }
   )
 }

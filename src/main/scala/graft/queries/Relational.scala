@@ -891,6 +891,116 @@ object Relational {
           sum(money(col("o_totalprice"))).over(w)
             .cast("double").as("rolling_90d"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Date-spine densification: a calendar spine (min..max order day)
+    // left-joined against daily counts so zero-order days appear
+    // explicitly — the gap-filling shape time-series pipelines need
+    // before resampling/forecasting. Scale shape: the spine is tiny
+    // (days), the fact side reduces in ONE hash aggregate before the
+    // join, so the join is broadcast-sized no matter the fact rows.
+    QueryDef.sqlBacked(
+      "q101_date_spine",
+      """WITH bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+        |                       MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |days AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM bounds),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        |          FROM orders GROUP BY 1)
+        |SELECT days.d AS d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders
+        |FROM days LEFT JOIN daily ON days.d = daily.d
+        |ORDER BY d""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val days = o
+        .agg(min(col("o_orderdate").cast("date")).as("lo"),
+          max(col("o_orderdate").cast("date")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+      val daily = o.groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      days.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy(col("d"))
+    },
+
+    // Wide→long melt (UNPIVOT) of a per-flag aggregate — the reshape
+    // every metrics exporter needs. Spark's native Dataset.unpivot is a
+    // zero-shuffle Expand over the aggregated frame; the oracle spells
+    // the same semantics as UNION ALL (engine-portable).
+    QueryDef.sqlBacked(
+      "q102_unpivot",
+      s"""WITH a AS (SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $M)) AS DOUBLE) AS sum_price,
+         |  CAST(COUNT(*) AS DOUBLE) AS n_rows FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM a
+         |UNION ALL SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM a
+         |UNION ALL SELECT l_returnflag, 'n_rows' AS metric, n_rows AS val FROM a
+         |ORDER BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "metric", "val")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
+    // Fuzzy-match dedup candidates: blocked self-join scored by
+    // Levenshtein edit distance (both engines implement classic
+    // Wagner-Fischer, so the distances agree exactly). The blocking key
+    // is (brand, head-noun token) — record-linkage style: the join never
+    // crosses blocks, so the pair space is sum(block²), not corpus².
+    // Candidates pass a length-band prefilter (|len diff| ≤ k is implied
+    // by dist ≤ k, so it changes nothing semantically), then Spark scores
+    // with the BANDED levenshtein(l, r, threshold) — O(n·k) per pair,
+    // not O(n²). A skewed block would get the q58 salting treatment.
+    QueryDef.sqlBacked(
+      "q103_fuzzy_pairs",
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  a.p_name AS name1, b.p_name AS name2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        |  AND str_split(a.p_name, ' ')[-1] = str_split(b.p_name, ' ')[-1]
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY k1, k2""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part").select(col("p_partkey"),
+        col("p_brand"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("noun"))
+      val a = p.select(col("p_partkey").as("k1"), col("p_brand").as("brand1"),
+        col("noun").as("noun1"), col("p_name").as("name1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_brand").as("brand2"),
+        col("noun").as("noun2"), col("p_name").as("name2"))
+      a.join(b, col("brand1") === col("brand2") &&
+          col("noun1") === col("noun2") && col("k1") < col("k2"))
+        .filter(abs(length(col("name1")) - length(col("name2"))) <= 2)
+        .withColumn("dist", levenshtein(col("name1"), col("name2"), 2))
+        .filter(col("dist").between(0, 2))
+        .select(col("k1"), col("k2"), col("name1"), col("name2"),
+          col("dist").cast("int").as("dist"))
+        .orderBy(col("k1"), col("k2"))
+    },
+
+    // Fixed-width histogram: floor(x / width) bucketing — one scan, one
+    // hash aggregate, no sort until the final tiny ORDER BY. Double
+    // division + FLOOR is IEEE-deterministic, so the bucket ids agree
+    // across engines bit-for-bit.
+    QueryDef.sqlBacked(
+      "q104_histogram",
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
     }
   )
 }

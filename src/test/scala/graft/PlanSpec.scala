@@ -170,4 +170,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"DV subtraction should be a broadcast anti-join:\n${p.take(2000)}")
   }
+
+  test("q100 forward fill: one window pass, no join, no extra exchange") {
+    val p = planOf("q100_forward_fill")
+    assert(p.contains("Window"), s"expected a window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "LOCF must be a window, never a self-join")
+  }
+
+  test("q101 date spine: the daily-count join broadcasts (spine is tiny)") {
+    val df = SparkEntry.queries("q101_date_spine")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"post-agg frames are tiny — the join must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q102 unpivot: an Expand over the aggregate, not a union of scans") {
+    val p = planOf("q102_unpivot")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n${p.take(2000)}")
+    assert(!p.contains("Union"), "melt must not re-scan per metric")
+  }
+
+  test("q103 fuzzy pairs: the self-join keys on the block, never crosses it") {
+    val p = planOf("q103_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking key must drive an equi-join:\n${p.take(2000)}")
+  }
+
+  test("q104 histogram: one scan, one hash-aggregate pair") {
+    val p = planOf("q104_histogram")
+    assert(p.contains("HashAggregate") && !p.contains("Join"))
+    assert(!p.contains("o_orderdate"), "histogram must not read unused columns")
+  }
 }
