@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Murmur3X86
+import graft.operators.MaterializedAgg
 import graft.txn._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -185,6 +186,44 @@ object Cdc {
           Murmur3X86.routeIndex(col("partition_value"), 8).as("slot"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("partition_value"))
+    },
+
+    // Incremental materialized-view maintenance: create the MV from the
+    // fixture's v0 full aggregate, then apply ONLY the v1+v2 CDC delta
+    // (signed per-key aggregate, one outer-join merge) — the base is
+    // never re-aggregated. The oracle recomputes the fixture's FINAL
+    // state from lineitem, so a hash match proves delta maintenance
+    // lands exactly on the from-scratch answer (removals included: the
+    // whole 'R' partition dies at v1). At 100 TB, refresh cost tracks
+    // changed rows, not table size.
+    QueryDef.sqlBacked(
+      "q106_incremental_mv",
+      s"""WITH final AS (
+         |  SELECT l_linestatus, l_quantity, l_extendedprice
+         |  FROM lineitem WHERE l_returnflag <> 'R'
+         |  UNION ALL SELECT l_linestatus, l_quantity, l_extendedprice
+         |  FROM lineitem WHERE l_orderkey % 97 = 0
+         |  UNION ALL SELECT l_linestatus, l_quantity, l_extendedprice
+         |  FROM lineitem WHERE l_orderkey % 89 = 0)
+         |SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS mv_cnt,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+         |FROM final GROUP BY l_linestatus
+         |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      val mvPath = s"${fixtureDir(dir)}_mv_q106"
+      val fs = new org.apache.hadoop.fs.Path(mvPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+      val spec = MaterializedAgg.Spec(Seq("l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"))
+      MaterializedAgg.create(s, table, mvPath, spec, versionAsOf = Some(0L))
+      MaterializedAgg.refresh(s, table, mvPath, spec)
+      SnapshotReader.read(s, mvPath)
+        .select(col("l_linestatus"), col("mv_cnt"),
+          col("sum_l_quantity").cast("double").as("sum_qty"),
+          col("sum_l_extendedprice").cast("double").as("sum_price"))
+        .orderBy(col("l_linestatus"))
     }
   )
 }

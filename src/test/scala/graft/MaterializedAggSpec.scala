@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MaterializedAgg
+import graft.txn.{DeletionVectors, SnapshotReader, TableWriter}
+
+/** Incremental MV maintenance: the delta-maintained state must land
+  * exactly on a from-scratch recompute after every kind of base mutation
+  * (append, whole-file remove via upsert, DV row-delete), and a refresh
+  * with no base movement must be a no-op.
+  */
+class MaterializedAggSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val spec = MaterializedAgg.Spec(
+    Seq("l_linestatus"), Seq("l_quantity", "l_extendedprice"))
+
+  private def recompute(table: String) =
+    SnapshotReader.read(spark, table)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("mv_cnt"),
+        sum(col("l_quantity").cast("decimal(15,2)"))
+          .cast("decimal(25,2)").as("sum_l_quantity"),
+        sum(col("l_extendedprice").cast("decimal(15,2)"))
+          .cast("decimal(25,2)").as("sum_l_extendedprice"))
+
+  private def mvState(mvPath: String) =
+    SnapshotReader.read(spark, mvPath)
+      .select("l_linestatus", "mv_cnt", "sum_l_quantity",
+        "sum_l_extendedprice")
+
+  private def assertMatches(table: String, mvPath: String): Unit = {
+    val mv = mvState(mvPath).collect().map(_.toSeq).toSet
+    val full = recompute(table).collect().map(_.toSeq).toSet
+    assert(mv == full, s"MV state diverged from recompute:\nmv=$mv\nfull=$full")
+  }
+
+  test("MV tracks append, upsert-rewrite, and DV delete exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("mv_base").toString
+    val mvPath = java.nio.file.Files.createTempDirectory("mv_state").toString + "/mv"
+    val li = Tables.load(spark, sf, "lineitem")
+
+    // v0: a third of the table
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 3 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    MaterializedAgg.create(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+
+    // v1: append — op 'c' rows count +1
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 3 === 1), dir,
+      commitTs = 2000L)
+    MaterializedAgg.refresh(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+
+    // v2: upsert rewrites matched files — 'r' removals + 'c' re-adds
+    // must cancel exactly for untouched rows in the rewritten files
+    val src = li.filter(col("l_orderkey") % 6 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100.0)
+    TableWriter.mergeUpsert(spark, dir, src,
+      Seq("l_orderkey", "l_linenumber"), version = 2L, commitTs = 3000L)
+    MaterializedAgg.refresh(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+
+    // v3: DV row-delete — op 'd' rows count −1, no file rewritten
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 5 === 0,
+      version = 3L, commitTs = 4000L)
+    MaterializedAgg.refresh(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+
+    // base unmoved → refresh is a no-op (same refreshed-through version,
+    // no new MV commit)
+    val before = MaterializedAgg.refreshedThrough(spark, mvPath)
+    val mvVersions = new graft.txn.TxnLog(mvPath,
+      spark.sessionState.newHadoopConf()).versions()
+    assert(MaterializedAgg.refresh(spark, dir, mvPath, spec) == before)
+    assert(new graft.txn.TxnLog(mvPath,
+      spark.sessionState.newHadoopConf()).versions() == mvVersions)
+  }
+}
