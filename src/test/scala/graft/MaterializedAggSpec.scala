@@ -76,5 +76,14 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(MaterializedAgg.refresh(spark, dir, mvPath, spec) == before)
     assert(new graft.txn.TxnLog(mvPath,
       spark.sessionState.newHadoopConf()).versions() == mvVersions)
+
+    // each refresh REPLACED the prior generation, so the generic VACUUM
+    // reclaims superseded MV files — state storage doesn't grow with
+    // refresh count (the MV trades away time travel past the horizon,
+    // same documented trade as any graft table)
+    val reclaimed = TableWriter.vacuum(spark, mvPath,
+      retainMillis = 0L, nowMillis = System.currentTimeMillis() + 60000L)
+    assert(reclaimed.nonEmpty, "superseded MV generations should age out")
+    assertMatches(dir, mvPath) // live state untouched by vacuum
   }
 }
