@@ -985,6 +985,36 @@ object Relational {
         .orderBy(col("k1"), col("k2"))
     },
 
+    // Order-independent table checksum — the anti-entropy primitive for
+    // replication verification (pairs with GraftTableSink replication):
+    // per-row md5 over a canonical '|'-joined key projection, 8 hex chars
+    // → int64, SUMMED per group. Addition commutes, so the digest needs
+    // NO sort and no single-point collection — each executor sums its
+    // partition and partials merge; two 100 TB replicas compare in one
+    // tiny exchange. Engine-portable because md5-of-UTF8 and hex parsing
+    // agree everywhere.
+    QueryDef.sqlBacked(
+      "q107_table_checksum",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(('0x' || substring(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      l_returnflag, l_linestatus,
+        |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 8))
+        |    AS BIGINT)) AS BIGINT) AS digest
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(conv(substring(md5(concat_ws("|",
+              col("l_orderkey").cast("string"),
+              col("l_linenumber").cast("string"),
+              col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity").cast("long").cast("string"))), 1, 8),
+            16, 10).cast("long")).as("digest"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Fixed-width histogram: floor(x / width) bucketing — one scan, one
     // hash aggregate, no sort until the final tiny ORDER BY. Double
     // division + FLOOR is IEEE-deterministic, so the bucket ids agree
