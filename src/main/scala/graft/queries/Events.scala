@@ -272,6 +272,33 @@ object Events {
         .select(col("d"), col("new_users"),
           sum(col("new_users")).over(w).as("total_reach"))
         .orderBy(col("d"))
+    },
+
+    // Gaps-and-islands: longest consecutive-day activity streak per user.
+    // The island key is d − row_number() (consecutive days share it) — the
+    // classic SQL spelling, identical in both engines since DATE − INT is
+    // date arithmetic in each. Scale shape: everything partitions by
+    // user_id — one shuffle, per-user frames, no self-join against the
+    // calendar.
+    QueryDef.sqlBacked(
+      "q108_activity_streaks",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |              FROM events),
+        |isl AS (SELECT user_id, d,
+        |  d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        |  FROM days)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -1015,6 +1015,38 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Percent-of-total (ratio-to-report): each nation's revenue share in
+    // parts-per-million. The share is PURE INTEGER arithmetic — exact
+    // cents × 10⁶ floor-divided by total cents — so no engine's decimal
+    // division scale or rounding can drift the result. The windowed total
+    // runs over the 25-row post-agg frame (single-partition by design).
+    QueryDef.sqlBacked(
+      "q109_revenue_share",
+      s"""WITH r AS (
+         |  SELECT n.n_name,
+         |    SUM(CAST(o_totalprice AS $M)) AS rev,
+         |    CAST(SUM(CAST(o_totalprice AS $M)) * 100 AS BIGINT) AS cents
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY n.n_name)
+         |SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+         |  cents * 1000000 // SUM(cents) OVER () AS share_ppm
+         |FROM r ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("o_totalprice"))).as("rev"),
+          (sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      r.select(col("n_name"), col("rev").cast("double").as("revenue"),
+          col("cents"), sum(col("cents")).over(Window.partitionBy()).as("tot"))
+        .select(col("n_name"), col("revenue"),
+          expr("cents * CAST(1000000 AS BIGINT) div tot").as("share_ppm"))
+        .orderBy(col("n_name"))
+    },
+
     // Fixed-width histogram: floor(x / width) bucketing — one scan, one
     // hash aggregate, no sort until the final tiny ORDER BY. Double
     // division + FLOOR is IEEE-deterministic, so the bucket ids agree
