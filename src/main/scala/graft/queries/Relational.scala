@@ -1047,6 +1047,51 @@ object Relational {
         .orderBy(col("n_name"))
     },
 
+    // Pareto / ABC inventory classification: parts ranked by revenue,
+    // cumulative-share thresholds at 80% / 95% decided in PURE INTEGER
+    // arithmetic (cum·5 ≤ tot·4, cum·20 ≤ tot·19 over exact cents) so no
+    // division or float threshold can drift the class boundary between
+    // engines. (cents DESC, l_partkey) is a total order, so the running
+    // sum is deterministic. Scale shape: the ordered window runs over the
+    // per-PART frame (parts ≪ lineitems, post-agg); the fact table meets
+    // only one hash aggregate.
+    QueryDef.sqlBacked(
+      "q110_pareto_class",
+      s"""WITH r AS (
+         |  SELECT l_partkey,
+         |    SUM(CAST(l_extendedprice AS $M)) AS rev,
+         |    CAST(SUM(CAST(l_extendedprice AS $M)) * 100 AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY l_partkey),
+         |c AS (
+         |  SELECT l_partkey, rev, cents,
+         |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cents) OVER () AS tot
+         |  FROM r)
+         |SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+         |            WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class,
+         |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |  CAST(SUM(rev) AS DOUBLE) AS revenue
+         |FROM c GROUP BY abc_class
+         |ORDER BY abc_class""".stripMargin) { (s, dir) =>
+      val r = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("rev"),
+          (sum(money(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+      val wCum = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.select(col("rev"),
+          sum(col("cents")).over(wCum).as("cum"),
+          sum(col("cents")).over(Window.partitionBy()).as("tot"))
+        .select(when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C").as("abc_class"), col("rev"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("abc_class"))
+    },
+
     // Fixed-width histogram: floor(x / width) bucketing — one scan, one
     // hash aggregate, no sort until the final tiny ORDER BY. Double
     // division + FLOOR is IEEE-deterministic, so the bucket ids agree
