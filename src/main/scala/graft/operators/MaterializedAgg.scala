@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.txn.{CdcReader, SnapshotReader, TableWriter, TxnLog}
+import graft.txn.{CdcReader, CommitInfo, SnapshotReader, TableWriter, TxnLog}
+import graft.txn.{AddFile, RemoveFile}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,6 +19,22 @@ import org.apache.spark.sql.types.DecimalType
   * never re-aggregated — at 100 TB the refresh cost is proportional to the
   * CHANGED rows, not the table.
   *
+  * Exactly-once accounting rests on three invariants:
+  *  - The refreshed-through base version rides INSIDE the MV commit's
+  *    CommitInfo (`base=<v>`), so state and watermark move atomically — a
+  *    crash between "write state" and "record watermark" cannot exist, and
+  *    the same delta can never be double-applied.
+  *  - The delta is BOUNDED above by the base version read at refresh
+  *    start (`commit_version <= latest`): a base commit landing mid-refresh
+  *    is excluded now and picked up — exactly once — by the next refresh.
+  *  - The merge join is NULL-SAFE (`<=>` per key, keys coalesced across
+  *    sides): a NULL group key is one group, matching SQL GROUP BY, so the
+  *    MV cannot accumulate duplicate NULL-key rows.
+  *
+  * An event-free range (compaction / VACUUM / Z-order commit only —
+  * dataChange=false) advances the watermark with a metadata-only MV commit
+  * instead of crashing or rewriting the state generation.
+  *
   * Sums run in exact decimal (the engine's money convention, see
   * queries/Relational.scala) so additive maintenance cannot drift from a
   * from-scratch recompute: decimal addition is associative, float addition
@@ -33,27 +50,21 @@ object MaterializedAgg {
   private val SumType = DecimalType(25, 2)
   private def money(c: Column): Column = c.cast(DecimalType(15, 2))
 
-  private def stateFile(mvPath: String) = s"$mvPath/_mv_state.json"
+  private val BaseRe = """base=(\d+)""".r
+  private def opString(kind: String, baseVersion: Long) =
+    s"$kind base=$baseVersion"
 
-  private def writeState(spark: SparkSession, mvPath: String,
-      baseVersion: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stateFile(mvPath))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"""{"baseVersion":$baseVersion}""".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** The base-table version the MV state reflects. */
+  /** The base-table version the MV state reflects — read back from the
+    * newest MV commit's CommitInfo, the same atomic unit the state landed
+    * in (no side file that can lag or lead the commit).
+    */
   def refreshedThrough(spark: SparkSession, mvPath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(stateFile(mvPath))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    """"baseVersion"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(s"bad MV state: $txt"))
+    val log = new TxnLog(mvPath, spark.sessionState.newHadoopConf())
+    log.history().collectFirst {
+      case (_, op, _, _, _) if BaseRe.findFirstMatchIn(op).isDefined =>
+        BaseRe.findFirstMatchIn(op).get.group(1).toLong
+    }.getOrElse(throw new IllegalStateException(
+      s"no MV base watermark in the log at $mvPath"))
   }
 
   private def aggOf(df: DataFrame, spec: Spec, sign: Column): DataFrame = {
@@ -63,34 +74,71 @@ object MaterializedAgg {
     df.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Full aggregate of the base snapshot at `versionAsOf` → MV commit v0. */
+  /** Full aggregate of the base snapshot at `versionAsOf` → MV commit v0.
+    * The base version is resolved BEFORE the snapshot read so the recorded
+    * watermark can never trail a concurrently landing base commit.
+    */
   def create(spark: SparkSession, basePath: String, mvPath: String,
       spec: Spec, versionAsOf: Option[Long] = None): Long = {
-    val base = SnapshotReader.read(spark, basePath, versionAsOf = versionAsOf)
-    val mv = aggOf(base, spec, lit(1L))
-    TableWriter.write(spark, mv, mvPath, version = 0L,
-      commitTs = System.currentTimeMillis(), operation = "MV CREATE")
     val baseV = versionAsOf.getOrElse(
       new TxnLog(basePath, spark.sessionState.newHadoopConf())
         .latestVersion().getOrElse(0L))
-    writeState(spark, mvPath, baseV)
+    val base = SnapshotReader.read(spark, basePath, versionAsOf = Some(baseV))
+    val mv = aggOf(base, spec, lit(1L))
+    TableWriter.write(spark, mv, mvPath, version = 0L,
+      commitTs = System.currentTimeMillis(),
+      operation = opString("MV CREATE", baseV))
     baseV
   }
 
+  /** True iff the base's commit range (from, latest] contains any CDC row
+    * event — dataChange file adds/removes. Compaction-only and
+    * schema-change-only ranges are event-free for IVM purposes (op='m'
+    * carries no payload rows). Driver-side log walk: touches commit FILES
+    * only, never data.
+    */
+  private def hasRowEvents(log: TxnLog, from: Long, latest: Long): Boolean =
+    log.changes(from + 1).exists { case (v, actions) =>
+      v <= latest && actions.exists {
+        case a: AddFile    => a.dataChange
+        case r: RemoveFile => r.dataChange
+        case _             => false
+      }
+    }
+
   /** Apply the CDC delta (base's versions (refreshedThrough, latest]) to
-    * the stored state. No-op when the base hasn't moved. Returns the new
+    * the stored state. No-op when the base hasn't moved; watermark-only
+    * commit when it moved without row events. Returns the new
     * refreshed-through version.
     */
   def refresh(spark: SparkSession, basePath: String, mvPath: String,
       spec: Spec): Long = {
     val from = refreshedThrough(spark, mvPath)
-    val latest = new TxnLog(basePath, spark.sessionState.newHadoopConf())
-      .latestVersion().getOrElse(0L)
+    val conf = spark.sessionState.newHadoopConf()
+    val baseLog = new TxnLog(basePath, conf)
+    val latest = baseLog.latestVersion().getOrElse(0L)
     if (latest <= from) return from
+
+    val now = System.currentTimeMillis()
+    val mvLog = new TxnLog(mvPath, conf)
+    val mvSnap = mvLog.snapshotLatest()
+
+    if (!hasRowEvents(baseLog, from, latest)) {
+      // OPTIMIZE/VACUUM/schema-only range: the aggregate is unchanged —
+      // advance the watermark atomically with a metadata-only commit so
+      // the next refresh doesn't rewalk the same versions.
+      mvLog.commit(mvSnap.version + 1,
+        Seq(CommitInfo(opString("MV REFRESH", latest), now)))
+      return latest
+    }
 
     val delta = CdcReader.cdc(spark, basePath, startingVersion = from,
         includeHistory = false)
       .filter(col("op").isin("c", "r", "d")) // 'm' carries no rows
+      // upper bound = the version read at refresh start: a base commit
+      // landing mid-refresh stays OUT of this delta and is applied —
+      // exactly once — by the refresh that records it
+      .filter(col("commit_version") <= latest)
       .withColumn("_sign",
         when(col("op") === "c", lit(1L)).otherwise(lit(-1L)))
     val dAgg = aggOf(delta, spec, col("_sign"))
@@ -100,8 +148,10 @@ object MaterializedAgg {
 
     val zero = lit(BigDecimal(0)).cast(SumType)
     val cur = SnapshotReader.read(spark, mvPath)
-    val merged = cur.join(dRenamed, spec.keys, "full_outer")
-      .select(spec.keys.map(col) ++
+    // null-safe equality: a NULL group key is ONE group on both sides
+    val joinCond = spec.keys.map(k => cur(k) <=> dRenamed(k)).reduce(_ && _)
+    val merged = cur.join(dRenamed, joinCond, "full_outer")
+      .select(spec.keys.map(k => coalesce(cur(k), dRenamed(k)).as(k)) ++
         Seq((coalesce(col("mv_cnt"), lit(0L)) +
           coalesce(col("_d_cnt"), lit(0L))).as("mv_cnt")) ++
         spec.sums.map(c =>
@@ -110,15 +160,13 @@ object MaterializedAgg {
       .filter(col("mv_cnt") > 0) // fully-dead groups leave the view
     // the refresh REPLACES the state: remove every current MV file in the
     // same commit the new aggregate lands in (snapshot isolation — a
-    // reader sees exactly one generation)
-    val now = System.currentTimeMillis()
-    val mvLog = new TxnLog(mvPath, spark.sessionState.newHadoopConf())
-    val mvSnap = mvLog.snapshotLatest()
+    // reader sees exactly one generation); the watermark rides in the
+    // commit's CommitInfo, atomic with the state it describes
     val removes = mvSnap.files.map(f =>
-      graft.txn.RemoveFile(f.path, now, f.partitionValues))
+      RemoveFile(f.path, now, f.partitionValues))
     TableWriter.write(spark, merged, mvPath, version = mvSnap.version + 1,
-      commitTs = now, operation = "MV REFRESH", extraActions = removes)
-    writeState(spark, mvPath, latest)
+      commitTs = now, operation = opString("MV REFRESH", latest),
+      extraActions = removes)
     latest
   }
 }

@@ -992,14 +992,17 @@ object Relational {
     // NO sort and no single-point collection — each executor sums its
     // partition and partials merge; two 100 TB replicas compare in one
     // tiny exchange. Engine-portable because md5-of-UTF8 and hex parsing
-    // agree everywhere.
+    // agree everywhere. Canonicalization is explicit FLOOR-then-cast:
+    // a bare double→int cast rounds half-away-from-zero in DuckDB but
+    // truncates toward zero in Spark, so non-integral values would drift
+    // the digest — FLOOR pins identical semantics in both engines.
     QueryDef.sqlBacked(
       "q107_table_checksum",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(('0x' || substring(md5(concat_ws('|',
         |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
         |      l_returnflag, l_linestatus,
-        |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 8))
+        |      CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR))), 1, 8))
         |    AS BIGINT)) AS BIGINT) AS digest
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -1010,16 +1013,24 @@ object Relational {
               col("l_orderkey").cast("string"),
               col("l_linenumber").cast("string"),
               col("l_returnflag"), col("l_linestatus"),
-              col("l_quantity").cast("long").cast("string"))), 1, 8),
+              floor(col("l_quantity")).cast("long").cast("string"))), 1, 8),
             16, 10).cast("long")).as("digest"))
         .orderBy(col("l_returnflag"))
     },
 
     // Percent-of-total (ratio-to-report): each nation's revenue share in
-    // parts-per-million. The share is PURE INTEGER arithmetic — exact
-    // cents × 10⁶ floor-divided by total cents — so no engine's decimal
-    // division scale or rounding can drift the result. The windowed total
-    // runs over the 25-row post-agg frame (single-partition by design).
+    // parts-per-million. The share is PURE INTEGER arithmetic, split into
+    // TWO floor-division steps so every intermediate stays far below 2⁵³:
+    //   q1        = (cents·10³) ⌊÷⌋ tot
+    //   share_ppm = q1·10³ + ((cents·10³ mod tot)·10³) ⌊÷⌋ tot
+    // Algebraically identical to (cents·10⁶)⌊÷⌋tot, but cents·10³ and
+    // rem·10³ < tot·10³ are both exactly representable even in a DOUBLE, so
+    // an engine build that routes integer floor-division through float
+    // hardware still produces the exact quotient. Magnitude bounds: long
+    // arithmetic is exact until total revenue ≈ $92 T (cents·10³ < 2⁶³);
+    // double-routed floor-div stays exact until tot·10³ < 2⁵³ ≈ $90 B —
+    // both comfortably above the test scales. The windowed total runs over
+    // the 25-row post-agg frame (single-partition by design).
     QueryDef.sqlBacked(
       "q109_revenue_share",
       s"""WITH r AS (
@@ -1028,10 +1039,12 @@ object Relational {
          |    CAST(SUM(CAST(o_totalprice AS $M)) * 100 AS BIGINT) AS cents
          |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          |    JOIN nation n ON c.c_nationkey = n.n_nationkey
-         |  GROUP BY n.n_name)
+         |  GROUP BY n.n_name),
+         |t AS (SELECT n_name, rev, cents, SUM(cents) OVER () AS tot FROM r)
          |SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
-         |  cents * 1000000 // SUM(cents) OVER () AS share_ppm
-         |FROM r ORDER BY n_name""".stripMargin) { (s, dir) =>
+         |  ((cents * 1000) // tot) * 1000
+         |    + (((cents * 1000) % tot) * 1000) // tot AS share_ppm
+         |FROM t ORDER BY n_name""".stripMargin) { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
@@ -1043,7 +1056,8 @@ object Relational {
       r.select(col("n_name"), col("rev").cast("double").as("revenue"),
           col("cents"), sum(col("cents")).over(Window.partitionBy()).as("tot"))
         .select(col("n_name"), col("revenue"),
-          expr("cents * CAST(1000000 AS BIGINT) div tot").as("share_ppm"))
+          expr("((cents * 1000L) div tot) * 1000L" +
+            " + (((cents * 1000L) % tot) * 1000L) div tot").as("share_ppm"))
         .orderBy(col("n_name"))
     },
 
@@ -1051,8 +1065,11 @@ object Relational {
     // cumulative-share thresholds at 80% / 95% decided in PURE INTEGER
     // arithmetic (cum·5 ≤ tot·4, cum·20 ≤ tot·19 over exact cents) so no
     // division or float threshold can drift the class boundary between
-    // engines. (cents DESC, l_partkey) is a total order, so the running
-    // sum is deterministic. Scale shape: the ordered window runs over the
+    // engines. The threshold products are computed in 128-bit integers
+    // (DECIMAL(38,0) / HUGEINT) so they cannot wrap however large total
+    // revenue grows — BIGINT cum·20 would overflow past ~$4.6e15.
+    // (cents DESC, l_partkey) is a total order, so the running sum is
+    // deterministic. Scale shape: the ordered window runs over the
     // per-PART frame (parts ≪ lineitems, post-agg); the fact table meets
     // only one hash aggregate.
     QueryDef.sqlBacked(
@@ -1063,10 +1080,10 @@ object Relational {
          |    CAST(SUM(CAST(l_extendedprice AS $M)) * 100 AS BIGINT) AS cents
          |  FROM lineitem GROUP BY l_partkey),
          |c AS (
-         |  SELECT l_partkey, rev, cents,
-         |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         |    SUM(cents) OVER () AS tot
+         |  SELECT l_partkey, rev,
+         |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum,
+         |    CAST(SUM(cents) OVER () AS HUGEINT) AS tot
          |  FROM r)
          |SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
          |            WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class,
@@ -1080,9 +1097,10 @@ object Relational {
           (sum(money(col("l_extendedprice"))) * 100).cast("long").as("cents"))
       val wCum = Window.orderBy(col("cents").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val big = DecimalType(38, 0)
       r.select(col("rev"),
-          sum(col("cents")).over(wCum).as("cum"),
-          sum(col("cents")).over(Window.partitionBy()).as("tot"))
+          sum(col("cents")).over(wCum).cast(big).as("cum"),
+          sum(col("cents")).over(Window.partitionBy()).cast(big).as("tot"))
         .select(when(col("cum") * 5 <= col("tot") * 4, "A")
           .when(col("cum") * 20 <= col("tot") * 19, "B")
           .otherwise("C").as("abc_class"), col("rev"))

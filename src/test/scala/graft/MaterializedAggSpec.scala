@@ -86,4 +86,72 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(reclaimed.nonEmpty, "superseded MV generations should age out")
     assertMatches(dir, mvPath) // live state untouched by vacuum
   }
+
+  test("refresh after a compaction-only base commit advances the " +
+      "watermark without crashing or rewriting state") {
+    val dir = java.nio.file.Files.createTempDirectory("mv_base_c").toString
+    val mvPath =
+      java.nio.file.Files.createTempDirectory("mv_state_c").toString + "/mv"
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 2 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 2 === 1), dir,
+      commitTs = 2000L) // second file so compaction has work
+    MaterializedAgg.create(spark, dir, mvPath, spec)
+    val stateBefore = mvState(mvPath).collect().map(_.toSeq).toSet
+
+    // dataChange=false commit only: no CDC row events in the range
+    val rewritten = TableWriter.compact(spark, dir, version = 2L,
+      commitTs = 3000L)
+    assert(rewritten.nonEmpty, "compaction should have rewritten files")
+
+    // the r5-ADVICE crash scenario: latest > from but zero row events
+    assert(MaterializedAgg.refresh(spark, dir, mvPath, spec) == 2L)
+    assert(MaterializedAgg.refreshedThrough(spark, mvPath) == 2L)
+    assert(mvState(mvPath).collect().map(_.toSeq).toSet == stateBefore,
+      "event-free refresh must not change MV state")
+
+    // watermark advanced → the next refresh is a pure no-op (no commit)
+    val mvLog = new graft.txn.TxnLog(mvPath,
+      spark.sessionState.newHadoopConf())
+    val versions = mvLog.versions()
+    assert(MaterializedAgg.refresh(spark, dir, mvPath, spec) == 2L)
+    assert(mvLog.versions() == versions)
+
+    // and a later real change still applies exactly once
+    TableWriter.append(spark,
+      li.filter(col("l_orderkey") % 97 === 0), dir, commitTs = 4000L)
+    MaterializedAgg.refresh(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+  }
+
+  test("NULL group keys stay one group across refreshes (null-safe merge)") {
+    val dir = java.nio.file.Files.createTempDirectory("mv_base_n").toString
+    val mvPath =
+      java.nio.file.Files.createTempDirectory("mv_state_n").toString + "/mv"
+    import spark.implicits._
+    def rows(xs: Seq[(String, Double, Double)]) =
+      xs.toDF("l_linestatus", "l_quantity", "l_extendedprice")
+
+    TableWriter.write(spark,
+      rows(Seq(("A", 1.0, 10.0), (null, 2.0, 20.0), (null, 3.0, 30.0))),
+      dir, version = 0L, commitTs = 1000L)
+    MaterializedAgg.create(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+
+    // delta carries NULL-key rows: a null-unsafe merge would append a
+    // SECOND null row instead of accumulating into the existing one
+    TableWriter.append(spark,
+      rows(Seq((null, 5.0, 50.0), ("A", 7.0, 70.0))), dir, commitTs = 2000L)
+    MaterializedAgg.refresh(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+    assert(mvState(mvPath).filter(col("l_linestatus").isNull).count() == 1)
+
+    // second null-carrying refresh exercises cur-null × delta-null
+    TableWriter.append(spark, rows(Seq((null, 11.0, 110.0))), dir,
+      commitTs = 3000L)
+    MaterializedAgg.refresh(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+    assert(mvState(mvPath).filter(col("l_linestatus").isNull).count() == 1)
+  }
 }

@@ -86,4 +86,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(m("union") == a + b - m("intersect"))
     assert(m("except") == a - m("intersect"))
   }
+
+  test("q109 share_ppm equals exact BigInt floor division") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val rows = SparkEntry.queries("q109_revenue_share")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Independent exact reference: per-nation cents via lossless decimal,
+    // shares via arbitrary-precision BigInt floor division.
+    val cents = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(15, 2))).as("rev"))
+      .collect()
+      .map(r => r.getString(0) -> BigInt(
+        r.getDecimal(1).movePointRight(2).toBigIntegerExact))
+      .toMap
+    val tot = cents.values.sum
+    rows.foreach { r =>
+      val exact = (cents(r.getString(0)) * 1000000) / tot
+      assert(BigInt(r.getAs[Long]("share_ppm")) == exact,
+        s"${r.getString(0)}: ${r.getAs[Long]("share_ppm")} vs $exact")
+    }
+  }
 }
