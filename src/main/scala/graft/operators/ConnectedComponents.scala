@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   *    (the pair list is OUTPUT-scale data — near-dup pairs, not the
   *    corpus — so this is a bounded collect, like IvfIndex's bounded
   *    sample, not a driver loop over table rows);
-  *  - larger graphs run distributed min-label propagation, a driver
-  *    loop of ≤ maxIter JOIN+MIN rounds (the Pregel shape: iteration
-  *    count is component diameter, not data size).
+  *  - larger graphs run distributed min-label propagation with POINTER
+  *    JUMPING (comp ← comp(comp) shortcuts after every Pregel round), so
+  *    rounds grow with log(diameter), not diameter — a million-hop
+  *    duplicate chain (exactly what boilerplate corpora produce) resolves
+  *    in ~tens of rounds, not a million.
+  *
+  * The distributed loop runs TO CONVERGENCE. `maxIter` is a loud-failure
+  * guard, never a silent truncation: unconverged labels would split one
+  * component into several and dedup would silently KEEP documents it
+  * should drop, so exceeding the cap throws.
   */
 object ConnectedComponents {
 
@@ -21,7 +28,7 @@ object ConnectedComponents {
 
   def components(
       pairs: DataFrame,
-      maxIter: Int = 10,
+      maxIter: Int = 25,
       smallThreshold: Long = SmallGraphThreshold): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(col(pairs.columns(0)).cast("long").as("a"),
@@ -52,26 +59,50 @@ object ConnectedComponents {
       comp.map { case (id, r) => (id, math.min(minOf(r), r)) }
         .toDF("id", "comp")
     } else {
+      // localCheckpoint (not cache) per round: truncates the logical plan
+      // so the lineage — and Catalyst analysis time — stays flat across
+      // iterations instead of growing a join-tree per round
       val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
-        .cache()
+        .localCheckpoint(true)
       var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("comp", col("id")).cache()
+        .withColumn("comp", col("id")).localCheckpoint(true)
       var iter = 0
       var changed = 1L
-      while (changed > 0 && iter < maxIter) {
+      while (changed > 0) {
+        if (iter >= maxIter)
+          throw new IllegalStateException(
+            s"connected components did not converge within $maxIter " +
+              "rounds; with pointer jumping rounds grow with " +
+              "log2(component diameter), so raise maxIter only for " +
+              "astronomically deep graphs — do NOT ship unconverged labels")
+        // Pregel step: comp ← min(comp, min over neighbours' comps)
         val prop = edges
           .join(labels.select(col("id").as("nbr"), col("comp").as("ncomp")),
             col("b") === col("nbr"))
           .groupBy(col("a").as("pid"))
           .agg(min(col("ncomp")).as("pcomp"))
-        val next = labels.join(prop, col("id") === col("pid"), "left")
+        var next = labels.join(prop, col("id") === col("pid"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
-            (col("pcomp") < col("comp")).as("chg"))
-          .cache()
-        changed = next.filter(col("chg")).count()
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        // pointer jumping ×2: comp ← min(comp, comp(comp)). comp values
+        // are always node ids of the same component (invariant of both
+        // steps), so the lookup is total and each application halves the
+        // remaining label-chain depth.
+        for (_ <- 1 to 2) {
+          val j = next.select(col("id").as("jid"), col("comp").as("jcomp"))
+          next = next.join(j, col("comp") === col("jid"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+            .localCheckpoint(true)
+        }
+        // true fixpoint test: stop only when NOTHING moved this round
+        changed = next
+          .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")),
+            col("id") === col("oid"))
+          .filter(col("comp") =!= col("ocomp")).count()
         labels.unpersist()
-        labels = next.select(col("id"), col("comp")).cache()
+        labels = next
         iter += 1
       }
       labels

@@ -79,13 +79,11 @@ object IncrementalNearDup {
     val docs = sketch(batch).cache()
     try {
       val nb = bandsOf(docs)
-      // in-batch: banded candidates, keep-first on slot agreement
-      val inCand = nb.as("a").join(nb.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+      // in-batch: banded candidates (SkewGuard: a boilerplate flood inside
+      // one batch stars to its min id — keep-first still drops the flood,
+      // the pair count stays linear), keep-first on slot agreement
+      val inCand = SkewGuard.boundedSelfJoinPairs(
+        nb, "doc_id", Seq("band_id", "band_hash"), "doc_a", "doc_b")
       val inDup = inCand
         .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -94,14 +92,27 @@ object IncrementalNearDup {
       val inSurvivors = docs.join(inDup, Seq("doc_id"), "left_anti")
 
       // vs corpus: ids-only candidate join against the banded index,
-      // then signature verification on just the candidate ids
+      // then signature verification on just the candidate ids. The corpus
+      // side of each band bucket is capped: past SkewGuard.DefaultCap
+      // members only the bucket's MIN id remains a candidate — a batch
+      // doc matching an indexed boilerplate flood still verifies against
+      // the flood's representative (flood members are near-identical by
+      // construction), but the join fan-out stays bounded. The window
+      // shuffle keys on the same (band_id, band_hash) the join uses, so
+      // no extra exchange is introduced.
       val corpusBands = SnapshotReader.read(spark, bandsPath(indexBase))
       val corpusSigs = SnapshotReader.read(spark, sigsPath(indexBase))
+      val wBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("band_hash"))
+      val cbGuarded = corpusBands
+        .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_id"))
+        .withColumn("_bn", count(lit(1)).over(wBucket))
+        .withColumn("_rep", min(col("corpus_id")).over(wBucket))
+        .filter(col("_bn") <= SkewGuard.DefaultCap ||
+          col("corpus_id") === col("_rep"))
+        .select(col("band_id"), col("band_hash"), col("corpus_id"))
       val vs = bandsOf(inSurvivors.select(col("doc_id"), col("sig")))
-        .join(corpusBands
-            .select(col("band_id"), col("band_hash"),
-              col("doc_id").as("corpus_id")),
-          Seq("band_id", "band_hash"))
+        .join(cbGuarded, Seq("band_id", "band_hash"))
         .select(col("doc_id"), col("corpus_id")).distinct()
       val corpDup = vs
         .join(inSurvivors.select(col("doc_id"), col("sig")), "doc_id")

@@ -84,10 +84,10 @@ object Similarity {
       val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v"))).cache()
       val slots = c.select(col("vec_id"),
         explode(lshBandSlots(col("v"), 8, bits)).as("slot")).cache()
-      val cand = slots.as("a").join(slots.as("b"),
-          col("a.slot") === col("b.slot") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .dropDuplicates("vec_a", "vec_b")
+      // SkewGuard: a degenerate slot (an all-duplicates flood collides in
+      // every band) stars to its min id instead of going quadratic
+      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+        slots, "vec_id", Seq("slot"), "vec_a", "vec_b")
       cand
         .join(c.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
         .join(c.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
@@ -138,26 +138,42 @@ object Similarity {
     // corpus-wide. Vectors are L2-NORMALIZED before assignment — cosine
     // duplicates are scale-invariant, Euclidean cells are not, so
     // assigning raw vectors would scatter scaled copies across cells.
-    // Spark-only; SimilaritySpec pins exact pair parity with brute q51.
+    // Cell-size cap: a cell past CellCap sub-splits by sign-LSH bits
+    // (scale-invariant, so exact duplicates stay co-bucketed), and the
+    // residual bucket width is SkewGuard-bounded — one popular-topic cell
+    // can no longer make the whole job quadratic. Spark-only;
+    // SimilaritySpec pins exact pair parity with brute q51.
     QueryDef.sparkOnly("q94_semdedup") { (s, dir) =>
+      val CellCap = 4096
       val n = Tables.load(s, dir, "embeddings").count()
       val cents = graft.operators.IvfIndex.centroids(s, dir, n)
       val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v")))
         .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
       val byAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("adist"), col("cell"))
+      val byCell = Window.partitionBy(col("cell"))
       val assigned = c.join(broadcast(cents))
         .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("vhat"), col("cv")))
         .withColumn("arnk", row_number().over(byAssign))
         .filter(col("arnk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-        // cached AFTER assignment: the frame feeds both sides of the
-        // per-cell self-join
+        .withColumn("_cn", count(lit(1)).over(byCell))
+        .withColumn("sub",
+          when(col("_cn") > CellCap,
+            element_at(lshBandSlots(col("v"), 1, 8), 1)).otherwise(lit(0L)))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("sub"))
+        // cached AFTER assignment: the frame feeds the candidate join and
+        // both verification joins
         .cache()
-      assigned.as("a").join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= 0.95)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+        assigned.select(col("vec_id"), col("cell"), col("sub")),
+        "vec_id", Seq("cell", "sub"), "vec_a", "vec_b", cap = CellCap)
+      cand
+        .join(assigned.select(col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na")), "vec_a")
+        .join(assigned.select(col("vec_id").as("vec_b"),
+          col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+        .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.95)
+        .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
 

@@ -446,8 +446,9 @@ object Text {
 
     // MinHash + LSH banding — the scale path for the same near-dup
     // semantics: candidates come from banded signature buckets (linear),
-    // then exact-Jaccard verification. Spark-only; QueriesSpec asserts it
-    // reproduces q45's pairs at sf0.001.
+    // then exact-Jaccard verification, with SkewGuard bounding degenerate
+    // band buckets (boilerplate floods) to star pairs. Spark-only;
+    // QueriesSpec asserts it reproduces q45's pairs at sf0.001.
     QueryDef.sparkOnly("q46_minhash_lsh") { (s, dir) =>
       // One shingle pass, cached: signatures derive from the hashed
       // shingle sets (compiled MinHash kernel over longs), and the same
@@ -463,12 +464,8 @@ object Text {
           explode(TextOps.bands(col("sig"))).as("band"))
         .select(col("doc_id"),
           col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+        banded, "doc_id", Seq("band_id", "band_hash"), "doc_a", "doc_b")
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
@@ -479,25 +476,27 @@ object Text {
     },
 
     // SimHash near-dup — 64-bit fingerprints, 4×16-bit pigeonhole blocks
-    // for candidate generation, hamming ≤ 8 verification. Spark-only.
+    // for candidate generation (SkewGuard-bounded: a block value shared by
+    // a boilerplate flood stars instead of going quadratic), hamming ≤ 8
+    // verification. Spark-only.
     QueryDef.sparkOnly("q47_simhash") { (s, dir) =>
+      // cached: the tokenize+simhash kernel runs once; the frame feeds the
+      // block explode AND both verification joins
       val fp = TextOps.nearDupCorpus(s, dir)
         .select(col("doc_id"),
           TextOps.simhash64(TextOps.tokens(col("text"))).as("sig"))
-      // cached: feeds both sides of the self-join — without it the
-      // tokenize+simhash kernel evaluates twice over the corpus
-      val exploded = fp.select(col("doc_id"), col("sig"),
-          posexplode(TextOps.simhashBlocks64(col("sig")))
-            .as(Seq("blk_idx", "blk_val")))
         .cache()
-      exploded.as("a").join(exploded.as("b"),
-          col("a.blk_idx") === col("b.blk_idx") &&
-            col("a.blk_val") === col("b.blk_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          TextOps.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      val blocks = fp.select(col("doc_id"),
+        posexplode(TextOps.simhashBlocks64(col("sig")))
+          .as(Seq("blk_idx", "blk_val")))
+      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+        blocks, "doc_id", Seq("blk_idx", "blk_val"), "doc_a", "doc_b")
+      cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          TextOps.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
         .filter(col("hamming") <= 8)
-        .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

@@ -29,11 +29,57 @@ class DedupSpec extends AnyFunSuite {
     assert(small == want)
     assert(dist == want)
   }
+
+  test("connected components converge on a deep chain (log-diameter rounds)") {
+    import SparkTestSession._
+    import spark.implicits._
+    // 120-hop path graph: diameter far beyond any per-round propagation
+    // budget — the r5 hazard where maxIter=10 silently returned SPLIT
+    // components. Pointer jumping must land the min label end-to-end
+    // within the default cap.
+    val n = 120
+    val chain = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L to n.toLong).map(_ -> 0L).toMap
+    assert(normalize(
+      graft.operators.ConnectedComponents.components(chain)) == want)
+    assert(normalize(graft.operators.ConnectedComponents.components(chain,
+      smallThreshold = 0L)) == want)
+  }
+
+  test("connected components FAIL LOUDLY when the iteration cap is hit") {
+    import SparkTestSession._
+    import spark.implicits._
+    val chain = (0 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.components(chain,
+        maxIter = 1, smallThreshold = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
   import SparkTestSession._
 
   private def pairs(name: String): Set[(Long, Long)] =
     SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("SkewGuard: small buckets pair densely, hot buckets star to min id") {
+    import spark.implicits._
+    // bucket "small": 5 members → all C(5,2)=10 pairs (exact semantics);
+    // bucket "hot": 1000 members over cap=50 → 999 star pairs, NOT ~500k
+    val slots = ((1L to 5L).map((_, "small")) ++
+      (101L to 1100L).map((_, "hot"))).toDF("id", "bucket")
+    val pairs = graft.operators.SkewGuard.boundedSelfJoinPairs(
+        slots, "id", Seq("bucket"), "a", "b", cap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dense = pairs.filter(_._2 <= 5L)
+    val star = pairs.filter(_._2 > 5L)
+    assert(dense.length == 10)
+    assert(star.length == 999, s"hot bucket emitted ${star.length} pairs")
+    assert(star.forall(_._1 == 101L), "star pairs must anchor on the min id")
+    assert(pairs.forall(p => p._1 < p._2))
+  }
 
   test("minhash LSH reproduces brute-force ngram-jaccard pairs") {
     val brute = pairs("q45_ngram_jaccard")

@@ -136,4 +136,40 @@ class IngestDedupSpec extends AnyFunSuite {
     assert(got == Set(0L, 1L, 2L, 3L, 4L, 11L, 21L), s"got $got")
     assert(IncrementalNearDup.indexedCount(spark, index) == 7)
   }
+
+  test("boilerplate floods stay correct through the hot-bucket guard") {
+    import spark.implicits._
+    import graft.operators.{IncrementalNearDup, SkewGuard}
+    def text(seed: Int): String =
+      (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    def nearCopy(seed: Int): String =
+      (0 until 19).map(i => s"w${seed}_$i").mkString(" ") + " changed_tail"
+    val floodSize = SkewGuard.DefaultCap * 2 // every band bucket past cap
+
+    // in-batch flood: identical docs collide in EVERY band bucket; star
+    // routing must still collapse them to keep-first and accept the one
+    // fresh doc — with a linear, not quadratic, candidate count
+    val idx1 = s"target/fixtures/flood_in_${System.nanoTime()}"
+    IncrementalNearDup.seed(spark,
+      Seq((0L, text(99))).toDF("doc_id", "text"), idx1, commitTs = 1000L)
+    val floodBatch = ((10L until 10L + floodSize).map((_, text(7))) :+
+      (9000L, text(8))).toDF("doc_id", "text")
+    val kept1 = IncrementalNearDup
+      .processBatch(spark, floodBatch, idx1, commitTs = 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(10L, 9000L), s"got $kept1")
+
+    // corpus-side flood: the INDEX holds an over-cap identical bucket; a
+    // new near-copy must still drop, verified against the bucket's capped
+    // representative
+    val idx2 = s"target/fixtures/flood_corpus_${System.nanoTime()}"
+    IncrementalNearDup.seed(spark,
+      (0L until floodSize).map((_, text(5))).toDF("doc_id", "text"),
+      idx2, commitTs = 1000L)
+    val kept2 = IncrementalNearDup.processBatch(spark,
+        Seq((5000L, nearCopy(5)), (5001L, text(9))).toDF("doc_id", "text"),
+        idx2, commitTs = 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(5001L), s"got $kept2")
+  }
 }
