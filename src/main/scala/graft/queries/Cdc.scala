@@ -224,6 +224,72 @@ object Cdc {
           col("sum_l_quantity").cast("double").as("sum_qty"),
           col("sum_l_extendedprice").cast("double").as("sum_price"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // Partition-pruned CDC replay: only partition l_returnflag='A' events
+    // replay — the pruned partitions' files are never listed, opened, or
+    // shuffled (the single-partition backfill shape). 'A' sees no removes
+    // (v1 killed only 'R'), so the envelope is adds + the v2 'm' control
+    // row; every count derives from lineitem.
+    QueryDef.sqlBacked(
+      "q114_cdc_partition_pruned",
+      """SELECT 'c' AS op,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A')
+        |    + COUNT(*) FILTER (WHERE l_returnflag = 'A' AND l_orderkey % 97 = 0)
+        |    + COUNT(*) FILTER (WHERE l_returnflag = 'A' AND l_orderkey % 89 = 0)
+        |    AS BIGINT) AS n
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'm' AS op, CAST(1 AS BIGINT) AS n
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      CdcReader.cdc(s, table, startingVersion = 0L, includeHistory = true,
+          partitionPred =
+            Some(pv => pv.get("l_returnflag").contains("A")))
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("op"))
+    },
+
+    // Streaming MATERIALIZED VIEW, final state: the fixture's own CDC
+    // stream feeds an update-mode aggregation whose changed keys MERGE
+    // into a graft table each micro-batch (GraftTableSink.upsertAggregate)
+    // — the table always holds the current totals, and after the stream
+    // drains it must hash-match a from-scratch recompute of every add
+    // event ('c' ops: v0 snapshot + both patches).
+    QueryDef.sqlBacked(
+      "q115_streaming_mv",
+      """WITH ev AS (
+        |  SELECT l_linestatus, l_quantity FROM lineitem
+        |  UNION ALL SELECT l_linestatus, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 97 = 0
+        |  UNION ALL SELECT l_linestatus, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 89 = 0)
+        |SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  SUM(l_quantity) AS qty
+        |FROM ev GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      val mvPath = s"${fixtureDir(dir)}_mv_q115"
+      val fs = new org.apache.hadoop.fs.Path(mvPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+      val agg = s.readStream.format("graft.sources.GraftCdc")
+        .option("tablePath", table)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .load()
+        .filter(col("op") === "c")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_events"), sum(col("l_quantity")).as("qty"))
+      val q = graft.streaming.GraftTableSink.upsertAggregate(agg, mvPath,
+        keyCols = Seq("l_linestatus"),
+        checkpointLocation =
+          java.nio.file.Files.createTempDirectory("mv_q115_ck").toString)
+      try q.processAllAvailable() finally q.stop()
+      SnapshotReader.read(s, mvPath)
+        .select(col("l_linestatus"), col("n_events"), col("qty"))
+        .orderBy(col("l_linestatus"))
     }
   )
 }

@@ -134,6 +134,72 @@ object Maintenance {
     (src, dst)
   }
 
+  /** v0: %7 rows; v1: append %11; v2: rewrite-delete l_suppkey%4;
+    * v3: RESTORE to v0 (new commit, history preserved).
+    */
+  def restoreFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/restore_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 11 === 0), dir,
+      version = 1L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("l_suppkey") % 4 === 0,
+      version = 2L, commitTs = 3000L)
+    TableWriter.restore(spark, dir, toVersion = 0L, version = 3L,
+      commitTs = 4000L)
+    dir
+  }
+
+  /** v0: %7 rows (4-column projection); v1: ADD CONSTRAINT qty ≥ 0;
+    * v2: schema-evolution append of %11 rows carrying a new qty2 column
+    * (constraint carried forward by the write path).
+    */
+  def evolutionFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/evo_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(cols.map(col): _*)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.addConstraint(spark, dir, "l_quantity >= 0",
+      version = 1L, commitTs = 2000L)
+    val evolved = li.filter(col("l_orderkey") % 11 === 0)
+      .withColumn("qty2", col("l_quantity") * 2)
+    TableWriter.write(spark, evolved, dir, version = 2L, commitTs = 3000L,
+      extraActions = Seq(Metadata(evolved.schema.json, Seq.empty)))
+    dir
+  }
+
+  /** v0: 8 hash-distributed files; v1: Z-order compaction on
+    * (l_orderkey, l_suppkey) so BOTH columns' footer stats become
+    * prunable ranges.
+    */
+  def zorderFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/zord_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark,
+      Tables.load(spark, sfDir, "lineitem").repartition(8), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.compact(spark, dir, version = 1L, commitTs = 2000L,
+      targetFiles = 8, zorderBy = Seq("l_orderkey", "l_suppkey"))
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Shallow clone + copy-on-write divergence: the clone (append + a
     // rewrite-delete after the zero-copy CLONE commit) and its UNTOUCHED
@@ -267,6 +333,80 @@ object Maintenance {
         |WHERE l_orderkey BETWEEN 100 AND 2000""".stripMargin) { (s, dir) =>
       val table = skippingFixture(s, dir)
       DataSkipping.readRange(s, table, "l_orderkey", 100L, 2000L)
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    // RESTORE: roll the table back to v0 as a NEW commit — history stays
+    // (pre-restore v2 is still time-travelable), the latest read sees
+    // exactly the v0 rows again, and the append + rewrite-delete between
+    // are undone. Both states are derivable straight from lineitem.
+    QueryDef.sqlBacked(
+      "q111_restore",
+      """SELECT 'post_restore' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS qty
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT 'pre_restore' AS state,
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 7 = 0 AND l_suppkey % 4 <> 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 11 = 0 AND l_suppkey % 4 <> 0)
+        |    AS BIGINT) AS n,
+        |  COALESCE(SUM(l_quantity) FILTER (WHERE l_orderkey % 7 = 0
+        |      AND l_suppkey % 4 <> 0), 0)
+        |    + COALESCE(SUM(l_quantity) FILTER (WHERE l_orderkey % 11 = 0
+        |      AND l_suppkey % 4 <> 0), 0) AS qty
+        |FROM lineitem
+        |ORDER BY state""".stripMargin) { (s, dir) =>
+      val table = restoreFixture(s, dir)
+      val post = SnapshotReader.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .select(lit("post_restore").as("state"), col("n"), col("qty"))
+      val pre = SnapshotReader.read(s, table, versionAsOf = Some(2L))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .select(lit("pre_restore").as("state"), col("n"), col("qty"))
+      post.unionAll(pre).orderBy(col("state"))
+    },
+
+    // Schema evolution + CHECK constraints, final state: the evolved
+    // append carries a new column, files written BEFORE the evolution
+    // surface it as NULL (declared-schema read), and the constraint added
+    // at v1 still guards the v2 write (ConstraintSpec pins the rejection
+    // path; here the accepted state hash-matches the oracle).
+    QueryDef.sqlBacked(
+      "q112_schema_evolution",
+      """SELECT
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 7 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 11 = 0) AS BIGINT) AS n,
+        |  COALESCE(SUM(l_quantity) FILTER (WHERE l_orderkey % 7 = 0), 0)
+        |    + COALESCE(SUM(l_quantity) FILTER (WHERE l_orderkey % 11 = 0), 0)
+        |    AS qty,
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 7 = 0) AS BIGINT)
+        |    AS n_null_qty2,
+        |  COALESCE(SUM(l_quantity * 2) FILTER (WHERE l_orderkey % 11 = 0), 0)
+        |    AS sum_qty2
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val table = evolutionFixture(s, dir)
+      SnapshotReader.read(s, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("qty"),
+          count(when(col("qty2").isNull, lit(1))).as("n_null_qty2"),
+          coalesce(sum(col("qty2")), lit(0.0)).as("sum_qty2"))
+    },
+
+    // Z-order + predicate-DERIVED skipping, final state: the 2-D
+    // clustered layout is read back through readWhere, which derives
+    // (l_orderkey, l_suppkey) ranges from the predicate itself, prunes
+    // the file list by footer stats, and applies the full residual
+    // filter — the result must equal the plain predicate over lineitem
+    // regardless of how much was pruned (CompactionSpec pins the pruning
+    // counts; this pins the answer).
+    QueryDef.sqlBacked(
+      "q113_zorder_skipping",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 500 AND 5000 AND l_suppkey <= 50""".stripMargin) { (s, dir) =>
+      val table = zorderFixture(s, dir)
+      DataSkipping.readWhere(s, table,
+          col("l_orderkey").between(500L, 5000L) && col("l_suppkey") <= 50L)
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
     }
   )

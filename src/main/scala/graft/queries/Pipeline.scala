@@ -303,6 +303,90 @@ object Pipeline {
           (size(pieces).cast("double") / size(TextOps.tokens(col("t"))))
             .as("fertility"))
         .orderBy(col("doc_id"))
+    },
+
+    // Incremental near-dup ingestion, final state: seed the versioned
+    // MinHash-LSH index with one synthetic doc per documents row (20
+    // tokens unique to the id — ZERO cross-doc similarity by
+    // construction, so the survivor set is exactly derivable in SQL),
+    // then process an arrival batch containing exact copies (%10),
+    // near copies (%25, 19 of 20 tokens), brand-new docs (%50), and
+    // in-batch duplicates of those new docs. The accepted set must be
+    // precisely the new docs (keep-first drops their in-batch twins),
+    // every copy class must drop against the index, and the index must
+    // grow by exactly the accepted count — all without re-sketching the
+    // seeded corpus (versioned-table state, ids-only candidate joins).
+    QueryDef.sqlBacked(
+      "q116_incremental_neardup",
+      """SELECT 'accepted' AS metric,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 50 = 0) AS BIGINT) AS n
+        |FROM documents
+        |UNION ALL
+        |SELECT 'accepted_id_sum' AS metric,
+        |  CAST(COALESCE(SUM(doc_id + 300000)
+        |    FILTER (WHERE doc_id % 50 = 0), 0) AS BIGINT) AS n
+        |FROM documents
+        |UNION ALL
+        |SELECT 'dropped' AS metric,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 0)
+        |    + COUNT(*) FILTER (WHERE doc_id % 25 = 0)
+        |    + COUNT(*) FILTER (WHERE doc_id % 50 = 0) AS BIGINT) AS n
+        |FROM documents
+        |UNION ALL
+        |SELECT 'indexed_final' AS metric,
+        |  CAST(COUNT(*) + COUNT(*) FILTER (WHERE doc_id % 50 = 0)
+        |    AS BIGINT) AS n
+        |FROM documents
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      import graft.operators.IncrementalNearDup
+      val indexBase =
+        s"target/fixtures/ind_q116_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(indexBase)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(indexBase), true)
+
+      // tokText(p, n): n tokens "p<doc_id>_k" — disjoint across ids and
+      // prefixes, so similarity exists ONLY where planted
+      def tokText(prefix: String, n: Int) = concat_ws(" ",
+        transform(sequence(lit(0), lit(n - 1)),
+          k => concat(lit(prefix), col("doc_id"), lit("_"), k)))
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val seedDocs = ids.select(col("doc_id"), tokText("t", 20).as("text"))
+      IncrementalNearDup.seed(s, seedDocs, indexBase, commitTs = 1000L)
+
+      // text is materialized BEFORE the id remap: in a single select the
+      // re-aliased doc_id would win lateral-column-alias resolution and
+      // the "copies" would quietly get fresh unique texts
+      val exactCopies = ids.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", tokText("t", 20))
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val nearCopies = ids.filter(col("doc_id") % 25 === 0)
+        .withColumn("text", concat(tokText("t", 19), lit(" zz_end")))
+        .select((col("doc_id") + 150000).as("doc_id"), col("text"))
+      val fresh = ids.filter(col("doc_id") % 50 === 0)
+        .withColumn("text", tokText("f", 20))
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val freshTwins = ids.filter(col("doc_id") % 50 === 0)
+        .withColumn("text", tokText("f", 20))
+        .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+      val batch = exactCopies.unionAll(nearCopies).unionAll(fresh)
+        .unionAll(freshTwins)
+      val nBatch = batch.count()
+
+      val accepted =
+        IncrementalNearDup.processBatch(s, batch, indexBase, commitTs = 2000L)
+      val stats = accepted
+        .agg(count(lit(1)).as("n_acc"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .head()
+      val nAcc = stats.getLong(0)
+      val idSum = stats.getLong(1)
+      val nIndexed = IncrementalNearDup.indexedCount(s, indexBase)
+      import s.implicits._
+      Seq(("accepted", nAcc), ("accepted_id_sum", idSum),
+        ("dropped", nBatch - nAcc), ("indexed_final", nIndexed))
+        .toDF("metric", "n")
+        .orderBy(col("metric"))
     }
   )
 }
