@@ -52,12 +52,39 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
 
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeOne(fn)
+    }.toMap
+
+    // Self-annotating noise protocol: any query >2x its previous round's
+    // time gets ONE isolated re-measure at the end of the run (same JVM,
+    // after the load the full pass generated has drained), and both numbers
+    // go in the JSON line — so a loaded driver machine no longer reads as a
+    // regression without anyone re-running by hand.
+    val prior: Map[String, Double] = {
+      val dir = new java.io.File(".")
+      val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      benches.lastOption.map { f =>
+        val txt = scala.io.Source.fromFile(f).mkString
+        "\"(q\\d+)\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    def short(n: String): String = n.takeWhile(_ != '_')
+    val outliers = results.toSeq.filter { case (name, t) =>
+      prior.get(short(name)).exists(p => t > 2 * p && t > 0.75)
+    }.map(_._1).sorted
+    val remeasured = outliers.map { name =>
+      name -> timeOne(selected(name))
     }.toMap
     // Full-resolution per-query times (long names) go to stderr for humans;
     // the machine-read line on stdout stays compact — short keys (the qNN
@@ -68,10 +95,18 @@ object Bench {
       .mkString("{", ",", "}")
     System.err.println(s"[bench-detail] $fullQs")
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .map { case (k, v) => s"\"" + short(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val rs = remeasured.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total with outliers replaced by their isolated re-measure — the
+    // number to compare round-over-round when the first pass ran loaded
+    val totalIso = results.map { case (k, v) =>
+      remeasured.getOrElse(k, v)
+    }.sum
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_isolated":${f"$totalIso%.3f"},"remeasured":$rs,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -299,6 +299,117 @@ object Events {
         .groupBy(col("user_id"))
         .agg(max(col("len")).as("max_streak"))
         .orderBy(col("user_id"))
+    },
+
+    // Last-touch attribution: each purchase credits the user's most recent
+    // PRIOR click within 7 days. One window pass per user (the as-of is a
+    // running last-click carried by an ignore-nulls window over the merged
+    // stream) — no purchase×click self-join, so the shape stays a single
+    // user-partitioned shuffle at any scale. Millisecond epoch diffs keep
+    // the 7-day cutoff integer-exact in both engines.
+    QueryDef.sqlBacked(
+      "q123_last_touch_attribution",
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type, value
+        |            FROM events WHERE event_type IN ('click', 'purchase')),
+        |ann AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN CAST(ts AS DATE) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_day
+        |  FROM ev)
+        |SELECT click_day, CAST(COUNT(*) AS BIGINT) AS n_attributed,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS attributed_cents
+        |FROM ann
+        |WHERE event_type = 'purchase' AND click_ms IS NOT NULL
+        |  AND epoch_ms(ts) - click_ms <= 604800000
+        |GROUP BY click_day ORDER BY click_day""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_ms",
+          last(when(col("event_type") === "click", unix_millis(col("ts"))),
+            ignoreNulls = true).over(w))
+        .withColumn("click_day",
+          last(when(col("event_type") === "click", col("ts").cast("date")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("click_ms").isNotNull
+          && unix_millis(col("ts")) - col("click_ms") <= 604800000L)
+        .groupBy(col("click_day"))
+        .agg(count(lit(1)).as("n_attributed"),
+          // cents, not raw doubles: integer summation is order-independent,
+          // so the cross-engine hash can't drift with aggregation order
+          sum(floor(col("value") * 100).cast("long")).as("attributed_cents"))
+        .orderBy(col("click_day"))
+    },
+
+    // Trailing-24h distinct users per hour — the exact sliding-distinct
+    // shape: each event REPLICATES to the 24 hour-buckets it is visible
+    // from (explode of a fixed-length sequence, map-side), then ONE
+    // hash-distinct aggregation; no range self-join, no per-bucket rescan.
+    // 24× replication is the deliberate price of exactness; q28's HLL is
+    // the sketch alternative when ±2% suffices.
+    QueryDef.sqlBacked(
+      "q124_sliding_distinct",
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS eh, user_id FROM events),
+        |obs AS (SELECT DISTINCT eh AS h FROM ev)
+        |SELECT o.h, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_24h
+        |FROM obs o JOIN ev e
+        |  ON e.eh BETWEEN o.h - INTERVAL 23 HOUR AND o.h
+        |GROUP BY o.h ORDER BY o.h""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("eh"), col("user_id"))
+      val contrib = ev.select(col("user_id"),
+        explode(sequence(col("eh"),
+          col("eh") + expr("INTERVAL 23 HOURS"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val observed = ev.select(col("eh").as("h")).distinct()
+      contrib.join(observed, Seq("h"), "left_semi")
+        .groupBy(col("h"))
+        .agg(countDistinct(col("user_id")).as("users_24h"))
+        .orderBy(col("h"))
+    },
+
+    // OHLC downsampling (time-series bar charts): per (event_type, day),
+    // open/high/low/close of value. Open/close are rank-1 rows of the two
+    // orderings — (ts, event_id) tie-broken, so both engines pick the same
+    // row — folded into the same single aggregation as high/low.
+    QueryDef.sqlBacked(
+      "q125_ohlc_downsample",
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
+        |             value FROM events),
+        |r AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, d
+        |    ORDER BY ts, event_id) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, d
+        |    ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, d,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY event_type, d
+        |ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      val wa = Window.partitionBy(col("event_type"), col("d"))
+        .orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), col("d"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("date").as("d"),
+          col("ts"), col("event_id"), col("value"))
+        .withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy(col("event_type"), col("d"))
+        .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("d"))
     }
   )
 }

@@ -387,6 +387,66 @@ object Pipeline {
         ("dropped", nBatch - nAcc), ("indexed_final", nIndexed))
         .toDF("metric", "n")
         .orderBy(col("metric"))
+    },
+
+    // Deterministic weighted sample (priority sampling): md5(doc_id) gives
+    // a reproducible 52-bit uniform u; rank by u / weight so selection
+    // probability scales with document size — the standard exponential-
+    // clocks trick with the transcendentals dropped so BOTH engines
+    // compute the identical IEEE double. Top-k via distributed
+    // TakeOrdered (orderBy+limit), never a single-partition window over
+    // the corpus; 52 bits keeps u exactly representable in a double.
+    QueryDef.sqlBacked(
+      "q121_weighted_sample",
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INT)
+        |    AS rnk, doc_id, n_chars
+        |FROM (SELECT doc_id, n_chars,
+        |        CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |          1, 13)) AS BIGINT) AS DOUBLE) / n_chars AS priority
+        |      FROM documents)
+        |ORDER BY priority, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long")
+      val top = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (u.cast("double") / col("n_chars")).as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(20)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("priority"), col("doc_id")))
+            .cast("int"))
+        .select(col("rnk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("rnk"))
+    },
+
+    // Stratified sampling accounting: a deterministic 1-in-8 hash sample
+    // per language stratum, with per-stratum totals — ONE scan, the
+    // sample predicate folded into conditional aggregates (no second
+    // pass, no shuffle of sampled rows). The md5-derived key makes the
+    // sample reproducible across engines and runs — rerunning the
+    // pipeline yields the same training subset, which is what makes
+    // hash-sampling the 100 TB-safe spelling (no RNG state per task).
+    QueryDef.sqlBacked(
+      "q122_stratified_sample",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) FILTER (WHERE u % 8 = 0) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(SUM(n_chars) FILTER (WHERE u % 8 = 0), 0) AS BIGINT)
+        |    AS sampled_chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |          AS BIGINT) AS u
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long")
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), u.as("u"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("u") % 8 === 0, 1)).as("n_sampled"),
+          coalesce(sum(when(col("u") % 8 === 0, col("n_chars"))), lit(0L))
+            .cast("long").as("sampled_chars"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -15,6 +15,99 @@ import org.apache.spark.sql.functions._
   * values.
   */
 object Similarity {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Brute-force cosine top-5 — the exact ground truth (q50's frame). */
+  private def bruteTop5(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Brute-force cosine top-5 restricted to label=2 (q87's frame). */
+  private def filteredBruteTop5(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val corpus = e.filter(col("label") === 2) // prune before vector math
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(corpus, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Recall scaffolding: persist the ANN candidate set as a parquet
+    * fixture, read it BACK (so output and fixture are bit-identical even
+    * if the ANN lineage were re-executed), and count per-query hits
+    * against the exact ground truth. The DuckDB oracle recomputes the
+    * ground truth from embeddings.parquet, reads the same fixture, and
+    * recomputes the hit counts — so the driver now hash-checks both the
+    * ground-truth definition and the recall arithmetic for the
+    * approximate family (the approximation itself is bounded in
+    * SimilaritySpec's recall floors).
+    */
+  private def recallVsGt(s: SparkSession, dir: String, variant: String,
+      ann: DataFrame, gt: DataFrame): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"target/fixtures/annrecall_${variant}_$tag"
+    ann.select(col("query_id"), col("neighbor_id"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val annBack = s.read.parquet(path).withColumn("hit", lit(1))
+    gt.select(col("query_id"), col("neighbor_id"))
+      .join(annBack, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Ground truth as DuckDB SQL: (query_id, neighbor_id) of the exact
+    * top-5; `extraPred` narrows the corpus for the filtered variant.
+    */
+  private def gtSql(extraPred: String): String =
+    s"""SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rnk
+       |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |          FROM embeddings WHERE vec_id < 20) q
+       |    CROSS JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |                FROM embeddings) e
+       |    WHERE q.vec_id <> e.vec_id$extraPred)
+       |  WHERE rnk <= 5""".stripMargin
+
+  /** The fixture path tag is fixed to the driver's correctness SF
+    * (sf0.01) because oracle SQL is a static string; Verify at that SF
+    * writes the fixture the oracle reads. Absolute path: the DuckDB
+    * process's cwd is not ours to assume.
+    */
+  private def recallOracle(variant: String, extraPred: String): String =
+    s"""WITH ann AS (SELECT query_id, neighbor_id FROM
+       |  '/root/repo/target/fixtures/annrecall_${variant}__root_testdata_sf0_01/*.parquet'),
+       |gt AS (${gtSql(extraPred)})
+       |SELECT gt.query_id, CAST(COUNT(ann.neighbor_id) AS BIGINT) AS hits
+       |FROM gt LEFT JOIN ann ON ann.query_id = gt.query_id
+       |  AND ann.neighbor_id = gt.neighbor_id
+       |GROUP BY gt.query_id
+       |ORDER BY gt.query_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k: 20 query vectors × full table, top-5 each.
@@ -32,20 +125,7 @@ object Similarity {
         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
         |FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("rnk"), col("neighbor_id"))
-        .orderBy(col("query_id"), col("rnk"))
+      bruteTop5(s, dir)
     },
 
     // Embedding-cosine near-dup, brute-force-complete baseline over the
@@ -182,7 +262,30 @@ object Similarity {
     // a training job). Queries probe their ~k/4 nearest cells (~25% of
     // the corpus scanned — the standard IVF recall/cost trade; recall
     // measured in SimilaritySpec). Spark-only.
-    QueryDef.sparkOnly("q54_ann_ivf_topk") { (s, dir) =>
+    QueryDef.sparkOnly("q54_ann_ivf_topk") { (s, dir) => ivfTop5(s, dir) },
+
+    // Recall gates for the approximate family — see recallVsGt. Each row
+    // is (query_id, hits ≤ 5): how many of the exact top-5 the ANN path
+    // surfaced. Driver-hash-checked end to end.
+    QueryDef.sqlBacked("q117_ann_recall_lsh", recallOracle("lsh", "")) {
+      (s, dir) => recallVsGt(s, dir, "lsh", lshTop5(s, dir), bruteTop5(s, dir))
+    },
+    QueryDef.sqlBacked("q118_ann_recall_ivf", recallOracle("ivf", "")) {
+      (s, dir) => recallVsGt(s, dir, "ivf", ivfTop5(s, dir), bruteTop5(s, dir))
+    },
+    QueryDef.sqlBacked("q119_ann_recall_quantized",
+      recallOracle("quant", "")) { (s, dir) =>
+      recallVsGt(s, dir, "quant", quantTop5(s, dir), bruteTop5(s, dir))
+    },
+    QueryDef.sqlBacked("q120_ann_recall_filtered",
+      recallOracle("fivf", " AND e.label = 2")) { (s, dir) =>
+      recallVsGt(s, dir, "fivf", filteredIvfTop5(s, dir),
+        filteredBruteTop5(s, dir))
+    }
+  ) ++ moreDefs
+
+  /** IVF ANN top-5 (q54's frame). */
+  private def ivfTop5(s: SparkSession, dir: String): DataFrame = {
       val base = Tables.load(s, dir, "embeddings")
       // column-pruned footer count for index sizing — no vector math
       val n = base.count()
@@ -221,13 +324,14 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
-    },
+  }
 
-    // Int8-quantized brute-force top-k — the memory-at-scale path: the
-    // corpus is stored/shuffled as (array<tinyint>, scale), 4× smaller
-    // than float32, and rounding is the only approximation (scales
-    // cancel in cosine). SimilaritySpec measures recall vs exact q50.
-    QueryDef.sparkOnly("q76_ann_quantized_topk") { (s, dir) =>
+  /** Int8-quantized brute-force top-5 (q76's frame) — the memory-at-scale
+    * path: the corpus is stored/shuffled as (array<tinyint>, scale), 4×
+    * smaller than float32, and rounding is the only approximation (scales
+    * cancel in cosine). SimilaritySpec measures recall vs exact q50.
+    */
+  private def quantTop5(s: SparkSession, dir: String): DataFrame = {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), quantize(toDouble(col("embedding"))).as("qv"))
         .cache()
@@ -242,12 +346,13 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
-    },
+  }
 
-    // Banded multi-table LSH ANN top-k — each query probes its slot in all
-    // 8 tables (multi-probe union), candidates dedup to ids, cosine ranks
-    // the union. Spark-only (approximation has no SQL-exact oracle).
-    QueryDef.sparkOnly("q53_ann_lsh_topk") { (s, dir) =>
+  /** Banded multi-table LSH ANN top-5 (q53's frame) — each query probes
+    * its slot in all 8 tables (multi-probe union), candidates dedup to
+    * ids, cosine ranks the union.
+    */
+  private def lshTop5(s: SparkSession, dir: String): DataFrame = {
       val base = Tables.load(s, dir, "embeddings")
       // column-pruned footer count — no vector kernels evaluated for sizing
       val bits = lshAutoBits(base.count())
@@ -278,7 +383,17 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private def moreDefs: Seq[QueryDef] = Seq(
+    // Int8-quantized brute-force top-k (see quantTop5).
+    QueryDef.sparkOnly("q76_ann_quantized_topk") { (s, dir) =>
+      quantTop5(s, dir)
     },
+
+    // Banded multi-table LSH ANN top-k (see lshTop5). Spark-only: the
+    // approximation has no SQL-exact oracle; q117 hash-checks its recall.
+    QueryDef.sparkOnly("q53_ann_lsh_topk") { (s, dir) => lshTop5(s, dir) },
 
     // Filtered vector search (the RAG shape: "nearest neighbors among
     // docs tagged X"): brute-force-complete baseline — the metadata
@@ -300,22 +415,7 @@ object Similarity {
         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
         |FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val corpus = e.filter(col("label") === 2) // prune before vector math
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(q).join(corpus, col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("rnk"), col("neighbor_id"))
-        .orderBy(col("query_id"), col("rnk"))
+      filteredBruteTop5(s, dir)
     },
 
     // Filtered ANN, IVF path: the label predicate prunes the ASSIGNED
@@ -324,6 +424,17 @@ object Similarity {
     // (filter-then-probe; probing-then-filtering starves top-k recall
     // when the filter is selective). SimilaritySpec checks recall vs q87.
     QueryDef.sparkOnly("q88_ann_filtered_ivf") { (s, dir) =>
+      filteredIvfTop5(s, dir)
+    }
+  )
+
+  /** Filtered ANN, IVF path (q88's frame): the label predicate prunes the
+    * ASSIGNED frame before the probe join — candidate generation already
+    * runs on the filtered sliver, the right order of operations at 100 TB
+    * (filter-then-probe; probing-then-filtering starves top-k recall when
+    * the filter is selective).
+    */
+  private def filteredIvfTop5(s: SparkSession, dir: String): DataFrame = {
       val base = Tables.load(s, dir, "embeddings")
       val n = base.count()
       val e = base
@@ -361,6 +472,5 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rnk"))
-    }
-  )
+  }
 }

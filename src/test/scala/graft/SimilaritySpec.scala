@@ -64,6 +64,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"missing=${(brute -- sem).take(5)} extra=${(sem -- brute).take(5)}")
   }
 
+  test("recall gates q117–q120 equal the set-intersection recall") {
+    val cases = Seq(
+      ("q117_ann_recall_lsh", "q53_ann_lsh_topk", "q50_cosine_topk"),
+      ("q118_ann_recall_ivf", "q54_ann_ivf_topk", "q50_cosine_topk"),
+      ("q119_ann_recall_quantized", "q76_ann_quantized_topk", "q50_cosine_topk"),
+      ("q120_ann_recall_filtered", "q88_ann_filtered_ivf", "q87_filtered_topk"))
+    for ((recallQ, annQ, gtQ) <- cases) {
+      val hits = SparkEntry.queries(recallQ)(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hits.size == 20, s"$recallQ rows")
+      assert(hits.values.forall(h => h >= 0 && h <= 5), s"$recallQ range")
+      val ann = top5(annQ)
+      val gt = top5(gtQ)
+      val expected = gt.groupBy(_._1).map { case (q, s) =>
+        q -> s.count(ann.contains).toLong
+      }
+      assert(hits == expected, s"$recallQ: $hits != $expected")
+    }
+  }
+
   test("IVF index persists: second access loads instead of retraining") {
     import graft.operators.IvfIndex
     val e = Tables.load(spark, sf, "embeddings")
