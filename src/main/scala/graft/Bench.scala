@@ -39,6 +39,7 @@ object Bench {
       queries.Maintenance.deleteFixture(spark, sfDir)
       queries.Maintenance.dvFixture(spark, sfDir)
       queries.Maintenance.cloneFixture(spark, sfDir)
+      queries.Maintenance.renameFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

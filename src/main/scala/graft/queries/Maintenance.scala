@@ -200,7 +200,56 @@ object Maintenance {
     dir
   }
 
+  /** v0: lineitem %7 (4 columns); v1: metadata-only RENAME
+    * l_quantity → qty (zero files touched); v2: append of the %11∧¬%7
+    * rows under the NEW logical name; v3: DELETE WHERE qty > 40.
+    */
+  def renameFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/ren_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.renameColumn(spark, dir, "l_quantity", "qty",
+      version = 1L, commitTs = 2000L)
+    TableWriter.write(spark,
+      li.filter(col("l_orderkey") % 11 === 0 && col("l_orderkey") % 7 =!= 0)
+        .withColumnRenamed("l_quantity", "qty"),
+      dir, version = 2L, commitTs = 3000L)
+    TableWriter.deleteWhere(spark, dir, col("qty") > 40,
+      version = 3L, commitTs = 4000L)
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // Metadata-only RENAME COLUMN (column mapping), final state: the
+    // rename touches zero data files, the post-rename append writes
+    // under the creation-time PHYSICAL name, and the delete filters on
+    // the LOGICAL name — all derivable straight from lineitem. A
+    // mapping-blind reader would aggregate nulls here (ColumnMappingSpec
+    // pins the file-level invariants; this pins the answer).
+    QueryDef.sqlBacked(
+      "q126_column_rename",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE (l_orderkey % 7 = 0
+        |    OR (l_orderkey % 11 = 0 AND l_orderkey % 7 <> 0))
+        |  AND l_quantity <= 40
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val table = renameFixture(s, dir)
+      SnapshotReader.read(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
     // Shallow clone + copy-on-write divergence: the clone (append + a
     // rewrite-delete after the zero-copy CLONE commit) and its UNTOUCHED
     // source both read correct states — each derivable from lineitem.

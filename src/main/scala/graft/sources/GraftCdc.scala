@@ -318,12 +318,19 @@ private[sources] class GraftCdcMicroBatchStream(
     val e = end.asInstanceOf[WrappedOffset].o
     val l = log
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    val partCols = l.snapshotLatest().metadata.map(_.partitionColumns).getOrElse(Nil)
+    val latestMeta = l.snapshotLatest().metadata
+    val partCols = latestMeta.map(_.partitionColumns).getOrElse(Nil)
+    // Column mapping (RENAME COLUMN): the per-file reader resolves parquet
+    // fields BY NAME, so partitions carry the PHYSICAL spelling of the
+    // envelope schema; the stream's output schema stays logical (rows are
+    // positional — names never travel with them).
+    val physJson = graft.txn.ColumnMapping.physicalSchema(schema,
+      latestMeta.map(_.columnMapping).getOrElse(Map.empty)).json
 
     def filePart(ev: CdcFileEvent, v: Long, skipRows: Long,
         untilRow: Long): Unit =
       parts += CdcFilePartition(TxnLog.dataPath(opts.tablePath, ev.rel), ev.op,
-        CdcReader.partitionValueString(ev.pv), ev.pv, ev.ts, v, schema.json,
+        CdcReader.partitionValueString(ev.pv), ev.pv, ev.ts, v, physJson,
         partCols, serConf, skipRows, untilRow,
         dvMode = ev.dvMode,
         dvDir = if (ev.dvDir.isEmpty) ""

@@ -59,11 +59,17 @@ final case class RemoveFile(
   *        written row must satisfy (NULL passes, per SQL CHECK
   *        semantics). Optional with a default, so pre-constraint logs
   *        and checkpoints read unchanged.
+  * @param columnMapping logical column name → PHYSICAL name (the name
+  *        inside data files). Non-empty only after a metadata-only
+  *        RENAME COLUMN (Delta column-mapping idea): files keep their
+  *        creation-time field names forever; readers translate. Default
+  *        keeps pre-mapping logs and checkpoints readable.
   */
 final case class Metadata(
     schemaJson: String,
     partitionColumns: Seq[String],
-    constraints: Seq[String] = Seq.empty) extends Action
+    constraints: Seq[String] = Seq.empty,
+    columnMapping: Map[String, String] = Map.empty) extends Action
 
 /** Commit provenance; `timestamp` drives timestamp-as-of time travel. */
 final case class CommitInfo(

@@ -178,6 +178,8 @@ object CdcReader {
     val declaredSchema = latestSnap.metadata
       .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val colMapping = latestSnap.metadata
+      .map(_.columnMapping).getOrElse(Map.empty[String, String])
 
     if (fileEvents.isEmpty && metaRows.isEmpty && snapDv.isEmpty &&
         dvTransitions.isEmpty && removeLive.isEmpty) {
@@ -215,8 +217,10 @@ object CdcReader {
       val reader0 =
         if (paths.exists(p => !p.startsWith(tq))) spark.read
         else spark.read.option("basePath", tablePath)
-      val reader = declaredSchema.fold(reader0)(reader0.schema)
-      reader.parquet(paths: _*)
+      // scan under PHYSICAL names (column mapping), surface logical
+      val reader = declaredSchema.fold(reader0)(s =>
+        reader0.schema(ColumnMapping.physicalSchema(s, colMapping)))
+      ColumnMapping.toLogical(reader.parquet(paths: _*), colMapping)
         .withColumn("_cdc_path",
           regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
     }
@@ -246,7 +250,8 @@ object CdcReader {
       if (snapDv.isEmpty) None
       else {
         val filtered = DeletionVectors.readFiles(spark, tablePath,
-            snapDv.toSeq, declaredSchema, withRowMeta = true)
+            snapDv.toSeq, declaredSchema, withRowMeta = true,
+            mapping = colMapping)
           .withColumnRenamed("_path", "_cdc_path")
         val env = snapDv.toSeq
           .map(f => (normalize(qualify(f.path)), "c", f.modificationTime,
@@ -293,7 +298,8 @@ object CdcReader {
       if (removeLive.isEmpty) None
       else {
         val filtered = DeletionVectors.readFiles(spark, tablePath,
-            removeLive.map(_._1).toSeq, declaredSchema, withRowMeta = true)
+            removeLive.map(_._1).toSeq, declaredSchema, withRowMeta = true,
+            mapping = colMapping)
           .withColumnRenamed("_path", "_cdc_path")
         val env = removeLive.toSeq
           .map { case (f, ts, v) => (normalize(qualify(f.path)), "r", ts, v) }

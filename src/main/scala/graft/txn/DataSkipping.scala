@@ -120,14 +120,22 @@ object DataSkipping {
   private[graft] def filesFor(
       spark: SparkSession,
       tablePath: String,
-      pred: org.apache.spark.sql.Column): (Seq[AddFile], StructType) = {
+      pred: org.apache.spark.sql.Column)
+      : (Seq[AddFile], StructType, Map[String, String]) = {
     val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
     val snap = log.snapshotLatest()
     val schema = snap.metadata.map(m =>
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(s"no schema at $tablePath"))
+    val mapping = snap.metadata.map(_.columnMapping).getOrElse(Map.empty)
+    // ranges are keyed by the predicate's LOGICAL names; file stats are
+    // keyed by the footer's PHYSICAL names — translate before pruning
     val ranges = rangesOf(resolvedCondition(spark, schema, pred), schema)
-    (pruneFilesAll(snap.files, schema, ranges), schema)
+      .map { case (c, lo, hi) =>
+        (ColumnMapping.physicalName(c, mapping), lo, hi)
+      }
+    val physSchema = ColumnMapping.physicalSchema(schema, mapping)
+    (pruneFilesAll(snap.files, physSchema, ranges), schema, mapping)
   }
 
   /** Snapshot read with AUTOMATIC stats pruning: the ranges are derived
@@ -138,12 +146,13 @@ object DataSkipping {
       spark: SparkSession,
       tablePath: String,
       pred: org.apache.spark.sql.Column): DataFrame = {
-    val (kept, schema) = filesFor(spark, tablePath, pred)
+    val (kept, schema, mapping) = filesFor(spark, tablePath, pred)
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(pred)
-    DeletionVectors.readFiles(spark, tablePath, kept, Some(schema))
+    DeletionVectors.readFiles(spark, tablePath, kept, Some(schema),
+        mapping = mapping)
       .filter(pred)
   }
 
@@ -162,13 +171,17 @@ object DataSkipping {
     val schema = snap.metadata.map(m =>
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(s"no schema at $tablePath"))
+    val mapping = snap.metadata.map(_.columnMapping).getOrElse(Map.empty)
     val dt = schema(column).dataType
-    val kept = pruneFiles(snap.files, dt, column, lo, hi)
+    // stats keys are physical (footer-derived); `column` is logical
+    val kept = pruneFiles(snap.files, dt,
+      ColumnMapping.physicalName(column, mapping), lo, hi)
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(col(column) >= lo && col(column) <= hi)
-    DeletionVectors.readFiles(spark, tablePath, kept, None)
+    DeletionVectors.readFiles(spark, tablePath, kept, Some(schema),
+        mapping = mapping)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 }

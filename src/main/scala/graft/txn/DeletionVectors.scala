@@ -75,7 +75,8 @@ object DeletionVectors {
       tablePath: String,
       files: Seq[AddFile],
       schema: Option[StructType],
-      withRowMeta: Boolean = false): DataFrame = {
+      withRowMeta: Boolean = false,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     require(files.nonEmpty, "readFiles needs at least one file")
     // Shallow-clone imports live under the SOURCE root, so basePath
     // (hive partition inference) only applies to all-local file sets —
@@ -84,12 +85,19 @@ object DeletionVectors {
     val reader0 =
       if (files.exists(f => TxnLog.isExternal(f.path))) spark.read
       else spark.read.option("basePath", tablePath)
-    val reader = schema.fold(reader0)(reader0.schema)
+    // Column mapping: the scan asks for PHYSICAL names (what the files
+    // carry; logical names would resolve to nulls), then renames the
+    // frame back to logical before anything downstream sees it.
+    val reader = schema.fold(reader0)(s =>
+      reader0.schema(ColumnMapping.physicalSchema(s, mapping)))
+    def logical(df: DataFrame): DataFrame = ColumnMapping.toLogical(df, mapping)
     // DV-free fast path: a plain vectorized scan with zero added columns
     // (the common case must not pay for the feature)
     if (!withRowMeta && files.forall(_.dv.isEmpty))
-      return reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*)
-    val raw = reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*)
+      return logical(
+        reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*))
+    val raw = logical(
+        reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*))
       .withColumn("_fn", col("_metadata.file_name"))
       .withColumn("_ri", col("_metadata.row_index"))
       .withColumn("_path",
@@ -112,7 +120,8 @@ object DeletionVectors {
       tablePath: String,
       snap: Snapshot,
       withRowMeta: Boolean = false): DataFrame =
-    readFiles(spark, tablePath, snap.files, declaredSchema(snap), withRowMeta)
+    readFiles(spark, tablePath, snap.files, declaredSchema(snap), withRowMeta,
+      snap.metadata.map(_.columnMapping).getOrElse(Map.empty))
 
   /** Row-level DELETE WHERE via deletion vectors: no data file is
     * rewritten — matched row positions are written to a new DV directory

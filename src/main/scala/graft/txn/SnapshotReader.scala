@@ -35,11 +35,14 @@ object SnapshotReader {
       // read with the DECLARED schema as of this version (not whatever
       // file Spark samples): after a schema-change commit, files written
       // earlier surface the added columns as null (Delta semantics).
-      // Deletion vectors apply inside (DV-free tables take a plain scan).
+      // Deletion vectors apply inside (DV-free tables take a plain scan);
+      // column mapping (RENAME COLUMN) translates at the file boundary.
       DeletionVectors.readFiles(spark, tablePath, snap.files,
         snap.metadata.map(m =>
           org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]),
+        withRowMeta = false,
+        mapping = snap.metadata.map(_.columnMapping).getOrElse(Map.empty))
     }
   }
 }

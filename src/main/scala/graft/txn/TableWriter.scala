@@ -123,7 +123,10 @@ object TableWriter {
     enforceConstraints(df, constraints, tablePath)
     val adds = stageAndMove(spark, df, tablePath, partitionBy, version,
       commitTs, dataChange = true)
-    val meta = Metadata(df.schema.json, partitionBy, constraints)
+    // schemaJson stays LOGICAL; the column mapping (if any) carries
+    // forward so later readers keep translating older files
+    val meta = Metadata(df.schema.json, partitionBy, constraints,
+      priorMeta.map(_.columnMapping).getOrElse(Map.empty))
     val log = new TxnLog(tablePath, conf)
     val metaAction: Seq[Action] =
       if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
@@ -189,6 +192,63 @@ object TableWriter {
       CommitInfo("ADD CONSTRAINT", commitTs)))
   }
 
+  /** Metadata-only RENAME COLUMN (Delta column-mapping, name mode): no
+    * data file is touched — the commit re-declares the schema under the
+    * new logical name and records logical→physical in the Metadata, so
+    * every reader translates at the file boundary and renaming a 100 TB
+    * table is one JSON commit. Demands Protocol(2, 2) like DVs: a reader
+    * that ignored the mapping would silently surface the renamed column
+    * as nulls (parquet by-name resolution), which is exactly the
+    * corruption the protocol guard exists to prevent.
+    *
+    * Refused: partition columns (their names are baked into directory
+    * layout and partitionValues), constraint-referenced columns (the
+    * expression text would dangle), and any new name that collides with
+    * another column's logical or physical spelling (the translation
+    * would become ambiguous).
+    */
+  def renameColumn(
+      spark: SparkSession,
+      tablePath: String,
+      oldName: String,
+      newName: String,
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val m = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no table metadata at $tablePath"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' at $tablePath")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists at $tablePath")
+    require(!m.partitionColumns.contains(oldName),
+      s"cannot rename partition column '$oldName'")
+    val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
+    require(!m.constraints.exists(c => word.findFirstIn(c).isDefined),
+      s"cannot rename '$oldName': referenced by a CHECK constraint")
+    val physical = ColumnMapping.physicalName(oldName, m.columnMapping)
+    val otherPhysical = schema.fieldNames.filterNot(_ == oldName)
+      .map(n => ColumnMapping.physicalName(n, m.columnMapping)).toSet
+    require(!otherPhysical.contains(newName),
+      s"'$newName' collides with another column's physical name")
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == oldName) f.copy(name = newName) else f))
+    val newMapping = (m.columnMapping - oldName) ++
+      (if (newName == physical) Map.empty[String, String]
+       else Map(newName -> physical))
+    val protocol: Seq[Action] =
+      if (snap.protocol.exists(_.minReaderVersion >= 2)) Seq.empty
+      else Seq(Protocol(2, 2))
+    log.commit(version, protocol ++ Seq(
+      m.copy(schemaJson = newSchema.json, columnMapping = newMapping),
+      CommitInfo("RENAME COLUMN", commitTs)))
+  }
+
   /** Stage-and-move for sibling txn modules (DeletionVectors.purge):
     * write `df`'s parts into the table tree and return their AddFiles
     * WITHOUT committing — the caller owns the commit.
@@ -222,8 +282,23 @@ object TableWriter {
     val staging = new Path(tablePath, s".staging-$version")
     fs.delete(staging, true)
 
-    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*)
-    else df.write
+    // Column mapping: files are ALWAYS written under physical names, so
+    // appends/compactions/merges after a RENAME COLUMN stay consistent
+    // with the files already on disk. Callers hand in logical frames;
+    // this is the single point where every write path translates.
+    // (Partition columns never map — renameColumn refuses them.)
+    val mapping =
+      if (version == 0L) Map.empty[String, String]
+      else {
+        val l = new TxnLog(tablePath, conf)
+        if (l.latestVersion().isEmpty) Map.empty[String, String]
+        else l.snapshotLatest().metadata.map(_.columnMapping)
+          .getOrElse(Map.empty)
+      }
+    val physDf = ColumnMapping.toPhysical(df, mapping)
+
+    val writer = if (partitionBy.nonEmpty) physDf.write.partitionBy(partitionBy: _*)
+    else physDf.write
     writer.mode("overwrite").parquet(staging.toString)
 
     val adds = scala.collection.mutable.ArrayBuffer.empty[AddFile]
@@ -361,7 +436,7 @@ object TableWriter {
       .filter { case (_, fs) => fs.size > 1 || fs.exists(_.dv.isDefined) }
       .values.flatten.toSeq
     if (doomed.isEmpty) return Seq.empty
-    val src = DeletionVectors.readFiles(spark, tablePath, doomed, None)
+    val src = readDeclared(spark, tablePath, snap, doomed)
     val packed = (partCols, zorderBy, clusterBy) match {
       case (pcs, _, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
       case (_, zs, _) if zs.size >= 2 =>
@@ -542,8 +617,7 @@ object TableWriter {
 
     val survivors =
       if (affected.isEmpty) source
-      else DeletionVectors
-        .readFiles(spark, tablePath, affected.toIndexedSeq, None)
+      else readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(source)
     // MERGE introduces new/updated rows — CHECK constraints apply to the
@@ -589,8 +663,7 @@ object TableWriter {
       log.commit(version, Seq(CommitInfo("DELETE", commitTs)))
       return
     }
-    val survivors = DeletionVectors
-      .readFiles(spark, tablePath, affected.toIndexedSeq, None)
+    val survivors = readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
       .filter(!pred)
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
@@ -598,6 +671,22 @@ object TableWriter {
       RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
     log.commit(version, (removes ++ adds) :+ CommitInfo("DELETE", commitTs))
   }
+
+  /** The file set under the table's DECLARED schema, column mapping
+    * applied — rewrite paths (compact / merge / delete) must see logical
+    * names, like every other reader.
+    */
+  private def readDeclared(
+      spark: SparkSession,
+      tablePath: String,
+      snap: Snapshot,
+      files: Seq[AddFile]): DataFrame =
+    DeletionVectors.readFiles(spark, tablePath, files,
+      snap.metadata.map(m =>
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      withRowMeta = false,
+      mapping = snap.metadata.map(_.columnMapping).getOrElse(Map.empty))
 
   /** RESTORE the table to the live-file state it had at `toVersion`, as
     * a NEW commit (history is preserved; Delta's RESTORE semantics): the

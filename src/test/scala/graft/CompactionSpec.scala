@@ -488,7 +488,7 @@ class CompactionSpec extends AnyFunSuite {
     val pred = col("l_orderkey") <= lo + 5 &&
       col("l_quantity") >= 1.0 && col("l_returnflag") === "A"
     // the derived key range prunes the 6-file range layout
-    val (kept, _) = DataSkipping.filesFor(spark, table, pred)
+    val (kept, _, _) = DataSkipping.filesFor(spark, table, pred)
     assert(kept.size < 6, s"kept ${kept.size} of 6")
     // end-to-end: pruned result == plain filter result
     val got = DataSkipping.readWhere(spark, table, pred)
