@@ -227,7 +227,53 @@ object Maintenance {
     dir
   }
 
+  /** v0: orders %5 with GENERATED o_month = date_format(o_orderdate,
+    * 'yyyy-MM') as the partition column (writer omits it — the engine
+    * computes); v1: append of the %7∧¬%5 rows, also omitting it.
+    */
+  def generatedFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/gen_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val orders = Tables.load(spark, sfDir, "orders")
+    TableWriter.write(spark, orders.filter(col("o_orderkey") % 5 === 0), dir,
+      partitionBy = Seq("o_month"), version = 0L, commitTs = 1000L,
+      generated = Map("o_month" -> "date_format(o_orderdate, 'yyyy-MM')"))
+    TableWriter.write(spark,
+      orders.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 5 =!= 0),
+      dir, partitionBy = Seq("o_month"), version = 1L, commitTs = 2000L)
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // Generated partition column, final state: both writes OMIT o_month
+    // (the engine computes it from the declared expression), the range
+    // filter lands on the generated column (file-level partition
+    // pruning), and the result must equal a recompute straight from
+    // orders. Cents-exact sums keep the cross-engine hash stable.
+    QueryDef.sqlBacked(
+      "q127_generated_partition",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE (o_orderkey % 5 = 0
+        |    OR (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0))
+        |  AND strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1997-06'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val table = generatedFixture(s, dir)
+      SnapshotReader.read(s, table)
+        .filter(col("o_month").between("1996-01", "1997-06"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Metadata-only RENAME COLUMN (column mapping), final state: the
     // rename touches zero data files, the post-rename append writes
     // under the creation-time PHYSICAL name, and the delete filters on

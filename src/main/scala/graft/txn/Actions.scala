@@ -64,12 +64,18 @@ final case class RemoveFile(
   *        RENAME COLUMN (Delta column-mapping idea): files keep their
   *        creation-time field names forever; readers translate. Default
   *        keeps pre-mapping logs and checkpoints readable.
+  * @param generatedColumns column → SQL expression (Delta generated
+  *        columns): the write path computes the column when the writer
+  *        omits it and REJECTS a writer-supplied value that disagrees,
+  *        so a generated partition column (the common case — a date
+  *        derived from a timestamp) is trustworthy for pruning.
   */
 final case class Metadata(
     schemaJson: String,
     partitionColumns: Seq[String],
     constraints: Seq[String] = Seq.empty,
-    columnMapping: Map[String, String] = Map.empty) extends Action
+    columnMapping: Map[String, String] = Map.empty,
+    generatedColumns: Map[String, String] = Map.empty) extends Action
 
 /** Commit provenance; `timestamp` drives timestamp-as-of time travel. */
 final case class CommitInfo(

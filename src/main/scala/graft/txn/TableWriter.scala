@@ -2,6 +2,7 @@ package graft.txn
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Versioned-parquet table writer: stages a DataFrame write, then commits
   * AddFile actions atomically — the "Delta sink" of SURVEY.md §7.1 step 3.
@@ -58,7 +59,8 @@ object TableWriter {
       version: Long = 0L,
       commitTs: Long = 0L,
       operation: String = "WRITE",
-      extraActions: Seq[Action] = Seq.empty): Unit = {
+      extraActions: Seq[Action] = Seq.empty,
+      generated: Map[String, String] = Map.empty): Unit = {
     // INT64-micros timestamps (not INT96) so every reader — including the
     // row-granular streaming PartitionReader — sees a plain long column.
     // Scoped to this write: the previous session value is restored after.
@@ -66,7 +68,7 @@ object TableWriter {
     val prevTsType = spark.conf.getOption(tsTypeKey)
     spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     try doWrite(spark, df, tablePath, partitionBy, version, commitTs,
-      operation, extraActions)
+      operation, extraActions, generated)
     finally prevTsType match {
       case Some(v) => spark.conf.set(tsTypeKey, v)
       case None    => spark.conf.unset(tsTypeKey)
@@ -75,13 +77,14 @@ object TableWriter {
 
   private def doWrite(
       spark: SparkSession,
-      df: DataFrame,
+      df0: DataFrame,
       tablePath: String,
       partitionBy: Seq[String],
       version: Long,
       commitTs: Long,
       operation: String,
-      extraActions: Seq[Action]): Unit = {
+      extraActions: Seq[Action],
+      generated: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val priorMeta: Option[Metadata] =
       if (version > 0L) {
@@ -93,27 +96,44 @@ object TableWriter {
           // the minWriterVersion check: that is exactly the corruption
           // the guard exists to prevent).
           TxnLog.assertWritable(snap0, tablePath)
-          // Schema enforcement (Delta semantics): an append must match
-          // the table's declared schema by name+type unless the commit
-          // itself carries a Metadata action evolving it. Silent drift
-          // would poison every downstream reader that trusts the log's
-          // schema.
-          if (!extraActions.exists(_.isInstanceOf[Metadata])) {
-            snap0.metadata.foreach { m =>
-              val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-                .asInstanceOf[org.apache.spark.sql.types.StructType]
-              def shape(s: org.apache.spark.sql.types.StructType) =
-                s.fields.map(f => (f.name, f.dataType)).toSeq
-              if (shape(declared) != shape(df.schema))
-                throw new IllegalArgumentException(
-                  s"schema enforcement: append schema ${df.schema.simpleString} " +
-                    s"does not match the table schema at $tablePath; include a " +
-                    "Metadata action to evolve the schema")
-            }
-          }
           snap0.metadata
         } else None
       } else None
+    // Generated columns: declared on the initial write, carried forward
+    // after. The writer may omit them (computed here) or supply them
+    // (validated here — a disagreeing value is rejected, Delta
+    // semantics): downstream pruning trusts the column precisely because
+    // no write path can sneak an inconsistent value in.
+    val genDefs =
+      if (generated.nonEmpty) generated
+      else priorMeta.map(_.generatedColumns).getOrElse(Map.empty)
+    val df = genDefs.foldLeft(df0) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else {
+        val bad = d.filter(!(col(c) <=> expr(e))).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"generated column violation at $tablePath: '$c' disagrees with " +
+            s"GENERATED ALWAYS AS ($e) on $bad rows")
+        d
+      }
+    }
+    // Schema enforcement (Delta semantics): an append must match the
+    // table's declared schema by name+type unless the commit itself
+    // carries a Metadata action evolving it. Silent drift would poison
+    // every downstream reader that trusts the log's schema.
+    if (version > 0L && !extraActions.exists(_.isInstanceOf[Metadata])) {
+      priorMeta.foreach { m =>
+        val declared = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        def shape(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(f => (f.name, f.dataType)).toSeq
+        if (shape(declared) != shape(df.schema))
+          throw new IllegalArgumentException(
+            s"schema enforcement: append schema ${df.schema.simpleString} " +
+              s"does not match the table schema at $tablePath; include a " +
+              "Metadata action to evolve the schema")
+      }
+    }
     // CHECK constraints: caller-supplied on this commit's Metadata, else
     // carried forward from the table (schema evolution must not silently
     // drop data-quality rules). Enforced BEFORE any file is staged.
@@ -123,10 +143,11 @@ object TableWriter {
     enforceConstraints(df, constraints, tablePath)
     val adds = stageAndMove(spark, df, tablePath, partitionBy, version,
       commitTs, dataChange = true)
-    // schemaJson stays LOGICAL; the column mapping (if any) carries
-    // forward so later readers keep translating older files
+    // schemaJson stays LOGICAL; the column mapping and generated-column
+    // definitions (if any) carry forward so later readers/writers keep
+    // translating and computing
     val meta = Metadata(df.schema.json, partitionBy, constraints,
-      priorMeta.map(_.columnMapping).getOrElse(Map.empty))
+      priorMeta.map(_.columnMapping).getOrElse(Map.empty), genDefs)
     val log = new TxnLog(tablePath, conf)
     val metaAction: Seq[Action] =
       if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
@@ -231,6 +252,9 @@ object TableWriter {
     val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
     require(!m.constraints.exists(c => word.findFirstIn(c).isDefined),
       s"cannot rename '$oldName': referenced by a CHECK constraint")
+    require(!m.generatedColumns.contains(oldName) &&
+      !m.generatedColumns.values.exists(e => word.findFirstIn(e).isDefined),
+      s"cannot rename '$oldName': it is a generated column or feeds one")
     val physical = ColumnMapping.physicalName(oldName, m.columnMapping)
     val otherPhysical = schema.fieldNames.filterNot(_ == oldName)
       .map(n => ColumnMapping.physicalName(n, m.columnMapping)).toSet
