@@ -274,6 +274,72 @@ object Maintenance {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Version diff — the semantic "what changed between two snapshots"
+    // operator (audit/debug companion to CDC's event stream): time-travel
+    // both states, reduce each to per-KEY aggregates (count + cents sum —
+    // the multiset-diff granularity; a row-level outer join would explode
+    // on repeated keys), ONE full outer join, classify added/removed/
+    // updated/unchanged, and report integer-exact class counts plus the
+    // updated keys' cents-exact quantity drift. Works on any two versions
+    // regardless of how many commits or rewrites lie between;
+    // file-granular CDC would re-emit rewritten-but-unchanged rows, which
+    // is exactly what a state diff ignores.
+    QueryDef.sqlBacked(
+      "q129_version_diff",
+      """WITH k AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+        |SELECT 'added' AS change,
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 9 = 0
+        |    AND l_orderkey % 7 <> 0) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS qty_drift_cents
+        |FROM k
+        |UNION ALL
+        |SELECT 'removed', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'unchanged',
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 7 = 0
+        |    AND l_orderkey % 14 <> 0) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM k
+        |UNION ALL
+        |SELECT 'updated',
+        |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 14 = 0) AS BIGINT),
+        |  (SELECT CAST(10000 * COUNT(*) FILTER (WHERE l_orderkey % 14 = 0)
+        |     AS BIGINT) FROM lineitem)
+        |FROM k
+        |ORDER BY change""".stripMargin) { (s, dir) =>
+      val table = mergeFixture(s, dir)
+      val keys = Seq("l_orderkey", "l_linenumber")
+      def state(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(s"${tag}_n"),
+            sum(floor(col("l_quantity") * 100).cast("long"))
+              .as(s"${tag}_cents"))
+      val before = state(
+        SnapshotReader.read(s, table, versionAsOf = Some(0L)), "old")
+      val after = state(SnapshotReader.read(s, table), "new")
+      val agg = before.join(after, keys, "full_outer")
+        .select(
+          when(col("old_n").isNull, "added")
+            .when(col("new_n").isNull, "removed")
+            .when(col("old_n") =!= col("new_n") ||
+              col("old_cents") =!= col("new_cents"), "updated")
+            .otherwise("unchanged").as("change"),
+          coalesce(col("new_cents"), lit(0L))
+            .minus(coalesce(col("old_cents"), lit(0L))).as("drift"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("change") === "updated", col("drift")).otherwise(0L))
+            .as("qty_drift_cents"))
+      // classes absent from the diff still report (n=0) so the output
+      // shape is stable — mirrors the oracle's static UNION
+      import s.implicits._
+      Seq("added", "removed", "unchanged", "updated").toDF("change")
+        .join(agg, Seq("change"), "left")
+        .select(col("change"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("qty_drift_cents"), lit(0L)).as("qty_drift_cents"))
+        .orderBy(col("change"))
+    },
+
     // Metadata-only RENAME COLUMN (column mapping), final state: the
     // rename touches zero data files, the post-rename append writes
     // under the creation-time PHYSICAL name, and the delete filters on

@@ -266,6 +266,72 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Span-level contamination (the exact-substring-dedup shape of
+    // Lee et al.): q84 says WHICH docs hit the benchmark; this says
+    // WHERE and HOW MUCH — overlapping/adjacent 7-gram hits merge into
+    // maximal spans (gaps-and-islands over hit positions, pure lag/sum
+    // windows partitioned by doc), reporting per-doc span count and
+    // union token coverage. All arithmetic is integer positions, so the
+    // cross-engine hash is exact. Scale shape: the benchmark side
+    // broadcasts, hits shuffle once on doc_id for the window.
+    QueryDef.sqlBacked(
+      "q128_contamination_spans",
+      s"""WITH corpus AS (${TextOps.exactDupCorpusSql}),
+         |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |      FROM corpus),
+         |bench AS (SELECT DISTINCT array_to_string(list_slice(t, 3, 9), ' ')
+         |            AS gram
+         |          FROM w WHERE doc_id % 13 = 3 AND doc_id < 200000),
+         |grams AS (SELECT doc_id, i,
+         |            array_to_string(list_slice(t, i, i + 6), ' ') AS gram
+         |          FROM (SELECT doc_id, t,
+         |                  unnest(range(1, len(t) - 5)) AS i
+         |                FROM w WHERE len(t) >= 7)),
+         |hits AS (SELECT DISTINCT g.doc_id, g.i
+         |         FROM grams g JOIN bench b ON g.gram = b.gram),
+         |flagged AS (SELECT doc_id, i,
+         |  CASE WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         |         OR i > LAG(i) OVER (PARTITION BY doc_id ORDER BY i) + 7
+         |       THEN 1 ELSE 0 END AS s
+         |  FROM hits),
+         |isl AS (SELECT doc_id, i,
+         |  SUM(s) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+         |  FROM flagged),
+         |spans AS (SELECT doc_id, isl_id, MIN(i) AS sp, MAX(i) + 6 AS ep
+         |          FROM isl GROUP BY doc_id, isl_id)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(ep - sp + 1) AS BIGINT) AS contaminated_tokens
+         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val corpus = TextOps.exactDupCorpus(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val bench = corpus
+        .filter(col("doc_id") % 13 === 3 && col("doc_id") < 200000)
+        .select(concat_ws(" ", slice(col("t"), 3, 7)).as("gram"))
+        .distinct()
+      val grams = corpus.filter(size(col("t")) >= 7)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 6)).as("i"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", slice(col("t"), col("i"), lit(7))).as("gram"))
+      val hits = grams.join(broadcast(bench), "gram")
+        .select(col("doc_id"), col("i")).distinct()
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hits
+        .withColumn("prev", lag(col("i"), 1).over(wOrd))
+        .withColumn("s",
+          when(col("prev").isNull || col("i") > col("prev") + 7, 1)
+            .otherwise(0))
+        .withColumn("isl_id", sum(col("s")).over(wCum))
+        .groupBy(col("doc_id"), col("isl_id"))
+        .agg(min(col("i")).as("sp"), (max(col("i")) + 6).as("ep"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("ep") - col("sp") + 1).as("contaminated_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish subword token counting: whitespace tokens vs a GPT-2-style
     // piece regex (letter runs / digit runs / punctuation runs, each with
     // optional leading space), over a corpus with planted contacts so

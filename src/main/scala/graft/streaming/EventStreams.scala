@@ -90,6 +90,33 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** FULL OUTER stream-stream interval join: unmatched rows of BOTH
+    * sides emit once the watermark proves their window closed —
+    * purchases with no prior click (click_id null) AND clicks that led
+    * to no purchase within the gap (purchase_id null). Same bounded
+    * state as the inner form; the only semantic addition is the
+    * watermark-gated null emission on each side.
+    */
+  def purchaseClickJoinFull(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      maxGap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxGap") &&
+        col("c_ts") <= col("p_ts"),
+      "full_outer")
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"))
+  }
+
   /** Stream-static enrichment join: the per-batch dimension lookup every
     * event pipeline runs. The static side broadcasts (no streaming state
     * at all — unlike stream-stream joins this needs no watermark), and

@@ -158,6 +158,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FULL OUTER stream-stream join null-pads BOTH sides post-watermark") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val pMem = MemoryStream[(Timestamp, Long, Long)]
+    val cMem = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = pMem.toDF().toDF("ts", "event_id", "user_id")
+    val clicks = cMem.toDF().toDF("ts", "event_id", "user_id")
+    val joined = EventStreams.purchaseClickJoinFull(purchases, clicks,
+      maxGap = "30 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_full_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // user 1: click→purchase (matches); user 3: purchase with no click;
+      // user 4: click that never leads to a purchase
+      cMem.addData((ts(10), 101L, 1L), (ts(10), 104L, 4L))
+      pMem.addData((ts(20), 201L, 1L), (ts(20), 202L, 3L))
+      q.processAllAvailable()
+      val early = spark.sql(
+        "SELECT COUNT(*) FROM ss_full_out " +
+          "WHERE click_id IS NULL OR purchase_id IS NULL")
+        .collect()(0).getLong(0)
+      assert(early == 0, "outer rows emitted before the watermark closed")
+      // advance both watermarks past every window, twice (eviction flush)
+      for (_ <- 1 to 2) {
+        pMem.addData((ts(59, 59), 203L, 9L))
+        cMem.addData((ts(59, 59), 102L, 9L))
+        q.processAllAvailable()
+      }
+      val got = spark.sql(
+        "SELECT user_id, purchase_id, click_id FROM ss_full_out")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got.contains((1L, 201L, 101L)), s"matched pair missing: $got")
+      assert(got.contains((3L, 202L, -1L)),
+        s"purchase with no click should null-pad: $got")
+      assert(got.contains((4L, -1L, 104L)),
+        s"click with no purchase should null-pad: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch against the dim table") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
