@@ -347,6 +347,47 @@ object Events {
         .orderBy(col("click_day"))
     },
 
+    // Time-to-convert distribution: click→purchase latency bucketed into
+    // fixed bands. Same single-window as-of machinery as q123 (no
+    // self-join); the bands are integer millisecond comparisons, so the
+    // histogram is engine-exact. The marketing twin of q104.
+    QueryDef.sqlBacked(
+      "q130_conversion_latency",
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type
+        |            FROM events WHERE event_type IN ('click', 'purchase')),
+        |ann AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
+        |  FROM ev),
+        |lat AS (SELECT epoch_ms(ts) - click_ms AS ms FROM ann
+        |        WHERE event_type = 'purchase' AND click_ms IS NOT NULL)
+        |SELECT CASE WHEN ms <= 1800000 THEN 'a_0_30m'
+        |            WHEN ms <= 7200000 THEN 'b_30m_2h'
+        |            WHEN ms <= 86400000 THEN 'c_2h_24h'
+        |            ELSE 'd_over_24h' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lat GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_ms",
+          last(when(col("event_type") === "click", unix_millis(col("ts"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("click_ms").isNotNull)
+        .withColumn("ms", unix_millis(col("ts")) - col("click_ms"))
+        .select(
+          when(col("ms") <= 1800000L, "a_0_30m")
+            .when(col("ms") <= 7200000L, "b_30m_2h")
+            .when(col("ms") <= 86400000L, "c_2h_24h")
+            .otherwise("d_over_24h").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
     // Trailing-24h distinct users per hour — the exact sliding-distinct
     // shape: each event REPLICATES to the 24 hour-buckets it is visible
     // from (explode of a fixed-length sequence, map-side), then ONE

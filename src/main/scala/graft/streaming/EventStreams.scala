@@ -143,6 +143,27 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** CHAINED windowed aggregations — two stateful operators in one
+    * streaming query (Spark ≥3.4): 10-minute partials roll up into hourly
+    * totals via `window_time` (the first window's event-time column), so
+    * the second aggregation keeps its own watermark-tracked state. The
+    * scale point: the hourly state holds ONE row per (hour, type) fed by
+    * pre-aggregated partials, not by raw events — the streaming analogue
+    * of a partial/final aggregate split.
+    */
+  def hourlyRollup(
+      events: DataFrame,
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 hour"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+
   /** Session window with an inactivity gap, per user — the streaming twin
     * of the relational q33_sessionize.
     */

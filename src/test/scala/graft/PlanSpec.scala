@@ -202,4 +202,53 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && !p.contains("Join"))
     assert(!p.contains("o_orderdate"), "histogram must not read unused columns")
   }
+
+  test("q121 weighted sample: distributed TakeOrdered, no global sort") {
+    val p = planOf("q121_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not sort-everything:\n${p.take(2000)}")
+    // the full-corpus frame must not pass through a single-partition
+    // Exchange before the limit (rangepartitioning = global sort)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "weighted sample must not globally sort the corpus")
+  }
+
+  test("q123 attribution: one window pass, no purchase-by-click join") {
+    val p = planOf("q123_last_touch_attribution")
+    assert(p.contains("Window"), s"expected a window:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      "last-touch must ride the merged stream, never a self-join")
+  }
+
+  test("q124 sliding distinct: explode replication, no range self-join") {
+    val df = SparkEntry.queries("q124_sliding_distinct")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"),
+      s"expected the explode-to-buckets shape:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "sliding distinct must not range-self-join events x hours")
+  }
+
+  test("q128 contamination spans: benchmark side broadcasts") {
+    val df = SparkEntry.queries("q128_contamination_spans")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram set is small — it must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q126 renamed-column scan still prunes and pushes down") {
+    // the mapping must not break pushdown: the physical scan reads the
+    // PHYSICAL column and the filter still reaches it
+    val table = queries.Maintenance.renameFixture(spark, sf)
+    val df = graft.txn.SnapshotReader.read(spark, table)
+      .filter(org.apache.spark.sql.functions.col("qty") > 30)
+      .select("l_orderkey", "qty")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"filter on the logical name must push down as the physical:\n${p.take(2000)}")
+    assert(!p.contains("l_returnflag"), "column pruning lost through mapping")
+  }
 }

@@ -158,6 +158,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained windowed aggs: 10-min partials roll up into hourly totals") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val rolled = EventStreams.hourlyRollup(events, lateness = "5 minutes")
+    val q = rolled.writeStream.outputMode("append")
+      .format("memory").queryName("rollup_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // 3 clicks across distinct 10-min windows of hour 0, 1 view
+      mem.addData((ts(5), "click"), (ts(25), "click"), (ts(45), "click"),
+        (ts(45), "view"))
+      // advance the watermark past hour 0 so BOTH stateful operators
+      // (10-min partials, then the hourly rollup) close and emit.
+      // (Timestamp.valueOf normalizes "00:70:30" to 01:10:30 — minutes
+      // past 59 deliberately roll into the next hour here.)
+      mem.addData((ts(70, 30), "click"))
+      q.processAllAvailable()
+      mem.addData((ts(80, 30), "click"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_type, n FROM rollup_out " +
+          "WHERE hour_start = timestamp'2024-01-01 00:00:00' ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("click", 3L), ("view", 1L)),
+        s"hourly rollup must sum the 10-min partials: $got")
+    } finally q.stop()
+  }
+
   test("FULL OUTER stream-stream join null-pads BOTH sides post-watermark") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
