@@ -41,6 +41,7 @@ object Bench {
       queries.Maintenance.cloneFixture(spark, sfDir)
       queries.Maintenance.renameFixture(spark, sfDir)
       queries.Maintenance.generatedFixture(spark, sfDir)
+      queries.Maintenance.scd2Fixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

@@ -248,7 +248,75 @@ object Maintenance {
     dir
   }
 
+  /** v0: lineitem %7; v1: MERGE (update %14 qty+100, insert %9∧¬%7);
+    * v2: DELETE WHERE l_orderkey %3 = 0 (whole keys vanish). Three
+    * versions of per-key history: unchanged, updated, inserted, deleted.
+    */
+  def scd2Fixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/scd2_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    val updates = li.filter(col("l_orderkey") % 14 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val inserts = li.filter(col("l_orderkey") % 9 === 0 &&
+      col("l_orderkey") % 7 =!= 0)
+    TableWriter.mergeUpsert(spark, dir, updates.unionByName(inserts),
+      keyCols = Seq("l_orderkey", "l_linenumber"),
+      version = 1L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("l_orderkey") % 3 === 0,
+      version = 2L, commitTs = 3000L)
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // SCD Type-2 history build (operators.Scd2): the table's version
+    // history becomes per-key validity intervals — updates close and
+    // reopen, deletions close (tombstone anti-joins make absence
+    // explicit), inserts open mid-history. The output aggregates
+    // intervals by (valid_from, valid_to); every class count and
+    // cents total is derivable straight from lineitem's modular
+    // arithmetic.
+    QueryDef.sqlBacked(
+      "q133_scd2_history",
+      """WITH k AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |             COUNT(*) AS m,
+        |             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |iv AS (
+        |  SELECT 0 AS vf, NULL AS vt, c FROM k
+        |    WHERE ok % 7 = 0 AND ok % 14 <> 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT 0, 2, c FROM k
+        |    WHERE ok % 7 = 0 AND ok % 14 <> 0 AND ok % 3 = 0
+        |  UNION ALL SELECT 0, 1, c FROM k WHERE ok % 14 = 0
+        |  UNION ALL SELECT 1, NULL, c + 10000 * m FROM k
+        |    WHERE ok % 14 = 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT 1, NULL, c FROM k
+        |    WHERE ok % 9 = 0 AND ok % 7 <> 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT 1, 2, c + 10000 * m FROM k
+        |    WHERE ok % 14 = 0 AND ok % 3 = 0
+        |  UNION ALL SELECT 1, 2, c FROM k
+        |    WHERE ok % 9 = 0 AND ok % 7 <> 0 AND ok % 3 = 0)
+        |SELECT CAST(vf AS BIGINT) AS valid_from,
+        |  CAST(vt AS BIGINT) AS valid_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c) AS BIGINT) AS cents_total
+        |FROM iv GROUP BY vf, vt
+        |ORDER BY valid_from, valid_to""".stripMargin) { (s, dir) =>
+      val table = scd2Fixture(s, dir)
+      graft.operators.Scd2.intervals(s, table,
+          Seq("l_orderkey", "l_linenumber"),
+          floor(col("l_quantity") * 100))
+        .groupBy(col("valid_from"), col("valid_to"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cents")).as("cents_total"))
+        .orderBy(col("valid_from"), col("valid_to"))
+    },
+
     // Generated partition column, final state: both writes OMIT o_month
     // (the engine computes it from the declared expression), the range
     // filter lands on the generated column (file-level partition

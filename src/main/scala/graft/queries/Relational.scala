@@ -1126,6 +1126,57 @@ object Relational {
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))
         .orderBy(col("bucket"))
+    },
+
+    // Data profiling: per-column quality stats (count/nulls/min/max/
+    // cents-exact sum/exact distinct) for three measure columns in ONE
+    // scan — the metrics all fold into a single aggregate row, then
+    // `stack` melts it to one row per column (an Expand, not a rescan
+    // per column — the shape that matters when the table is 100 TB and
+    // the profile wants 50 columns). DuckDB recomputes per column; the
+    // driver's sorted-row compare makes the shapes comparable.
+    QueryDef.sqlBacked(
+      "q131_table_profile",
+      """SELECT 'l_discount' AS column_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS n_null,
+        |  MIN(l_discount) AS min_v, MAX(l_discount) AS max_v,
+        |  CAST(SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+        |  MIN(l_extendedprice), MAX(l_extendedprice),
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+        |  MIN(l_quantity), MAX(l_quantity),
+        |  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT)
+        |FROM lineitem
+        |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+      val aggs = cols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}_n"),
+          count(when(col(c).isNull, 1)).as(s"${c}_null"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"),
+          sum(floor(col(c) * 100).cast("long")).as(s"${c}_cents"),
+          countDistinct(col(c)).as(s"${c}_distinct"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_n, ${c}_null, ${c}_min, ${c}_max, ${c}_cents, " +
+          s"${c}_distinct").mkString(", ")
+      Tables.load(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n, n_null, min_v, max_v, sum_cents, n_distinct)"))
+        .orderBy(col("column_name"))
     }
   )
 }

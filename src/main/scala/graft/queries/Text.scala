@@ -565,6 +565,43 @@ object Text {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("source"), col("bin"))
+    },
+
+    // Time-windowed exact dedup: an exact duplicate only drops when a
+    // prior occurrence of its fingerprint lies within the trailing
+    // 20-day window (news/wiki refresh pipelines keep periodic
+    // re-crawls, not every re-crawl). Suppression refreshes the window:
+    // each occurrence compares against its immediate predecessor, kept
+    // or not — one lag per fingerprint partition, no self-join. Days
+    // derive deterministically from doc_id (the corpus carries no
+    // timestamps), so both engines see the identical timeline.
+    QueryDef.sqlBacked(
+      "q132_windowed_dedup",
+      s"""WITH corpus AS (${TextOps.exactDupCorpusSql}),
+         |f AS (SELECT doc_id, doc_id % 97 AS day, md5(trim(text)) AS fp
+         |      FROM corpus),
+         |o AS (SELECT doc_id, day,
+         |        LAG(day) OVER (PARTITION BY fp ORDER BY day, doc_id)
+         |          AS prev_day
+         |      FROM f)
+         |SELECT CAST((day - day % 10) / 10 AS BIGINT) AS day_decade,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) FILTER (WHERE prev_day IS NULL
+         |    OR day - prev_day > 20) AS BIGINT) AS n_kept
+         |FROM o GROUP BY day_decade
+         |ORDER BY day_decade""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fp")).orderBy(col("day"), col("doc_id"))
+      TextOps.exactDupCorpus(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 97).as("day"),
+          md5(trim(col("text"))).as("fp"))
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+        .groupBy(((col("day") - col("day") % 10) / 10).cast("long")
+          .as("day_decade"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("prev_day").isNull ||
+            col("day") - col("prev_day") > 20, 1)).as("n_kept"))
+        .orderBy(col("day_decade"))
     }
   )
 }
