@@ -42,6 +42,9 @@ object Bench {
       queries.Maintenance.renameFixture(spark, sfDir)
       queries.Maintenance.generatedFixture(spark, sfDir)
       queries.Maintenance.scd2Fixture(spark, sfDir)
+      queries.Maintenance.partitionEvoFixture(spark, sfDir)
+      queries.Maintenance.updateFixture(spark, sfDir)
+      queries.Maintenance.quarantineFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

@@ -35,6 +35,12 @@ object SketchExprs {
 
   private final val Golden = -7046029254386353131L // 0x9E3779B97F4A7C15
 
+  /** Per-function remix of a 64-bit base hash — the i-th independent
+    * hash used by the MinHash family and the bloom filter's double
+    * hashing.
+    */
+  @inline def remix(base: Long, i: Int): Long = fmix64(base ^ (i * Golden))
+
   def hash64(s: UTF8String): Long = {
     val b = s.getBytes
     (Murmur3X86.hashBytes(b, 0).toLong << 32) |

@@ -126,6 +126,44 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // NATIVE session_window in batch: same sessions as q33's islands
+    // construction, but built by Spark's own merging-session operator
+    // (one MergingSessionsExec pass after a single shuffle on user_id —
+    // no window-function sort chain). The oracle spells out the merge
+    // rule the operator implements: an event EXTENDS a session iff it
+    // starts strictly inside predecessor_ts + gap, so a gap of exactly
+    // 30min breaks the session (q33's `>` becomes `>=` here — that is
+    // the real operator's semantics, pinned cross-engine).
+    QueryDef.sqlBacked(
+      "q136_session_window_native",
+      """SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  EPOCH_US(MIN(ts)) AS start_us,
+        |  EPOCH_US(MAX(ts)) + 1800000000 AS end_us
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                IS NULL THEN 1
+        |           WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id)) >= 1800000000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+
     // Stateful sessionization via flatMapGroupsWithState (SURVEY §2.8 T8
     // arbitrary keyed state) — batch twin of StatefulSessions.sessionize-
     // Stream, verified against the same relational session decomposition

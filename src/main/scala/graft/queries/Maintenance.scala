@@ -248,6 +248,75 @@ object Maintenance {
     dir
   }
 
+  /** v0: even orders (+ o_year), UNPARTITIONED; v1: SET PARTITIONING
+    * (o_year) — metadata-only; v2: plain append of odd orders, which the
+    * engine routes into the evolved hive layout. Final table = all
+    * orders with o_year, spread across two physical layouts.
+    */
+  def partitionEvoFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/pevo_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    TableWriter.write(spark, orders.filter(col("o_orderkey") % 2 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.setPartitioning(spark, dir, Seq("o_year"),
+      version = 1L, commitTs = 2000L)
+    TableWriter.append(spark, orders.filter(col("o_orderkey") % 2 === 1), dir,
+      commitTs = 3000L)
+    dir
+  }
+
+  /** v0: lineitem %6 rows; v1: UPDATE WHERE l_quantity < 15 SET
+    * quantity += 100, extendedprice += OLD quantity (the old-row read is
+    * the point — SQL UPDATE semantics).
+    */
+  def updateFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/upd_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 6 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.updateWhere(spark, dir, col("l_quantity") < 15,
+      Map("l_quantity" -> (col("l_quantity") + lit(100.0)),
+        "l_extendedprice" -> (col("l_extendedprice") + col("l_quantity"))),
+      version = 1L, commitTs = 2000L)
+    dir
+  }
+
+  /** Main table: constraints (discount ≤ 0.08, quantity ≤ 45) declared
+    * over a clean %4 seed; then appendWithQuarantine routes a mixed %4≠0
+    * batch — clean rows into main, violators into the sidecar with
+    * their failed expectations tagged.
+    */
+  def quarantineFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val base = s"target/fixtures/quar_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val (main, quar) = (s"$base/main", s"$base/quarantine")
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(main, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L)) return (main, quar)
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark,
+      li.filter(col("l_orderkey") % 4 === 0 &&
+        col("l_discount") <= 0.08 && col("l_quantity") <= 45),
+      main, version = 0L, commitTs = 1000L)
+    TableWriter.addConstraint(spark, main, "l_discount <= 0.08", 1L, 2000L)
+    TableWriter.addConstraint(spark, main, "l_quantity <= 45", 2L, 3000L)
+    TableWriter.appendWithQuarantine(spark,
+      li.filter(col("l_orderkey") % 4 =!= 0), main, quar, commitTs = 4000L)
+    (main, quar)
+  }
+
   /** v0: lineitem %7; v1: MERGE (update %14 qty+100, insert %9∧¬%7);
     * v2: DELETE WHERE l_orderkey %3 = 0 (whole keys vanish). Three
     * versions of per-key history: unchanged, updated, inserted, deleted.
@@ -275,6 +344,92 @@ object Maintenance {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    // Partition evolution, final state: v0 wrote unpartitioned, a
+    // metadata-only SET PARTITIONING switched the spec, and a plain
+    // append landed hive-partitioned by o_year — repartitioning a 100 TB
+    // table costs one JSON commit, never a rewrite. The year filter
+    // file-prunes the NEW generation via hive partition values and falls
+    // back to footer stats on the old one; the mixed-layout snapshot
+    // read must still reconstruct exactly the full orders table.
+    QueryDef.sqlBacked(
+      "q137_partition_evolution",
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE YEAR(o_orderdate) = 1995
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val table = partitionEvoFixture(s, dir)
+      DataSkipping.readWhere(s, table, col("o_year") === 1995)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Row-level UPDATE WHERE, final state: matching rows carry the SET
+    // expressions evaluated against the OLD row (l_extendedprice grew by
+    // the PRE-update quantity), non-matching rows and untouched files
+    // are byte-identical. The oracle recomputes the whole final state
+    // with a CASE over the base table.
+    QueryDef.sqlBacked(
+      "q138_update_where",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(CASE WHEN l_quantity < 15
+        |      THEN l_quantity + 100.0 ELSE l_quantity END * 100) AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(FLOOR(CASE WHEN l_quantity < 15
+        |      THEN l_extendedprice + l_quantity ELSE l_extendedprice END
+        |      * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey % 6 = 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val table = updateFixture(s, dir)
+      SnapshotReader.read(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("price_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Expectation quarantine, final state of BOTH tables: accepted rows
+    // land in main (tag ''), violators in the sidecar tagged with
+    // exactly the expectations they failed, in declaration order. The
+    // oracle recomputes the routing with CASE logic over the base table.
+    QueryDef.sqlBacked(
+      "q139_quarantine",
+      """WITH routed AS (
+        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN ''
+        |    ELSE CONCAT_WS(';',
+        |      CASE WHEN l_discount > 0.08 THEN 'l_discount <= 0.08' END,
+        |      CASE WHEN l_quantity > 45 THEN 'l_quantity <= 45' END)
+        |    END AS tag,
+        |    l_quantity
+        |  FROM lineitem
+        |  WHERE l_orderkey % 4 <> 0
+        |     OR (l_discount <= 0.08 AND l_quantity <= 45))
+        |SELECT tag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM routed GROUP BY tag
+        |ORDER BY tag""".stripMargin) { (s, dir) =>
+      val (main, quar) = quarantineFixture(s, dir)
+      SnapshotReader.read(s, main)
+        .withColumn("tag", lit(""))
+        .unionByName(SnapshotReader.read(s, quar)
+          .withColumnRenamed("_violated", "tag"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .orderBy(col("tag"))
+    },
+
     // SCD Type-2 history build (operators.Scd2): the table's version
     // history becomes per-key validity intervals — updates close and
     // reopen, deletions close (tombstone anti-joins make absence

@@ -1177,6 +1177,61 @@ object Relational {
         .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
           "(column_name, n, n_null, min_v, max_v, sum_cents, n_distinct)"))
         .orderBy(col("column_name"))
+    },
+
+    // Bloom-pruned semi-join: the dimension's KEY SET (too big to
+    // broadcast-join as rows at 100 TB, small as bits) becomes a
+    // runtime filter applied at the fact scan, so only the ~matching
+    // fraction of lineitem reaches the shuffle; the exact semi-join
+    // afterwards removes the sketch's false positives, so the result is
+    // identical to a plain semi-join — which is exactly what the oracle
+    // computes, making the whole pruning path hash-verified.
+    QueryDef.sqlBacked(
+      "q134_bloom_semijoin",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.functions.BloomFilterExprs
+      val big = Tables.load(s, dir, "lineitem")
+      val dim = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      BloomFilterExprs.semiJoinPruned(big, "l_orderkey", dim, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Heavy hitters over a planted-skew key (seven hot keys at ~4.8%
+    // each riding a ~100k-key uniform tail): a 64-counter Misra-Gries
+    // sketch finds the candidates in O(k) state per task — no shuffle of
+    // the full key distribution — and its containment guarantee (every
+    // key over n/65 survives) makes the candidate∩exact-recount output
+    // provably EQUAL to the exact heavy set the oracle computes with a
+    // full GROUP BY + HAVING.
+    QueryDef.sqlBacked(
+      "q135_heavy_hitters",
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN l_orderkey % 7
+        |              ELSE 100 + (l_orderkey % 100000) END AS key
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(FLOOR(COUNT(*) / 65.0) AS BIGINT) AS thr
+        |        FROM keyed)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM keyed GROUP BY key
+        |HAVING COUNT(*) > (SELECT thr FROM tot)
+        |ORDER BY cnt DESC, key""".stripMargin) { (s, dir) =>
+      import graft.operators.HeavyHitters
+      val keyed = Tables.load(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 3 === 0, col("l_orderkey") % 7)
+          .otherwise(lit(100) + col("l_orderkey") % 100000).as("key"))
+      HeavyHitters.exactHeavy(keyed, col("key"), k = 64)
     }
   )
 }

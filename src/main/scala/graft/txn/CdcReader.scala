@@ -211,18 +211,30 @@ object CdcReader {
         concat_ws("=", lit(c), col(c).cast("string"))): _*)
     def normalize(p: String): String = p.replaceFirst("^file:/+", "/")
     def readWithPath(paths: Seq[String]): DataFrame = {
-      // basePath (hive partition inference) only fits all-local file
-      // sets; shallow-clone imports are external AND unpartitioned
-      val tq = tableQ.toString
-      val reader0 =
-        if (paths.exists(p => !p.startsWith(tq))) spark.read
-        else spark.read.option("basePath", tablePath)
-      // scan under PHYSICAL names (column mapping), surface logical
-      val reader = declaredSchema.fold(reader0)(s =>
-        reader0.schema(ColumnMapping.physicalSchema(s, colMapping)))
-      ColumnMapping.toLogical(reader.parquet(paths: _*), colMapping)
-        .withColumn("_cdc_path",
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      def readGroup(group: Seq[String]): DataFrame = {
+        // basePath (hive partition inference) only fits all-local file
+        // sets; shallow-clone imports are external AND unpartitioned
+        val tq = tableQ.toString
+        val reader0 =
+          if (group.exists(p => !p.startsWith(tq))) spark.read
+          else spark.read.option("basePath", tablePath)
+        // scan under PHYSICAL names (column mapping), surface logical
+        val reader = declaredSchema.fold(reader0)(s =>
+          reader0.schema(ColumnMapping.physicalSchema(s, colMapping)))
+        ColumnMapping.toLogical(reader.parquet(group: _*), colMapping)
+          .withColumn("_cdc_path", // on the scan frame: _metadata does
+            // not resolve through a Union
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      }
+      // partition evolution: a replay range can span spec changes, and
+      // hive inference rejects mixed directory depths — group paths by
+      // the hive keys their directories carry, one scan per layout
+      def layoutOf(p: String): Set[String] = p.split('/')
+        .filter(_.contains('=')).map(_.split("=", 2)(0)).toSet
+      paths.groupBy(layoutOf).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(",")) // deterministic plan
+        .map { case (_, group) => readGroup(group) }
+        .reduce(_ unionByName _)
     }
     // project a (payload + handles) frame into the envelope shape
     val handles = Set("_cdc_path", "_metadata", "op", "ts", "commit_version",

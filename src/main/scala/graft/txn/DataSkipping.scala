@@ -23,8 +23,14 @@ object DataSkipping {
       hi: Any): Seq[AddFile] = {
     def num(s: String): Double = s.toDouble
     files.filter { f =>
+      // hive-partitioned generations carry the column as a dir value,
+      // not footer stats: a partition value is a min==max range, so the
+      // same overlap test applies (null partitions always kept — sound)
+      val partRange = f.partitionValues.get(column)
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__").map(v => (v, v))
       f.stats.flatMap(st =>
-        st.minValues.get(column).zip(st.maxValues.get(column))) match {
+        st.minValues.get(column).zip(st.maxValues.get(column)))
+        .orElse(partRange) match {
         case None => true
         case Some((mn, mx)) => dt match {
           case LongType | IntegerType | DoubleType | FloatType | ShortType |
@@ -32,8 +38,12 @@ object DataSkipping {
               // TIMESTAMP = micros (INT64, the TableWriter contract) —
               // pass lo/hi in those units
               DateType | TimestampType | TimestampNTZType =>
-            // doubles cover the exact-integer range these tables use
-            !(num(mx) < num(lo.toString) || num(mn) > num(hi.toString))
+            // doubles cover the exact-integer range these tables use;
+            // an unparseable bound (e.g. a hive-encoded '2024-01-01'
+            // partition date vs numeric day stats) keeps the file —
+            // pruning must stay sound over representation drift
+            try !(num(mx) < num(lo.toString) || num(mn) > num(hi.toString))
+            catch { case _: NumberFormatException => true }
           case StringType =>
             !(mx < lo.toString || mn > hi.toString)
           case _ => true

@@ -78,30 +78,46 @@ object DeletionVectors {
       withRowMeta: Boolean = false,
       mapping: Map[String, String] = Map.empty): DataFrame = {
     require(files.nonEmpty, "readFiles needs at least one file")
-    // Shallow-clone imports live under the SOURCE root, so basePath
-    // (hive partition inference) only applies to all-local file sets —
-    // clones are unpartitioned by construction (cloneShallow refuses
-    // partitioned sources), so nothing is lost.
-    val reader0 =
-      if (files.exists(f => TxnLog.isExternal(f.path))) spark.read
-      else spark.read.option("basePath", tablePath)
-    // Column mapping: the scan asks for PHYSICAL names (what the files
-    // carry; logical names would resolve to nulls), then renames the
-    // frame back to logical before anything downstream sees it.
-    val reader = schema.fold(reader0)(s =>
-      reader0.schema(ColumnMapping.physicalSchema(s, mapping)))
+    // Partition evolution: files written under DIFFERENT partition specs
+    // (setPartitioning changes the layout of future writes only) cannot
+    // share one hive-inference scan — Spark rejects mixed directory
+    // depths. One scan PER SPEC (the spec is the partitionValues key
+    // set; generations are few), unioned by name: a column that is
+    // hive-encoded in one generation is plain data in another, so every
+    // generation surfaces the same logical columns.
+    def scanOne(group: Seq[AddFile]): DataFrame = {
+      // Shallow-clone imports live under the SOURCE root, so basePath
+      // (hive partition inference) only applies to all-local file sets —
+      // clones are unpartitioned by construction (cloneShallow refuses
+      // partitioned sources), so nothing is lost.
+      val reader0 =
+        if (group.exists(f => TxnLog.isExternal(f.path))) spark.read
+        else spark.read.option("basePath", tablePath)
+      // Column mapping: the scan asks for PHYSICAL names (what the files
+      // carry; logical names would resolve to nulls), then renames the
+      // frame back to logical before anything downstream sees it.
+      val reader = schema.fold(reader0)(s =>
+        reader0.schema(ColumnMapping.physicalSchema(s, mapping)))
+      reader.parquet(group.map(f => TxnLog.dataPath(tablePath, f.path)): _*)
+    }
     def logical(df: DataFrame): DataFrame = ColumnMapping.toLogical(df, mapping)
+    // `_metadata` resolves only against a scan relation, never through a
+    // Union — so the per-group transform (logical rename + row-meta
+    // columns) applies BEFORE generations merge.
+    def scan(perGroup: DataFrame => DataFrame): DataFrame = files
+      .groupBy(_.partitionValues.keySet).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(",")) // deterministic plan
+      .map { case (_, group) => perGroup(logical(scanOne(group))) }
+      .reduce(_ unionByName _)
     // DV-free fast path: a plain vectorized scan with zero added columns
     // (the common case must not pay for the feature)
     if (!withRowMeta && files.forall(_.dv.isEmpty))
-      return logical(
-        reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*))
-    val raw = logical(
-        reader.parquet(files.map(f => TxnLog.dataPath(tablePath, f.path)): _*))
+      return scan(identity)
+    val raw = scan(df => df
       .withColumn("_fn", col("_metadata.file_name"))
       .withColumn("_ri", col("_metadata.row_index"))
       .withColumn("_path",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
     val live = dvRows(spark, tablePath, files) match {
       case None => raw
       case Some(dv) =>

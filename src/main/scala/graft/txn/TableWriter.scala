@@ -187,6 +187,57 @@ object TableWriter {
           violated.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", "))
   }
 
+  /** Expectation-with-quarantine append (the "expect or drop" pipeline
+    * policy): rows violating ANY of the table's CHECK constraints are
+    * ROUTED to a sidecar quarantine table — tagged with the violated
+    * expressions — instead of failing the batch; clean rows append
+    * normally. One classification pass over the batch, both writes are
+    * normal versioned commits (the quarantine is itself a queryable,
+    * time-travelable table — triage is a query, not a log grep).
+    * Returns (accepted, quarantined) row counts.
+    */
+  def appendWithQuarantine(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      quarantinePath: String,
+      commitTs: Long = System.currentTimeMillis()): (Long, Long) = {
+    import org.apache.spark.sql.functions.{array, array_compact, col, lit, when}
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    val constraints = log.latestVersion().map(_ => log.snapshotLatest()
+      .metadata.map(_.constraints).getOrElse(Seq.empty))
+      .getOrElse(Seq.empty)
+    if (constraints.isEmpty) {
+      val n = df.count()
+      append(spark, df, tablePath, commitTs = commitTs)
+      return (n, 0L)
+    }
+    val tagged = df.withColumn("_violated", array_compact(array(
+      constraints.map(c =>
+        when(constraintViolation(c), lit(c))): _*)))
+    tagged.cache()
+    try {
+      val bad = tagged.filter(org.apache.spark.sql.functions
+        .size(col("_violated")) > 0)
+      val good = tagged.filter(org.apache.spark.sql.functions
+        .size(col("_violated")) === 0).drop("_violated")
+      val nBad = bad.count()
+      val nGood = good.count()
+      if (nBad > 0) {
+        val qLog = new TxnLog(quarantinePath,
+          spark.sessionState.newHadoopConf())
+        val qDf = bad.withColumn("_violated",
+          org.apache.spark.sql.functions.concat_ws(";", col("_violated")))
+        if (qLog.latestVersion().isEmpty)
+          write(spark, qDf, quarantinePath, version = 0L, commitTs = commitTs,
+            operation = "QUARANTINE")
+        else append(spark, qDf, quarantinePath, commitTs = commitTs)
+      }
+      if (nGood > 0) append(spark, good, tablePath, commitTs = commitTs)
+      (nGood, nBad)
+    } finally tagged.unpersist()
+  }
+
   /** ADD CONSTRAINT: existing rows must already satisfy the expression
     * (validated in one scan), then the constraint commits as evolved
     * Metadata and every subsequent write enforces it.
@@ -581,8 +632,16 @@ object TableWriter {
     var attempt = 0
     while (true) {
       val next = log.latestVersion().map(_ + 1).getOrElse(0L)
+      // Follow the table's CURRENT partition spec unless the caller
+      // pins one — after setPartitioning, plain appends land in the
+      // evolved layout (Delta/Iceberg semantics). Resolved inside the
+      // retry loop: a concurrent setPartitioning must win.
+      val effSpec =
+        if (partitionBy.nonEmpty || next == 0L) partitionBy
+        else log.snapshotLatest().metadata
+          .map(_.partitionColumns).getOrElse(Seq.empty)
       try {
-        write(spark, df, tablePath, partitionBy, version = next,
+        write(spark, df, tablePath, effSpec, version = next,
           commitTs = commitTs)
         return next
       } catch {
@@ -592,6 +651,42 @@ object TableWriter {
       }
     }
     -1L // unreachable
+  }
+
+  /** Partition evolution (metadata-only, Iceberg's headline trick):
+    * change the partition spec of FUTURE writes without touching a byte
+    * of existing data. Earlier generations keep their layout; the
+    * snapshot reader scans per generation and merges, and file-level
+    * pruning reads hive partition values where footer stats don't carry
+    * the column. Repartitioning a 100 TB table becomes one JSON commit;
+    * OPTIMIZE migrates old files to the current spec incrementally.
+    */
+  def setPartitioning(
+      spark: SparkSession,
+      tablePath: String,
+      partitionBy: Seq[String],
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no metadata at $tablePath"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    partitionBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' not in schema at $tablePath")
+      // hive dirs carry the partition column's NAME; a mapped (renamed)
+      // column writes physical names into files but logical dirs would
+      // desync — refuse, same rule as renameColumn's inverse
+      require(!meta.columnMapping.contains(c),
+        s"cannot partition by mapped (renamed) column '$c'")
+    }
+    log.commit(version, Seq(
+      meta.copy(partitionColumns = partitionBy),
+      CommitInfo("SET PARTITIONING", commitTs)))
   }
 
   /** MERGE / upsert at file granularity: rows of `source` replace target
@@ -694,6 +789,73 @@ object TableWriter {
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
     log.commit(version, (removes ++ adds) :+ CommitInfo("DELETE", commitTs))
+  }
+
+  /** Row-level UPDATE WHERE: rewrite only the files that CONTAIN a
+    * matching row (same affected-file discovery as DELETE), applying
+    * `set` expressions to matching rows and keeping the rest byte-
+    * identical in value. Completes the DML family (MERGE upserts by
+    * key; this updates by predicate). dataChange=true: the churned
+    * files are real CDC. CHECK constraints re-validate the updated
+    * rows — an UPDATE must not be a constraint bypass.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      version: Long,
+      commitTs: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val meta = snap.metadata
+    val partCols = meta.map(_.partitionColumns).getOrElse(Seq.empty)
+    val schemaCols = meta.map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet)
+      .getOrElse(Set.empty[String])
+    set.keys.foreach(c => require(schemaCols.contains(c),
+      s"UPDATE SET on unknown column '$c' at $tablePath"))
+    set.keys.foreach(c => require(!partCols.contains(c),
+      s"UPDATE SET on partition column '$c' would move rows across " +
+        s"partitions; use MERGE at $tablePath"))
+    val tableQ = {
+      val p = new Path(tablePath)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val byRel = snap.files.map(f => new Path(tableQ, f.path).toString
+      .replaceFirst("^file:/+", "/") -> f).toMap
+    val target = DeletionVectors
+      .readSnapshot(spark, tablePath, snap, withRowMeta = true)
+      .withColumnRenamed("_path", "_file")
+    val affected = target.filter(pred)
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).flatMap(byRel.get)
+    if (affected.isEmpty) {
+      log.commit(version, Seq(CommitInfo("UPDATE", commitTs)))
+      return
+    }
+    // SQL UPDATE semantics: every SET expression AND the predicate see
+    // the OLD row — stage all new values first, swap in one pass
+    val base = readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
+    val staged = set.toSeq.zipWithIndex.foldLeft(base) {
+      case (d, ((c, e), i)) =>
+        d.withColumn(s"_upd_$i", when(pred, e).otherwise(col(c)))
+    }
+    val rewritten = set.toSeq.zipWithIndex.foldLeft(staged) {
+      case (d, ((c, _), i)) => d.withColumn(c, col(s"_upd_$i"))
+    }.drop(set.toSeq.indices.map(i => s"_upd_$i"): _*)
+    enforceConstraints(rewritten,
+      meta.map(_.constraints).getOrElse(Seq.empty), tablePath)
+    val adds = stageAndMove(spark, rewritten, tablePath, partCols, version,
+      commitTs, dataChange = true)
+    val removes = affected.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
+    log.commit(version, (removes ++ adds) :+ CommitInfo("UPDATE", commitTs))
   }
 
   /** The file set under the table's DECLARED schema, column mapping
