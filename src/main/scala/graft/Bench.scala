@@ -45,6 +45,7 @@ object Bench {
       queries.Maintenance.partitionEvoFixture(spark, sfDir)
       queries.Maintenance.updateFixture(spark, sfDir)
       queries.Maintenance.quarantineFixture(spark, sfDir)
+      queries.Maintenance.bloomIndexFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

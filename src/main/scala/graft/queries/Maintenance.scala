@@ -271,6 +271,24 @@ object Maintenance {
     dir
   }
 
+  /** orders spread over 8 files keyed by o_orderkey, plus a per-file
+    * bloom index build on the key.
+    */
+  def bloomIndexFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/blix_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L) &&
+      BloomIndex.latestBuild(spark, dir).isDefined) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark,
+      Tables.load(spark, sfDir, "orders").repartition(8, col("o_orderkey")),
+      dir, version = 0L, commitTs = 1000L)
+    BloomIndex.build(spark, dir, Seq("o_orderkey"), version = 0L)
+    dir
+  }
+
   /** v0: lineitem %6 rows; v1: UPDATE WHERE l_quantity < 15 SET
     * quantity += 100, extendedprice += OLD quantity (the old-row read is
     * the point — SQL UPDATE semantics).
@@ -367,6 +385,38 @@ object Maintenance {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Point lookups through the per-file bloom index: three key probes
+    // (min, max, and the first key past the midpoint — derived from the
+    // data so both engines pick identical keys at any SF), each pruning
+    // the 8-file table down to the file(s) that may hold the key before
+    // any row is read. Results are exact — the index is advisory, the
+    // residual filter decides.
+    QueryDef.sqlBacked(
+      "q140_bloom_index_lookup",
+      """WITH keys AS (
+        |  SELECT MIN(o_orderkey) AS k FROM orders
+        |  UNION ALL SELECT MAX(o_orderkey) FROM orders
+        |  UNION ALL SELECT MIN(o_orderkey) FROM orders
+        |    WHERE o_orderkey > (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2
+        |                        FROM orders))
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey IN (SELECT k FROM keys)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val table = bloomIndexFixture(s, dir)
+      val o = Tables.load(s, dir, "orders")
+      val Seq(lo, hi) = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+      val mid = o.filter(col("o_orderkey") > (lo + hi) / 2)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      Seq(lo, hi, mid).distinct.map(k =>
+          DataSkipping.readWhere(s, table, col("o_orderkey") === k))
+        .reduce(_ unionByName _)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .orderBy(col("o_orderkey"))
     },
 
     // Row-level UPDATE WHERE, final state: matching rows carry the SET

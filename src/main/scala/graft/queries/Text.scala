@@ -602,6 +602,47 @@ object Text {
           count(when(col("prev_day").isNull ||
             col("day") - col("prev_day") > 20, 1)).as("n_kept"))
         .orderBy(col("day_decade"))
+    },
+
+    // N-gram novelty profile (the memorization/contamination signal): a
+    // doc whose trigrams mostly appear NOWHERE else is novel content; a
+    // doc of df>1 trigrams is boilerplate or duplication. One inverted-
+    // index shuffle on 64-bit shingle hashes (never strings), corpus
+    // document frequency per trigram, then a per-doc unique fraction
+    // bucketed by integer-exact decile arithmetic. The oracle recomputes
+    // with string trigrams — hashing is injective in practice (q45's
+    // accepted premise).
+    QueryDef.sqlBacked(
+      "q141_ngram_novelty",
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |             FROM documents)),
+        |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM inv GROUP BY s),
+        |perdoc AS (SELECT i.doc_id, COUNT(*) AS t,
+        |             COUNT(*) FILTER (WHERE df = 1) AS u
+        |           FROM inv i JOIN dfreq USING (s) GROUP BY i.doc_id)
+        |SELECT CAST((10 * u - (10 * u) % t) / t AS BIGINT) AS novelty_decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS n_trigrams
+        |FROM perdoc GROUP BY novelty_decile
+        |ORDER BY novelty_decile""".stripMargin) { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      inv.join(dfreq, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("t"),
+          count(when(col("df") === 1, 1)).as("u"))
+        .groupBy((((lit(10) * col("u")) - (lit(10) * col("u")) % col("t"))
+          / col("t")).cast("long").as("novelty_decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_trigrams"))
+        .orderBy(col("novelty_decile"))
     }
   )
 }

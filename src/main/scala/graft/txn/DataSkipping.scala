@@ -145,7 +145,28 @@ object DataSkipping {
         (ColumnMapping.physicalName(c, mapping), lo, hi)
       }
     val physSchema = ColumnMapping.physicalSchema(schema, mapping)
-    (pruneFilesAll(snap.files, physSchema, ranges), schema, mapping)
+    val statsKept = pruneFilesAll(snap.files, physSchema, ranges)
+    // point probes (lo == hi) additionally consult the per-file bloom
+    // index — the only file-level signal with power on high-cardinality
+    // keys whose min/max spans every file. Soundness: files or columns
+    // without a bloom row are kept.
+    val points = ranges.filter { case (_, lo, hi) => lo == hi }
+    val kept =
+      if (points.isEmpty) statsKept
+      else {
+        val blooms = BloomIndex.load(spark, tablePath)
+        if (blooms.isEmpty) statsKept
+        else statsKept.filter { f =>
+          val fn = new org.apache.hadoop.fs.Path(f.path).getName
+          points.forall { case (c, lo, _) =>
+            (blooms.get((fn, c)), BloomIndex.probeHash(physSchema(c).dataType, lo)) match {
+              case (Some(b), Some(h)) => b.mightContain(h)
+              case _ => true
+            }
+          }
+        }
+      }
+    (kept, schema, mapping)
   }
 
   /** Snapshot read with AUTOMATIC stats pruning: the ranges are derived

@@ -580,6 +580,7 @@ object TableWriter {
       .map(_._1)
     // orphan sweep: on-disk parquet never referenced by the log
     val tableUri = fs.makeQualified(table).toUri
+    val latestBloom = BloomIndex.latestBuild(spark, tablePath)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(dir: Path): Unit =
       fs.listStatus(dir).foreach { st =>
@@ -595,6 +596,10 @@ object TableWriter {
           val isReferenced =
             if (rel.startsWith("_dv/"))
               liveDv.exists(d => rel.startsWith(d + "/"))
+            // bloom-index sidecars: the LATEST build is always protected
+            // (it prunes live reads); superseded builds age out below
+            else if (rel.startsWith("_bloom/"))
+              latestBloom.exists(d => rel.startsWith(d + "/"))
             else referenced.contains(rel)
           if (!isReferenced && st.getModificationTime <= cutoff)
             orphans += rel
@@ -606,7 +611,7 @@ object TableWriter {
     // drop emptied DV directories so the _dv namespace doesn't
     // accumulate husks of reclaimed vectors (recursive: local
     // filesystems leave .crc shadows behind the deleted parquet)
-    doomed.filter(_.startsWith("_dv/"))
+    doomed.filter(p => p.startsWith("_dv/") || p.startsWith("_bloom/"))
       .map(p => new Path(tablePath, p).getParent).distinct
       .foreach { d =>
         if (fs.exists(d) &&

@@ -239,6 +239,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q131 profile: one scan feeds every column's metrics") {
+    val p = planOf("q131_table_profile")
+    // the oracle rescans per column (UNION ALL); the engine must not —
+    // exactly one lineitem scan, melted by an Expand
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"profile rescans the table:\n${p.take(2000)}")
+    assert(p.contains("Expand"), "stack() should plan as Expand")
+  }
+
+  test("q135 heavy hitters: the recount filters on the candidate IN-list") {
+    val df = SparkEntry.queries("q135_heavy_hitters")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    // MG candidates (≤64 keys) reach the scan as an INSET filter sitting
+    // DIRECTLY over it (the key is computed, so it can't enter parquet
+    // PushedFilters) — the recount never aggregates the full distribution
+    val insetOverScan =
+      "(?s)Filter [^\\n]*INSET[^\\n]*\\n[^\\n]*FileScan".r
+    assert(insetOverScan.findFirstIn(p).isDefined,
+      s"candidate IN-list must filter the recount scan:\n${p.take(2000)}")
+  }
+
+  test("q141 novelty: shingle join keys on hashes, no cartesian") {
+    val df = SparkEntry.queries("q141_ngram_novelty")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q126 renamed-column scan still prunes and pushes down") {
     // the mapping must not break pushdown: the physical scan reads the
     // PHYSICAL column and the filter still reaches it
