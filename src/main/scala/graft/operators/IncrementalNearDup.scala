@@ -138,4 +138,19 @@ object IncrementalNearDup {
   /** Latest indexed doc count (observability / spec hook). */
   def indexedCount(spark: SparkSession, indexBase: String): Long =
     SnapshotReader.read(spark, sigsPath(indexBase)).count()
+
+  /** Zero-copy clone of the whole index (both tables) — metadata-only,
+    * so an experiment (or a benchmark run) can ingest into a writable
+    * branch of a seeded corpus without re-sketching or copying it.
+    */
+  def cloneIndex(
+      spark: SparkSession,
+      srcBase: String,
+      dstBase: String,
+      commitTs: Long): Unit = {
+    TableWriter.cloneShallow(spark, sigsPath(srcBase), sigsPath(dstBase),
+      commitTs)
+    TableWriter.cloneShallow(spark, bandsPath(srcBase), bandsPath(dstBase),
+      commitTs)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.txn.{SnapshotReader, TxnLog}
+import graft.txn.{AddFile, CommitInfo, RemoveFile, SnapshotReader, TableWriter, TxnLog}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,5 +73,130 @@ object Scd2 {
       .filter(col("n").isNotNull) // absent-intervals are not output rows
       .select((keys.map(col) ++ Seq(col("n"), col("cents"),
         col("valid_from"), col("valid_to"))): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental maintenance: the intervals frame as a MAINTAINED graft
+  // table. A refresh walks only the base versions since the watermark,
+  // and each step's cost is proportional to that version's CHANGED KEYS
+  // (one filtered per-key aggregate + one MERGE into the history), never
+  // to the table or to the history — the dimension-table upkeep shape at
+  // 100 TB. The watermark rides INSIDE each history commit's CommitInfo
+  // (`base=<v>`), the same atomic trick as MaterializedAgg: state and
+  // watermark cannot diverge across a crash.
+  // ------------------------------------------------------------------
+
+  private val BaseRe = """base=(\d+)""".r
+
+  /** The base version the history reflects (from the newest commit). */
+  def refreshedThrough(spark: SparkSession, historyPath: String): Long = {
+    val log = new TxnLog(historyPath, spark.sessionState.newHadoopConf())
+    log.history().collectFirst {
+      case (_, op, _, _, _) if BaseRe.findFirstMatchIn(op).isDefined =>
+        BaseRe.findFirstMatchIn(op).get.group(1).toLong
+    }.getOrElse(throw new IllegalStateException(
+      s"no SCD2 watermark in the log at $historyPath"))
+  }
+
+  /** Seed the history table with the FULL interval build over base
+    * versions ≤ the current latest. Returns the recorded watermark.
+    */
+  def create(
+      spark: SparkSession,
+      basePath: String,
+      historyPath: String,
+      keys: Seq[String],
+      centsOf: Column): Long = {
+    val baseLog = new TxnLog(basePath, spark.sessionState.newHadoopConf())
+    val baseV = baseLog.latestVersion().getOrElse(
+      throw new IllegalArgumentException(s"empty base at $basePath"))
+    val versions = baseLog.versions().filter(_ <= baseV)
+    val hist = intervals(spark, basePath, keys, centsOf, Some(versions))
+    TableWriter.write(spark, hist, historyPath, version = 0L,
+      commitTs = System.currentTimeMillis(),
+      operation = s"SCD2 CREATE base=$baseV")
+    baseV
+  }
+
+  /** Advance the history over base versions (watermark, latest]. Each
+    * ROW-EVENT version merges its changed keys' transitions (close /
+    * open / tombstone-close) as one versioned commit; trailing event-free
+    * versions (compaction etc.) advance the watermark metadata-only.
+    */
+  def refresh(
+      spark: SparkSession,
+      basePath: String,
+      historyPath: String,
+      keys: Seq[String],
+      centsOf: Column): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val baseLog = new TxnLog(basePath, conf)
+    val from = refreshedThrough(spark, historyPath)
+    val latest = baseLog.latestVersion().getOrElse(0L)
+    if (latest <= from) return from
+    val histLog = new TxnLog(historyPath, conf)
+
+    baseLog.changes(from + 1).filter(_._1 <= latest).foreach {
+      case (v, actions) =>
+        // keys POSSIBLY changed at v: every key in a dataChange-added or
+        // -removed file (rewrites over-approximate; the state compare
+        // below turns untouched keys into no-ops)
+        val added = actions.collect {
+          case a: AddFile if a.dataChange => a }
+        val removedPaths = actions.collect {
+          case r: RemoveFile if r.dataChange => r.path }.toSet
+        if (added.isEmpty && removedPaths.isEmpty) {
+          // compaction / metadata-only: watermark advance, no state write
+          histLog.commit(histLog.snapshotLatest().version + 1,
+            Seq(CommitInfo(s"SCD2 NOOP base=$v", System.currentTimeMillis())))
+        } else {
+          val snapPrev = baseLog.snapshot(v - 1)
+          val removed = snapPrev.files.filter(f => removedPaths(f.path))
+          // RAW rows (dv stripped): a key whose last rows died in this
+          // version's deletion vector must still count as changed — the
+          // over-approximation is what keeps key discovery sound
+          val touched = (added ++ removed).map(_.copy(dv = None)).distinct
+          val changedKeys = graft.txn.DeletionVectors
+            .readFiles(spark, basePath, touched,
+              snapPrev.metadata.map(m =>
+                org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType]))
+            .select(keys.map(col): _*).distinct()
+          val newState = SnapshotReader.read(spark, basePath,
+              versionAsOf = Some(v))
+            .join(changedKeys, keys, "left_semi")
+            .groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents"))
+          val open = SnapshotReader.read(spark, historyPath)
+            .filter(col("valid_to").isNull)
+            .join(changedKeys, keys, "left_semi")
+          // FULL outer per changed key: present-only → open; absent-only
+          // → close (deletion); both-but-different → close + open
+          val joined = open.as("o").join(newState.as("s"),
+            keys.map(k => col(s"o.$k") <=> col(s"s.$k")).reduce(_ && _),
+            "full_outer")
+          val changed = joined.filter(
+            !(col("o.n") <=> col("s.n")) || !(col("o.cents") <=> col("s.cents")))
+          val closes = changed.filter(col("o.n").isNotNull).select(
+            (keys.map(k => col(s"o.$k").as(k)) ++ Seq(col("o.n").as("n"),
+              col("o.cents").as("cents"), col("o.valid_from").as("valid_from"),
+              lit(v).cast("long").as("valid_to"))): _*)
+          val opens = changed.filter(col("s.n").isNotNull).select(
+            (keys.map(k => col(s"s.$k").as(k)) ++ Seq(col("s.n").as("n"),
+              col("s.cents").as("cents"), lit(v).cast("long").as("valid_from"),
+              lit(null).cast("long").as("valid_to"))): _*)
+          val delta = closes.unionByName(opens)
+          val histV = histLog.snapshotLatest().version + 1
+          if (delta.isEmpty)
+            histLog.commit(histV,
+              Seq(CommitInfo(s"SCD2 NOOP base=$v", System.currentTimeMillis())))
+          else
+            TableWriter.mergeUpsert(spark, historyPath, delta,
+              keyCols = keys :+ "valid_from", version = histV,
+              commitTs = System.currentTimeMillis(),
+              operation = s"SCD2 REFRESH base=$v")
+        }
+    }
+    latest
   }
 }

@@ -361,6 +361,41 @@ object Maintenance {
     dir
   }
 
+  /** Same base history as [[scd2Fixture]], but the intervals table is
+    * MAINTAINED: seeded after v0, refreshed after each of v1 (MERGE) and
+    * v2 (DELETE) — each refresh touches only that version's changed
+    * keys.
+    */
+  def scd2IncFixture(spark: SparkSession, sfDir: String): String = {
+    val base = s"target/fixtures/scd2i_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val (dir, hist) = (s"$base/t", s"$base/h")
+    val conf = spark.sessionState.newHadoopConf()
+    val done =
+      try new TxnLog(hist, conf).latestVersion().isDefined &&
+        graft.operators.Scd2.refreshedThrough(spark, hist) == 2L
+      catch { case _: Exception => false }
+    if (done) return hist
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val cents = floor(col("l_quantity") * 100)
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    graft.operators.Scd2.create(spark, dir, hist, keys, cents)
+    val updates = li.filter(col("l_orderkey") % 14 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val inserts = li.filter(col("l_orderkey") % 9 === 0 &&
+      col("l_orderkey") % 7 =!= 0)
+    TableWriter.mergeUpsert(spark, dir, updates.unionByName(inserts),
+      keyCols = keys, version = 1L, commitTs = 2000L)
+    graft.operators.Scd2.refresh(spark, dir, hist, keys, cents)
+    TableWriter.deleteWhere(spark, dir, col("l_orderkey") % 3 === 0,
+      version = 2L, commitTs = 3000L)
+    graft.operators.Scd2.refresh(spark, dir, hist, keys, cents)
+    hist
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Partition evolution, final state: v0 wrote unpartitioned, a
     // metadata-only SET PARTITIONING switched the spec, and a plain
@@ -517,6 +552,45 @@ object Maintenance {
       graft.operators.Scd2.intervals(s, table,
           Seq("l_orderkey", "l_linenumber"),
           floor(col("l_quantity") * 100))
+        .groupBy(col("valid_from"), col("valid_to"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cents")).as("cents_total"))
+        .orderBy(col("valid_from"), col("valid_to"))
+    },
+
+    // INCREMENTALLY-maintained SCD2 history: the intervals table was
+    // seeded after v0 and refreshed per version (each refresh costing
+    // only that version's changed keys) — and its final state must hash-
+    // match the same modular enumeration q133's from-scratch build does.
+    // Same oracle, different machinery: this is the maintained-dimension
+    // twin.
+    QueryDef.sqlBacked(
+      "q142_scd2_incremental",
+      """WITH k AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |             COUNT(*) AS m,
+        |             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |iv AS (
+        |  SELECT 0 AS vf, NULL AS vt, c FROM k
+        |    WHERE ok % 7 = 0 AND ok % 14 <> 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT 0, 2, c FROM k
+        |    WHERE ok % 7 = 0 AND ok % 14 <> 0 AND ok % 3 = 0
+        |  UNION ALL SELECT 0, 1, c FROM k WHERE ok % 14 = 0
+        |  UNION ALL SELECT 1, NULL, c + 10000 * m FROM k
+        |    WHERE ok % 14 = 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT 1, NULL, c FROM k
+        |    WHERE ok % 9 = 0 AND ok % 7 <> 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT 1, 2, c + 10000 * m FROM k
+        |    WHERE ok % 14 = 0 AND ok % 3 = 0
+        |  UNION ALL SELECT 1, 2, c FROM k
+        |    WHERE ok % 9 = 0 AND ok % 7 <> 0 AND ok % 3 = 0)
+        |SELECT CAST(vf AS BIGINT) AS valid_from,
+        |  CAST(vt AS BIGINT) AS valid_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c) AS BIGINT) AS cents_total
+        |FROM iv GROUP BY vf, vt
+        |ORDER BY valid_from, valid_to""".stripMargin) { (s, dir) =>
+      val hist = scd2IncFixture(s, dir)
+      SnapshotReader.read(s, hist)
         .groupBy(col("valid_from"), col("valid_to"))
         .agg(count(lit(1)).as("n_keys"), sum(col("cents")).as("cents_total"))
         .orderBy(col("valid_from"), col("valid_to"))

@@ -711,7 +711,8 @@ object TableWriter {
       source: DataFrame,
       keyCols: Seq[String],
       version: Long,
-      commitTs: Long): Unit = {
+      commitTs: Long,
+      operation: String = "MERGE"): Unit = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
@@ -752,7 +753,7 @@ object TableWriter {
       commitTs, dataChange = true)
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
-    log.commit(version, (removes ++ adds) :+ CommitInfo("MERGE", commitTs))
+    log.commit(version, (removes ++ adds) :+ CommitInfo(operation, commitTs))
   }
 
   /** Row-level DELETE WHERE: rewrites only the files containing matching

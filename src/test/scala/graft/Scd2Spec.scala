@@ -79,6 +79,54 @@ class Scd2Spec extends AnyFunSuite {
     assertReconstructs(dir, 0L to 4L)
   }
 
+  test("incremental maintenance lands exactly on the batch recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2i").toString + "/t"
+    val hist = java.nio.file.Files.createTempDirectory("scd2h").toString + "/h"
+    val li = Tables.load(spark, sf, "lineitem")
+
+    def histState() = SnapshotReader.read(spark, hist)
+      .select((keys.map(col) :+ col("n") :+ col("cents") :+
+        col("valid_from") :+ col("valid_to")): _*)
+      .collect().map(_.toSeq).toSet
+    def batchState() = Scd2.intervals(spark, dir, keys, cents)
+      .collect().map(_.toSeq).toSet
+
+    // v0+v1 exist BEFORE create: the seed covers multi-version history
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 5 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.mergeUpsert(spark, dir,
+      li.filter(col("l_orderkey") % 10 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 7)
+        .unionByName(li.filter(col("l_orderkey") % 5 =!= 0 &&
+          col("l_orderkey") % 11 === 0)),
+      keys, version = 1L, commitTs = 2000L)
+    Scd2.create(spark, dir, hist, keys, cents)
+    assert(histState() == batchState(), "seed diverges")
+
+    // v2: delete whole keys → refresh closes their intervals
+    TableWriter.deleteWhere(spark, dir, col("l_orderkey") % 4 === 0,
+      version = 2L, commitTs = 3000L)
+    Scd2.refresh(spark, dir, hist, keys, cents)
+    assert(histState() == batchState(), "delete diverges")
+
+    // v3: reappearance; v4: DV row-delete — ONE refresh walks both
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 20 === 0), dir,
+      commitTs = 4000L)
+    DeletionVectors.deleteWhere(spark, dir,
+      col("l_linenumber") % 3 === 0 && col("l_orderkey") % 8 === 0,
+      version = 4L, commitTs = 5000L)
+    Scd2.refresh(spark, dir, hist, keys, cents)
+    assert(histState() == batchState(), "reappear+DV diverges")
+    assert(Scd2.refreshedThrough(spark, hist) == 4L)
+
+    // no base movement → refresh is a pure no-op (no new history commit)
+    val before = new graft.txn.TxnLog(hist,
+      spark.sessionState.newHadoopConf()).latestVersion()
+    Scd2.refresh(spark, dir, hist, keys, cents)
+    assert(new graft.txn.TxnLog(hist,
+      spark.sessionState.newHadoopConf()).latestVersion() == before)
+  }
+
   test("unchanged keys yield exactly one open interval") {
     val dir = java.nio.file.Files.createTempDirectory("scd2b").toString + "/t"
     val li = Tables.load(spark, sf, "lineitem")
