@@ -126,6 +126,53 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // Time-weighted average (TWAP): each observation holds until the
+    // next one, so its weight is that interval — the finance/telemetry
+    // aggregate where a plain AVG is wrong whenever sampling is uneven.
+    // All arithmetic is integer-exact (cents × whole seconds; the final
+    // ratio is a floor-div kept under 2^53), so four window+agg steps
+    // can't drift between engines. One shuffle on (event_type, day);
+    // the lead() frame carries one scalar.
+    QueryDef.sqlBacked(
+      "q144_twap",
+      """WITH obs AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    CAST((EPOCH_US(LEAD(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |            ORDER BY ts, event_id) ) - EPOCH_US(ts)) // 1000000
+        |      AS BIGINT) AS w
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(w) AS BIGINT) AS total_s,
+        |    CAST(SUM(cents * w) AS BIGINT) AS cw
+        |  FROM obs WHERE w IS NOT NULL GROUP BY event_type, d)
+        |SELECT event_type, d, n_obs, total_s,
+        |  CASE WHEN total_s = 0 THEN NULL
+        |    ELSE CAST((1000 * cw - (1000 * cw) % total_s) / total_s AS BIGINT)
+        |    END AS twap_millicents
+        |FROM agg ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"), col("ts").cast("date"))
+        .orderBy(col("ts"), col("event_id"))
+      val obs = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("date").as("d"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          ((unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            / 1000000).cast("long").as("w"))
+        .filter(col("w").isNotNull)
+      obs.groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("w")).cast("long").as("total_s"),
+          sum(col("cents") * col("w")).cast("long").as("cw"))
+        .select(col("event_type"), col("d"), col("n_obs"), col("total_s"),
+          when(col("total_s") === 0, lit(null).cast("long"))
+            .otherwise(((lit(1000) * col("cw") -
+              (lit(1000) * col("cw")) % col("total_s")) / col("total_s"))
+              .cast("long")).as("twap_millicents"))
+        .orderBy(col("event_type"), col("d"))
+    },
+
     // NATIVE session_window in batch: same sessions as q33's islands
     // construction, but built by Spark's own merging-session operator
     // (one MergingSessionsExec pass after a single shuffle on user_id —

@@ -1232,6 +1232,89 @@ object Relational {
         when(col("l_orderkey") % 3 === 0, col("l_orderkey") % 7)
           .otherwise(lit(100) + col("l_orderkey") % 100000).as("key"))
       HeavyHitters.exactHeavy(keyed, col("key"), k = 64)
+    },
+
+    // Iterative graph analytics: 4 rounds of PageRank over a 1000-node
+    // graph derived from orders (src = o_orderkey%1000 → dst =
+    // o_custkey%1000). Every step is INTEGER-exact — contributions are
+    // floor(rank/outdeg), damping is floor(85·s/100) — so four chained
+    // iterations cannot drift between engines, and the oracle spells the
+    // same four rounds as unrolled CTEs. The Spark loop is the Pregel
+    // shape: per iteration ONE join on the edge list + one aggregate;
+    // edges/degrees are computed once and cached.
+    QueryDef.sqlBacked(
+      "q143_pagerank",
+      """WITH edges AS (SELECT DISTINCT o_orderkey % 1000 AS src,
+        |                 o_custkey % 1000 AS dst FROM orders),
+        |nodes AS (SELECT DISTINCT v FROM (
+        |  SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
+        |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |r1 AS (SELECT n.v, 150000 + CAST((85 * COALESCE(s.s, 0)
+        |         - (85 * COALESCE(s.s, 0)) % 100) / 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |           SUM(CAST((r.r - r.r % d.d) / d.d AS BIGINT)) AS s
+        |         FROM edges e JOIN r0 r ON r.v = e.src
+        |           JOIN deg d ON d.v = e.src
+        |         GROUP BY e.dst) s ON s.v = n.v),
+        |r2 AS (SELECT n.v, 150000 + CAST((85 * COALESCE(s.s, 0)
+        |         - (85 * COALESCE(s.s, 0)) % 100) / 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |           SUM(CAST((r.r - r.r % d.d) / d.d AS BIGINT)) AS s
+        |         FROM edges e JOIN r1 r ON r.v = e.src
+        |           JOIN deg d ON d.v = e.src
+        |         GROUP BY e.dst) s ON s.v = n.v),
+        |r3 AS (SELECT n.v, 150000 + CAST((85 * COALESCE(s.s, 0)
+        |         - (85 * COALESCE(s.s, 0)) % 100) / 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |           SUM(CAST((r.r - r.r % d.d) / d.d AS BIGINT)) AS s
+        |         FROM edges e JOIN r2 r ON r.v = e.src
+        |           JOIN deg d ON d.v = e.src
+        |         GROUP BY e.dst) s ON s.v = n.v),
+        |r4 AS (SELECT n.v, 150000 + CAST((85 * COALESCE(s.s, 0)
+        |         - (85 * COALESCE(s.s, 0)) % 100) / 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS v,
+        |           SUM(CAST((r.r - r.r % d.d) / d.d AS BIGINT)) AS s
+        |         FROM edges e JOIN r3 r ON r.v = e.src
+        |           JOIN deg d ON d.v = e.src
+        |         GROUP BY e.dst) s ON s.v = n.v)
+        |SELECT CAST(v AS BIGINT) AS node, r AS rank_ppm
+        |FROM r4 ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - a % b) / b).cast("long")
+      val edges = Tables.load(s, dir, "orders")
+        .select((col("o_orderkey") % 1000).as("src"),
+          (col("o_custkey") % 1000).as("dst"))
+        .distinct().cache()
+      val nodes = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct().cache()
+      val deg = edges.groupBy(col("src"))
+        .agg(count(lit(1)).cast("long").as("d")).cache()
+      // the rank vector is |nodes| rows (tiny next to the edge list, as
+      // in any real PageRank): BROADCAST it into the edge join, so each
+      // iteration costs exactly ONE shuffle (the per-target aggregate) —
+      // the edge list itself never moves
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 4) {
+        val contrib = edges
+          .join(broadcast(ranks.withColumnRenamed("v", "src")), "src")
+          .join(broadcast(deg.withColumnRenamed("v", "src")), "src")
+          .select(col("dst").as("v"), floorDiv(col("r"), col("d")).as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(broadcast(contrib), Seq("v"), "left")
+          .select(col("v"),
+            (lit(150000L) + floorDiv(lit(85L) * coalesce(col("s"), lit(0L)),
+              lit(100L))).as("r"))
+          .localCheckpoint(eager = false) // cut the per-iteration lineage
+      }
+      ranks
+        .select(col("v").cast("long").as("node"), col("r").as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("node")).limit(20)
     }
   )
 }
