@@ -422,6 +422,44 @@ object Maintenance {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Metadata-only COUNT: per-partition exact live row counts computed
+    // from the log's per-file stats minus deletion-vector dead rows —
+    // no data file is opened (the DV sidecars are KBs). The fixture
+    // stacks TWO DV deletes on a partitioned table, so the counts are
+    // only right if the stats math honors each file's CURRENT vector.
+    // The oracle recomputes from the base table.
+    QueryDef.sqlBacked(
+      "q145_metadata_count",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 AND l_suppkey % 5 <> 0
+        |  AND l_partkey % 3 <> 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val table = dvFixture(s, dir)
+      SnapshotReader.statsCount(s, table)
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Metadata-only MIN/MAX: the global bounds come from per-file stats
+    // for clean files; the two DV-delete commits make the naive stats
+    // answer UNSOUND (a vector may have killed the extreme row), so the
+    // engine scans just the DV-carrying files and combines — the scan
+    // cost tracks the deleted sliver. Oracle recomputes from base.
+    QueryDef.sqlBacked(
+      "q146_metadata_minmax",
+      """SELECT MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 AND l_suppkey % 5 <> 0
+        |  AND l_partkey % 3 <> 0""".stripMargin) { (s, dir) =>
+      val table = dvFixture(s, dir)
+      val (mn, mx) = SnapshotReader.statsMinMax(s, table, "l_extendedprice")
+      import s.implicits._
+      Seq((mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+        .toDF("min_price", "max_price")
+    },
+
     // Point lookups through the per-file bloom index: three key probes
     // (min, max, and the first key past the midpoint — derived from the
     // data so both engines pick identical keys at any SF), each pruning

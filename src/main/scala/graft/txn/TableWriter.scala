@@ -546,7 +546,8 @@ object TableWriter {
       spark: SparkSession,
       tablePath: String,
       retainMillis: Long,
-      nowMillis: Long): Seq[String] = {
+      nowMillis: Long,
+      dryRun: Boolean = false): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val latestSnap = log.snapshotLatest()
@@ -607,6 +608,10 @@ object TableWriter {
       }
     if (fs.exists(table)) walk(table)
     val doomed = (removed ++ orphans).distinct.sorted
+    // DRY RUN: report what WOULD be reclaimed, delete nothing — the
+    // operator's answer to "is my retention window about to eat a
+    // version someone still time-travels to"
+    if (dryRun) return doomed
     doomed.foreach(p => fs.delete(new Path(tablePath, p), false))
     // drop emptied DV directories so the _dv namespace doesn't
     // accumulate husks of reclaimed vectors (recursive: local
