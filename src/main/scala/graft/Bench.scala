@@ -46,6 +46,7 @@ object Bench {
       queries.Maintenance.updateFixture(spark, sfDir)
       queries.Maintenance.quarantineFixture(spark, sfDir)
       queries.Maintenance.bloomIndexFixture(spark, sfDir)
+      queries.Maintenance.fullSyncFixture(spark, sfDir)
       queries.Maintenance.scd2IncFixture(spark, sfDir)
       queries.Pipeline.seedIndexFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))

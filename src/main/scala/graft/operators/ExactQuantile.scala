@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group quantiles WITHOUT a global sort — the selection
+  * problem at 100 TB. A full `ORDER BY` per group shuffles and sorts the
+  * whole table; `percentile_approx` gives only an approximation. This
+  * operator answers exact rank statistics in three passes whose driver
+  * state is bounded by GROUPS × BUCKETS, never by table size:
+  *
+  *   1. per-group (n, min, max) — one hash aggregate;
+  *   2. per-group fixed-width histogram counts — one hash aggregate
+  *      (≤ `buckets` rows per group back to the driver, which walks the
+  *      cumulative counts to find the ONE bucket holding each target
+  *      rank);
+  *   3. rank-within-bucket selection — a broadcast bracket join keeps
+  *      only rows inside the located buckets (a ~1/`buckets` slice of
+  *      each group), then a tiny per-bracket ROW_NUMBER picks the exact
+  *      value.
+  *
+  * Rank definition: the q-th quantile is the value at rank
+  * ceil(num·n/den) in ascending order (the "discrete quantile" of
+  * DuckDB's `quantile_disc`), computed in EXACT integer arithmetic —
+  * `ceil(0.9·n)` via doubles misrounds when 9n/10 is integral, so the
+  * rank is `(num·n + den − 1) / den` in longs on both engines.
+  *
+  * Both collects are bounded METADATA (one row per group; one row per
+  * non-empty bucket), not data rows — same class as IvfIndex's sampled
+  * centroids, not a driver loop over the table.
+  */
+object ExactQuantile {
+
+  /** @param qs  (label, num, den) targets, rank = ceil(num·n/den)
+    * @return (g, label, value) — one row per group × target
+    */
+  def quantiles(
+      df: DataFrame,
+      grpCol: Column,
+      valCol: Column,
+      qs: Seq[(String, Long, Long)],
+      buckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+    val src = df.select(grpCol.cast("string").as("g"),
+      valCol.cast("long").as("v"))
+
+    // pass 1: one row per GROUP
+    val stats = src.groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // per-group bucket width; ≥1 so degenerate (constant) groups work
+    val meta = stats.map { case (g, _, lo, hi) =>
+      (g, lo, math.max(1L, (hi - lo) / buckets + 1))
+    }.toSeq
+    val metaDf = broadcast(meta.toDF("g", "g_lo", "g_w"))
+
+    // pass 2: one row per non-empty (group, bucket)
+    val hist = src.join(metaDf, Seq("g"))
+      .select($"g", expr("(v - g_lo) div g_w").as("b"))
+      .groupBy($"g", $"b").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    // driver walk: locate the bucket containing each target rank
+    val brackets = stats.flatMap { case (g, n, lo, _) =>
+      val w = meta.find(_._1 == g).get._3
+      val sorted = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
+      qs.map { case (label, num, den) =>
+        val k = ceilDiv(num * n, den)
+        var cum = 0L
+        var found: (Long, Long) = null // (bucket, rank within bucket)
+        for ((b, c) <- sorted if found == null) {
+          if (cum + c >= k) found = (b, k - cum)
+          cum += c
+        }
+        val (b, kin) = found
+        (g, label, lo + b * w, lo + (b + 1) * w - 1, kin)
+      }
+    }.toSeq
+    val brDf = broadcast(
+      brackets.toDF("bg", "label", "b_lo", "b_hi", "k_in"))
+
+    // pass 3: only rows inside a located bucket survive the join; the
+    // window sorts a ~1/buckets slice per (group, target), nothing more
+    val win = Window.partitionBy($"g", $"label").orderBy($"v")
+    src.join(brDf,
+        $"g" === $"bg" && $"v".between($"b_lo", $"b_hi"))
+      .withColumn("rn", row_number().over(win))
+      .filter($"rn" === $"k_in")
+      .select($"g", $"label", $"v")
+  }
+}

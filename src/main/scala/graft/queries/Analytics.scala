@@ -1,0 +1,364 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wave-3 analytics operators: exact rank statistics without global
+  * sorts, exact-from-sufficient-statistics screening (anomalies, OLS),
+  * graph analytics (triangles, entity resolution), and ranked shingle
+  * retrieval. Same float-determinism conventions as
+  * [[graft.queries.Relational]]: money in DECIMAL cents, thresholds and
+  * scores in pure integer arithmetic, every ranking carries a unique
+  * tiebreak.
+  */
+object Analytics {
+
+  private def money(c: Column): Column = c.cast(DecimalType(15, 2))
+  private val M = "DECIMAL(15,2)"
+  private val big = DecimalType(38, 0)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact distributed quantiles — selection without a global sort.
+    // Spark side: operators.ExactQuantile (histogram-bracket, 3 scans,
+    // driver state ≤ groups × buckets). Oracle: the sort-based rank
+    // definition the operator provably implements. Rank k = ceil(q·n)
+    // is computed in INTEGER arithmetic on both sides — ceil(0.9·n)
+    // through doubles misrounds whenever 9n/10 is integral.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q147_exact_quantiles",
+      s"""WITH t AS (SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS $M) * 100 AS BIGINT) AS v FROM orders),
+         |r AS (SELECT grp, v,
+         |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         |    COUNT(*) OVER (PARTITION BY grp) AS n FROM t)
+         |SELECT grp AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+         |  MAX(CASE WHEN rn = CAST((1*n + 1 - ((1*n + 1) % 2)) / 2 AS BIGINT)
+         |      THEN v END) AS p50_cents,
+         |  MAX(CASE WHEN rn = CAST((9*n + 9 - ((9*n + 9) % 10)) / 10 AS BIGINT)
+         |      THEN v END) AS p90_cents,
+         |  MAX(CASE WHEN rn = CAST((99*n + 99 - ((99*n + 99) % 100)) / 100 AS BIGINT)
+         |      THEN v END) AS p99_cents
+         |FROM r GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+      import graft.operators.ExactQuantile
+      val o = Tables.load(s, dir, "orders")
+      val q = ExactQuantile.quantiles(o, col("o_orderpriority"),
+        (money(col("o_totalprice")) * 100).cast("long"),
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      val n = o.groupBy(col("o_orderpriority").cast("string").as("g"))
+        .agg(count(lit(1)).as("n"))
+      q.groupBy(col("g"))
+        .agg(max(when(col("label") === "p50", col("v"))).as("p50_cents"),
+          max(when(col("label") === "p90", col("v"))).as("p90_cents"),
+          max(when(col("label") === "p99", col("v"))).as("p99_cents"))
+        .join(n, "g")
+        .select(col("g").as("o_orderpriority"), col("n"),
+          col("p50_cents"), col("p90_cents"), col("p99_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ------------------------------------------------------------------
+    // Anomaly screening via the EXACT z-score test: x is anomalous iff
+    // x > mean + 3σ, decided without ever computing mean or σ —
+    // (n·x − S)² > 9·(n·Q − S²) over exact 128-bit integers (S = Σx,
+    // Q = Σx²), so no float rounding can flip a boundary row in either
+    // engine. Outliers are PLANTED deterministically (25× price on
+    // orderkey % 1000 < 3 — the q135 planted-skew pattern) because the
+    // synthetic price distribution is bounded and has no natural 3σ
+    // tail. Shape: one stats aggregate (5 rows) broadcast back over a
+    // second scan — two cheap scans instead of a full-table window
+    // shuffle. Exactness bound: decimal(38) holds (n·x)² up to ~1e10
+    // rows per group at these magnitudes; beyond that, pre-aggregate or
+    // rescale x.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q148_zscore_anomalies",
+      s"""WITH t AS (SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS $M) * 100 AS BIGINT)
+         |      * (CASE WHEN o_orderkey % 1000 < 3 THEN 25 ELSE 1 END) AS cents
+         |  FROM orders),
+         |s AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         |    SUM(CAST(cents AS HUGEINT)) AS s1,
+         |    SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2
+         |  FROM t GROUP BY grp)
+         |SELECT t.grp AS o_orderpriority,
+         |  CAST(MAX(s.n) AS BIGINT) AS n,
+         |  CAST(COUNT(CASE WHEN t.cents * s.n - s.s1 > 0
+         |     AND (t.cents * s.n - s.s1) * (t.cents * s.n - s.s1)
+         |         > 9 * (s.n * s.s2 - s.s1 * s.s1)
+         |     THEN 1 END) AS BIGINT) AS n_anomalies,
+         |  CAST(COALESCE(SUM(CASE WHEN t.cents * s.n - s.s1 > 0
+         |     AND (t.cents * s.n - s.s1) * (t.cents * s.n - s.s1)
+         |         > 9 * (s.n * s.s2 - s.s1 * s.s1)
+         |     THEN t.cents END), 0) AS BIGINT) AS anomaly_cents
+         |FROM t JOIN s ON s.grp = t.grp
+         |GROUP BY t.grp ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"),
+        ((money(col("o_totalprice")) * 100).cast("long") *
+          when(col("o_orderkey") % 1000 < 3, 25L).otherwise(1L)).as("cents"))
+      val cB = col("cents").cast(big)
+      val stats = t.groupBy(col("grp")).agg(
+        count(lit(1)).cast(big).as("n"),
+        sum(cB).cast(big).as("s1"),
+        sum(cB * cB).cast(big).as("s2"))
+      val dev = cB * col("n") - col("s1")
+      val isAnom = dev > 0 && dev * dev > lit(9) * (col("n") * col("s2") -
+        col("s1") * col("s1"))
+      t.join(broadcast(stats), "grp")
+        .groupBy(col("grp").as("o_orderpriority"))
+        .agg(max(col("n")).cast("long").as("n"),
+          count(when(isAnom, 1)).as("n_anomalies"),
+          coalesce(sum(when(isAnom, col("cents"))), lit(0L)).cast("long")
+            .as("anomaly_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ------------------------------------------------------------------
+    // Ranked "more-like-this": top-3 similar documents by shared
+    // distinct word-trigram shingles. The inverted-index join is the
+    // q45 shape, hardened the q46 way: a document-frequency cap on the
+    // shingle drops degenerate boilerplate shingles BEFORE the
+    // self-join, so per-shingle work is bounded by cap² — the skew
+    // guard is part of the SEMANTICS here (df-capped retrieval), hence
+    // mirrored in the oracle rather than hidden behind a parity spec.
+    // Scores are integers (shared-shingle counts); rank ties break on
+    // the neighbour id.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q149_similar_docs",
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |keep AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 100),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM inv a JOIN keep k ON a.s = k.s
+        |    JOIN inv b ON b.s = a.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT d1 AS doc_id, d2 AS similar_doc, shared FROM pairs
+        |  UNION ALL SELECT d2, d1, shared FROM pairs),
+        |r AS (SELECT doc_id, similar_doc, shared,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY shared DESC, similar_doc) AS rn FROM sym)
+        |SELECT doc_id, similar_doc, shared, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val inv = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
+      // df cap: count-then-filter BEFORE the self-join (SkewGuard shape)
+      val keep = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select(col("s"))
+      val kept = inv.join(broadcast(keep), "s")
+      val pairs = kept.as("a")
+        .join(kept.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+      val sym = pairs.select(col("d1").as("doc_id"),
+          col("d2").as("similar_doc"), col("shared"))
+        .unionAll(pairs.select(col("d2").as("doc_id"),
+          col("d1").as("similar_doc"), col("shared")))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("shared").desc, col("similar_doc"))
+      sym.withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("similar_doc"), col("shared"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // Triangle counting over the part co-occurrence graph (parts sharing
+    // an order). The Spark side orients every edge from its LOWER
+    // (degree, id) endpoint to the higher — the standard trick that
+    // bounds per-node join fan-out by O(√m) on real graphs, so the
+    // wedge join survives hub nodes that would make an id-oriented join
+    // quadratic. Triangle count is orientation-invariant, which is
+    // exactly what lets the oracle use the simpler id-orientation and
+    // still agree. Wedges check membership against the oriented edge
+    // set — every join is equi, no cartesian.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q150_triangle_count",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct().cache()
+      val deg = und.select(col("u").as("x"))
+        .unionAll(und.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val lower = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val ed = und
+        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+          when(lower, col("v")).otherwise(col("u")).as("t"))
+        .cache()
+      val wedges = ed.as("e1").join(ed.as("e2"), col("e1.t") === col("e2.s"))
+        .select(col("e1.s").as("wa"), col("e2.t").as("wc"))
+      val tri = wedges.join(ed.as("e3"),
+          col("wa") === col("e3.s") && col("wc") === col("e3.t"))
+        .agg(count(lit(1)).as("n_triangles"))
+      und.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    },
+
+    // ------------------------------------------------------------------
+    // Entity resolution end-to-end: blocked fuzzy-match pairs (the q103
+    // blocking) → connected components (operators.ConnectedComponents —
+    // driver union-find under 1M pairs, convergent pointer-jumping
+    // min-label propagation above) → survivorship (the min-id member is
+    // the canonical record). The oracle recomputes the SAME fixpoint a
+    // completely different way — a recursive transitive-closure CTE —
+    // so the distributed component labels are hash-verified against an
+    // independent algorithm, not a reimplementation of themselves.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q151_entity_resolution",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.p_partkey AS k1, b.p_partkey AS k2
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |    AND str_split(a.p_name, ' ')[-1] = str_split(b.p_name, ' ')[-1]
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |    AND levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT k1 AS a, k2 AS b FROM pairs
+        |  UNION SELECT k2, k1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        |  WHERE e.b <> r.a),
+        |comp AS (SELECT a AS k, LEAST(a, MIN(b)) AS comp
+        |         FROM reach GROUP BY a)
+        |SELECT CAST(c.comp AS BIGINT) AS entity_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MAX(CASE WHEN c.k = c.comp THEN p.p_name END) AS canon_name
+        |FROM comp c JOIN part p ON p.p_partkey = c.k
+        |GROUP BY c.comp ORDER BY entity_id""".stripMargin) { (s, dir) =>
+      import graft.operators.ConnectedComponents
+      val p = Tables.load(s, dir, "part").select(col("p_partkey"),
+        col("p_brand"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("noun"))
+      val a = p.select(col("p_partkey").as("k1"), col("p_brand").as("brand1"),
+        col("noun").as("noun1"), col("p_name").as("name1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_brand").as("brand2"),
+        col("noun").as("noun2"), col("p_name").as("name2"))
+      val pairs = a.join(b, col("brand1") === col("brand2") &&
+          col("noun1") === col("noun2") && col("k1") < col("k2"))
+        .filter(abs(length(col("name1")) - length(col("name2"))) <= 2)
+        .filter(levenshtein(col("name1"), col("name2"), 2).between(0, 2))
+        .select(col("k1"), col("k2"))
+      val comp = ConnectedComponents.components(pairs)
+      val sizes = comp.groupBy(col("comp").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"))
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canon_name"))
+        .join(broadcast(sizes), "entity_id")
+        .select(col("entity_id").cast("long").as("entity_id"),
+          col("n_members"), col("canon_name"))
+        .orderBy(col("entity_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic mode (most frequent value) per group: two-level
+    // aggregation — the full scan feeds ONE hash aggregate on
+    // (group, value); the ranking window runs on the post-agg frame
+    // (|distinct values| rows, not |table| rows). Ties break on the
+    // smaller value, pinned identically in both engines.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q153_mode_per_group",
+      """WITH c AS (SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS v,
+        |    COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, v, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, v) AS rn FROM c)
+        |SELECT l_returnflag, v AS mode_qty, CAST(cnt AS BIGINT) AS n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("v"))
+      c.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("v").as("mode_qty"),
+          col("cnt").as("n_occurrences"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Closed-form OLS trend (price vs order date) from EXACT sufficient
+    // statistics: one scan accumulates n, Σx, Σy, Σx², Σxy as integers
+    // (x = days from a fixed epoch, y = cents; per-row products fit in
+    // longs, group sums go to 128-bit), then slope = (n·Σxy − Σx·Σy) /
+    // (n·Σx² − (Σx)²) is emitted as sign + micro-units via truncating
+    // integer division on the non-negative magnitude — truncation and
+    // floor agree on non-negatives, so DuckDB's `//` (which truncates
+    // toward zero on negatives) and Spark's `div` cannot disagree.
+    // No regression library, no float accumulation, one scan.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q154_ols_trend",
+      s"""WITH t AS (SELECT o_orderpriority AS grp,
+         |    CAST(date_diff('day', DATE '1995-06-01',
+         |      CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+         |    CAST(CAST(CAST(o_totalprice AS $M) * 100 AS BIGINT) AS HUGEINT) AS y
+         |  FROM orders),
+         |s AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+         |    SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+         |  FROM t GROUP BY grp)
+         |SELECT grp AS o_orderpriority, CAST(n AS BIGINT) AS n,
+         |  CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS INT)
+         |    AS slope_sign,
+         |  CAST((abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+         |    AS BIGINT) AS slope_micro
+         |FROM s ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-06-01").cast("date")).cast("long").as("x"),
+        (money(col("o_totalprice")) * 100).cast("long").as("y"))
+      // per-row products fit comfortably in longs; only the group sums
+      // need 128-bit headroom
+      val stats = t.groupBy(col("grp")).agg(
+        count(lit(1)).cast(big).as("n"),
+        sum(col("x")).cast(big).as("sx"),
+        sum(col("y")).cast(big).as("sy"),
+        sum(col("x") * col("x")).cast(big).as("sxx"),
+        sum(col("x") * col("y")).cast(big).as("sxy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      stats.select(col("grp").as("o_orderpriority"),
+          col("n").cast("long").as("n"),
+          when(num < 0, -1).otherwise(1).cast("int").as("slope_sign"),
+          expr("(abs(n * sxy - sx * sy) * 1000000) div " +
+            "(n * sxx - sx * sx)").as("slope_micro"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+}

@@ -48,6 +48,33 @@ object Maintenance {
     dir
   }
 
+  /** v0: lineitem %7 partitioned by l_returnflag; v1: full-sync of the
+    * 'R' partition — kept rows (%5≠0) arrive with qty+100, %5=0 rows
+    * are absent from the source (deleted), %11-not-%7 rows are new
+    * inserts. Non-R partitions are out of scope and must be untouched.
+    */
+  def fullSyncFixture(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"target/fixtures/fullsync_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 7 === 0), dir,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    val scope = col("l_returnflag") === "R"
+    val keeps = li.filter(scope && col("l_orderkey") % 7 === 0 &&
+        col("l_orderkey") % 5 =!= 0)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val inserts = li.filter(scope && col("l_orderkey") % 11 === 0 &&
+      col("l_orderkey") % 7 =!= 0)
+    TableWriter.mergeFullSync(spark, dir, keeps.unionByName(inserts), scope,
+      version = 1L, commitTs = 2000L)
+    dir
+  }
+
   /** v0: lineitem %7; v1: MERGE of (%14 rows with qty+100) updates +
     * (%9 ∧ ¬%7 rows) inserts, keyed by the lineitem PK.
     */
@@ -954,6 +981,31 @@ object Maintenance {
       DataSkipping.readWhere(s, table,
           col("l_orderkey").between(500L, 5000L) && col("l_suppkey") <= 50L)
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    // MERGE full-sync final state (the partition re-load shape): after
+    // syncing the 'R' slice to a source that updates, omits, and adds
+    // rows, the per-flag totals must equal the SQL recompute — non-R
+    // groups show the untouched v0 state, R shows exactly the source.
+    QueryDef.sqlBacked(
+      "q152_merge_full_sync",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS qty
+        |FROM (
+        |  SELECT l_returnflag, l_quantity + CASE
+        |      WHEN l_returnflag = 'R' AND l_orderkey % 7 = 0 THEN 100
+        |      ELSE 0 END AS q
+        |  FROM lineitem
+        |  WHERE (l_returnflag <> 'R' AND l_orderkey % 7 = 0)
+        |     OR (l_returnflag = 'R' AND l_orderkey % 7 = 0
+        |         AND l_orderkey % 5 <> 0)
+        |     OR (l_returnflag = 'R' AND l_orderkey % 11 = 0
+        |         AND l_orderkey % 7 <> 0))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val table = fullSyncFixture(s, dir)
+      SnapshotReader.read(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

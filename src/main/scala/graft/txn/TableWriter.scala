@@ -761,6 +761,67 @@ object TableWriter {
     log.commit(version, (removes ++ adds) :+ CommitInfo(operation, commitTs))
   }
 
+  /** MERGE full-sync: make the SCOPE slice of the table equal the source
+    * exactly — `WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, WHEN NOT
+    * MATCHED BY SOURCE [AND scope] DELETE`, the shape of a partition /
+    * date-range re-load. Rows outside `scope` are untouched and their
+    * files keep their paths — the scope predicate is what keeps the
+    * affected-file set proportional to the re-loaded slice instead of
+    * the whole 100 TB table (an unscoped NOT-MATCHED-BY-SOURCE delete
+    * would have to rewrite every file by definition). Affected files are
+    * discovered with the same `_metadata`-style semi-join as
+    * [[mergeUpsert]]; reads go through the DV filter so already-deleted
+    * rows neither survive nor re-match. Every source row must satisfy
+    * `scope` — silently syncing rows outside the declared slice would
+    * corrupt the untouched-files invariant, so violations throw.
+    */
+  def mergeFullSync(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      scope: org.apache.spark.sql.Column,
+      version: Long,
+      commitTs: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, not}
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    val tableQ = {
+      val p = new Path(tablePath)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val byRel = snap.files.map(f => new Path(tableQ, f.path).toString
+      .replaceFirst("^file:/+", "/") -> f).toMap
+    val outOfScope = source.filter(not(scope)).count()
+    require(outOfScope == 0L,
+      s"mergeFullSync: $outOfScope source rows fall outside the sync " +
+        s"scope at $tablePath — the scope predicate must cover the source")
+    val target = DeletionVectors
+      .readSnapshot(spark, tablePath, snap, withRowMeta = true)
+      .withColumnRenamed("_path", "_file")
+    val affected = target.filter(scope)
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).flatMap(byRel.get) // file names only
+    // in-scope target rows all die (matched ones are replaced by their
+    // source version, unmatched-by-source ones are deleted); survivors
+    // of an affected file are exactly its OUT-of-scope rows
+    val survivors =
+      if (affected.isEmpty) source
+      else readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
+        .filter(not(scope))
+        .unionByName(source)
+    enforceConstraints(source,
+      snap.metadata.map(_.constraints).getOrElse(Seq.empty), tablePath)
+    val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
+      commitTs, dataChange = true)
+    val removes = affected.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
+    log.commit(version,
+      (removes ++ adds) :+ CommitInfo("MERGE_FULL_SYNC", commitTs))
+  }
+
   /** Row-level DELETE WHERE: rewrites only the files containing matching
     * rows (same affected-file discovery as [[mergeUpsert]]); files with
     * no match keep their paths. dataChange=true — the churn is real CDC.
