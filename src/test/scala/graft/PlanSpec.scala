@@ -280,4 +280,55 @@ class PlanSpec extends AnyFunSuite {
       s"filter on the logical name must push down as the physical:\n${p.take(2000)}")
     assert(!p.contains("l_returnflag"), "column pruning lost through mapping")
   }
+
+  test("q148 anomalies: group stats broadcast back, no window shuffle") {
+    val df = SparkEntry.queries("q148_zscore_anomalies")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row stats frame must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "screening must not shuffle the fact table through a window")
+  }
+
+  test("q149 similar docs: df-cap keep-list broadcasts; no cartesian") {
+    val df = SparkEntry.queries("q149_similar_docs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the df-capped shingle set must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q150 triangles: wedge stream rides broadcast probes, no shuffle join") {
+    val df = SparkEntry.queries("q150_triangle_count")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both wedge probes must be broadcast hash joins:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the 10^8-row wedge stream must never reach a sort-merge join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q151 entity resolution: pair join keys on the block") {
+    val p = planOf("q151_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking key must drive an equi-join:\n${p.take(2000)}")
+  }
+
+  test("q153 mode: two-level agg, window on the post-agg frame only") {
+    val p = planOf("q153_mode_per_group")
+    assert(p.contains("HashAggregate") && p.contains("Window"))
+    // the window input is the (flag, qty) aggregate — a frame bounded by
+    // distinct values, not table rows; no join anywhere
+    assert(!p.contains("Join"))
+  }
+
+  test("q154 OLS: one scan, one aggregate, no window, no join") {
+    val p = planOf("q154_ols_trend")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"sufficient statistics need exactly one scan:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
 }
