@@ -1006,6 +1006,26 @@ object Maintenance {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Symlink-manifest export: the table is read back THROUGH the
+    // exported manifest — a bare parquet file list, no log, the view an
+    // external engine (Trino-style external table, DuckDB read_parquet)
+    // gets — and must land exactly on the SQL recompute of the fixture.
+    // DV-carrying snapshots refuse to export (a manifest reader would
+    // resurrect deleted rows); ManifestSpec pins that and staleness.
+    QueryDef.sqlBacked(
+      "q155_manifest_export",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val table = skippingFixture(s, dir)
+      Manifest.generate(s, table)
+      Manifest.read(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

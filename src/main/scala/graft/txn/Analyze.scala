@@ -1,0 +1,170 @@
+package graft.txn
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BinaryComparison, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE TABLE + the cost decisions it unlocks.
+  *
+  * `computeStats` runs ONE scan folding every requested column's
+  * (count, nulls, ndv, min, max) into a single aggregate row — the q131
+  * profiling shape — and lands it in a versioned `_stats/` sidecar
+  * parquet (the BloomIndex convention: no log-protocol change, vacuum
+  * can age out superseded builds, the snapshot version keys validity).
+  *
+  * `estimateRows` turns a simple conjunctive predicate into a
+  * cardinality estimate with the textbook selectivity rules — equality
+  * → 1/ndv, range → overlap fraction of [min, max] — and
+  * `joinAuto` uses the estimate to pick BROADCAST vs shuffle for a
+  * filtered dimension join. That decision is exactly what a 100 TB plan
+  * gets wrong without stats: Spark's own threshold sees the dimension's
+  * FILE size, not the post-filter cardinality, so a selective filter on
+  * a big dimension misses its broadcast. Estimates only pick the
+  * strategy — results are identical either way, which is what the spec
+  * pins.
+  */
+object Analyze {
+
+  def dir(version: Long): String = f"_stats/stats-$version%020d"
+
+  /** One scan → (column, n, n_null, ndv, min_str, max_str) sidecar. */
+  def computeStats(
+      spark: SparkSession,
+      tablePath: String,
+      columns: Seq[String]): Unit = {
+    require(columns.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    val df = SnapshotReader.read(spark, tablePath)
+    val aggs = columns.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).as(s"${c}__null"),
+        approx_count_distinct(col(c), 0.01).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+    val out = columns.map { c =>
+      (c, row.getAs[Long](s"${c}__n"), row.getAs[Long](s"${c}__null"),
+        row.getAs[Long](s"${c}__ndv"), row.getAs[String](s"${c}__min"),
+        row.getAs[String](s"${c}__max"))
+    }
+    import spark.implicits._
+    out.toDF("column", "n", "n_null", "ndv", "min_str", "max_str")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(tablePath, dir(snap.version)).toString)
+  }
+
+  /** Latest stats build at or below the current snapshot version. */
+  def latest(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath, "_stats")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val builds = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("stats-")).sortBy(_.getName)
+    builds.lastOption.map(p => spark.read.parquet(p.toString))
+  }
+
+  private final case class ColStats(
+      n: Long, nNull: Long, ndv: Long, minS: String, maxS: String)
+
+  private def statsMap(spark: SparkSession, tablePath: String)
+      : Option[Map[String, ColStats]] =
+    latest(spark, tablePath).map(_.collect().map { r =>
+      r.getAs[String]("column") -> ColStats(r.getAs[Long]("n"),
+        r.getAs[Long]("n_null"), r.getAs[Long]("ndv"),
+        r.getAs[String]("min_str"), r.getAs[String]("max_str"))
+    }.toMap)
+
+  /** Estimated surviving rows of `pred` over the analyzed table.
+    * Handles conjunctions of `col (=|<|<=|>|>=) literal` on numeric and
+    * string columns; anything unrecognized contributes selectivity 1
+    * (the sound direction for a broadcast decision is to OVERestimate).
+    */
+  def estimateRows(
+      spark: SparkSession,
+      tablePath: String,
+      pred: Column): Option[Long] =
+    statsMap(spark, tablePath).map { stats =>
+      val total = stats.values.map(_.n).maxOption.getOrElse(0L)
+      // resolve the Column to a Catalyst expression against the table's
+      // schema (analysis only — nothing is scanned)
+      val resolved = SnapshotReader.read(spark, tablePath).filter(pred)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+      def sel(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Double = e match {
+        case CAnd(l, r) => sel(l) * sel(r)
+        case cmp: BinaryComparison =>
+          (cmp.left, cmp.right) match {
+            case (a: AttributeReference, Literal(v, _)) =>
+              stats.get(a.name).map(s => selOf(cmp, s, v)).getOrElse(1.0)
+            case (Literal(v, _), a: AttributeReference) =>
+              // flip: lit OP col ≡ col flip(OP) lit
+              val flipped: BinaryComparison = cmp match {
+                case _: LessThan => GreaterThan(cmp.right, cmp.left)
+                case _: LessThanOrEqual => GreaterThanOrEqual(cmp.right, cmp.left)
+                case _: GreaterThan => LessThan(cmp.right, cmp.left)
+                case _: GreaterThanOrEqual => LessThanOrEqual(cmp.right, cmp.left)
+                case _ => EqualTo(cmp.right, cmp.left)
+              }
+              stats.get(a.name).map(s => selOf(flipped, s, v)).getOrElse(1.0)
+            case _ => 1.0
+          }
+        case _ => 1.0
+      }
+      math.ceil(total * sel(resolved).min(1.0).max(0.0)).toLong
+    }
+
+  private def selOf(cmp: BinaryComparison, s: ColStats, v: Any): Double = {
+    def num(x: Any): Option[Double] = x match {
+      case n: Number => Some(n.doubleValue())
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        u.toString.toDoubleOption
+      case other => other.toString.toDoubleOption
+    }
+    cmp match {
+      case _: EqualTo => if (s.ndv > 0) 1.0 / s.ndv else 1.0
+      case _ =>
+        (num(s.minS), num(s.maxS), num(v)) match {
+          case (Some(lo), Some(hi), Some(x)) if hi > lo =>
+            val f = ((x - lo) / (hi - lo)).max(0.0).min(1.0)
+            cmp match {
+              case _: LessThan | _: LessThanOrEqual => f
+              case _ => 1.0 - f
+            }
+          case _ => 1.0
+        }
+    }
+  }
+
+  /** Join `fact` to a FILTERED slice of the analyzed dimension table,
+    * broadcasting the slice when the stats-estimated cardinality is
+    * under `broadcastRowLimit` — the post-filter decision Spark's
+    * file-size threshold cannot make. Falls back to a plain shuffle
+    * join when stats are absent or the estimate is large. Strategy
+    * only; identical results either way.
+    */
+  def joinAuto(
+      fact: DataFrame,
+      spark: SparkSession,
+      dimTablePath: String,
+      dimPred: Column,
+      joinKeys: Seq[(String, String)],
+      broadcastRowLimit: Long = 1000000L): DataFrame = {
+    val dim = SnapshotReader.read(spark, dimTablePath).filter(dimPred)
+    val cond = joinKeys.map { case (l, r) => fact(l) === dim(r) }
+      .reduce(_ && _)
+    estimateRows(spark, dimTablePath, dimPred) match {
+      case Some(est) if est <= broadcastRowLimit =>
+        fact.join(broadcast(dim), cond)
+      case _ => fact.join(dim, cond)
+    }
+  }
+}

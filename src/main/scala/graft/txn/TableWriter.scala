@@ -354,7 +354,13 @@ object TableWriter {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
-    val staging = new Path(tablePath, s".staging-$version")
+    // Attempt-unique staging AND destination names: two optimistic
+    // writers racing the same version must never share a staging dir or
+    // — worse — a destination path, where the loser's posix rename would
+    // silently replace the committed winner's bytes under the same name.
+    // The loser's uniquely-named files become orphans; vacuum sweeps them.
+    val attemptId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(tablePath, s".staging-$version-$attemptId")
     fs.delete(staging, true)
 
     // Column mapping: files are ALWAYS written under physical names, so
@@ -384,7 +390,7 @@ object TableWriter {
         else if (name.endsWith(".parquet")) {
           val destRel =
             (if (rel.isEmpty) "" else s"$rel/") +
-              f"part-$version%05d-${adds.size}%05d.parquet"
+              f"part-$version%05d-${adds.size}%05d-$attemptId.parquet"
           val dest = new Path(table, destRel)
           fs.mkdirs(dest.getParent)
           if (!fs.rename(st.getPath, dest))
@@ -484,6 +490,10 @@ object TableWriter {
     *        BY): every output file gets a bounded hyper-rectangle in
     *        EVERY listed dimension, so stats prune on any of them.
     *        Overrides clusterBy.
+    * @param partitionPred OPTIMIZE … WHERE: only partitions matching the
+    *        predicate (over partition values) are candidates — on a
+    *        100 TB table maintenance targets the hot slice (yesterday's
+    *        ingest) without touching cold partitions' files.
     */
   def compact(
       spark: SparkSession,
@@ -493,7 +503,8 @@ object TableWriter {
       clusterBy: Option[String] = None,
       targetFiles: Int = 1,
       minFileBytes: Long = Long.MaxValue,
-      zorderBy: Seq[String] = Seq.empty): Seq[AddFile] = {
+      zorderBy: Seq[String] = Seq.empty,
+      partitionPred: Option[Map[String, String] => Boolean] = None): Seq[AddFile] = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -504,7 +515,10 @@ object TableWriter {
     // partition): compaction is where deletion vectors get folded back
     // into plain files, and the rewrite below reads through the DV
     // filter so dead rows stay dead
+    val inScope: Map[String, String] => Boolean =
+      partitionPred.getOrElse(_ => true)
     val candidates = snap.files
+      .filter(f => inScope(f.partitionValues))
       .filter(f => f.size < minFileBytes || f.dv.isDefined)
     val doomed = candidates
       .groupBy(_.partitionValues)

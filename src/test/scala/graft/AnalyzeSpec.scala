@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.txn.{Analyze, SnapshotReader, TableWriter}
+
+/** ANALYZE stats sidecar + the cost-based broadcast decision. */
+class AnalyzeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private lazy val table: String = {
+    val dir = freshDir("anlz")
+    TableWriter.write(spark, Tables.load(spark, sf, "orders"), dir,
+      version = 0L, commitTs = 1000L)
+    Analyze.computeStats(spark, dir,
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+    dir
+  }
+
+  test("stats land correct: counts exact, ndv within approx tolerance") {
+    val stats = Analyze.latest(spark, table).get.collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val o = Tables.load(spark, sf, "orders")
+    val n = o.count()
+    assert(stats("o_orderkey").getAs[Long]("n") == n)
+    assert(stats("o_orderkey").getAs[Long]("n_null") == 0L)
+    val ndv = stats("o_orderpriority").getAs[Long]("ndv")
+    assert(ndv == 5L, s"5 priorities, approx said $ndv") // tiny domain: exact
+    val keyNdv = stats("o_orderkey").getAs[Long]("ndv").toDouble
+    assert(math.abs(keyNdv - n) / n < 0.05, "ndv of a unique key ~ n")
+  }
+
+  test("equality selectivity ~ n/ndv; range ~ overlap fraction") {
+    val o = Tables.load(spark, sf, "orders")
+    val n = o.count().toDouble
+    val eq = Analyze.estimateRows(spark, table,
+      col("o_orderpriority") === "1-URGENT").get.toDouble
+    assert(math.abs(eq - n / 5) / (n / 5) < 0.1,
+      s"equality on 5-value column should estimate ~n/5, got $eq")
+    val hi = o.agg(max(col("o_totalprice"))).collect()(0).getDouble(0)
+    val lo = o.agg(min(col("o_totalprice"))).collect()(0).getDouble(0)
+    val cut = lo + 0.25 * (hi - lo)
+    val rng = Analyze.estimateRows(spark, table,
+      col("o_totalprice") <= cut).get.toDouble
+    assert(rng > 0 && rng < 0.6 * n,
+      s"a 25%-range predicate must not estimate near the full table: $rng")
+    // conjunction multiplies
+    val both = Analyze.estimateRows(spark, table,
+      col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") <= cut).get.toDouble
+    assert(both < eq && both < rng, "AND must tighten the estimate")
+  }
+
+  test("joinAuto broadcasts a selective slice, shuffles a wide one") {
+    val fact = Tables.load(spark, sf, "lineitem")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // row limit scaled to the sf0.001 fixture (1.5k orders): the
+      // selective slice estimates far under it, the full table far over
+      val selective = Analyze.joinAuto(fact, spark, table,
+        col("o_totalprice") > 550000.0, Seq("l_orderkey" -> "o_orderkey"),
+        broadcastRowLimit = 200L)
+      val p1 = selective.queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin"),
+        s"stats say the slice is tiny — must broadcast:\n${p1.take(1500)}")
+      val wide = Analyze.joinAuto(fact, spark, table,
+        col("o_totalprice") > 0.0, Seq("l_orderkey" -> "o_orderkey"),
+        broadcastRowLimit = 200L)
+      val p2 = wide.queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"near-full dimension must shuffle:\n${p2.take(1500)}")
+      // strategy only — identical results
+      assert(selective.count() ==
+        fact.join(SnapshotReader.read(spark, table)
+            .filter(col("o_totalprice") > 550000.0),
+          fact("l_orderkey") === col("o_orderkey")).count())
+    }
+  }
+
+  private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

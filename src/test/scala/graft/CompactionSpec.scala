@@ -526,4 +526,27 @@ class CompactionSpec extends AnyFunSuite {
       ("l_quantity", 1.0, 50.0)))
     assert(keptBoth.size <= keptT.size && keptBoth.nonEmpty)
   }
+
+  test("OPTIMIZE WHERE compacts only the scoped partitions") {
+    val table = freshTable("optwhere")
+    val li = Tables.load(spark, sf, "lineitem").limit(600)
+    TableWriter.write(spark, li.limit(300), table,
+      partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, li.limit(600).except(li.limit(300)), table,
+      partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val before = log.snapshotLatest().files
+    val beforeOther = before
+      .filterNot(_.partitionValues.get("l_returnflag").contains("R"))
+      .map(_.path).toSet
+    assert(before.count(_.partitionValues.get("l_returnflag").contains("R")) > 1)
+    TableWriter.compact(spark, table, version = 2L, commitTs = 3000L,
+      partitionPred = Some(pv => pv.get("l_returnflag").contains("R")))
+    val after = log.snapshotLatest().files
+    // R: compacted to one file; others: byte-identical paths
+    assert(after.count(_.partitionValues.get("l_returnflag").contains("R")) == 1)
+    assert(after.filterNot(_.partitionValues.get("l_returnflag").contains("R"))
+      .map(_.path).toSet == beforeOther,
+      "out-of-scope partitions' files must keep their paths")
+  }
 }
