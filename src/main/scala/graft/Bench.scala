@@ -32,6 +32,7 @@ object Bench {
       queries.Cdc.buildFixture(spark, sfDir)
       val e = Tables.load(spark, sfDir, "embeddings")
       operators.IvfIndex.centroids(spark, sfDir, e.count())
+      operators.PqIndex.codebooks(spark, sfDir, e.count())
       queries.Bucketing.ensureBucketed(spark, sfDir) // one-time bucketed copies
       queries.Maintenance.compactionFixture(spark, sfDir)
       queries.Maintenance.skippingFixture(spark, sfDir)

@@ -96,4 +96,89 @@ object ExactQuantile {
       .filter($"rn" === $"k_in")
       .select($"g", $"label", $"v")
   }
+
+  /** WEIGHTED exact quantiles — same three-pass histogram-bracket shape,
+    * ranks over cumulative WEIGHT: the q-th weighted quantile is the
+    * smallest value v with cumW(v) ≥ ceil(num·W/den), W the group's
+    * total weight (integer, exact). The histogram buckets sum weights
+    * instead of counting rows; pass 3 aggregates the bracket slice per
+    * VALUE first (ties merge by definition), so the final window runs
+    * over distinct values of a ~1/buckets slice. Weights must be
+    * positive integers — the caller quantizes (e.g. token counts,
+    * floor(quantity)); zero/negative weights would make cumW
+    * non-monotone and the bracket walk unsound, so they throw.
+    */
+  def weightedQuantiles(
+      df: DataFrame,
+      grpCol: Column,
+      valCol: Column,
+      weightCol: Column,
+      qs: Seq[(String, Long, Long)],
+      buckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+    val src = df.select(grpCol.cast("string").as("g"),
+      valCol.cast("long").as("v"), weightCol.cast("long").as("w"))
+
+    // pass 1: one row per GROUP (weight domain + value domain)
+    val stats = src.groupBy($"g")
+      .agg(sum($"w").as("tw"), min($"v").as("lo"), max($"v").as("hi"),
+        min($"w").as("wmin"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    stats.foreach { case (g, _, _, _, wmin) =>
+      require(wmin > 0L,
+        s"weighted quantile needs positive integer weights; group '$g' " +
+          s"has min weight $wmin")
+    }
+
+    val meta = stats.map { case (g, _, lo, hi, _) =>
+      (g, lo, math.max(1L, (hi - lo) / buckets + 1))
+    }.toSeq
+    val metaDf = broadcast(meta.toDF("g", "g_lo", "g_w"))
+
+    // pass 2: per-bucket WEIGHT sums
+    val hist = src.join(metaDf, Seq("g"))
+      .select($"g", expr("(v - g_lo) div g_w").as("b"), $"w")
+      .groupBy($"g", $"b").agg(sum($"w").as("bw"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    val brackets = stats.flatMap { case (g, tw, lo, _, _) =>
+      val w = meta.find(_._1 == g).get._3
+      val sorted = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
+      qs.map { case (label, num, den) =>
+        val k = ceilDiv(num * tw, den)
+        var cum = 0L
+        var found: (Long, Long) = null
+        for ((b, bw) <- sorted if found == null) {
+          if (cum + bw >= k) found = (b, k - cum)
+          cum += bw
+        }
+        val (b, kin) = found
+        (g, label, lo + b * w, lo + (b + 1) * w - 1, kin)
+      }
+    }.toSeq
+    val brDf = broadcast(
+      brackets.toDF("bg", "label", "b_lo", "b_hi", "k_in"))
+
+    // pass 3: bracket slice → per-value weight sums → first value whose
+    // cumulative weight reaches the in-bracket rank
+    val perValue = src.join(brDf,
+        $"g" === $"bg" && $"v".between($"b_lo", $"b_hi"))
+      .groupBy($"g", $"label", $"k_in", $"v").agg(sum($"w").as("vw"))
+    val cumWin = Window.partitionBy($"g", $"label").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pickWin = Window.partitionBy($"g", $"label").orderBy($"v")
+    perValue
+      .withColumn("cw", sum($"vw").over(cumWin))
+      .filter($"cw" >= $"k_in")
+      .withColumn("rn", row_number().over(pickWin))
+      .filter($"rn" === 1)
+      .select($"g", $"label", $"v")
+  }
 }

@@ -368,6 +368,49 @@ object Analytics {
           expr("(abs(n * sxy - sx * sy) * 1000000) div " +
             "(n * sxx - sx * sx)").as("slope_micro"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // ------------------------------------------------------------------
+    // WEIGHTED exact quantiles: the quantity-weighted price percentiles
+    // per return flag — "the price at which half the shipped UNITS are
+    // cheaper", not "half the line items". Same histogram-bracket
+    // operator as q147 with weight-summing buckets; the answer is the
+    // smallest value whose cumulative weight reaches ceil(q·W), ranks in
+    // exact integer arithmetic. The oracle spells the definition
+    // directly with a cumulative-weight window over per-value sums.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q156_weighted_quantiles",
+      s"""WITH t AS (SELECT l_returnflag AS g,
+         |    CAST(CAST(l_extendedprice AS $M) * 100 AS BIGINT) AS v,
+         |    CAST(FLOOR(l_quantity) AS BIGINT) AS w FROM lineitem),
+         |pv AS (SELECT g, v, SUM(w) AS w FROM t GROUP BY g, v),
+         |c AS (SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+         |      SUM(w) OVER (PARTITION BY g) AS tw FROM pv)
+         |SELECT g AS l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+         |  MIN(CASE WHEN cw >= CAST((1*tw + 1 - ((1*tw + 1) % 2)) / 2 AS BIGINT)
+         |      THEN v END) AS p50_cents,
+         |  MIN(CASE WHEN cw >= CAST((9*tw + 9 - ((9*tw + 9) % 10)) / 10 AS BIGINT)
+         |      THEN v END) AS p90_cents,
+         |  MIN(CASE WHEN cw >= CAST((99*tw + 99 - ((99*tw + 99) % 100)) / 100 AS BIGINT)
+         |      THEN v END) AS p99_cents
+         |FROM c GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+      import graft.operators.ExactQuantile
+      val li = Tables.load(s, dir, "lineitem")
+      val q = ExactQuantile.weightedQuantiles(li, col("l_returnflag"),
+        (money(col("l_extendedprice")) * 100).cast("long"),
+        floor(col("l_quantity")).cast("long"),
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      val tw = li.groupBy(col("l_returnflag").cast("string").as("g"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("total_weight"))
+      q.groupBy(col("g"))
+        .agg(max(when(col("label") === "p50", col("v"))).as("p50_cents"),
+          max(when(col("label") === "p90", col("v"))).as("p90_cents"),
+          max(when(col("label") === "p99", col("v"))).as("p99_cents"))
+        .join(tw, "g")
+        .select(col("g").as("l_returnflag"), col("total_weight"),
+          col("p50_cents"), col("p90_cents"), col("p99_cents"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -385,10 +385,54 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Product-quantization ADC top-5: vectors live as M codebook codes;
+    * each query builds one per-subspace lookup table of its dots with
+    * the K centroids (M·K tiny rows, broadcast) and the approximate dot
+    * is a SUM of M lookups — the corpus side never touches a double
+    * vector again. Norm denominators are exact (stored at encode), so
+    * the subspace-centroid substitution is the only approximation.
+    */
+  private def pqTop5(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PqIndex
+    val base = Tables.load(s, dir, "embeddings")
+    val n = base.count() // column-pruned footer count for index keying
+    val codes = PqIndex.encode(s, dir, n).cache()
+    val books = PqIndex.codebooks(s, dir, n)
+    val sub = books.select(size(col("cv"))).first().getInt(0)
+    // per-query ADC lookup tables: (query_id, m, code, part, qn)
+    val q = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qn"),
+        posexplode(expr(s"transform(sequence(0, ${PqIndex.M - 1}), " +
+          s"m -> slice(qv, m * $sub + 1, $sub))")).as(Seq("m", "qm")))
+      .join(broadcast(books), Seq("m"))
+      .select(col("query_id"), col("qn"), col("m"), col("code"),
+        dot(col("qm"), col("cv")).as("part"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    codes.join(broadcast(q), Seq("m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg((sum(col("part")) / (max(col("qn")) * max(col("nrm")))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private def moreDefs: Seq[QueryDef] = Seq(
     // Int8-quantized brute-force top-k (see quantTop5).
     QueryDef.sparkOnly("q76_ann_quantized_topk") { (s, dir) =>
       quantTop5(s, dir)
+    },
+
+    // Product-quantization ADC top-k (see pqTop5); its recall gate is
+    // q157 — the same driver-hash-checked pattern as q117–q120.
+    QueryDef.sparkOnly("q158_ann_pq_topk") { (s, dir) => pqTop5(s, dir) },
+
+    QueryDef.sqlBacked("q157_ann_recall_pq", recallOracle("pq", "")) {
+      (s, dir) => recallVsGt(s, dir, "pq", pqTop5(s, dir), bruteTop5(s, dir))
     },
 
     // Banded multi-table LSH ANN top-k (see lshTop5). Spark-only: the

@@ -24,6 +24,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall { case (q, n) => q < 20 && n >= 0 && q != n })
   }
 
+  test("PQ ADC recall beats the IVF floor; codes are byte-scale") {
+    val exact = top5("q50_cosine_topk")
+    val pq = top5("q158_ann_pq_topk")
+    assert(pq.nonEmpty)
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // 8 subspaces × 16 codes on near-orthogonal vectors: the numerator
+    // approximation is coarse but must stay clearly better than chance
+    // (random top-5 of ~n vectors ≈ 25/n ≈ 5%); observed ~0.35 at sf0.001+
+    assert(recall >= 0.15, s"PQ recall@5 = $recall")
+    // compression claim: M codes of log2(K) bits — the encoded form is
+    // one (m, code) pair per subspace, codes all < K
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val codes = graft.operators.PqIndex.encode(spark, sf, n)
+    assert(codes.count() == n * graft.operators.PqIndex.M)
+    import org.apache.spark.sql.functions.{col, max => smax}
+    assert(codes.agg(smax(col("code"))).first().getInt(0) <
+      graft.operators.PqIndex.K)
+  }
+
   test("filtered IVF search recalls the filtered-brute neighbors") {
     val exact = top5("q87_filtered_topk")
     val ivf = top5("q88_ann_filtered_ivf")
