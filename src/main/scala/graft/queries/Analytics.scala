@@ -411,6 +411,258 @@ object Analytics {
         .select(col("g").as("l_returnflag"), col("total_weight"),
           col("p50_cents"), col("p90_cents"), col("p99_cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Largest-remainder proration: allocate a fixed budget (1,000,000
+    // units) across nations proportional to revenue, in PURE INTEGER
+    // arithmetic — floor shares first, then the remainder units go to
+    // the largest fractional parts, compared as integer remainders
+    // ((B·w) mod W), never as floats. Σalloc == B exactly, by
+    // construction (the invariant float proration always breaks). The
+    // window runs on the 25-row post-agg frame.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q159_proration",
+      s"""WITH r AS (
+         |  SELECT n.n_name, CAST(SUM(CAST(o_totalprice AS $M) * 100) AS BIGINT) AS w
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY n.n_name),
+         |t AS (SELECT n_name, w, SUM(w) OVER () AS tw FROM r),
+         |b AS (SELECT n_name, w, tw,
+         |    CAST((1000000 * w - (1000000 * w) % tw) / tw AS BIGINT) AS base,
+         |    (1000000 * w) % tw AS frac_key FROM t),
+         |rk AS (SELECT *, CAST(1000000 - SUM(base) OVER () AS BIGINT) AS rem,
+         |    ROW_NUMBER() OVER (ORDER BY frac_key DESC, n_name) AS rn FROM b)
+         |SELECT n_name, CAST(base + CASE WHEN rn <= rem THEN 1 ELSE 0 END
+         |  AS BIGINT) AS alloc
+         |FROM rk ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val r = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("o_totalprice")) * 100).cast("long").as("w"))
+      val all = Window.partitionBy()
+      r.withColumn("tw", sum(col("w")).over(all))
+        .withColumn("base", expr("(1000000L * w) div tw"))
+        .withColumn("frac_key", expr("(1000000L * w) % tw"))
+        .withColumn("rem", lit(1000000L) - sum(col("base")).over(all))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("frac_key").desc, col("n_name"))))
+        .select(col("n_name"),
+          (col("base") + when(col("rn") <= col("rem"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy(col("n_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // Month-over-month revenue bridge (waterfall): Δrevenue decomposed
+    // into NEW customers' revenue, LOST customers' (negative), and the
+    // delta among RETAINED — one full-outer self-join of the per-
+    // (customer, month) aggregate against itself shifted a month. Month
+    // index is integer ((y−1992)·12 + m−1), so year boundaries don't
+    // break adjacency. The join runs on the post-agg frame (customers ×
+    // months, far below row count).
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q160_revenue_bridge",
+      s"""WITH cm AS (
+         |  SELECT o_custkey AS cust,
+         |    (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12
+         |      + CAST(month(o_orderdate) AS BIGINT) - 1 AS m,
+         |    CAST(SUM(CAST(o_totalprice AS $M) * 100) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |j AS (
+         |  SELECT COALESCE(b.m, a.m + 1) AS month_idx,
+         |    COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS delta,
+         |    CASE WHEN a.cust IS NULL THEN 'new'
+         |         WHEN b.cust IS NULL THEN 'lost' ELSE 'retained' END AS seg
+         |  FROM cm a FULL OUTER JOIN cm b ON b.cust = a.cust AND b.m = a.m + 1)
+         |SELECT month_idx,
+         |  CAST(COALESCE(SUM(delta) FILTER (WHERE seg = 'new'), 0) AS BIGINT)
+         |    AS new_cents,
+         |  CAST(COALESCE(SUM(delta) FILTER (WHERE seg = 'lost'), 0) AS BIGINT)
+         |    AS lost_cents,
+         |  CAST(COALESCE(SUM(delta) FILTER (WHERE seg = 'retained'), 0) AS BIGINT)
+         |    AS retained_delta_cents
+         |FROM j GROUP BY month_idx HAVING month_idx BETWEEN 1 AND 78
+         |ORDER BY month_idx""".stripMargin) { (s, dir) =>
+      val cm = Tables.load(s, dir, "orders").groupBy(
+          col("o_custkey").as("cust"),
+          ((year(col("o_orderdate")).cast("long") - 1992) * 12 +
+            month(col("o_orderdate")).cast("long") - 1).as("m"))
+        .agg(sum(money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val a = cm.select(col("cust").as("ca"), col("m").as("ma"),
+        col("cents").as("xa"))
+      val b = cm.select(col("cust").as("cb"), col("m").as("mb"),
+        col("cents").as("xb"))
+      a.join(b, col("cb") === col("ca") && col("mb") === col("ma") + 1,
+          "full_outer")
+        .select(coalesce(col("mb"), col("ma") + 1).as("month_idx"),
+          (coalesce(col("xb"), lit(0L)) - coalesce(col("xa"), lit(0L)))
+            .as("delta"),
+          when(col("ca").isNull, "new").when(col("cb").isNull, "lost")
+            .otherwise("retained").as("seg"))
+        .groupBy(col("month_idx"))
+        .agg(coalesce(sum(when(col("seg") === "new", col("delta"))), lit(0L))
+            .cast("long").as("new_cents"),
+          coalesce(sum(when(col("seg") === "lost", col("delta"))), lit(0L))
+            .cast("long").as("lost_cents"),
+          coalesce(sum(when(col("seg") === "retained", col("delta"))), lit(0L))
+            .cast("long").as("retained_delta_cents"))
+        .filter(col("month_idx").between(1, 78))
+        .orderBy(col("month_idx"))
+    },
+
+    // ------------------------------------------------------------------
+    // RFM segmentation: per-customer recency/frequency/monetary, each
+    // NTILE(5)-binned with a unique tiebreak so bin edges are identical
+    // across engines; output is the segment-size cube. The NTILE windows
+    // run on the per-customer aggregate (customers ≪ orders).
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q161_rfm_segments",
+      s"""WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+         |c AS (SELECT o_custkey AS cust,
+         |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+         |      (SELECT d0 FROM mx)) AS rec,
+         |    COUNT(*) AS freq,
+         |    CAST(SUM(CAST(o_totalprice AS $M) * 100) AS BIGINT) AS mon
+         |  FROM orders GROUP BY 1),
+         |q AS (SELECT cust,
+         |    NTILE(5) OVER (ORDER BY rec, cust) AS r_q,
+         |    NTILE(5) OVER (ORDER BY freq DESC, cust) AS f_q,
+         |    NTILE(5) OVER (ORDER BY mon DESC, cust) AS m_q
+         |  FROM c)
+         |SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+         |  CAST(m_q AS INT) AS m_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val d0 = o.agg(max(col("o_orderdate").cast("date"))).first().getDate(0)
+      val c = o.groupBy(col("o_custkey").as("cust"))
+        .agg(datediff(lit(d0), max(col("o_orderdate").cast("date")))
+            .as("rec"),
+          count(lit(1)).as("freq"),
+          sum(money(col("o_totalprice")) * 100).cast("long").as("mon"))
+      c.select(col("cust"),
+          ntile(5).over(Window.orderBy(col("rec"), col("cust"))).as("r_q"),
+          ntile(5).over(Window.orderBy(col("freq").desc, col("cust")))
+            .as("f_q"),
+          ntile(5).over(Window.orderBy(col("mon").desc, col("cust")))
+            .as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(col("r_q").cast("int").as("r_q"),
+          col("f_q").cast("int").as("f_q"),
+          col("m_q").cast("int").as("m_q"), col("n_customers"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // ------------------------------------------------------------------
+    // Market-basket lift: for co-purchased part pairs, lift =
+    // P(a∧b)/(P(a)·P(b)) in integer ppm — (cc·N·10⁶) div (cₐ·c_b), every
+    // intermediate < 2⁶³ at any plausible catalog. The pair counting is
+    // the q150 edge shuffle with a support floor; top-20 by lift with
+    // full tiebreak.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q162_basket_lift",
+      """WITH po AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+        |            FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders),
+        |cnt AS (SELECT p, COUNT(*) AS c FROM po GROUP BY p),
+        |co AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cc
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |lift AS (SELECT pa, pb, cc,
+        |    CAST((cc * (SELECT n FROM n) * 1000000
+        |      - (cc * (SELECT n FROM n) * 1000000) % (ca.c * cb.c))
+        |      / (ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |  FROM co JOIN cnt ca ON ca.p = co.pa JOIN cnt cb ON cb.p = co.pb)
+        |SELECT pa, pb, CAST(cc AS BIGINT) AS n_both, lift_ppm
+        |FROM lift ORDER BY lift_ppm DESC, pa, pb LIMIT 20""".stripMargin) { (s, dir) =>
+      val po = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+        .distinct().cache()
+      val nOrders = Tables.load(s, dir, "orders")
+        .agg(countDistinct(col("o_orderkey")).as("n"))
+      val cnt = po.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val co = po.as("a").join(po.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("cc"))
+        .filter(col("cc") >= 3)
+      co.join(broadcast(cnt.select(col("p").as("pa"), col("c").as("ca"))), "pa")
+        .join(broadcast(cnt.select(col("p").as("pb"), col("c").as("cb"))), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("cc").cast("long").as("n_both"),
+          expr("(cc * n * 1000000L) div (ca * cb)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // Benford first-digit profile (the data-forensics screen): digit
+    // frequencies of the cents totals in integer ppm. One scan, one
+    // 9-row aggregate; string first-digit agrees across engines because
+    // the input is an integer rendered in base 10.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q163_benford",
+      s"""WITH d AS (SELECT substring(CAST(CAST(CAST(o_totalprice AS $M) * 100
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders),
+         |t AS (SELECT COUNT(*) AS n FROM d)
+         |SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST((COUNT(*) * 1000000 - (COUNT(*) * 1000000) % (SELECT n FROM t))
+         |    / (SELECT n FROM t) AS BIGINT) AS ppm
+         |FROM d GROUP BY digit ORDER BY digit""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "orders")
+        .select(substring((money(col("o_totalprice")) * 100).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+      val t = d.agg(count(lit(1)).as("t"))
+      d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000L) div t").as("ppm"))
+        .orderBy(col("digit"))
+    },
+
+    // ------------------------------------------------------------------
+    // Gini concentration of customer revenue, exact to the ppm: the
+    // rank-sum formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over cents with
+    // a total order (x, custkey), every product in 128-bit integers.
+    // The ranking window runs on the per-customer aggregate.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q164_gini",
+      s"""WITH c AS (SELECT o_custkey,
+         |    CAST(SUM(CAST(o_totalprice AS $M) * 100) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |r AS (SELECT CAST(x AS HUGEINT) AS x,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS HUGEINT) AS i,
+         |    CAST(COUNT(*) OVER () AS HUGEINT) AS n FROM c),
+         |s AS (SELECT MAX(n) AS n, SUM(i * x) AS six, SUM(x) AS sx FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_customers,
+         |  CAST(((2 * six - (n + 1) * sx) * 1000000
+         |    - ((2 * six - (n + 1) * sx) * 1000000) % (n * sx)) / (n * sx)
+         |    AS BIGINT) AS gini_ppm
+         |FROM s""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(money(col("o_totalprice")) * 100).cast("long").as("x"))
+      val all = Window.partitionBy()
+      val r = c.select(col("x").cast(big).as("x"),
+        row_number().over(Window.orderBy(col("x"), col("o_custkey")))
+          .cast(big).as("i"),
+        count(lit(1)).over(all).cast(big).as("n"))
+      r.agg(max(col("n")).as("n"), sum(col("i") * col("x")).as("six"),
+          sum(col("x")).as("sx"))
+        .select(col("n").cast("long").as("n_customers"),
+          expr("((2 * six - (n + 1) * sx) * 1000000) div (n * sx)")
+            .as("gini_ppm"))
     }
   )
 }
