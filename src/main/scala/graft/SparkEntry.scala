@@ -18,7 +18,8 @@ object SparkEntry {
       _root_.graft.queries.Maintenance.defs ++
       _root_.graft.queries.Multimodal.defs ++
       _root_.graft.queries.Pipeline.defs ++
-      _root_.graft.queries.Analytics.defs
+      _root_.graft.queries.Analytics.defs ++
+      _root_.graft.queries.TpchClassics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

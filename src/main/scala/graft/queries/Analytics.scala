@@ -488,7 +488,7 @@ object Analytics {
          |    AS lost_cents,
          |  CAST(COALESCE(SUM(delta) FILTER (WHERE seg = 'retained'), 0) AS BIGINT)
          |    AS retained_delta_cents
-         |FROM j GROUP BY month_idx HAVING month_idx BETWEEN 1 AND 78
+         |FROM j GROUP BY month_idx HAVING month_idx BETWEEN 36 AND 119
          |ORDER BY month_idx""".stripMargin) { (s, dir) =>
       val cm = Tables.load(s, dir, "orders").groupBy(
           col("o_custkey").as("cust"),
@@ -513,7 +513,7 @@ object Analytics {
             .cast("long").as("lost_cents"),
           coalesce(sum(when(col("seg") === "retained", col("delta"))), lit(0L))
             .cast("long").as("retained_delta_cents"))
-        .filter(col("month_idx").between(1, 78))
+        .filter(col("month_idx").between(36, 119))
         .orderBy(col("month_idx"))
     },
 

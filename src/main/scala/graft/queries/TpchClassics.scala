@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The remaining classic TPC-H shapes expressible over the synthetic
+  * schema (no partsupp table, so Q2/Q9/Q11/Q16/Q20 are out of reach;
+  * Q12/Q21 need ship modes / receipt dates the data lacks). Q7, Q8,
+  * Q14, Q18, Q19, Q13 and an adapted Q22 complete the named-classic
+  * coverage alongside the Q1/Q3/Q4/Q5/Q6/Q10 analogs that shipped in
+  * round 1. Money follows the exact-decimal convention; every share is
+  * q109's two-step integer division.
+  */
+object TpchClassics {
+
+  private def money(c: Column): Column = c.cast(DecimalType(15, 2))
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  private val oneD: Column = lit(BigDecimal(1)).cast(DecimalType(3, 2))
+  private val M = "DECIMAL(15,2)"
+  private val R = "DECIMAL(4,2)"
+  private val ONE = "CAST(1 AS DECIMAL(3,2))"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q7: bilateral trade volume between two nations, by shipper
+    // year. The two small dimension chains broadcast; the fact table
+    // meets one hash aggregate.
+    QueryDef.sqlBacked(
+      "q166_bilateral_trade",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(SUM(vol) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |    CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R)) AS vol
+         |  FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         |    JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |    JOIN customer c ON c.c_custkey = o.o_custkey
+         |    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         |    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      l.join(Tables.load(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.load(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("sk") === col("s_nationkey"))
+        .join(broadcast(n2), col("ck") === col("c_nationkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8: one nation's share of a region's market for one part
+    // type, by order year — share in ppm via the magnitude-safe
+    // two-step division (every intermediate < 2⁵³).
+    QueryDef.sqlBacked(
+      "q167_market_share",
+      s"""WITH alln AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    CAST(FLOOR(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R))
+         |      * 100) AS BIGINT) AS cents,
+         |    n1.n_name AS supp_nation
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |    JOIN customer c ON c.c_custkey = o.o_custkey
+         |    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         |    JOIN region r ON r.r_regionkey = n2.n_regionkey
+         |    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         |    JOIN part p ON p.p_partkey = l.l_partkey
+         |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+         |SELECT o_year,
+         |  ((SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 1000)
+         |     // SUM(cents)) * 1000
+         |   + ((SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 1000)
+         |      % SUM(cents)) * 1000 // SUM(cents) AS share_ppm,
+         |  CAST(SUM(cents) AS BIGINT) AS market_cents
+         |FROM alln GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_regionkey"))
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val alln = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("ck") === col("c_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.load(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("sk") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_type") === "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          floor(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))) * 100)
+            .cast("long").as("cents"),
+          col("supp_nation"))
+      alln.groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("cents"))
+            .otherwise(0L)).as("nat"),
+          sum(col("cents")).as("tot"))
+        .select(col("o_year"),
+          expr("((nat * 1000L) div tot) * 1000L" +
+            " + (((nat * 1000L) % tot) * 1000L) div tot").as("share_ppm"),
+          col("tot").cast("long").as("market_cents"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q14: promo revenue share over a quarter, in exact ppm.
+    QueryDef.sqlBacked(
+      "q168_promo_share",
+      s"""WITH t AS (
+         |  SELECT CAST(FLOOR(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R))
+         |      * 100) AS BIGINT) AS cents,
+         |    p_type = 'PROMO' AS promo
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01')
+         |SELECT ((SUM(CASE WHEN promo THEN cents ELSE 0 END) * 1000)
+         |    // SUM(cents)) * 1000
+         |  + ((SUM(CASE WHEN promo THEN cents ELSE 0 END) * 1000) % SUM(cents))
+         |    * 1000 // SUM(cents) AS promo_ppm,
+         |  CAST(SUM(cents) AS BIGINT) AS total_cents
+         |FROM t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.load(s, dir, "part")
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("promo"))),
+          col("p_partkey") === col("l_partkey"))
+        .select(floor(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))) * 100)
+          .cast("long").as("cents"), col("promo"))
+        .agg(sum(when(col("promo"), col("cents")).otherwise(0L)).as("p"),
+          sum(col("cents")).as("tot"))
+        .select(expr("((p * 1000L) div tot) * 1000L" +
+            " + (((p * 1000L) % tot) * 1000L) div tot").as("promo_ppm"),
+          col("tot").cast("long").as("total_cents"))
+    },
+
+    // TPC-H Q18: large-volume customers — orders whose line quantities
+    // exceed a threshold, found with a grouped-HAVING semi-join.
+    QueryDef.sqlBacked(
+      "q169_large_volume_customers",
+      s"""SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+         |  CAST(CAST(o.o_totalprice AS $M) AS DOUBLE) AS o_totalprice,
+         |  SUM(l.l_quantity) AS total_qty
+         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING SUM(l_quantity) > 180)
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("tq"))
+        .filter(col("tq") > 180).select(col("l_orderkey"))
+      Tables.load(s, dir, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          money(col("o_totalprice")).cast("double").as("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // TPC-H Q19: disjunctive multi-attribute predicate (brand × size ×
+    // quantity windows) — the filter composes BEFORE the join output
+    // columns, so Catalyst pushes each side's conjuncts into its scan.
+    QueryDef.sqlBacked(
+      "q170_disjunctive_revenue",
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS $M)
+         |    * ($ONE - CAST(l_discount AS $R))) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 1 AND 20)
+         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+         |       AND l.l_quantity BETWEEN 10 AND 35)
+         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+         |       AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin) { (s, dir) =>
+      val pred =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(pred)
+        .agg(sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q22 (adapted: custkey-derived country code; "dormant" = no
+    // order since 2000): above-average-balance customers with no recent
+    // orders. The threshold compare is EXACT — bal·n > total in cents —
+    // because avg() is a double in one engine and a decimal in the
+    // other, and a borderline customer must not flip between them.
+    QueryDef.sqlBacked(
+      "q171_sales_opportunity",
+      s"""WITH pos AS (SELECT CAST(CAST(c_acctbal AS $M) * 100 AS BIGINT) AS b
+         |  FROM customer WHERE c_acctbal > 0),
+         |thr AS (SELECT SUM(b) AS total, COUNT(*) AS n FROM pos),
+         |eligible AS (
+         |  SELECT c_custkey % 10 AS cc,
+         |    CAST(CAST(c_acctbal AS $M) * 100 AS BIGINT) AS bal
+         |  FROM customer
+         |  WHERE CAST(CAST(c_acctbal AS $M) * 100 AS BIGINT)
+         |      * (SELECT n FROM thr) > (SELECT total FROM thr)
+         |    AND NOT EXISTS (SELECT 1 FROM orders o
+         |      WHERE o.o_custkey = c_custkey
+         |        AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+         |SELECT CAST(cc AS BIGINT) AS country_code,
+         |  CAST(COUNT(*) AS BIGINT) AS n_custs,
+         |  CAST(SUM(bal) AS BIGINT) AS total_bal_cents
+         |FROM eligible GROUP BY cc ORDER BY cc""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), (money(col("c_acctbal")) * 100).cast("long")
+          .as("bal"))
+      val thr = c.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("total"), count(lit(1)).as("n"))
+      val recent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(thr))
+        .filter(col("bal") * col("n") > col("total"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy((col("c_custkey") % 10).as("country_code"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("bal")).cast("long").as("total_bal_cents"))
+        .select(col("country_code").cast("long").as("country_code"),
+          col("n_custs"), col("total_bal_cents"))
+        .orderBy(col("country_code"))
+    },
+
+    // TPC-H Q13: customer order-count distribution INCLUDING zero-order
+    // customers (the left join is the point), then a count-of-counts.
+    QueryDef.sqlBacked(
+      "q172_order_count_distribution",
+      """WITH co AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM co GROUP BY c_count ORDER BY c_count""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_count"))
+    }
+  )
+}
