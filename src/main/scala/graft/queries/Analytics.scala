@@ -663,6 +663,283 @@ object Analytics {
         .select(col("n").cast("long").as("n_customers"),
           expr("((2 * six - (n + 1) * sx) * 1000000) div (n * sx)")
             .as("gini_ppm"))
+    },
+
+    // ------------------------------------------------------------------
+    // Interval coalescing (merge overlapping spans): each event opens a
+    // 30-minute activity window; overlapping/touching windows of one
+    // user merge into islands (start > running-max(end) breaks). Two
+    // user-partitioned windows, one shuffle, all epoch-ms integers —
+    // the user key partitions at any scale.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q175_interval_coalesce",
+      """WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |    epoch_ms(ts) + 1800000 AS e FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |fl AS (SELECT user_id, event_id, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |g AS (SELECT user_id, island, MAX(e) - MIN(s) AS cov
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(cov) AS BIGINT) AS covered_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val iv = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("s"),
+          (unix_millis(col("ts")) + 1800000L).as("e"))
+      iv.withColumn("pmax",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg((max(col("e")) - min(col("s"))).as("cov"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("cov")).as("covered_ms"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // 2-D skyline (Pareto frontier): parts minimizing price while
+    // maximizing size, nobody cheaper-and-bigger. Spark shape: sort by
+    // price, a point survives iff its size beats the running max — a
+    // LOCAL skyline per hash bucket first (local domination implies
+    // global, so the prune is sound), then the same two-frame window on
+    // the survivors. No O(n²) pair join anywhere; the oracle IS the
+    // NOT EXISTS definition.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q176_skyline",
+      s"""WITH p AS (SELECT p_partkey,
+         |    CAST(CAST(p_retailprice AS $M) * 100 AS BIGINT) AS cents,
+         |    CAST(p_size AS BIGINT) AS sz
+         |  FROM part)
+         |SELECT p_partkey, cents, sz FROM p a
+         |WHERE NOT EXISTS (SELECT 1 FROM p b
+         |  WHERE b.cents <= a.cents AND b.sz >= a.sz
+         |    AND (b.cents < a.cents OR b.sz > a.sz))
+         |ORDER BY cents, p_partkey""".stripMargin) { (s, dir) =>
+      def survivors(df: org.apache.spark.sql.DataFrame,
+          bucket: Seq[Column]): org.apache.spark.sql.DataFrame = {
+        val base = Window.partitionBy(bucket: _*).orderBy(col("cents"))
+        df.withColumn("m1", max(col("sz"))
+            .over(base.rangeBetween(Window.unboundedPreceding, -1)))
+          .withColumn("m2", max(col("sz"))
+            .over(base.rangeBetween(Window.unboundedPreceding, 0)))
+          .filter(!(coalesce(col("m1") >= col("sz"), lit(false)) ||
+            col("m2") > col("sz")))
+          .drop("m1", "m2")
+      }
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          (money(col("p_retailprice")) * 100).cast("long").as("cents"),
+          col("p_size").cast("long").as("sz"))
+      val local = survivors(p, Seq(pmod(col("p_partkey"), lit(32))))
+      survivors(local, Seq.empty)
+        .orderBy(col("cents"), col("p_partkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // Markov transition matrix over the event stream: consecutive
+    // event-type bigrams per user (LEAD over the user timeline), then
+    // transition probability in exact integer ppm of each source state.
+    // The session-path analytics primitive; one user-keyed shuffle.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q177_markov_transitions",
+      """WITH s AS (SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |p AS (SELECT src, dst, COUNT(*) AS n FROM s
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, SUM(n) AS tot FROM p GROUP BY 1)
+        |SELECT p.src AS from_type, p.dst AS to_type, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000 - (n * 1000000) % tot) / tot AS BIGINT) AS p_ppm
+        |FROM p JOIN t ON t.src = p.src
+        |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      pairs.join(tot, "src")
+        .select(col("src").as("from_type"), col("dst").as("to_type"),
+          col("n"), expr("(n * 1000000L) div tot").as("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // Hybrid retrieval via reciprocal-rank fusion: two independent
+    // integer rankings per query doc — shared 3-token shingles and
+    // shared distinct unigrams (both df-capped count-then-filter, the
+    // SkewGuard shape) — fused as Σ 10⁹ div (60 + rank). Every score is
+    // an exact integer; the query side prunes BEFORE the join. The RAG
+    // stack's sparse+sparse fusion step, end-to-end hash-checkable.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q178_hybrid_rrf",
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |shk AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |shi AS (SELECT doc_id, s FROM sh JOIN shk USING (s)),
+        |pa AS (SELECT a.doc_id AS q, b.doc_id AS c, COUNT(*) AS ov
+        |  FROM shi a JOIN shi b ON a.s = b.s AND b.doc_id <> a.doc_id
+        |  WHERE a.doc_id < 5 GROUP BY 1, 2),
+        |ra AS (SELECT q, c,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY ov DESC, c) AS r
+        |  FROM pa),
+        |tg AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+        |tk AS (SELECT w FROM tg GROUP BY w HAVING COUNT(*) <= 100),
+        |ti AS (SELECT doc_id, w FROM tg JOIN tk USING (w)),
+        |pb AS (SELECT a.doc_id AS q, b.doc_id AS c, COUNT(*) AS ov
+        |  FROM ti a JOIN ti b ON a.w = b.w AND b.doc_id <> a.doc_id
+        |  WHERE a.doc_id < 5 GROUP BY 1, 2),
+        |rb AS (SELECT q, c,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY ov DESC, c) AS r
+        |  FROM pb),
+        |u AS (SELECT q, c, r FROM ra UNION ALL SELECT q, c, r FROM rb),
+        |f AS (SELECT q, c, CAST(SUM(
+        |    (1000000000 - 1000000000 % (60 + r)) / (60 + r)) AS BIGINT)
+        |    AS score FROM u GROUP BY 1, 2),
+        |rk AS (SELECT q, c, score, ROW_NUMBER() OVER (PARTITION BY q
+        |    ORDER BY score DESC, c) AS rank FROM f)
+        |SELECT q AS doc_id, c AS similar_doc, score, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+
+      // one ranked signal: postings → df cap → query-side join → rank
+      def ranked(inv: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val keep = inv.groupBy(col("f")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 100).select(col("f"))
+        val kept = inv.join(broadcast(keep), "f")
+        val qSide = kept.filter(col("doc_id") < 5)
+          .select(col("f"), col("doc_id").as("q"))
+        val pairs = qSide.join(kept.withColumnRenamed("doc_id", "c"), "f")
+          .filter(col("c") =!= col("q"))
+          .groupBy(col("q"), col("c")).agg(count(lit(1)).as("ov"))
+        val w = Window.partitionBy(col("q"))
+          .orderBy(col("ov").desc, col("c"))
+        pairs.withColumn("r", row_number().over(w)).select("q", "c", "r")
+      }
+
+      val byShingle = ranked(toks.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("t")))).as("f")))
+      val byToken = ranked(toks.select(col("doc_id"),
+        explode(array_distinct(col("t"))).as("f")))
+      val fused = byShingle.unionAll(byToken)
+        .groupBy(col("q"), col("c"))
+        .agg(sum(expr("1000000000L div (60 + r)")).as("score"))
+      val w = Window.partitionBy(col("q"))
+        .orderBy(col("score").desc, col("c"))
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q").as("doc_id"), col("c").as("similar_doc"),
+          col("score"), col("rank").cast("int").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // Gopher-style composite quality rules, per source: word count,
+    // mean word length (as exact 3·n ≤ Σlen ≤ 10·n integer bounds),
+    // stopword presence, alphabetic-token ratio (5·alpha ≥ 4·n) — the
+    // MassiveText repetition-free subset of rules, all map-side over
+    // one scan, counted with FILTER aggregates.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q179_gopher_rules",
+      """WITH d AS (SELECT source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |m AS (SELECT source, len(t) AS nw,
+        |    list_sum(list_transform(t, x -> len(x))) AS cw,
+        |    len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |      OR x = 'and' OR x = 'to' OR x = 'in')) AS stops,
+        |    len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE nw BETWEEN 50 AND 100000) AS BIGINT)
+        |    AS pass_words,
+        |  CAST(COUNT(*) FILTER (WHERE 3 * nw <= cw AND cw <= 10 * nw)
+        |    AS BIGINT) AS pass_wordlen,
+        |  CAST(COUNT(*) FILTER (WHERE stops >= 2) AS BIGINT) AS pass_stop,
+        |  CAST(COUNT(*) FILTER (WHERE 5 * alpha >= 4 * nw) AS BIGINT)
+        |    AS pass_alpha,
+        |  CAST(COUNT(*) FILTER (WHERE nw BETWEEN 50 AND 100000
+        |    AND 3 * nw <= cw AND cw <= 10 * nw AND stops >= 2
+        |    AND 5 * alpha >= 4 * nw) AS BIGINT) AS pass_all
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val m = Tables.load(s, dir, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("t"))
+        .select(col("source"),
+          size(col("t")).cast("long").as("nw"),
+          aggregate(transform(col("t"), x => length(x).cast("long")),
+            lit(0L), (a, b) => a + b).as("cw"),
+          TextOps.stopwordHits(col("t")).cast("long").as("stops"),
+          size(filter(col("t"), x => x.rlike("[a-zA-Z]")))
+            .cast("long").as("alpha"))
+      val wordsOk = col("nw").between(50L, 100000L)
+      val lenOk = lit(3L) * col("nw") <= col("cw") &&
+        col("cw") <= lit(10L) * col("nw")
+      val stopOk = col("stops") >= 2L
+      val alphaOk = lit(5L) * col("alpha") >= lit(4L) * col("nw")
+      m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(wordsOk, 1)).as("pass_words"),
+          count(when(lenOk, 1)).as("pass_wordlen"),
+          count(when(stopOk, 1)).as("pass_stop"),
+          count(when(alphaOk, 1)).as("pass_alpha"),
+          count(when(wordsOk && lenOk && stopOk && alphaOk, 1)).as("pass_all"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // Per-source percentile normalization (score calibration): each
+    // document's length rank within its source, scaled to exact-integer
+    // ppm of the [0, n−1] rank span — the cross-source score calibration
+    // step before mixture sampling. One source-keyed shuffle.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q180_score_normalize",
+      """WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(((rn - 1) * 1000000 - ((rn - 1) * 1000000) % GREATEST(n - 1, 1))
+        |    / GREATEST(n - 1, 1) AS BIGINT) AS pct_ppm
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("source"))).as("n"))
+        .select(col("doc_id"), col("source"),
+          expr("((rn - 1) * 1000000L) div greatest(n - 1, 1L)").as("pct_ppm"))
+        .orderBy(col("doc_id"))
     }
   )
 }

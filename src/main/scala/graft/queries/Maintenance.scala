@@ -1026,6 +1026,45 @@ object Maintenance {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Batch DataSource V2 (`spark.read.format("graft")`): the filter is
+    // pushed into the scan — file-level stats pruning happens inside
+    // Catalyst's pushdown negotiation (GraftBatchSpec pins the pruned
+    // partition count; the 6 range-partitioned files make the prune
+    // real) — and the residual still applies, so the answer must equal
+    // the plain SQL regardless of pruning.
+    QueryDef.sqlBacked(
+      "q173_dsv2_scan",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val table = skippingFixture(s, dir)
+      s.read.format("graft").option("tablePath", table).load()
+        .filter(col("l_orderkey").between(100L, 2000L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Batch DSv2 over a deletion-vector table: the scan must apply both
+    // generations of vectors (suppkey%5 at v1, partkey%3 unioned at v2)
+    // without any file having been rewritten — the DV-aware read is the
+    // source's default path, not a special API.
+    QueryDef.sqlBacked(
+      "q174_dsv2_dv_read",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 AND l_suppkey % 5 <> 0
+        |  AND l_partkey % 3 <> 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val table = dvFixture(s, dir)
+      s.read.format("graft").option("tablePath", table).load()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -40,8 +40,8 @@ object TpchClassics {
          |    JOIN customer c ON c.c_custkey = o.o_custkey
          |    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
          |    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-         |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
       val l = Tables.load(s, dir, "lineitem")
       val n1 = Tables.load(s, dir, "nation")
@@ -53,8 +53,8 @@ object TpchClassics {
         .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("sk") === col("s_nationkey"))
         .join(broadcast(n2), col("ck") === col("c_nationkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum(money(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))

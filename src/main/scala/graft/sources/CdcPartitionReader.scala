@@ -146,7 +146,23 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
     new GenericInternalRow(row)
   }
 
-  private def extract(g: Group, idx: Int, dt: DataType): Any = dt match {
+  private def extract(g: Group, idx: Int, dt: DataType): Any =
+    GroupRows.extract(g, idx, dt)
+
+  private def castPartitionValue(s: String, dt: DataType): Any =
+    GroupRows.castPartitionValue(s, dt)
+
+  override def close(): Unit = reader.close()
+}
+
+/** Typed extraction from parquet-mr example Groups per the DECLARED Spark
+  * type — shared by the streaming CDC reader and the batch DSv2 reader.
+  * Fixes the reference's positional addressing (defect #13, SURVEY §0.1)
+  * by resolving fields by NAME at the call sites.
+  */
+private[sources] object GroupRows {
+
+  def extract(g: Group, idx: Int, dt: DataType): Any = dt match {
     case IntegerType => g.getInteger(idx, 0)
     case LongType => g.getLong(idx, 0)
     case DoubleType => g.getDouble(idx, 0)
@@ -227,10 +243,10 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
       }
       new GenericInternalRow(out)
     case other => throw new UnsupportedOperationException(
-      s"streaming reader does not support $other yet (use the batch CDC path)")
+      s"row-granular reader does not support $other yet (use the batch CDC path)")
   }
 
-  private def castPartitionValue(s: String, dt: DataType): Any = dt match {
+  def castPartitionValue(s: String, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromString(s)
     case IntegerType => s.toInt
     case LongType => s.toLong
@@ -239,8 +255,6 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
     case d: DecimalType =>
       Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
     case other => throw new UnsupportedOperationException(
-      s"partition column type $other not supported in streaming reader")
+      s"partition column type $other not supported in row-granular reader")
   }
-
-  override def close(): Unit = reader.close()
 }

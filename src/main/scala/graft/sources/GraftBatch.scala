@@ -1,0 +1,380 @@
+package graft.sources
+
+import graft.txn._
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import java.util
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+/** Batch DataSource V2 over the graft transaction log — the
+  * `spark.read.format("graft")` surface, completing the DSv2 pair with
+  * the streaming [[GraftCdc]]. The scan participates in Catalyst's
+  * pushdown negotiation instead of doing its pruning out-of-band like
+  * [[graft.txn.DataSkipping.readWhere]]:
+  *
+  *  - **Filter pushdown** → file-level skipping from AddFile footer
+  *    stats + hive partition values + the per-file bloom index, BEFORE
+  *    any file opens (every pushed filter is also kept as a residual, so
+  *    pruning only ever has to be sound, never complete);
+  *  - **Column pruning** → the parquet-mr read schema is cut to the
+  *    required columns, so unprojected columns are never decoded;
+  *  - **Limit pushdown** → each partition reader stops early;
+  *  - **Statistics** → sizeInBytes/rowCount of the PRUNED file list, so
+  *    the broadcast-join decision sees what will actually be read;
+  *  - Deletion vectors, column mapping, schema evolution, and
+  *    version/timestamp time travel all apply, matching
+  *    [[graft.txn.SnapshotReader.read]] semantics.
+  *
+  * Options: `tablePath` (required), `versionAsOf` XOR `timestampAsOf`
+  * (reference semantics T4, DeltaReader.java:134–164).
+  */
+class GraftBatch extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftBatch.resolve(options.asCaseSensitiveMap().asScala.toMap).schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftBatchTable(schema, properties.asScala.toMap)
+}
+
+private[sources] object GraftBatch {
+
+  /** The snapshot a scan binds to: resolved once, on the driver. */
+  final case class Resolved(
+      tablePath: String,
+      version: Long,
+      files: Seq[AddFile],
+      schema: StructType,
+      mapping: Map[String, String],
+      partitionColumns: Seq[String])
+
+  def resolve(options: Map[String, String]): Resolved = {
+    val tablePath = options.getOrElse("tablePath",
+      throw new IllegalArgumentException("tablePath is required"))
+    val vOpt = options.get("versionAsOf").map(_.toLong)
+    val tOpt = options.get("timestampAsOf").map(_.toLong)
+    require(vOpt.isEmpty || tOpt.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val version = vOpt
+      .orElse(tOpt.map(log.versionAtTimestamp))
+      .getOrElse(log.latestVersion().getOrElse(
+        throw new IllegalArgumentException(s"empty table at $tablePath")))
+    val snap = log.snapshot(version)
+    val meta = snap.metadata.getOrElse(
+      throw new IllegalArgumentException(s"no Metadata action in $tablePath"))
+    Resolved(tablePath, version, snap.files,
+      DataType.fromJson(meta.schemaJson).asInstanceOf[StructType],
+      meta.columnMapping, meta.partitionColumns)
+  }
+
+  /** V1 filter → conjunctive (logical column, lo, hi) ranges in the
+    * units file stats use (dates as epoch days, timestamps as micros).
+    * Only shapes that can prune contribute; everything else is residual.
+    */
+  def rangesOf(f: Filter): Seq[(String, Any, Any)] = {
+    def unit(v: Any): Option[Any] = v match {
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+      case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d))
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case null => None
+      case other => Some(other)
+    }
+    val NegInf = Double.MinValue
+    val PosInf = Double.MaxValue
+    // string bounds only prune equality (lexical half-ranges are sound
+    // too, but DataSkipping compares unbounded ends numerically)
+    def nonStr(v: Any): Boolean = !v.isInstanceOf[String]
+    f match {
+      case sources.And(l, r) => rangesOf(l) ++ rangesOf(r)
+      case sources.EqualTo(c, v) => unit(v).map(u => (c, u, u)).toSeq
+      case sources.GreaterThan(c, v) =>
+        unit(v).filter(nonStr).map(u => (c, u, PosInf)).toSeq
+      case sources.GreaterThanOrEqual(c, v) =>
+        unit(v).filter(nonStr).map(u => (c, u, PosInf)).toSeq
+      case sources.LessThan(c, v) =>
+        unit(v).filter(nonStr).map(u => (c, NegInf, u)).toSeq
+      case sources.LessThanOrEqual(c, v) =>
+        unit(v).filter(nonStr).map(u => (c, NegInf, u)).toSeq
+      case sources.In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        // an IN prunes as the enclosing [min, max] envelope (sound; the
+        // residual restores exactness)
+        val us = vs.flatMap(unit)
+        if (us.isEmpty || us.exists(u => u.isInstanceOf[String]) && us.length > 1)
+          Seq.empty
+        else {
+          def d(a: Any): Double =
+            try a.toString.toDouble catch { case _: NumberFormatException => Double.NaN }
+          if (us.length == 1) Seq((c, us.head, us.head))
+          else if (us.map(d).exists(_.isNaN)) Seq.empty
+          else Seq((c, us.minBy(d), us.maxBy(d)))
+        }
+      case _ => Seq.empty
+    }
+  }
+}
+
+private[sources] class GraftBatchTable(
+    tableSchema: StructType,
+    properties: Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft(${properties.getOrElse("tablePath", "?")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftBatchScanBuilder(
+      GraftBatch.resolve(properties ++ options.asCaseSensitiveMap().asScala))
+}
+
+private[sources] class GraftBatchScanBuilder(resolved: GraftBatch.Resolved)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private var required: StructType = resolved.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a filter is "pushed" if it contributes at least one prunable range;
+    // ALL filters stay residual (file-granular pruning is never complete)
+    pushed = filters.filter(f => GraftBatch.rangesOf(f).nonEmpty)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // partitions stop early, but the global limit still applies post-scan
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = {
+    val ranges = pushed.flatMap(GraftBatch.rangesOf)
+      .map { case (c, lo, hi) =>
+        (ColumnMapping.physicalName(c, resolved.mapping), lo, hi)
+      }
+    val physSchema =
+      ColumnMapping.physicalSchema(resolved.schema, resolved.mapping)
+    val statsKept = DataSkipping.pruneFilesAll(
+      resolved.files, physSchema, ranges.toSeq)
+    // point probes additionally consult the per-file bloom index (the
+    // only file-level signal with power on high-cardinality keys)
+    val points = ranges.filter { case (_, lo, hi) => lo == hi }
+    val kept =
+      if (points.isEmpty) statsKept
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val blooms = BloomIndex.load(spark, resolved.tablePath)
+        if (blooms.isEmpty) statsKept
+        else statsKept.filter { f =>
+          val fn = new org.apache.hadoop.fs.Path(f.path).getName
+          points.forall { case (c, lo, _) =>
+            (blooms.get((fn, c)),
+              BloomIndex.probeHash(physSchema(c).dataType, lo)) match {
+              case (Some(b), Some(h)) => b.mightContain(h)
+              case _ => true
+            }
+          }
+        }
+      }
+    new GraftBatchScan(resolved, kept, required, limit)
+  }
+}
+
+private[sources] class GraftBatchScan(
+    resolved: GraftBatch.Resolved,
+    val kept: Seq[AddFile],
+    val required: StructType,
+    val limit: Int) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftBatch ${resolved.tablePath}@v${resolved.version} " +
+      s"files=${kept.size}/${resolved.files.size}"
+
+  /** Post-pushdown statistics: Catalyst's broadcast decision sees the
+    * pruned byte size, not the whole table's.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, kept.map(_.size).sum))
+    override def numRows(): OptionalLong = {
+      val counts = kept.flatMap(_.stats.map(_.numRecords))
+      if (counts.size == kept.size) OptionalLong.of(counts.sum)
+      else OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val serConf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val physRequired =
+      ColumnMapping.physicalSchema(required, resolved.mapping)
+    kept.map { f =>
+      GraftBatchPartition(
+        TxnLog.dataPath(resolved.tablePath, f.path),
+        f.partitionValues,
+        physRequired.json,
+        serConf,
+        dvDir = f.dv.map(d => TxnLog.dataPath(resolved.tablePath, d))
+          .getOrElse(""),
+        limit = limit)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBatchReaderFactory
+}
+
+/** One live data file of the bound snapshot. `schemaJson` is the pruned
+  * PHYSICAL schema (file-spelling names); `dvDir` non-empty means rows
+  * listed in that deletion-vector sidecar are skipped.
+  */
+private[sources] case class GraftBatchPartition(
+    filePath: String,
+    partitionValues: Map[String, String],
+    schemaJson: String,
+    conf: SerializableConfiguration,
+    dvDir: String,
+    limit: Int) extends InputPartition
+
+private[sources] class GraftBatchReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftBatchFileReader(p.asInstanceOf[GraftBatchPartition])
+}
+
+/** parquet-mr read support that prunes the FILE schema to the requested
+  * top-level columns — unprojected columns are never decoded (the batch
+  * scan's physical half of column pruning). Requested names absent from
+  * the file (schema evolution) simply don't survive the intersection;
+  * the reader surfaces them as null.
+  */
+private[sources] class ProjectingGroupReadSupport(names: Set[String])
+  extends GroupReadSupport {
+  override def init(context: InitContext): ReadSupport.ReadContext = {
+    val fileSchema = context.getFileSchema
+    val keep = fileSchema.getFields.asScala.filter(f => names.contains(f.getName))
+    new ReadSupport.ReadContext(
+      new MessageType(fileSchema.getName, keep.asJava))
+  }
+}
+
+private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val schema: StructType =
+    DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+
+  // partition columns live in the log, not the file
+  private val fileFieldNames: Set[String] =
+    schema.fields.map(_.name).toSet -- p.partitionValues.keySet
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader
+      .builder(new ProjectingGroupReadSupport(fileFieldNames),
+        new org.apache.hadoop.fs.Path(p.filePath))
+      .withConf(p.conf.value)
+      .build()
+
+  private var current: Group = _
+  private var rowIdx: Long = -1L
+  private var emitted: Long = 0L
+
+  /** Dead row positions of this file (whole sidecar rows are keyed by
+    * file name; the sidecar is small by design — dead rows, not file
+    * rows).
+    */
+  private lazy val dvSet: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (p.dvDir.nonEmpty) {
+      val fileName = new org.apache.hadoop.fs.Path(p.filePath).getName
+      val dir = new org.apache.hadoop.fs.Path(p.dvDir)
+      val fs = dir.getFileSystem(p.conf.value)
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val r = ParquetReader
+            .builder(new GroupReadSupport(), st.getPath)
+            .withConf(p.conf.value)
+            .build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val t = g.getType
+              if (g.getString(t.getFieldIndex("file_name"), 0) == fileName)
+                set.add(g.getLong(t.getFieldIndex("row_index"), 0))
+              g = r.read()
+            }
+          } finally r.close()
+        }
+    }
+    set
+  }
+
+  override def next(): Boolean = {
+    if (p.limit >= 0 && emitted >= p.limit) return false
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowIdx += 1
+      if (p.dvDir.isEmpty || !dvSet.contains(rowIdx)) {
+        emitted += 1
+        return true
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = {
+    val row = new Array[Any](schema.length)
+    val fileSchema = current.getType
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      row(i) =
+        if (p.partitionValues.contains(f.name))
+          GroupRows.castPartitionValue(p.partitionValues(f.name), f.dataType)
+        else if (!fileSchema.containsField(f.name)) null // schema evolution
+        else {
+          val idx = fileSchema.getFieldIndex(f.name)
+          if (current.getFieldRepetitionCount(idx) == 0) null
+          else GroupRows.extract(current, idx, f.dataType)
+        }
+      i += 1
+    }
+    new GenericInternalRow(row)
+  }
+
+  override def close(): Unit = reader.close()
+}

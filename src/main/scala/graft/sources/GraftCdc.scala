@@ -28,7 +28,10 @@ import scala.jdk.CollectionConverters._
   * (ParquetReaderUtils.java:72–91, minus the whole-file materialization
   * and the defects).
   */
-class GraftCdc extends TableProvider {
+class GraftCdc extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // fail fast on bad options at load(), not first batch

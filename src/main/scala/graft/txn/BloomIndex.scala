@@ -26,7 +26,7 @@ object BloomIndex {
   def dir(version: Long): String = f"_bloom/bloom-$version%020d"
 
   /** Hash a probe value the way [[build]] hashed the column. */
-  private[txn] def probeHash(dt: org.apache.spark.sql.types.DataType,
+  private[graft] def probeHash(dt: org.apache.spark.sql.types.DataType,
       v: Any): Option[Long] = dt match {
     case LongType =>
       try Some(v.toString.toLong) catch { case _: NumberFormatException => None }

@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.txn._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{sources => f}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch DSv2 source: result parity with SnapshotReader, file pruning
+  * from pushed filters, genuine column pruning, limit pushdown, DV
+  * application, time travel, and post-pushdown scan statistics.
+  */
+class GraftBatchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // 6 range-partitioned files on l_orderkey (disjoint footer ranges)
+  private lazy val skipDir = graft.queries.Maintenance.skippingFixture(spark, sf)
+  // hive-partitioned by l_returnflag, then compacted at v2
+  private lazy val optDir = graft.queries.Maintenance.compactionFixture(spark, sf)
+  // two generations of deletion vectors, no file rewritten
+  private lazy val dvDir = graft.queries.Maintenance.dvFixture(spark, sf)
+
+  private def readGraft(dir: String): DataFrame =
+    spark.read.format("graft").option("tablePath", dir).load()
+
+  // column order differs legitimately: the DSv2 source keeps the DECLARED
+  // schema order while SnapshotReader's hive inference appends partition
+  // columns — align by name before comparing values
+  private def sortedRows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.map(col)
+    df.select(cols.toSeq: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  private def scanOf(df: DataFrame): GraftBatchScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[GraftBatchScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("short name 'graft' resolves via DataSourceRegister") {
+    assert(readGraft(skipDir).count() ==
+      SnapshotReader.read(spark, skipDir).count())
+  }
+
+  test("full read matches SnapshotReader row-for-row (partitioned table)") {
+    assert(sortedRows(readGraft(optDir)) ==
+      sortedRows(SnapshotReader.read(spark, optDir)))
+  }
+
+  test("pushed range filter prunes the planned file set") {
+    val total = new TxnLog(skipDir,
+      spark.sessionState.newHadoopConf()).snapshotLatest().files.size
+    assert(total == 6)
+    val df = readGraft(skipDir).filter(col("l_orderkey").between(100L, 400L))
+    val scan = scanOf(df)
+    assert(scan.kept.size < total,
+      s"expected pruning below $total files, planned ${scan.kept.size}")
+    // and the answer is still exact (residual applies)
+    val expect = SnapshotReader.read(spark, skipDir)
+      .filter(col("l_orderkey").between(100L, 400L))
+    assert(sortedRows(df) == sortedRows(expect))
+  }
+
+  test("an unprunable filter keeps all files but stays correct") {
+    val df = readGraft(skipDir).filter(col("l_linestatus").contains("O"))
+    assert(scanOf(df).kept.size == 6)
+    val expect = SnapshotReader.read(spark, skipDir)
+      .filter(col("l_linestatus").contains("O"))
+    assert(df.count() == expect.count())
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val df = readGraft(skipDir).select(col("l_orderkey"))
+    assert(scanOf(df).required.fieldNames.toSeq == Seq("l_orderkey"))
+    assert(df.distinct().count() ==
+      SnapshotReader.read(spark, skipDir).select("l_orderkey")
+        .distinct().count())
+  }
+
+  test("partition columns materialize from the log, not the files") {
+    val flags = readGraft(optDir).select("l_returnflag").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(flags.sameElements(Array("A", "N", "R")))
+  }
+
+  test("limit pushes into the partition readers") {
+    val df = readGraft(skipDir).limit(3)
+    assert(df.count() == 3)
+    assert(scanOf(df).limit == 3)
+  }
+
+  test("deletion vectors apply on the default read path") {
+    val viaGraft = readGraft(dvDir)
+    val viaSnapshot = SnapshotReader.read(spark, dvDir)
+    assert(sortedRows(viaGraft) == sortedRows(viaSnapshot))
+    // and rows really died: both DV generations are in force
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val expect = li.filter(col("l_orderkey") % 7 === 0 &&
+      col("l_suppkey") % 5 =!= 0 && col("l_partkey") % 3 =!= 0).count()
+    assert(viaGraft.count() == expect)
+  }
+
+  test("versionAsOf time travel binds the scan to the old snapshot") {
+    val v0 = spark.read.format("graft")
+      .option("tablePath", optDir).option("versionAsOf", "0").load()
+    assert(sortedRows(v0) ==
+      sortedRows(SnapshotReader.read(spark, optDir, versionAsOf = Some(0L))))
+  }
+
+  test("versionAsOf and timestampAsOf are mutually exclusive") {
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("tablePath", optDir)
+        .option("versionAsOf", "0").option("timestampAsOf", "1000")
+        .load().count()
+    }
+  }
+
+  test("scan statistics are post-pushdown: a filter shrinks sizeInBytes") {
+    val all = readGraft(skipDir)
+    val filtered = readGraft(skipDir)
+      .filter(col("l_orderkey").between(100L, 400L))
+    val sAll = scanOf(all).estimateStatistics()
+    val sFiltered = scanOf(filtered).estimateStatistics()
+    assert(sFiltered.sizeInBytes().getAsLong < sAll.sizeInBytes().getAsLong)
+    // row counts come from footer stats and match reality
+    assert(sAll.numRows().getAsLong ==
+      SnapshotReader.read(spark, skipDir).count())
+  }
+
+  test("direct builder API: pushFilters reports pushed, residual is total") {
+    val builder = new GraftBatchScanBuilder(
+      GraftBatch.resolve(Map("tablePath" -> skipDir)))
+    val filters: Array[f.Filter] = Array(
+      f.GreaterThanOrEqual("l_orderkey", 100L),
+      f.LessThanOrEqual("l_orderkey", 400L),
+      f.StringContains("l_linestatus", "O"))
+    val residual = builder.pushFilters(filters)
+    assert(residual.length == 3) // everything re-checked post-scan
+    assert(builder.pushedFilters().length == 2) // only range shapes prune
+    val scan = builder.build().asInstanceOf[GraftBatchScan]
+    assert(scan.kept.size < 6)
+  }
+
+  test("IN filter prunes via its min/max envelope") {
+    val builder = new GraftBatchScanBuilder(
+      GraftBatch.resolve(Map("tablePath" -> skipDir)))
+    builder.pushFilters(Array[f.Filter](f.In("l_orderkey",
+      Array[Any](100L, 150L, 200L))))
+    val scan = builder.build().asInstanceOf[GraftBatchScan]
+    assert(scan.kept.size < 6)
+  }
+
+  test("schema evolution: pre-evolution files surface new columns as null") {
+    val dir = graft.queries.Maintenance.evolutionFixture(spark, sf)
+    assert(sortedRows(readGraft(dir)) ==
+      sortedRows(SnapshotReader.read(spark, dir)))
+  }
+}
