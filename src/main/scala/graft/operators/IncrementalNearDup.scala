@@ -124,11 +124,18 @@ object IncrementalNearDup {
         .cache()
 
       if (!survivors.isEmpty) {
+        // optimized write: a per-batch append must not fan one small
+        // frame across every shuffle partition — 32 micro-files per
+        // commit is the small-files problem at birth. Size the file
+        // count by the batch's row bound (~500k rows/file), exactly the
+        // knob a 100 TB ingest would set.
+        val parts = math.max(1L, survivors.count() / 500000L).toInt
         TableWriter.append(spark,
-          survivors.select(col("doc_id"), col("sig")),
+          survivors.select(col("doc_id"), col("sig")).coalesce(parts),
           sigsPath(indexBase), commitTs = commitTs)
         TableWriter.append(spark,
-          bandsOf(survivors.select(col("doc_id"), col("sig"))),
+          bandsOf(survivors.select(col("doc_id"), col("sig")))
+            .coalesce(parts),
           bandsPath(indexBase), commitTs = commitTs)
       }
       survivors.select(col("doc_id"), col("text"))

@@ -157,11 +157,59 @@ private[sources] class GraftBatchScanBuilder(resolved: GraftBatch.Resolved)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = resolved.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var agg: Option[Aggregation] = None
+
+  /** COUNT(*)/MIN/MAX with no grouping answered from the log's per-file
+    * stats — at 100 TB, `SELECT count(*), max(ts) FROM t` becomes a
+    * metadata read instead of a scan. Sound only when every live file
+    * carries stats for the referenced columns and none carries a
+    * deletion vector (a DV may have killed the extreme row, and file
+    * stats cannot see that) — otherwise the push is refused and the
+    * normal scan path answers.
+    */
+  private def canPushAgg(a: Aggregation): Boolean = {
+    if (pushed.nonEmpty || limit >= 0) return false
+    if (a.groupByExpressions.nonEmpty) return false
+    if (resolved.files.isEmpty) return false
+    if (resolved.files.exists(f => f.dv.isDefined || f.stats.isEmpty))
+      return false
+    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 =>
+        val phys = ColumnMapping.physicalName(r.fieldNames.head, resolved.mapping)
+        val ok = resolved.schema(r.fieldNames.head).dataType match {
+          case LongType | IntegerType | DoubleType | FloatType | StringType |
+              ShortType | ByteType | DateType | TimestampType |
+              TimestampNTZType => true
+          case _ => false
+        }
+        if (ok && resolved.files.forall(_.stats.exists(st =>
+          st.minValues.contains(phys) && st.maxValues.contains(phys))))
+          Some(phys)
+        else None
+      case _ => None
+    }
+    a.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => statsCol(m.column).isDefined
+      case m: Max => statsCol(m.column).isDefined
+      case _ => false
+    }
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = canPushAgg(a)
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (canPushAgg(a)) { agg = Some(a); true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a filter is "pushed" if it contributes at least one prunable range;
@@ -179,7 +227,65 @@ private[sources] class GraftBatchScanBuilder(resolved: GraftBatch.Resolved)
   // partitions stop early, but the global limit still applies post-scan
   override def isPartiallyPushed: Boolean = true
 
+  /** Typed min/max of a column across every file's stats (strings are
+    * stats-exact: the writer's footerStats never truncates).
+    */
+  private def statsMinMax(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      isMin: Boolean): (DataType, Any) = {
+    val name = e.asInstanceOf[
+      org.apache.spark.sql.connector.expressions.NamedReference]
+      .fieldNames.head
+    val phys = ColumnMapping.physicalName(name, resolved.mapping)
+    val dt = resolved.schema(name).dataType
+    val raw = resolved.files.map { f =>
+      val st = f.stats.get
+      if (isMin) st.minValues(phys) else st.maxValues(phys)
+    }
+    val v: Any = dt match {
+      case StringType => if (isMin) raw.min else raw.max
+      case DoubleType =>
+        val ds = raw.map(_.toDouble); if (isMin) ds.min else ds.max
+      case FloatType =>
+        val ds = raw.map(_.toFloat); if (isMin) ds.min else ds.max
+      case LongType | TimestampType | TimestampNTZType =>
+        val ds = raw.map(_.toLong); if (isMin) ds.min else ds.max
+      case IntegerType | DateType =>
+        val ds = raw.map(_.toInt); if (isMin) ds.min else ds.max
+      case ShortType =>
+        val ds = raw.map(_.toShort); if (isMin) ds.min else ds.max
+      case ByteType =>
+        val ds = raw.map(_.toByte); if (isMin) ds.min else ds.max
+      case other => throw new IllegalStateException(
+        s"unreachable: canPushAgg admitted $other")
+    }
+    (dt, v)
+  }
+
   override def build(): Scan = {
+    agg match {
+      case Some(a) =>
+        val fields = Array.newBuilder[StructField]
+        val values = Array.newBuilder[Any]
+        a.aggregateExpressions.zipWithIndex.foreach {
+          case (_: CountStar, i) =>
+            fields += StructField(s"agg_$i", LongType, nullable = false)
+            values += resolved.files.map(_.stats.get.numRecords).sum
+          case (m: Min, i) =>
+            val (dt, v) = statsMinMax(m.column, isMin = true)
+            fields += StructField(s"agg_$i", dt, nullable = false)
+            values += v
+          case (m: Max, i) =>
+            val (dt, v) = statsMinMax(m.column, isMin = false)
+            fields += StructField(s"agg_$i", dt, nullable = false)
+            values += v
+          case (other, _) => throw new IllegalStateException(
+            s"unreachable: canPushAgg admitted $other")
+        }
+        return new GraftBatchAggScan(resolved,
+          StructType(fields.result().toSeq), values.result())
+      case None => ()
+    }
     val ranges = pushed.flatMap(GraftBatch.rangesOf)
       .map { case (c, lo, hi) =>
         (ColumnMapping.physicalName(c, resolved.mapping), lo, hi)
@@ -290,6 +396,57 @@ private[sources] class ProjectingGroupReadSupport(names: Set[String])
       new MessageType(fileSchema.getName, keep.asJava))
   }
 }
+
+/** Completely-pushed aggregate: one partition, one row, values computed
+  * on the driver from the log's file statistics — no data file opens.
+  * String values travel as java Strings (UTF8String conversion happens
+  * in the reader, at the InternalRow boundary).
+  */
+private[sources] class GraftBatchAggScan(
+    resolved: GraftBatch.Resolved,
+    aggSchema: StructType,
+    values: Array[Any]) extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftBatchAgg ${resolved.tablePath}@v${resolved.version} " +
+      s"stats-only over ${resolved.files.size} files"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftBatchAggPartition(aggSchema.json, values))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ap = p.asInstanceOf[GraftBatchAggPartition]
+        val schema = DataType.fromJson(ap.schemaJson).asInstanceOf[StructType]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = {
+            val row = new Array[Any](schema.length)
+            var i = 0
+            while (i < schema.length) {
+              row(i) = (schema(i).dataType, ap.values(i)) match {
+                case (StringType, s: String) =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                case (_, v) => v
+              }
+              i += 1
+            }
+            new GenericInternalRow(row)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] case class GraftBatchAggPartition(
+    schemaJson: String,
+    values: Array[Any]) extends InputPartition
 
 private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
   extends PartitionReader[InternalRow] {

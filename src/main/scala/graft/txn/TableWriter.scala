@@ -677,6 +677,123 @@ object TableWriter {
     -1L // unreachable
   }
 
+  /** Blind append with Delta-style REBASE on commit collision: the data
+    * job runs ONCE (files staged under attempt-unique names against the
+    * snapshot read at entry), then the commit loop re-reads the LOG on
+    * each collision and re-commits the SAME AddFile actions at the next
+    * free version. Appends commute with any interleaved commit that
+    * leaves metadata and protocol unchanged — so under contention the
+    * loser pays a metadata re-read, never a second pass over the data.
+    * At 100 TB that is the difference between a millisecond retry and
+    * re-shuffling the batch once per concurrent writer.
+    *
+    * A concurrent Metadata/Protocol commit (schema evolution, constraint
+    * or generated-column change, RENAME COLUMN, partition-spec change,
+    * protocol upgrade) breaks commutativity: the staged files are
+    * deleted and IllegalStateException("concurrent metadata change")
+    * is thrown — wrap with [[OptimisticTxn.retrying]]-style re-execution
+    * if automatic fallback is wanted. Returns the committed version.
+    */
+  def appendRebasing(
+      spark: SparkSession,
+      df0: DataFrame,
+      tablePath: String,
+      commitTs: Long = 0L,
+      operation: String = "APPEND",
+      maxAttempts: Int = 20,
+      // seam for deterministic interleaving tests: runs after the data
+      // files are staged, before the commit loop first reads the log
+      onStaged: () => Unit = () => ()): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val readVersion = log.latestVersion().getOrElse(
+      throw new IllegalArgumentException(
+        s"appendRebasing requires an existing table at $tablePath " +
+          "(initial writes use write())"))
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no Metadata action at $tablePath"))
+
+    // same write-path rules as write(), validated against the snapshot
+    // read at entry (an interleaved rule change fails the commit loop)
+    val genDefs = meta.generatedColumns
+    val df = genDefs.foldLeft(df0) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else {
+        val bad = d.filter(!(col(c) <=> expr(e))).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"generated column violation at $tablePath: '$c' disagrees with " +
+            s"GENERATED ALWAYS AS ($e) on $bad rows")
+        d
+      }
+    }
+    val declared = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(declared) != shape(df.schema))
+      throw new IllegalArgumentException(
+        s"schema enforcement: append schema ${df.schema.simpleString} " +
+          s"does not match the table schema at $tablePath")
+    enforceConstraints(df, meta.constraints, tablePath)
+
+    // stage ONCE — `version` only seeds unique file names
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    val adds =
+      try stageAndMove(spark, df, tablePath, meta.partitionColumns,
+        readVersion + 1, commitTs, dataChange = true)
+      finally prevTsType match {
+        case Some(v) => spark.conf.set(tsTypeKey, v)
+        case None    => spark.conf.unset(tsTypeKey)
+      }
+
+    def dropStaged(): Unit = {
+      val fs = new Path(tablePath).getFileSystem(conf)
+      adds.foreach(a =>
+        fs.delete(new Path(TxnLog.dataPath(tablePath, a.path)), false))
+    }
+
+    onStaged()
+
+    // commit loop: verify commutativity over every interleaved commit,
+    // then race for the next version
+    var checked = readVersion
+    var attempt = 0
+    while (true) {
+      val latest = log.latestVersion().getOrElse(readVersion)
+      var v = checked + 1
+      while (v <= latest) {
+        val unsafe = log.read(v).exists {
+          case _: Metadata | _: Protocol => true
+          case _ => false
+        }
+        if (unsafe) {
+          dropStaged()
+          throw new IllegalStateException(
+            s"concurrent metadata change at $tablePath v$v — rebase " +
+              "unsafe; re-execute the append against the new snapshot")
+        }
+        v += 1
+      }
+      checked = latest
+      try {
+        log.commit(latest + 1, adds :+ CommitInfo(operation, commitTs))
+        return latest + 1
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("concurrent commit") =>
+          attempt += 1
+          if (attempt > maxAttempts) { dropStaged(); throw e }
+          Thread.sleep(1L + scala.util.Random.nextInt(8))
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Partition evolution (metadata-only, Iceberg's headline trick):
     * change the partition spec of FUTURE writes without touching a byte
     * of existing data. Earlier generations keep their layout; the

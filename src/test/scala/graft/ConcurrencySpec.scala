@@ -81,4 +81,84 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("still colliding"))
   }
+
+  test("rebasing appenders race without re-executing: all rows land") {
+    val dir = freshDir("conc4")
+    val li = Tables.load(spark, sf, "lineitem").filter(col("l_orderkey") % 11 === 0)
+    TableWriter.write(spark, li, dir, version = 0L, commitTs = 1000L)
+    val conf = spark.sessionState.newHadoopConf()
+    val slices = (0 until 6).map(i =>
+      Tables.load(spark, sf, "lineitem")
+        .filter(col("l_orderkey") % 7 === i + 1))
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = slices.zipWithIndex.map { case (s, i) =>
+      new Thread(() => versions.add(
+        TableWriter.appendRebasing(spark, s, dir, commitTs = 2000L + i)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.toSeq.sorted == (1L to 6L),
+      "six rebasing racers land at six consecutive versions")
+    val want = li.count() + slices.map(_.count()).sum
+    assert(SnapshotReader.read(spark, dir).count() == want)
+    // no orphans: every data file in the tree is referenced by the log
+    assert(orphanFree(dir),
+      "a winner-take-all race must leave no unreferenced files behind")
+  }
+
+  private def orphanFree(dir: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new TxnLog(dir, conf).snapshotLatest().files.map(_.path).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName == "_txn_log") Seq.empty else walk(st.getPath)
+        } else if (st.getPath.getName.endsWith(".parquet"))
+          Seq(st.getPath.toString.stripPrefix(root.toString + "/"))
+        else Seq.empty
+      }
+    walk(root).toSet == live
+  }
+
+  test("rebase commutes with an interleaved data-only commit: no re-run") {
+    val dir = freshDir("conc5")
+    val li = Tables.load(spark, sf, "lineitem").filter(col("l_orderkey") % 11 === 0)
+    TableWriter.write(spark, li, dir, version = 0L, commitTs = 1000L)
+    val mine = Tables.load(spark, sf, "lineitem").filter(col("l_orderkey") % 7 === 1)
+    val other = Tables.load(spark, sf, "lineitem").filter(col("l_orderkey") % 7 === 2)
+    // the interleaved append lands AFTER this rebase read version 0 and
+    // staged its files, BEFORE its commit loop starts — the seam makes
+    // the race deterministic
+    val v = TableWriter.appendRebasing(spark, mine, dir, commitTs = 3000L,
+      onStaged = () =>
+        TableWriter.write(spark, other, dir, version = 1L, commitTs = 2000L))
+    assert(v == 2L, "rebase lands one past the interleaved commit")
+    assert(SnapshotReader.read(spark, dir).count() ==
+      li.count() + mine.count() + other.count())
+    assert(orphanFree(dir))
+  }
+
+  test("rebase refuses across an interleaved metadata change, cleanly") {
+    val dir = freshDir("conc6")
+    val li = Tables.load(spark, sf, "lineitem").filter(col("l_orderkey") % 11 === 0)
+    TableWriter.write(spark, li, dir, version = 0L, commitTs = 1000L)
+    val mine = Tables.load(spark, sf, "lineitem").filter(col("l_orderkey") % 7 === 1)
+    // a RENAME COLUMN (metadata-only) interleaves: appends do NOT commute
+    // with metadata changes, so the rebase must refuse and clean up
+    val e = intercept[IllegalStateException] {
+      TableWriter.appendRebasing(spark, mine, dir, commitTs = 3000L,
+        onStaged = () => TableWriter.renameColumn(spark, dir,
+          "l_linestatus", "l_status", version = 1L, commitTs = 2000L))
+    }
+    assert(e.getMessage.contains("concurrent metadata change"))
+    // the staged-but-refused files are gone; the table is intact
+    assert(orphanFree(dir))
+    assert(SnapshotReader.read(spark, dir).count() == li.count())
+    // and a fresh append against the renamed schema succeeds
+    val v = TableWriter.appendRebasing(spark,
+      mine.withColumnRenamed("l_linestatus", "l_status"), dir, commitTs = 4000L)
+    assert(v == 2L)
+  }
 }

@@ -3,6 +3,7 @@ package graft.sources
 import graft.SparkTestSession
 import graft.txn._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.read.Scan
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{sources => f}
@@ -33,6 +34,14 @@ class GraftBatchSpec extends AnyFunSuite {
     df.select(cols.toSeq: _*).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
   }
+
+  // AQE hides the physical scan inside AdaptiveSparkPlanExec until
+  // execution; the optimized LOGICAL plan always exposes the pushed scan
+  private def logicalScanOf(df: DataFrame): Scan =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+    }.getOrElse(fail("no DSv2 scan in plan"))
 
   private def scanOf(df: DataFrame): GraftBatchScan =
     df.queryExecution.executedPlan.collectFirst {
@@ -150,6 +159,40 @@ class GraftBatchSpec extends AnyFunSuite {
       Array[Any](100L, 150L, 200L))))
     val scan = builder.build().asInstanceOf[GraftBatchScan]
     assert(scan.kept.size < 6)
+  }
+
+  test("count/min/max push down to a stats-only scan (no file opens)") {
+    val df = readGraft(skipDir)
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+        max(col("l_orderkey")).as("mx"), max(col("l_linestatus")).as("ms"))
+    val scan = logicalScanOf(df)
+    assert(scan.isInstanceOf[GraftBatchAggScan],
+      s"expected stats-only agg scan, got ${scan.getClass.getSimpleName}")
+    val r = df.head()
+    val base = SnapshotReader.read(spark, skipDir)
+    assert(r.getLong(0) == base.count())
+    val exp = base.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      max(col("l_linestatus"))).head()
+    assert(r.getLong(1) == exp.getLong(0))
+    assert(r.getLong(2) == exp.getLong(1))
+    assert(r.getString(3) == exp.getString(2))
+  }
+
+  test("aggregate pushdown refuses on a DV table and stays correct") {
+    val df = readGraft(dvDir).agg(count(lit(1)).as("n"))
+    val scan = logicalScanOf(df)
+    assert(!scan.isInstanceOf[GraftBatchAggScan],
+      "file stats cannot see DV-killed rows — push must refuse")
+    assert(df.head().getLong(0) == SnapshotReader.read(spark, dvDir).count())
+  }
+
+  test("aggregate pushdown refuses under a residual filter") {
+    val df = readGraft(skipDir)
+      .filter(col("l_orderkey") > 100L).agg(count(lit(1)).as("n"))
+    val scan = logicalScanOf(df)
+    assert(!scan.isInstanceOf[GraftBatchAggScan])
+    assert(df.head().getLong(0) ==
+      SnapshotReader.read(spark, skipDir).filter(col("l_orderkey") > 100L).count())
   }
 
   test("schema evolution: pre-evolution files surface new columns as null") {
