@@ -940,6 +940,163 @@ object Analytics {
         .select(col("doc_id"), col("source"),
           expr("((rn - 1) * 1000000L) div greatest(n - 1, 1L)").as("pct_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Referential-integrity audit: orphan counts per foreign key in one
+    // result — anti-joins, small dimensions broadcast, the fact side
+    // never collected. The warehouse data-quality gate.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q182_fk_audit",
+      """SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                  WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                  WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY fk""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      def audit(fact: org.apache.spark.sql.DataFrame, fk: Column,
+          dim: org.apache.spark.sql.DataFrame, pk: Column, tag: String) =
+        fact.join(broadcast(dim), fk === pk, "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(tag).as("fk"), col("orphans"))
+      audit(li, col("l_orderkey"),
+          o.select(col("o_orderkey")), col("o_orderkey"), "lineitem->orders")
+        .unionAll(audit(li, col("l_partkey"),
+          Tables.load(s, dir, "part").select(col("p_partkey")),
+          col("p_partkey"), "lineitem->part"))
+        .unionAll(audit(li, col("l_suppkey"),
+          Tables.load(s, dir, "supplier").select(col("s_suppkey")),
+          col("s_suppkey"), "lineitem->supplier"))
+        .unionAll(audit(o, col("o_custkey"),
+          Tables.load(s, dir, "customer").select(col("c_custkey")),
+          col("c_custkey"), "orders->customer"))
+        .orderBy(col("fk"))
+    },
+
+    // ------------------------------------------------------------------
+    // Unigram "commonness" score — the cheap LM-proxy quality signal:
+    // mean document frequency of a doc's distinct tokens, in exact
+    // integer ppm of the corpus size. Two shuffles (token df, per-doc
+    // sum); the df side is corpus-bounded vocabulary, not documents.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q183_lm_commonness",
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(
+        |    string_split_regex(trim(text), '\s+'))) AS w FROM documents),
+        |df AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, SUM(d.df) AS s, COUNT(*) AS k
+        |  FROM toks t JOIN df d ON d.w = t.w GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(s AS BIGINT) AS df_sum,
+        |  CAST((s * 1000000 - (s * 1000000) % (k * (SELECT n FROM nd)))
+        |    / (k * (SELECT n FROM nd)) AS BIGINT) AS commonness_ppm
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      val df = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nd = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n"))
+      toks.join(df, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("df")).as("s"), count(lit(1)).as("k"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("s").as("df_sum"),
+          expr("(s * 1000000L) div (k * n)").as("commonness_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // MAD robust anomaly screen: median absolute deviation per group in
+    // exact integer cents (rank-statistic medians — no floats anywhere),
+    // anomalies = |x − med| > 3·MAD. The outlier gate z-scores get wrong
+    // on heavy-tailed data. Two ranking passes on the same group key.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q184_mad_anomalies",
+      s"""WITH t AS (SELECT o_orderpriority AS g,
+         |    CAST(CAST(o_totalprice AS $M) * 100 AS BIGINT) AS v FROM orders),
+         |m AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS n FROM t),
+         |med AS (SELECT g, MAX(CASE WHEN rn = (n + 1 - ((n + 1) % 2)) / 2
+         |    THEN v END) AS med FROM m GROUP BY g),
+         |d AS (SELECT t.g, ABS(v - med) AS av FROM t JOIN med USING (g)),
+         |m2 AS (SELECT g, av, ROW_NUMBER() OVER (PARTITION BY g ORDER BY av) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+         |mad AS (SELECT g, MAX(CASE WHEN rn = (n + 1 - ((n + 1) % 2)) / 2
+         |    THEN av END) AS mad FROM m2 GROUP BY g)
+         |SELECT t.g AS o_orderpriority, med, mad,
+         |  CAST(COUNT(*) FILTER (WHERE ABS(v - med) > 3 * mad) AS BIGINT)
+         |    AS n_anomalies
+         |FROM t JOIN med USING (g) JOIN mad USING (g)
+         |GROUP BY 1, med, mad ORDER BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          (money(col("o_totalprice")) * 100).cast("long").as("v"))
+      def medianOf(df: org.apache.spark.sql.DataFrame, c: String,
+          out: String) = {
+        val w = Window.partitionBy(col("g")).orderBy(col(c))
+        val wn = Window.partitionBy(col("g"))
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("g"), col(c).as(out))
+      }
+      val med = medianOf(t, "v", "med")
+      val d = t.join(broadcast(med), "g")
+        .select(col("g"), abs(col("v") - col("med")).as("av"))
+      val mad = medianOf(d, "av", "mad")
+      t.join(broadcast(med), "g").join(broadcast(mad), "g")
+        .groupBy(col("g").as("o_orderpriority"), col("med"), col("mad"))
+        .agg(count(when(abs(col("v") - col("med")) > lit(3) * col("mad"), 1))
+          .as("n_anomalies"))
+        .select(col("o_orderpriority"), col("med"), col("mad"),
+          col("n_anomalies"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ------------------------------------------------------------------
+    // Top-k 3-step behavioral paths: LEAD×2 over each user's timeline,
+    // path counts, global top-10 with a total order. One user-keyed
+    // shuffle + a 10-row TakeOrdered — never a global sort.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q185_path_topk",
+      """WITH s AS (SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |  FROM s WHERE e3 IS NOT NULL GROUP BY 1)
+        |SELECT path, CAST(n AS BIGINT) AS n FROM p
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
     }
   )
 }

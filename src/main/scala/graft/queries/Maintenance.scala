@@ -1065,6 +1065,34 @@ object Maintenance {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // The SQL catalog surface end-to-end: CREATE TABLE AS SELECT into
+    // the graft TableCatalog, then the analytic query runs as plain SQL
+    // against `gcat.default.events_copy` — DDL, the V1Write bridge
+    // (txn-log commit, footer stats), and the pushdown-negotiating read
+    // all under one hash-checked result. Cents via FLOOR on both sides
+    // (DuckDB CAST rounds, Spark truncates — FLOOR pins them equal).
+    QueryDef.sqlBacked(
+      "q181_sql_catalog",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.events_copy")
+      s.sql(
+        """CREATE TABLE gcat.default.events_copy AS
+          |SELECT event_id, event_type, value FROM events_src""".stripMargin)
+      s.sql(
+        """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |  SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+          |FROM gcat.default.events_copy
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }
   )
 }

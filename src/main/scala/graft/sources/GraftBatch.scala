@@ -140,17 +140,62 @@ private[sources] object GraftBatch {
 
 private[sources] class GraftBatchTable(
     tableSchema: StructType,
-    properties: Map[String, String]) extends Table with SupportsRead {
+    properties: Map[String, String],
+    partitionColumns: Seq[String] = Seq.empty)
+  extends Table
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"graft(${properties.getOrElse("tablePath", "?")})"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partitionColumns.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBatchScanBuilder(
       GraftBatch.resolve(properties ++ options.asCaseSensitiveMap().asScala))
+
+  /** SQL/`writeTo` writes bridge to the TableWriter path via V1Write, so
+    * INSERT gets constraints, generated columns, footer stats, schema
+    * enforcement, and commit REBASE (the data job never re-runs on a
+    * version race); INSERT OVERWRITE maps to the atomic remove+add
+    * commit of overwriteAll.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        doTruncate = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(
+                  data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val path = properties("tablePath")
+                val s = data.sparkSession
+                if (doTruncate || overwrite)
+                  TableWriter.overwriteAll(s, data, path)
+                else
+                  TableWriter.appendRebasing(s, data, path,
+                    commitTs = System.currentTimeMillis())
+              }
+            }
+        }
+    }
 }
 
 private[sources] class GraftBatchScanBuilder(resolved: GraftBatch.Resolved)

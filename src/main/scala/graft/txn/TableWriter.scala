@@ -794,6 +794,46 @@ object TableWriter {
     -1L // unreachable
   }
 
+  /** Full-table OVERWRITE (truncate + load) as one atomic commit: every
+    * live file of the read snapshot is removed and the new frame's files
+    * added in the SAME version — readers see the old table or the new
+    * one, never a mix. Retries the version race like append; the commit
+    * replays against the snapshot current at each attempt so an
+    * interleaved append's files are removed too (INSERT OVERWRITE
+    * semantics: the overwrite wins over everything before it).
+    */
+  def overwriteAll(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      commitTs: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 5): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    require(log.latestVersion().isDefined,
+      s"overwriteAll requires an existing table at $tablePath")
+    var attempt = 0
+    while (true) {
+      val snap = log.snapshotLatest()
+      val next = log.latestVersion().get + 1
+      val removes: Seq[Action] = snap.files.map(f =>
+        RemoveFile(f.path, commitTs, f.partitionValues))
+      val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+      try {
+        write(spark, df, tablePath, partCols, version = next,
+          commitTs = commitTs, operation = "OVERWRITE",
+          extraActions = removes)
+        return next
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("concurrent") =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Partition evolution (metadata-only, Iceberg's headline trick):
     * change the partition spec of FUTURE writes without touching a byte
     * of existing data. Earlier generations keep their layout; the

@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.txn.{SnapshotReader, TxnLog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TableCatalog surface: DDL/DML round-trips through SQL, pushdown
+  * through catalog reads, rebase-backed INSERT, atomic OVERWRITE.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("gspec_wh").toString
+    spark.conf.set("spark.sql.catalog.gspec", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspec.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gspec.default")
+    dir
+  }
+
+  test("CREATE TABLE is one metadata-only commit; SHOW TABLES lists it") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t1")
+    spark.sql("CREATE TABLE gspec.default.t1 (id BIGINT, name STRING)")
+    val log = new TxnLog(s"$wh/default/t1", spark.sessionState.newHadoopConf())
+    assert(log.versions() == Seq(0L))
+    assert(log.snapshot(0L).files.isEmpty)
+    val tables = spark.sql("SHOW TABLES IN gspec.default")
+      .select("tableName").collect().map(_.getString(0))
+    assert(tables.contains("t1"))
+  }
+
+  test("INSERT INTO appends through the rebase path; SELECT reads back") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t2")
+    spark.sql("CREATE TABLE gspec.default.t2 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gspec.default.t2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gspec.default.t2 VALUES (3, 'c')")
+    val rows = spark.sql(
+      "SELECT id, name FROM gspec.default.t2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val log = new TxnLog(s"$wh/default/t2", spark.sessionState.newHadoopConf())
+    assert(log.versions() == Seq(0L, 1L, 2L), "one commit per INSERT")
+  }
+
+  test("INSERT OVERWRITE replaces the table in one atomic commit") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t3")
+    spark.sql("CREATE TABLE gspec.default.t3 (id BIGINT)")
+    spark.sql("INSERT INTO gspec.default.t3 VALUES (1), (2), (3)")
+    spark.sql("INSERT OVERWRITE gspec.default.t3 VALUES (9)")
+    val rows = spark.sql("SELECT id FROM gspec.default.t3").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(9L))
+    // time travel still sees the pre-overwrite state
+    val pre = SnapshotReader.read(spark, s"$wh/default/t3",
+      versionAsOf = Some(1L))
+    assert(pre.count() == 3)
+  }
+
+  test("PARTITIONED BY lands a hive layout readable with pruning") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t4")
+    spark.sql(
+      "CREATE TABLE gspec.default.t4 (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    spark.sql(
+      "INSERT INTO gspec.default.t4 VALUES (1, 'A'), (2, 'B'), (3, 'A')")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wh/default/t4/flag=A")))
+    val a = spark.sql(
+      "SELECT id FROM gspec.default.t4 WHERE flag = 'A' ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(a.toSeq == Seq(1L, 3L))
+  }
+
+  test("CTAS creates and loads in one statement") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t5")
+    spark.sql(
+      """CREATE TABLE gspec.default.t5 AS
+        |SELECT id, id * 2 AS dbl FROM range(10)""".stripMargin)
+    assert(spark.sql("SELECT SUM(dbl) AS s FROM gspec.default.t5")
+      .head().getLong(0) == 90L)
+  }
+
+  test("catalog reads negotiate pushdown: count(*) is a stats-only scan") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t6")
+    spark.sql("CREATE TABLE gspec.default.t6 (id BIGINT)")
+    spark.sql("INSERT INTO gspec.default.t6 SELECT id FROM range(1000)")
+    val df = spark.sql("SELECT COUNT(*) AS n FROM gspec.default.t6")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+    }.getOrElse(fail("no DSv2 scan"))
+    assert(scan.isInstanceOf[GraftBatchAggScan])
+    assert(df.head().getLong(0) == 1000L)
+  }
+
+  test("ALTER TABLE RENAME moves the directory; old name is gone") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t7")
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t7b")
+    spark.sql("CREATE TABLE gspec.default.t7 (id BIGINT)")
+    spark.sql("INSERT INTO gspec.default.t7 VALUES (42)")
+    spark.sql("ALTER TABLE gspec.default.t7 RENAME TO default.t7b")
+    assert(spark.sql("SELECT id FROM gspec.default.t7b").head().getLong(0) == 42L)
+    intercept[Exception] { spark.sql("SELECT * FROM gspec.default.t7").collect() }
+  }
+
+  test("DROP TABLE removes it from listing and disk") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t8")
+    spark.sql("CREATE TABLE gspec.default.t8 (id BIGINT)")
+    spark.sql("DROP TABLE gspec.default.t8")
+    val tables = spark.sql("SHOW TABLES IN gspec.default")
+      .select("tableName").collect().map(_.getString(0))
+    assert(!tables.contains("t8"))
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/default/t8")))
+  }
+
+  test("dataframe writeTo appends like INSERT") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t9")
+    spark.sql("CREATE TABLE gspec.default.t9 (id BIGINT)")
+    import spark.implicits._
+    Seq(7L, 8L).toDF("id").writeTo("gspec.default.t9").append()
+    assert(spark.sql("SELECT SUM(id) AS s FROM gspec.default.t9")
+      .head().getLong(0) == 15L)
+  }
+
+  test("CHECK constraints reach SQL writers") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t10")
+    spark.sql("CREATE TABLE gspec.default.t10 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gspec.default.t10 VALUES (1, 'ok')")
+    graft.txn.TableWriter.addConstraint(spark, s"$wh/default/t10",
+      "id > 0", version = 2L, commitTs = 5000L)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gspec.default.t10 VALUES (-5, 'bad')")
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ rootChain(t.getCause)
+    assert(rootChain(e).exists(_.contains("CHECK constraint violation")))
+    // the good row is still the only row
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gspec.default.t10")
+      .head().getLong(0) == 1L)
+  }
+}
