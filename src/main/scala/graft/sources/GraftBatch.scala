@@ -155,11 +155,13 @@ private[sources] class GraftBatchTable(
       .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftBatchScanBuilder(
-      GraftBatch.resolve(properties ++ options.asCaseSensitiveMap().asScala))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = properties ++ options.asCaseSensitiveMap().asScala
+    new GraftBatchScanBuilder(GraftBatch.resolve(merged), merged)
+  }
 
   /** SQL/`writeTo` writes bridge to the TableWriter path via V1Write, so
     * INSERT gets constraints, generated columns, footer stats, schema
@@ -198,7 +200,9 @@ private[sources] class GraftBatchTable(
     }
 }
 
-private[sources] class GraftBatchScanBuilder(resolved: GraftBatch.Resolved)
+private[sources] class GraftBatchScanBuilder(
+    resolved: GraftBatch.Resolved,
+    options: Map[String, String] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -359,7 +363,7 @@ private[sources] class GraftBatchScanBuilder(resolved: GraftBatch.Resolved)
           }
         }
       }
-    new GraftBatchScan(resolved, kept, required, limit)
+    new GraftBatchScan(resolved, kept, required, limit, options)
   }
 }
 
@@ -367,7 +371,27 @@ private[sources] class GraftBatchScan(
     resolved: GraftBatch.Resolved,
     val kept: Seq[AddFile],
     val required: StructType,
-    val limit: Int) extends Scan with Batch with SupportsReportStatistics {
+    val limit: Int,
+    options: Map[String, String] = Map.empty)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  /** `spark.readStream.table(...)`: tail the table's commit log as an
+    * append-only stream of PAYLOAD rows — the current snapshot first
+    * (Delta's default initial-snapshot behavior), then one micro-batch
+    * per commit, with the CDC stream's admission control available
+    * (maxFilesPerTrigger / maxRowsPerTrigger / maxVersionsPerTrigger).
+    * Non-append changes (removes, DV deletes) REFUSE the stream unless
+    * `ignoreDeletes=true` — silently dropping deletions would let an
+    * append-only consumer diverge without noticing.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableTailStream(required,
+      options + ("tablePath" -> resolved.tablePath) +
+        ("includeHistory" -> options.getOrElse("includeHistory", "true")) +
+        ("startingVersion" ->
+          options.getOrElse("startingVersion", resolved.version.toString)))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -439,6 +463,78 @@ private[sources] class ProjectingGroupReadSupport(names: Set[String])
     val keep = fileSchema.getFields.asScala.filter(f => names.contains(f.getName))
     new ReadSupport.ReadContext(
       new MessageType(fileSchema.getName, keep.asJava))
+  }
+}
+
+/** The readStream.table tail: wraps the CDC micro-batch stream, keeps
+  * only op='c' (insert) file events, and projects the CDC envelope off
+  * so the stream's rows ARE table rows. Non-append events refuse the
+  * stream unless `ignoreDeletes=true`.
+  */
+private[sources] class GraftTableTailStream(
+    payload: StructType,
+    options: Map[String, String])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val inner = new GraftCdcMicroBatchStream(
+    GraftCdc.envelopeSchema(payload), options)
+  private val ignoreDeletes =
+    options.get("ignoreDeletes").exists(_.equalsIgnoreCase("true"))
+
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def latestOffset(): Offset = inner.latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    inner.latestOffset(start, limit)
+  override def getDefaultReadLimit: ReadLimit = inner.getDefaultReadLimit
+  override def deserializeOffset(json: String): Offset =
+    inner.deserializeOffset(json)
+  override def commit(end: Offset): Unit = inner.commit(end)
+  override def stop(): Unit = inner.stop()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val all = inner.planInputPartitions(start, end)
+    all.foreach {
+      case f: CdcFilePartition if (f.op == "r" || f.op == "d") && !ignoreDeletes =>
+        throw new IllegalStateException(
+          s"streaming table read found a non-append change (op='${f.op}' at " +
+            s"version ${f.version}); an append-only consumer would silently " +
+            "diverge — handle deletes downstream and set ignoreDeletes=true, " +
+            "or restart the stream from a fresh snapshot")
+      case _ => ()
+    }
+    all.filter {
+      case f: CdcFilePartition => f.op == "c"
+      case _ => false // schema-change control rows have no payload shape here
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableTailReaderFactory(payload.json)
+}
+
+private[sources] class GraftTableTailReaderFactory(payloadJson: String)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val payload = DataType.fromJson(payloadJson).asInstanceOf[StructType]
+    val innerReader = new CdcFileReader(p.asInstanceOf[CdcFilePartition])
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = innerReader.next()
+      override def get(): InternalRow = {
+        val r = innerReader.get()
+        val out = new Array[Any](payload.length)
+        var i = 0
+        while (i < payload.length) {
+          out(i) = r.get(GraftCdc.EnvelopeCols + i, payload(i).dataType)
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = innerReader.close()
+    }
   }
 }
 

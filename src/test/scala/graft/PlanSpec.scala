@@ -331,4 +331,49 @@ class PlanSpec extends AnyFunSuite {
       s"sufficient statistics need exactly one scan:\n${p.take(2000)}")
     assert(!p.contains("Window") && !p.contains("Join"))
   }
+
+  test("q176 skyline: two-frame windows, no pair join of any kind") {
+    val p = planOf("q176_skyline")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the skyline must come from running-max windows, not an O(n²) join")
+  }
+
+  test("q182 FK audit: every anti-join is a broadcast, fact never shuffles") {
+    val p = planOf("q182_fk_audit")
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).size == 4,
+      s"four broadcast anti-joins expected:\n${p.take(3000)}")
+  }
+
+  test("q184 MAD: medians broadcast back to the fact side") {
+    val p = planOf("q184_mad_anomalies")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-row median/MAD frames must broadcast, not shuffle the facts")
+  }
+
+  test("q178 RRF: capped postings join on the feature, no cartesian") {
+    val p = planOf("q178_hybrid_rrf")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the df-cap keep-lists ride broadcasts into both inverted indexes
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q185 paths: one user-keyed window, top-k via TakeOrdered") {
+    val p = planOf("q185_path_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-10 must be TakeOrdered, not a full sort")
+  }
+
+  test("q173 DSv2 scan: pushdown reaches the custom source") {
+    val df = SparkEntry.queries("q173_dsv2_scan")(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.nonEmpty, "q173 must read through the DSv2 source")
+    assert(scans.head.description().contains("GraftBatch"),
+      s"unexpected scan: ${scans.head.description()}")
+  }
 }
