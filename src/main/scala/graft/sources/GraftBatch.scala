@@ -144,7 +144,31 @@ private[sources] class GraftBatchTable(
     partitionColumns: Seq[String] = Seq.empty)
   extends Table
   with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM` / `TRUNCATE TABLE`: the pushed filters become the
+    * TableWriter.deleteWhere predicate — affected-file discovery,
+    * survivor rewrite, and the versioned commit all apply; the deleted
+    * state stays time-travelable. Refuses (canDeleteWhere=false) any
+    * filter shape it cannot translate EXACTLY — a lossy translation
+    * would delete the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftBatchTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val path = properties("tablePath")
+    val pred = filters.flatMap(GraftBatchTable.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val log = new TxnLog(path, spark.sessionState.newHadoopConf())
+    OptimisticTxn.retrying(log) { v =>
+      TableWriter.deleteWhere(spark, path, pred, version = v,
+        commitTs = System.currentTimeMillis())
+    }
+  }
 
   override def name(): String =
     s"graft(${properties.getOrElse("tablePath", "?")})"
@@ -463,6 +487,35 @@ private[sources] class ProjectingGroupReadSupport(names: Set[String])
     val keep = fileSchema.getFields.asScala.filter(f => names.contains(f.getName))
     new ReadSupport.ReadContext(
       new MessageType(fileSchema.getName, keep.asJava))
+  }
+}
+
+private[sources] object GraftBatchTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** Exact V1-filter → Column translation (None = not expressible). */
+  def filterColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(c, v) => Some(col(c) === lit(v))
+    case sources.EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case sources.GreaterThan(c, v) => Some(col(c) > lit(v))
+    case sources.GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case sources.LessThan(c, v) => Some(col(c) < lit(v))
+    case sources.LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case sources.IsNull(c) => Some(col(c).isNull)
+    case sources.IsNotNull(c) => Some(col(c).isNotNull)
+    case sources.In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case sources.StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case sources.StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case sources.StringContains(c, v) => Some(col(c).contains(v))
+    case sources.And(l, r) =>
+      for (a <- filterColumn(l); b <- filterColumn(r)) yield a && b
+    case sources.Or(l, r) =>
+      for (a <- filterColumn(l); b <- filterColumn(r)) yield a || b
+    case sources.Not(x) => filterColumn(x).map(!_)
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case _ => None
   }
 }
 

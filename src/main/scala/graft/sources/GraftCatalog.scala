@@ -79,6 +79,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitionColumns = resolved.partitionColumns)
   }
 
+  /** SQL time travel: `SELECT ... FROM gcat.ns.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(new Path(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF expects a commit version number, got '$version'")
+    }
+    val resolved = GraftBatch.resolve(
+      Map("tablePath" -> dir, "versionAsOf" -> v.toString))
+    new GraftBatchTable(resolved.schema,
+      Map("tablePath" -> dir, "versionAsOf" -> v.toString),
+      partitionColumns = resolved.partitionColumns)
+  }
+
+  /** SQL time travel: `... TIMESTAMP AS OF '2024-01-01T00:00:00Z'`
+    * (micros since epoch arrive from Spark's analyzer).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(new Path(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    // Spark hands micros; the log's commit timestamps are millis
+    val ms = timestamp / 1000L
+    val resolved = GraftBatch.resolve(
+      Map("tablePath" -> dir, "timestampAsOf" -> ms.toString))
+    new GraftBatchTable(resolved.schema,
+      Map("tablePath" -> dir, "timestampAsOf" -> ms.toString),
+      partitionColumns = resolved.partitionColumns)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

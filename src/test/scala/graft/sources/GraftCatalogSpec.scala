@@ -133,6 +133,53 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 15L)
   }
 
+  test("SQL time travel: VERSION AS OF reads the old snapshot") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t11")
+    spark.sql("CREATE TABLE gspec.default.t11 (id BIGINT)")
+    spark.sql("INSERT INTO gspec.default.t11 VALUES (1), (2)")   // v1
+    spark.sql("INSERT OVERWRITE gspec.default.t11 VALUES (9)")   // v2
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM gspec.default.t11 VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    assert(spark.sql(
+      "SELECT id FROM gspec.default.t11 VERSION AS OF 2")
+      .head().getLong(0) == 9)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gspec.default.t11")
+      .head().getLong(0) == 1)
+  }
+
+  test("SQL DELETE FROM routes through the versioned rewrite") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t12")
+    spark.sql("CREATE TABLE gspec.default.t12 (id BIGINT, flag STRING)")
+    spark.sql(
+      "INSERT INTO gspec.default.t12 VALUES (1,'a'), (2,'b'), (3,'a'), (4,'c')")
+    spark.sql("DELETE FROM gspec.default.t12 WHERE flag = 'a' OR id = 4")
+    val rows = spark.sql("SELECT id FROM gspec.default.t12 ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(2L))
+    // the delete is a commit: pre-delete state stays time-travelable
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM gspec.default.t12 VERSION AS OF 1")
+      .head().getLong(0) == 4)
+  }
+
+  test("TRUNCATE TABLE empties but keeps the table and its history") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t13")
+    spark.sql("CREATE TABLE gspec.default.t13 (id BIGINT)")
+    spark.sql("INSERT INTO gspec.default.t13 VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE gspec.default.t13")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gspec.default.t13")
+      .head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM gspec.default.t13 VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    spark.sql("INSERT INTO gspec.default.t13 VALUES (5)")
+    assert(spark.sql("SELECT id FROM gspec.default.t13").head().getLong(0) == 5)
+  }
+
   test("CHECK constraints reach SQL writers") {
     wh
     spark.sql("DROP TABLE IF EXISTS gspec.default.t10")
