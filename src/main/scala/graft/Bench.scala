@@ -49,6 +49,9 @@ object Bench {
       queries.Maintenance.bloomIndexFixture(spark, sfDir)
       queries.Maintenance.fullSyncFixture(spark, sfDir)
       queries.Maintenance.scd2IncFixture(spark, sfDir)
+      queries.Maintenance.zorderFixture(spark, sfDir)
+      queries.Maintenance.restoreFixture(spark, sfDir)
+      queries.Maintenance.evolutionFixture(spark, sfDir)
       queries.Pipeline.seedIndexFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>

@@ -1093,6 +1093,53 @@ object Maintenance {
           |  SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
           |FROM gcat.default.events_copy
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // Temporal (point-in-time) join against the SCD2 dimension: each
+    // fact key queries the interval that was valid at ITS version
+    // (vf <= qv < vt) — the warehouse-correctness join that prevents
+    // joining today's dimension state to yesterday's facts. The oracle
+    // rebuilds the same interval set from lineitem arithmetic.
+    QueryDef.sqlBacked(
+      "q186_scd2_asof_join",
+      """WITH k AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |             COUNT(*) AS m,
+        |             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |iv AS (
+        |  SELECT ok, ln, 0 AS vf, NULL AS vt, c FROM k
+        |    WHERE ok % 7 = 0 AND ok % 14 <> 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT ok, ln, 0, 2, c FROM k
+        |    WHERE ok % 7 = 0 AND ok % 14 <> 0 AND ok % 3 = 0
+        |  UNION ALL SELECT ok, ln, 0, 1, c FROM k WHERE ok % 14 = 0
+        |  UNION ALL SELECT ok, ln, 1, NULL, c + 10000 * m FROM k
+        |    WHERE ok % 14 = 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT ok, ln, 1, NULL, c FROM k
+        |    WHERE ok % 9 = 0 AND ok % 7 <> 0 AND ok % 3 <> 0
+        |  UNION ALL SELECT ok, ln, 1, 2, c + 10000 * m FROM k
+        |    WHERE ok % 14 = 0 AND ok % 3 = 0
+        |  UNION ALL SELECT ok, ln, 1, 2, c FROM k
+        |    WHERE ok % 9 = 0 AND ok % 7 <> 0 AND ok % 3 = 0),
+        |fq AS (SELECT ok, ln, ok % 3 AS qv
+        |       FROM (SELECT DISTINCT ok, ln FROM iv))
+        |SELECT CAST(qv AS BIGINT) AS qv,
+        |  CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |  CAST(SUM(c) AS BIGINT) AS cents_total
+        |FROM fq JOIN iv USING (ok, ln)
+        |WHERE iv.vf <= fq.qv AND (iv.vt IS NULL OR fq.qv < iv.vt)
+        |GROUP BY qv ORDER BY qv""".stripMargin) { (s, dir) =>
+      val table = scd2Fixture(s, dir)
+      val iv = graft.operators.Scd2.intervals(s, table,
+        Seq("l_orderkey", "l_linenumber"), floor(col("l_quantity") * 100))
+      val facts = iv.select(col("l_orderkey"), col("l_linenumber")).distinct()
+        .withColumn("qv", pmod(col("l_orderkey"), lit(3)).cast("long"))
+      facts.join(iv, Seq("l_orderkey", "l_linenumber"))
+        .filter(col("valid_from") <= col("qv") &&
+          (col("valid_to").isNull || col("qv") < col("valid_to")))
+        .groupBy(col("qv"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("cents")).as("cents_total"))
+        .orderBy(col("qv"))
     }
   )
 }
