@@ -180,7 +180,8 @@ private[sources] class GraftBatchTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = properties ++ options.asCaseSensitiveMap().asScala
@@ -220,6 +221,11 @@ private[sources] class GraftBatchTable(
                     commitTs = System.currentTimeMillis())
               }
             }
+          // df.writeStream.toTable(...): epoch-per-commit exactly-once
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new GraftStreamingWrite(properties("tablePath"), info.schema(),
+              partitionColumns, info.queryId())
         }
     }
 }

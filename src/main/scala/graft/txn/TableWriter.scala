@@ -412,7 +412,7 @@ object TableWriter {
   /** Column stats from the parquet footer (no data read): row count plus
     * min/max for long/int/double/float/string columns across row groups.
     */
-  private[txn] def footerStats(
+  private[graft] def footerStats(
       p: Path, conf: org.apache.hadoop.conf.Configuration): Option[FileStats] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
@@ -1235,7 +1235,7 @@ object TableWriter {
   }
 
   /** `l_returnflag=A/...` → Map(l_returnflag -> A) (hive-style dirs). */
-  private[txn] def partitionValuesOf(rel: String): Map[String, String] =
+  private[graft] def partitionValuesOf(rel: String): Map[String, String] =
     if (rel.isEmpty) Map.empty
     else rel.split('/').filter(_.contains('=')).map { seg =>
       val Array(k, v) = seg.split("=", 2)
