@@ -53,6 +53,9 @@ object Bench {
       queries.Maintenance.restoreFixture(spark, sfDir)
       queries.Maintenance.evolutionFixture(spark, sfDir)
       queries.Pipeline.seedIndexFixture(spark, sfDir)
+      queries.Maintenance.rebaseFixture(spark, sfDir)
+      queries.Maintenance.optimisticRetryFixture(spark, sfDir)
+      queries.Maintenance.streamTailFixture(spark, sfDir)
       consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
@@ -94,8 +97,15 @@ object Bench {
       }.getOrElse(Map.empty)
     }
     def short(n: String): String = n.takeWhile(_ != '_')
+    // Re-measure when either (a) the query regressed >2x vs its prior
+    // round, or (b) it has no prior round and its first pass exceeded an
+    // absolute 5 s threshold — so brand-new expensive-looking queries
+    // self-annotate too instead of reading as unexplained outliers.
     val outliers = results.toSeq.filter { case (name, t) =>
-      prior.get(short(name)).exists(p => t > 2 * p && t > 0.75)
+      prior.get(short(name)) match {
+        case Some(p) => t > 2 * p && t > 0.75
+        case None    => t > 5.0
+      }
     }.map(_._1).sorted
     val remeasured = outliers.map { name =>
       name -> timeOne(selected(name))
@@ -121,6 +131,10 @@ object Bench {
       remeasured.getOrElse(k, v)
     }.sum
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_isolated":${f"$totalIso%.3f"},"remeasured":$rs,"queries":$qs,"sf":"$sfDir"}""")
+    // Field order matters: the driver keeps only a bounded TAIL of stdout,
+    // and the 186-entry queries dict alone can overflow it. Emit `queries`
+    // FIRST and the summary + noise annotations (value / value_isolated /
+    // remeasured) LAST so the numbers that matter survive tail truncation.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"remeasured":$rs,"value_isolated":${f"$totalIso%.3f"},"value":${f"$total%.3f"}}""")
   }
 }

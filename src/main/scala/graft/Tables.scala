@@ -13,9 +13,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    // as a timestamp; read it as raw nanos and convert to µs precision
-    // (exact — matches DuckDB's epoch_us view of the same column).
+    // events.ts has drifted across testdata generations: TIMESTAMP(NANOS)
+    // parquet (read as raw nanos, converted to µs) or TIMESTAMP(MICROS)
+    // with isAdjustedToUTC=false (which Spark 4 infers as TIMESTAMP_NTZ).
+    // Normalize both to a session-TZ TIMESTAMP at µs precision — the
+    // session runs UTC, so the NTZ→LTZ cast is value-exact and matches
+    // DuckDB's naive view of the same column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" &&
@@ -23,6 +26,11 @@ object Tables {
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
     } else df
   }
 

@@ -233,6 +233,33 @@ object Analytics {
       ek.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     },
 
+    // q150's power-law fallback as CODE, not a comment: the same
+    // co-occurrence graph counted under the (degree, id) orientation
+    // (graft.operators.Triangles — nodes relabeled by distributed
+    // degree rank, then the identical packed-long wedge pipeline).
+    // Triangle totals are orientation-invariant, so the id-orientation
+    // oracle certifies the degree-oriented path; TriangleSpec pins the
+    // bounded wedge fan-out on a planted hot node.
+    QueryDef.sqlBacked(
+      "q193_triangle_degree",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").hint("SHUFFLE_HASH").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.Triangles.count(s, pairs, "u", "v",
+        degreeOriented = true)
+    },
+
     // ------------------------------------------------------------------
     // Entity resolution end-to-end: blocked fuzzy-match pairs (the q103
     // blocking) → connected components (operators.ConnectedComponents —

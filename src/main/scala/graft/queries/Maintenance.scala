@@ -164,6 +164,85 @@ object Maintenance {
   /** v0: %7 rows; v1: append %11; v2: rewrite-delete l_suppkey%4;
     * v3: RESTORE to v0 (new commit, history preserved).
     */
+  /** v0: nation; v2: rebased append of keys+100 (its writer read v0 and
+    * rebased over the interleaved v1); v1: interleaved append of keys+200
+    * landed via the onStaged seam mid-flight.
+    */
+  def rebaseFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/rebase_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val n = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    TableWriter.write(spark, n, dir, version = 0L, commitTs = 1000L)
+    val a = n.select((col("n_nationkey") + 100).as("n_nationkey"),
+      col("n_regionkey"))
+    val b = n.select((col("n_nationkey") + 200).as("n_nationkey"),
+      col("n_regionkey"))
+    TableWriter.appendRebasing(spark, a, dir, commitTs = 3000L,
+      onStaged = () =>
+        TableWriter.write(spark, b, dir, version = 1L, commitTs = 2000L))
+    dir
+  }
+
+  /** v0: supplier base; v1: the racer's rows (won the version race);
+    * v2: the retried writer's rows (lost once, re-executed, committed).
+    */
+  def optimisticRetryFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/optretry_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val sup = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    TableWriter.write(spark, sup, dir, version = 0L, commitTs = 1000L)
+    val racer = sup.select((col("s_suppkey") + 10000).as("s_suppkey"),
+      col("s_nationkey"))
+    val mine = sup.filter(col("s_suppkey") % 2 === 0)
+      .select((col("s_suppkey") + 20000).as("s_suppkey"), col("s_nationkey"))
+    var planted = false
+    OptimisticTxn.retrying(log) { v =>
+      if (!planted) {
+        planted = true
+        // the racer takes exactly the version this attempt wants
+        TableWriter.write(spark, racer, dir, version = v, commitTs = 2000L)
+      }
+      TableWriter.write(spark, mine, dir, version = v, commitTs = 3000L)
+    }
+    dir
+  }
+
+  /** v0: nation snapshot; v1: append keys+100; v2: append keys+200 for
+    * even keys — three commits so the streaming read drains a snapshot
+    * batch plus per-commit tail batches.
+    */
+  def streamTailFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/streamtail_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val n = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    TableWriter.write(spark, n, dir, version = 0L, commitTs = 1000L)
+    TableWriter.write(spark,
+      n.select((col("n_nationkey") + 100).as("n_nationkey"),
+        col("n_regionkey")),
+      dir, version = 1L, commitTs = 2000L)
+    TableWriter.write(spark,
+      n.filter(col("n_nationkey") % 2 === 0)
+        .select((col("n_nationkey") + 200).as("n_nationkey"),
+          col("n_regionkey")),
+      dir, version = 2L, commitTs = 3000L)
+    dir
+  }
+
   def restoreFixture(spark: SparkSession, sfDir: String): String = {
     val dir = s"target/fixtures/restore_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val conf = spark.sessionState.newHadoopConf()
@@ -1076,7 +1155,7 @@ object Maintenance {
     QueryDef.sqlBacked(
       "q181_sql_catalog",
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -1140,6 +1219,186 @@ object Maintenance {
         .agg(count(lit(1)).as("n_matched"),
           sum(col("cents")).as("cents_total"))
         .orderBy(col("qv"))
+    },
+
+    // SQL catalog DML lifecycle under one hash: CTAS, INSERT INTO (the
+    // rebase append path), then INSERT OVERWRITE (atomic truncate+load),
+    // with the pre-overwrite state read back via SQL time travel
+    // (VERSION AS OF) — so one row set certifies CTAS + INSERT +
+    // OVERWRITE + time travel through the TableCatalog together.
+    QueryDef.sqlBacked(
+      "q188_sql_insert_overwrite",
+      """WITH pre AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 1),
+        |fin AS (SELECT event_id, event_type, value * 2 AS value
+        |        FROM events WHERE event_id % 3 = 0)
+        |SELECT 'a_pre_overwrite' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM pre
+        |UNION ALL
+        |SELECT 'b_final', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |FROM fin
+        |ORDER BY phase""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.events_iow")
+      s.sql(
+        """CREATE TABLE gcat.default.events_iow AS
+          |SELECT event_id, event_type, value FROM events_src
+          |WHERE event_id % 5 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO gcat.default.events_iow
+          |SELECT event_id, event_type, value FROM events_src
+          |WHERE event_id % 5 = 1""".stripMargin)
+      val vPre = new TxnLog(s"$wh/default/events_iow",
+        s.sessionState.newHadoopConf()).latestVersion().get
+      s.sql(
+        """INSERT OVERWRITE gcat.default.events_iow
+          |SELECT event_id, event_type, value * 2 AS value FROM events_src
+          |WHERE event_id % 3 = 0""".stripMargin)
+      s.sql(
+        s"""SELECT 'a_pre_overwrite' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM gcat.default.events_iow VERSION AS OF $vPre
+           |UNION ALL
+           |SELECT 'b_final', CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           |FROM gcat.default.events_iow
+           |ORDER BY phase""".stripMargin)
+    },
+
+    // SQL DELETE + TRUNCATE through the catalog, certified via time
+    // travel: the post-DELETE state is read back with VERSION AS OF
+    // after a TRUNCATE emptied the current snapshot — one row set pins
+    // the versioned rewrite, the metadata-only truncate, and history
+    // retention together.
+    QueryDef.sqlBacked(
+      "q189_sql_delete_truncate",
+      """SELECT 'a_after_delete' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE event_id % 4 = 0 AND event_type <> 'click'
+        |UNION ALL
+        |SELECT 'b_after_truncate', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY phase""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.events_del")
+      s.sql(
+        """CREATE TABLE gcat.default.events_del AS
+          |SELECT event_id, event_type, value FROM events_src
+          |WHERE event_id % 4 = 0""".stripMargin)
+      s.sql("DELETE FROM gcat.default.events_del WHERE event_type = 'click'")
+      val vDel = new TxnLog(s"$wh/default/events_del",
+        s.sessionState.newHadoopConf()).latestVersion().get
+      s.sql("TRUNCATE TABLE gcat.default.events_del")
+      s.sql(
+        s"""SELECT 'a_after_delete' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0)
+           |    AS BIGINT) AS cents
+           |FROM gcat.default.events_del VERSION AS OF $vDel
+           |UNION ALL
+           |SELECT 'b_after_truncate', CAST(COUNT(*) AS BIGINT),
+           |  CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0)
+           |    AS BIGINT)
+           |FROM gcat.default.events_del
+           |ORDER BY phase""".stripMargin)
+    },
+
+    // Commit rebase, fixture-final-state: writer A stages its append,
+    // an interleaved commit B lands BETWEEN A's snapshot read and A's
+    // commit (the onStaged seam), and appendRebasing verifies
+    // commutativity and rebases A onto B's version instead of failing —
+    // the final table must equal base ∪ B ∪ A exactly.
+    QueryDef.sqlBacked(
+      "q190_commit_rebase",
+      """WITH t AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL SELECT n_nationkey + 100, n_regionkey FROM nation
+        |  UNION ALL SELECT n_nationkey + 200, n_regionkey FROM nation)
+        |SELECT CAST(n_nationkey // 100 AS BIGINT) AS gen,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_regionkey) AS BIGINT) AS rk_sum
+        |FROM t GROUP BY 1 ORDER BY gen""".stripMargin) { (s, dir) =>
+      val table = rebaseFixture(s, dir)
+      s.read.format("graft").option("tablePath", table).load()
+        .groupBy((col("n_nationkey") / 100).cast("long").as("gen"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_regionkey")).cast("long").as("rk_sum"))
+        .orderBy(col("gen"))
+    },
+
+    // Optimistic-concurrency retry, fixture-final-state: the writer's
+    // first attempt loses the version race to a planted racer commit and
+    // retries against the fresh snapshot (full re-execution — the
+    // serializable end of the protocol); the final table must hold base
+    // ∪ racer ∪ writer exactly, proving the loser neither dropped its
+    // rows nor double-committed.
+    QueryDef.sqlBacked(
+      "q191_optimistic_retry",
+      """WITH t AS (
+        |  SELECT s_suppkey, s_nationkey FROM supplier
+        |  UNION ALL SELECT s_suppkey + 10000, s_nationkey FROM supplier
+        |  UNION ALL SELECT s_suppkey + 20000, s_nationkey FROM supplier
+        |  WHERE s_suppkey % 2 = 0)
+        |SELECT CAST(s_suppkey // 10000 AS BIGINT) AS gen,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(s_nationkey) AS BIGINT) AS nk_sum
+        |FROM t GROUP BY 1 ORDER BY gen""".stripMargin) { (s, dir) =>
+      val table = optimisticRetryFixture(s, dir)
+      s.read.format("graft").option("tablePath", table).load()
+        .groupBy((col("s_suppkey") / 10000).cast("long").as("gen"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_nationkey")).cast("long").as("nk_sum"))
+        .orderBy(col("gen"))
+    },
+
+    // Streaming table read drain: readStream over the DSv2 table surface
+    // (snapshot batch + one batch per appended commit), aggregated
+    // map-side per micro-batch; totals are batch-boundary-invariant, so
+    // the oracle recomputes them from the fixture's source arithmetic.
+    QueryDef.sqlBacked(
+      "q192_stream_table_read",
+      """WITH t AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL SELECT n_nationkey + 100, n_regionkey FROM nation
+        |  UNION ALL SELECT n_nationkey + 200, n_regionkey FROM nation
+        |  WHERE n_nationkey % 2 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(n_regionkey) AS BIGINT) AS rk_sum
+        |FROM t""".stripMargin) { (s, dir) =>
+      val table = streamTailFixture(s, dir)
+      val totals = new java.util.concurrent.atomic.AtomicReference(
+        (0L, 0L, 0L))
+      val q = s.readStream.format("graft").option("tablePath", table).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = batch.agg(count(lit(1)), sum(col("n_nationkey")),
+            sum(col("n_regionkey"))).head()
+          if (r.getLong(0) > 0) {
+            val add = (r.getLong(0), r.getLong(1), r.getLong(2))
+            totals.updateAndGet(t =>
+              (t._1 + add._1, t._2 + add._2, t._3 + add._3))
+          }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("gtbl_stream_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      val (n, ks, rs) = totals.get()
+      Seq((n, ks, rs)).toDF("n_rows", "key_sum", "rk_sum")
     }
   )
 }

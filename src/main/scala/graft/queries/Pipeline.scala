@@ -667,6 +667,143 @@ object Pipeline {
         .unionAll(stageRow("4_neardup", nk, col("ntok")))
         .unionAll(stageRow("5_packed", seqs, col("t")))
         .orderBy(col("stage"))
+    },
+
+    // ------------------------------------------------------------------
+    // q165's SCALE twin: the same five-stage funnel, but stage 4's
+    // candidate generation is df-capped (q149's count-then-filter
+    // SkewGuard shape, mirrored EXACTLY in the oracle): shingles seen in
+    // more than 100 docs are non-discriminative and are dropped from the
+    // inverted index BEFORE the self-join, bounding per-shingle pair
+    // fan-out at cap² — the quadratic-in-df shape q165 deliberately
+    // keeps (to stay oracle-recomputable without a cap) becomes linear
+    // in corpus size here. Jaccard is computed over the CAPPED shingle
+    // universe on both sides (numerator and denominator), so the score
+    // is exact Jaccard of the filtered feature set, not an inconsistent
+    // hybrid. Scale notes: the broadcast side is the HOT list (df>cap —
+    // small by construction), never the keep list (which grows with the
+    // corpus); shingles travel as 64-bit hashes (q141/q149's accepted
+    // injectivity premise; the oracle recomputes with string shingles).
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q187_pipeline_scaled",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' zq zq zq' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |tok AS (SELECT doc_id, text,
+        |          string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |q AS (SELECT doc_id, text, toks, len(toks) AS ntok,
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+        |        + (1.0 - CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a'
+        |            OR t = 'of' OR t = 'and' OR t = 'to' OR t = 'in')) AS DOUBLE)
+        |          / len(toks)) * 0.4
+        |        + LEAST(1.0, len(toks) / 100.0) * 0.2 AS quality
+        |      FROM tok),
+        |qk AS (SELECT * FROM q WHERE ntok >= 20 AND quality >= 0.65),
+        |ek AS (SELECT * FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY
+        |            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |          ORDER BY doc_id) AS rn FROM qk) WHERE rn = 1),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+        |       FROM ek),
+        |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |hot AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) > 100),
+        |kept AS (SELECT * FROM inv WHERE s NOT IN (SELECT s FROM hot)),
+        |cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |           CAST(COUNT(*) AS BIGINT) AS inter
+        |         FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM kept GROUP BY doc_id),
+        |drops AS (SELECT DISTINCT db FROM cand
+        |          JOIN sizes sa ON sa.doc_id = da
+        |          JOIN sizes sb ON sb.doc_id = db
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+        |nk AS (SELECT * FROM ek
+        |       WHERE doc_id NOT IN (SELECT db FROM drops)),
+        |packs AS (SELECT d.source, nk.doc_id, nk.ntok,
+        |            SUM(nk.ntok) OVER (PARTITION BY d.source ORDER BY nk.doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS cum
+        |          FROM nk JOIN documents d ON d.doc_id = nk.doc_id % 100000),
+        |seqs AS (SELECT source,
+        |           CAST(FLOOR((cum - ntok) / 512.0) AS BIGINT) AS seq_id,
+        |           SUM(ntok) AS t FROM packs GROUP BY 1, 2)
+        |SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM tok
+        |UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(ntok) AS BIGINT) FROM qk
+        |UNION ALL SELECT '3_exact', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(ntok) AS BIGINT) FROM ek
+        |UNION ALL SELECT '4_neardup', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(ntok) AS BIGINT) FROM nk
+        |UNION ALL SELECT '5_packed', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(t) AS BIGINT) FROM seqs
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val corpus = TextOps.nearDupCorpus(s, dir).unionAll(
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val tok = corpus.select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      val q = tok.withColumn("ntok", size(col("toks")))
+        .withColumn("quality",
+          (size(array_distinct(col("toks"))).cast("double") / col("ntok")) * 0.4
+            + (lit(1.0) - TextOps.stopwordHits(col("toks")).cast("double")
+              / col("ntok")) * 0.4
+            + least(lit(1.0), col("ntok") / 100.0) * 0.2)
+      val qk = q.filter(col("ntok") >= 20 && col("quality") >= 0.65)
+      val ek = qk.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(lower(trim(
+            regexp_replace(col("text"), "\\s+", " ")))))
+            .orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn").cache()
+      // stage 4, capped: hashed shingles; hot list (df > cap) is the
+      // broadcast side — it is small by construction at any corpus size
+      val inv = ek.select(col("doc_id"),
+        explode(TextOps.hashedShingles(col("toks"))).as("s"))
+      val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select(col("s"))
+      val kept = inv.join(broadcast(hot), Seq("s"), "left_anti").cache()
+      val cand = kept.as("a").join(kept.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val drops = cand
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= 0.6)
+        .select(col("db").as("doc_id")).distinct()
+      val nk = ek.join(drops, Seq("doc_id"), "left_anti").cache()
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("base_id"), col("source"))
+      val packs = nk.withColumn("base_id", col("doc_id") % 100000)
+        .join(broadcast(src), "base_id")
+        .withColumn("cum", sum(col("ntok")).over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val seqs = packs
+        .groupBy(col("source"),
+          floor((col("cum") - col("ntok")) / 512.0).as("seq_id"))
+        .agg(sum(col("ntok")).as("t"))
+      def stageRow(tag: String, df: org.apache.spark.sql.DataFrame,
+          tokCol: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n"), sum(tokCol).cast("long").as("n_tokens"))
+          .select(lit(tag).as("stage"), col("n"), col("n_tokens"))
+      stageRow("1_raw", tok, size(col("toks")))
+        .unionAll(stageRow("2_quality", qk, col("ntok")))
+        .unionAll(stageRow("3_exact", ek, col("ntok")))
+        .unionAll(stageRow("4_neardup", nk, col("ntok")))
+        .unionAll(stageRow("5_packed", seqs, col("t")))
+        .orderBy(col("stage"))
     }
   )
 }

@@ -1042,8 +1042,8 @@ object Relational {
          |  GROUP BY n.n_name),
          |t AS (SELECT n_name, rev, cents, SUM(cents) OVER () AS tot FROM r)
          |SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
-         |  ((cents * 1000) // tot) * 1000
-         |    + (((cents * 1000) % tot) * 1000) // tot AS share_ppm
+         |  CAST(((cents * 1000) // tot) * 1000
+         |    + (((cents * 1000) % tot) * 1000) // tot AS BIGINT) AS share_ppm
          |FROM t ORDER BY n_name""".stripMargin) { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")

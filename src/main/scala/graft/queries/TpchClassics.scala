@@ -81,10 +81,10 @@ object TpchClassics {
          |    JOIN part p ON p.p_partkey = l.l_partkey
          |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
          |SELECT o_year,
-         |  ((SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 1000)
+         |  CAST(((SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 1000)
          |     // SUM(cents)) * 1000
          |   + ((SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 1000)
-         |      % SUM(cents)) * 1000 // SUM(cents) AS share_ppm,
+         |      % SUM(cents)) * 1000 // SUM(cents) AS BIGINT) AS share_ppm,
          |  CAST(SUM(cents) AS BIGINT) AS market_cents
          |FROM alln GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
       val n2 = Tables.load(s, dir, "nation")
@@ -128,10 +128,10 @@ object TpchClassics {
          |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |    AND l_shipdate < TIMESTAMP '1996-04-01')
-         |SELECT ((SUM(CASE WHEN promo THEN cents ELSE 0 END) * 1000)
+         |SELECT CAST(((SUM(CASE WHEN promo THEN cents ELSE 0 END) * 1000)
          |    // SUM(cents)) * 1000
          |  + ((SUM(CASE WHEN promo THEN cents ELSE 0 END) * 1000) % SUM(cents))
-         |    * 1000 // SUM(cents) AS promo_ppm,
+         |    * 1000 // SUM(cents) AS BIGINT) AS promo_ppm,
          |  CAST(SUM(cents) AS BIGINT) AS total_cents
          |FROM t""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")

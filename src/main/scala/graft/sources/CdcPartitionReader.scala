@@ -247,6 +247,11 @@ private[sources] object GroupRows {
   }
 
   def castPartitionValue(s: String, dt: DataType): Any = dt match {
+    // TableWriter encodes a null partition value as the hive sentinel
+    // (TableWriter.scala:44); reading it back must yield null — matching
+    // Spark's hive partition inference — not the literal string (or a
+    // NumberFormatException for numeric partition columns).
+    case _ if s == "__HIVE_DEFAULT_PARTITION__" => null
     case StringType => UTF8String.fromString(s)
     case IntegerType => s.toInt
     case LongType => s.toLong

@@ -322,7 +322,14 @@ private[sources] class GraftBatchScanBuilder(
       if (isMin) st.minValues(phys) else st.maxValues(phys)
     }
     val v: Any = dt match {
-      case StringType => if (isMin) raw.min else raw.max
+      case StringType =>
+        // UTF-8 byte order to match UTF8String (a real scan's MIN/MAX);
+        // Java String < is UTF-16 code-unit order and disagrees for
+        // supplementary code points
+        implicit val utf8Ord: Ordering[String] = (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        if (isMin) raw.min else raw.max
       case DoubleType =>
         val ds = raw.map(_.toDouble); if (isMin) ds.min else ds.max
       case FloatType =>

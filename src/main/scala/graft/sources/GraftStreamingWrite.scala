@@ -31,12 +31,18 @@ import org.apache.spark.util.SerializableConfiguration
 private[sources] class GraftStreamingWrite(
     tablePath: String,
     schema: StructType,
-    partitionColumns: Seq[String],
+    declaredPartitionColumns: Seq[String],
     queryId: String) extends StreamingWrite {
 
   import GraftStreamingWrite._
 
-  {
+  // Partition columns come from the table's OWN metadata, not the caller:
+  // via the TableProvider path (writeStream.format("graft")) the caller
+  // passes Seq.empty, and trusting that would silently write a partitioned
+  // table's files unpartitioned at the root — a mixed layout that breaks
+  // hive inference and pruning. A non-empty ctor value must agree.
+  // `readVersion` anchors the per-epoch metadata-commutativity scan.
+  private val (partitionColumns: Seq[String], readVersion: Long) = {
     val conf = new Configuration()
     val snap = new TxnLog(tablePath, conf).snapshotLatest()
     val meta = snap.metadata.getOrElse(throw new IllegalArgumentException(
@@ -45,14 +51,24 @@ private[sources] class GraftStreamingWrite(
       throw new UnsupportedOperationException(
         s"streaming write into a column-mapped table is not supported " +
           s"($tablePath)")
+    require(declaredPartitionColumns.isEmpty ||
+        declaredPartitionColumns == meta.partitionColumns,
+      s"declared partition columns $declaredPartitionColumns do not match " +
+        s"the table's ${meta.partitionColumns} at $tablePath")
     val declared = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     require(shape(declared) == shape(schema),
       s"streaming write schema ${schema.simpleString} does not match the " +
         s"table schema at $tablePath")
-    schema.fields.filterNot(f => partitionColumns.contains(f.name))
+    schema.fields.filterNot(f => meta.partitionColumns.contains(f.name))
       .foreach(f => messageFieldOf(f)) // fail fast on unsupported types
+    (meta.partitionColumns, snap.version)
   }
+
+  // High-water mark of the metadata-commutativity scan; epochs commit
+  // serially on the driver, so advancing it across epochs keeps the scan
+  // O(new versions) instead of O(stream lifetime) per epoch.
+  private var checked: Long = readVersion
 
   private def marker(epochId: Long) = s"STREAMV2_${queryId}_$epochId"
   private val markerRe = s"STREAMV2_${java.util.regex.Pattern.quote(queryId)}_(\\d+)".r
@@ -90,9 +106,31 @@ private[sources] class GraftStreamingWrite(
     }.getOrElse(false)
     if (alreadyCommitted) { dropFiles(adds); return }
 
+    // Metadata-commutativity scan (appendRebasing's rule, TableWriter
+    // .scala:760): a concurrent schema evolution / RENAME COLUMN /
+    // protocol upgrade interleaved since this writer validated its schema
+    // means the epoch's files carry a stale physical shape — rebasing
+    // over it would commit wrong data. Drop the files and fail the epoch;
+    // the restarted query re-validates against the new snapshot.
     var attempt = 0
     while (true) {
-      val latest = log.latestVersion().getOrElse(0L)
+      val latest = log.latestVersion().getOrElse(readVersion)
+      var v = checked + 1
+      while (v <= latest) {
+        val unsafe = log.read(v).exists {
+          case _: graft.txn.Metadata | _: graft.txn.Protocol => true
+          case _ => false
+        }
+        if (unsafe) {
+          dropFiles(adds)
+          throw new IllegalStateException(
+            s"concurrent metadata change at $tablePath v$v — streaming " +
+              "epoch unsafe to rebase; restart the query against the new " +
+              "table snapshot")
+        }
+        v += 1
+      }
+      checked = latest
       try {
         log.commit(latest + 1,
           adds :+ CommitInfo(marker(epochId), System.currentTimeMillis()))

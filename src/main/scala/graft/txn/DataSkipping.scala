@@ -45,7 +45,13 @@ object DataSkipping {
             try !(num(mx) < num(lo.toString) || num(mn) > num(hi.toString))
             catch { case _: NumberFormatException => true }
           case StringType =>
-            !(mx < lo.toString || mn > hi.toString)
+            // UTF-8 byte order, matching UTF8String comparison semantics
+            // and the writer's footerStats combine (TableWriter) — Java's
+            // UTF-16 code-unit order disagrees for supplementary chars
+            def cmp(a: String, b: String): Int =
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+            !(cmp(mx, lo.toString) < 0 || cmp(mn, hi.toString) > 0)
           case _ => true
         }
       }

@@ -448,7 +448,14 @@ object TableWriter {
                   case BINARY if isString => Some((
                     st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
                     st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
-                    (a: Any, b: Any) => a.asInstanceOf[String] < b.asInstanceOf[String]))
+                    // UTF-8 byte order (= what a real scan's MIN/MAX uses via
+                    // UTF8String), NOT Java's UTF-16 code-unit order — the two
+                    // disagree for supplementary code points vs [U+E000,U+FFFF]
+                    (a: Any, b: Any) =>
+                      org.apache.spark.unsafe.types.UTF8String
+                        .fromString(a.asInstanceOf[String])
+                        .compareTo(org.apache.spark.unsafe.types.UTF8String
+                          .fromString(b.asInstanceOf[String])) < 0))
                   case _ => None
                 }
               mm match {

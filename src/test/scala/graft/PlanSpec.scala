@@ -291,6 +291,16 @@ class PlanSpec extends AnyFunSuite {
       "screening must not shuffle the fact table through a window")
   }
 
+  test("q187 scaled funnel: hot-list broadcast anti-join caps the pair join") {
+    val df = SparkEntry.queries("q187_pipeline_scaled")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stage 4's df cap must be a broadcast ANTI-join on the hot " +
+        s"(df>cap) list — broadcasting the keep list would not scale:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q149 similar docs: df-cap keep-list broadcasts; no cartesian") {
     val df = SparkEntry.queries("q149_similar_docs")(spark, sf)
     df.collect()

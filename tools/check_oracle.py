@@ -61,6 +61,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         close = True
         for c in g.columns:
             a, b = g[c], w[c]
+            # The driver's hash is dtype-sensitive: an int64 Spark column
+            # vs a float64 oracle column (e.g. DuckDB SUM(BIGINT) ->
+            # HUGEINT -> pandas float64) hash-mismatches even when every
+            # value is equal. Flag any int-vs-float dtype-KIND mismatch
+            # as a hard FAIL before the float-tolerance branch can mask it.
+            kinds = {a.dtype.kind, b.dtype.kind}
+            if "f" in kinds and kinds & {"i", "u"}:
+                exact = False
+                close = False
+                print(f"  col {c}: dtype-kind mismatch spark={a.dtype} "
+                      f"oracle={b.dtype} (driver hash is dtype-sensitive; "
+                      f"CAST the oracle expression)")
+                continue
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 af = a.astype(float)
                 bf = b.astype(float)
