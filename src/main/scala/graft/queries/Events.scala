@@ -536,6 +536,156 @@ object Events {
           max(when(col("rd") === 1, col("value"))).as("close"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("d"))
+    },
+
+    // Linear-interpolation gap fill over a sparsified daily series: the
+    // per-type date spine left-joins the sparse daily sums, missing days
+    // interpolate between the bracketing known points in EXACT integer
+    // arithmetic — (pv·(nd−d) + nv·(d−pd)) div (nd−pd) keeps the
+    // numerator non-negative so floor and truncation agree across
+    // engines. Scale shape: the fact side reduces in one hash aggregate;
+    // the spine is days×types (tiny); the fill is two IGNORE-NULLS
+    // window passes on the dense grid, no self-join.
+    QueryDef.sqlBacked(
+      "q195_linear_interpolation",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+        |  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT b.event_type,
+        |    CAST(UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds b),
+        |g AS (SELECT grid.event_type, grid.d, daily.v
+        |  FROM grid LEFT JOIN daily
+        |    ON grid.event_type = daily.event_type AND grid.d = daily.d),
+        |f AS (SELECT event_type, d, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY d ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |        ORDER BY d ROWS UNBOUNDED PRECEDING) AS pd,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |        ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM g)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_filled,
+        |  CAST(SUM((pv * (nd - d) + nv * (d - pd)) // (nd - pd)) AS BIGINT)
+        |    AS filled_cents
+        |FROM f WHERE v IS NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 97 === 0)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      val grid = daily.groupBy(col("event_type"))
+        .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+      grid.join(daily, Seq("event_type", "d"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("v").isNotNull, col("d")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("v").isNotNull, col("d")),
+          ignoreNulls = true).over(wNext))
+        .filter(col("v").isNull)
+        // integer div (not /): the numerator is non-negative by
+        // construction, so Spark's div and DuckDB's // agree exactly
+        .withColumn("interp", expr(
+          "(pv * datediff(nd, d) + nv * datediff(d, pd))" +
+            " div datediff(nd, pd)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_filled"),
+          sum(col("interp")).cast("long").as("filled_cents"))
+        .orderBy(col("event_type"))
+    },
+
+    // CUSUM changepoint scan per event-type series: S_d = Σ_{k≤d}
+    // (n·x_k − T) — the mean-centered cumulative sum scaled by n so the
+    // arithmetic stays integer-exact — and the changepoint is the day
+    // maximizing |S_d| (earliest day on ties). One aggregate for the
+    // daily series, two window passes on the 150-row frame, a rank —
+    // nothing touches the fact table twice.
+    QueryDef.sqlBacked(
+      "q196_cusum_changepoint",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, d, x,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(x) OVER (PARTITION BY event_type) AS t FROM daily),
+        |cu AS (SELECT event_type, d,
+        |    SUM(n * x - t) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS sd FROM st),
+        |r AS (SELECT event_type, d, sd,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(sd) DESC, d) AS rn FROM cu)
+        |SELECT event_type, d AS changepoint_day,
+        |  CAST(ABS(sd) AS BIGINT) AS max_abs_cusum
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wCum = wAll.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("t", sum(col("x")).over(wAll))
+        .withColumn("sd", sum(col("n") * col("x") - col("t")).over(wCum))
+        .withColumn("rn", row_number().over(
+          wAll.orderBy(abs(col("sd")).desc, col("d"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("d").as("changepoint_day"),
+          abs(col("sd")).as("max_abs_cusum"))
+        .orderBy(col("event_type"))
+    },
+
+    // Day-of-week seasonal index per event-type series, in exact ppm:
+    // index(dow) = mean(daily cents | dow) / mean(daily cents), spelled
+    // as one integer expression. Day-of-week comes from epoch-day
+    // arithmetic anchored at a known Monday (1970-01-05) — engine-
+    // agnostic, unlike dayofweek()'s differing conventions. Scale: one
+    // aggregate to the daily frame, one 7×types output.
+    QueryDef.sqlBacked(
+      "q197_seasonal_index",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, (d - DATE '1970-01-05') % 7 AS dow, x
+        |  FROM daily),
+        |agg AS (SELECT event_type, dow,
+        |    SUM(x) AS sx, COUNT(*) AS cx FROM dw GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(sx) AS tx, SUM(cx) AS tc
+        |  FROM agg GROUP BY 1)
+        |SELECT a.event_type, CAST(a.dow AS BIGINT) AS dow,
+        |  CAST((a.sx * t.tc * 1000000) // (a.cx * t.tx) AS BIGINT)
+        |    AS index_ppm
+        |FROM agg a JOIN tot t ON a.event_type = t.event_type
+        |ORDER BY a.event_type, dow""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      val agg = daily
+        .withColumn("dow",
+          pmod(datediff(col("d"), lit("1970-01-05").cast("date")), lit(7))
+            .cast("long"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cx"))
+      val tot = agg.groupBy(col("event_type"))
+        .agg(sum(col("sx")).as("tx"), sum(col("cx")).as("tc"))
+      agg.join(tot, "event_type")
+        .withColumn("index_ppm",
+          expr("(sx * tc * 1000000L) div (cx * tx)"))
+        .select(col("event_type"), col("dow"), col("index_ppm"))
+        .orderBy(col("event_type"), col("dow"))
     }
   )
 }

@@ -804,6 +804,87 @@ object Pipeline {
         .unionAll(stageRow("4_neardup", nk, col("ntok")))
         .unionAll(stageRow("5_packed", seqs, col("t")))
         .orderBy(col("stage"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact repeated-substring coverage (the "dedup training data at the
+    // substring level" op): every 8-token gram occurring ≥2 times
+    // anywhere in the corpus marks its [pos, pos+7] span; per document,
+    // overlapping spans coalesce (q175's running-max island shape keyed
+    // by doc) and the covered-token fraction flags boilerplate-heavy
+    // docs. Scale shape: grams travel as 64-bit hashes with positions
+    // (injectivity premise as q141/q149; the oracle recomputes with
+    // string grams); the repeated-gram set comes from ONE count shuffle;
+    // span coalescing is a per-doc window — no pair join anywhere, cost
+    // is linear in corpus tokens.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q194_repeated_substrings",
+      """WITH tok AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |occ AS (SELECT doc_id, source, u.p AS s, u.p + 7 AS e, u.g AS gram
+        |  FROM (SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(t) - 6),
+        |        i -> {'p': i, 'g': t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]
+        |          ||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]})) AS u
+        |    FROM tok WHERE len(t) >= 8)),
+        |rep AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+        |sp AS (SELECT o.doc_id, o.source, o.s, o.e
+        |  FROM occ o JOIN rep r ON o.gram = r.gram),
+        |m AS (SELECT doc_id, source, s, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM sp),
+        |isl AS (SELECT doc_id, source, s, e,
+        |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |cov AS (SELECT doc_id, source, SUM(clen) AS covered FROM (
+        |    SELECT doc_id, source, island, MAX(e) - MIN(s) + 1 AS clen
+        |    FROM isl GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |ds AS (SELECT tok.doc_id, tok.source, len(tok.t) AS ntok,
+        |    COALESCE(cov.covered, 0) AS covered
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE covered * 5 >= ntok) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(covered) AS BIGINT) AS covered_tokens
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val K = 8
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("t"))
+      val occ = tok.filter(size(col("t")) >= K)
+        .select(col("doc_id"), col("source"),
+          posexplode(transform(sequence(lit(0), size(col("t")) - K),
+            i => xxhash64(concat_ws(" ",
+              (0 until K).map(j => element_at(col("t"), i + j + 1)): _*)))))
+        .select(col("doc_id"), col("source"), (col("pos") + 1).as("s"),
+          (col("pos") + K).as("e"), col("col").as("gram"))
+      // one count shuffle isolates the repeated grams; the join back is
+      // gram-keyed (count-then-filter, the SkewGuard shape)
+      val rep = occ.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("gram"))
+      val sp = occ.join(rep, "gram")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val cov = sp
+        .withColumn("pmax",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+            .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("e")) - min(col("s")) + 1).as("clen"))
+        .groupBy(col("doc_id")).agg(sum(col("clen")).as("covered"))
+      tok.select(col("doc_id"), col("source"), size(col("t")).as("ntok"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("covered", coalesce(col("covered"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("covered") * 5 >= col("ntok"), 1)).as("n_flagged"),
+          sum(col("covered")).as("covered_tokens"))
+        .orderBy(col("source"))
     }
   )
 }
