@@ -45,8 +45,12 @@ object ExactQuantile {
     import spark.implicits._
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
+    // cached across the three passes: the projection is 2 narrow columns
+    // (a re-scan per pass costs 3 parquet reads; MEMORY_AND_DISK spills
+    // rather than OOMs when a 100 TB slice doesn't fit executors)
     val src = df.select(grpCol.cast("string").as("g"),
       valCol.cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: one row per GROUP
     val stats = src.groupBy($"g")
@@ -119,8 +123,10 @@ object ExactQuantile {
     import spark.implicits._
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
+    // cached across the three passes (same rationale as quantiles above)
     val src = df.select(grpCol.cast("string").as("g"),
       valCol.cast("long").as("v"), weightCol.cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: one row per GROUP (weight domain + value domain)
     val stats = src.groupBy($"g")

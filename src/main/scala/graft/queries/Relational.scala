@@ -613,6 +613,53 @@ object Relational {
 
     // HyperLogLog approximate distinct (§2.4) — Spark-only (DuckDB's HLL
     // implementation differs); QueriesSpec bounds the relative error.
+    // Driver-hash gate for the HLL path (q28 stays `no_oracle`; this
+    // twin is oracle-checkable): the exact distinct count is the
+    // oracle-recomputed anchor, and the boolean asserts the rsd=0.02
+    // sketch landed within 5% of it — an HLL regression flips the row.
+    QueryDef.sqlBacked(
+      "q200_hll_error_gate",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) * 100 <=
+            col("exact_orders") * 5).as("within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Driver-hash gate for approx_percentile (q69's sketch twin): the
+    // approximate median's EXACT rank must land within ±1% of the true
+    // median position — the rank-error contract of the quantile sketch,
+    // checked against an oracle that recomputes only the anchors.
+    QueryDef.sqlBacked(
+      "q201_percentile_rank_gate",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS rank_within_1pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5)").as("m"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("l_extendedprice") <= col("m"), 1)).as("r"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("r") * 100 >= col("n_rows") * 49 &&
+            col("r") * 100 <= col("n_rows") * 51).as("rank_within_1pct"))
+        .orderBy(col("l_returnflag"))
+    },
+
     QueryDef.sparkOnly("q28_approx_distinct") { (s, dir) =>
       // exact and approx in SEPARATE aggregates: combining countDistinct
       // with approx_count_distinct in one agg triggers the distinct-rewrite

@@ -643,6 +643,149 @@ object Text {
           / col("t")).cast("long").as("novelty_decile"))
         .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_trigrams"))
         .orderBy(col("novelty_decile"))
+    },
+
+    // Driver-hash gate for the MinHash-LSH near-dup path (q46 is
+    // `no_oracle` because DuckDB can't recompute the signatures; this
+    // twin IS oracle-checkable): the exact ≥0.6-Jaccard pair set is the
+    // denominator the oracle recomputes, and the booleans assert the
+    // LSH set recalls ALL of it and contains nothing else (q46 verifies
+    // candidates with exact Jaccard, so precision is 1 by construction
+    // — the gate would catch a regression in either direction).
+    QueryDef.sqlBacked(
+      "q198_lsh_recall_gate",
+      s"""WITH corpus AS (${TextOps.nearDupCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+         |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |             FROM corpus)),
+         |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(COUNT(*) AS BIGINT) AS inter
+         |          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sg) AS n FROM sh),
+         |ex AS (SELECT doc_a, doc_b
+         |       FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |         JOIN sizes sb ON sb.doc_id = doc_b
+         |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+         |  TRUE AS lsh_recall_100, TRUE AS lsh_precision_100
+         |FROM ex""".stripMargin) { (s, dir) =>
+      val sh = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+      val exact = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val sigs = sh.select(col("doc_id"),
+        TextOps.minhashSignature(col("sg")).as("sig"))
+      val banded = sigs.select(col("doc_id"),
+          explode(TextOps.bands(col("sig"))).as("band"))
+        .select(col("doc_id"), col("band.band_id").as("band_id"),
+          col("band.band_hash").as("band_hash"))
+      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+        banded, "doc_id", Seq("band_id", "band_hash"), "doc_a", "doc_b")
+      val lsh = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+        .filter(TextOps.jaccard(col("sg_a"), col("sg_b")) >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      val matched = exact.join(lsh, Seq("doc_a", "doc_b")).count()
+      import s.implicits._
+      Seq((nExact, matched == nExact, matched == nLsh))
+        .toDF("n_exact_pairs", "lsh_recall_100", "lsh_precision_100")
+    },
+
+    // The SimHash twin of the gate above, gated on the guarantee the
+    // 4×16-bit pigeonhole blocking actually makes: any pair within
+    // hamming ≤ 3 leaves at least one block untouched, so it MUST
+    // surface as a block candidate and survive the ≤8 verification. The
+    // boolean compares the block-pipeline's output against a brute-force
+    // hamming scan (bounded: fingerprints are one long per doc, so the
+    // all-pairs check is popcount on n²/2 longs — fixture-scale cheap,
+    // and a regression in simhashBlocks64/SkewGuard flips it). Jaccard
+    // recall is NOT gated: measured 51/81 overall and 25/50 on planted
+    // near-identical docs on this corpus — that looseness is the sketch
+    // (3 appended tokens flip bits across blocks), not a bug, which is
+    // exactly why the pigeonhole contract is the invariant worth pinning.
+    QueryDef.sqlBacked(
+      "q199_simhash_recall_gate",
+      s"""WITH corpus AS (${TextOps.nearDupCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+         |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |             FROM corpus)),
+         |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(COUNT(*) AS BIGINT) AS inter
+         |          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sg) AS n FROM sh),
+         |ex AS (SELECT doc_a, doc_b
+         |       FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |         JOIN sizes sb ON sb.doc_id = doc_b
+         |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+         |  CAST(COUNT(*) FILTER (WHERE doc_b = doc_a + 100000) AS BIGINT)
+         |    AS n_planted_pairs,
+         |  TRUE AS pigeonhole_complete
+         |FROM ex""".stripMargin) { (s, dir) =>
+      val docs = TextOps.nearDupCorpus(s, dir)
+      val sh = docs
+        .select(col("doc_id"),
+          TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+      val exact = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val fp = docs.select(col("doc_id"),
+        TextOps.simhash64(TextOps.tokens(col("text"))).as("sig")).cache()
+      val blocks = fp.select(col("doc_id"),
+        posexplode(TextOps.simhashBlocks64(col("sig")))
+          .as(Seq("blk_idx", "blk_val")))
+      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+        blocks, "doc_id", Seq("blk_idx", "blk_val"), "doc_a", "doc_b")
+      val sim = cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(TextOps.hamming64(col("sig_a"), col("sig_b")) <= 8)
+        .select(col("doc_a"), col("doc_b"))
+      // brute-force hamming ≤ 3 pairs: every one must appear in the
+      // block-pipeline's verified output (pigeonhole: 4 blocks, ≤3
+      // flipped bits → some block matches exactly)
+      val brute = fp.as("fa").crossJoin(fp.as("fb"))
+        .filter(col("fa.doc_id") < col("fb.doc_id") &&
+          TextOps.hamming64(col("fa.sig"), col("fb.sig")) <= 3)
+        .select(col("fa.doc_id").as("doc_a"), col("fb.doc_id").as("doc_b"))
+      val planted = exact.filter(col("doc_b") === col("doc_a") + 100000)
+      val nExact = exact.count()
+      val nPlanted = planted.count()
+      val missing = brute.join(sim, Seq("doc_a", "doc_b"), "left_anti").count()
+      import s.implicits._
+      Seq((nExact, nPlanted, missing == 0L))
+        .toDF("n_exact_pairs", "n_planted_pairs", "pigeonhole_complete")
     }
   )
 }
