@@ -686,6 +686,119 @@ object Events {
           expr("(sx * tc * 1000000L) div (cx * tx)"))
         .select(col("event_type"), col("dow"), col("index_ppm"))
         .orderBy(col("event_type"), col("dow"))
+    },
+
+    // Time-constrained funnel (view → click → purchase, each stage
+    // within 24 h of the PREVIOUS stage's earliest qualifying event):
+    // the product-analytics shape where an unconstrained funnel (q90)
+    // overcounts. Three per-user min aggregates chained by the window
+    // constraint — user-keyed shuffles only, no event×event join.
+    QueryDef.sqlBacked(
+      "q202_windowed_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t0
+        |    AND e.ts <= v.t0 + INTERVAL 24 HOURS GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+        |    AND e.ts <= c.t1 + INTERVAL 24 HOURS GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+        |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t0") &&
+          col("ts") <= col("t0") + expr("interval 24 hours"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t1") &&
+          col("ts") <= col("t1") + expr("interval 24 hours"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      def stage(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("users")).select(lit(tag).as("stage"),
+          col("users"))
+      stage("1_view", v).unionAll(stage("2_click", c))
+        .unionAll(stage("3_purchase", p)).orderBy(col("stage"))
+    },
+
+    // Cohort LTV curves: users cohorted by first-activity week, value
+    // accumulated by cohort age in weeks — the retention table's
+    // revenue twin. Cohorting is one per-user aggregate; the cumulative
+    // sum runs over the (cohort × age) frame, which is weeks², not
+    // users². Age = day-distance div 7 (both engines truncate weeks to
+    // Monday, so the distance is an exact multiple of 7).
+    QueryDef.sqlBacked(
+      "q203_cohort_ltv",
+      """WITH first AS (SELECT user_id,
+        |    CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |weekly AS (SELECT f.cohort,
+        |    CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE) AS wk,
+        |    SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS cents
+        |  FROM events e JOIN first f ON f.user_id = e.user_id
+        |  GROUP BY 1, 2),
+        |aged AS (SELECT cohort, CAST((wk - cohort) // 7 AS BIGINT) AS age,
+        |    cents FROM weekly),
+        |cohort_sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS users
+        |  FROM first GROUP BY 1)
+        |SELECT a.cohort, a.age, s.users,
+        |  CAST(SUM(a.cents) OVER (PARTITION BY a.cohort ORDER BY a.age
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |FROM aged a JOIN cohort_sizes s ON s.cohort = a.cohort
+        |ORDER BY a.cohort, a.age""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts").cast("date")))
+          .cast("date").as("cohort"))
+      val weekly = ev.join(first, "user_id")
+        .groupBy(col("cohort"),
+          date_trunc("week", col("ts").cast("date")).cast("date").as("wk"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val aged = weekly.select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("age"),
+        col("cents"))
+      val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("users"))
+      aged.join(sizes, "cohort")
+        .withColumn("cum_cents", sum(col("cents")).over(
+          Window.partitionBy(col("cohort")).orderBy(col("age"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("cohort"), col("age"), col("users"),
+          col("cum_cents").cast("long"))
+        .orderBy(col("cohort"), col("age"))
+    },
+
+    // Event-type precedence matrix (sequence mining, order-of-first-
+    // occurrence): for every ordered type pair (a, b), how many users
+    // saw a strictly before b. One per-(user, type) min aggregate, then
+    // a user-keyed self-join of the 5-type mins — fan-out is types², not
+    // events².
+    QueryDef.sqlBacked(
+      "q204_event_precedence",
+      """WITH m AS (SELECT user_id, event_type, MIN(ts) AS t
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS first_type, b.event_type AS then_type,
+        |  CAST(COUNT(*) AS BIGINT) AS users
+        |FROM m a JOIN m b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |WHERE a.t < b.t
+        |GROUP BY 1, 2 ORDER BY first_type, then_type""".stripMargin) { (s, dir) =>
+      val m = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("t"))
+      m.as("a").join(m.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type") &&
+            col("a.t") < col("b.t"))
+        .groupBy(col("a.event_type").as("first_type"),
+          col("b.event_type").as("then_type"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("first_type"), col("then_type"))
     }
   )
 }

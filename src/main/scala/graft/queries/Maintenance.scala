@@ -1399,6 +1399,50 @@ object Maintenance {
       import s.implicits._
       val (n, ks, rs) = totals.get()
       Seq((n, ks, rs)).toDF("n_rows", "key_sum", "rk_sum")
+    },
+
+    // SQL ALTER TABLE lifecycle through the catalog: CTAS, ADD COLUMNS
+    // (schema-evolution commit — the pre-evolution file surfaces the
+    // column as null), INSERT with the evolved shape, then RENAME
+    // COLUMN (metadata-only column mapping) — and the final SELECT uses
+    // the NEW name over files written under the OLD physical name. One
+    // hash-checked row certifies the whole DDL chain.
+    QueryDef.sqlBacked(
+      "q205_sql_alter_lifecycle",
+      """WITH a AS (SELECT event_id, value, NULL::BIGINT AS cents
+        |  FROM events WHERE event_id % 6 = 0),
+        |b AS (SELECT event_id + 1000000 AS event_id, value,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 6 = 1),
+        |t AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS amount_cents
+        |FROM t""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.events_alter")
+      s.sql(
+        """CREATE TABLE gcat.default.events_alter AS
+          |SELECT event_id, value FROM events_src
+          |WHERE event_id % 6 = 0""".stripMargin)
+      s.sql("ALTER TABLE gcat.default.events_alter ADD COLUMNS (cents BIGINT)")
+      s.sql(
+        """INSERT INTO gcat.default.events_alter
+          |SELECT event_id + 1000000 AS event_id, value,
+          |  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          |FROM events_src WHERE event_id % 6 = 1""".stripMargin)
+      s.sql("ALTER TABLE gcat.default.events_alter RENAME COLUMN value TO amount")
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+          |  CAST(SUM(CAST(FLOOR(amount * 100) AS BIGINT)) AS BIGINT)
+          |    AS amount_cents
+          |FROM gcat.default.events_alter""".stripMargin)
     }
   )
 }

@@ -137,11 +137,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitionColumns = partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via the catalog is not supported; use the TableWriter " +
-        "evolution APIs (schema evolution commit, renameColumn, " +
-        "setPartitioning)")
+  /** SQL ALTER TABLE mapped onto the engine's evolution commits:
+    * ADD COLUMNS = a schema-evolution Metadata commit (pre-evolution
+    * files surface the column as null, so the column must be nullable);
+    * RENAME COLUMN = the metadata-only column-mapping rename. Anything
+    * else (drops, type changes, repositioning, properties) refuses
+    * loudly — refusal beats silently wrong table state.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(new Path(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    changes.foreach {
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1,
+          "nested ADD COLUMN is not supported")
+        require(ac.isNullable,
+          "an added column must be nullable: files written before the " +
+            "evolution surface it as null")
+        require(ac.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported (columns append)")
+        val log = new TxnLog(dir, conf)
+        val snap = log.snapshotLatest()
+        TxnLog.assertWritable(snap, dir)
+        val m = snap.metadata.getOrElse(throw new IllegalStateException(
+          s"no table metadata at $dir"))
+        val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType]
+        val colName = ac.fieldNames().head
+        require(!schema.fieldNames.contains(colName),
+          s"column '$colName' already exists")
+        val evolved = schema.add(
+          org.apache.spark.sql.types.StructField(colName, ac.dataType(),
+            nullable = true))
+        log.commit(snap.version + 1, Seq(
+          m.copy(schemaJson = evolved.json),
+          CommitInfo("ALTER TABLE ADD COLUMN", System.currentTimeMillis())))
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          "nested RENAME COLUMN is not supported")
+        TableWriter.renameColumn(spark, dir, rc.fieldNames().head,
+          rc.newName(),
+          version = new TxnLog(dir, conf).latestVersion().getOrElse(
+            throw new IllegalStateException(s"no table at $dir")) + 1,
+          commitTs = System.currentTimeMillis())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change $other is not supported (supported: ADD " +
+            "COLUMNS of nullable top-level columns, RENAME COLUMN)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(tableDir(ident))

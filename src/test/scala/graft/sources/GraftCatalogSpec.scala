@@ -198,4 +198,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) AS n FROM gspec.default.t10")
       .head().getLong(0) == 1L)
   }
+
+  test("ALTER TABLE ADD COLUMNS is a schema-evolution commit") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t11")
+    spark.sql("CREATE TABLE gspec.default.t11 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gspec.default.t11 VALUES (1, 'pre')")
+    spark.sql("ALTER TABLE gspec.default.t11 ADD COLUMNS (score BIGINT)")
+    spark.sql("INSERT INTO gspec.default.t11 VALUES (2, 'post', 70)")
+    val rows = spark.sql(
+      """SELECT id, name, score FROM gspec.default.t11 ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // the pre-evolution file surfaces the new column as null
+    assert(rows.toSeq == Seq((1L, "pre", -1L), (2L, "post", 70L)))
+  }
+
+  test("ALTER TABLE RENAME COLUMN routes through column mapping") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t12")
+    spark.sql("CREATE TABLE gspec.default.t12 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gspec.default.t12 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gspec.default.t12 RENAME COLUMN name TO label")
+    val rows = spark.sql(
+      "SELECT id, label FROM gspec.default.t12 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b")),
+      "data written under the old physical name must read back")
+    // metadata-only: no data files rewritten
+    val log = new TxnLog(s"$wh/default/t12", spark.sessionState.newHadoopConf())
+    val m = log.snapshotLatest().metadata.get
+    assert(m.columnMapping.nonEmpty, "rename must record a column mapping")
+  }
+
+  test("unsupported ALTER TABLE shapes refuse loudly") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t13")
+    spark.sql("CREATE TABLE gspec.default.t13 (id BIGINT, name STRING)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gspec.default.t13 DROP COLUMN name")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("not supported") ||
+      m.contains("DROP COLUMN")))
+  }
 }
