@@ -626,6 +626,7 @@ object Pipeline {
             + (lit(1.0) - TextOps.stopwordHits(col("toks")).cast("double")
               / col("ntok")) * 0.4
             + least(lit(1.0), col("ntok") / 100.0) * 0.2)
+        .cache() // one tokenize+score pass feeds stages 1, 2, and 3
       val qk = q.filter(col("ntok") >= 20 && col("quality") >= 0.65)
       val ek = qk.withColumn("rn", row_number().over(
           Window.partitionBy(md5(lower(trim(
@@ -661,7 +662,7 @@ object Pipeline {
           tokCol: org.apache.spark.sql.Column) =
         df.agg(count(lit(1)).as("n"), sum(tokCol).cast("long").as("n_tokens"))
           .select(lit(tag).as("stage"), col("n"), col("n_tokens"))
-      stageRow("1_raw", tok, size(col("toks")))
+      stageRow("1_raw", q, size(col("toks")))
         .unionAll(stageRow("2_quality", qk, col("ntok")))
         .unionAll(stageRow("3_exact", ek, col("ntok")))
         .unionAll(stageRow("4_neardup", nk, col("ntok")))
@@ -758,6 +759,7 @@ object Pipeline {
             + (lit(1.0) - TextOps.stopwordHits(col("toks")).cast("double")
               / col("ntok")) * 0.4
             + least(lit(1.0), col("ntok") / 100.0) * 0.2)
+        .cache() // one tokenize+score pass feeds stages 1, 2, and 3
       val qk = q.filter(col("ntok") >= 20 && col("quality") >= 0.65)
       val ek = qk.withColumn("rn", row_number().over(
           Window.partitionBy(md5(lower(trim(
@@ -798,7 +800,7 @@ object Pipeline {
           tokCol: org.apache.spark.sql.Column) =
         df.agg(count(lit(1)).as("n"), sum(tokCol).cast("long").as("n_tokens"))
           .select(lit(tag).as("stage"), col("n"), col("n_tokens"))
-      stageRow("1_raw", tok, size(col("toks")))
+      stageRow("1_raw", q, size(col("toks")))
         .unionAll(stageRow("2_quality", qk, col("ntok")))
         .unionAll(stageRow("3_exact", ek, col("ntok")))
         .unionAll(stageRow("4_neardup", nk, col("ntok")))

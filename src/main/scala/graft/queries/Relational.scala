@@ -1341,16 +1341,18 @@ object Relational {
       val nodes = edges.select(col("src").as("v"))
         .union(edges.select(col("dst").as("v"))).distinct().cache()
       val deg = edges.groupBy(col("src"))
-        .agg(count(lit(1)).cast("long").as("d")).cache()
+        .agg(count(lit(1)).cast("long").as("d"))
+      // degrees fold into the cached edge list ONCE — they never change,
+      // so joining them per iteration only added a broadcast per round
+      val edgesD = edges.join(deg, "src").cache()
       // the rank vector is |nodes| rows (tiny next to the edge list, as
       // in any real PageRank): BROADCAST it into the edge join, so each
       // iteration costs exactly ONE shuffle (the per-target aggregate) —
       // the edge list itself never moves
       var ranks = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to 4) {
-        val contrib = edges
+        val contrib = edgesD
           .join(broadcast(ranks.withColumnRenamed("v", "src")), "src")
-          .join(broadcast(deg.withColumnRenamed("v", "src")), "src")
           .select(col("dst").as("v"), floorDiv(col("r"), col("d")).as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("s"))
         ranks = nodes.join(broadcast(contrib), Seq("v"), "left")
