@@ -1443,6 +1443,48 @@ object Maintenance {
           |  CAST(SUM(CAST(FLOOR(amount * 100) AS BIGINT)) AS BIGINT)
           |    AS amount_cents
           |FROM gcat.default.events_alter""".stripMargin)
+    },
+
+    // Atomic REPLACE TABLE AS SELECT (StagingTableCatalog): the staged
+    // write + removes of the old snapshot + the NEW schema land in ONE
+    // commit, and the pre-REPLACE state stays time-travelable — both
+    // phases certified under one hash against recomputed anchors.
+    QueryDef.sqlBacked(
+      "q206_sql_replace_table",
+      """SELECT 'a_replaced' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 200) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_id % 9 = 0
+        |UNION ALL
+        |SELECT 'b_original', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |FROM events WHERE event_id % 7 = 0
+        |ORDER BY phase""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.events_rt")
+      s.sql(
+        """CREATE TABLE gcat.default.events_rt AS
+          |SELECT event_id, value FROM events_src
+          |WHERE event_id % 7 = 0""".stripMargin)
+      val vOld = new TxnLog(s"$wh/default/events_rt",
+        s.sessionState.newHadoopConf()).latestVersion().get
+      s.sql(
+        """REPLACE TABLE gcat.default.events_rt AS
+          |SELECT event_id, event_type,
+          |  CAST(FLOOR(value * 200) AS BIGINT) AS double_cents
+          |FROM events_src WHERE event_id % 9 = 0""".stripMargin)
+      s.sql(
+        s"""SELECT 'a_replaced' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(double_cents) AS BIGINT) AS cents
+           |FROM gcat.default.events_rt
+           |UNION ALL
+           |SELECT 'b_original', CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           |FROM gcat.default.events_rt VERSION AS OF $vOld
+           |ORDER BY phase""".stripMargin)
     }
   )
 }

@@ -28,7 +28,8 @@ import scala.jdk.CollectionConverters._
   * columns, footer stats, schema enforcement, and commit rebase all
   * apply to SQL writers for free.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -136,6 +137,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftBatchTable(schema, Map("tablePath" -> dir),
       partitionColumns = partCols)
   }
+
+  // ------ atomic CTAS / REPLACE TABLE AS SELECT (StagingTableCatalog) ------
+  //
+  // Spark stages the table, runs the write INTO the staged handle, and
+  // only then calls commitStagedChanges — which lands the new Metadata,
+  // the removes of every previously-live file (REPLACE), and the staged
+  // AddFiles in ONE log commit. Readers see the old table or the new
+  // one, never a half-written mix; history survives (the pre-REPLACE
+  // state stays time-travelable), unlike a DROP+CREATE emulation.
+
+  private def partColsOf(schema: StructType,
+      partitions: Array[Transform]): Seq[String] = {
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    partCols
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (isTableDir(new Path(tableDir(ident))))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    new StagedGraftTable(tableDir(ident), info.schema(),
+      partColsOf(info.schema(), info.partitions()), replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!isTableDir(new Path(tableDir(ident))))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new StagedGraftTable(tableDir(ident), info.schema(),
+      partColsOf(info.schema(), info.partitions()), replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, info: TableInfo): StagedTable =
+    new StagedGraftTable(tableDir(ident), info.schema(),
+      partColsOf(info.schema(), info.partitions()), replace = true)
 
   /** SQL ALTER TABLE mapped onto the engine's evolution commits:
     * ADD COLUMNS = a schema-evolution Metadata commit (pre-evolution
@@ -259,6 +301,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalStateException(
           s"namespace ${namespace.mkString(".")} is not empty")
       fs.delete(p, true)
+    }
+  }
+}
+
+/** The staged handle behind atomic CTAS / RTAS: the write stages data
+  * files into the table tree (uncommitted files are invisible to
+  * readers), and `commitStagedChanges` lands new Metadata + removes of
+  * the previous snapshot's files (REPLACE) + the staged adds in ONE
+  * commit. `abortStagedChanges` deletes the staged files — the table is
+  * untouched on any failure.
+  */
+private[sources] class StagedGraftTable(
+    dir: String,
+    tableSchema: StructType,
+    partCols: Seq[String],
+    replace: Boolean) extends StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def conf = spark.sessionState.newHadoopConf()
+  private val stagedAdds =
+    scala.collection.mutable.ArrayBuffer.empty[AddFile]
+  private val commitTs = System.currentTimeMillis()
+
+  override def name(): String = dir
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // truncate is a no-op for a staged write: REPLACE removes the old
+      // snapshot's files in the atomic commit anyway
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(
+                  data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                // stage only — the commit happens in commitStagedChanges
+                val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+                val s = data.sparkSession
+                val prev = s.conf.getOption(tsTypeKey)
+                s.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+                try stagedAdds ++= TableWriter.stageAndMove(s, data, dir,
+                  partCols, version = commitTs, commitTs = commitTs,
+                  dataChange = true)
+                finally prev match {
+                  case Some(v) => s.conf.set(tsTypeKey, v)
+                  case None    => s.conf.unset(tsTypeKey)
+                }
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val log = new TxnLog(dir, conf)
+    var attempt = 0
+    while (true) {
+      val latest = log.latestVersion()
+      if (!replace && latest.isDefined)
+        throw new IllegalStateException(
+          s"table appeared concurrently at $dir — staged CREATE aborted")
+      val removes: Seq[Action] = latest match {
+        case Some(_) =>
+          val snap = log.snapshotLatest()
+          TxnLog.assertWritable(snap, dir)
+          snap.files.map(f => RemoveFile(f.path, commitTs, f.partitionValues))
+        case None => Seq.empty
+      }
+      val next = latest.map(_ + 1).getOrElse(0L)
+      val op = if (replace && latest.isDefined) "REPLACE TABLE AS SELECT"
+        else "CREATE TABLE AS SELECT"
+      try {
+        log.commit(next,
+          Metadata(tableSchema.json, partCols) +: removes ++:
+            (stagedAdds.toSeq :+ CommitInfo(op, commitTs)))
+        return
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("concurrent commit") =>
+          attempt += 1
+          if (attempt > 20) { abortStagedChanges(); throw e }
+          Thread.sleep(1L + scala.util.Random.nextInt(8))
+      }
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = new Path(dir).getFileSystem(conf)
+    stagedAdds.foreach { a =>
+      try fs.delete(new Path(TxnLog.dataPath(dir, a.path)), false)
+      catch { case _: Throwable => () }
     }
   }
 }

@@ -343,7 +343,7 @@ object TableWriter {
     * under stable names, and return their AddFile actions (including
     * footer-derived column stats for data skipping).
     */
-  private def stageAndMove(
+  private[graft] def stageAndMove(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,

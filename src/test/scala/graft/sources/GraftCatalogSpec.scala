@@ -231,6 +231,61 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(m.columnMapping.nonEmpty, "rename must record a column mapping")
   }
 
+  test("CTAS is ONE atomic commit: metadata and files land together") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t14")
+    spark.sql(
+      """CREATE TABLE gspec.default.t14 AS
+        |SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, tag)""".stripMargin)
+    val log = new TxnLog(s"$wh/default/t14", spark.sessionState.newHadoopConf())
+    assert(log.versions() == Seq(0L),
+      s"CTAS must be one commit, got versions ${log.versions()}")
+    val v0 = log.read(0L)
+    assert(v0.exists(_.isInstanceOf[graft.txn.Metadata]))
+    assert(v0.count(_.isInstanceOf[graft.txn.AddFile]) > 0,
+      "the staged data files commit in the SAME version as the metadata")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gspec.default.t14")
+      .head().getLong(0) == 2L)
+  }
+
+  test("REPLACE TABLE AS SELECT is atomic and keeps history") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t15")
+    spark.sql(
+      """CREATE TABLE gspec.default.t15 AS
+        |SELECT * FROM VALUES (1, 'old') AS v(id, tag)""".stripMargin)
+    spark.sql(
+      """REPLACE TABLE gspec.default.t15 AS
+        |SELECT * FROM VALUES (10, 'new', 1.5), (11, 'new', 2.5)
+        |  AS v(id, tag, score)""".stripMargin)
+    // new shape + data visible
+    val rows = spark.sql(
+      "SELECT id, tag, CAST(score AS DOUBLE) FROM gspec.default.t15 ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((10, "new", 1.5), (11, "new", 2.5)))
+    // exactly one commit on top of the CTAS, and the old state is
+    // still time-travelable
+    val log = new TxnLog(s"$wh/default/t15", spark.sessionState.newHadoopConf())
+    assert(log.versions() == Seq(0L, 1L))
+    val old = spark.sql(
+      "SELECT id, tag FROM gspec.default.t15 VERSION AS OF 0")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(old.toSeq == Seq((1, "old")))
+  }
+
+  test("REPLACE refuses a missing table; CREATE OR REPLACE accepts it") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspec.default.t16")
+    intercept[Exception] {
+      spark.sql(
+        "REPLACE TABLE gspec.default.t16 AS SELECT 1 AS id")
+    }
+    spark.sql(
+      "CREATE OR REPLACE TABLE gspec.default.t16 AS SELECT 1 AS id")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gspec.default.t16")
+      .head().getLong(0) == 1L)
+  }
+
   test("unsupported ALTER TABLE shapes refuse loudly") {
     wh
     spark.sql("DROP TABLE IF EXISTS gspec.default.t13")
