@@ -17,10 +17,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Pm
   * and the vector kernels without touching Scala.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -63,6 +67,35 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         MinHashSigExpr(children.head, intLit(children(1), "graft_minhash"))))
 
+  /** Table-valued functions — SQL access to whole-relation surfaces
+    * (the Delta `table_changes` idea):
+    *
+    *   SELECT * FROM graft_changes('/data/t', 0)
+    *
+    * returns the CDC envelope (op/partition/ts/version + payload) from
+    * `startingVersion`, snapshot-first (includeHistory defaults true;
+    * pass false for incremental-only). Args must be literals — the
+    * table's schema is resolved at PLANNING time from its log.
+    */
+  val tableFunctions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(
+      ("graft_changes",
+        info("graft_changes",
+          "graft_changes(tablePath, startingVersion[, includeHistory]) - " +
+            "CDC rows of a graft table from a version"),
+        (children: Seq[Expression]) => {
+          require(children.size >= 2 && children.size <= 3,
+            "graft_changes(tablePath, startingVersion[, includeHistory])")
+          val path = strLitOf(children.head, "graft_changes")
+          val sv = longLitOf(children(1), "graft_changes")
+          val hist = children.lift(2).forall(boolLitOf(_, "graft_changes"))
+          graft.txn.CdcReader.cdc(
+            org.apache.spark.sql.SparkSession.active, path,
+            startingVersion = sv, includeHistory = hist)
+            .queryExecution.logical
+        }))
+
   /** SQL literal → Int for kernel shape parameters (k, numHashes): these
     * fix the expression's output type/semantics, so a non-literal is a
     * planning error, reported as one.
@@ -73,10 +106,37 @@ object GraftExtensions {
       s"$fn expects a literal integer shape parameter, got $other")
   }
 
+  private def strLitOf(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v != null && e.dataType ==
+          org.apache.spark.sql.types.StringType =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string table path, got $other")
+  }
+
+  private def longLitOf(e: Expression, fn: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal version number, got $other")
+  }
+
+  private def boolLitOf(e: Expression, fn: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal boolean, got $other")
+  }
+
   /** Register on an already-built session (tests, notebooks). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), inf, builder)
     }
+    tableFunctions.foreach { case (name, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+  }
 }

@@ -290,6 +290,32 @@ object Cdc {
       SnapshotReader.read(s, mvPath)
         .select(col("l_linestatus"), col("n_events"), col("qty"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // q60's envelope through the SQL table-valued function instead of
+    // the Scala API: `SELECT ... FROM graft_changes(path, 0)` — the
+    // Delta `table_changes` idea, registered via SparkSessionExtensions
+    // so SQL-only users get CDC without touching the DataFrame API.
+    QueryDef.sqlBacked(
+      "q207_sql_table_changes",
+      """SELECT 'c' AS op,
+        |  CAST(COUNT(*)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 97 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 89 = 0) AS BIGINT) AS n
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'm' AS op, CAST(1 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'r' AS op,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n
+        |FROM lineitem
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT op, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM graft_changes('$table', 0)
+           |GROUP BY op ORDER BY op""".stripMargin)
     }
   )
 }

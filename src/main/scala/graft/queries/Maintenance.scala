@@ -1485,6 +1485,61 @@ object Maintenance {
            |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
            |FROM gcat.default.events_rt VERSION AS OF $vOld
            |ORDER BY phase""".stripMargin)
+    },
+
+    // SQL MERGE INTO + UPDATE through the group-based copy-on-write
+    // row-level operation (RowLevelSpec pins atomicity and the
+    // untouched-group contract; this row certifies VALUES end-to-end):
+    // matched keys take the source's cents, unmatched keys insert, then
+    // an UPDATE bumps a slice — the final state recomputed by DuckDB
+    // from the same arithmetic.
+    QueryDef.sqlBacked(
+      "q208_sql_merge_update",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 8 = 0 AND event_id % 16 <> 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT)
+        |  FROM events WHERE event_id % 16 = 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT)
+        |  FROM events WHERE event_id % 8 = 3),
+        |u AS (SELECT event_id,
+        |    cents + CASE WHEN event_id % 5 = 0 THEN 7 ELSE 0 END AS cents
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM u""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.events_merge")
+      s.sql(
+        """CREATE TABLE gcat.default.events_merge AS
+          |SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          |FROM events_src WHERE event_id % 8 = 0""".stripMargin)
+      s.sql(
+        """SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT) AS cents
+          |FROM events_src
+          |WHERE event_id % 16 = 0 OR event_id % 8 = 3""".stripMargin)
+        .createOrReplaceTempView("merge_src")
+      s.sql(
+        """MERGE INTO gcat.default.events_merge t USING merge_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (event_id, cents)
+          |  VALUES (s.event_id, s.cents)""".stripMargin)
+      s.sql(
+        """UPDATE gcat.default.events_merge SET cents = cents + 7
+          |WHERE event_id % 5 = 0""".stripMargin)
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+          |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+          |FROM gcat.default.events_merge""".stripMargin)
     }
   )
 }

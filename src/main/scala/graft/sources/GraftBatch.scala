@@ -60,6 +60,11 @@ class GraftBatch extends TableProvider with DataSourceRegister {
 
 private[sources] object GraftBatch {
 
+  /** Metadata column exposing each row's source data file (absolute
+    * path) — the group key for row-level MERGE/UPDATE runtime filtering.
+    */
+  val FileMetadataColumn = "_graft_file"
+
   /** The snapshot a scan binds to: resolved once, on the driver. */
   final case class Resolved(
       tablePath: String,
@@ -145,7 +150,43 @@ private[sources] class GraftBatchTable(
   extends Table
   with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_graft_file`: each row's source file — selectable, and the group
+    * key behind row-level MERGE/UPDATE runtime filtering.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftBatch.FileMetadataColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    })
+
+  /** SQL `MERGE INTO` / `UPDATE` (and predicate DELETEs SupportsDelete
+    * refuses): group-based copy-on-write — see [[GraftRowLevelOperation]].
+    * Tables whose write path would be bypassed unsafely (column mapping,
+    * CHECK constraints, generated columns) refuse loudly.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val path = properties("tablePath")
+    val snap = new TxnLog(path, org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()).snapshotLatest()
+    snap.metadata.foreach { m =>
+      if (m.columnMapping.nonEmpty || m.constraints.nonEmpty ||
+        m.generatedColumns.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"row-level ${info.command()} on a table with column mapping, " +
+            s"constraints, or generated columns is not supported ($path)")
+    }
+    () => new GraftRowLevelOperation(info.command(), properties,
+      partitionColumns)
+  }
 
   /** `DELETE FROM` / `TRUNCATE TABLE`: the pushed filters become the
     * TableWriter.deleteWhere predicate — affected-file discovery,
@@ -406,11 +447,49 @@ private[sources] class GraftBatchScanBuilder(
 
 private[sources] class GraftBatchScan(
     resolved: GraftBatch.Resolved,
-    val kept: Seq[AddFile],
+    kept0: Seq[AddFile],
     val required: StructType,
     val limit: Int,
     options: Map[String, String] = Map.empty)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Post-pushdown (and, under a row-level rewrite, post-runtime-group-
+    * filter) live file set — also the replaced-group record the
+    * row-level write commits removes for.
+    */
+  @volatile var kept: Seq[AddFile] = kept0
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftBatch.FileMetadataColumn))
+
+  /** Runtime group filtering (row-level MERGE/UPDATE): Spark hands back
+    * the distinct `_graft_file` values that contain matches as an IN
+    * predicate; files outside it are never rewritten. Unknown predicate
+    * shapes are ignored — pruning is an optimization, never required
+    * for correctness.
+    */
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        p.children().head match {
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference
+              if ref.fieldNames().sameElements(
+                Array(GraftBatch.FileMetadataColumn)) =>
+            val values: Set[String] = p.children().drop(1).collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                String.valueOf(l.value)
+            }.toSet
+            kept = kept.filter(f => values.contains(
+              TxnLog.dataPath(resolved.tablePath, f.path)))
+          case _ => ()
+        }
+      }
+    }
 
   /** `spark.readStream.table(...)`: tail the table's commit log as an
     * append-only stream of PAYLOAD rows — the current snapshot first
@@ -727,7 +806,11 @@ private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
     while (i < schema.length) {
       val f = schema(i)
       row(i) =
-        if (p.partitionValues.contains(f.name))
+        if (f.name == GraftBatch.FileMetadataColumn)
+          // the `_graft_file` metadata column: the absolute data path,
+          // matching what the runtime group filter compares against
+          org.apache.spark.unsafe.types.UTF8String.fromString(p.filePath)
+        else if (p.partitionValues.contains(f.name))
           GroupRows.castPartitionValue(p.partitionValues(f.name), f.dataType)
         else if (!fileSchema.containsField(f.name)) null // schema evolution
         else {
