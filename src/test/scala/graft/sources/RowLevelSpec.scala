@@ -116,6 +116,19 @@ class RowLevelSpec extends AnyFunSuite {
     assert(old == 10L + 20L + 30L + 110L + 120L + 130L)
   }
 
+  test("a DELETE SupportsDelete can't translate falls back to the rewrite") {
+    freshTable("d1")
+    val vBefore = log("d1").latestVersion().get
+    // v % 2 = 1 has no V1 Filter form, so canDeleteWhere refuses and
+    // Spark routes through the row-level copy-on-write path instead
+    spark.sql("DELETE FROM grl.default.d1 WHERE v % 20 = 10")
+    assert(log("d1").latestVersion().get == vBefore + 1)
+    val ids = spark.sql("SELECT id FROM grl.default.d1 ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(2L, 12L),
+      s"v in {10,30,110,130} (ids 1,3,11,13) must be deleted, got ${ids.toSeq}")
+  }
+
   test("the _graft_file metadata column is selectable") {
     freshTable("t2")
     val files = spark.sql(
