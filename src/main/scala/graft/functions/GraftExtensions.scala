@@ -94,6 +94,20 @@ object GraftExtensions {
             org.apache.spark.sql.SparkSession.active, path,
             startingVersion = sv, includeHistory = hist)
             .queryExecution.logical
+        }),
+      ("graft_history",
+        info("graft_history",
+          "graft_history(tablePath) - commit history of a graft table " +
+            "(version, operation, commit_ts, n_added, n_removed), newest first"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_history(tablePath)")
+          val path = strLitOf(children.head, "graft_history")
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          new graft.txn.TxnLog(path, spark.sessionState.newHadoopConf())
+            .history()
+            .toDF("version", "operation", "commit_ts", "n_added", "n_removed")
+            .queryExecution.logical
         }))
 
   /** SQL literal → Int for kernel shape parameters (k, numHashes): these

@@ -1540,6 +1540,27 @@ object Maintenance {
           |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
           |  CAST(SUM(event_id) AS BIGINT) AS id_sum
           |FROM gcat.default.events_merge""".stripMargin)
+    },
+
+    // DESCRIBE HISTORY as SQL: the graft_history table function over
+    // the restore fixture, whose commit sequence (and deterministic
+    // commitTs values) IS the oracle — write, append, delete-rewrite,
+    // restore, newest first.
+    QueryDef.sqlBacked(
+      "q209_sql_history",
+      """SELECT * FROM (VALUES
+        |  (CAST(3 AS BIGINT), 'RESTORE', CAST(4000 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'DELETE',  CAST(3000 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'WRITE',   CAST(2000 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'WRITE',   CAST(1000 AS BIGINT)))
+        |  t(version, operation, commit_ts)
+        |ORDER BY version DESC""".stripMargin) { (s, dir) =>
+      val table = restoreFixture(s, dir)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT version, operation, commit_ts
+           |FROM graft_history('$table')
+           |ORDER BY version DESC""".stripMargin)
     }
   )
 }
