@@ -316,6 +316,75 @@ object Cdc {
         s"""SELECT op, CAST(COUNT(*) AS BIGINT) AS n
            |FROM graft_changes('$table', 0)
            |GROUP BY op ORDER BY op""".stripMargin)
+    },
+
+    // APPLY CHANGES: stream the CDC envelope from table A and replay it
+    // into table B — per micro-batch, removes apply FIRST as a keyed DV
+    // delete (left-semi join, no driver-side key list), then inserts
+    // append — so B's final state must equal A's final snapshot, which
+    // the oracle recomputes from the fixture arithmetic. The Delta
+    // "apply changes into" shape: deletes are DV-cheap at write time,
+    // appends are plain commits, and the whole replay is one streaming
+    // query.
+    QueryDef.sqlBacked(
+      "q210_cdc_apply",
+      """WITH fin AS (
+        |  SELECT * FROM lineitem WHERE l_returnflag <> 'R'
+        |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 97 = 0
+        |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 89 = 0)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS qty
+        |FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      val src = buildFixture(s, dir)
+      val dst = java.nio.file.Files.createTempDirectory("cdc_apply").toString
+      new java.io.File(dst).delete()
+      // this synthetic lineitem declares NO primary key (the classic
+      // (l_orderkey, l_linenumber) pair repeats), so the replay uses
+      // FULL-ROW identity for removes — with a declared key, pass the
+      // key columns instead
+      val envelope = Seq("op", "partition_value", "ts", "commit_version")
+      val q = s.readStream.format("graft.sources.GraftCdc")
+        .option("tablePath", src)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // a micro-batch may span several source commits (admission
+          // control decides); replay in commit order — each version's
+          // removes reference the state BEFORE its inserts
+          val b = batch.persist()
+          try {
+            val versions = b.select(col("commit_version")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            versions.foreach { v =>
+              val bv = b.filter(col("commit_version") === v)
+              def log = new TxnLog(dst, s.sessionState.newHadoopConf())
+              val dels = bv.filter(col("op") === "r").drop(envelope: _*)
+              if (!dels.isEmpty) {
+                DeletionVectors.deleteMatching(s, dst, dels,
+                  dels.columns.toSeq,
+                  version = log.latestVersion().get + 1,
+                  commitTs = System.currentTimeMillis())
+              }
+              val ins = bv.filter(col("op") === "c").drop(envelope: _*)
+              if (!ins.isEmpty) {
+                TableWriter.write(s, ins, dst,
+                  version = log.latestVersion().map(_ + 1).getOrElse(0L),
+                  commitTs = System.currentTimeMillis())
+              }
+            }
+          } finally { b.unpersist(); () }
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_apply_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      SnapshotReader.read(s, dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -148,17 +148,40 @@ object DeletionVectors {
       tablePath: String,
       pred: Column,
       version: Long,
-      commitTs: Long): Unit = {
+      commitTs: Long): Unit =
+    deleteRows(spark, tablePath, version, commitTs, live => live.filter(pred))
+
+  /** Keyed DV delete — the CDC-apply shape: rows whose `keyCols` match
+    * a row of `keys` are marked dead (left-semi join instead of a
+    * predicate, so the delete side can be a full frame of arbitrary
+    * size — no driver-side IN-list).
+    */
+  def deleteMatching(
+      spark: SparkSession,
+      tablePath: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      version: Long,
+      commitTs: Long): Unit =
+    deleteRows(spark, tablePath, version, commitTs,
+      live => live.join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi"))
+
+  private def deleteRows(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      commitTs: Long,
+      mark: DataFrame => DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     TxnLog.assertWritable(snap, tablePath)
-    // pred evaluates over the LIVE view (already-deleted rows can't
-    // re-match — their deleted_at must keep the original version)
+    // the marker evaluates over the LIVE view (already-deleted rows
+    // can't re-match — their deleted_at must keep the original version)
     // persisted: feeds both the affected-file discovery and the vector
-    // write — without it the predicate scan runs twice
-    val matched = readSnapshot(spark, tablePath, snap, withRowMeta = true)
-      .filter(pred)
+    // write — without it the marking scan runs twice
+    val matched = mark(readSnapshot(spark, tablePath, snap, withRowMeta = true))
       .select(col("_fn").as("file_name"), col("_ri").as("row_index"),
         lit(version).as("deleted_at"))
       .persist()
