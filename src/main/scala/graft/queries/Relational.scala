@@ -1332,36 +1332,14 @@ object Relational {
         |         GROUP BY e.dst) s ON s.v = n.v)
         |SELECT CAST(v AS BIGINT) AS node, r AS rank_ppm
         |FROM r4 ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
-      def floorDiv(a: Column, b: Column): Column =
-        ((a - a % b) / b).cast("long")
+      // rank-frame placement is size-gated inside the operator: small
+      // graphs broadcast the node-sized rank frame into the edge join,
+      // billion-node graphs fall back to shuffle-hash joins where only
+      // the rank frame moves (the cached edge list is pre-partitioned)
       val edges = Tables.load(s, dir, "orders")
         .select((col("o_orderkey") % 1000).as("src"),
           (col("o_custkey") % 1000).as("dst"))
-        .distinct().cache()
-      val nodes = edges.select(col("src").as("v"))
-        .union(edges.select(col("dst").as("v"))).distinct().cache()
-      val deg = edges.groupBy(col("src"))
-        .agg(count(lit(1)).cast("long").as("d"))
-      // degrees fold into the cached edge list ONCE — they never change,
-      // so joining them per iteration only added a broadcast per round
-      val edgesD = edges.join(deg, "src").cache()
-      // the rank vector is |nodes| rows (tiny next to the edge list, as
-      // in any real PageRank): BROADCAST it into the edge join, so each
-      // iteration costs exactly ONE shuffle (the per-target aggregate) —
-      // the edge list itself never moves
-      var ranks = nodes.withColumn("r", lit(1000000L))
-      for (_ <- 1 to 4) {
-        val contrib = edgesD
-          .join(broadcast(ranks.withColumnRenamed("v", "src")), "src")
-          .select(col("dst").as("v"), floorDiv(col("r"), col("d")).as("c"))
-          .groupBy(col("v")).agg(sum(col("c")).as("s"))
-        ranks = nodes.join(broadcast(contrib), Seq("v"), "left")
-          .select(col("v"),
-            (lit(150000L) + floorDiv(lit(85L) * coalesce(col("s"), lit(0L)),
-              lit(100L))).as("r"))
-          .localCheckpoint(eager = false) // cut the per-iteration lineage
-      }
-      ranks
+      graft.operators.PageRank.run(s, edges, iterations = 4)
         .select(col("v").cast("long").as("node"), col("r").as("rank_ppm"))
         .orderBy(col("rank_ppm").desc, col("node")).limit(20)
     }
