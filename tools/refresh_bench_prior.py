@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Refresh the bench-prior resource from the latest driver BENCH artifact.
+
+The bench noise protocol (Bench.scala) re-measures any query >2x its
+prior-round time. The driver's workspace has no BENCH_r*.json in cwd, so
+the prior rides the CLASSPATH as src/main/resources/graft/bench_prior.json
+— run this at round start (after the driver drops BENCH_r{N}.json) to
+refresh it. Takes min over every occurrence of a query key in the tail
+(first pass vs re-measure), which is the better estimate of intrinsic
+cost under load.
+
+Usage: python3 tools/refresh_bench_prior.py [BENCH_rNN.json]
+       (default: highest-numbered BENCH_r*.json in the repo root)
+"""
+import glob
+import json
+import re
+import sys
+
+repo = __file__.rsplit("/", 2)[0]
+src = (sys.argv[1] if len(sys.argv) > 1
+       else sorted(glob.glob(f"{repo}/BENCH_r*.json"))[-1])
+d = json.load(open(src))
+tail = d["tail"] if isinstance(d, dict) and "tail" in d else json.dumps(d)
+prior = {}
+for m in re.finditer(r'"(q\d+)":\s*([0-9.]+)', tail):
+    k, v = m.group(1), float(m.group(2))
+    prior[k] = min(prior.get(k, v), v)
+out = {
+    "source": f"{src.rsplit('/', 1)[-1]} driver tail "
+              "(min of first-pass and re-measure)",
+    "sf": d.get("sf") if isinstance(d, dict) else None,
+    "times": dict(sorted(prior.items())),
+}
+dst = f"{repo}/src/main/resources/graft/bench_prior.json"
+json.dump(out, open(dst, "w"), indent=1)
+print(f"{dst}: {len(prior)} queries from {src}")
