@@ -1561,6 +1561,72 @@ object Maintenance {
         s"""SELECT version, operation, commit_ts
            |FROM graft_history('$table')
            |ORDER BY version DESC""".stripMargin)
+    },
+
+    // MERGE/UPDATE into a table with BOTH a CHECK constraint and a
+    // generated partition column: the row-level write validates the
+    // replacement rows (one-pass constraint + generated-column
+    // agreement, same rules as the append path) before committing —
+    // the combination the r7 surface refused. The merge UPDATE leaves
+    // the generated band untouched (agreement preserved); the INSERT
+    // branch supplies it explicitly and validation certifies it; the
+    // final per-band rollup recomputes the same arithmetic in DuckDB.
+    QueryDef.sqlBacked(
+      "q211_sql_merge_constrained",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 8 = 0 AND event_id % 16 <> 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT)
+        |  FROM events WHERE event_id % 16 = 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT)
+        |  FROM events WHERE event_id % 8 = 3),
+        |u AS (SELECT event_id,
+        |    cents + CASE WHEN event_id % 5 = 0 THEN 7 ELSE 0 END AS cents
+        |  FROM t)
+        |SELECT CAST(event_id % 4 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM u GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = s"$wh/default/events_cmerge"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val seed = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 8 === 0)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_id") % 4).as("band"))
+      TableWriter.write(s, seed, path, partitionBy = Seq("band"),
+        version = 0L, commitTs = 1000L,
+        generated = Map("band" -> "event_id % 4"))
+      TableWriter.addConstraint(s, path, "cents >= 0",
+        version = 1L, commitTs = 2000L)
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") % 16 === 0 || col("event_id") % 8 === 3)
+        .select(col("event_id"),
+          floor(col("value") * 200).cast("long").as("cents"))
+        .createOrReplaceTempView("cmerge_src")
+      s.sql(
+        """MERGE INTO gcat.default.events_cmerge t USING cmerge_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (event_id, cents, band)
+          |  VALUES (s.event_id, s.cents, s.event_id % 4)""".stripMargin)
+      s.sql(
+        """UPDATE gcat.default.events_cmerge SET cents = cents + 7
+          |WHERE event_id % 5 = 0""".stripMargin)
+      s.sql(
+        """SELECT CAST(band AS BIGINT) AS band,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+          |FROM gcat.default.events_cmerge
+          |GROUP BY band ORDER BY band""".stripMargin)
     }
   )
 }

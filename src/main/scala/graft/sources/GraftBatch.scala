@@ -168,8 +168,11 @@ private[sources] class GraftBatchTable(
 
   /** SQL `MERGE INTO` / `UPDATE` (and predicate DELETEs SupportsDelete
     * refuses): group-based copy-on-write — see [[GraftRowLevelOperation]].
-    * Tables whose write path would be bypassed unsafely (column mapping,
-    * CHECK constraints, generated columns) refuse loudly.
+    * CHECK constraints and generated columns are enforced over the
+    * replacement rows before the commit (same one-pass rules as the
+    * append path). Column-mapped tables still refuse: the rewrite
+    * writer emits logical field names, which a mapped table's files
+    * must not contain.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -178,11 +181,10 @@ private[sources] class GraftBatchTable(
     val snap = new TxnLog(path, org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()).snapshotLatest()
     snap.metadata.foreach { m =>
-      if (m.columnMapping.nonEmpty || m.constraints.nonEmpty ||
-        m.generatedColumns.nonEmpty)
+      if (m.columnMapping.nonEmpty)
         throw new UnsupportedOperationException(
-          s"row-level ${info.command()} on a table with column mapping, " +
-            s"constraints, or generated columns is not supported ($path)")
+          s"row-level ${info.command()} on a table with column mapping " +
+            s"is not supported ($path)")
     }
     () => new GraftRowLevelOperation(info.command(), properties,
       partitionColumns)
@@ -459,6 +461,14 @@ private[sources] class GraftBatchScan(
     * row-level write commits removes for.
     */
   @volatile var kept: Seq[AddFile] = kept0
+
+  /** Conflict-detection anchors for the row-level write: the snapshot
+    * version this scan bound, and the full bound file set (so a re-add
+    * of a pre-existing path — a DV delete — is distinguishable from a
+    * genuinely new file).
+    */
+  private[sources] def boundVersion: Long = resolved.version
+  private[sources] def boundResolved: GraftBatch.Resolved = resolved
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =

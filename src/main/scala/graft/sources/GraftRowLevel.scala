@@ -34,6 +34,10 @@ private[sources] class GraftRowLevelOperation(
   // execution its `kept` list is exactly the post-runtime-filter group
   // set the write must replace
   @volatile private var builtScan: GraftBatchScan = _
+  // the scan's pushed filters — the operation's read predicate, used to
+  // decide whether a concurrently appended file could have matched
+  @volatile private var builtFilters: Array[
+    org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -41,7 +45,8 @@ private[sources] class GraftRowLevelOperation(
     val merged = properties ++ options.asCaseSensitiveMap().asScala
     new GraftBatchScanBuilder(GraftBatch.resolve(merged), merged) {
       override def build(): Scan = super.build() match {
-        case g: GraftBatchScan => builtScan = g; g
+        case g: GraftBatchScan =>
+          builtScan = g; builtFilters = pushedFilters(); g
         case other => other // agg pushdown never fires under a rewrite
       }
     }
@@ -52,7 +57,7 @@ private[sources] class GraftRowLevelOperation(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftRowLevelBatchWrite(
           tablePath, info.schema(), partitionColumns,
-          () => Option(builtScan).map(_.kept).getOrElse(Seq.empty),
+          () => Option(builtScan), () => builtFilters,
           cmd.toString)
       }
     }
@@ -63,14 +68,26 @@ private[sources] class GraftRowLevelOperation(
 
 /** The replacing write: task writers reuse the streaming sink's
   * parquet writer (hive layout, attempt-unique names, footer stats);
-  * the driver commits removes+adds atomically with a liveness check on
-  * every replaced file.
+  * the driver validates the replacement rows against the table's
+  * write-path rules (CHECK constraints, generated columns), then
+  * commits removes+adds atomically under two conflict checks:
+  *
+  *  - IDENTITY, not path, on every replaced file — a concurrent
+  *    deletion-vector delete re-commits the SAME path with a new dv
+  *    pointer, which a path-liveness check would wave through and
+  *    thereby resurrect the concurrently deleted rows;
+  *  - no concurrently APPENDED file may have matched the operation's
+  *    read (stats overlap against the pushed predicate ranges; a read
+  *    with no pushable predicate — e.g. a MERGE join — conservatively
+  *    conflicts with any append), otherwise a row inserted during a
+  *    MERGE on the same key would survive as a duplicate.
   */
 private[sources] class GraftRowLevelBatchWrite(
     tablePath: String,
     writeSchema: StructType,
     partCols: Seq[String],
-    replacedFiles: () => Seq[AddFile],
+    boundScan: () => Option[GraftBatchScan],
+    pushedFilters: () => Array[org.apache.spark.sql.sources.Filter],
     op: String) extends BatchWrite {
 
   require(!writeSchema.fieldNames.contains(GraftBatch.FileMetadataColumn),
@@ -93,27 +110,87 @@ private[sources] class GraftRowLevelBatchWrite(
       catch { case _: Throwable => () })
   }
 
+  /** One-pass validation of the replacement rows: read the staged (not
+    * yet committed, so invisible to other readers) files back with the
+    * DECLARED schema and enforce CHECK constraints plus generated-column
+    * agreement — the same rules the append path runs. The rewrite plan
+    * supplies every column, so generated columns are VALIDATED (a value
+    * disagreeing with its GENERATED ALWAYS AS expression fails the
+    * statement) rather than recomputed.
+    */
+  private def validateReplacement(adds: Seq[AddFile], log: TxnLog): Unit = {
+    if (adds.isEmpty) return
+    val meta = log.snapshotLatest().metadata.getOrElse(return)
+    val genChecks = meta.generatedColumns.toSeq.map { case (c, e) =>
+      s"`$c` <=> ($e)"
+    }
+    if (meta.constraints.isEmpty && genChecks.isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val staged = spark.read.schema(declared)
+      .option("basePath", tablePath)
+      .parquet(adds.map(a => TxnLog.dataPath(tablePath, a.path)): _*)
+    try TableWriter.enforceConstraints(
+      staged, meta.constraints ++ genChecks, tablePath)
+    catch { case t: Throwable => dropFiles(adds); throw t }
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.flatMap {
       case m: GraftStreamCommitMessage => m.adds
       case _ => Seq.empty
     }.toSeq
-    val removes = replacedFiles()
+    val scan = boundScan()
+    val removes = scan.map(_.kept).getOrElse(Seq.empty)
     val log = new TxnLog(tablePath, conf)
+    validateReplacement(adds, log)
     val ts = System.currentTimeMillis()
     var attempt = 0
     while (true) {
       val snap = log.snapshotLatest()
       TxnLog.assertWritable(snap, tablePath)
-      // every replaced file must still be live: a concurrent OPTIMIZE /
-      // DELETE that removed one means the replacement content is stale
-      val live = snap.files.map(_.path).toSet
-      val gone = removes.filterNot(r => live.contains(r.path))
-      if (gone.nonEmpty) {
+      // every replaced file must still be live AS SCANNED — identity,
+      // not path: a concurrent DV delete re-adds the same path with a
+      // new dv pointer, and replacing it from the pre-DV content would
+      // silently resurrect the concurrently deleted rows
+      val current = snap.files.map(f => f.path -> f).toMap
+      val stale = removes.filterNot(r => current.get(r.path).contains(r))
+      if (stale.nonEmpty) {
         dropFiles(adds)
         throw new IllegalStateException(
-          s"$op conflict at $tablePath: ${gone.size} scanned file(s) no " +
-            s"longer live (e.g. ${gone.head.path}) — re-run the statement")
+          s"$op conflict at $tablePath: ${stale.size} scanned file(s) " +
+            s"changed or vanished since the scan (e.g. " +
+            s"${stale.head.path}) — re-run the statement")
+      }
+      // no concurrently appended file may have matched this operation's
+      // read: stats overlap vs the pushed predicate ranges; with no
+      // pushable predicate the read was effectively full-table (MERGE
+      // join), so ANY genuinely new file conflicts
+      scan.foreach { sc =>
+        val resolved = sc.boundResolved
+        val boundPaths = resolved.files.map(_.path).toSet
+        val appended = log.versions().filter(_ > sc.boundVersion)
+          .flatMap(v => log.read(v))
+          .collect {
+            case a: AddFile if a.dataChange && !boundPaths.contains(a.path) => a
+          }
+        val ranges = pushedFilters().flatMap(GraftBatch.rangesOf).toSeq
+        val matching =
+          if (appended.isEmpty) Seq.empty
+          else if (ranges.isEmpty) appended
+          else DataSkipping.pruneFilesAll(appended,
+            ColumnMapping.physicalSchema(resolved.schema, resolved.mapping),
+            ranges.map { case (c, lo, hi) =>
+              (ColumnMapping.physicalName(c, resolved.mapping), lo, hi)
+            })
+        if (matching.nonEmpty) {
+          dropFiles(adds)
+          throw new IllegalStateException(
+            s"$op conflict at $tablePath: ${matching.size} file(s) " +
+              s"appended concurrently may match the operation's read " +
+              s"(e.g. ${matching.head.path}) — re-run the statement")
+        }
       }
       try {
         log.commit(snap.version + 1,

@@ -168,7 +168,7 @@ object TableWriter {
   /** Fail loudly (naming every violated constraint with its row count)
     * if any row of `df` violates any CHECK constraint — one pass.
     */
-  private[txn] def enforceConstraints(
+  private[graft] def enforceConstraints(
       df: DataFrame,
       constraints: Seq[String],
       tablePath: String): Unit = {

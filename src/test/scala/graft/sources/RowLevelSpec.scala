@@ -139,4 +139,123 @@ class RowLevelSpec extends AnyFunSuite {
       s"one distinct value per live file: ${files.toSeq}")
     assert(files.forall(_.contains("bucket=")))
   }
+
+  private def rootMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("MERGE into a CHECK-constrained table: violating refuses, conforming lands") {
+    freshTable("c1")
+    TableWriter.addConstraint(spark, s"$wh/default/c1", "v >= 0",
+      log("c1").latestVersion().get + 1, System.currentTimeMillis())
+    // violating: the replacement rows fail the one-pass validation and
+    // the statement refuses BEFORE anything commits
+    spark.sql("SELECT * FROM VALUES (2, 'a', -5) AS s(id, bucket, v)")
+      .createOrReplaceTempView("c1_bad")
+    val vBefore = log("c1").latestVersion().get
+    val e = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO grl.default.c1 t USING c1_bad s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    }
+    assert(rootMessages(e).exists(_.contains("CHECK constraint violation")),
+      s"wrong failure: $e")
+    assert(log("c1").latestVersion().get == vBefore, "nothing may commit")
+    assert(spark.sql("SELECT v FROM grl.default.c1 WHERE id = 2")
+      .head().getLong(0) == 20L)
+    // conforming: same statement shape with a legal value lands
+    spark.sql("SELECT * FROM VALUES (2, 'a', 200) AS s(id, bucket, v)")
+      .createOrReplaceTempView("c1_ok")
+    spark.sql(
+      """MERGE INTO grl.default.c1 t USING c1_ok s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(spark.sql("SELECT v FROM grl.default.c1 WHERE id = 2")
+      .head().getLong(0) == 200L)
+  }
+
+  test("UPDATE validates generated columns: stale value refuses, agreeing lands") {
+    wh
+    val path = s"$wh/default/g1"
+    spark.sql("DROP TABLE IF EXISTS grl.default.g1")
+    val seed = spark.range(1, 7)
+      .selectExpr("id", "CAST(id * 10 AS BIGINT) AS v",
+        "CAST(id % 2 AS BIGINT) AS par")
+    TableWriter.write(spark, seed, path, partitionBy = Seq("par"),
+      version = 0L, commitTs = 1000L,
+      generated = Map("par" -> "id % 2"))
+    // an UPDATE that rewrites id but leaves the generated par stale must
+    // refuse — otherwise pruning on par silently breaks
+    val vBefore = log("g1").latestVersion().get
+    val e = intercept[Throwable] {
+      spark.sql("UPDATE grl.default.g1 SET id = id + 1 WHERE id = 2")
+    }
+    assert(rootMessages(e).exists(m =>
+      m.contains("CHECK constraint violation") && m.contains("par")),
+      s"wrong failure: $e")
+    assert(log("g1").latestVersion().get == vBefore)
+    // touching only non-generating columns keeps the agreement: lands
+    spark.sql("UPDATE grl.default.g1 SET v = 0 WHERE id = 2")
+    assert(spark.sql("SELECT v FROM grl.default.g1 WHERE id = 2")
+      .head().getLong(0) == 0L)
+    // and an id update whose rows land in the SAME parity class agrees
+    spark.sql("UPDATE grl.default.g1 SET id = id + 2, v = -1 WHERE id = 3")
+    assert(spark.sql("SELECT id FROM grl.default.g1 WHERE v = -1")
+      .head().getLong(0) == 5L)
+  }
+
+  /** Identity-based conflict: a concurrent DV delete keeps every scanned
+    * PATH live (it re-adds the same path with a new dv pointer), so the
+    * old path-liveness check waved it through and the rewrite silently
+    * resurrected the concurrently deleted rows. The AddFile-identity
+    * check must refuse.
+    */
+  test("concurrent DV delete between scan and commit conflicts by identity") {
+    freshTable("cv1")
+    val path = s"$wh/default/cv1"
+    val scan = new GraftBatchScanBuilder(
+      GraftBatch.resolve(Map("tablePath" -> path)))
+      .build().asInstanceOf[GraftBatchScan]
+    // concurrent DV delete of id=2: same file path, new dv pointer
+    DeletionVectors.deleteMatching(spark, path,
+      spark.sql("SELECT CAST(2 AS BIGINT) AS id"), Seq("id"),
+      log("cv1").latestVersion().get + 1, System.currentTimeMillis())
+    val write = new GraftRowLevelBatchWrite(path,
+      org.apache.spark.sql.types.StructType(Seq()), Seq("bucket"),
+      () => Some(scan), () => Array.empty, "MERGE")
+    val e = intercept[IllegalStateException] { write.commit(Array.empty) }
+    assert(e.getMessage.contains("changed or vanished"), e.getMessage)
+  }
+
+  test("concurrent append conflicts a predicate-free operation") {
+    freshTable("cv2")
+    val path = s"$wh/default/cv2"
+    val scan = new GraftBatchScanBuilder(
+      GraftBatch.resolve(Map("tablePath" -> path)))
+      .build().asInstanceOf[GraftBatchScan]
+    spark.sql("INSERT INTO grl.default.cv2 VALUES (50, 'a', 500)")
+    val write = new GraftRowLevelBatchWrite(path,
+      org.apache.spark.sql.types.StructType(Seq()), Seq("bucket"),
+      () => Some(scan), () => Array.empty, "MERGE")
+    val e = intercept[IllegalStateException] { write.commit(Array.empty) }
+    assert(e.getMessage.contains("appended concurrently"), e.getMessage)
+  }
+
+  test("concurrent append outside the pushed predicate ranges commutes") {
+    freshTable("cv3")
+    val path = s"$wh/default/cv3"
+    val sb = new GraftBatchScanBuilder(
+      GraftBatch.resolve(Map("tablePath" -> path)))
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThan("id", 100L)))
+    val scan = sb.build().asInstanceOf[GraftBatchScan]
+    val filters = sb.pushedFilters()
+    // the appended file's id stats [60, 60] cannot overlap id > 100
+    spark.sql("INSERT INTO grl.default.cv3 VALUES (60, 'a', 600)")
+    val vBefore = log("cv3").latestVersion().get
+    val write = new GraftRowLevelBatchWrite(path,
+      org.apache.spark.sql.types.StructType(Seq()), Seq("bucket"),
+      () => Some(scan), () => filters, "UPDATE")
+    write.commit(Array.empty) // no overlap -> commits (replaces kept files)
+    assert(log("cv3").latestVersion().get == vBefore + 1)
+  }
 }
