@@ -58,6 +58,42 @@ object Cdc {
     dir
   }
 
+  /** 6-version KEYED CDC fixture over events (event_id is unique):
+    *   v0: event_id%3=0            (event_id, event_type, cents)  ts=1000
+    *   v1: append %3=1 ∧ %5=0 (new keys)                          ts=2000
+    *   v2: UPDATE cents += 1000 WHERE %6=0 (COW rewrite → r+c)    ts=3000
+    *   v3: DV delete %9=0                                          ts=4000
+    *   v4: append %3=2 ∧ %7=0 (insert-only)                       ts=5000
+    *   v5: append %3=2 ∧ %7=1 (insert-only — consecutive with v4) ts=6000
+    */
+  def buildKeyedFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/cdck_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L, 4L, 5L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def ev = Tables.load(spark, sfDir, "events").select(
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    TableWriter.write(spark, ev.filter(col("event_id") % 3 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.write(spark,
+      ev.filter(col("event_id") % 3 === 1 && col("event_id") % 5 === 0),
+      dir, version = 1L, commitTs = 2000L)
+    TableWriter.updateWhere(spark, dir, col("event_id") % 6 === 0,
+      Map("cents" -> (col("cents") + 1000L)), version = 2L, commitTs = 3000L)
+    DeletionVectors.deleteWhere(spark, dir, col("event_id") % 9 === 0,
+      version = 3L, commitTs = 4000L)
+    TableWriter.write(spark,
+      ev.filter(col("event_id") % 3 === 2 && col("event_id") % 7 === 0),
+      dir, version = 4L, commitTs = 5000L)
+    TableWriter.write(spark,
+      ev.filter(col("event_id") % 3 === 2 && col("event_id") % 7 === 1),
+      dir, version = 5L, commitTs = 6000L)
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // CDC replay: full-copy + incremental envelope, counted by op.
     QueryDef.sqlBacked(
@@ -343,7 +379,6 @@ object Cdc {
       // (l_orderkey, l_linenumber) pair repeats), so the replay uses
       // FULL-ROW identity for removes — with a declared key, pass the
       // key columns instead
-      val envelope = Seq("op", "partition_value", "ts", "commit_version")
       val q = s.readStream.format("graft.sources.GraftCdc")
         .option("tablePath", src)
         .option("startingVersion", "0")
@@ -351,31 +386,10 @@ object Cdc {
         .load()
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          // a micro-batch may span several source commits (admission
-          // control decides); replay in commit order — each version's
-          // removes reference the state BEFORE its inserts
-          val b = batch.persist()
-          try {
-            val versions = b.select(col("commit_version")).distinct()
-              .collect().map(_.getLong(0)).sorted
-            versions.foreach { v =>
-              val bv = b.filter(col("commit_version") === v)
-              def log = new TxnLog(dst, s.sessionState.newHadoopConf())
-              val dels = bv.filter(col("op") === "r").drop(envelope: _*)
-              if (!dels.isEmpty) {
-                DeletionVectors.deleteMatching(s, dst, dels,
-                  dels.columns.toSeq,
-                  version = log.latestVersion().get + 1,
-                  commitTs = System.currentTimeMillis())
-              }
-              val ins = bv.filter(col("op") === "c").drop(envelope: _*)
-              if (!ins.isEmpty) {
-                TableWriter.write(s, ins, dst,
-                  version = log.latestVersion().map(_ + 1).getOrElse(0L),
-                  commitTs = System.currentTimeMillis())
-              }
-            }
-          } finally { b.unpersist(); () }
+          // full-row replay (no declared key): versions apply in commit
+          // order, with consecutive insert-only versions batched into
+          // one commit — see ApplyChanges.applyFullRow
+          graft.streaming.ApplyChanges.applyBatch(s, batch, dst)
         }
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("cdc_apply_ck").toString)
@@ -385,6 +399,57 @@ object Cdc {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // KEYED APPLY CHANGES: a 6-version keyed CDC fixture (inserts,
+    // copy-on-write updates — r+c pairs in one version — a DV delete,
+    // then two consecutive insert-only versions) replays into a fresh
+    // table with event_id as the declared key. The whole stream
+    // collapses to at most two commits per micro-batch (one keyed DV
+    // delete, one append) whatever the batch boundaries — ApplyChangesSpec pins
+    // boundary invariance — and the oracle recomputes the final keyed
+    // state from the fixture arithmetic.
+    QueryDef.sqlBacked(
+      "q212_cdc_apply_keyed",
+      """WITH fin AS (
+        |  SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT)
+        |      + CASE WHEN event_id % 6 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM events WHERE event_id % 3 = 0 AND event_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT)
+        |  FROM events WHERE event_id % 3 = 1 AND event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT)
+        |  FROM events WHERE event_id % 3 = 2 AND event_id % 7 IN (0, 1))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      val src = buildKeyedFixture(s, dir)
+      val dst = java.nio.file.Files.createTempDirectory("cdc_applyk").toString
+      new java.io.File(dst).delete()
+      val q = s.readStream.format("graft.sources.GraftCdc")
+        .option("tablePath", src)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.ApplyChanges.applyBatch(s, batch, dst,
+            keyCols = Seq("event_id"))
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_applyk_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      SnapshotReader.read(s, dst)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("cents_sum"),
+          sum(col("event_id")).cast("long").as("id_sum"))
+        .orderBy(col("event_type"))
     }
   )
 }
