@@ -94,11 +94,16 @@ object ExactQuantile {
     // pass 3: only rows inside a located bucket survive the join; the
     // window sorts a ~1/buckets slice per (group, target), nothing more
     val win = Window.partitionBy($"g", $"label").orderBy($"v")
-    src.join(brDf,
+    // the result is groups x targets rows: materialize it eagerly so the
+    // cached projection can be RELEASED here instead of leaking across a
+    // 210-query bench run (the caller gets a checkpointed frame)
+    try src.join(brDf,
         $"g" === $"bg" && $"v".between($"b_lo", $"b_hi"))
       .withColumn("rn", row_number().over(win))
       .filter($"rn" === $"k_in")
       .select($"g", $"label", $"v")
+      .localCheckpoint(eager = true)
+    finally src.unpersist()
   }
 
   /** WEIGHTED exact quantiles — same three-pass histogram-bracket shape,
@@ -180,11 +185,13 @@ object ExactQuantile {
     val cumWin = Window.partitionBy($"g", $"label").orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pickWin = Window.partitionBy($"g", $"label").orderBy($"v")
-    perValue
+    try perValue
       .withColumn("cw", sum($"vw").over(cumWin))
       .filter($"cw" >= $"k_in")
       .withColumn("rn", row_number().over(pickWin))
       .filter($"rn" === 1)
       .select($"g", $"label", $"v")
+      .localCheckpoint(eager = true)
+    finally src.unpersist()
   }
 }

@@ -105,6 +105,13 @@ object Triangles {
       .select(shiftleft(col("e1.s"), 32).bitwiseOR(col("e2.t")).as("wk"))
     val tri = wedges.join(side(ekOriented), col("wk") === col("ek"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
-    ek0.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges")).crossJoin(tri)
+    // the result is ONE row: materialize it eagerly so both packed-edge
+    // caches release here instead of accumulating across a bench run
+    try ek0.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
+      .crossJoin(tri).localCheckpoint(eager = true)
+    finally {
+      ek0.unpersist()
+      if (degreeOriented) ekOriented.unpersist()
+    }
   }
 }

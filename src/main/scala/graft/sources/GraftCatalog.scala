@@ -200,21 +200,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(ac.position() == null,
           "ADD COLUMN ... FIRST/AFTER is not supported (columns append)")
         val log = new TxnLog(dir, conf)
-        val snap = log.snapshotLatest()
-        TxnLog.assertWritable(snap, dir)
-        val m = snap.metadata.getOrElse(throw new IllegalStateException(
-          s"no table metadata at $dir"))
-        val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-          .asInstanceOf[StructType]
-        val colName = ac.fieldNames().head
-        require(!schema.fieldNames.contains(colName),
-          s"column '$colName' already exists")
-        val evolved = schema.add(
-          org.apache.spark.sql.types.StructField(colName, ac.dataType(),
-            nullable = true))
-        log.commit(snap.version + 1, Seq(
-          m.copy(schemaJson = evolved.json),
-          CommitInfo("ALTER TABLE ADD COLUMN", System.currentTimeMillis())))
+        // retry like every other commit path: losers re-read the
+        // snapshot and re-validate, so a racing writer surfaces as a
+        // clean retry (or a real 'column exists' error), never a raw
+        // concurrent-commit exception to the DDL user
+        OptimisticTxn.retrying(log) { v =>
+          val snap = log.snapshotLatest()
+          TxnLog.assertWritable(snap, dir)
+          val m = snap.metadata.getOrElse(throw new IllegalStateException(
+            s"no table metadata at $dir"))
+          val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[StructType]
+          val colName = ac.fieldNames().head
+          require(!schema.fieldNames.contains(colName),
+            s"column '$colName' already exists")
+          val evolved = schema.add(
+            org.apache.spark.sql.types.StructField(colName, ac.dataType(),
+              nullable = true))
+          log.commit(v, Seq(
+            m.copy(schemaJson = evolved.json),
+            CommitInfo("ALTER TABLE ADD COLUMN", System.currentTimeMillis())))
+        }
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1,
           "nested RENAME COLUMN is not supported")

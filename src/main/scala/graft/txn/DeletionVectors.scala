@@ -155,6 +155,15 @@ object DeletionVectors {
     * a row of `keys` are marked dead (left-semi join instead of a
     * predicate, so the delete side can be a full frame of arbitrary
     * size — no driver-side IN-list).
+    *
+    * Semantics are ALL COPIES per key: every live row matching a key is
+    * deleted, and one delete row kills N duplicate copies — the correct
+    * contract for keyed CDC replay (a key identifies ONE logical row)
+    * and for full-row identity on duplicate-free tables. It is NOT a
+    * multiplicity-preserving bag difference: replaying full-row CDC
+    * onto a table holding duplicate copies of a row would delete all of
+    * them. Callers needing bag semantics must carry an occurrence
+    * discriminator in `keyCols`.
     */
   def deleteMatching(
       spark: SparkSession,
