@@ -30,25 +30,53 @@ object Multimodal {
     },
 
     // Feature extraction through the typed mapPartitions path, aggregated
-    // per mime class (Spark-only: stub decoder).
-    QueryDef.sparkOnly("q71_media_features") { (s, dir) =>
+    // per mime class. The stub decoder is a DETERMINISTIC byte-histogram
+    // (operators/Multimodal.decodeFeaturesStub), so its arithmetic is
+    // DuckDB-recomputable: un-normalizing bin 6 (features[7] · n_bytes,
+    // exactly the count of bytes 0x60-0x6F) turns the feature vector
+    // into an integer the oracle derives with a byte-class regex — the
+    // whole decode→feature→aggregate plumbing is driver-hash-gated.
+    QueryDef.sqlBacked(
+      "q71_media_features",
+      """SELECT 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS mime,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(octet_length(encode(text)) - octet_length(encode(
+        |    regexp_replace(text, '[\x60-\x6F]', '', 'g')))) AS BIGINT)
+        |    AS bin6_bytes
+        |FROM documents
+        |GROUP BY 1 ORDER BY mime""".stripMargin) { (s, dir) =>
       val feats = MM.extractFeatures(s, MM.mediaTable(s, dir))
       feats.toDF()
         .groupBy(col("mime"))
         .agg(count(lit(1)).as("n"),
-          sum(col("n_bytes")).as("total_bytes"),
-          // mean of the first histogram bin across docs — exercises the
-          // feature vectors end-to-end
-          avg(element_at(col("features"), 1)).as("mean_bin0"))
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          // un-normalize bin 6: features are hist/n_bytes, so
+          // round(f[6]·n_bytes) recovers the exact byte count
+          sum(round(element_at(col("features"), 7) * col("n_bytes"))
+            .cast("long")).as("bin6_bytes"))
         .orderBy(col("mime"))
     },
 
-    // Frame sampling: one row per (media, frame) slice (Spark-only).
-    QueryDef.sparkOnly("q72_frame_sample") { (s, dir) =>
+    // Frame sampling: one row per (media, frame) slice. The stub slices
+    // the payload into n equal `len/n`-byte windows (tail truncated),
+    // integer arithmetic the oracle replays per doc against range(4).
+    QueryDef.sqlBacked(
+      "q72_frame_sample",
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L
+        |           FROM documents),
+        |f AS (SELECT doc_id, L, greatest(1, L // 4) AS step FROM d),
+        |fr AS (SELECT CAST(i.range AS INTEGER) AS frame_idx,
+        |         greatest(0, least(L, (i.range + 1) * step)
+        |           - i.range * step) AS b
+        |       FROM f CROSS JOIN range(4) i)
+        |SELECT frame_idx, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(b) AS BIGINT) AS total_bytes
+        |FROM fr GROUP BY 1 ORDER BY frame_idx""".stripMargin) { (s, dir) =>
       MM.sampleFrames(s, MM.mediaTable(s, dir), n = 4)
         .groupBy(col("frame_idx"))
         .agg(count(lit(1)).as("n"),
-          sum(length(col("frame_blob"))).as("total_bytes"))
+          sum(length(col("frame_blob"))).cast("long").as("total_bytes"))
         .orderBy(col("frame_idx"))
     },
 
