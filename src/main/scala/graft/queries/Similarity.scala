@@ -109,6 +109,77 @@ object Similarity {
        |GROUP BY gt.query_id
        |ORDER BY gt.query_id""".stripMargin
 
+  /** Exact >=0.95-cosine pair set over the planted near-dup corpus —
+    * the brute all-pairs anchor (labeled; in-gate twin of q51).
+    */
+  private def bruteNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v")))
+    c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= 0.95)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  /** q94's cell-scoped SemDeDup pair set (unordered) — shared by the
+    * query row and the q213 driver-hash gate.
+    */
+  private def semdedupPairs(s: SparkSession, dir: String): DataFrame = {
+    val CellCap = 4096
+    val n = Tables.load(s, dir, "embeddings").count()
+    val cents = graft.operators.IvfIndex.centroids(s, dir, n)
+    val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v")))
+      .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
+    val byAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("adist"), col("cell"))
+    val byCell = Window.partitionBy(col("cell"))
+    val assigned = c.join(broadcast(cents))
+      .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("vhat"), col("cv")))
+      .withColumn("arnk", row_number().over(byAssign))
+      .filter(col("arnk") === 1)
+      .withColumn("_cn", count(lit(1)).over(byCell))
+      .withColumn("sub",
+        when(col("_cn") > CellCap,
+          element_at(lshBandSlots(col("v"), 1, 8), 1)).otherwise(lit(0L)))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("sub"))
+      // cached AFTER assignment: the frame feeds the candidate join and
+      // both verification joins
+      .cache()
+    val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+      assigned.select(col("vec_id"), col("cell"), col("sub")),
+      "vec_id", Seq("cell", "sub"), "vec_a", "vec_b", cap = CellCap)
+    cand
+      .join(assigned.select(col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(assigned.select(col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.95)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** q52's banded LSH near-dup pair set (unordered) — shared by the
+    * query row and the q214 driver-hash gate.
+    */
+  private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // band width from a column-pruned count of the raw parquet (footer
+    // metadata, no vector math) — the corpus is base + every-10th copy
+    val nBase = Tables.load(s, dir, "embeddings").count()
+    val bits = lshAutoBits(nBase + nBase / 10)
+    // c cached: feeds both verification joins; slots cached: the LSH
+    // kernel runs ONCE even though the frame sits on both sides of the
+    // candidate self-join (Bench/Verify clear caches per query)
+    val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v"))).cache()
+    val slots = c.select(col("vec_id"),
+      explode(lshBandSlots(col("v"), 8, bits)).as("slot")).cache()
+    // SkewGuard: a degenerate slot (an all-duplicates flood collides in
+    // every band) stars to its min id instead of going quadratic
+    val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
+      slots, "vec_id", Seq("slot"), "vec_a", "vec_b")
+    cand
+      .join(c.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.95)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k: 20 query vectors × full table, top-5 each.
     QueryDef.sqlBacked(
@@ -138,11 +209,7 @@ object Similarity {
          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v")))
-      c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= 0.95)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      bruteNearDupPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
     },
 
     // Banded multi-table LSH near-dup — the scale path: positively-scaled
@@ -154,26 +221,35 @@ object Similarity {
     // Spark-only; spec asserts parity with q51 and sub-quadratic pair
     // growth on a 10× corpus.
     QueryDef.sparkOnly("q52_embedding_neardup_lsh") { (s, dir) =>
-      // band width from a column-pruned count of the raw parquet (footer
-      // metadata, no vector math) — the corpus is base + every-10th copy
-      val nBase = Tables.load(s, dir, "embeddings").count()
-      val bits = lshAutoBits(nBase + nBase / 10)
-      // c cached: feeds both verification joins; slots cached: the LSH
-      // kernel runs ONCE even though the frame sits on both sides of the
-      // candidate self-join (Bench/Verify clear caches per query)
-      val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v"))).cache()
-      val slots = c.select(col("vec_id"),
-        explode(lshBandSlots(col("v"), 8, bits)).as("slot")).cache()
-      // SkewGuard: a degenerate slot (an all-duplicates flood collides in
-      // every band) stars to its min id instead of going quadratic
-      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
-        slots, "vec_id", Seq("slot"), "vec_a", "vec_b")
-      cand
-        .join(c.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
-        .join(c.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
-        .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.95)
-        .select(col("vec_a"), col("vec_b"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      lshNearDupPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // Driver-hash GATE for the q52 LSH path (q198's shape): the oracle
+    // recomputes the exact >=0.95-cosine pair set (the planted scaled
+    // copies; true cross-pair cosine tops out ~0.51, so the cut is
+    // unambiguous), and the booleans assert the LSH pair set recalls
+    // ALL of it and contains nothing else — sign projections are
+    // scale-invariant, so every true pair shares every band, and the
+    // exact-cosine verification makes precision 1 by construction. A
+    // regression in lshBandSlots/SkewGuard flips a boolean and the row
+    // goes red.
+    QueryDef.sqlBacked(
+      "q214_embedding_lsh_gate",
+      s"""WITH corpus AS ($nearDupCorpusSql),
+         |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |       WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+         |  TRUE AS recall_100, TRUE AS precision_100
+         |FROM ex""".stripMargin) { (s, dir) =>
+      val exact = bruteNearDupPairs(s, dir)
+      val method = lshNearDupPairs(s, dir)
+      val nExact = exact.count()
+      val nMethod = method.count()
+      val matched = exact.join(method, Seq("vec_a", "vec_b")).count()
+      import s.implicits._
+      Seq((nExact, matched == nExact, matched == nMethod))
+        .toDF("n_exact_pairs", "recall_100", "precision_100")
     },
 
     // Hard-negative mining for contrastive training: per query vector,
@@ -224,37 +300,34 @@ object Similarity {
     // can no longer make the whole job quadratic. Spark-only;
     // SimilaritySpec pins exact pair parity with brute q51.
     QueryDef.sparkOnly("q94_semdedup") { (s, dir) =>
-      val CellCap = 4096
-      val n = Tables.load(s, dir, "embeddings").count()
-      val cents = graft.operators.IvfIndex.centroids(s, dir, n)
-      val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v")))
-        .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
-      val byAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("adist"), col("cell"))
-      val byCell = Window.partitionBy(col("cell"))
-      val assigned = c.join(broadcast(cents))
-        .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("vhat"), col("cv")))
-        .withColumn("arnk", row_number().over(byAssign))
-        .filter(col("arnk") === 1)
-        .withColumn("_cn", count(lit(1)).over(byCell))
-        .withColumn("sub",
-          when(col("_cn") > CellCap,
-            element_at(lshBandSlots(col("v"), 1, 8), 1)).otherwise(lit(0L)))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("sub"))
-        // cached AFTER assignment: the frame feeds the candidate join and
-        // both verification joins
-        .cache()
-      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
-        assigned.select(col("vec_id"), col("cell"), col("sub")),
-        "vec_id", Seq("cell", "sub"), "vec_a", "vec_b", cap = CellCap)
-      cand
-        .join(assigned.select(col("vec_id").as("vec_a"),
-          col("v").as("va"), col("nrm").as("na")), "vec_a")
-        .join(assigned.select(col("vec_id").as("vec_b"),
-          col("v").as("vb"), col("nrm").as("nb")), "vec_b")
-        .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.95)
-        .select(col("vec_a"), col("vec_b"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      semdedupPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // Driver-hash GATE for the q94 SemDeDup path (q198's shape): the
+    // exact >=0.95-cosine pair set is the oracle's denominator, and the
+    // booleans assert the cell-scoped pipeline recalls ALL of it with
+    // nothing else — duplicates are scale-invariant and vectors are
+    // L2-normalized before assignment, so every true pair lands in one
+    // cell; the exact-cosine verification makes precision 1 by
+    // construction. A regression in the quantizer/assignment/SkewGuard
+    // flips a boolean and the row goes red.
+    QueryDef.sqlBacked(
+      "q213_semdedup_gate",
+      s"""WITH corpus AS ($nearDupCorpusSql),
+         |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |       WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+         |  TRUE AS recall_100, TRUE AS precision_100
+         |FROM ex""".stripMargin) { (s, dir) =>
+      val exact = bruteNearDupPairs(s, dir)
+      val method = semdedupPairs(s, dir)
+      val nExact = exact.count()
+      val nMethod = method.count()
+      val matched = exact.join(method, Seq("vec_a", "vec_b")).count()
+      import s.implicits._
+      Seq((nExact, matched == nExact, matched == nMethod))
+        .toDF("n_exact_pairs", "recall_100", "precision_100")
     },
 
     // IVF ANN top-k against the PERSISTED coarse quantizer (IvfIndex:
