@@ -19,7 +19,8 @@ object SparkEntry {
       _root_.graft.queries.Multimodal.defs ++
       _root_.graft.queries.Pipeline.defs ++
       _root_.graft.queries.Analytics.defs ++
-      _root_.graft.queries.TpchClassics.defs
+      _root_.graft.queries.TpchClassics.defs ++
+      _root_.graft.queries.StreamingLive.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

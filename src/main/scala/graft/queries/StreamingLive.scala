@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.streaming.EventStreams
+import graft.txn._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators ORACLE-IZED via the fixture-final-state pattern
+  * (q192/q115's shape): a bounded stream drains through the REAL
+  * streaming operator (watermarks, streaming state and all), the emitted
+  * rows land in a parquet sink, and the final aggregate of that sink is
+  * hash-checked against a DuckDB recompute — so streaming exact dedup,
+  * stream-static enrichment, and the FULL OUTER stream-stream join are
+  * driver-hash-green, not just spec-asserted.
+  *
+  * Each stream reads a deterministic single-version graft table built
+  * from `events` (single version ⇒ one data micro-batch, so watermark
+  * mechanics are deterministic; the join fixture adds far-future
+  * SENTINEL rows per side so the final watermark provably passes every
+  * real row's eviction point and all unmatched rows flush).
+  */
+object StreamingLive {
+
+  private def tag(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Bounded-stream run: drain `build(stream)` into a parquet dir and
+    * read the emitted rows back.
+    */
+  private def drainToParquet(
+      s: SparkSession,
+      table: String,
+      out: String)(build: DataFrame => DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val stream = s.readStream.format("graft")
+      .option("tablePath", table).load()
+    val q = build(stream).writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sl_ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
+
+  /** Plain events as a 1-version graft table (narrow projection). */
+  def eventsFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/sev_${tag(sfDir)}"
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    if (log.versions() == Seq(0L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    TableWriter.write(spark,
+      Tables.load(spark, sfDir, "events").select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")),
+      dir, version = 0L, commitTs = 1000L)
+    dir
+  }
+
+  /** events ∪ a copy of every 10th row (same event_id — true
+    * duplicates), one version so the dedup state sees all copies.
+    */
+  def dupEventsFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/sevd_${tag(sfDir)}"
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    if (log.versions() == Seq(0L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val ev = Tables.load(spark, sfDir, "events").select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"))
+    TableWriter.write(spark,
+      ev.unionAll(ev.filter(col("event_id") % 10 === 0)),
+      dir, version = 0L, commitTs = 1000L)
+    dir
+  }
+
+  /** purchases + clicks + one far-future sentinel per side (2 hours past
+    * the real max ts — beyond lateness + join gap, so the final
+    * watermark passes every real row; the sentinels themselves never
+    * emit: unmatched and never evicted).
+    */
+  def joinEventsFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/sevj_${tag(sfDir)}"
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    if (log.versions() == Seq(0L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    import spark.implicits._
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+    val sentinels = Seq(
+      (-1L, sentinelTs, 9999998L, "purchase"),
+      (-2L, sentinelTs, 9999999L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    TableWriter.write(spark, ev.unionAll(sentinels),
+      dir, version = 0L, commitTs = 1000L)
+    dir
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // STREAMING exact dedup (dropDuplicatesWithinWatermark) as a green
+    // row: the stream carries every 10th event twice; one row per
+    // event_id survives, so the drained sink must aggregate exactly
+    // like the duplicate-free events table.
+    QueryDef.sqlBacked(
+      "q215_streaming_dedup",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val table = dupEventsFixture(s, dir)
+      val out = s"target/fixtures/out_sdedup_${tag(dir)}"
+      drainToParquet(s, table, out)(
+        EventStreams.dedupEvents(_, lateness = "10 minutes"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_type"))
+    },
+
+    // Stream-static enrichment as a green row: every micro-batch joins
+    // the event stream against the static customer dimension (broadcast,
+    // stateless), and the drained sink rolls up per market segment.
+    QueryDef.sqlBacked(
+      "q216_stream_static_enrich",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val table = eventsFixture(s, dir)
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val out = s"target/fixtures/out_senrich_${tag(dir)}"
+      drainToParquet(s, table, out)(stream =>
+        EventStreams.enrich(stream, dim, "user_id", "c_custkey")
+          .select(col("c_mktsegment"), col("value")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // FULL OUTER stream-stream interval join as a green row: purchases
+    // match clicks by the same user within the preceding 30 minutes;
+    // unmatched rows of BOTH sides null-pad once the watermark closes
+    // their window (the sentinel rows force that for every real row).
+    // The oracle replays the identical interval-join set arithmetic.
+    QueryDef.sqlBacked(
+      "q217_stream_full_outer",
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, purchase_id, click_id
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |        AND c.c_ts <= p.p_ts),
+        |po AS (SELECT user_id, purchase_id FROM p
+        |       WHERE NOT EXISTS (SELECT 1 FROM c
+        |         WHERE c.user_id = p.user_id
+        |           AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |           AND c.c_ts <= p.p_ts)),
+        |co AS (SELECT user_id, click_id FROM c
+        |       WHERE NOT EXISTS (SELECT 1 FROM p
+        |         WHERE p.user_id = c.user_id
+        |           AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |           AND c.c_ts <= p.p_ts))
+        |SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_matched,
+        |  CAST((SELECT COUNT(*) FROM po) AS BIGINT) AS n_purchase_only,
+        |  CAST((SELECT COUNT(*) FROM co) AS BIGINT) AS n_click_only,
+        |  CAST((SELECT SUM(user_id) FROM m) AS BIGINT) AS matched_user_sum""".stripMargin) {
+      (s, dir) =>
+      val table = joinEventsFixture(s, dir)
+      val out = s"target/fixtures/out_sfull_${tag(dir)}"
+      val emitted = drainToParquet(s, table, out) { stream =>
+        EventStreams.purchaseClickJoinFull(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "click"))
+      }.filter(col("user_id") < 9999998L) // sentinels never emit; belt+braces
+      emitted.agg(
+        count(when(col("purchase_id").isNotNull &&
+          col("click_id").isNotNull, 1)).cast("long").as("n_matched"),
+        count(when(col("purchase_id").isNotNull &&
+          col("click_id").isNull, 1)).cast("long").as("n_purchase_only"),
+        count(when(col("purchase_id").isNull &&
+          col("click_id").isNotNull, 1)).cast("long").as("n_click_only"),
+        sum(when(col("purchase_id").isNotNull && col("click_id").isNotNull,
+          col("user_id"))).cast("long").as("matched_user_sum"))
+    }
+  )
+}
