@@ -443,7 +443,8 @@ private[sources] class GraftBatchScanBuilder(
           }
         }
       }
-    new GraftBatchScan(resolved, kept, required, limit, options)
+    new GraftBatchScan(resolved, kept, required, limit, options,
+      pushed.toSeq)
   }
 }
 
@@ -452,7 +453,8 @@ private[sources] class GraftBatchScan(
     kept0: Seq[AddFile],
     val required: StructType,
     val limit: Int,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    pushedV1: Seq[Filter] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -470,10 +472,17 @@ private[sources] class GraftBatchScan(
   private[sources] def boundVersion: Long = resolved.version
   private[sources] def boundResolved: GraftBatch.Resolved = resolved
 
+  /** Advertise `_graft_file` for runtime filtering ONLY when the scan
+    * actually projects it (the row-level rewrite path): Spark's
+    * partition-pruning rule resolves these refs against the scan
+    * output, and an unprojected column is an AnalysisException there.
+    */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(GraftBatch.FileMetadataColumn))
+    if (required.fieldNames.contains(GraftBatch.FileMetadataColumn))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftBatch.FileMetadataColumn))
+    else Array.empty
 
   /** Runtime group filtering (row-level MERGE/UPDATE): Spark hands back
     * the distinct `_graft_file` values that contain matches as an IN
@@ -526,14 +535,28 @@ private[sources] class GraftBatchScan(
       s"files=${kept.size}/${resolved.files.size}"
 
   /** Post-pushdown statistics: Catalyst's broadcast decision sees the
-    * pruned byte size, not the whole table's.
+    * pruned byte size, not the whole table's — and when an ANALYZE
+    * `_stats` sidecar exists, the pushed filters' estimated SELECTIVITY
+    * scales it further, so a selective filter on a large dimension can
+    * flip the join to broadcast (post-filter cardinality is exactly
+    * what a file-size threshold cannot see). Without a sidecar the
+    * factor is 1.0 and behavior is unchanged.
     */
+  private lazy val statsSelectivity: Double =
+    if (pushedV1.isEmpty) 1.0
+    else Analyze.selectivityOfFilters(
+      org.apache.spark.sql.SparkSession.active, resolved.tablePath,
+      pushedV1).getOrElse(1.0)
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(math.max(1L, kept.map(_.size).sum))
+      OptionalLong.of(math.max(1L,
+        (kept.map(_.size).sum * statsSelectivity).toLong))
     override def numRows(): OptionalLong = {
       val counts = kept.flatMap(_.stats.map(_.numRecords))
-      if (counts.size == kept.size) OptionalLong.of(counts.sum)
+      if (counts.size == kept.size)
+        OptionalLong.of(math.max(if (counts.sum > 0) 1L else 0L,
+          (counts.sum * statsSelectivity).toLong))
       else OptionalLong.empty()
     }
   }

@@ -144,6 +144,46 @@ object Analyze {
     }
   }
 
+  /** Selectivity of a pushed DSv2 filter set from the `_stats` sidecar
+    * — the hook `GraftBatchScan.estimateStatistics` uses to report
+    * POST-FILTER cardinality to Catalyst, so the broadcast decision
+    * sees selectivity, not just pruned file bytes. Same textbook rules
+    * as [[estimateRows]]; unrecognized shapes contribute 1.0
+    * (overestimating is the sound direction). None when no sidecar
+    * exists.
+    */
+  private[graft] def selectivityOfFilters(
+      spark: SparkSession,
+      tablePath: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Double] =
+    statsMap(spark, tablePath).map { stats =>
+      import org.apache.spark.sql.{sources => v1}
+      // selOf dispatches on the catalyst node TYPE only — fabricate one
+      val eqT = EqualTo(Literal(0), Literal(0))
+      val ltT = LessThan(Literal(0), Literal(0))
+      val leT = LessThanOrEqual(Literal(0), Literal(0))
+      val gtT = GreaterThan(Literal(0), Literal(0))
+      val geT = GreaterThanOrEqual(Literal(0), Literal(0))
+      def col(c: String)(f: ColStats => Double): Double =
+        stats.get(c).map(f).getOrElse(1.0)
+      def one(f: v1.Filter): Double = f match {
+        case v1.EqualTo(c, v) => col(c)(selOf(eqT, _, v))
+        case v1.LessThan(c, v) => col(c)(selOf(ltT, _, v))
+        case v1.LessThanOrEqual(c, v) => col(c)(selOf(leT, _, v))
+        case v1.GreaterThan(c, v) => col(c)(selOf(gtT, _, v))
+        case v1.GreaterThanOrEqual(c, v) => col(c)(selOf(geT, _, v))
+        case v1.In(c, vs) =>
+          col(c)(s => if (s.ndv > 0) (vs.length.toDouble / s.ndv).min(1.0) else 1.0)
+        case v1.IsNull(c) =>
+          col(c)(s => if (s.n > 0) s.nNull.toDouble / s.n else 1.0)
+        case v1.IsNotNull(c) =>
+          col(c)(s => if (s.n > 0) (s.n - s.nNull).toDouble / s.n else 1.0)
+        case v1.And(l, r) => one(l) * one(r)
+        case _ => 1.0
+      }
+      filters.map(one).product.max(0.0).min(1.0)
+    }
+
   /** Join `fact` to a FILTERED slice of the analyzed dimension table,
     * broadcasting the slice when the stats-estimated cardinality is
     * under `broadcastRowLimit` — the post-filter decision Spark's

@@ -79,6 +79,36 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("scan statistics fold in pushed-filter selectivity: the join flips to broadcast") {
+    // two identical dimension tables; only one carries the _stats sidecar
+    val withStats = freshDir("anlz_bc1")
+    val noStats = freshDir("anlz_bc2")
+    val dim = Tables.load(spark, sf, "orders")
+    TableWriter.write(spark, dim, withStats, version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, dim, noStats, version = 0L, commitTs = 1000L)
+    Analyze.computeStats(spark, withStats, Seq("o_orderkey", "o_custkey"))
+    val fact = Tables.load(spark, sf, "lineitem")
+    def joined(path: String) = fact.join(
+      spark.read.format("graft").option("tablePath", path).load()
+        // selective: one key of ~1.5k → post-filter bytes ~ size/ndv
+        .filter(col("o_orderkey") === 7L),
+      col("l_orderkey") === col("o_orderkey"))
+    // threshold below the dim FILE size but far above size/ndv
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "20KB",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val flip = joined(withStats).queryExecution.executedPlan.toString
+      val stay = joined(noStats).queryExecution.executedPlan.toString
+      assert(flip.contains("BroadcastHashJoin"),
+        s"stats-estimated post-filter size must broadcast:\n${flip.take(1500)}")
+      assert(!stay.contains("BroadcastHashJoin"),
+        s"without a sidecar the file-size estimate must not:\n${stay.take(1500)}")
+      // strategy only — identical results either way
+      val a = joined(withStats).collect().map(_.toString).sorted.toSeq
+      val b = joined(noStats).collect().map(_.toString).sorted.toSeq
+      assert(a == b && a.nonEmpty)
+    }
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
