@@ -108,6 +108,65 @@ object GraftExtensions {
             .history()
             .toDF("version", "operation", "commit_ts", "n_added", "n_removed")
             .queryExecution.logical
+        }),
+      // Pure-read TVF: a path table (no catalog registration needed),
+      // optionally time-traveled — `SELECT * FROM graft_snapshot(path)`.
+      ("graft_snapshot",
+        info("graft_snapshot",
+          "graft_snapshot(tablePath[, versionAsOf]) - rows of a graft " +
+            "table's snapshot (latest, or the given version)"),
+        (children: Seq[Expression]) => {
+          require(children.nonEmpty && children.size <= 2,
+            "graft_snapshot(tablePath[, versionAsOf])")
+          val path = strLitOf(children.head, "graft_snapshot")
+          graft.txn.SnapshotReader.read(
+            org.apache.spark.sql.SparkSession.active, path,
+            versionAsOf = children.lift(1)
+              .map(longLitOf(_, "graft_snapshot")))
+            .queryExecution.logical
+        }),
+      // PROCEDURE-style TVFs (the Iceberg CALL idea expressed as table
+      // functions, like Delta's OPTIMIZE/VACUUM commands): the
+      // maintenance action runs when the function is PLANNED — also
+      // under EXPLAIN — and the returned relation is its metrics row.
+      ("graft_optimize",
+        info("graft_optimize",
+          "graft_optimize(tablePath) - compact the table's small files " +
+            "into one file per partition; returns (version, " +
+            "files_before, files_after)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_optimize(tablePath)")
+          val path = strLitOf(children.head, "graft_optimize")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val log = new graft.txn.TxnLog(path,
+            spark.sessionState.newHadoopConf())
+          val before = log.snapshotLatest().files.size
+          graft.txn.TableWriter.compact(spark, path,
+            version = log.latestVersion().get + 1,
+            commitTs = System.currentTimeMillis())
+          val after = log.snapshotLatest()
+          import spark.implicits._
+          Seq((after.version, before.toLong, after.files.size.toLong))
+            .toDF("version", "files_before", "files_after")
+            .queryExecution.logical
+        }),
+      ("graft_vacuum",
+        info("graft_vacuum",
+          "graft_vacuum(tablePath, retainMillis[, dryRun]) - delete " +
+            "data files unreferenced by the latest snapshot past the " +
+            "retention horizon; returns one row per deleted path"),
+        (children: Seq[Expression]) => {
+          require(children.size >= 2 && children.size <= 3,
+            "graft_vacuum(tablePath, retainMillis[, dryRun])")
+          val path = strLitOf(children.head, "graft_vacuum")
+          val retain = longLitOf(children(1), "graft_vacuum")
+          val dry = children.lift(2).exists(boolLitOf(_, "graft_vacuum"))
+          val spark = org.apache.spark.sql.SparkSession.active
+          val deleted = graft.txn.TableWriter.vacuum(spark, path,
+            retainMillis = retain,
+            nowMillis = System.currentTimeMillis(), dryRun = dry)
+          import spark.implicits._
+          deleted.toDF("deleted_path").queryExecution.logical
         }))
 
   /** SQL literal → Int for kernel shape parameters (k, numHashes): these
