@@ -154,6 +154,30 @@ private[sources] class GraftBatchTable(
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  /** SQL-visible CHECK constraints (DESCRIBE, ADD CONSTRAINT name
+    * checks): named ones under their names, unnamed (Scala-API-added)
+    * ones under synthesized `graft_chk_<i>` names. All are genuinely
+    * enforced by every write path, so they report enforced.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val snap = new TxnLog(properties("tablePath"),
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      .snapshotLatest()
+    snap.metadata.map { m =>
+      val named = m.constraintNames.toSeq.sortBy(_._1).map { case (n, e) =>
+        Constraint.check(n).predicateSql(e).build(): Constraint
+      }
+      val namedExprs = m.constraintNames.values.toSeq
+      val unnamed = m.constraints.diff(namedExprs).zipWithIndex.map {
+        case (e, i) =>
+          Constraint.check(s"graft_chk_$i").predicateSql(e).build(): Constraint
+      }
+      (named ++ unnamed).toArray
+    }.getOrElse(Array.empty)
+  }
+
   /** `_graft_file`: each row's source file — selectable, and the group
     * key behind row-level MERGE/UPDATE runtime filtering.
     */

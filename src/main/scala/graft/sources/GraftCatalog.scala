@@ -43,6 +43,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** SQL CHECK constraints (`CREATE TABLE ... CHECK`, `ALTER TABLE
+    * ADD/DROP CONSTRAINT`) and generated columns (`GENERATED ALWAYS
+    * AS`) resolve through this catalog into the engine's Metadata —
+    * the same enforcement every write path already runs.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Check-only constraint intake: named CHECK expressions are stored
+    * (name → SQL) and enforced; PK/FK/UNIQUE would be informational
+    * lies (nothing enforces them), so they refuse loudly.
+    */
+  private def checkConstraints(
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Map[String, String] =
+    cs.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name() -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported, got ${other.toDDL}")
+    }.toMap
+
   private def spark = org.apache.spark.sql.SparkSession.active
   private def conf = spark.sessionState.newHadoopConf()
   private def fs = new Path(warehouse).getFileSystem(conf)
@@ -138,6 +163,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitionColumns = partCols)
   }
 
+  /** The TableInfo variant Spark routes `CREATE TABLE` with constraints
+    * or generated columns through (the 4-arg default would silently
+    * DROP both). CHECK constraints land named in the Metadata; each
+    * column's `GENERATED ALWAYS AS` expression lands in
+    * generatedColumns, so the write path computes-or-validates it
+    * exactly like a TableWriter-declared one.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val dir = tableDir(ident)
+    if (isTableDir(new Path(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    // CatalogV2Util is private[sql]; name/type/nullability plus the
+    // DEFAULT metadata keys are what the engine stores (generation
+    // expressions live in generatedColumns). Defaults ride the schema's
+    // field metadata under Spark's own keys, so the analyzer fills
+    // omitted columns on INSERT with no engine-side work.
+    val schema = StructType(info.columns().map { c =>
+      val base = org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())
+      Option(c.defaultValue()) match {
+        case None => base
+        case Some(dv) =>
+          base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", dv.getSql)
+            .build())
+      }
+    })
+    val partCols = partColsOf(schema, info.partitions())
+    val named = checkConstraints(info.constraints())
+    val generated = info.columns().toSeq
+      .filter(_.generationExpression() != null)
+      .map(c => c.name() -> c.generationExpression()).toMap
+    val log = new TxnLog(dir, conf)
+    log.commit(0L, Seq(
+      Metadata(schema.json, partCols,
+        constraints = named.values.toSeq,
+        generatedColumns = generated,
+        constraintNames = named),
+      CommitInfo("CREATE TABLE", System.currentTimeMillis())))
+    new GraftBatchTable(schema, Map("tablePath" -> dir),
+      partitionColumns = partCols)
+  }
+
   // ------ atomic CTAS / REPLACE TABLE AS SELECT (StagingTableCatalog) ------
   //
   // Spark stages the table, runs the write INTO the staged handle, and
@@ -182,9 +251,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** SQL ALTER TABLE mapped onto the engine's evolution commits:
     * ADD COLUMNS = a schema-evolution Metadata commit (pre-evolution
     * files surface the column as null, so the column must be nullable);
-    * RENAME COLUMN = the metadata-only column-mapping rename. Anything
-    * else (drops, type changes, repositioning, properties) refuses
-    * loudly — refusal beats silently wrong table state.
+    * RENAME COLUMN = the metadata-only column-mapping rename;
+    * DROP COLUMN = the metadata-only schema cut (re-ADDing a dropped
+    * name maps it to a fresh physical name so old bytes cannot
+    * resurrect); ADD/DROP CONSTRAINT = named CHECK commits. Anything
+    * else (type changes, repositioning, properties) refuses loudly —
+    * refusal beats silently wrong table state.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -214,11 +286,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val colName = ac.fieldNames().head
           require(!schema.fieldNames.contains(colName),
             s"column '$colName' already exists")
+          // a name any HISTORICAL version declared may physically exist
+          // inside live data files (DROP COLUMN is metadata-only): the
+          // re-added column must map to a FRESH physical name or the
+          // dropped values would resurrect
+          val historicalPhysical: Set[String] = log.changes(0L).flatMap {
+            case (_, actions) => actions.collect {
+              case hm: Metadata =>
+                val sch = org.apache.spark.sql.types.DataType
+                  .fromJson(hm.schemaJson).asInstanceOf[StructType]
+                ColumnMapping.physicalSchema(sch, hm.columnMapping)
+                  .fieldNames.toSeq
+            }.flatten
+          }.toSet
+          val needsFresh = historicalPhysical.contains(colName)
+          val newMapping =
+            if (needsFresh) m.columnMapping + (colName -> s"$colName#v$v")
+            else m.columnMapping
           val evolved = schema.add(
             org.apache.spark.sql.types.StructField(colName, ac.dataType(),
               nullable = true))
-          log.commit(v, Seq(
-            m.copy(schemaJson = evolved.json),
+          // introducing a mapping entry demands the reader protocol, as
+          // in renameColumn: a mapping-blind reader would resurrect the
+          // dropped column's bytes
+          val protocol: Seq[Action] =
+            if (!needsFresh || snap.protocol.exists(_.minReaderVersion >= 2))
+              Seq.empty
+            else Seq(Protocol(2, 2))
+          log.commit(v, protocol ++ Seq(
+            m.copy(schemaJson = evolved.json, columnMapping = newMapping),
             CommitInfo("ALTER TABLE ADD COLUMN", System.currentTimeMillis())))
         }
       case rc: TableChange.RenameColumn =>
@@ -229,6 +325,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           version = new TxnLog(dir, conf).latestVersion().getOrElse(
             throw new IllegalStateException(s"no table at $dir")) + 1,
           commitTs = System.currentTimeMillis())
+      case ac: TableChange.AddConstraint =>
+        val named = checkConstraints(Array(ac.constraint()))
+        val (cName, cExpr) = named.head
+        val log = new TxnLog(dir, conf)
+        OptimisticTxn.retrying(log) { v =>
+          // validates every existing row in one scan, then commits the
+          // named expression into the Metadata
+          TableWriter.addConstraint(spark, dir, cExpr,
+            version = v, commitTs = System.currentTimeMillis(),
+            name = Some(cName))
+        }
+      case dc: TableChange.DropConstraint =>
+        val log = new TxnLog(dir, conf)
+        OptimisticTxn.retrying(log) { v =>
+          TableWriter.dropConstraint(spark, dir, dc.name(),
+            ifExists = dc.ifExists(), version = v,
+            commitTs = System.currentTimeMillis())
+        }
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "nested DROP COLUMN is not supported")
+        val log = new TxnLog(dir, conf)
+        OptimisticTxn.retrying(log) { v =>
+          TableWriter.dropColumn(spark, dir, del.fieldNames().head,
+            version = v, commitTs = System.currentTimeMillis())
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported (supported: ADD " +

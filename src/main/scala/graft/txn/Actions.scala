@@ -75,7 +75,11 @@ final case class Metadata(
     partitionColumns: Seq[String],
     constraints: Seq[String] = Seq.empty,
     columnMapping: Map[String, String] = Map.empty,
-    generatedColumns: Map[String, String] = Map.empty) extends Action
+    generatedColumns: Map[String, String] = Map.empty,
+    // SQL constraint NAMES (name → expression) for ALTER TABLE ADD/DROP
+    // CONSTRAINT round-trips; enforcement always runs off `constraints`
+    // (the expressions). Defaulted, so pre-naming logs read unchanged.
+    constraintNames: Map[String, String] = Map.empty) extends Action
 
 /** Commit provenance; `timestamp` drives timestamp-as-of time travel. */
 final case class CommitInfo(

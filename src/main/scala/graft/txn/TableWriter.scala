@@ -2,7 +2,7 @@ package graft.txn
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{coalesce, col, expr}
 
 /** Versioned-parquet table writer: stages a DataFrame write, then commits
   * AddFile actions atomically — the "Delta sink" of SURVEY.md §7.1 step 3.
@@ -110,11 +110,17 @@ object TableWriter {
     val df = genDefs.foldLeft(df0) { case (d, (c, e)) =>
       if (!d.columns.contains(c)) d.withColumn(c, expr(e))
       else {
-        val bad = d.filter(!(col(c) <=> expr(e))).count()
+        // NULL-supplied values compute: SQL `INSERT INTO t (a, b)` fills
+        // the omitted generated column with NULL before the writer sees
+        // it, which must behave like omission, not like a violation. A
+        // NON-null disagreeing value still rejects (Delta semantics).
+        val filled = d.withColumn(c,
+          coalesce(col(c), expr(e).cast(d.schema(c).dataType)))
+        val bad = filled.filter(!(col(c) <=> expr(e))).count()
         if (bad > 0) throw new IllegalArgumentException(
           s"generated column violation at $tablePath: '$c' disagrees with " +
             s"GENERATED ALWAYS AS ($e) on $bad rows")
-        d
+        filled
       }
     }
     // Schema enforcement (Delta semantics): an append must match the
@@ -147,7 +153,8 @@ object TableWriter {
     // definitions (if any) carry forward so later readers/writers keep
     // translating and computing
     val meta = Metadata(df.schema.json, partitionBy, constraints,
-      priorMeta.map(_.columnMapping).getOrElse(Map.empty), genDefs)
+      priorMeta.map(_.columnMapping).getOrElse(Map.empty), genDefs,
+      priorMeta.map(_.constraintNames).getOrElse(Map.empty))
     val log = new TxnLog(tablePath, conf)
     val metaAction: Seq[Action] =
       if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
@@ -247,6 +254,39 @@ object TableWriter {
       tablePath: String,
       constraint: String,
       version: Long,
+      commitTs: Long,
+      name: Option[String] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val m = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no table metadata at $tablePath"))
+    name.foreach(n => require(!m.constraintNames.contains(n),
+      s"constraint '$n' already exists at $tablePath"))
+    val bad = SnapshotReader.read(spark, tablePath)
+      .filter(constraintViolation(constraint)).count()
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$constraint' at $tablePath: " +
+          s"$bad existing rows violate it")
+    log.commit(version, Seq(
+      m.copy(constraints = m.constraints :+ constraint,
+        constraintNames = m.constraintNames ++
+          name.map(_ -> constraint).toMap),
+      CommitInfo("ADD CONSTRAINT", commitTs)))
+  }
+
+  /** DROP CONSTRAINT by SQL name: removes the named expression from
+    * both the enforcement list and the name map. Unknown name throws
+    * unless `ifExists`.
+    */
+  def dropConstraint(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      ifExists: Boolean,
+      version: Long,
       commitTs: Long): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -254,14 +294,22 @@ object TableWriter {
     TxnLog.assertWritable(snap, tablePath)
     val m = snap.metadata.getOrElse(throw new IllegalStateException(
       s"no table metadata at $tablePath"))
-    val bad = SnapshotReader.read(spark, tablePath)
-      .filter(constraintViolation(constraint)).count()
-    if (bad > 0)
-      throw new IllegalArgumentException(
-        s"cannot add CHECK constraint '$constraint' at $tablePath: " +
-          s"$bad existing rows violate it")
-    log.commit(version, Seq(m.copy(constraints = m.constraints :+ constraint),
-      CommitInfo("ADD CONSTRAINT", commitTs)))
+    m.constraintNames.get(name) match {
+      case None =>
+        if (!ifExists) throw new IllegalArgumentException(
+          s"no constraint named '$name' at $tablePath")
+      case Some(expr0) =>
+        // remove ONE occurrence of the expression (another named or
+        // unnamed constraint with identical text keeps enforcing)
+        val idx = m.constraints.indexOf(expr0)
+        val remaining =
+          if (idx < 0) m.constraints
+          else m.constraints.patch(idx, Nil, 1)
+        log.commit(version, Seq(
+          m.copy(constraints = remaining,
+            constraintNames = m.constraintNames - name),
+          CommitInfo("DROP CONSTRAINT", commitTs)))
+    }
   }
 
   /** Metadata-only RENAME COLUMN (Delta column-mapping, name mode): no
@@ -322,6 +370,56 @@ object TableWriter {
     log.commit(version, protocol ++ Seq(
       m.copy(schemaJson = newSchema.json, columnMapping = newMapping),
       CommitInfo("RENAME COLUMN", commitTs)))
+  }
+
+  /** Metadata-only DROP COLUMN (Delta column-mapping semantics): no
+    * data file is touched — the commit re-declares the schema without
+    * the column, and readers simply never project the files' physical
+    * column again. Demands Protocol(2, 2) like rename: a mapping-blind
+    * reader re-surfacing the column is the corruption the guard blocks.
+    *
+    * Refused: partition columns (directory layout), generated columns
+    * and columns feeding one, and constraint-referenced columns (the
+    * expression text would dangle). Re-ADDING a column with a dropped
+    * name later must map it to a FRESH physical name or the old files'
+    * data would resurrect — [[GraftCatalog.alterTable]]'s AddColumn
+    * handles that via the historical-name scan.
+    */
+  def dropColumn(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val m = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no table metadata at $tablePath"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' at $tablePath")
+    require(schema.fields.length > 1,
+      s"cannot drop the only column '$name' at $tablePath")
+    require(!m.partitionColumns.contains(name),
+      s"cannot drop partition column '$name'")
+    val word = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    require(!m.constraints.exists(c => word.findFirstIn(c).isDefined),
+      s"cannot drop '$name': referenced by a CHECK constraint")
+    require(!m.generatedColumns.contains(name) &&
+      !m.generatedColumns.values.exists(e => word.findFirstIn(e).isDefined),
+      s"cannot drop '$name': it is a generated column or feeds one")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val protocol: Seq[Action] =
+      if (snap.protocol.exists(_.minReaderVersion >= 2)) Seq.empty
+      else Seq(Protocol(2, 2))
+    log.commit(version, protocol ++ Seq(
+      m.copy(schemaJson = newSchema.json,
+        columnMapping = m.columnMapping - name),
+      CommitInfo("DROP COLUMN", commitTs)))
   }
 
   /** Stage-and-move for sibling txn modules (DeletionVectors.purge):
@@ -728,11 +826,17 @@ object TableWriter {
     val df = genDefs.foldLeft(df0) { case (d, (c, e)) =>
       if (!d.columns.contains(c)) d.withColumn(c, expr(e))
       else {
-        val bad = d.filter(!(col(c) <=> expr(e))).count()
+        // NULL-supplied values compute: SQL `INSERT INTO t (a, b)` fills
+        // the omitted generated column with NULL before the writer sees
+        // it, which must behave like omission, not like a violation. A
+        // NON-null disagreeing value still rejects (Delta semantics).
+        val filled = d.withColumn(c,
+          coalesce(col(c), expr(e).cast(d.schema(c).dataType)))
+        val bad = filled.filter(!(col(c) <=> expr(e))).count()
         if (bad > 0) throw new IllegalArgumentException(
           s"generated column violation at $tablePath: '$c' disagrees with " +
             s"GENERATED ALWAYS AS ($e) on $bad rows")
-        d
+        filled
       }
     }
     val declared = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)

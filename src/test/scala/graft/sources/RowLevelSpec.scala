@@ -158,7 +158,8 @@ class RowLevelSpec extends AnyFunSuite {
         """MERGE INTO grl.default.c1 t USING c1_bad s ON t.id = s.id
           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
     }
-    assert(rootMessages(e).exists(_.contains("CHECK constraint violation")),
+    assert(rootMessages(e).exists(m =>
+      m.toLowerCase.contains("check constraint")),
       s"wrong failure: $e")
     assert(log("c1").latestVersion().get == vBefore, "nothing may commit")
     assert(spark.sql("SELECT v FROM grl.default.c1 WHERE id = 2")
@@ -190,7 +191,7 @@ class RowLevelSpec extends AnyFunSuite {
       spark.sql("UPDATE grl.default.g1 SET id = id + 1 WHERE id = 2")
     }
     assert(rootMessages(e).exists(m =>
-      m.contains("CHECK constraint violation") && m.contains("par")),
+      m.toLowerCase.contains("check constraint") && m.contains("par")),
       s"wrong failure: $e")
     assert(log("g1").latestVersion().get == vBefore)
     // touching only non-generating columns keeps the agreement: lands
