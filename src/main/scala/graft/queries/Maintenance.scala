@@ -1627,6 +1627,216 @@ object Maintenance {
           |  CAST(SUM(cents) AS BIGINT) AS cents_sum
           |FROM gcat.default.events_cmerge
           |GROUP BY band ORDER BY band""".stripMargin)
+    },
+
+    // Path-table snapshot + time travel through the graft_snapshot TVF:
+    // SQL users read any graft table directly — no catalog registration
+    // — and pin a version. Counts replay q61's fixture arithmetic.
+    QueryDef.sqlBacked(
+      "q218_sql_snapshot_tvf",
+      """SELECT 1 AS version,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R')
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 97 = 0) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 2 AS version,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R')
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 97 = 0)
+        |    + COUNT(*) FILTER (WHERE l_orderkey % 89 = 0) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val table = Cdc.buildFixture(s, dir)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows
+           |FROM graft_snapshot('$table', 1)
+           |UNION ALL
+           |SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows
+           |FROM graft_snapshot('$table')
+           |ORDER BY version""".stripMargin)
+    },
+
+    // SQL maintenance lifecycle via procedure-style TVFs: two small-file
+    // append versions, `graft_optimize` compacts them (CDC-invisible
+    // reorganization commit), `graft_vacuum` at retention 0 reclaims the
+    // superseded pre-compaction files, and the content — read back
+    // through graft_snapshot — is byte-identical to the bag union the
+    // oracle recomputes. The metric booleans flip on a regression in
+    // either direction (no compaction, or nothing reclaimed).
+    QueryDef.sqlBacked(
+      "q219_sql_optimize_vacuum",
+      """WITH t AS (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 7 = 0
+        |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 11 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS compacted, TRUE AS reclaimed
+        |FROM t""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/sqlopt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // vacuum mutates
+      val li = Tables.load(s, dir, "lineitem")
+      TableWriter.write(s, li.filter(col("l_orderkey") % 7 === 0), path,
+        partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+      TableWriter.write(s, li.filter(col("l_orderkey") % 11 === 0), path,
+        partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
+      graft.functions.GraftExtensions.install(s)
+      val opt = s.sql(s"SELECT * FROM graft_optimize('$path')").head()
+      val reclaimed = s.sql(
+        s"SELECT COUNT(*) AS n FROM graft_vacuum('$path', 0)").head().getLong(0)
+      s.sql(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+           |    AS BIGINT) AS cents,
+           |  ${opt.getLong(2) < opt.getLong(1)} AS compacted,
+           |  ${reclaimed > 0} AS reclaimed
+           |FROM graft_snapshot('$path')""".stripMargin)
+    },
+
+    // ANSI constraint + generated-column DDL end-to-end: CREATE TABLE
+    // with a named CHECK and a GENERATED ALWAYS AS partition column
+    // (TableCatalogCapability SUPPORT_TABLE_CONSTRAINT +
+    // SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS), INSERT that OMITS
+    // the generated column (computed by the write path), a violating
+    // INSERT refused — by Spark's own enforcement of the constraints the
+    // table reports, with the engine's one-pass check behind it — then
+    // ALTER ADD CONSTRAINT (validates existing rows), DROP CONSTRAINT,
+    // and an insert the dropped rule would have refused. The final
+    // per-band state and the refusal boolean are the oracle.
+    QueryDef.sqlBacked(
+      "q220_sql_constraints_ddl",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 8 = 0
+        |  UNION ALL SELECT 1000001, -7),
+        |f AS (SELECT event_id, cents, event_id % 4 AS band FROM t)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  TRUE AS violating_refused
+        |FROM f GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      s.sql("DROP TABLE IF EXISTS gcat.default.cons_ddl")
+      s.sql(
+        """CREATE TABLE gcat.default.cons_ddl (
+          |  event_id BIGINT, cents BIGINT,
+          |  band BIGINT GENERATED ALWAYS AS (event_id % 4),
+          |  CONSTRAINT cents_nonneg CHECK (cents >= 0)
+          |) PARTITIONED BY (band)""".stripMargin)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      // generated band OMITTED — the write path computes it
+      s.sql(
+        """INSERT INTO gcat.default.cons_ddl (event_id, cents)
+          |SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT)
+          |FROM events_src WHERE event_id % 8 = 0""".stripMargin)
+      val refused =
+        try {
+          s.sql("INSERT INTO gcat.default.cons_ddl VALUES (3, -5, 3)")
+          false
+        } catch { case _: Throwable => true }
+      s.sql(
+        """ALTER TABLE gcat.default.cons_ddl
+          |ADD CONSTRAINT small CHECK (cents < 100000)""".stripMargin)
+      s.sql("ALTER TABLE gcat.default.cons_ddl DROP CONSTRAINT cents_nonneg")
+      s.sql(
+        "INSERT INTO gcat.default.cons_ddl VALUES (1000001, -7, 1000001 % 4)")
+      s.sql(
+        s"""SELECT CAST(band AS BIGINT) AS band,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           |  $refused AS violating_refused
+           |FROM gcat.default.cons_ddl
+           |GROUP BY band ORDER BY band""".stripMargin)
+    },
+
+    // Metadata-only DROP COLUMN + the resurrection guard end-to-end:
+    // drop a populated column (no file rewrite), re-ADD the same name
+    // (mapped to a fresh physical name), append rows that fill it — the
+    // old bytes must stay dead (NULL under the re-added name) while the
+    // pre-drop version still time-travels with every value intact.
+    QueryDef.sqlBacked(
+      "q221_sql_drop_column",
+      """WITH a AS (SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT)
+        |             AS cents FROM events WHERE event_id % 8 = 0),
+        |b AS (SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_id % 8 = 3)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+        |    AS BIGINT) AS n_rows,
+        |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_scratch,
+        |  CAST((SELECT SUM(cents) FROM a) + (SELECT SUM(cents) FROM b)
+        |    AS BIGINT) AS cents_sum,
+        |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS old_n_scratch""".stripMargin) {
+      (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      s.sql("DROP TABLE IF EXISTS gcat.default.dropcol")
+      s.sql(
+        """CREATE TABLE gcat.default.dropcol (
+          |  event_id BIGINT, scratch STRING, cents BIGINT)""".stripMargin)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql(
+        """INSERT INTO gcat.default.dropcol
+          |SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT)
+          |FROM events_src WHERE event_id % 8 = 0""".stripMargin)
+      s.sql("ALTER TABLE gcat.default.dropcol DROP COLUMN scratch")
+      s.sql("ALTER TABLE gcat.default.dropcol ADD COLUMNS (scratch STRING)")
+      s.sql(
+        """INSERT INTO gcat.default.dropcol (event_id, cents, scratch)
+          |SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT), event_type
+          |FROM events_src WHERE event_id % 8 = 3""".stripMargin)
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(scratch) AS BIGINT) AS n_scratch,
+          |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+          |  (SELECT CAST(COUNT(scratch) AS BIGINT)
+          |   FROM gcat.default.dropcol VERSION AS OF 1) AS old_n_scratch
+          |FROM gcat.default.dropcol""".stripMargin)
+    },
+
+    // Column DEFAULT values (SUPPORT_COLUMN_DEFAULT_VALUE): defaults
+    // declared in CREATE TABLE ride the schema's field metadata under
+    // Spark's own keys, so `INSERT INTO t (a)` and the DEFAULT keyword
+    // fill omitted columns in the analyzer — no engine-side work, and
+    // the filled values flow through the same constraint/stats write
+    // path as explicit ones.
+    QueryDef.sqlBacked(
+      "q222_sql_default_columns",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    'ingest' AS src
+        |  FROM events WHERE event_id % 8 = 0
+        |  UNION ALL SELECT 1000001, 42, 'manual')
+        |SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM t GROUP BY src ORDER BY src""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      s.sql("DROP TABLE IF EXISTS gcat.default.defcol")
+      s.sql(
+        """CREATE TABLE gcat.default.defcol (
+          |  event_id BIGINT, cents BIGINT,
+          |  src STRING DEFAULT 'ingest')""".stripMargin)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql(
+        """INSERT INTO gcat.default.defcol (event_id, cents)
+          |SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT)
+          |FROM events_src WHERE event_id % 8 = 0""".stripMargin)
+      s.sql("INSERT INTO gcat.default.defcol VALUES (1000001, 42, 'manual')")
+      s.sql(
+        """SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+          |FROM gcat.default.defcol
+          |GROUP BY src ORDER BY src""".stripMargin)
     }
   )
 }
