@@ -167,7 +167,114 @@ object GraftExtensions {
             nowMillis = System.currentTimeMillis(), dryRun = dry)
           import spark.implicits._
           deleted.toDF("deleted_path").queryExecution.logical
+        }),
+      // SHOW PARTITIONS with exact sizes, answered from METADATA: one
+      // row per live partition with file/byte/row counts from the log's
+      // per-file stats (DV dead rows subtracted by reading only the
+      // KB-scale sidecars). On a 100 TB table this touches zero data
+      // files — the log replay IS the query. `n_rows` is NULL for a
+      // partition holding any stats-less file (pre-stats log versions):
+      // an honest "unknown" beats a silent undercount.
+      ("graft_partitions",
+        info("graft_partitions",
+          "graft_partitions(tablePath) - per-partition file/byte/row " +
+            "counts of the latest snapshot, from log metadata only"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_partitions(tablePath)")
+          val path = strLitOf(children.head, "graft_partitions")
+          val spark = org.apache.spark.sql.SparkSession.active
+          partitionStats(spark, path).queryExecution.logical
+        }),
+      // DESCRIBE DETAIL as a TVF: one metadata-derived row describing
+      // the table — version, file/byte/row totals, partition columns,
+      // and the feature surface (constraints, column mapping, protocol).
+      ("graft_detail",
+        info("graft_detail",
+          "graft_detail(tablePath) - one-row table summary (version, " +
+            "n_files, n_bytes, n_rows, partition_columns, ...) from " +
+            "log metadata only"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_detail(tablePath)")
+          val path = strLitOf(children.head, "graft_detail")
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          val snap = new graft.txn.TxnLog(path,
+            spark.sessionState.newHadoopConf()).snapshotLatest()
+          val allStats = snap.files.forall(_.stats.isDefined)
+          val statRows =
+            if (!allStats) None
+            else Some(snap.files.map(_.stats.get.numRecords).sum -
+              deletedTotal(spark, path, snap))
+          Seq((snap.version, snap.files.size.toLong,
+            snap.files.map(_.size).sum, statRows,
+            snap.metadata.map(_.partitionColumns.mkString(",")).getOrElse(""),
+            snap.metadata.map(_.constraints.size.toLong).getOrElse(0L),
+            snap.metadata.exists(_.columnMapping.nonEmpty),
+            snap.protocol.map(_.minReaderVersion.toLong).getOrElse(1L)))
+            .toDF("version", "n_files", "n_bytes", "n_rows",
+              "partition_columns", "n_constraints", "column_mapping",
+              "min_reader_version")
+            .queryExecution.logical
         }))
+
+  /** Dead rows across the whole snapshot (sidecar reads only). */
+  private def deletedTotal(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      snap: graft.txn.Snapshot): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    if (snap.files.forall(_.dv.isEmpty)) 0L
+    else graft.txn.DeletionVectors.deletedPerFile(spark, path, snap.files)
+      .agg(coalesce(sum("n_deleted"), lit(0L))).head().getLong(0)
+  }
+
+  /** The graft_partitions frame: partition columns (string-typed, as
+    * stored in the log; the hive null sentinel maps back to NULL) +
+    * n_files / n_bytes / n_rows per partition.
+    */
+  private def partitionStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = new graft.txn.TxnLog(path,
+      spark.sessionState.newHadoopConf()).snapshotLatest()
+    val pcols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    val schema = org.apache.spark.sql.types.StructType(
+      pcols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("file_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("recs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("has_stats",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val rows = snap.files.map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        pcols.map(c => f.partitionValues.get(c)
+          .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull) ++ Seq(
+          new org.apache.hadoop.fs.Path(f.path).getName,
+          f.size,
+          f.stats.map(s => java.lang.Long.valueOf(s.numRecords)).orNull,
+          f.stats.isDefined))
+    }
+    val files = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val withDel = files
+      .join(graft.txn.DeletionVectors.deletedPerFile(spark, path, snap.files),
+        Seq("file_name"), "left")
+      .na.fill(0L, Seq("n_deleted"))
+    val grouped =
+      if (pcols.isEmpty) withDel.groupBy()
+      else withDel.groupBy(pcols.map(col): _*)
+    grouped.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("bytes")).as("n_bytes"),
+      when(min(col("has_stats").cast("int")) === 1,
+        sum(col("recs") - col("n_deleted"))).as("n_rows"))
+  }
 
   /** SQL literal → Int for kernel shape parameters (k, numHashes): these
     * fix the expression's output type/semantics, so a non-literal is a

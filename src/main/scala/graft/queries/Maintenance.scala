@@ -1837,6 +1837,48 @@ object Maintenance {
           |  CAST(SUM(cents) AS BIGINT) AS cents_sum
           |FROM gcat.default.defcol
           |GROUP BY src ORDER BY src""".stripMargin)
+    },
+
+    // SHOW PARTITIONS + DESCRIBE DETAIL from metadata alone: two
+    // partitioned appends then a deletion-vector DELETE, and
+    // `graft_partitions` / `graft_detail` answer exact per-partition and
+    // table-level row counts WITHOUT scanning a data file — per-file log
+    // stats minus the KB-scale DV sidecars. The oracle recomputes the
+    // same counts from the raw rows; a stats or DV bookkeeping drift
+    // anywhere in the write path breaks the hash.
+    QueryDef.sqlBacked(
+      "q223_sql_partitions_tvf",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    event_id % 4 AS band
+        |  FROM events WHERE event_id % 8 = 0 OR event_id % 8 = 5),
+        |live AS (SELECT * FROM t WHERE cents % 3 <> 0)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS has_files,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS total_rows
+        |FROM live GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/ptvf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_id") % 4).as("band"))
+      TableWriter.write(s, ev.filter(col("event_id") % 8 === 0), path,
+        partitionBy = Seq("band"), version = 0L, commitTs = 1000L)
+      TableWriter.write(s, ev.filter(col("event_id") % 8 === 5), path,
+        partitionBy = Seq("band"), version = 1L, commitTs = 2000L)
+      graft.txn.DeletionVectors.deleteWhere(s, path,
+        col("cents") % 3 === 0, version = 2L, commitTs = 3000L)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT CAST(p.band AS BIGINT) AS band, p.n_rows,
+           |  p.n_files >= 1 AS has_files, d.n_rows AS total_rows
+           |FROM graft_partitions('$path') p
+           |CROSS JOIN graft_detail('$path') d
+           |ORDER BY band""".stripMargin)
     }
   )
 }

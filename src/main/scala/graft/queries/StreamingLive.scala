@@ -200,6 +200,68 @@ object StreamingLive {
           col("click_id").isNotNull, 1)).cast("long").as("n_click_only"),
         sum(when(col("purchase_id").isNotNull && col("click_id").isNotNull,
           col("user_id"))).cast("long").as("matched_user_sum"))
+    },
+
+    // Trigger.AvailableNow backlog drain: a 3-commit CDC backlog streams
+    // through the row-granular source under maxVersionsPerTrigger=1 and
+    // the AvailableNow pin — the query must terminate BY ITSELF after
+    // exactly the pinned commits, in bounded batches. Per-commit counts
+    // and cents land in the sink and DuckDB recomputes them from the
+    // fixture arithmetic; the booleans pin self-termination and the
+    // batch bound. This is the reference's "copy, then stop" intent
+    // (DeltaCheckpoint.java:35-41) expressed as Spark's own trigger.
+    QueryDef.sqlBacked(
+      "q226_available_now_drain",
+      """WITH t AS (
+        |  SELECT event_id % 3 AS v,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT CAST(v AS BIGINT) AS commit_version,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  TRUE AS self_terminated, TRUE AS bounded_batches
+        |FROM t GROUP BY v ORDER BY commit_version""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val table = s"target/fixtures/avn_${tag(dir)}"
+      val log = new TxnLog(table, s.sessionState.newHadoopConf())
+      if (log.versions() != Seq(0L, 1L, 2L)) {
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(table), true)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        for (v <- 0L to 2L)
+          TableWriter.write(s, ev.filter(col("event_id") % 3 === v),
+            table, version = v, commitTs = 1000L * (v + 1))
+      }
+      val out = s"target/fixtures/out_avn_${tag(dir)}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val q = s.readStream.format("graft.sources.GraftCdc")
+        .option("tablePath", table)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("avn_ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val terminated = q.awaitTermination(180000)
+      val bounded = q.recentProgress.count(_.numInputRows > 0) == 3
+      s.read.parquet(out)
+        .groupBy(col("commit_version"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents"))
+        .withColumn("self_terminated", lit(terminated))
+        .withColumn("bounded_batches", lit(bounded))
+        .select(col("commit_version"), col("n"), col("cents"),
+          col("self_terminated"), col("bounded_batches"))
+        .orderBy(col("commit_version"))
     }
   )
 }

@@ -270,6 +270,81 @@ object TpchClassics {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_count"))
+    },
+
+    // TPC-H Q17: small-quantity-order revenue for one brand — the
+    // classic correlated-scalar-subquery shape. The Spark side is
+    // deliberately SQL with two correlated subqueries (count + sum per
+    // partkey) so CATALYST does the decorrelation: both rewrite into one
+    // per-partkey aggregate joined back on l_partkey — a key-local
+    // shuffle join, no per-row re-scan. The 0.2·avg threshold is the
+    // integer-exact cross-multiplied form 5·q·n < Σq (quantities are
+    // integral doubles), so no engine-specific float averaging can
+    // perturb a boundary row.
+    QueryDef.sqlBacked(
+      "q224_small_qty_revenue",
+      s"""WITH agg AS (
+         |  SELECT l_partkey,
+         |    COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT
+         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS cents,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem l
+         |  JOIN part p ON p.p_partkey = l.l_partkey
+         |  JOIN agg a ON a.l_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#7'
+         |  AND 5 * CAST(l.l_quantity AS BIGINT) * a.n < a.sq""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        Tables.load(s, dir, "part").createOrReplaceTempView("part_v")
+        s.sql(
+          """SELECT
+            |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            |    AS cents,
+            |  CAST(COUNT(*) AS BIGINT) AS n_lines
+            |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+            |WHERE p.p_brand = 'Brand#7'
+            |  AND 5 * CAST(l.l_quantity AS BIGINT) *
+            |    (SELECT COUNT(*) FROM lineitem_v l2
+            |     WHERE l2.l_partkey = l.l_partkey) <
+            |    (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+            |     FROM lineitem_v l3 WHERE l3.l_partkey = l.l_partkey)""".stripMargin)
+    },
+
+    // TPC-H Q15: top supplier(s) by revenue over one quarter. The
+    // supplier-revenue view aggregates the fact table once (supplier-key
+    // shuffle); the global max is a one-row frame broadcast back — never
+    // a re-aggregation per supplier. Ties all surface, per the spec.
+    QueryDef.sqlBacked(
+      "q225_top_supplier",
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS $M)
+         |      * ($ONE - CAST(l_discount AS $R)) * 100) AS BIGINT)) AS BIGINT)
+         |      AS total_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, r.total_cents
+         |FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+         |WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+         |ORDER BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(money(col("l_extendedprice")) *
+          (oneD - rate(col("l_discount"))) * 100).cast("long"))
+          .cast("long").as("total_cents"))
+      val top = rev.agg(max(col("total_cents")).as("max_cents"))
+      Tables.load(s, dir, "supplier")
+        .join(rev, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(top), col("total_cents") === col("max_cents"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

@@ -93,7 +93,8 @@ private[sources] class GraftCdcMicroBatchStream(
     schema: StructType,
     options: Map[String, String])
   extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val opts = CdcOptions.parse(options)
   // session Hadoop conf captured on the driver, shipped to executors in
@@ -111,9 +112,26 @@ private[sources] class GraftCdcMicroBatchStream(
   }
 
   override def latestOffset(): Offset = {
-    val latest = log.latestVersion().getOrElse(0L)
+    val latest = cappedV(log.latestVersion().getOrElse(0L))
     WrappedOffset(CdcOffset(CdcOffset.Incremental, latest, -1, -1))
   }
+
+  // ------ Trigger.AvailableNow ------
+  // The "drain the backlog in bounded batches, then STOP" contract: the
+  // log's latest version is pinned once at query start, every admission
+  // path refuses to pass it, and when the stream reaches the pin Spark
+  // sees no new data and terminates. Commits landing after the pin wait
+  // for the next run — exactly Delta's availableNow semantics, and the
+  // operational shape of the reference's "full copy then stop" intent
+  // (DeltaCheckpoint.java:35–41) without its never-terminating loop.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.latestVersion().getOrElse(0L))
+
+  /** Clamp a candidate end version to the AvailableNow pin (if armed). */
+  private def cappedV(v: Long): Long =
+    availableNowCap.fold(v)(math.min(v, _))
 
   // ------ admission control (backpressure) ------
   // The Spark-native form of the reference's bounded blocking queue
@@ -271,6 +289,7 @@ private[sources] class GraftCdcMicroBatchStream(
         }
       }
       val it = l.changes(s.version + 1).iterator
+        .takeWhile(v => availableNowCap.forall(v._1 <= _))
       var stop = false
       while (!stop && it.hasNext && remaining > 0 && fileBudget > 0 &&
           versions < capV) {
@@ -296,6 +315,7 @@ private[sources] class GraftCdcMicroBatchStream(
     val capV = opts.maxVersionsPerTrigger.getOrElse(Long.MaxValue)
     val capF = opts.maxFilesPerTrigger.getOrElse(Long.MaxValue)
     val it = l.changes(s.version + 1).iterator
+      .takeWhile(v => availableNowCap.forall(v._1 <= _))
     var stop = false
     while (!stop && it.hasNext && versions < capV) {
       val (v, actions) = it.next()

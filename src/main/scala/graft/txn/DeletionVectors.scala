@@ -65,6 +65,27 @@ object DeletionVectors {
         col("deleted_at")))
   }
 
+  /** Dead-row count per DV-carrying file of `files` — `(file_name,
+    * n_deleted)`, empty when no file carries a vector. Metadata-sized
+    * work: only the KB-scale sidecars are read, never the data files —
+    * this is what lets SHOW PARTITIONS-style row counts stay exact on a
+    * DV table without scanning it.
+    */
+  def deletedPerFile(
+      spark: SparkSession,
+      tablePath: String,
+      files: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    dvRows(spark, tablePath, files) match {
+      case Some(rows) =>
+        rows.groupBy(col("_dv_fn").as("file_name"))
+          .agg(count(lit(1)).as("n_deleted"))
+          .select(col("file_name"), col("n_deleted"))
+      case None =>
+        Seq.empty[(String, Long)].toDF("file_name", "n_deleted")
+    }
+  }
+
   /** Read `files` of the table with deletion vectors applied. With
     * `withRowMeta`, the result keeps `_fn` (file name), `_ri` (row
     * index) and `_path` (normalized full path) columns — the handles the

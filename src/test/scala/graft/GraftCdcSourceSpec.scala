@@ -305,4 +305,46 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     // resumed run appends ONLY the 100 new rows — no snapshot replay
     assert(total == 600, s"expected 600 total rows after resume, got $total")
   }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = Files.createTempDirectory("cdc_availnow").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.limit(100), table, version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, li.limit(150).except(li.limit(100)), table,
+      version = 1L, commitTs = 2000L)
+    TableWriter.write(spark, li.limit(180).except(li.limit(150)), table,
+      version = 2L, commitTs = 3000L)
+    val ck = Files.createTempDirectory("ck").toString
+    val out = Files.createTempDirectory("cdc_an_out").toString + "/sink"
+
+    def runOnce(name: String): (Long, Int) = {
+      val q = spark.readStream.format(fmt)
+        .option("tablePath", table)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // the query must terminate ON ITS OWN — that IS the contract
+      assert(q.awaitTermination(120000), s"$name did not self-terminate")
+      (spark.read.parquet(out).count(),
+        q.recentProgress.count(_.numInputRows > 0))
+    }
+
+    val (rows1, batches1) = runOnce("first drain")
+    assert(rows1 == 180, s"expected 180 rows after first drain, got $rows1")
+    // snapshot batch + one per backlog commit — admission still bounds
+    assert(batches1 == 3, s"expected 3 bounded batches, got $batches1")
+
+    // commits landing AFTER a drain wait for the next run
+    TableWriter.write(spark, li.limit(200).except(li.limit(180)), table,
+      version = 3L, commitTs = 4000L)
+    val (rows2, _) = runOnce("second drain")
+    assert(rows2 == 200, s"expected 200 total rows after second drain, got $rows2")
+  }
 }
