@@ -1879,6 +1879,60 @@ object Maintenance {
            |FROM graft_partitions('$path') p
            |CROSS JOIN graft_detail('$path') d
            |ORDER BY band""".stripMargin)
+    },
+
+    // Stable row ids (Delta row tracking): two single-file sorted
+    // appends pin the id of every row to its insertion rank, a DV
+    // DELETE must not renumber survivors, and the oracle REPLAYS the
+    // allocation arithmetic (row_number per commit, offset by the
+    // earlier commit's count) — so the per-band SUM/MAX of `_graft_row_id`
+    // is an exact value-level check of allocation order, stability, and
+    // DV non-renumbering, not a boolean.
+    QueryDef.sqlBacked(
+      "q227_row_tracking",
+      """WITH e AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT event_id, cents,
+        |        ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rid
+        |      FROM e WHERE event_id % 2 = 0),
+        |b AS (SELECT event_id, cents,
+        |        (SELECT COUNT(*) FROM a)
+        |          + ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rid
+        |      FROM e WHERE event_id % 2 = 1),
+        |live AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT CAST(event_id % 4 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(rid) AS BIGINT) AS rid_sum,
+        |  CAST(MAX(rid) AS BIGINT) AS rid_max
+        |FROM live WHERE cents % 7 <> 0
+        |GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/rowid_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val log = new TxnLog(path, s.sessionState.newHadoopConf())
+      if (log.versions() != Seq(0L, 1L, 2L)) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        def one(df: org.apache.spark.sql.DataFrame) =
+          df.coalesce(1).sortWithinPartitions("event_id")
+        TableWriter.write(s, one(ev.filter(col("event_id") % 2 === 0)),
+          path, version = 0L, commitTs = 1000L)
+        TableWriter.write(s, one(ev.filter(col("event_id") % 2 === 1)),
+          path, version = 1L, commitTs = 2000L)
+        graft.txn.DeletionVectors.deleteWhere(s, path,
+          col("cents") % 7 === 0, version = 2L, commitTs = 3000L)
+      }
+      s.read.format("graft").option("tablePath", path).load()
+        .select(col("event_id"),
+          col(graft.txn.TxnLog.RowIdColumn).as("rid"))
+        .groupBy((col("event_id") % 4).as("band"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("rid")).cast("long").as("rid_sum"),
+          max(col("rid")).cast("long").as("rid_max"))
+        .orderBy(col("band"))
     }
   )
 }

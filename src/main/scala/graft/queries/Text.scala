@@ -786,6 +786,68 @@ object Text {
       import s.implicits._
       Seq((nExact, nPlanted, missing == 0L))
         .toDF("n_exact_pairs", "n_planted_pairs", "pigeonhole_complete")
+    },
+
+    // Corpus-overlap estimation via KMV sketches: split the corpus into
+    // two source groups, sketch each group's distinct 3-shingles (k
+    // minimum xxhash64 values — an [[graft.operators.KmvSketch]]
+    // Aggregator, so partial aggregation ships k longs per partition,
+    // never shingles), and estimate |A|, |B| and |A∩B| from the two
+    // sketches alone. The LABELED oracle anchor is the exact
+    // distinct-shingle semi join the sketch exists to avoid; the gate
+    // booleans pin each estimate within 15% of it (k=2048 over ~10k
+    // distinct → expected error ≈ 1/√k ≈ 2%). At 100 TB the sketch
+    // path reads each corpus once — no cross-corpus join ever runs.
+    QueryDef.sqlBacked(
+      "q228_corpus_overlap",
+      """WITH t AS (
+        |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |           THEN 'a' ELSE 'b' END AS g,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT g, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |        FOR i IN range(1, len(toks) - 1)]) AS sh FROM t),
+        |da AS (SELECT DISTINCT sh FROM s WHERE g = 'a'),
+        |db AS (SELECT DISTINCT sh FROM s WHERE g = 'b')
+        |SELECT CAST((SELECT COUNT(*) FROM da) AS BIGINT) AS n_a,
+        |  CAST((SELECT COUNT(*) FROM db) AS BIGINT) AS n_b,
+        |  CAST((SELECT COUNT(*) FROM da JOIN db USING (sh)) AS BIGINT)
+        |    AS n_inter,
+        |  TRUE AS est_a_ok, TRUE AS est_b_ok,
+        |  TRUE AS est_inter_ok""".stripMargin) { (s, dir) =>
+      import graft.operators.KmvSketch
+      val k = 2048
+      val toks = Tables.load(s, dir, "documents")
+        .select(
+          when(substring(col("source"), 4, 8).cast("int") % 2 === 0, "a")
+            .otherwise("b").as("g"),
+          TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val sh = toks.select(col("g"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin))
+        .as("sh"))
+      // the sketch path: one scan per group, k longs out
+      val sketches = sh.select(col("g"), xxhash64(col("sh")).as("h"))
+        .groupBy(col("g"))
+        .agg(KmvSketch.kmv(k, col("h")).as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      val skA = sketches("a"); val skB = sketches("b")
+      val estA = KmvSketch.distinctEstimate(skA, k)
+      val estB = KmvSketch.distinctEstimate(skB, k)
+      val (_, _, estI) = KmvSketch.overlapEstimate(skA, skB, k)
+      // the labeled exact anchor (what the sketch avoids at scale)
+      val da = sh.filter(col("g") === "a").select(col("sh")).distinct()
+      val db = sh.filter(col("g") === "b").select(col("sh")).distinct()
+      val nA = da.count(); val nB = db.count()
+      val nI = da.join(db, Seq("sh"), "left_semi").count()
+      def ok(est: Double, exact: Long): Boolean =
+        exact > 0 && math.abs(est - exact) / exact <= 0.15
+      import s.implicits._
+      Seq((nA, nB, nI, ok(estA, nA), ok(estB, nB), ok(estI, nI)))
+        .toDF("n_a", "n_b", "n_inter",
+          "est_a_ok", "est_b_ok", "est_inter_ok")
     }
   )
 }

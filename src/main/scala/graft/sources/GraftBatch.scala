@@ -65,6 +65,16 @@ private[sources] object GraftBatch {
     */
   val FileMetadataColumn = "_graft_file"
 
+  /** Metadata column exposing each row's STABLE id (the Delta row
+    * tracking idea): `AddFile.baseRowId + position-in-file`, allocated
+    * once at commit and stable under append and deletion-vector DELETE
+    * (a DV skip never renumbers survivors). NULL for files written
+    * before tracking. A copy-on-write rewrite that materializes a
+    * physical `_graft_row_id` column preserves ids through the rewrite —
+    * the reader prefers the physical column when the file carries one.
+    */
+  val RowIdMetadataColumn: String = TxnLog.RowIdColumn
+
   /** The snapshot a scan binds to: resolved once, on the driver. */
   final case class Resolved(
       tablePath: String,
@@ -183,12 +193,20 @@ private[sources] class GraftBatchTable(
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftBatch.FileMetadataColumn
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftBatch.FileMetadataColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftBatch.RowIdMetadataColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        // NULL only for files written before row tracking existed
+        override def isNullable: Boolean = true
+      })
 
   /** SQL `MERGE INTO` / `UPDATE` (and predicate DELETEs SupportsDelete
     * refuses): group-based copy-on-write — see [[GraftRowLevelOperation]].
@@ -598,7 +616,8 @@ private[sources] class GraftBatchScan(
         serConf,
         dvDir = f.dv.map(d => TxnLog.dataPath(resolved.tablePath, d))
           .getOrElse(""),
-        limit = limit)
+        limit = limit,
+        baseRowId = f.baseRowId)
     }.toArray
   }
 
@@ -616,7 +635,8 @@ private[sources] case class GraftBatchPartition(
     schemaJson: String,
     conf: SerializableConfiguration,
     dvDir: String,
-    limit: Int) extends InputPartition
+    limit: Int,
+    baseRowId: Option[Long] = None) extends InputPartition
 
 private[sources] class GraftBatchReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -867,7 +887,17 @@ private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
           // the `_graft_file` metadata column: the absolute data path,
           // matching what the runtime group filter compares against
           org.apache.spark.unsafe.types.UTF8String.fromString(p.filePath)
-        else if (p.partitionValues.contains(f.name))
+        else if (f.name == GraftBatch.RowIdMetadataColumn) {
+          // stable row id: a physical column (materialized by an
+          // id-preserving rewrite) wins; else base + position. The DV
+          // skip above never renumbers — rowIdx is the RAW position.
+          if (fileSchema.containsField(f.name) &&
+              current.getFieldRepetitionCount(
+                fileSchema.getFieldIndex(f.name)) > 0)
+            GroupRows.extract(current, fileSchema.getFieldIndex(f.name),
+              org.apache.spark.sql.types.LongType)
+          else p.baseRowId.map(b => java.lang.Long.valueOf(b + rowIdx)).orNull
+        } else if (p.partitionValues.contains(f.name))
           GroupRows.castPartitionValue(p.partitionValues(f.name), f.dataType)
         else if (!fileSchema.containsField(f.name)) null // schema evolution
         else {

@@ -30,6 +30,16 @@ final case class FileStats(
   *           this file listed there are logically deleted. A reader that
   *           ignores this field would resurrect them — which is why DV
   *           tables demand Protocol(2, _) (see TxnLog.SupportedReaderVersion)
+  * @param baseRowId first stable row id of this file (the Delta row
+  *           tracking idea): row i of the file has id `baseRowId + i`.
+  *           Assigned once at commit from the table's monotonic
+  *           high-water mark ([[CommitInfo.rowIdHighWater]]) and COPIED
+  *           on every re-add of the same physical file (DV transitions,
+  *           rebases), so an id names one physical row forever — stable
+  *           under append and deletion-vector DELETE; a copy-on-write
+  *           rewrite of the file mints fresh ids unless the rewrite
+  *           materializes them. Default keeps pre-tracking logs readable
+  *           (their rows read as NULL ids, never a wrong id).
   */
 final case class AddFile(
     path: String,
@@ -38,7 +48,8 @@ final case class AddFile(
     modificationTime: Long,
     dataChange: Boolean,
     stats: Option[FileStats] = None,
-    dv: Option[String] = None) extends Action
+    dv: Option[String] = None,
+    baseRowId: Option[Long] = None) extends Action
 
 /** A data file logically removed (physically retained for CDC replay
   * until vacuumed).
@@ -81,10 +92,16 @@ final case class Metadata(
     // (the expressions). Defaulted, so pre-naming logs read unchanged.
     constraintNames: Map[String, String] = Map.empty) extends Action
 
-/** Commit provenance; `timestamp` drives timestamp-as-of time travel. */
+/** Commit provenance; `timestamp` drives timestamp-as-of time travel.
+  * @param rowIdHighWater the first UNUSED stable row id after this
+  *        commit — the allocation cursor for [[AddFile.baseRowId]].
+  *        Persisted (not recomputed from live files) so ids of deleted
+  *        files are never reused. Defaulted for pre-tracking logs.
+  */
 final case class CommitInfo(
     operation: String,
-    timestamp: Long) extends Action
+    timestamp: Long,
+    rowIdHighWater: Option[Long] = None) extends Action
 
 /** Forward-compatibility guard (the Delta protocol action): a reader
   * whose supported version is below `minReaderVersion` must REFUSE the

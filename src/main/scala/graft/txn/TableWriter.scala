@@ -630,7 +630,37 @@ object TableWriter {
       .filter { case (_, fs) => fs.size > 1 || fs.exists(_.dv.isDefined) }
       .values.flatten.toSeq
     if (doomed.isEmpty) return Seq.empty
-    val src = readDeclared(spark, tablePath, snap, doomed)
+    // Id-preserving rewrite: when any doomed file carries stable row
+    // ids, MATERIALIZE them as a physical `_graft_row_id` column in the
+    // rewritten files (physical column from an earlier rewrite wins,
+    // else base + raw position) — the DSv2 reader prefers the physical
+    // column, so compaction never renumbers a row. Declared-schema
+    // reads are unaffected: their pinned schema ignores the extra
+    // column.
+    val src =
+      if (!doomed.exists(_.baseRowId.isDefined))
+        readDeclared(spark, tablePath, snap, doomed)
+      else {
+        import org.apache.spark.sql.functions.{broadcast, coalesce}
+        import spark.implicits._
+        val declared = snap.metadata.map(m =>
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val augmented = declared.map(s => org.apache.spark.sql.types.StructType(
+          s.fields :+ org.apache.spark.sql.types.StructField(
+            TxnLog.RowIdColumn, org.apache.spark.sql.types.LongType)))
+        val base = DeletionVectors.readFiles(spark, tablePath, doomed,
+          augmented, withRowMeta = true,
+          mapping = snap.metadata.map(_.columnMapping).getOrElse(Map.empty))
+        val bases = doomed
+          .map(f => (new Path(f.path).getName,
+            f.baseRowId.map(java.lang.Long.valueOf).orNull))
+          .toDF("_fn", "_base")
+        base.join(broadcast(bases), Seq("_fn"), "left")
+          .withColumn(TxnLog.RowIdColumn,
+            coalesce(col(TxnLog.RowIdColumn), col("_base") + col("_ri")))
+          .drop("_fn", "_ri", "_path", "_base")
+      }
     val packed = (partCols, zorderBy, clusterBy) match {
       case (pcs, _, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
       case (_, zs, _) if zs.size >= 2 =>

@@ -72,11 +72,16 @@ final class TxnLog(
     */
   def commit(v: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logDir)
+    // stable row ids: allocate base ids for new data files at the single
+    // commit choke point, so EVERY writer path (append, compact, COW,
+    // streaming epoch, clone) participates without per-site wiring
+    val (withIds, highWater) = assignRowIds(v, actions)
     // terminator invariant: CommitInfo lines sort last, synthesizing one
     // if the caller supplied none
-    val (infos, rest) = actions.partition(_.isInstanceOf[CommitInfo])
+    val (infos, rest) = withIds.partition(_.isInstanceOf[CommitInfo])
     val terminated = rest ++ (if (infos.nonEmpty) infos
-      else Seq(CommitInfo("COMMIT", System.currentTimeMillis())))
+      else Seq(CommitInfo("COMMIT", System.currentTimeMillis(),
+        rowIdHighWater = highWater)))
     // Same-JVM writers must serialize here: Hadoop's local ChecksumFileSystem
     // implements create(overwrite=false) as check-then-create, so two
     // threads racing the same version can BOTH "win" and one commit is
@@ -110,6 +115,66 @@ final class TxnLog(
           System.err.println(
             s"[txnlog] checkpoint at $v failed (non-fatal): ${e.getMessage}")
       }
+  }
+
+  /** Allocate [[AddFile.baseRowId]] for this commit's NEW data files
+    * (those without one; a re-add carrying its id — DV transition,
+    * rebase, clone import — keeps it and only advances the cursor).
+    * Returns the possibly-rewritten actions plus the post-commit
+    * high-water mark to stamp on the CommitInfo. No-op (and no extra
+    * log reads) for commits that touch no stats-bearing data files.
+    *
+    * The cursor comes from the LAST persisted `rowIdHighWater`, never
+    * from the live-file max — so ids of vacuumed/rewritten files are
+    * retired forever, not recycled. On a pre-tracking log the first
+    * allocating commit walks the tail once to prove there is no marker,
+    * then seeds from the live files; every later commit finds its
+    * marker one read away.
+    */
+  private def assignRowIds(
+      v: Long, actions: Seq[Action]): (Seq[Action], Option[Long]) = {
+    val dataAdds = actions.collect { case a: AddFile => a }
+    val needs = dataAdds.exists(a => a.baseRowId.isEmpty && a.stats.isDefined)
+    val carries = dataAdds.exists(_.baseRowId.isDefined)
+    if (!needs && !carries) return (actions, None)
+    // always seed from the persisted mark: a re-add-only commit (DV
+    // delete) stamping max(carried ends) alone could ROLL BACK a higher
+    // mark from files it doesn't touch — and recycle retired ids
+    var cursor = rowIdHighWater(v - 1)
+    val out = actions.map {
+      case a: AddFile if a.baseRowId.isEmpty && a.stats.isDefined =>
+        val assigned = a.copy(baseRowId = Some(cursor))
+        cursor += a.stats.get.numRecords
+        assigned
+      case a: AddFile if a.baseRowId.isDefined =>
+        cursor = math.max(cursor,
+          a.baseRowId.get + a.stats.map(_.numRecords).getOrElse(0L))
+        a
+      case other => other
+    }
+    val stamped = out.map {
+      case c: CommitInfo => c.copy(rowIdHighWater = Some(cursor))
+      case other => other
+    }
+    (stamped, Some(cursor))
+  }
+
+  /** First unused stable row id as of version `uptoV` (inclusive). */
+  def rowIdHighWater(uptoV: Long): Long = {
+    val vs = versions().filter(_ <= uptoV).sorted.reverse
+    vs.foreach { v =>
+      read(v).collectFirst {
+        case c: CommitInfo if c.rowIdHighWater.isDefined =>
+          c.rowIdHighWater.get
+      } match {
+        case Some(h) => return h
+        case None    =>
+      }
+    }
+    if (vs.isEmpty) 0L
+    else snapshot(uptoV).files
+      .flatMap(f => f.baseRowId.map(_ + f.stats.map(_.numRecords).getOrElse(0L)))
+      .foldLeft(0L)(math.max)
   }
 
   /** Parse the actions of one commit, in file order.
@@ -344,6 +409,13 @@ object TxnLog {
     * (e.g. compacting a DV file while ignoring the vector). Every
     * TableWriter mutation calls this on the snapshot it already loads.
     */
+  /** Physical/metadata column name for stable row ids: synthesized by
+    * the DSv2 reader as `baseRowId + position`, and MATERIALIZED under
+    * this name by id-preserving rewrites (compaction) so ids survive
+    * the file being rewritten.
+    */
+  val RowIdColumn = "_graft_row_id"
+
   /** Log-recorded data paths are table-relative, EXCEPT shallow-clone
     * imports, which are absolute (they live under the SOURCE table's
     * root). Every read site resolves through here.
