@@ -82,17 +82,21 @@ object GraftExtensions {
     Seq(
       ("graft_changes",
         info("graft_changes",
-          "graft_changes(tablePath, startingVersion[, includeHistory]) - " +
-            "CDC rows of a graft table from a version"),
+          "graft_changes(tablePath, startingVersion[, includeHistory" +
+            "[, endingVersion]]) - CDC rows of a graft table between " +
+            "two versions (end defaults to latest)"),
         (children: Seq[Expression]) => {
-          require(children.size >= 2 && children.size <= 3,
-            "graft_changes(tablePath, startingVersion[, includeHistory])")
+          require(children.size >= 2 && children.size <= 4,
+            "graft_changes(tablePath, startingVersion[, includeHistory" +
+              "[, endingVersion]])")
           val path = strLitOf(children.head, "graft_changes")
           val sv = longLitOf(children(1), "graft_changes")
           val hist = children.lift(2).forall(boolLitOf(_, "graft_changes"))
+          val ev = children.lift(3).map(longLitOf(_, "graft_changes"))
           graft.txn.CdcReader.cdc(
             org.apache.spark.sql.SparkSession.active, path,
-            startingVersion = sv, includeHistory = hist)
+            startingVersion = sv, includeHistory = hist,
+            endingVersion = ev)
             .queryExecution.logical
         }),
       ("graft_history",

@@ -450,6 +450,53 @@ object Cdc {
           sum(col("cents")).cast("long").as("cents_sum"),
           sum(col("event_id")).cast("long").as("id_sum"))
         .orderBy(col("event_type"))
+    },
+
+    // Bounded CDC replay — Delta's table_changes(start, END): versions
+    // past the bound must simply not exist for the read. v1's inserts
+    // and v2's DV-dead rows replay; v3's append (which an unbounded
+    // read would include as 'c' rows) is PROVABLY absent because the
+    // oracle arithmetic omits it — an off-by-one in the bound breaks
+    // the hash.
+    QueryDef.sqlBacked(
+      "q230_cdc_bounded",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    event_id % 4 AS grp
+        |  FROM events)
+        |SELECT 'c' AS op, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM t WHERE grp = 1
+        |UNION ALL
+        |SELECT 'd' AS op, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM t WHERE grp IN (0, 1) AND cents % 5 = 0
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/cdcb_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val log = new TxnLog(path, s.sessionState.newHadoopConf())
+      if (log.versions() != Seq(0L, 1L, 2L, 3L)) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            (col("event_id") % 4).as("grp"))
+        TableWriter.write(s, ev.filter(col("grp") === 0), path,
+          version = 0L, commitTs = 1000L)
+        TableWriter.write(s, ev.filter(col("grp") === 1), path,
+          version = 1L, commitTs = 2000L)
+        DeletionVectors.deleteWhere(s, path, col("cents") % 5 === 0,
+          version = 2L, commitTs = 3000L)
+        TableWriter.write(s, ev.filter(col("grp") === 2), path,
+          version = 3L, commitTs = 4000L)
+      }
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+           |FROM graft_changes('$path', 0, false, 2)
+           |GROUP BY op ORDER BY op""".stripMargin)
     }
   )
 }

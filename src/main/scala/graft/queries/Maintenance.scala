@@ -1933,6 +1933,48 @@ object Maintenance {
           sum(col("rid")).cast("long").as("rid_sum"),
           max(col("rid")).cast("long").as("rid_max"))
         .orderBy(col("band"))
+    },
+
+    // Dynamic partition pruning on the DSv2 scan: a star join whose dim
+    // side survives a selective filter hands the scan a runtime IN list
+    // of partition values, and the fact side opens ONLY the matching
+    // partitions' files (DppSpec pins the pruning + plan; here the
+    // driver hash certifies results are identical to the unpruned
+    // semantics DuckDB computes). At 100 TB this is the difference
+    // between scanning every partition of the fact table and scanning
+    // the two the dim filter selects.
+    QueryDef.sqlBacked(
+      "q229_dpp_star_join",
+      """WITH f AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    event_id % 8 AS band
+        |  FROM events),
+        |d AS (SELECT band FROM (VALUES (2), (5)) AS v(band))
+        |SELECT CAST(f.band AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM f JOIN d ON d.band = f.band
+        |GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/dpp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val log = new TxnLog(path, s.sessionState.newHadoopConf())
+      if (log.versions() != Seq(0L)) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        TableWriter.write(s,
+          Tables.load(s, dir, "events").select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            (col("event_id") % 8).as("band")),
+          path, partitionBy = Seq("band"), version = 0L, commitTs = 1000L)
+      }
+      import s.implicits._
+      val dim = Seq(2L, 5L).toDF("band")
+      s.read.format("graft").option("tablePath", path).load()
+        .join(dim, Seq("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents_sum"))
+        .orderBy(col("band"))
     }
   )
 }

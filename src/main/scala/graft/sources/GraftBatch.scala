@@ -514,23 +514,58 @@ private[sources] class GraftBatchScan(
   private[sources] def boundVersion: Long = resolved.version
   private[sources] def boundResolved: GraftBatch.Resolved = resolved
 
-  /** Advertise `_graft_file` for runtime filtering ONLY when the scan
-    * actually projects it (the row-level rewrite path): Spark's
-    * partition-pruning rule resolves these refs against the scan
-    * output, and an unprojected column is an AnalysisException there.
+  /** Partition columns whose stored string form is BIT-COMPARABLE with
+    * `String.valueOf` of a runtime literal (integral, string, boolean):
+    * for these, an IN-list membership test on strings is exact, so
+    * runtime pruning can never drop a file whose rows would match.
+    * Temporal/decimal columns are excluded — their literal encodings
+    * (epoch days/micros, unscaled longs) differ from the hive partition
+    * string, and a representation mismatch must make pruning
+    * conservative, not wrong.
+    */
+  private def prunablePartitionCols: Seq[String] =
+    resolved.partitionColumns.filter { c =>
+      resolved.schema.fields.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.StringType |
+            org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+    }
+
+  /** Advertise columns for runtime filtering ONLY when the scan
+    * actually projects them (Spark's pruning rules resolve these refs
+    * against the scan output, and an unprojected column is an
+    * AnalysisException there):
+    *  - `_graft_file` — the row-level MERGE/UPDATE group filter;
+    *  - prunable PARTITION columns — DSv2 dynamic partition pruning: a
+    *    star join on a partition key prunes the fact scan's file list
+    *    at runtime from the dim side's matched keys.
     */
   override def filterAttributes(): Array[
-      org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (required.fieldNames.contains(GraftBatch.FileMetadataColumn))
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(GraftBatch.FileMetadataColumn))
-    else Array.empty
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // Mutually exclusive on purpose: a scan that projects `_graft_file`
+    // is a row-level rewrite scan, and advertising MORE attributes there
+    // makes Spark build one combined struct-IN runtime filter that no
+    // source can translate — losing the group filter entirely (every
+    // file rewritten). One attribute -> one plain IN -> translatable.
+    val cols =
+      if (required.fieldNames.contains(GraftBatch.FileMetadataColumn))
+        Seq(GraftBatch.FileMetadataColumn)
+      else prunablePartitionCols.filter(required.fieldNames.contains)
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
 
-  /** Runtime group filtering (row-level MERGE/UPDATE): Spark hands back
-    * the distinct `_graft_file` values that contain matches as an IN
-    * predicate; files outside it are never rewritten. Unknown predicate
-    * shapes are ignored — pruning is an optimization, never required
-    * for correctness.
+  /** Runtime filtering: Spark hands back IN predicates at execution
+    * start — distinct `_graft_file` values containing row-level matches,
+    * or (dynamic partition pruning) the dim side's join-key values for a
+    * partition column. Files outside the list never open. Unknown
+    * predicate shapes are ignored — pruning is an optimization, never
+    * required for correctness (the join re-applies the condition).
     */
   override def filter(
       predicates: Array[
@@ -547,6 +582,26 @@ private[sources] class GraftBatchScan(
             }.toSet
             kept = kept.filter(f => values.contains(
               TxnLog.dataPath(resolved.tablePath, f.path)))
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference
+              if ref.fieldNames().length == 1 &&
+                prunablePartitionCols.contains(ref.fieldNames().head) =>
+            val column = ref.fieldNames().head
+            val values: Set[String] = p.children().drop(1).collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value != null =>
+                String.valueOf(l.value)
+            }.toSet
+            kept = kept.filter(f => f.partitionValues.get(column) match {
+              case Some("__HIVE_DEFAULT_PARTITION__") =>
+                // an IN list never matches NULL: null-partition files
+                // prune soundly under an equi-join's runtime filter
+                false
+              case Some(v) => values.contains(v)
+              case None =>
+                // partition evolution: in files of an older generation
+                // this is a DATA column — always keep them
+                true
+            })
           case _ => ()
         }
       }

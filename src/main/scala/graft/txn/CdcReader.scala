@@ -86,7 +86,10 @@ object CdcReader {
       tablePath: String,
       startingVersion: Long = 0L,
       includeHistory: Boolean = true,
-      partitionPred: Option[Map[String, String] => Boolean] = None): DataFrame = {
+      partitionPred: Option[Map[String, String] => Boolean] = None,
+      endingVersion: Option[Long] = None): DataFrame = {
+    endingVersion.foreach(e => require(e >= startingVersion,
+      s"endingVersion $e < startingVersion $startingVersion"))
     val keep: Map[String, String] => Boolean = partitionPred.getOrElse(_ => true)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, hadoopConf)
@@ -129,7 +132,11 @@ object CdcReader {
       }
     }
     var metaRows = Seq.empty[(String, Long, Long)] // (op,ts,version) for 'm'
-    log.changes(startingVersion + 1).foreach { case (v, actions) =>
+    // bounded replay (Delta's table_changes(start, end) shape): commits
+    // past the bound simply don't exist for this read
+    log.changes(startingVersion + 1).iterator
+      .takeWhile { case (v, _) => endingVersion.forall(v <= _) }
+      .foreach { case (v, actions) =>
       // A DV delete commits Remove(p) + Add(p, dv) for each affected
       // file: the CDC meaning is "these ROWS died", not "this file
       // churned" — emit op='d' for the newly-dead rows and suppress the
