@@ -172,6 +172,29 @@ object GraftExtensions {
           import spark.implicits._
           deleted.toDF("deleted_path").queryExecution.logical
         }),
+      // RESTORE as a procedure-style TVF (Delta's RESTORE TABLE ...
+      // VERSION AS OF): rolls the live-file state back to `toVersion`
+      // as a NEW commit — history is preserved, the rolled-back states
+      // stay time-travelable. Returns the new version.
+      ("graft_restore",
+        info("graft_restore",
+          "graft_restore(tablePath, toVersion) - restore the table's " +
+            "live state to a past version as a new commit; returns " +
+            "(version, restored_to)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_restore(tablePath, toVersion)")
+          val path = strLitOf(children.head, "graft_restore")
+          val to = longLitOf(children(1), "graft_restore")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val log = new graft.txn.TxnLog(path,
+            spark.sessionState.newHadoopConf())
+          val v = log.latestVersion().get + 1
+          graft.txn.TableWriter.restore(spark, path, toVersion = to,
+            version = v, commitTs = System.currentTimeMillis())
+          import spark.implicits._
+          Seq((v, to)).toDF("version", "restored_to")
+            .queryExecution.logical
+        }),
       // SHOW PARTITIONS with exact sizes, answered from METADATA: one
       // row per live partition with file/byte/row counts from the log's
       // per-file stats (DV dead rows subtracted by reading only the

@@ -1975,6 +1975,54 @@ object Maintenance {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("cents")).cast("long").as("cents_sum"))
         .orderBy(col("band"))
+    },
+
+    // SQL RESTORE via the procedure-style TVF: append twice, restore to
+    // v0 (a NEW commit — history preserved), append again. The final
+    // state is v0's rows plus the post-restore append, and the
+    // pre-restore state stays time-travelable — both read back through
+    // graft_snapshot and hash-checked against the fixture arithmetic.
+    QueryDef.sqlBacked(
+      "q231_sql_restore_tvf",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    event_id % 4 AS grp
+        |  FROM events)
+        |SELECT 'final' AS state,
+        |  CAST((SELECT COUNT(*) FROM t WHERE grp IN (0, 3)) AS BIGINT) AS n,
+        |  CAST((SELECT SUM(cents) FROM t WHERE grp IN (0, 3)) AS BIGINT)
+        |    AS cents_sum
+        |UNION ALL
+        |SELECT 'pre_restore' AS state,
+        |  CAST((SELECT COUNT(*) FROM t WHERE grp IN (0, 1)) AS BIGINT) AS n,
+        |  CAST((SELECT SUM(cents) FROM t WHERE grp IN (0, 1)) AS BIGINT)
+        |    AS cents_sum
+        |ORDER BY state""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/resttvf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // restore mutates
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_id") % 4).as("grp"))
+      TableWriter.write(s, ev.filter(col("grp") === 0), path,
+        version = 0L, commitTs = 1000L)
+      TableWriter.write(s, ev.filter(col("grp") === 1), path,
+        version = 1L, commitTs = 2000L)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(s"SELECT * FROM graft_restore('$path', 0)").collect()
+      TableWriter.write(s, ev.filter(col("grp") === 3), path,
+        version = 3L, commitTs = 4000L)
+      s.sql(
+        s"""SELECT 'final' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+           |FROM graft_snapshot('$path')
+           |UNION ALL
+           |SELECT 'pre_restore' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+           |FROM graft_snapshot('$path', 1)
+           |ORDER BY state""".stripMargin)
     }
   )
 }

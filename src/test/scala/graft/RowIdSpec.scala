@@ -113,6 +113,30 @@ class RowIdSpec extends AnyFunSuite {
     assert((5L until 8L).forall(ids(_) != null))
   }
 
+  test("concurrent rebasing appends never allocate overlapping ids") {
+    val path = fresh("rid_conc")
+    import spark.implicits._
+    TableWriter.write(spark, one((0L until 10L).toDF("id")), path,
+      version = 0L, commitTs = 1000L)
+    // 6 racing writers of 10 rows each: retries re-read the high-water
+    // mark under the new version, so every allocation window is disjoint
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = (1 to 6).map { w =>
+      Future(TableWriter.appendRebasing(spark,
+        one((w * 100L until w * 100L + 10L).toDF("id")), path,
+        commitTs = 2000L + w))
+    }
+    Await.result(Future.sequence(fs), 300.seconds)
+    val ids = readIds(path)
+    assert(ids.length == 70)
+    assert(ids.forall(_._2 != null))
+    val rids = ids.map(_._2.longValue)
+    assert(rids.distinct.length == 70, "overlapping row id allocation")
+    assert(rids.max == 69L, s"expected a dense 0..69 allocation, got max ${rids.max}")
+  }
+
   test("metadata column is selectable through SQL on a catalog table") {
     val wh = Files.createTempDirectory("rid_wh").toString
     spark.conf.set("spark.sql.catalog.ridcat", "graft.sources.GraftCatalog")
