@@ -2023,6 +2023,62 @@ object Maintenance {
            |  CAST(SUM(cents) AS BIGINT) AS cents_sum
            |FROM graft_snapshot('$path', 1)
            |ORDER BY state""".stripMargin)
+    },
+
+    // GENERATED ALWAYS AS IDENTITY end-to-end: CREATE with the SQL
+    // identity syntax, two ordered INSERTs that OMIT the column (the
+    // write path allocates from the persisted cursor), and the oracle
+    // REPLAYS the allocation as row_number arithmetic — per-band
+    // SUM/MAX of the identity values is a value-level check of start,
+    // step, allocation order, and cross-commit cursor continuation.
+    QueryDef.sqlBacked(
+      "q232_identity_columns",
+      """WITH e AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT event_id, cents,
+        |        100 + 2 * (ROW_NUMBER() OVER (ORDER BY event_id) - 1) AS id
+        |      FROM e WHERE event_id % 2 = 0),
+        |b AS (SELECT event_id, cents,
+        |        100 + 2 * ((SELECT COUNT(*) FROM a)
+        |          + ROW_NUMBER() OVER (ORDER BY event_id) - 1) AS id
+        |      FROM e WHERE event_id % 2 = 1),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT CAST(event_id % 4 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum,
+        |  CAST(MAX(id) AS BIGINT) AS id_max
+        |FROM u GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      s.sql("DROP TABLE IF EXISTS gcat.default.idents")
+      s.sql(
+        """CREATE TABLE gcat.default.idents (
+          |  id BIGINT GENERATED ALWAYS AS IDENTITY
+          |    (START WITH 100 INCREMENT BY 2),
+          |  event_id BIGINT, cents BIGINT)""".stripMargin)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_idsrc")
+      // a global ORDER BY makes the distributed zipWithIndex allocation
+      // deterministic: range partitions are themselves ordered
+      s.sql(
+        """INSERT INTO gcat.default.idents (event_id, cents)
+          |SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT)
+          |FROM events_idsrc WHERE event_id % 2 = 0
+          |ORDER BY event_id""".stripMargin)
+      s.sql(
+        """INSERT INTO gcat.default.idents (event_id, cents)
+          |SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT)
+          |FROM events_idsrc WHERE event_id % 2 = 1
+          |ORDER BY event_id""".stripMargin)
+      s.sql(
+        """SELECT CAST(event_id % 4 AS BIGINT) AS band,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(id) AS BIGINT) AS id_sum,
+          |  CAST(MAX(id) AS BIGINT) AS id_max
+          |FROM gcat.default.idents
+          |GROUP BY 1 ORDER BY band""".stripMargin)
     }
   )
 }

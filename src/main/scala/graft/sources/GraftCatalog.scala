@@ -52,7 +52,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     util.EnumSet.of(
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Check-only constraint intake: named CHECK expressions are stored
     * (name → SQL) and enforced; PK/FK/UNIQUE would be informational
@@ -182,13 +183,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = StructType(info.columns().map { c =>
       val base = org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable())
-      Option(c.defaultValue()) match {
-        case None => base
-        case Some(dv) =>
+      (Option(c.defaultValue()), Option(c.identityColumnSpec())) match {
+        case (Some(dv), _) =>
           base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .putString("CURRENT_DEFAULT", dv.getSql)
             .putString("EXISTS_DEFAULT", dv.getSql)
             .build())
+        case (None, Some(_)) =>
+          // a NULL default makes `INSERT INTO t (other cols)` analyze:
+          // the analyzer null-fills the omitted identity column and the
+          // WRITE PATH allocates real values (NULL-as-omission, the
+          // same convention generated columns use)
+          base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", "CAST(NULL AS BIGINT)")
+            .putString("EXISTS_DEFAULT", "CAST(NULL AS BIGINT)")
+            .build())
+        case _ => base
       }
     })
     val partCols = partColsOf(schema, info.partitions())
@@ -196,12 +206,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val generated = info.columns().toSeq
       .filter(_.generationExpression() != null)
       .map(c => c.name() -> c.generationExpression()).toMap
+    val identity = info.columns().toSeq
+      .filter(_.identityColumnSpec() != null)
+      .map { c =>
+        val spec = c.identityColumnSpec()
+        if (c.dataType() != org.apache.spark.sql.types.LongType)
+          throw new UnsupportedOperationException(
+            s"identity column ${c.name()} must be BIGINT, got ${c.dataType()}")
+        if (spec.isAllowExplicitInsert)
+          throw new UnsupportedOperationException(
+            s"identity column ${c.name()}: GENERATED BY DEFAULT is not " +
+              "supported — explicit inserts could duplicate engine-" +
+              "allocated values; use GENERATED ALWAYS AS IDENTITY")
+        c.name() -> s"${spec.getStart}:${spec.getStep}"
+      }.toMap
     val log = new TxnLog(dir, conf)
     log.commit(0L, Seq(
       Metadata(schema.json, partCols,
         constraints = named.values.toSeq,
         generatedColumns = generated,
-        constraintNames = named),
+        constraintNames = named,
+        identityColumns = identity),
       CommitInfo("CREATE TABLE", System.currentTimeMillis())))
     new GraftBatchTable(schema, Map("tablePath" -> dir),
       partitionColumns = partCols)
@@ -229,9 +254,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     partCols
   }
 
+  private def refuseIdentityInCtas(info: TableInfo): Unit =
+    if (info.columns().exists(_.identityColumnSpec() != null))
+      throw new UnsupportedOperationException(
+        "identity columns in CTAS/RTAS are not supported — the SELECT's " +
+          "rows bypass the identity allocator; CREATE the table first, " +
+          "then INSERT")
+
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     if (isTableDir(new Path(tableDir(ident))))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    refuseIdentityInCtas(info)
     new StagedGraftTable(tableDir(ident), info.schema(),
       partColsOf(info.schema(), info.partitions()), replace = false)
   }
@@ -239,14 +272,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
     if (!isTableDir(new Path(tableDir(ident))))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    refuseIdentityInCtas(info)
     new StagedGraftTable(tableDir(ident), info.schema(),
       partColsOf(info.schema(), info.partitions()), replace = true)
   }
 
   override def stageCreateOrReplace(
-      ident: Identifier, info: TableInfo): StagedTable =
+      ident: Identifier, info: TableInfo): StagedTable = {
+    refuseIdentityInCtas(info)
     new StagedGraftTable(tableDir(ident), info.schema(),
       partColsOf(info.schema(), info.partitions()), replace = true)
+  }
 
   /** SQL ALTER TABLE mapped onto the engine's evolution commits:
     * ADD COLUMNS = a schema-evolution Metadata commit (pre-evolution

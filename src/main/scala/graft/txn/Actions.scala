@@ -90,18 +90,29 @@ final case class Metadata(
     // SQL constraint NAMES (name → expression) for ALTER TABLE ADD/DROP
     // CONSTRAINT round-trips; enforcement always runs off `constraints`
     // (the expressions). Defaulted, so pre-naming logs read unchanged.
-    constraintNames: Map[String, String] = Map.empty) extends Action
+    constraintNames: Map[String, String] = Map.empty,
+    // GENERATED ALWAYS AS IDENTITY columns: column → "start:step". The
+    // WRITE PATH fills them (writer-supplied non-null values reject);
+    // per-column allocation cursors ride CommitInfo.identityHighWater.
+    // Defaulted, so pre-identity logs and checkpoints read unchanged.
+    identityColumns: Map[String, String] = Map.empty) extends Action
 
 /** Commit provenance; `timestamp` drives timestamp-as-of time travel.
   * @param rowIdHighWater the first UNUSED stable row id after this
   *        commit — the allocation cursor for [[AddFile.baseRowId]].
   *        Persisted (not recomputed from live files) so ids of deleted
   *        files are never reused. Defaulted for pre-tracking logs.
+  * @param identityHighWater per-identity-column NEXT value after this
+  *        commit's allocation — the claim record concurrent appends
+  *        conflict on (two writers allocating from the same cursor
+  *        would mint duplicate identity values; the loser must fail,
+  *        not rebase). Defaulted for pre-identity logs.
   */
 final case class CommitInfo(
     operation: String,
     timestamp: Long,
-    rowIdHighWater: Option[Long] = None) extends Action
+    rowIdHighWater: Option[Long] = None,
+    identityHighWater: Option[Map[String, Long]] = None) extends Action
 
 /** Forward-compatibility guard (the Delta protocol action): a reader
   * whose supported version is below `minReaderVersion` must REFUSE the

@@ -123,6 +123,30 @@ object TableWriter {
         filled
       }
     }
+    // Identity columns: declared by the catalog's CREATE (this commit's
+    // Metadata) or carried on the table — the write path allocates.
+    val idDefs = extraActions
+      .collectFirst { case m: Metadata if m.identityColumns.nonEmpty =>
+        m.identityColumns }
+      .getOrElse(priorMeta.map(_.identityColumns).getOrElse(Map.empty))
+    val (dfId, idCursors) =
+      fillIdentity(spark, df, idDefs, tablePath, version - 1, conf)
+    // fill appends the column last; restore the DECLARED column order
+    // (this commit's Metadata, else the table's), falling back to the
+    // caller's order with omitted identity columns appended
+    val dfW =
+      if (idDefs.isEmpty) dfId
+      else {
+        val declaredOrder = extraActions
+          .collectFirst { case m: Metadata => m }
+          .orElse(priorMeta)
+          .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
+        val order = declaredOrder.getOrElse(
+          df0.columns.toSeq.filterNot(idDefs.contains) ++
+            idDefs.keys.toSeq.sorted)
+        dfId.select(order.map(col): _*)
+      }
     // Schema enforcement (Delta semantics): an append must match the
     // table's declared schema by name+type unless the commit itself
     // carries a Metadata action evolving it. Silent drift would poison
@@ -133,9 +157,9 @@ object TableWriter {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         def shape(s: org.apache.spark.sql.types.StructType) =
           s.fields.map(f => (f.name, f.dataType)).toSeq
-        if (shape(declared) != shape(df.schema))
+        if (shape(declared) != shape(dfW.schema))
           throw new IllegalArgumentException(
-            s"schema enforcement: append schema ${df.schema.simpleString} " +
+            s"schema enforcement: append schema ${dfW.schema.simpleString} " +
               s"does not match the table schema at $tablePath; include a " +
               "Metadata action to evolve the schema")
       }
@@ -146,23 +170,85 @@ object TableWriter {
     val constraints = extraActions
       .collectFirst { case m: Metadata if m.constraints.nonEmpty => m.constraints }
       .getOrElse(priorMeta.map(_.constraints).getOrElse(Seq.empty))
-    enforceConstraints(df, constraints, tablePath)
-    val adds = stageAndMove(spark, df, tablePath, partitionBy, version,
+    enforceConstraints(dfW, constraints, tablePath)
+    val adds = stageAndMove(spark, dfW, tablePath, partitionBy, version,
       commitTs, dataChange = true)
-    // schemaJson stays LOGICAL; the column mapping and generated-column
-    // definitions (if any) carry forward so later readers/writers keep
-    // translating and computing
-    val meta = Metadata(df.schema.json, partitionBy, constraints,
+    // schemaJson stays LOGICAL; the column mapping, generated-column,
+    // and identity definitions (if any) carry forward so later
+    // readers/writers keep translating, computing, and allocating
+    val meta = Metadata(dfW.schema.json, partitionBy, constraints,
       priorMeta.map(_.columnMapping).getOrElse(Map.empty), genDefs,
-      priorMeta.map(_.constraintNames).getOrElse(Map.empty))
+      priorMeta.map(_.constraintNames).getOrElse(Map.empty),
+      identityColumns = idDefs)
     val log = new TxnLog(tablePath, conf)
     val metaAction: Seq[Action] =
       if (version == 0L || extraActions.exists(_.isInstanceOf[Metadata])) Seq(meta)
       else Seq.empty
     log.commit(version,
       metaAction ++ extraActions.filterNot(_.isInstanceOf[Metadata]) ++
-        adds :+ CommitInfo(operation, commitTs))
+        adds :+ CommitInfo(operation, commitTs,
+          identityHighWater = identityClaims(idCursors, adds)))
   }
+
+  /** Fill GENERATED ALWAYS AS IDENTITY columns: writer-supplied
+    * NON-null values reject (ALWAYS semantics; analyzer-filled NULLs
+    * behave as omission, matching the generated-column convention), and
+    * values allocate from the log's persisted per-column cursor via
+    * `zipWithIndex` — distributed dense numbering whose only extra cost
+    * is one lightweight count job, never a global sort or a single
+    * partition. Returns the filled frame (identity column appended
+    * LAST; callers reorder to the declared schema) plus each column's
+    * (cursor, step) for the commit's claim record.
+    */
+  private def fillIdentity(
+      spark: SparkSession,
+      df0: DataFrame,
+      idDefs: Map[String, String],
+      tablePath: String,
+      readVersion: Long,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (DataFrame, Map[String, (Long, Long)]) = {
+    if (idDefs.isEmpty) return (df0, Map.empty)
+    val log = new TxnLog(tablePath, conf)
+    var df = df0
+    val cursors = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    idDefs.toSeq.sortBy(_._1).foreach { case (c, spec) =>
+      val Array(startS, stepS) = spec.split(":", 2)
+      val start = startS.toLong
+      val step = stepS.toLong
+      if (df.columns.contains(c)) {
+        val nonNull = df.filter(col(c).isNotNull).count()
+        if (nonNull > 0) throw new IllegalArgumentException(
+          s"identity column violation at $tablePath: '$c' is GENERATED " +
+            s"ALWAYS AS IDENTITY — explicit values are not allowed " +
+            s"($nonNull rows)")
+        df = df.drop(c)
+      }
+      val cursor = log.identityCursor(readVersion, c, start)
+      cursors(c) = (cursor, step)
+      val schema = df.schema
+      df = spark.createDataFrame(
+        df.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (cursor + step * i))
+        },
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+    }
+    (df, cursors.toMap)
+  }
+
+  /** The claim record for a commit that allocated identity values:
+    * column → next unused value, from the staged files' exact row count.
+    */
+  private def identityClaims(
+      cursors: Map[String, (Long, Long)],
+      adds: Seq[AddFile]): Option[Map[String, Long]] =
+    if (cursors.isEmpty) None
+    else {
+      val n = adds.flatMap(_.stats.map(_.numRecords)).sum
+      Some(cursors.map { case (c, (cur, step)) => c -> (cur + step * n) })
+    }
 
   /** A row VIOLATES a CHECK constraint only when the expression is
     * definitively false — NULL passes (SQL CHECK semantics).
@@ -871,20 +957,28 @@ object TableWriter {
     }
     val declared = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // identity columns allocate from the cursor at the READ version; a
+    // concurrent allocation is detected in the commit loop and FAILS
+    // (rebasing would mint duplicate values)
+    val (dfId, idCursors) = fillIdentity(spark, df, meta.identityColumns,
+      tablePath, readVersion, conf)
+    val dfW =
+      if (meta.identityColumns.isEmpty) dfId
+      else dfId.select(declared.fieldNames.map(col).toIndexedSeq: _*)
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
-    if (shape(declared) != shape(df.schema))
+    if (shape(declared) != shape(dfW.schema))
       throw new IllegalArgumentException(
-        s"schema enforcement: append schema ${df.schema.simpleString} " +
+        s"schema enforcement: append schema ${dfW.schema.simpleString} " +
           s"does not match the table schema at $tablePath")
-    enforceConstraints(df, meta.constraints, tablePath)
+    enforceConstraints(dfW, meta.constraints, tablePath)
 
     // stage ONCE — `version` only seeds unique file names
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     val prevTsType = spark.conf.getOption(tsTypeKey)
     spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     val adds =
-      try stageAndMove(spark, df, tablePath, meta.partitionColumns,
+      try stageAndMove(spark, dfW, tablePath, meta.partitionColumns,
         readVersion + 1, commitTs, dataChange = true)
       finally prevTsType match {
         case Some(v) => spark.conf.set(tsTypeKey, v)
@@ -907,7 +1001,8 @@ object TableWriter {
       val latest = log.latestVersion().getOrElse(readVersion)
       var v = checked + 1
       while (v <= latest) {
-        val unsafe = log.read(v).exists {
+        val actionsV = log.read(v)
+        val unsafe = actionsV.exists {
           case _: Metadata | _: Protocol => true
           case _ => false
         }
@@ -917,11 +1012,25 @@ object TableWriter {
             s"concurrent metadata change at $tablePath v$v — rebase " +
               "unsafe; re-execute the append against the new snapshot")
         }
+        // identity claim conflict: an interleaved commit allocated from
+        // the same cursor this append read — rebasing over it would
+        // mint DUPLICATE identity values, so fail loudly instead
+        if (idCursors.nonEmpty && actionsV.exists {
+            case ci: CommitInfo =>
+              ci.identityHighWater.exists(m => idCursors.keys.exists(m.contains))
+            case _ => false
+          }) {
+          dropStaged()
+          throw new IllegalStateException(
+            s"concurrent identity allocation at $tablePath v$v — " +
+              "re-execute the append against the new snapshot")
+        }
         v += 1
       }
       checked = latest
       try {
-        log.commit(latest + 1, adds :+ CommitInfo(operation, commitTs))
+        log.commit(latest + 1, adds :+ CommitInfo(operation, commitTs,
+          identityHighWater = identityClaims(idCursors, adds)))
         return latest + 1
       } catch {
         case e: IllegalStateException

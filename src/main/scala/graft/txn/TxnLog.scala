@@ -177,6 +177,25 @@ final class TxnLog(
       .foldLeft(0L)(math.max)
   }
 
+  /** Next unallocated value of a GENERATED ALWAYS AS IDENTITY column as
+    * of version `uptoV`: the last persisted per-column marker, else the
+    * declared start. Same persisted-cursor discipline as
+    * [[rowIdHighWater]] — values of deleted rows are never reissued.
+    */
+  def identityCursor(uptoV: Long, column: String, start: Long): Long = {
+    versions().filter(_ <= uptoV).sorted.reverse.foreach { v =>
+      read(v).collectFirst {
+        case c: CommitInfo
+            if c.identityHighWater.exists(_.contains(column)) =>
+          c.identityHighWater.get(column)
+      } match {
+        case Some(h) => return h
+        case None    =>
+      }
+    }
+    start
+  }
+
   /** Parse the actions of one commit, in file order.
     *
     * Completeness gate: a commit is only visible once its CommitInfo
