@@ -135,19 +135,30 @@ object GraftExtensions {
       // under EXPLAIN — and the returned relation is its metrics row.
       ("graft_optimize",
         info("graft_optimize",
-          "graft_optimize(tablePath) - compact the table's small files " +
-            "into one file per partition; returns (version, " +
-            "files_before, files_after)"),
+          "graft_optimize(tablePath[, maxFileMB[, zorderCols]]) - " +
+            "compact the table's small files (bin-packed to maxFileMB " +
+            "per file when given; Z-ordered by the comma-separated " +
+            "columns when given); returns (version, files_before, " +
+            "files_after)"),
         (children: Seq[Expression]) => {
-          require(children.size == 1, "graft_optimize(tablePath)")
+          require(children.nonEmpty && children.size <= 3,
+            "graft_optimize(tablePath[, maxFileMB[, zorderCols]])")
           val path = strLitOf(children.head, "graft_optimize")
+          val maxMb = children.lift(1).map(longLitOf(_, "graft_optimize"))
+          val zorder = children.lift(2)
+            .map(strLitOf(_, "graft_optimize"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
           val spark = org.apache.spark.sql.SparkSession.active
           val log = new graft.txn.TxnLog(path,
             spark.sessionState.newHadoopConf())
           val before = log.snapshotLatest().files.size
           graft.txn.TableWriter.compact(spark, path,
             version = log.latestVersion().get + 1,
-            commitTs = System.currentTimeMillis())
+            commitTs = System.currentTimeMillis(),
+            zorderBy = zorder,
+            maxFileBytes = maxMb.map(_ * 1024L * 1024L)
+              .getOrElse(Long.MaxValue))
           val after = log.snapshotLatest()
           import spark.implicits._
           Seq((after.version, before.toLong, after.files.size.toLong))

@@ -695,7 +695,15 @@ object TableWriter {
       targetFiles: Int = 1,
       minFileBytes: Long = Long.MaxValue,
       zorderBy: Seq[String] = Seq.empty,
-      partitionPred: Option[Map[String, String] => Boolean] = None): Seq[AddFile] = {
+      partitionPred: Option[Map[String, String] => Boolean] = None,
+      // Bin-packing bound (Delta OPTIMIZE's maxFileSize): a partition
+      // whose candidate bytes exceed this rewrites into
+      // ceil(bytes/maxFileBytes) files instead of ONE. Without it a
+      // 100 TB table's hot partition compacts through a single task
+      // into a single giant file — the exact skew OPTIMIZE exists to
+      // fix. Long.MaxValue keeps the historic one-file-per-partition
+      // behavior.
+      maxFileBytes: Long = Long.MaxValue): Seq[AddFile] = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -748,7 +756,37 @@ object TableWriter {
           .drop("_fn", "_ri", "_path", "_base")
       }
     val packed = (partCols, zorderBy, clusterBy) match {
-      case (pcs, _, _) if pcs.nonEmpty => src.repartition(pcs.map(col): _*)
+      case (pcs, _, _) if pcs.nonEmpty && maxFileBytes < Long.MaxValue =>
+        // size-aware bin-packing: each partition gets
+        // ceil(candidate bytes / maxFileBytes) writer tasks, salted by
+        // a row hash: a skewed partition fans out, a small one stays
+        // single-file. The salt map is partition-count-sized (a literal
+        // map expression, so it ships with the plan). Salt groups that
+        // hash-collide into one task merge, so the bound is approximate
+        // (bounded overshoot), like Delta OPTIMIZE's.
+        import org.apache.spark.sql.functions.{coalesce, concat_ws,
+          element_at, lit, pmod, typedLit, xxhash64}
+        val sep = "\u0001"
+        val nul = "\u0000"
+        val binsOf: Map[String, Int] = doomed
+          .groupBy(_.partitionValues)
+          .map { case (pv, fs) =>
+            pcs.map(c => pv.getOrElse(c, nul)).mkString(sep) ->
+              math.max(1, math.ceil(
+                fs.map(_.size).sum.toDouble / maxFileBytes).toInt)
+          }
+        val keyExpr = concat_ws(sep,
+          pcs.map(c => coalesce(col(c).cast("string"), lit(nul))): _*)
+        val binCount =
+          coalesce(element_at(typedLit(binsOf), keyExpr), lit(1))
+        val salt = pmod(xxhash64(src.columns.map(col).toIndexedSeq: _*),
+          binCount.cast("long"))
+        // range partitioning over (partition key, salt) with EXACTLY
+        // the total bin count: every (partition, salt) group lands in
+        // its own task, immune to the hash collisions plain
+        // repartition() would suffer at small bin counts
+        src.repartitionByRange(math.max(1, binsOf.values.sum),
+          (pcs.map(col) :+ salt): _*)
       case (_, zs, _) if zs.size >= 2 =>
         ZOrder.withZ(src, zs)
           .repartitionByRange(math.max(1, targetFiles), col("_z"))

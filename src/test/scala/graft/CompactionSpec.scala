@@ -549,4 +549,42 @@ class CompactionSpec extends AnyFunSuite {
       .map(_.path).toSet == beforeOther,
       "out-of-scope partitions' files must keep their paths")
   }
+
+  test("maxFileBytes bin-packs a skewed partition into multiple files") {
+    val table = freshTable("binpack")
+    import spark.implicits._
+    // partition a: ~4000 rows across two commits; partition b: 40 rows
+    val big = (0L until 4000L).map(i => (i, "a")).toDF("id", "p")
+    val small = (0L until 40L).map(i => (i + 10000L, "b")).toDF("id", "p")
+    TableWriter.write(spark, big.filter(col("id") < 2000).union(small),
+      table, partitionBy = Seq("p"), version = 0L, commitTs = 1000L)
+    TableWriter.write(spark, big.filter(col("id") >= 2000), table,
+      partitionBy = Seq("p"), version = 1L, commitTs = 2000L)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val aBytes = log.snapshotLatest().files
+      .filter(_.partitionValues.get("p").contains("a")).map(_.size).sum
+    // a target under half of partition a's bytes -> >=2 files for a
+    TableWriter.compact(spark, table, version = 2L, commitTs = 3000L,
+      maxFileBytes = aBytes / 2)
+    val after = log.snapshotLatest().files
+    val aFiles = after.filter(_.partitionValues.get("p").contains("a"))
+    val bFiles = after.filter(_.partitionValues.get("p").contains("b"))
+    assert(aFiles.size >= 2,
+      s"skewed partition should fan out, got ${aFiles.size} file(s)")
+    assert(bFiles.size == 1,
+      s"small partition should stay single-file, got ${bFiles.size}")
+    // no file wildly over target (salt collisions allow bounded overshoot)
+    assert(aFiles.forall(_.size <= aBytes),
+      "a bin-packed file exceeds the whole partition's bytes")
+    // content unchanged
+    val got = SnapshotReader.read(spark, table)
+      .agg(count(lit(1)), sum(col("id"))).head()
+    assert(got.getLong(0) == 4040L)
+    assert(got.getLong(1) == (0L until 4000L).sum + (0L until 40L).map(_ + 10000L).sum)
+    // row ids preserved through the bin-packed rewrite
+    val ids = spark.read.format("graft").option("tablePath", table).load()
+      .select(col("id"), col(TxnLog.RowIdColumn).as("rid")).collect()
+    assert(ids.forall(!_.isNullAt(1)))
+    assert(ids.map(_.getLong(1)).distinct.length == 4040)
+  }
 }
