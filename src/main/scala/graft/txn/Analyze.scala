@@ -28,7 +28,15 @@ object Analyze {
 
   def dir(version: Long): String = f"_stats/stats-$version%020d"
 
-  /** One scan → (column, n, n_null, ndv, min_str, max_str) sidecar. */
+  /** Equi-depth histogram buckets per numeric column. */
+  val HistBuckets = 32
+
+  /** One scan → (column, n, n_null, ndv, min_str, max_str, hist)
+    * sidecar. `hist` is the numeric column's equi-depth bucket BOUNDS
+    * (HistBuckets+1 approx-percentile values) — the skew-proof range
+    * selectivity a uniform [min, max] assumption cannot give; null for
+    * non-numeric columns (they keep the uniform rule).
+    */
   def computeStats(
       spark: SparkSession,
       tablePath: String,
@@ -38,21 +46,34 @@ object Analyze {
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     val df = SnapshotReader.read(spark, tablePath)
+    val numeric: Set[String] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSet
+    val pcts = (0 to HistBuckets).map(_.toDouble / HistBuckets)
     val aggs = columns.flatMap { c =>
       Seq(count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, 1)).as(s"${c}__null"),
         approx_count_distinct(col(c), 0.01).as(s"${c}__ndv"),
         min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        max(col(c)).cast("string").as(s"${c}__max")) ++
+        (if (numeric(c))
+          Seq(percentile_approx(col(c).cast("double"),
+            lit(pcts.toArray), lit(10000)).as(s"${c}__hist"))
+        else Seq.empty)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
     val out = columns.map { c =>
       (c, row.getAs[Long](s"${c}__n"), row.getAs[Long](s"${c}__null"),
         row.getAs[Long](s"${c}__ndv"), row.getAs[String](s"${c}__min"),
-        row.getAs[String](s"${c}__max"))
+        row.getAs[String](s"${c}__max"),
+        if (numeric(c))
+          Option(row.getAs[scala.collection.Seq[Double]](s"${c}__hist"))
+            .map(_.toList)
+        else None)
     }
     import spark.implicits._
-    out.toDF("column", "n", "n_null", "ndv", "min_str", "max_str")
+    out.toDF("column", "n", "n_null", "ndv", "min_str", "max_str", "hist")
       .coalesce(1).write.mode("overwrite")
       .parquet(new Path(tablePath, dir(snap.version)).toString)
   }
@@ -69,15 +90,38 @@ object Analyze {
   }
 
   private final case class ColStats(
-      n: Long, nNull: Long, ndv: Long, minS: String, maxS: String)
+      n: Long, nNull: Long, ndv: Long, minS: String, maxS: String,
+      hist: Option[Seq[Double]] = None)
 
   private def statsMap(spark: SparkSession, tablePath: String)
       : Option[Map[String, ColStats]] =
-    latest(spark, tablePath).map(_.collect().map { r =>
-      r.getAs[String]("column") -> ColStats(r.getAs[Long]("n"),
-        r.getAs[Long]("n_null"), r.getAs[Long]("ndv"),
-        r.getAs[String]("min_str"), r.getAs[String]("max_str"))
-    }.toMap)
+    latest(spark, tablePath).map { df =>
+      val hasHist = df.columns.contains("hist") // pre-histogram sidecars
+      df.collect().map { r =>
+        r.getAs[String]("column") -> ColStats(r.getAs[Long]("n"),
+          r.getAs[Long]("n_null"), r.getAs[Long]("ndv"),
+          r.getAs[String]("min_str"), r.getAs[String]("max_str"),
+          if (hasHist)
+            Option(r.getAs[scala.collection.Seq[Double]]("hist")).map(_.toList)
+          else None)
+      }.toMap
+    }
+
+  /** Fraction of rows with value < v, from equi-depth bounds: full
+    * buckets below v each contribute 1/B; the straddling bucket
+    * interpolates linearly.
+    */
+  private def histFracBelow(bounds: Seq[Double], v: Double): Double = {
+    val b = bounds.length - 1
+    if (b < 1) return 0.5
+    if (v <= bounds.head) return 0.0
+    if (v >= bounds.last) return 1.0
+    var i = 0
+    while (i < b && bounds(i + 1) <= v) i += 1
+    val lo = bounds(i); val hi = bounds(i + 1)
+    val partial = if (hi > lo) (v - lo) / (hi - lo) else 1.0
+    (i + partial) / b
+  }
 
   /** Estimated surviving rows of `pred` over the analyzed table.
     * Handles conjunctions of `col (=|<|<=|>|>=) literal` on numeric and
@@ -132,14 +176,25 @@ object Analyze {
     cmp match {
       case _: EqualTo => if (s.ndv > 0) 1.0 / s.ndv else 1.0
       case _ =>
-        (num(s.minS), num(s.maxS), num(v)) match {
-          case (Some(lo), Some(hi), Some(x)) if hi > lo =>
-            val f = ((x - lo) / (hi - lo)).max(0.0).min(1.0)
+        // equi-depth histogram first (skew-proof); uniform [min, max]
+        // interpolation only when no histogram was analyzed
+        (s.hist, num(v)) match {
+          case (Some(bounds), Some(x)) if bounds.length >= 2 =>
+            val f = histFracBelow(bounds, x)
             cmp match {
               case _: LessThan | _: LessThanOrEqual => f
               case _ => 1.0 - f
             }
-          case _ => 1.0
+          case _ =>
+            (num(s.minS), num(s.maxS), num(v)) match {
+              case (Some(lo), Some(hi), Some(x)) if hi > lo =>
+                val f = ((x - lo) / (hi - lo)).max(0.0).min(1.0)
+                cmp match {
+                  case _: LessThan | _: LessThanOrEqual => f
+                  case _ => 1.0 - f
+                }
+              case _ => 1.0
+            }
         }
     }
   }

@@ -109,6 +109,25 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram beats the uniform assumption on skew") {
+    val path = freshDir("hist")
+    import spark.implicits._
+    // 95% of values in [0, 10], 5% spread to 10000: uniform [min, max]
+    // interpolation thinks `x > 5000` keeps ~half the rows; the truth
+    // (and the histogram) is ~2.5%
+    val skewed = ((0L until 19000L).map(i => i % 10) ++
+      (0L until 1000L).map(i => i * 10)).map(Tuple1(_)).toDF("x")
+    TableWriter.write(spark, skewed, path, version = 0L, commitTs = 1000L)
+    Analyze.computeStats(spark, path, Seq("x"))
+    val truth = skewed.filter(col("x") > 5000L).count()
+    val est = Analyze.estimateRows(spark, path, col("x") > 5000L).get
+    val uniform = 20000L / 2 // what [0, 9990] interpolation predicts
+    assert(est <= truth * 3 && est >= truth / 3,
+      s"histogram estimate $est should be within 3x of truth $truth")
+    assert(est < uniform / 4,
+      s"histogram estimate $est should crush the uniform guess $uniform")
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
