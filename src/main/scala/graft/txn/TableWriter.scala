@@ -788,7 +788,15 @@ object TableWriter {
         src.repartitionByRange(math.max(1, binsOf.values.sum),
           (pcs.map(col) :+ salt): _*)
       case (_, zs, _) if zs.size >= 2 =>
-        ZOrder.withZ(src, zs)
+        // curve selection: "hilbert:" prefix on the first column picks
+        // the Hilbert index (consecutive codes are Manhattan-1
+        // neighbors — fewer files per range query than Morton)
+        val hilbert = zs.head.startsWith("hilbert:")
+        val zcols = if (hilbert) zs.head.stripPrefix("hilbert:") +: zs.tail
+          else zs
+        val curved = if (hilbert) ZOrder.withHilbert(src, zcols)
+          else ZOrder.withZ(src, zcols)
+        curved
           .repartitionByRange(math.max(1, targetFiles), col("_z"))
           .sortWithinPartitions(col("_z"))
           .drop("_z")
