@@ -1124,6 +1124,75 @@ object Analytics {
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(10)
+    },
+
+    // Quality-weighted per-domain selection (the training-mixture
+    // budget cut: keep the best K docs of every source). Quality is an
+    // integer type-token proxy (3·distinct − total tokens), ranked per
+    // source with a doc_id tie-break — one source-keyed window, no
+    // global sort, the canonical 100 TB top-k-per-group shape.
+    QueryDef.sqlBacked(
+      "q233_quality_topk",
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    3 * CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT)
+        |      - CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS quality
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY quality DESC, doc_id) AS rn FROM q)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS kept_ids,
+        |  CAST(MIN(quality) AS BIGINT) AS worst_kept
+        |FROM r WHERE rn <= 5
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (lit(3) * size(array_distinct(toks)).cast("long") -
+            size(toks).cast("long")).as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_ids"),
+          min(col("quality")).cast("long").as("worst_kept"))
+        .orderBy(col("source"))
+    },
+
+    // Half-life-decayed engagement value, INTEGER-EXACT: each event
+    // contributes floor(cents / 2^age_days) (age capped at 40 so the
+    // power stays a dyadic double both engines compute identically —
+    // no transcendental exp() whose last ulp could differ). One scan,
+    // one broadcastable 1-row max, one group-keyed aggregate.
+    QueryDef.sqlBacked(
+      "q234_decayed_value",
+      """WITH m AS (SELECT MAX(ts) AS mts FROM events),
+        |d AS (
+        |  SELECT user_id % 50 AS grp,
+        |    CAST(FLOOR(CAST(FLOOR(value * 100) AS BIGINT)
+        |      / POW(2, LEAST(date_diff('day', CAST(ts AS DATE),
+        |          CAST(mts AS DATE)), 40))) AS BIGINT) AS dv
+        |  FROM events, m)
+        |SELECT CAST(grp AS BIGINT) AS grp,
+        |  CAST(SUM(dv) AS BIGINT) AS decayed_cents,
+        |  CAST(COUNT(*) FILTER (WHERE dv > 0) AS BIGINT) AS n_live
+        |FROM d GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val m = ev.agg(max(col("ts")).as("mts"))
+      ev.crossJoin(broadcast(m))
+        .select((col("user_id") % 50).as("grp"),
+          floor(floor(col("value") * 100).cast("long") /
+            pow(lit(2.0), least(
+              datediff(to_date(col("mts")), to_date(col("ts"))), lit(40))))
+            .cast("long").as("dv"))
+        .groupBy(col("grp"))
+        .agg(sum(col("dv")).cast("long").as("decayed_cents"),
+          count(when(col("dv") > 0, 1)).as("n_live"))
+        .orderBy(col("grp"))
     }
   )
 }

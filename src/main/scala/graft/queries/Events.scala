@@ -799,6 +799,58 @@ object Events {
           col("b.event_type").as("then_type"))
         .agg(count(lit(1)).as("users"))
         .orderBy(col("first_type"), col("then_type"))
+    },
+
+    // Position-based (U-shaped, 40/20/40) multi-touch attribution in
+    // EXACT basis points: per user, the first and last touch each get
+    // 4000 bps, the middles split 2000 by integer division with the
+    // remainder going to the EARLIEST middles — so every user's credit
+    // sums to exactly 10000 and the per-type totals are
+    // hash-comparable, no floating credit. One user-keyed window.
+    QueryDef.sqlBacked(
+      "q235_position_attribution",
+      """WITH t AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |r AS (
+        |  SELECT event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS k
+        |  FROM t),
+        |c AS (
+        |  SELECT event_type,
+        |    CASE WHEN k = 1 THEN 10000
+        |         WHEN k = 2 THEN 5000
+        |         WHEN rn = 1 OR rn = k THEN 4000
+        |         ELSE CAST(2000 // (k - 2) AS BIGINT)
+        |           + CASE WHEN rn - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END
+        |    END AS bps
+        |  FROM r)
+        |SELECT event_type, CAST(SUM(bps) AS BIGINT) AS total_bps,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wk = Window.partitionBy(col("user_id"))
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(wk))
+        .select(col("event_type"),
+          when(col("k") === 1, 10000L)
+            .when(col("k") === 2, 5000L)
+            .when(col("rn") === 1 || col("rn") === col("k"), 4000L)
+            .otherwise((lit(2000L) / (col("k") - 2)).cast("long") +
+              when(col("rn") - 1 <= lit(2000L) % (col("k") - 2), 1L)
+                .otherwise(0L))
+            .as("bps"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("bps")).cast("long").as("total_bps"),
+          count(lit(1)).as("n_touches"))
+        .orderBy(col("event_type"))
     }
   )
 }
