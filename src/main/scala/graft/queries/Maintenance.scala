@@ -2079,6 +2079,44 @@ object Maintenance {
           |  CAST(MAX(id) AS BIGINT) AS id_max
           |FROM gcat.default.idents
           |GROUP BY 1 ORDER BY band""".stripMargin)
+    },
+
+    // Dynamic FILE pruning (the Delta DFP idea): the fact table is
+    // range-clustered on a NON-partition key, so per-file min/max
+    // stats are tight, and the selective dim join's runtime IN list
+    // prunes whole files through the stats machinery before any file
+    // opens (DppSpec pins the pruning; here the driver hash certifies
+    // the results equal DuckDB's unpruned join).
+    QueryDef.sqlBacked(
+      "q236_dfp_clustered_join",
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_orderkey % 997 = 0)
+        |SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem l JOIN d ON d.l_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/dfp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val log = new TxnLog(path, s.sessionState.newHadoopConf())
+      if (log.versions() != Seq(0L)) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        TableWriter.write(s,
+          Tables.load(s, dir, "lineitem")
+            .repartitionByRange(8, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey")),
+          path, version = 0L, commitTs = 1000L)
+      }
+      val dim = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 997 === 0)
+        .select(col("l_orderkey")).distinct()
+      s.read.format("graft").option("tablePath", path).load()
+        .join(dim, Seq("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -536,6 +536,30 @@ private[sources] class GraftBatchScan(
       }
     }
 
+  /** DATA columns eligible for runtime FILE pruning (dynamic file
+    * pruning, the Delta DFP idea): stats-comparable type AND every kept
+    * file carries min/max stats for the column — a stats-less file
+    * would have to be kept anyway, so the column still prunes soundly,
+    * but advertising it when most files lack stats is pointless.
+    */
+  private def statsPrunableDataCols: Seq[String] =
+    resolved.schema.fields.toSeq
+      .filter(f => !resolved.partitionColumns.contains(f.name))
+      .filter(f => f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.DoubleType |
+            org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })
+      .map(_.name)
+      .filter(c => kept.nonEmpty && kept.forall(f =>
+        f.stats.exists(st =>
+          st.minValues.contains(c) && st.maxValues.contains(c))))
+
   /** Advertise columns for runtime filtering ONLY when the scan
     * actually projects them (Spark's pruning rules resolve these refs
     * against the scan output, and an unprojected column is an
@@ -543,7 +567,10 @@ private[sources] class GraftBatchScan(
     *  - `_graft_file` — the row-level MERGE/UPDATE group filter;
     *  - prunable PARTITION columns — DSv2 dynamic partition pruning: a
     *    star join on a partition key prunes the fact scan's file list
-    *    at runtime from the dim side's matched keys.
+    *    at runtime from the dim side's matched keys;
+    *  - stats-covered DATA columns — dynamic FILE pruning: the same
+    *    runtime IN list prunes by per-file min/max, so a join on a
+    *    clustered non-partition key also opens only matching files.
     */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] = {
@@ -555,7 +582,8 @@ private[sources] class GraftBatchScan(
     val cols =
       if (required.fieldNames.contains(GraftBatch.FileMetadataColumn))
         Seq(GraftBatch.FileMetadataColumn)
-      else prunablePartitionCols.filter(required.fieldNames.contains)
+      else (prunablePartitionCols ++ statsPrunableDataCols)
+        .filter(required.fieldNames.contains)
     cols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
   }
@@ -602,6 +630,24 @@ private[sources] class GraftBatchScan(
                 // this is a DATA column — always keep them
                 true
             })
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference
+              if ref.fieldNames().length == 1 &&
+                statsPrunableDataCols.contains(ref.fieldNames().head) =>
+            // dynamic FILE pruning: keep a file iff ANY in-list value
+            // could sit inside its [min, max] — point probes through
+            // the same stats machinery batch predicates use, so
+            // soundness (keep on any doubt) is inherited
+            val column = ref.fieldNames().head
+            val dt = resolved.schema.fields
+              .find(_.name == column).map(_.dataType).get
+            val values = p.children().drop(1).collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value != null => l.value
+            }.toSeq
+            val survivors = values
+              .flatMap(v => DataSkipping.pruneFiles(kept, dt, column, v, v))
+              .map(_.path).toSet
+            kept = kept.filter(f => survivors.contains(f.path))
           case _ => ()
         }
       }

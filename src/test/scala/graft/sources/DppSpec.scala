@@ -65,7 +65,12 @@ class DppSpec extends AnyFunSuite {
       .toDF("id", "day")
     TableWriter.write(spark, df, path, partitionBy = Seq("day"),
       version = 0L, commitTs = 1000L)
-    assert(scanOf(path).filterAttributes().isEmpty)
+    val advertised = scanOf(path).filterAttributes()
+      .map(_.fieldNames().head).toSet
+    assert(!advertised.contains("day"),
+      s"temporal partition column must not advertise, got $advertised")
+    // the stats-covered LONG data column still advertises (file pruning)
+    assert(advertised.contains("id"))
   }
 
   test("unknown values and nulls: files of other generations survive") {
@@ -119,5 +124,31 @@ class DppSpec extends AnyFunSuite {
     assert(withDpp.toSeq == Seq((2L, 100L)))
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamic pruning subquery in:\n$plan")
+  }
+
+  test("dynamic FILE pruning: IN on a clustered data column prunes by stats") {
+    val path = Files.createTempDirectory("dfp").toString + "/t"
+    import spark.implicits._
+    // 4 range-clustered files: ids 0-99, 100-199, 200-299, 300-399
+    val df = (0L until 400L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    TableWriter.write(spark, df, path, version = 0L, commitTs = 1000L)
+    val scan = scanOf(path)
+    assert(scan.kept.size == 4)
+    assert(scan.filterAttributes().map(_.fieldNames().head).toSet
+      .contains("id"), "a stats-covered data column must advertise")
+    scan.filter(Array(inPredicate("id", Seq(42L, 250L), LongType)))
+    assert(scan.kept.size == 2,
+      s"expected 2 files containing ids 42 and 250, kept ${scan.kept.size}")
+    // e2e: a selective dim join on the clustered key — identical results
+    val dimDir = Files.createTempDirectory("dfp_dim").toString + "/d"
+    Seq((42L, "x"), (250L, "y")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.format("graft").option("tablePath", path).load()
+    val out = fact.join(spark.read.parquet(dimDir), Seq("id"))
+      .select(col("id"), col("v"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((42L, 0L, "x"), (250L, 5L, "y")))
   }
 }
