@@ -356,5 +356,10 @@ object GraftExtensions {
       spark.sessionState.tableFunctionRegistry.registerFunction(
         FunctionIdentifier(name), inf, builder)
     }
+    // KMV distinct sketch as a SQL AGGREGATE (k fixed at 1024 for the
+    // SQL surface; the Scala API takes any k): per-group sketches that
+    // estimate distinct counts and cross-group overlap without joins
+    spark.udf.register("graft_kmv", org.apache.spark.sql.functions.udaf(
+      new graft.operators.KmvSketch.KmvAgg(1024)))
   }
 }

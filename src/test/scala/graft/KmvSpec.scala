@@ -72,4 +72,14 @@ class KmvSpec extends AnyFunSuite {
     val direct = sketchOf((0L until 1000L).iterator.map(h), k)
     assert(viaSpark.sameElements(direct))
   }
+
+  test("graft_kmv is callable from SQL after install") {
+    graft.functions.GraftExtensions.install(spark)
+    import spark.implicits._
+    (0L until 5000L).map(h).toDF("hv").createOrReplaceTempView("kmv_in")
+    val sk = spark.sql("SELECT graft_kmv(hv) AS sk FROM kmv_in")
+      .head().getSeq[Long](0).toArray
+    val est = KmvSketch.distinctEstimate(sk, 1024)
+    assert(math.abs(est - 5000) / 5000.0 < 0.15, s"est $est")
+  }
 }
