@@ -361,5 +361,10 @@ object GraftExtensions {
     // estimate distinct counts and cross-group overlap without joins
     spark.udf.register("graft_kmv", org.apache.spark.sql.functions.udaf(
       new graft.operators.KmvSketch.KmvAgg(1024)))
+    // Count-min point-frequency sketch as a SQL AGGREGATE (4×512 for
+    // the SQL surface; the Scala API takes any d×w): never under-counts,
+    // over-counts by ≤ (e/512)·N w.h.p. — q239 gates both bounds
+    spark.udf.register("graft_cms", org.apache.spark.sql.functions.udaf(
+      new graft.operators.CountMinSketch.CmsAgg(4, 512)))
   }
 }

@@ -1193,6 +1193,61 @@ object Analytics {
         .agg(sum(col("dv")).cast("long").as("decayed_cents"),
           count(when(col("dv") > 0, 1)).as("n_live"))
         .orderBy(col("grp"))
+    },
+
+    // BM25 ranked retrieval, INTEGER-EXACT: Okapi BM25 (k1=1.2, b=0.75)
+    // with the log dropped from the idf — the rational Robertson idf
+    // (N−df+½)/(df+½) is a monotone-in-df variant whose every factor is
+    // an integer ratio, so the whole score is exact int64 arithmetic
+    // and both engines agree to the last ppm (the q183 convention; a
+    // transcendental ln's last ulp could flip a rank boundary). Clearing
+    // denominators with avgdl = L/N:
+    //   tfpart = 22·L·tf / (10·L·tf + 3·L + 9·dl·N)
+    //   idf    = (2N − 2df + 1) / (2df + 1)
+    // Shape at scale: one token scan, a 3-row df frame and a 1-row
+    // totals frame broadcast, one doc-keyed aggregate, global top-25.
+    QueryDef.sqlBacked(
+      "q238_bm25_retrieval",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS tl,
+        |  (SELECT COUNT(*) FROM documents) AS nd),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+        |  WHERE w IN ('vector', 'window', 'spark') GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |contrib AS (
+        |  SELECT t.doc_id,
+        |    (22 * tot.tl * t.tf * (2 * tot.nd - 2 * d.df + 1) * 1000000)
+        |      // ((10 * tot.tl * t.tf + 3 * tot.tl + 9 * l.dl * tot.nd)
+        |         * (2 * d.df + 1)) AS c
+        |  FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id)
+        |    CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_ppm
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tot = toks.agg(count(lit(1)).as("tl"))
+        .crossJoin(docs.agg(count(lit(1)).as("nd")))
+      val tf = toks.filter(col("w").isin("vector", "window", "spark"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          expr("(22L * tl * tf * (2L * nd - 2L * df + 1L) * 1000000L) div " +
+            "((10L * tl * tf + 3L * tl + 9L * dl * nd) * (2L * df + 1L))")
+            .as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(25)
     }
   )
 }

@@ -2117,6 +2117,59 @@ object Maintenance {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).cast("long").as("qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Storage-partitioned join (Iceberg/Delta SPJ, SpjSpec pins the
+    // zero-shuffle plan): orders and customer land in graft tables
+    // hive-partitioned on the same bucket key, the DSv2 scans report
+    // KeyGroupedPartitioning, and the bucket-key + custkey equi-join
+    // runs with NO exchange on either side — the shape that removes a
+    // fact-fact shuffle entirely at 100 TB. The bucket column is
+    // redundant under custkey equality, so the oracle is the plain
+    // custkey join.
+    QueryDef.sqlBacked(
+      "q237_storage_partitioned_join",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val conf = s.sessionState.newHadoopConf()
+        def side(name: String, df: org.apache.spark.sql.DataFrame): String = {
+          val path = s"target/fixtures/spj_${name}_$tag"
+          val log = new TxnLog(path, conf)
+          if (log.versions() != Seq(0L)) {
+            val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+            fs.delete(new org.apache.hadoop.fs.Path(path), true)
+            TableWriter.write(s, df.repartition(col("bk")), path,
+              partitionBy = Seq("bk"), version = 0L, commitTs = 1000L)
+          }
+          path
+        }
+        val op = side("orders", Tables.load(s, dir, "orders")
+          .withColumn("bk", col("o_custkey") % 8))
+        val cp = side("customer", Tables.load(s, dir, "customer")
+          .withColumn("bk", col("c_custkey") % 8))
+        val keys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        val prev = keys.map(k => k -> s.conf.getOption(k))
+        keys.foreach(k => s.conf.set(k, "true"))
+        try {
+          val o = s.read.format("graft").option("tablePath", op).load()
+          val c = s.read.format("graft").option("tablePath", cp).load()
+          o.join(c, o("bk") === c("bk") && o("o_custkey") === c("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(floor(col("o_totalprice") * 100).cast("long"))
+                .cast("long").as("cents"))
+            .orderBy(col("c_mktsegment"))
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
     }
   )
 }

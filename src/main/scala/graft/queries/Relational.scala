@@ -1342,6 +1342,42 @@ object Relational {
       graft.operators.PageRank.run(s, edges, iterations = 4)
         .select(col("v").cast("long").as("node"), col("r").as("rank_ppm"))
         .orderBy(col("rank_ppm").desc, col("node")).limit(20)
+    },
+
+    // Count-min sketch gate (the point-frequency sketch beside the HLL
+    // q200 / KMV q228 / approx-pct q201 gates): one 4×512 matrix over
+    // the whole fact table — map-side combine ships ONE matrix per
+    // partition, never rows — then both CMS inequalities are checked
+    // against exact counts the oracle recomputes: est ≥ true (a sketch
+    // can only over-count) and (est − true)·w ≤ 3·N (the ε = e/w bound,
+    // e rounded UP to 3 so the gate stays integer-exact). The sketch
+    // pull is ONE driver row of d·w longs (16 KB), the q228 pattern.
+    QueryDef.sqlBacked(
+      "q239_cms_error_gate",
+      """SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+        |  CAST(COUNT(*) AS BIGINT) AS true_cnt,
+        |  TRUE AS never_undercounts, TRUE AS within_eps
+        |FROM lineitem WHERE l_suppkey IN (1, 2, 3)
+        |GROUP BY l_suppkey ORDER BY suppkey""".stripMargin) { (s, dir) =>
+      import graft.operators.CountMinSketch
+      val d = 4; val w = 512
+      val li = Tables.load(s, dir, "lineitem")
+      val skRow = li.agg(
+        CountMinSketch.cms(d, w, col("l_suppkey")).as("sk"),
+        count(lit(1)).as("n")).head()
+      val sketch = skRow.getSeq[Long](0).toArray
+      val n = skRow.getLong(1)
+      val exact = li.filter(col("l_suppkey").isin(1L, 2L, 3L))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .collect() // 3 probe keys, bounded by construction
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val rows = exact.toSeq.sortBy(_._1).map { case (k, t) =>
+        val est = CountMinSketch.estimate(sketch, k, d, w)
+        (k, t, est >= t, (est - t) * w <= 3 * n)
+      }
+      import s.implicits._
+      rows.toDF("suppkey", "true_cnt", "never_undercounts", "within_eps")
     }
   )
 }

@@ -498,7 +498,8 @@ private[sources] class GraftBatchScan(
     options: Map[String, String] = Map.empty,
     pushedV1: Seq[Filter] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with SupportsReportPartitioning {
 
   /** Post-pushdown (and, under a row-level rewrite, post-runtime-group-
     * filter) live file set — also the replaced-group record the
@@ -653,6 +654,59 @@ private[sources] class GraftBatchScan(
       }
     }
 
+  /** Storage-partitioned join (the Iceberg/Delta SPJ shape): when the
+    * table is hive-partitioned and the partition columns survive column
+    * pruning, the scan REPORTS `KeyGroupedPartitioning(identity(cols))`
+    * and every input partition carries its typed partition key. Two
+    * graft tables partitioned on the same key then join with ZERO
+    * shuffle under `spark.sql.sources.v2.bucketing.enabled` — at 100 TB
+    * the fact-fact join's exchange (the single largest network cost in
+    * a star pipeline) disappears entirely; Spark aligns mismatched
+    * partition-value sets via its pushPartValues machinery.
+    *
+    * Guard rails (all make the scan fall back to unknown partitioning,
+    * never to a wrong answer):
+    *  - only bit-comparable stored types (integral/string/boolean —
+    *    the [[prunablePartitionCols]] argument: the hive string is the
+    *    identity of the value);
+    *  - every kept file must carry a value for every partition column
+    *    (pre-evolution generations store it as DATA — such a file has
+    *    no key and cannot be key-grouped);
+    *  - the row-level rewrite scan (projects `_graft_file`) opts out:
+    *    its runtime group filter mutates `kept` after planning.
+    */
+  private def spjColumns: Option[Seq[StructField]] = {
+    val pcs = resolved.partitionColumns
+    val fields = pcs.flatMap(c => resolved.schema.fields.find(_.name == c))
+    val typesOk = fields.length == pcs.length && fields.forall(_.dataType match {
+      case LongType | IntegerType | StringType | BooleanType => true
+      case _ => false
+    })
+    if (pcs.nonEmpty && typesOk &&
+      pcs.forall(required.fieldNames.contains) &&
+      !required.fieldNames.contains(GraftBatch.FileMetadataColumn) &&
+      kept.forall(f => pcs.forall(f.partitionValues.contains)))
+      Some(fields)
+    else None
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjColumns match {
+      case Some(fields) =>
+        val distinctKeys = kept
+          .map(f => fields.map(fd => f.partitionValues(fd.name)))
+          .distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            fields.map(fd => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(fd.name)).toArray,
+            math.max(1, distinctKeys))
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(kept.size)
+    }
+
   /** `spark.readStream.table(...)`: tail the table's commit log as an
     * append-only stream of PAYLOAD rows — the current snapshot first
     * (Delta's default initial-snapshot behavior), then one micro-batch
@@ -709,6 +763,10 @@ private[sources] class GraftBatchScan(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val physRequired =
       ColumnMapping.physicalSchema(required, resolved.mapping)
+    // Same predicate as outputPartitioning(): when the scan reported
+    // key grouping, every partition must carry its typed key (Spark
+    // groups same-key files into one task-side partition).
+    val spj = spjColumns
     kept.map { f =>
       GraftBatchPartition(
         TxnLog.dataPath(resolved.tablePath, f.path),
@@ -718,7 +776,9 @@ private[sources] class GraftBatchScan(
         dvDir = f.dv.map(d => TxnLog.dataPath(resolved.tablePath, d))
           .getOrElse(""),
         limit = limit,
-        baseRowId = f.baseRowId)
+        baseRowId = f.baseRowId,
+        keyValues = spj.map(_.map(fd => GroupRows.castPartitionValue(
+          f.partitionValues(fd.name), fd.dataType)).toArray))
     }.toArray
   }
 
@@ -737,7 +797,18 @@ private[sources] case class GraftBatchPartition(
     conf: SerializableConfiguration,
     dvDir: String,
     limit: Int,
-    baseRowId: Option[Long] = None) extends InputPartition
+    baseRowId: Option[Long] = None,
+    keyValues: Option[Array[Any]] = None)
+  extends InputPartition with HasPartitionKey {
+
+  /** Typed hive partition values in declared partition-column order.
+    * Only consulted by Spark when the scan reported
+    * KeyGroupedPartitioning — which it does iff `keyValues` was
+    * populated from the same [[GraftBatchScan.spjColumns]] predicate.
+    */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyValues.getOrElse(Array.empty[Any]))
+}
 
 private[sources] class GraftBatchReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
