@@ -1248,6 +1248,49 @@ object Analytics {
         .agg(sum(col("c")).cast("long").as("score_ppm"))
         .orderBy(col("score_ppm").desc, col("doc_id"))
         .limit(25)
+    },
+
+    // 4-core decomposition (iterated peeling, operators/KCore): the
+    // orders-derived graph converges in 6 rounds at sf0.01; the oracle
+    // unrolls 10 identical peel rounds as CTEs (extra rounds are no-ops
+    // once converged), so the survivor set is value-checked end to end.
+    // Scale shape per round: one degree aggregate on the a-partitioned
+    // cached edge frame + two vertex-keyed semi-joins — node frames are
+    // never force-broadcast (AQE places them), and non-convergence past
+    // the round cap throws rather than spinning.
+    QueryDef.sqlBacked(
+      "q241_kcore",
+      {
+        // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        // each peel level references its predecessor three times —
+        // 3^rounds base scans without it (observed as an fd exhaustion)
+        val rounds = 10
+        val peel = (1 to rounds).map { i =>
+          s"""n$i AS MATERIALIZED (SELECT a AS v FROM s${i - 1} GROUP BY a
+             |  HAVING COUNT(*) >= 4),
+             |s$i AS MATERIALIZED (SELECT s.a, s.b FROM s${i - 1} s
+             |  JOIN n$i x ON s.a = x.v JOIN n$i y ON s.b = y.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT DISTINCT least(o_orderkey % 5000, o_custkey % 5000) AS a,
+           |      greatest(o_orderkey % 5000, o_custkey % 5000) AS b
+           |    FROM orders) WHERE a <> b),
+           |s0 AS MATERIALIZED (
+           |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |$peel
+           |SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS core_vertices,
+           |  CAST(COALESCE(SUM(DISTINCT a), 0) AS BIGINT) AS id_sum,
+           |  CAST(COUNT(*) // 2 AS BIGINT) AS core_edges
+           |FROM s$rounds""".stripMargin
+      }) { (s, dir) =>
+      val edges = Tables.load(s, dir, "orders")
+        .select((col("o_orderkey") % 5000).as("a"),
+          (col("o_custkey") % 5000).as("b"))
+      graft.operators.KCore.core(s, edges, k = 4)
+        .agg(countDistinct(col("a")).as("core_vertices"),
+          coalesce(sum_distinct(col("a")), lit(0L)).cast("long").as("id_sum"),
+          (count(lit(1)).cast("long") / 2).cast("long").as("core_edges"))
     }
   )
 }

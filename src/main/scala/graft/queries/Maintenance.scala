@@ -2170,6 +2170,50 @@ object Maintenance {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None)    => s.conf.unset(k)
         }
+    },
+
+    // The full three-clause replication MERGE ("source is the truth"):
+    // matched rows take the source's values, new source keys insert,
+    // and target rows ABSENT from the source are deleted by WHEN NOT
+    // MATCHED BY SOURCE — one atomic commit through the group-based
+    // copy-on-write operation (RowLevelSpec pins the clause semantics
+    // on a fixed fixture; this row certifies the end state at sf). The
+    // final table must equal the source exactly, which is what the
+    // oracle recomputes.
+    QueryDef.sqlBacked(
+      "q240_merge_replicate",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 555) AS BIGINT)
+        |    AS cents_sum,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS id_sum
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("cust_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.cust_replica")
+      s.sql(
+        """CREATE TABLE gcat.default.cust_replica AS
+          |SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+          |FROM cust_src WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(
+        """SELECT c_custkey,
+          |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 555 AS cents
+          |FROM cust_src WHERE c_custkey % 3 = 0""".stripMargin)
+        .createOrReplaceTempView("replica_truth")
+      s.sql(
+        """MERGE INTO gcat.default.cust_replica t USING replica_truth s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, cents)
+          |  VALUES (s.c_custkey, s.cents)
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+          |  CAST(SUM(c_custkey) AS BIGINT) AS id_sum
+          |FROM gcat.default.cust_replica""".stripMargin)
     }
   )
 }

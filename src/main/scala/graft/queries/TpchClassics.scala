@@ -7,11 +7,13 @@ import org.apache.spark.sql.types.DecimalType
 
 /** The remaining classic TPC-H shapes expressible over the synthetic
   * schema (no partsupp table, so Q2/Q9/Q11/Q16/Q20 are out of reach;
-  * Q12/Q21 need ship modes / receipt dates the data lacks). Q7, Q8,
-  * Q14, Q18, Q19, Q13 and an adapted Q22 complete the named-classic
-  * coverage alongside the Q1/Q3/Q4/Q5/Q6/Q10 analogs that shipped in
-  * round 1. Money follows the exact-decimal convention; every share is
-  * q109's two-step integer division.
+  * Q12 needs ship modes the data lacks). Q7, Q8, Q14, Q18, Q19, Q13,
+  * an adapted Q22, and an adapted Q21 (lateness = shipdate 60+ days
+  * past the order date, standing in for the missing receipt/commit
+  * dates) complete the named-classic coverage alongside the
+  * Q1/Q3/Q4/Q5/Q6/Q10 analogs that shipped in round 1. Money follows
+  * the exact-decimal convention; every share is q109's two-step
+  * integer division.
   */
 object TpchClassics {
 
@@ -345,6 +347,52 @@ object TpchClassics {
         .join(broadcast(top), col("total_cents") === col("max_cents"))
         .select(col("s_suppkey"), col("s_name"), col("total_cents"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q21 (adapted): suppliers who were the SOLE late shipper in
+    // a multi-supplier order — lateness = shipped 60+ days after the
+    // order date (the schema has no receipt/commit dates). The Spark
+    // side is deliberately the spec's EXISTS / NOT EXISTS form so
+    // Catalyst plans the semi + anti self-joins; the oracle restates
+    // the same predicate as per-order aggregates (nsupp > 1, exactly
+    // one late supplier) — two independent derivations that must agree
+    // row for row.
+    QueryDef.sqlBacked(
+      "q242_waiting_suppliers",
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY l_orderkey, l_suppkey),
+        |po AS (SELECT l_orderkey, COUNT(*) AS nsupp, SUM(late) AS nlate
+        |  FROM ls GROUP BY l_orderkey)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM ls JOIN po USING (l_orderkey)
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE ls.late = 1 AND po.nsupp > 1 AND po.nlate = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("q242_l")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q242_o")
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("q242_s")
+      s.sql(
+        """SELECT s.s_name,
+          |  CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+          |FROM q242_l l1
+          |JOIN q242_o o ON o.o_orderkey = l1.l_orderkey
+          |JOIN q242_s s ON s.s_suppkey = l1.l_suppkey
+          |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          |  AND EXISTS (SELECT 1 FROM q242_l l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM q242_l l3
+          |    JOIN q242_o o3 ON o3.o_orderkey = l3.l_orderkey
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s.s_name LIMIT 10""".stripMargin)
     }
   )
 }

@@ -106,6 +106,42 @@ class RowLevelSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(2L, 11L, 12L, 13L))
   }
 
+  test("MERGE with WHEN NOT MATCHED BY SOURCE UPDATE and DELETE") {
+    // the full three-clause sync: matched rows update, new source rows
+    // insert, and target rows ABSENT from the source delete — the
+    // "source is the truth" replication MERGE
+    freshTable("m3")
+    spark.sql(
+      """SELECT * FROM VALUES (2, 'a', 200), (99, 'b', 990)
+        |AS s(id, bucket, v)""".stripMargin).createOrReplaceTempView("m3_src")
+    val vBefore = log("m3").latestVersion().get
+    spark.sql(
+      """MERGE INTO grl.default.m3 t USING m3_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, bucket, v)
+        |  VALUES (s.id, s.bucket, CAST(s.v AS BIGINT))
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(log("m3").latestVersion().get == vBefore + 1,
+      "one MERGE = one commit")
+    val rows = spark.sql("SELECT id, v FROM grl.default.m3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, 200L), (99L, 990L)))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE UPDATE marks unmatched rows") {
+    freshTable("m4")
+    spark.sql("SELECT * FROM VALUES (1), (11) AS s(id)")
+      .createOrReplaceTempView("m4_src")
+    spark.sql(
+      """MERGE INTO grl.default.m4 t USING m4_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = t.v + 1
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = 0""".stripMargin)
+    val rows = spark.sql("SELECT id, v FROM grl.default.m4 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 11L), (2L, 0L), (3L, 0L),
+      (11L, 111L), (12L, 0L), (13L, 0L)))
+  }
+
   test("pre-statement state stays time-travelable") {
     freshTable("t1")
     val vBefore = log("t1").latestVersion().get
