@@ -1291,6 +1291,64 @@ object Analytics {
         .agg(countDistinct(col("a")).as("core_vertices"),
           coalesce(sum_distinct(col("a")), lit(0L)).cast("long").as("id_sum"),
           (count(lit(1)).cast("long") / 2).cast("long").as("core_edges"))
+    },
+
+    // Semi-supervised label propagation (operators/LabelProp): every
+    // 10th vertex is seeded with label v%3, then 4 deterministic
+    // spreading rounds — mode of labeled neighbors, ties to the
+    // smallest label, seeds clamped. The oracle unrolls the identical
+    // rounds as MATERIALIZED CTEs, so the converged label assignment
+    // is value-checked, not just shape-checked (classic async LPA is
+    // run-order dependent and could never be).
+    QueryDef.sqlBacked(
+      "q244_label_propagation",
+      {
+        val rounds = 4
+        val peel = (1 to rounds).map { i =>
+          s"""c$i AS MATERIALIZED (
+             |  SELECT e.a AS v, l.lab, COUNT(*) AS c
+             |  FROM sym e JOIN l${i - 1} l ON l.v = e.b GROUP BY e.a, l.lab),
+             |p$i AS MATERIALIZED (
+             |  SELECT v, lab FROM (SELECT v, lab,
+             |    ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab)
+             |      AS rn FROM c$i)
+             |  WHERE rn = 1),
+             |l$i AS MATERIALIZED (
+             |  SELECT v, lab FROM l0
+             |  UNION ALL SELECT v, lab FROM p$i WHERE v % 10 <> 0)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT DISTINCT least(o_orderkey % 3000, o_custkey % 3000) AS a,
+           |      greatest(o_orderkey % 3000, o_custkey % 3000) AS b
+           |    FROM orders) WHERE a <> b),
+           |sym AS MATERIALIZED (
+           |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym),
+           |l0 AS MATERIALIZED (
+           |  SELECT v, v % 3 AS lab FROM verts WHERE v % 10 = 0),
+           |$peel
+           |SELECT CAST(lab AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(v) AS BIGINT) AS id_sum
+           |FROM l$rounds GROUP BY lab ORDER BY label""".stripMargin
+      }) { (s, dir) =>
+      val edges = Tables.load(s, dir, "orders")
+        .select((col("o_orderkey") % 3000).as("a"),
+          (col("o_custkey") % 3000).as("b"))
+      val verts = edges
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(explode(array(col("a"), col("b"))).as("v"))
+        .distinct()
+      val seeds = verts.filter(col("v") % 10 === 0)
+        .select(col("v"), (col("v") % 3).as("lab"))
+      graft.operators.LabelProp.spread(s, edges, seeds, rounds = 4)
+        .groupBy(col("lab").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("long").as("id_sum"))
+        .orderBy(col("label"))
     }
   )
 }

@@ -262,6 +262,79 @@ object StreamingLive {
         .select(col("commit_version"), col("n"), col("cents"),
           col("self_terminated"), col("bounded_batches"))
         .orderBy(col("commit_version"))
+    },
+
+    // Streaming foreachBatch MERGE upsert — the bronze→silver medallion
+    // hop: a keyed change stream (3 source commits: base, +11 on %3
+    // keys, +22 on %5 keys) drains one micro-batch PER COMMIT into a
+    // MERGE against a catalog table, so later versions overwrite
+    // earlier ones exactly as commit order dictates. foreachBatch+MERGE
+    // is the exactly-once pattern at scale: a replayed batch re-MERGEs
+    // to the identical state (StreamingUpsertSpec proves a two-drain
+    // restart applies nothing twice). The oracle recomputes the final
+    // keyed state straight from customer.
+    QueryDef.sqlBacked(
+      "q243_streaming_upsert",
+      """WITH f AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+        |      + CASE WHEN c_custkey % 5 = 0 THEN 22
+        |             WHEN c_custkey % 3 = 0 THEN 11 ELSE 0 END AS cents
+        |  FROM customer)
+        |SELECT CAST(k % 7 AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM f GROUP BY 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+      val src = s"target/fixtures/sup_${tag(dir)}"
+      val log = new TxnLog(src, s.sessionState.newHadoopConf())
+      if (log.versions() != Seq(0L, 1L, 2L)) {
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(src), true)
+        val base = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("k"),
+            floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        TableWriter.write(s, base, src, version = 0L, commitTs = 1000L)
+        TableWriter.write(s, base.filter(col("k") % 3 === 0)
+          .withColumn("cents", col("cents") + 11),
+          src, version = 1L, commitTs = 2000L)
+        TableWriter.write(s, base.filter(col("k") % 5 === 0)
+          .withColumn("cents", col("cents") + 22),
+          src, version = 2L, commitTs = 3000L)
+      }
+      val wh = s"target/fixtures/wh_${tag(dir)}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      s.sql("DROP TABLE IF EXISTS gcat.default.stream_upsert")
+      s.sql("CREATE TABLE gcat.default.stream_upsert (k BIGINT, cents BIGINT)")
+      val q = s.readStream.format("graft")
+        .option("tablePath", src)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // one source commit per batch ⇒ keys unique within the batch,
+          // the MERGE precondition for deterministic upserts
+          b.createOrReplaceTempView("upsert_batch")
+          b.sparkSession.sql(
+            """MERGE INTO gcat.default.stream_upsert t
+              |USING (SELECT k, cents FROM upsert_batch) s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+              |WHEN NOT MATCHED THEN INSERT (k, cents)
+              |  VALUES (s.k, s.cents)""".stripMargin)
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sup_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql(
+        """SELECT CAST(k % 7 AS BIGINT) AS grp,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS cents
+          |FROM gcat.default.stream_upsert
+          |GROUP BY 1 ORDER BY grp""".stripMargin)
     }
   )
 }
