@@ -165,6 +165,31 @@ object GraftExtensions {
             .toDF("version", "files_before", "files_after")
             .queryExecution.logical
         }),
+      // REORG TABLE ... APPLY (PURGE): fold every deletion vector back
+      // into plain files as a dataChange=false rewrite — restores
+      // plain-reader speed off the write hot path, logical table
+      // unchanged (CDC emits nothing)
+      ("graft_reorg",
+        info("graft_reorg",
+          "graft_reorg(tablePath) - rewrite deletion-vector-carrying " +
+            "files without their dead rows (REORG ... APPLY (PURGE)); " +
+            "returns (version, files_purged, dvs_remaining)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_reorg(tablePath)")
+          val path = strLitOf(children.head, "graft_reorg")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val log = new graft.txn.TxnLog(path,
+            spark.sessionState.newHadoopConf())
+          val rewritten = graft.txn.DeletionVectors.purge(spark, path,
+            version = log.latestVersion().get + 1,
+            commitTs = System.currentTimeMillis())
+          val after = log.snapshotLatest()
+          import spark.implicits._
+          Seq((after.version, rewritten.size.toLong,
+            after.files.count(_.dv.isDefined).toLong))
+            .toDF("version", "files_purged", "dvs_remaining")
+            .queryExecution.logical
+        }),
       ("graft_vacuum",
         info("graft_vacuum",
           "graft_vacuum(tablePath, retainMillis[, dryRun]) - delete " +

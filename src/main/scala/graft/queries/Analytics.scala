@@ -1349,6 +1349,52 @@ object Analytics {
         .agg(count(lit(1)).as("n"),
           sum(col("v")).cast("long").as("id_sum"))
         .orderBy(col("label"))
+    },
+
+    // Retrieval through the PERSISTED inverted index (operators/
+    // TextIndex): the index table is built over half the corpus and
+    // incrementally REFRESHED with the rest (high-water = the index's
+    // own max doc_id, a stats-only aggregate), then MLT retrieval joins
+    // the index — never re-shingling the corpus. The oracle recomputes
+    // the same df-capped top-3 directly from documents, so index build,
+    // refresh, AND query are all under the driver hash at once.
+    QueryDef.sqlBacked(
+      "q246_text_index_retrieval",
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |keep AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 100),
+        |ki AS (SELECT i.doc_id, i.s FROM inv i JOIN keep USING (s)),
+        |pairs AS (SELECT a.doc_id AS q_doc, b.doc_id AS match_doc,
+        |    COUNT(*) AS shared
+        |  FROM ki a JOIN ki b USING (s)
+        |  WHERE a.doc_id % 100 = 0 AND b.doc_id <> a.doc_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_doc, match_doc, shared, ROW_NUMBER() OVER (
+        |    PARTITION BY q_doc ORDER BY shared DESC, match_doc) AS rn
+        |  FROM pairs)
+        |SELECT CAST(q_doc AS BIGINT) AS q_doc,
+        |  CAST(match_doc AS BIGINT) AS match_doc,
+        |  CAST(shared AS BIGINT) AS shared
+        |FROM r WHERE rn <= 3
+        |ORDER BY q_doc, shared DESC, match_doc""".stripMargin) { (s, dir) =>
+      import graft.operators.TextIndex
+      val docs = Tables.load(s, dir, "documents")
+      val idx = s"target/fixtures/tix_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (TextIndex.versions(s, idx) != Seq(0L, 1L)) {
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        TextIndex.build(s, docs.filter(col("doc_id") <= mid), idx)
+        TextIndex.refresh(s, docs, idx) // appends only doc_id > mid
+      }
+      TextIndex.similar(s, idx,
+          docs.filter(col("doc_id") % 100 === 0).select(col("doc_id")))
+        .orderBy(col("q_doc"), col("shared").desc, col("match_doc"))
     }
   )
 }

@@ -2214,6 +2214,49 @@ object Maintenance {
           |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
           |  CAST(SUM(c_custkey) AS BIGINT) AS id_sum
           |FROM gcat.default.cust_replica""".stripMargin)
+    },
+
+    // REORG ... APPLY (PURGE) via SQL: two stacked DV generations fold
+    // back into plain files as a dataChange=false rewrite — the logical
+    // table is PROVABLY unchanged (the oracle recomputes the post-DV
+    // state from raw lineitem), no DV pointer survives, and plain
+    // parquet readers regain full speed. The purge-is-invisible booleans
+    // ride the hash like the other maintenance rows.
+    QueryDef.sqlBacked(
+      "q245_sql_reorg_purge",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  TRUE AS dvs_cleared
+        |FROM lineitem
+        |WHERE l_orderkey % 9 = 0 AND l_suppkey % 5 <> 0
+        |  AND l_partkey % 3 <> 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val path = s"target/fixtures/reorg_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val conf = s.sessionState.newHadoopConf()
+        val log = new TxnLog(path, conf)
+        if (log.versions() != Seq(0L, 1L, 2L)) {
+          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          TableWriter.write(s,
+            Tables.load(s, dir, "lineitem")
+              .filter(col("l_orderkey") % 9 === 0),
+            path, partitionBy = Seq("l_returnflag"),
+            version = 0L, commitTs = 1000L)
+          DeletionVectors.deleteWhere(s, path, col("l_suppkey") % 5 === 0,
+            version = 1L, commitTs = 2000L)
+          DeletionVectors.deleteWhere(s, path, col("l_partkey") % 3 === 0,
+            version = 2L, commitTs = 3000L)
+        }
+        graft.functions.GraftExtensions.install(s)
+        val cleared = s.sql(s"SELECT dvs_remaining FROM graft_reorg('$path')")
+          .head().getLong(0) == 0L
+        s.read.format("graft").option("tablePath", path).load()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+          .withColumn("dvs_cleared", lit(cleared))
+          .orderBy(col("l_returnflag"))
     }
   )
 }
