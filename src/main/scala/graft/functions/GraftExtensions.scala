@@ -165,6 +165,24 @@ object GraftExtensions {
             .toDF("version", "files_before", "files_after")
             .queryExecution.logical
         }),
+      // COPY INTO: idempotent bulk ingestion — per-file SetTxn markers
+      // commit atomically with the data, so retries skip, never duplicate
+      ("graft_copy_into",
+        info("graft_copy_into",
+          "graft_copy_into(tablePath, srcDir) - ingest every parquet " +
+            "file under srcDir exactly once (idempotent on retry); " +
+            "returns (version, files_copied, rows_copied, files_skipped)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_copy_into(tablePath, srcDir)")
+          val path = strLitOf(children.head, "graft_copy_into")
+          val src = strLitOf(children(1), "graft_copy_into")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val r = graft.txn.CopyInto.run(spark, path, src)
+          import spark.implicits._
+          Seq((r.version, r.filesCopied, r.rowsCopied, r.filesSkipped))
+            .toDF("version", "files_copied", "rows_copied", "files_skipped")
+            .queryExecution.logical
+        }),
       // REORG TABLE ... APPLY (PURGE): fold every deletion vector back
       // into plain files as a dataChange=false rewrite — restores
       // plain-reader speed off the write hot path, logical table

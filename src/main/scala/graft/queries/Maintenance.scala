@@ -2257,6 +2257,51 @@ object Maintenance {
             sum(col("l_quantity").cast("long")).cast("long").as("qty"))
           .withColumn("dvs_cleared", lit(cleared))
           .orderBy(col("l_returnflag"))
+    },
+
+    // SQL COPY INTO (graft_copy_into TVF): raw parquet files ingest
+    // EXACTLY ONCE — per-file SetTxn markers commit atomically with the
+    // data, so the second invocation here must skip every file without
+    // committing (the boolean rides the hash). CopyIntoSpec pins the
+    // retry/late-file/checkpoint semantics; this row certifies the
+    // ingested state at sf against the raw-table recompute.
+    QueryDef.sqlBacked(
+      "q247_sql_copy_into",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  TRUE AS retry_skipped_all
+        |FROM lineitem WHERE l_orderkey % 11 < 2""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val conf = s.sessionState.newHadoopConf()
+      val src = s"target/fixtures/copysrc_$tag"
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val fs = srcPath.getFileSystem(conf)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(src, "_built"))) {
+        fs.delete(srcPath, true)
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 11 === 0)
+          .repartition(3)
+          .write.mode("overwrite").parquet(src)
+        fs.create(new org.apache.hadoop.fs.Path(src, "_built")).close()
+      }
+      val table = s"target/fixtures/copydst_$tag"
+      val log = new TxnLog(table, conf)
+      if (log.versions().isEmpty) {
+        TableWriter.write(s,
+          Tables.load(s, dir, "lineitem")
+            .filter(col("l_orderkey") % 11 === 1),
+          table, version = 0L, commitTs = 1000L)
+      }
+      graft.functions.GraftExtensions.install(s)
+      s.sql(s"SELECT * FROM graft_copy_into('$table', '$src')").collect()
+      val retry = s.sql(s"SELECT * FROM graft_copy_into('$table', '$src')")
+        .head()
+      val skippedAll =
+        retry.getLong(1) == 0L && retry.getLong(3) > 0L
+      s.read.format("graft").option("tablePath", table).load()
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        .withColumn("retry_skipped_all", lit(skippedAll))
     }
   )
 }

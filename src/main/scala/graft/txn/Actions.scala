@@ -123,16 +123,29 @@ final case class Protocol(
     minReaderVersion: Int,
     minWriterVersion: Int) extends Action
 
+/** Application-scoped idempotence marker (Delta's SetTransaction /
+  * "txn" action): records that application `appId` has applied its
+  * state up to `version`, IN THE SAME COMMIT as the data it wrote — so
+  * "did this batch already land?" is answered from the snapshot, and a
+  * retried ingest (COPY INTO, a replayed streaming epoch) skips instead
+  * of duplicating. The snapshot keeps the LATEST version per appId.
+  */
+final case class SetTxn(
+    appId: String,
+    version: Long,
+    lastUpdated: Long) extends Action
+
 /** One JSON line of a commit file — exactly one field is set. */
 final case class LogLine(
     add: Option[AddFile] = None,
     remove: Option[RemoveFile] = None,
     metaData: Option[Metadata] = None,
     commitInfo: Option[CommitInfo] = None,
-    protocol: Option[Protocol] = None) {
+    protocol: Option[Protocol] = None,
+    txn: Option[SetTxn] = None) {
   def action: Action =
     add.orElse[Action](remove).orElse(metaData).orElse(commitInfo)
-      .orElse(protocol)
+      .orElse(protocol).orElse(txn)
       .getOrElse(throw new IllegalArgumentException("empty log line"))
 }
 
@@ -143,5 +156,6 @@ object LogLine {
     case x: Metadata   => LogLine(metaData = Some(x))
     case x: CommitInfo => LogLine(commitInfo = Some(x))
     case x: Protocol   => LogLine(protocol = Some(x))
+    case x: SetTxn     => LogLine(txn = Some(x))
   }
 }

@@ -1,0 +1,75 @@
+package graft.txn
+
+import org.apache.spark.sql.SparkSession
+
+/** COPY INTO — idempotent bulk file ingestion (the Delta/warehouse
+  * `COPY INTO` statement): every raw source file lands in the table
+  * EXACTLY ONCE, no matter how many times the command is retried,
+  * because the per-file idempotence marker ([[SetTxn]] with
+  * `appId = "copy:<source path>"`) commits ATOMICALLY with the
+  * ingested data. A retry consults the snapshot's txn map and skips
+  * files already recorded — there is no window where data landed but
+  * the marker didn't (the failure mode of any two-commit design).
+  *
+  * Scale shape: listing is one filesystem glob; the already-ingested
+  * check is a driver-side set lookup against the snapshot's txn map
+  * (bounded by ingested-file count, the same cardinality class as the
+  * log's file list); reading + writing the new files is fully
+  * distributed.
+  */
+object CopyInto {
+
+  private val AppPrefix = "copy:"
+
+  /** Result of one COPY INTO run. */
+  final case class CopyResult(
+      version: Long,
+      filesCopied: Long,
+      rowsCopied: Long,
+      filesSkipped: Long)
+
+  /** Ingest every parquet file under `srcDir` not already recorded in
+    * the table's txn map. The target table must exist (its schema is
+    * the contract the source files are read under — extra source
+    * columns refuse rather than silently dropping).
+    */
+  def run(spark: SparkSession, tablePath: String, srcDir: String)
+      : CopyResult = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+      .filter(_.isFile)
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.toUri.getPath)
+      .sorted
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    val ingested = snap.txns.keySet
+      .filter(_.startsWith(AppPrefix)).map(_.stripPrefix(AppPrefix))
+    val fresh = all.filterNot(ingested.contains)
+    if (fresh.isEmpty)
+      return CopyResult(snap.version, 0L, 0L, all.length.toLong)
+
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(snap.metadata.get.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val df = spark.read.schema(declared).parquet(fresh: _*)
+    val srcCols = spark.read.parquet(fresh: _*).schema.fieldNames.toSet
+    val extra = srcCols -- declared.fieldNames.toSet
+    require(extra.isEmpty,
+      s"COPY INTO $tablePath: source files carry columns absent from " +
+        s"the table schema: ${extra.mkString(", ")} — refusing to drop " +
+        "data silently")
+    val rows = df.count()
+    val now = System.currentTimeMillis()
+    val markers = fresh.map(p => SetTxn(AppPrefix + p, 1L, now)).toSeq
+    val next = snap.version + 1
+    TableWriter.write(spark, df, tablePath,
+      partitionBy = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty),
+      version = next, commitTs = now, operation = "COPY INTO",
+      extraActions = markers)
+    CopyResult(next, fresh.length.toLong, rows,
+      (all.length - fresh.length).toLong)
+  }
+}

@@ -294,13 +294,18 @@ final class TxnLog(
         writer.write(factory.newGroup()
           .append("kind", "add").append("json", Serialization.write(LogLine(a))))
       }
+      snap.txns.foreach { case (app, v) =>
+        writer.write(factory.newGroup()
+          .append("kind", "txn").append("json",
+            Serialization.write(LogLine(SetTxn(app, v, 0L)))))
+      }
     } finally writer.close()
     if (!fs.rename(tmp, checkpointFile(v))) fs.delete(tmp, false) // lost benign race
   }
 
-  /** Read a checkpoint back into (live files, metadata, protocol). */
+  /** Read a checkpoint back into (live files, metadata, protocol, txns). */
   private def readCheckpoint(v: Long)
-      : (Seq[AddFile], Option[Metadata], Option[Protocol]) = {
+      : (Seq[AddFile], Option[Metadata], Option[Protocol], Map[String, Long]) = {
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), checkpointFile(v))
       .withConf(conf)
@@ -308,6 +313,7 @@ final class TxnLog(
     val files = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     var meta: Option[Metadata] = None
     var proto: Option[Protocol] = None
+    var txns = Map.empty[String, Long]
     try {
       var g = reader.read()
       while (g != null) {
@@ -316,12 +322,13 @@ final class TxnLog(
           case a: AddFile  => files += a
           case m: Metadata => meta = Some(m)
           case p: Protocol => proto = Some(p)
+          case t: SetTxn   => txns += (t.appId -> t.version)
           case _           => ()
         }
         g = reader.read()
       }
     } finally reader.close()
-    (files.toSeq, meta, proto)
+    (files.toSeq, meta, proto, txns)
   }
 
   /** Replay the log up to `asOf` (inclusive) into the live-file state,
@@ -339,11 +346,13 @@ final class TxnLog(
     var files = scala.collection.immutable.ListMap.empty[String, AddFile]
     var meta: Option[Metadata] = None
     var proto: Option[Protocol] = None
+    var txns = Map.empty[String, Long]
     cp.foreach { cv =>
-      val (cpFiles, cpMeta, cpProto) = readCheckpoint(cv)
+      val (cpFiles, cpMeta, cpProto, cpTxns) = readCheckpoint(cv)
       files = scala.collection.immutable.ListMap(cpFiles.map(a => a.path -> a): _*)
       meta = cpMeta
       proto = cpProto
+      txns = cpTxns
     }
     vs.filter(v => cp.forall(v > _)).foreach { v =>
       read(v).foreach {
@@ -351,11 +360,12 @@ final class TxnLog(
         case r: RemoveFile => files -= r.path
         case m: Metadata   => meta = Some(m)
         case p: Protocol   => proto = Some(p)
+        case t: SetTxn     => txns += (t.appId -> t.version)
         case _: CommitInfo => ()
       }
     }
     proto.foreach(TxnLog.assertReadable(_, tablePath))
-    Snapshot(vs.last, files.values.toSeq, meta, proto)
+    Snapshot(vs.last, files.values.toSeq, meta, proto, txns)
   }
 
   /** Latest snapshot; fails on an empty log (strict, per SURVEY §7.1 —
@@ -454,9 +464,14 @@ object TxnLog {
     }
 }
 
-/** Live state of the table at a version. */
+/** Live state of the table at a version.
+  * @param txns latest [[SetTxn]] version per appId — the idempotence
+  *             record COPY INTO / exactly-once sinks consult. Defaulted
+  *             so pre-txn call sites and checkpoints read unchanged.
+  */
 final case class Snapshot(
     version: Long,
     files: Seq[AddFile],
     metadata: Option[Metadata],
-    protocol: Option[Protocol] = None)
+    protocol: Option[Protocol] = None,
+    txns: Map[String, Long] = Map.empty)

@@ -1,0 +1,95 @@
+package graft
+
+import graft.txn._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COPY INTO: exactly-once file ingestion via SetTxn markers committed
+  * atomically with the data — retries skip, late-arriving files ingest
+  * alone, markers survive checkpoint compaction, and schema-widening
+  * sources refuse.
+  */
+class CopyIntoSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def writeSrcFile(dir: String, name: String,
+      rows: Seq[(Long, Long)]): Unit = {
+    val stage = tmp("cis_stage")
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, name))
+  }
+
+  private def freshTable(): String = {
+    val path = tmp("cis_t") + "/t"
+    TableWriter.write(spark, Seq((0L, 0L)).toDF("id", "v"), path,
+      version = 0L, commitTs = 1000L)
+    path
+  }
+
+  private def tableIds(path: String): Set[Long] =
+    spark.read.format("graft").option("tablePath", path).load()
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+
+  test("ingests each file exactly once across retries") {
+    val src = tmp("cis_src")
+    writeSrcFile(src, "a.parquet", Seq((1L, 10L), (2L, 20L)))
+    writeSrcFile(src, "b.parquet", Seq((3L, 30L)))
+    val t = freshTable()
+    val r1 = CopyInto.run(spark, t, src)
+    assert(r1.filesCopied == 2L && r1.rowsCopied == 3L)
+    val r2 = CopyInto.run(spark, t, src)
+    assert(r2.filesCopied == 0L && r2.filesSkipped == 2L)
+    assert(r2.version == r1.version, "a no-op retry must not commit")
+    assert(tableIds(t) == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("late-arriving files ingest alone") {
+    val src = tmp("cis_src2")
+    writeSrcFile(src, "a.parquet", Seq((1L, 10L)))
+    val t = freshTable()
+    CopyInto.run(spark, t, src)
+    writeSrcFile(src, "c.parquet", Seq((9L, 90L)))
+    val r = CopyInto.run(spark, t, src)
+    assert(r.filesCopied == 1L && r.filesSkipped == 1L)
+    assert(tableIds(t) == Set(0L, 1L, 9L))
+  }
+
+  test("txn markers survive a parquet checkpoint") {
+    val src = tmp("cis_src3")
+    writeSrcFile(src, "a.parquet", Seq((1L, 10L)))
+    val t = freshTable()
+    CopyInto.run(spark, t, src)
+    val log = new TxnLog(t, spark.sessionState.newHadoopConf())
+    log.writeCheckpoint(log.latestVersion().get)
+    // a snapshot resolved THROUGH the checkpoint still skips the file
+    val r = CopyInto.run(spark, t, src)
+    assert(r.filesCopied == 0L && r.filesSkipped == 1L)
+  }
+
+  test("a source file with extra columns refuses loudly") {
+    val src = tmp("cis_src4")
+    val stage = tmp("cis_stage4")
+    Seq((1L, 10L, "boom")).toDF("id", "v", "extra")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(src, "x.parquet"))
+    val t = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.run(spark, t, src)
+    }
+    assert(e.getMessage.contains("extra"))
+  }
+}
