@@ -208,6 +208,25 @@ object GraftExtensions {
             .toDF("version", "files_purged", "dvs_remaining")
             .queryExecution.logical
         }),
+      // log retention (Delta's logRetentionDuration): bound the commit
+      // log itself — vacuum's sibling for metadata
+      ("graft_expire_log",
+        info("graft_expire_log",
+          "graft_expire_log(tablePath, retainMillis) - delete commit " +
+            "files and checkpoints below the newest checkpoint past the " +
+            "retention horizon; returns one row per deleted log file"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            "graft_expire_log(tablePath, retainMillis)")
+          val path = strLitOf(children.head, "graft_expire_log")
+          val retain = longLitOf(children(1), "graft_expire_log")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val log = new graft.txn.TxnLog(path,
+            spark.sessionState.newHadoopConf())
+          import spark.implicits._
+          log.expireLog(retain).toDF("deleted_log_file")
+            .queryExecution.logical
+        }),
       ("graft_vacuum",
         info("graft_vacuum",
           "graft_vacuum(tablePath, retainMillis[, dryRun]) - delete " +

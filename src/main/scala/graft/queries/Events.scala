@@ -851,6 +851,62 @@ object Events {
         .agg(sum(col("bps")).cast("long").as("total_bps"),
           count(lit(1)).as("n_touches"))
         .orderBy(col("event_type"))
+    },
+
+    // Theil–Sen robust trend (the median-of-pairwise-slopes estimator,
+    // the outlier-immune complement of q154's OLS): per event type,
+    // daily revenue totals pair within the group (days-per-type is
+    // bounded by the time span, so the pair fan-out is quadratic only
+    // in ~100 days, never in rows). INTEGER-EXACT floor semantics on
+    // both engines: slopes can be negative and Spark's `div` truncates
+    // while DuckDB's `//` floors, so the division is SHIFTED positive
+    // by K·dt (K = 10¹²) and K subtracted back — algebraically
+    // floor(dv·10⁶/dt) everywhere. The lower median picks rank
+    // (n+1)/2, deterministic under ties.
+    QueryDef.sqlBacked(
+      "q248_theil_sen",
+      """WITH d AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS day,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    ((b.cents - a.cents) * 1000000
+        |      + 1000000000000 * (b.day - a.day)) // (b.day - a.day)
+        |      - 1000000000000 AS slope_ppm
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND b.day > a.day),
+        |r AS (SELECT event_type, slope_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope_ppm) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM p)
+        |SELECT event_type, CAST(slope_ppm AS BIGINT) AS theil_sen_ppm
+        |FROM r WHERE rn = (cnt + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val K = 1000000000000L
+      val d = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2000-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val a = d.select(col("event_type"), col("day").as("d1"),
+        col("cents").as("c1"))
+      val b = d.select(col("event_type").as("et2"), col("day").as("d2"),
+        col("cents").as("c2"))
+      val pairs = a.join(b,
+        col("event_type") === col("et2") && col("d2") > col("d1"))
+        .select(col("event_type"),
+          expr(s"((c2 - c1) * 1000000L + ${K}L * (d2 - d1)) div (d2 - d1)" +
+            s" - ${K}L").as("slope_ppm"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slope_ppm"))
+      val wc = Window.partitionBy(col("event_type"))
+      pairs.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(cnt + 1L) div 2L"))
+        .select(col("event_type"), col("slope_ppm").as("theil_sen_ppm"))
+        .orderBy(col("event_type"))
     }
   )
 }

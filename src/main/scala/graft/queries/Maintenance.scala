@@ -2302,6 +2302,41 @@ object Maintenance {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).cast("long").as("qty"))
         .withColumn("retry_skipped_all", lit(skippedAll))
+    },
+
+    // Log retention via SQL (graft_expire_log): a 25-commit table's log
+    // expires down to its newest checkpoint (v20) + tail — the bound
+    // that keeps a million-commit table's metadata readable — while the
+    // DATA resolves bit-identically through the surviving checkpoint
+    // (the oracle recomputes the full 25-slice union from lineitem).
+    // LogRetentionSpec pins horizon choice, time-travel refusal, and
+    // SetTxn survival.
+    QueryDef.sqlBacked(
+      "q249_sql_log_retention",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(20 AS BIGINT) AS earliest_version
+        |FROM lineitem WHERE l_orderkey % 40 < 25""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/logret_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      val log = new TxnLog(path, conf)
+      if (log.versions() != (20L to 24L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val li = Tables.load(s, dir, "lineitem")
+        for (v <- 0L until 25L)
+          TableWriter.write(s, li.filter(col("l_orderkey") % 40 === v),
+            path, version = v, commitTs = 1000L * (v + 1))
+        graft.functions.GraftExtensions.install(s)
+        // commitTs are epoch-1970 millis, so ANY wall clock puts every
+        // commit past the horizon; the base checkpoint (v20) anchors
+        s.sql(s"SELECT COUNT(*) FROM graft_expire_log('$path', 0)").collect()
+      }
+      val earliest = new TxnLog(path, conf).versions().head
+      s.read.format("graft").option("tablePath", path).load()
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        .withColumn("earliest_version", lit(earliest))
     }
   )
 }

@@ -253,6 +253,41 @@ final class TxnLog(
   def changes(fromVersion: Long): Iterator[(Long, Seq[Action])] =
     versions().iterator.filter(_ >= fromVersion).map(v => (v, read(v)))
 
+  /** Expire log segments past the retention horizon (Delta's
+    * logRetentionDuration): pick the newest CHECKPOINT at or below the
+    * horizon (greatest version whose commit timestamp predates
+    * `nowMillis - retainMillis`), then delete every commit file and
+    * checkpoint STRICTLY below it. Resolution of any retained version
+    * starts from that base checkpoint, so snapshots and time travel at
+    * or above it are untouched; older versions now refuse with the
+    * standard does-not-exist error instead of silently misreading. A
+    * million-commit table keeps its log bounded this way — commit
+    * JSONs never accumulate past retention + one checkpoint interval.
+    * Data files are NOT touched (that is [[TableWriter.vacuum]]'s job).
+    * Returns the deleted log file names. No-op (empty) when no
+    * checkpoint is old enough to anchor resolution.
+    */
+  def expireLog(
+      retainMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    val cutoff = nowMillis - retainMillis
+    val vs = versions()
+    def tsOf(v: Long): Long = read(v)
+      .collectFirst { case c: CommitInfo => c.timestamp }
+      .getOrElse(Long.MaxValue)
+    val old = vs.filter(v => tsOf(v) < cutoff)
+    if (old.isEmpty) return Seq.empty
+    val horizon = old.max
+    checkpointVersions().filter(_ <= horizon).lastOption match {
+      case None => Seq.empty
+      case Some(base) =>
+        val doomed = vs.filter(_ < base).map(commitFile) ++
+          checkpointVersions().filter(_ < base).map(checkpointFile)
+        doomed.foreach(p => fs.delete(p, false))
+        doomed.map(_.getName)
+    }
+  }
+
   /** Committed checkpoint versions, ascending. */
   def checkpointVersions(): Seq[Long] = {
     if (!fs.exists(logDir)) return Seq.empty

@@ -1,0 +1,75 @@
+package graft
+
+import graft.txn._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Log retention: expireLog deletes commit files and checkpoints below
+  * the newest horizon checkpoint, keeps every retained version
+  * resolvable (snapshot, time travel, txn markers), and refuses expired
+  * versions with the standard error. The log of a long-lived table
+  * stays bounded; data files are untouched.
+  */
+class LogRetentionSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  /** 25 commits at commitTs = 1000·(v+1); default checkpoint interval
+    * (10) puts checkpoints at v10 and v20.
+    */
+  private def build(): (String, TxnLog) = {
+    val path = java.nio.file.Files.createTempDirectory("lr").toString + "/t"
+    for (v <- 0L until 25L)
+      TableWriter.write(spark, Seq((v, v * 10)).toDF("id", "x"), path,
+        version = v, commitTs = 1000L * (v + 1))
+    (path, new TxnLog(path, spark.sessionState.newHadoopConf()))
+  }
+
+  test("expiry deletes below the horizon checkpoint, keeps the rest") {
+    val (path, log) = build()
+    assert(log.checkpointVersions() == Seq(10L, 20L))
+    // cutoff 18000 -> horizon v16 -> base checkpoint v10
+    val deleted = log.expireLog(retainMillis = 8000L, nowMillis = 26000L)
+    assert(deleted.size == 10, s"expected commits 0..9 gone, got $deleted")
+    assert(log.versions() == (10L to 24L))
+    // full state still resolves (from checkpoint 10 + tail)
+    assert(spark.read.format("graft").option("tablePath", path).load()
+      .count() == 25L)
+    // time travel at/above the base works; below refuses loudly
+    assert(log.snapshot(15L).files.size == 16)
+    val e = intercept[IllegalArgumentException] { log.snapshot(5L) }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("a wider horizon expires up to the newest eligible checkpoint") {
+    val (_, log) = build()
+    // everything is old -> horizon v24 -> base checkpoint v20
+    val deleted = log.expireLog(retainMillis = 0L, nowMillis = 99000L)
+    assert(log.versions() == (20L to 24L))
+    assert(deleted.count(_.endsWith(".json")) == 20)
+    assert(deleted.count(_.endsWith(".checkpoint.parquet")) == 1)
+    assert(log.checkpointVersions() == Seq(20L))
+  }
+
+  test("no eligible checkpoint means a safe no-op") {
+    val (_, log) = build()
+    // cutoff 9500: old versions v0..v8 only, no checkpoint <= 8
+    assert(log.expireLog(retainMillis = 16500L, nowMillis = 26000L).isEmpty)
+    assert(log.versions() == (0L to 24L))
+  }
+
+  test("txn markers survive expiry through the base checkpoint") {
+    val (path, log) = build()
+    // marker committed at v25 (ts old enough to be below a later cutoff)
+    TableWriter.write(spark, Seq((99L, 990L)).toDF("id", "x"), path,
+      version = 25L, commitTs = 26000L, operation = "COPY INTO",
+      extraActions = Seq(SetTxn("copy:/x/a.parquet", 1L, 26000L)))
+    for (v <- 26L until 31L) // push a checkpoint past the marker (v30)
+      TableWriter.write(spark, Seq((v, v)).toDF("id", "x"), path,
+        version = v, commitTs = 26000L + v)
+    log.expireLog(retainMillis = 0L, nowMillis = 990000L)
+    assert(log.versions().head == 30L)
+    assert(log.snapshotLatest().txns.contains("copy:/x/a.parquet"),
+      "SetTxn must be replayed from the checkpoint after log expiry")
+  }
+}
