@@ -907,6 +907,64 @@ object Events {
         .filter(col("rn") === expr("(cnt + 1L) div 2L"))
         .select(col("event_type"), col("slope_ppm").as("theil_sen_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // Lag-1 autocorrelation of the daily revenue series, EXACT: Pearson
+    // r² in ppm computed entirely in integers — r²·10⁶ =
+    // num²·10⁶ // (d1·d2) with num = n·Σxy − Σx·Σy and d- the variance
+    // forms — plus the correlation's sign as ±1. num² reaches ~10²⁷, so
+    // the squaring runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB);
+    // every value is a whole-dollar total, so no float ever appears and
+    // the engines agree to the last ppm. One scan, one per-type daily
+    // aggregate, one lead() window, one group aggregate.
+    QueryDef.sqlBacked(
+      "q251_autocorrelation",
+      """WITH d AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS day,
+        |    SUM(CAST(FLOOR(value) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, x,
+        |    LEAD(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM d),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM l WHERE y IS NOT NULL GROUP BY event_type),
+        |c AS (SELECT event_type,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
+        |  FROM m)
+        |SELECT event_type,
+        |  CAST((CAST(num AS HUGEINT) * num * 1000000)
+        |    // (CAST(d1 AS HUGEINT) * d2) AS BIGINT) AS r2_ppm,
+        |  CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) AS sign
+        |FROM c WHERE d1 > 0 AND d2 > 0
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2000-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      d.withColumn("y", lead(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"),
+          expr("n * sxy - sx * sy").as("num"),
+          expr("n * sxx - sx * sx").as("d1"),
+          expr("n * syy - sy * sy").as("d2"))
+        .filter(col("d1") > 0 && col("d2") > 0)
+        .select(col("event_type"),
+          expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000) div " +
+            "(CAST(d1 AS DECIMAL(38,0)) * d2) AS BIGINT)").as("r2_ppm"),
+          when(col("num") >= 0, 1L).otherwise(-1L).as("sign"))
+        .orderBy(col("event_type"))
     }
   )
 }

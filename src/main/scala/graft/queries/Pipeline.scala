@@ -887,6 +887,44 @@ object Pipeline {
           count(when(col("covered") * 5 >= col("ntok"), 1)).as("n_flagged"),
           sum(col("covered")).as("covered_tokens"))
         .orderBy(col("source"))
+    },
+
+    // Temperature-scaled mixture quotas (q82's sampler gets its budget
+    // allocator): source weights ∝ n^(1/T) with T=½ — i.e. n², INTEGER-
+    // EXACT, no pow() — split a 100k-doc budget by the largest-remainder
+    // method (floor quotas, then +1 to the largest remainders, source
+    // tie-break), so quotas sum to the budget EXACTLY and both engines
+    // agree to the document. One count aggregate + a 1-row weight total
+    // broadcast + a sources-sized window: nothing here scales with rows.
+    QueryDef.sqlBacked(
+      "q250_temperature_mixture",
+      """WITH s AS (SELECT source, COUNT(*) AS n FROM documents
+        |  GROUP BY source),
+        |t AS (SELECT SUM(n * n) AS w FROM s),
+        |q AS (SELECT source, n, (100000 * n * n) // w AS base,
+        |    (100000 * n * n) % w AS rem FROM s, t),
+        |short AS (SELECT 100000 - SUM(base) AS k FROM q),
+        |r AS (SELECT source, n, base, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(base + CASE WHEN rk <= (SELECT k FROM short)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+      val cnt = Tables.load(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n") * col("n")).as("w"))
+      val q = cnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          expr("(100000L * n * n) div w").as("base"),
+          expr("(100000L * n * n) % w").as("rem"))
+      val w = Window.orderBy(col("rem").desc, col("source"))
+      val short = q.agg((lit(100000L) - sum(col("base"))).as("k"))
+      q.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(short))
+        .select(col("source"), col("n").as("n_docs"),
+          (col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+            .cast("long").as("quota"))
+        .orderBy(col("source"))
     }
   )
 }
