@@ -165,6 +165,23 @@ object GraftExtensions {
             .toDF("version", "files_before", "files_after")
             .queryExecution.logical
         }),
+      // CONVERT TO DELTA: register an existing parquet dir in place —
+      // one metadata commit, zero data rewritten
+      ("graft_convert",
+        info("graft_convert",
+          "graft_convert(dir) - register an existing plain/hive-" +
+            "partitioned parquet directory as a graft table in place " +
+            "(no data rewritten); returns (version, files, rows)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_convert(dir)")
+          val dir = strLitOf(children.head, "graft_convert")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val r = graft.txn.Convert.run(spark, dir)
+          import spark.implicits._
+          Seq((r.version, r.filesRegistered, r.rowsRegistered))
+            .toDF("version", "files", "rows")
+            .queryExecution.logical
+        }),
       // COPY INTO: idempotent bulk ingestion — per-file SetTxn markers
       // commit atomically with the data, so retries skip, never duplicate
       ("graft_copy_into",

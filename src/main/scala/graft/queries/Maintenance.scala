@@ -2337,6 +2337,49 @@ object Maintenance {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).cast("long").as("qty"))
         .withColumn("earliest_version", lit(earliest))
+    },
+
+    // CONVERT TO DELTA via SQL (graft_convert): a hive-partitioned
+    // parquet directory written by PLAIN Spark registers as a graft
+    // table in place — one metadata commit, zero bytes rewritten — then
+    // immediately accepts a graft append, time travel back to the
+    // pre-conversion state, and partition-pruned reads. The oracle
+    // recomputes both the final totals and the v0 row count straight
+    // from orders. ConvertSpec pins the zero-rewrite/null-partition/
+    // stats-skipping mechanics.
+    QueryDef.sqlBacked(
+      "q252_sql_convert",
+      """WITH v0 AS (SELECT COUNT(*) AS n_v0 FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST((SELECT n_v0 FROM v0) AS BIGINT) AS n_v0
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/convert_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      val log = new TxnLog(path, conf)
+      if (log.versions() != Seq(0L, 1L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 2 === 0)
+          .write.partitionBy("o_orderpriority").parquet(path)
+        graft.functions.GraftExtensions.install(s)
+        s.sql(s"SELECT * FROM graft_convert('$path')").collect()
+        TableWriter.append(s,
+          Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 1),
+          path, commitTs = System.currentTimeMillis())
+      }
+      val nV0 = s.read.format("graft").option("tablePath", path)
+        .option("versionAsOf", "0").load().count()
+      s.read.format("graft").option("tablePath", path).load()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .cast("long").as("cents"))
+        .withColumn("n_v0", lit(nV0))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }

@@ -1,0 +1,105 @@
+package graft
+
+import graft.txn._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CONVERT TO DELTA: in-place registration of a plain parquet
+  * directory — zero data rewritten, hive partition dirs become typed
+  * partition columns (null sentinel included), footer stats power data
+  * skipping immediately, and the converted table accepts the full
+  * engine surface (append, DV delete, time travel).
+  */
+class ConvertSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("cvt").toString + "/t"
+
+  test("hive-partitioned dir converts in place, zero rewrite") {
+    val dir = freshDir()
+    val df = (1L to 100L).map(i => (i, i % 4, s"r$i"))
+      .toDF("id", "band", "tag")
+    df.write.partitionBy("band").parquet(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def dataFiles(): Set[String] = {
+      val b = scala.collection.mutable.Set.empty[String]
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory && st.getPath.getName != "_txn_log")
+            walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.getParent.getName.equals("_txn_log"))
+            b += st.getPath.toString
+        }
+      walk(new org.apache.hadoop.fs.Path(dir)); b.toSet
+    }
+    val before = dataFiles()
+    val r = Convert.run(spark, dir)
+    assert(r.version == 0L && r.rowsRegistered == 100L)
+    assert(dataFiles() == before, "conversion must not touch data files")
+    val snap = new TxnLog(dir, conf).snapshotLatest()
+    assert(snap.metadata.get.partitionColumns == Seq("band"))
+    assert(snap.files.forall(_.stats.isDefined), "footer stats required")
+    val t = spark.read.format("graft").option("tablePath", dir).load()
+    assert(t.count() == 100L)
+    assert(t.filter(col("band") === 2L).count() == 25L)
+  }
+
+  test("null partition values round-trip through the hive sentinel") {
+    val dir = freshDir()
+    Seq((1L, Some("x")), (2L, None), (3L, Some("x")))
+      .toDF("id", "grp")
+      .write.partitionBy("grp").parquet(dir)
+    Convert.run(spark, dir)
+    val t = spark.read.format("graft").option("tablePath", dir).load()
+    assert(t.filter(col("grp").isNull).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("the converted table accepts appends, deletes, and time travel") {
+    val dir = freshDir()
+    (1L to 10L).map(i => (i, i * 2)).toDF("id", "v").write.parquet(dir)
+    Convert.run(spark, dir)
+    TableWriter.append(spark, Seq((11L, 22L)).toDF("id", "v"), dir,
+      commitTs = 5000L)
+    DeletionVectors.deleteWhere(spark, dir, col("id") === 1L,
+      version = 2L, commitTs = 6000L)
+    val t = spark.read.format("graft").option("tablePath", dir).load()
+    assert(t.count() == 10L)
+    assert(spark.read.format("graft").option("tablePath", dir)
+      .option("versionAsOf", "0").load().count() == 10L)
+    assert(spark.read.format("graft").option("tablePath", dir)
+      .option("versionAsOf", "1").load().count() == 11L)
+  }
+
+  test("an already-converted dir refuses re-registration") {
+    val dir = freshDir()
+    (1L to 3L).map(i => (i, i)).toDF("id", "v").write.parquet(dir)
+    Convert.run(spark, dir)
+    val e = intercept[IllegalArgumentException] { Convert.run(spark, dir) }
+    assert(e.getMessage.contains("already has a transaction log"))
+  }
+
+  test("footer stats from conversion drive file skipping") {
+    val dir = freshDir()
+    // two non-overlapping id ranges in two files
+    (1L to 50L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(dir)
+    val stage = java.nio.file.Files.createTempDirectory("cvt2").toString + "/s"
+    (100L to 150L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(stage)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, "extra.parquet"))
+    Convert.run(spark, dir)
+    val pruned = DataSkipping.pruneFiles(
+      new TxnLog(dir, conf).snapshotLatest().files,
+      org.apache.spark.sql.types.LongType, "id", 120L, 130L)
+    assert(pruned.size == 1, s"expected 1 surviving file, got $pruned")
+  }
+}
