@@ -2323,10 +2323,14 @@ object Maintenance {
       if (log.versions() != (20L to 24L)) {
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        val li = Tables.load(s, dir, "lineitem")
-        for (v <- 0L until 25L)
+        // one scan feeds all 25 slice writes (the loop re-reads the
+        // cached frame, not the parquet — 25 scans would dominate the
+        // fixture build)
+        val li = Tables.load(s, dir, "lineitem").cache()
+        try for (v <- 0L until 25L)
           TableWriter.write(s, li.filter(col("l_orderkey") % 40 === v),
             path, version = v, commitTs = 1000L * (v + 1))
+        finally li.unpersist()
         graft.functions.GraftExtensions.install(s)
         // commitTs are epoch-1970 millis, so ANY wall clock puts every
         // commit past the horizon; the base checkpoint (v20) anchors
@@ -2380,6 +2384,45 @@ object Maintenance {
             .cast("long").as("cents"))
         .withColumn("n_v0", lit(nV0))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // SQL DELETE in deletion-vector mode (spark.graft.delete.mode=dv —
+    // Delta's DV toggle): the statement marks doomed rows in KB-scale
+    // sidecars and rewrites NOTHING — the zero-files-rewritten boolean
+    // rides the hash beside the post-delete state the oracle recomputes.
+    // On a 100 TB table this is the difference between a kilobyte
+    // commit and rewriting every file a 1k-row predicate touches.
+    QueryDef.sqlBacked(
+      "q253_sql_delete_dv",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS zero_files_rewritten
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey > 100
+        |""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_dv_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.orders_dv")
+      s.sql(
+        """CREATE TABLE gcat.default.orders_dv AS
+          |SELECT o_orderkey, o_custkey,
+          |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+          |FROM orders_dv_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      val log = new TxnLog(s"$wh/default/orders_dv",
+        s.sessionState.newHadoopConf())
+      val before = log.snapshotLatest().files.map(_.path).toSet
+      s.conf.set("spark.graft.delete.mode", "dv")
+      try s.sql("DELETE FROM gcat.default.orders_dv WHERE o_custkey <= 100")
+      finally s.conf.unset("spark.graft.delete.mode")
+      val after = log.snapshotLatest().files.map(_.path).toSet
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS cents
+          |FROM gcat.default.orders_dv""".stripMargin)
+        .withColumn("zero_files_rewritten", lit(after == before))
     }
   )
 }

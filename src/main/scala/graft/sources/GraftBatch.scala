@@ -242,6 +242,17 @@ private[sources] class GraftBatchTable(
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftBatchTable.filterColumn(f).isDefined)
 
+  /** SQL DELETE. Two physical strategies behind one statement (Delta's
+    * deletion-vector toggle):
+    *  - `cow` (default): copy-on-write — affected files rewrite without
+    *    the doomed rows (plain-reader friendly, amortizes as compaction);
+    *  - `dv` (`spark.graft.delete.mode=dv`): merge-on-read — affected
+    *    files stay in place and a KB-scale deletion-vector sidecar marks
+    *    the doomed rows, so a 1k-row DELETE on a 100 TB table writes
+    *    kilobytes, not files (graft_reorg folds the vectors back later).
+    * Both commit the same logical change; q253 hash-proves the DV path's
+    * state equals the COW recompute with zero files rewritten.
+    */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val path = properties("tablePath")
@@ -249,9 +260,15 @@ private[sources] class GraftBatchTable(
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val log = new TxnLog(path, spark.sessionState.newHadoopConf())
+    val useDv = spark.conf.getOption("spark.graft.delete.mode")
+      .exists(_.equalsIgnoreCase("dv"))
     OptimisticTxn.retrying(log) { v =>
-      TableWriter.deleteWhere(spark, path, pred, version = v,
-        commitTs = System.currentTimeMillis())
+      if (useDv)
+        DeletionVectors.deleteWhere(spark, path, pred, version = v,
+          commitTs = System.currentTimeMillis())
+      else
+        TableWriter.deleteWhere(spark, path, pred, version = v,
+          commitTs = System.currentTimeMillis())
     }
   }
 

@@ -142,6 +142,23 @@ class RowLevelSpec extends AnyFunSuite {
       (11L, 111L), (12L, 0L), (13L, 0L)))
   }
 
+  test("DELETE in dv mode marks rows without rewriting any file") {
+    freshTable("dv1")
+    val before = log("dv1").snapshotLatest().files
+      .map(f => f.path -> f.dv).toMap
+    spark.conf.set("spark.graft.delete.mode", "dv")
+    try spark.sql("DELETE FROM grl.default.dv1 WHERE id = 2")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val after = log("dv1").snapshotLatest().files
+    assert(after.map(_.path).toSet == before.keySet,
+      "dv-mode DELETE must not rewrite or remove any data file")
+    assert(after.exists(f => f.dv.isDefined && before(f.path).isEmpty),
+      "the touched file must gain a deletion-vector pointer")
+    val ids = spark.sql("SELECT id FROM grl.default.dv1 ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(1L, 3L, 11L, 12L, 13L))
+  }
+
   test("pre-statement state stays time-travelable") {
     freshTable("t1")
     val vBefore = log("t1").latestVersion().get
