@@ -1395,6 +1395,76 @@ object Analytics {
       TextIndex.similar(s, idx,
           docs.filter(col("doc_id") % 100 === 0).select(col("doc_id")))
         .orderBy(col("q_doc"), col("shared").desc, col("match_doc"))
+    },
+
+    // Hop-bounded reachability through Spark 4's RECURSIVE CTE (the
+    // UnionLoop plan — SQL-standard iteration the engine executes
+    // natively, completing the graph family's SQL surface): both
+    // engines run the IDENTICAL recursive text — seeds = vertices < 10,
+    // expand ≤ 3 hops with a depth guard (UNION ALL recursion on a
+    // cyclic graph MUST carry its own termination), distinct-count the
+    // reach per seed. Sparse edges keep the path fan-out bounded.
+    QueryDef.sqlBacked(
+      "q255_recursive_reachability",
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT o_orderkey % 1000 AS a, o_custkey % 1000 AS b
+        |    FROM orders WHERE o_orderkey % 20 = 0) WHERE a <> b),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |r(seed, node, d) AS (
+        |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM sym WHERE a < 10)
+        |  UNION ALL
+        |  SELECT r.seed, sym.b, r.d + 1
+        |  FROM r JOIN sym ON sym.a = r.node WHERE r.d < 3)
+        |SELECT CAST(seed AS BIGINT) AS seed,
+        |  CAST(COUNT(DISTINCT node) AS BIGINT) AS reach
+        |FROM r GROUP BY seed ORDER BY seed""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q255_orders")
+      s.sql(
+        """WITH RECURSIVE e AS (
+          |  SELECT DISTINCT a, b FROM (
+          |    SELECT o_orderkey % 1000 AS a, o_custkey % 1000 AS b
+          |    FROM q255_orders WHERE o_orderkey % 20 = 0) WHERE a <> b),
+          |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+          |r(seed, node, d) AS (
+          |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM sym WHERE a < 10)
+          |  UNION ALL
+          |  SELECT r.seed, sym.b, r.d + 1
+          |  FROM r JOIN sym ON sym.a = r.node WHERE r.d < 3)
+          |SELECT CAST(seed AS BIGINT) AS seed,
+          |  CAST(COUNT(DISTINCT node) AS BIGINT) AS reach
+          |FROM r GROUP BY seed ORDER BY seed""".stripMargin)
+    },
+
+    // Correlated LATERAL top-k (the SQL-standard spelling of q11's
+    // window top-k): per region, the top-3 account balances via a
+    // correlated ORDER BY ... LIMIT subquery Catalyst decorrelates —
+    // DuckDB runs the identical text shape. Ties break on c_name so
+    // the rank boundary is deterministic in both engines.
+    QueryDef.sqlBacked(
+      "q256_lateral_topk",
+      """SELECT r.r_name, l.c_name, l.bal_cents
+        |FROM region r, LATERAL (
+        |  SELECT c_name, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY bal_cents DESC, c_name LIMIT 3) l
+        |ORDER BY r.r_name, l.bal_cents DESC, l.c_name""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "region").createOrReplaceTempView("q256_region")
+        Tables.load(s, dir, "nation").createOrReplaceTempView("q256_nation")
+        Tables.load(s, dir, "customer")
+          .createOrReplaceTempView("q256_customer")
+        s.sql(
+          """SELECT r.r_name, l.c_name, l.bal_cents
+            |FROM q256_region r, LATERAL (
+            |  SELECT c_name,
+            |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+            |  FROM q256_customer c
+            |  JOIN q256_nation n ON n.n_nationkey = c.c_nationkey
+            |  WHERE n.n_regionkey = r.r_regionkey
+            |  ORDER BY bal_cents DESC, c_name LIMIT 3) l
+            |ORDER BY r.r_name, l.bal_cents DESC, l.c_name""".stripMargin)
     }
   )
 }

@@ -965,6 +965,30 @@ object Events {
             "(CAST(d1 AS DECIMAL(38,0)) * d2) AS BIGINT)").as("r2_ppm"),
           when(col("num") >= 0, 1L).otherwise(-1L).as("sign"))
         .orderBy(col("event_type"))
+    },
+
+    // Semi-structured props through Spark 4's VARIANT type (q31's
+    // modern twin): parse_json builds the shredded binary encoding
+    // ONCE, then typed variant_get extraction — the engine-native
+    // semi-structured path, not per-access string re-parsing. The
+    // oracle extracts the same values with DuckDB's JSON functions.
+    QueryDef.sqlBacked(
+      "q254_variant_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(COUNT(*) FILTER (WHERE
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+        |    AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("long").as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy(col("event_type"))
     }
   )
 }
