@@ -2423,6 +2423,44 @@ object Maintenance {
           |  CAST(SUM(cents) AS BIGINT) AS cents
           |FROM gcat.default.orders_dv""".stripMargin)
         .withColumn("zero_files_rewritten", lit(after == before))
+    },
+
+    // GROUP BY partition-column aggregate pushdown: per-partition
+    // COUNT/MIN/MAX answered from the LOG's per-file stats — the scan
+    // opens zero data files (GroupedAggPushdownSpec pins the
+    // GraftBatchAgg plan); at 100 TB `SELECT dt, count(*) GROUP BY dt`
+    // is a metadata read. The boolean pins that the plan really was
+    // the stats-only scan, and the values ride the driver hash.
+    QueryDef.sqlBacked(
+      "q257_grouped_agg_pushdown",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(l_orderkey) AS BIGINT) AS lo,
+        |  CAST(MAX(l_orderkey) AS BIGINT) AS hi,
+        |  TRUE AS stats_only
+        |FROM lineitem WHERE l_orderkey % 9 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val path = s"target/fixtures/gagg_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val log = new TxnLog(path, s.sessionState.newHadoopConf())
+        if (log.versions() != Seq(0L)) {
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          TableWriter.write(s,
+            Tables.load(s, dir, "lineitem")
+              .filter(col("l_orderkey") % 9 === 0),
+            path, partitionBy = Seq("l_returnflag"),
+            version = 0L, commitTs = 1000L)
+        }
+        val df = s.read.format("graft").option("tablePath", path).load()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_orderkey")).as("lo"),
+            max(col("l_orderkey")).as("hi"))
+        val statsOnly =
+          df.queryExecution.executedPlan.toString.contains("GraftBatchAgg")
+        df.withColumn("stats_only", lit(statsOnly))
+          .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -348,17 +348,41 @@ private[sources] class GraftBatchScanBuilder(
   private var limit: Int = -1
   private var agg: Option[Aggregation] = None
 
-  /** COUNT(*)/MIN/MAX with no grouping answered from the log's per-file
-    * stats — at 100 TB, `SELECT count(*), max(ts) FROM t` becomes a
-    * metadata read instead of a scan. Sound only when every live file
-    * carries stats for the referenced columns and none carries a
-    * deletion vector (a DV may have killed the extreme row, and file
-    * stats cannot see that) — otherwise the push is refused and the
-    * normal scan path answers.
+  /** COUNT(*)/MIN/MAX answered from the log's per-file stats — at
+    * 100 TB, `SELECT count(*), max(ts) FROM t` becomes a metadata read
+    * instead of a scan, and `GROUP BY <partition cols>` variants
+    * (`SELECT band, count(*) FROM t GROUP BY band`) group the FILE LIST
+    * by its logged partition values — hive layout makes every file
+    * value-pure, so per-group stats compose exactly. Sound only when
+    * every live file carries stats for the referenced columns and none
+    * carries a deletion vector (a DV may have killed the extreme row,
+    * and file stats cannot see that); grouped pushes additionally
+    * require every group column to be a partition column of a
+    * bit-comparable stored type with a value present on EVERY file
+    * (partition evolution leaves older files keyless — refuse, scan).
     */
+  private def groupPartitionCols(a: Aggregation): Option[Seq[String]] =
+    if (a.groupByExpressions.isEmpty) Some(Nil)
+    else {
+      val names = a.groupByExpressions.toSeq.map {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+      val ok = names.forall(_.isDefined) && names.flatten.forall { c =>
+        resolved.partitionColumns.contains(c) &&
+        resolved.schema.fields.find(_.name == c).map(_.dataType).exists {
+          case LongType | IntegerType | StringType | BooleanType => true
+          case _ => false
+        } &&
+        resolved.files.forall(_.partitionValues.contains(c))
+      }
+      if (ok) Some(names.flatten) else None
+    }
+
   private def canPushAgg(a: Aggregation): Boolean = {
     if (pushed.nonEmpty || limit >= 0) return false
-    if (a.groupByExpressions.nonEmpty) return false
+    if (groupPartitionCols(a).isEmpty) return false
     if (resolved.files.isEmpty) return false
     if (resolved.files.exists(f => f.dv.isDefined || f.stats.isEmpty))
       return false
@@ -413,13 +437,14 @@ private[sources] class GraftBatchScanBuilder(
     */
   private def statsMinMax(
       e: org.apache.spark.sql.connector.expressions.Expression,
-      isMin: Boolean): (DataType, Any) = {
+      isMin: Boolean,
+      files: Seq[AddFile]): (DataType, Any) = {
     val name = e.asInstanceOf[
       org.apache.spark.sql.connector.expressions.NamedReference]
       .fieldNames.head
     val phys = ColumnMapping.physicalName(name, resolved.mapping)
     val dt = resolved.schema(name).dataType
-    val raw = resolved.files.map { f =>
+    val raw = files.map { f =>
       val st = f.stats.get
       if (isMin) st.minValues(phys) else st.maxValues(phys)
     }
@@ -453,25 +478,59 @@ private[sources] class GraftBatchScanBuilder(
   override def build(): Scan = {
     agg match {
       case Some(a) =>
+        val groupCols = groupPartitionCols(a).get
+        val gFields = groupCols.map(c =>
+          resolved.schema.fields.find(_.name == c).get)
+        // hive layout makes every file partition-value-pure, so the
+        // group's files ARE the group — stats compose exactly per group
+        val groups: Seq[(Seq[String], Seq[AddFile])] =
+          if (groupCols.isEmpty) Seq((Nil, resolved.files))
+          else resolved.files
+            .groupBy(f => groupCols.map(f.partitionValues(_)))
+            .toSeq.sortBy(_._1.mkString(" "))
+        // contract: group-by columns first, then aggregate columns
         val fields = Array.newBuilder[StructField]
-        val values = Array.newBuilder[Any]
+        gFields.foreach(f =>
+          fields += StructField(f.name, f.dataType, nullable = true))
         a.aggregateExpressions.zipWithIndex.foreach {
           case (_: CountStar, i) =>
             fields += StructField(s"agg_$i", LongType, nullable = false)
-            values += resolved.files.map(_.stats.get.numRecords).sum
           case (m: Min, i) =>
-            val (dt, v) = statsMinMax(m.column, isMin = true)
-            fields += StructField(s"agg_$i", dt, nullable = false)
-            values += v
+            fields += StructField(s"agg_$i",
+              statsMinMax(m.column, isMin = true, resolved.files)._1,
+              nullable = false)
           case (m: Max, i) =>
-            val (dt, v) = statsMinMax(m.column, isMin = false)
-            fields += StructField(s"agg_$i", dt, nullable = false)
-            values += v
+            fields += StructField(s"agg_$i",
+              statsMinMax(m.column, isMin = false, resolved.files)._1,
+              nullable = false)
           case (other, _) => throw new IllegalStateException(
             s"unreachable: canPushAgg admitted $other")
         }
+        val rows: Seq[Array[Any]] = groups.map { case (gv, files) =>
+          val vals = Array.newBuilder[Any]
+          gv.zip(gFields).foreach { case (s, fld) =>
+            vals += (if (s == "__HIVE_DEFAULT_PARTITION__") null
+            else fld.dataType match {
+              case StringType  => s
+              case LongType    => s.toLong
+              case IntegerType => s.toInt
+              case BooleanType => s.toBoolean
+              case other => throw new IllegalStateException(
+                s"unreachable: groupPartitionCols admitted $other")
+            })
+          }
+          a.aggregateExpressions.foreach {
+            case _: CountStar =>
+              vals += files.map(_.stats.get.numRecords).sum
+            case m: Min => vals += statsMinMax(m.column, isMin = true, files)._2
+            case m: Max => vals += statsMinMax(m.column, isMin = false, files)._2
+            case other => throw new IllegalStateException(
+              s"unreachable: canPushAgg admitted $other")
+          }
+          vals.result()
+        }
         return new GraftBatchAggScan(resolved,
-          StructType(fields.result().toSeq), values.result())
+          StructType(fields.result().toSeq), rows)
       case None => ()
     }
     val ranges = pushed.flatMap(GraftBatch.rangesOf)
@@ -949,24 +1008,25 @@ private[sources] class GraftTableTailReaderFactory(payloadJson: String)
   }
 }
 
-/** Completely-pushed aggregate: one partition, one row, values computed
-  * on the driver from the log's file statistics — no data file opens.
-  * String values travel as java Strings (UTF8String conversion happens
-  * in the reader, at the InternalRow boundary).
+/** Completely-pushed aggregate: one partition, one row per group (one
+  * total row when ungrouped), values computed on the driver from the
+  * log's file statistics — no data file opens. String values travel as
+  * java Strings (UTF8String conversion happens in the reader, at the
+  * InternalRow boundary).
   */
 private[sources] class GraftBatchAggScan(
     resolved: GraftBatch.Resolved,
     aggSchema: StructType,
-    values: Array[Any]) extends Scan with Batch {
+    rows: Seq[Array[Any]]) extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftBatchAgg ${resolved.tablePath}@v${resolved.version} " +
-      s"stats-only over ${resolved.files.size} files"
+      s"stats-only over ${resolved.files.size} files, ${rows.size} groups"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftBatchAggPartition(aggSchema.json, values))
+    Array(GraftBatchAggPartition(aggSchema.json, rows))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -974,14 +1034,14 @@ private[sources] class GraftBatchAggScan(
         val ap = p.asInstanceOf[GraftBatchAggPartition]
         val schema = DataType.fromJson(ap.schemaJson).asInstanceOf[StructType]
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean =
-            if (emitted) false else { emitted = true; true }
+          private var idx = -1
+          override def next(): Boolean = { idx += 1; idx < ap.rows.length }
           override def get(): InternalRow = {
+            val vals = ap.rows(idx)
             val row = new Array[Any](schema.length)
             var i = 0
             while (i < schema.length) {
-              row(i) = (schema(i).dataType, ap.values(i)) match {
+              row(i) = (schema(i).dataType, vals(i)) match {
                 case (StringType, s: String) =>
                   org.apache.spark.unsafe.types.UTF8String.fromString(s)
                 case (_, v) => v
@@ -998,7 +1058,7 @@ private[sources] class GraftBatchAggScan(
 
 private[sources] case class GraftBatchAggPartition(
     schemaJson: String,
-    values: Array[Any]) extends InputPartition
+    rows: Seq[Array[Any]]) extends InputPartition
 
 private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
   extends PartitionReader[InternalRow] {
