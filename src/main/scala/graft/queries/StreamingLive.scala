@@ -202,6 +202,37 @@ object StreamingLive {
           col("user_id"))).cast("long").as("matched_user_sum"))
     },
 
+    // Stream-stream LEFT SEMI join — the conversion flag: each purchase
+    // with at least one qualifying click within the 30-minute gap emits
+    // EXACTLY ONCE however many clicks matched (an inner join would
+    // duplicate per click). Completes the streaming join-mode matrix
+    // (inner q34-twin, FULL OUTER q217, semi here); the oracle is the
+    // EXISTS form over the same fixture.
+    QueryDef.sqlBacked(
+      "q258_stream_semi_join",
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  CAST(SUM(user_id) AS BIGINT) AS user_sum,
+        |  CAST(SUM(purchase_id) AS BIGINT) AS id_sum
+        |FROM p WHERE EXISTS (SELECT 1 FROM c
+        |  WHERE c.user_id = p.user_id
+        |    AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |    AND c.c_ts <= p.p_ts)""".stripMargin) { (s, dir) =>
+      val table = joinEventsFixture(s, dir)
+      val out = s"target/fixtures/out_ssemi_${tag(dir)}"
+      val emitted = drainToParquet(s, table, out) { stream =>
+        EventStreams.purchaseClickJoinSemi(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "click"))
+      }.filter(col("user_id") < 9999998L) // sentinels never emit
+      emitted.agg(count(lit(1)).cast("long").as("n_converted"),
+        sum(col("user_id")).cast("long").as("user_sum"),
+        sum(col("purchase_id")).cast("long").as("id_sum"))
+    },
+
     // Trigger.AvailableNow backlog drain: a 3-commit CDC backlog streams
     // through the row-granular source under maxVersionsPerTrigger=1 and
     // the AvailableNow pin — the query must terminate BY ITSELF after

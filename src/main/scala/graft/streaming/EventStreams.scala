@@ -117,6 +117,31 @@ object EventStreams {
         col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT SEMI join: purchases that had at least one
+    * qualifying click — each purchase emits ONCE regardless of click
+    * count (the conversion-flag shape; an inner join would duplicate
+    * per click). Same bounded state as the other modes: the time-bound
+    * condition + watermark lets Spark evict both sides.
+    */
+  def purchaseClickJoinSemi(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      maxGap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxGap") &&
+        col("c_ts") <= col("p_ts"),
+      "left_semi")
+      .select(col("p_user").as("user_id"), col("purchase_id"))
+  }
+
   /** Stream-static enrichment join: the per-batch dimension lookup every
     * event pipeline runs. The static side broadcasts (no streaming state
     * at all — unlike stream-stream joins this needs no watermark), and

@@ -934,6 +934,7 @@ object TableWriter {
       try {
         write(spark, df, tablePath, effSpec, version = next,
           commitTs = commitTs)
+        maybeAutoCompact(spark, tablePath)
         return next
       } catch {
         case e: IllegalStateException if e.getMessage.contains("concurrent") =>
@@ -942,6 +943,40 @@ object TableWriter {
       }
     }
     -1L // unreachable
+  }
+
+  /** Opt-in auto-compaction (Delta's autoOptimize.autoCompact): after a
+    * successful append, if the live snapshot holds more than
+    * `spark.graft.autoCompact.minFiles` (default 16) files smaller than
+    * `spark.graft.autoCompact.targetFileMB` (default 64), fold them
+    * with a dataChange=false compaction commit. BEST-EFFORT by design:
+    * the append already committed, so a compaction failure (e.g. a
+    * concurrent writer winning the next version) logs and moves on —
+    * the small files just wait for the next append or an explicit
+    * OPTIMIZE. Off unless `spark.graft.autoCompact.enabled=true`: a
+    * write path that silently doubles its commits should be a choice.
+    */
+  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit = {
+    if (!spark.conf.getOption("spark.graft.autoCompact.enabled")
+        .exists(_.equalsIgnoreCase("true"))) return
+    val minFiles = spark.conf
+      .getOption("spark.graft.autoCompact.minFiles").map(_.toInt)
+      .getOrElse(16)
+    val targetBytes = spark.conf
+      .getOption("spark.graft.autoCompact.targetFileMB").map(_.toLong)
+      .getOrElse(64L) * 1024L * 1024L
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    val snap = log.snapshotLatest()
+    val small = snap.files.count(_.size < targetBytes)
+    if (small <= minFiles) return
+    try compact(spark, tablePath, version = snap.version + 1,
+      commitTs = System.currentTimeMillis(),
+      minFileBytes = targetBytes, maxFileBytes = targetBytes)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] auto-compaction of $tablePath skipped: ${e.getMessage}")
+    }
   }
 
   /** Blind append with Delta-style REBASE on commit collision: the data
