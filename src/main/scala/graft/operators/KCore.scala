@@ -33,7 +33,19 @@ object KCore {
       spark: SparkSession,
       rawEdges: DataFrame,
       k: Int,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    coreWithRounds(spark, rawEdges, k, maxIter)._1
+
+  /** [[core]] plus the number of peel rounds it took to converge —
+    * callers whose ORACLE unrolls a fixed round count assert coverage
+    * with it (an under-unrolled oracle must fail loudly, not mismatch
+    * mysteriously).
+    */
+  def coreWithRounds(
+      spark: SparkSession,
+      rawEdges: DataFrame,
+      k: Int,
+      maxIter: Int = 50): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val und = rawEdges
       .select(least(col("a"), col("b")).as("a"),
@@ -75,6 +87,6 @@ object KCore {
     // depend on our persisted intermediate (ExactQuantile cleanup rule)
     val out = cur.localCheckpoint(eager = true)
     cur.unpersist()
-    out
+    (out, it)
   }
 }

@@ -22,10 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Distinct (s, doc_id) postings of a document frame. */
+  /** Reserved shingle hash marking a document with NO shingles (fewer
+    * than 3 tokens): without it such a doc never enters the index, the
+    * max(doc_id) high-water never passes it, and every refresh re-sees
+    * it as new — an empty append per refresh, forever. Retrieval
+    * filters the marker out, so it can never manufacture similarity.
+    */
+  val EmptyDocMarker: Long = Long.MinValue
+
+  /** Distinct (doc_id, s) postings of a document frame; shingle-less
+    * documents contribute their [[EmptyDocMarker]] row so the index
+    * records them.
+    */
   def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(TextOps.hashedShingles(TextOps.tokens(col("text")))).as("s"))
+      explode(concat(
+        TextOps.hashedShingles(TextOps.tokens(col("text"))),
+        when(size(TextOps.hashedShingles(TextOps.tokens(col("text")))) === 0,
+          array(lit(EmptyDocMarker))).otherwise(array()))).as("s"))
       .distinct()
 
   /** Build the index table at `indexPath` (version 0) over `docs`. */
@@ -66,6 +80,7 @@ object TextIndex {
       dfCap: Int = 100,
       k: Int = 3): DataFrame = {
     val inv = load(spark, indexPath)
+      .filter(col("s") =!= EmptyDocMarker)
     val keep = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
     val kept = inv.join(keep, "s")

@@ -1198,7 +1198,8 @@ object Analytics {
     // BM25 ranked retrieval, INTEGER-EXACT: Okapi BM25 (k1=1.2, b=0.75)
     // with the log dropped from the idf — the rational Robertson idf
     // (N−df+½)/(df+½) is a monotone-in-df variant whose every factor is
-    // an integer ratio, so the whole score is exact int64 arithmetic
+    // an integer ratio, so the whole score is exact wide-integer
+    // arithmetic — DECIMAL(38,0)/HUGEINT where products pass int64 —
     // and both engines agree to the last ppm (the q183 convention; a
     // transcendental ln's last ulp could flip a rank boundary). Clearing
     // denominators with avgdl = L/N:
@@ -1219,9 +1220,11 @@ object Analytics {
         |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
         |contrib AS (
         |  SELECT t.doc_id,
-        |    (22 * tot.tl * t.tf * (2 * tot.nd - 2 * d.df + 1) * 1000000)
-        |      // ((10 * tot.tl * t.tf + 3 * tot.tl + 9 * l.dl * tot.nd)
-        |         * (2 * d.df + 1)) AS c
+        |    CAST((CAST(22 AS HUGEINT) * tot.tl * t.tf
+        |        * (2 * tot.nd - 2 * d.df + 1) * 1000000)
+        |      // ((CAST(10 AS HUGEINT) * tot.tl * t.tf + 3 * tot.tl
+        |          + 9 * l.dl * tot.nd)
+        |         * (2 * d.df + 1)) AS BIGINT) AS c
         |  FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id)
         |    CROSS JOIN tot)
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_ppm
@@ -1237,12 +1240,17 @@ object Analytics {
       val tf = toks.filter(col("w").isin("vector", "window", "spark"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // the numerator reaches 22·L·tf·2N·10⁶ — past int64 for corpora
+      // beyond ~10⁶ tokens × 10⁴ docs — so the products run in
+      // DECIMAL(38,0) (HUGEINT on the oracle side, the q251 pattern)
       tf.join(broadcast(dfreq), "w")
         .join(dl, "doc_id")
         .crossJoin(broadcast(tot))
         .select(col("doc_id"),
-          expr("(22L * tl * tf * (2L * nd - 2L * df + 1L) * 1000000L) div " +
-            "((10L * tl * tf + 3L * tl + 9L * dl * nd) * (2L * df + 1L))")
+          expr("CAST((CAST(22 AS DECIMAL(38,0)) * tl * tf * " +
+            "(2L * nd - 2L * df + 1L) * 1000000L) div " +
+            "((CAST(10 AS DECIMAL(38,0)) * tl * tf + 3L * tl + " +
+            "9L * dl * nd) * (2L * df + 1L)) AS BIGINT)")
             .as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as("score_ppm"))
@@ -1281,16 +1289,21 @@ object Analytics {
            |$peel
            |SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS core_vertices,
            |  CAST(COALESCE(SUM(DISTINCT a), 0) AS BIGINT) AS id_sum,
-           |  CAST(COUNT(*) // 2 AS BIGINT) AS core_edges
+           |  CAST(COUNT(*) // 2 AS BIGINT) AS core_edges,
+           |  TRUE AS oracle_rounds_cover
            |FROM s$rounds""".stripMargin
       }) { (s, dir) =>
       val edges = Tables.load(s, dir, "orders")
         .select((col("o_orderkey") % 5000).as("a"),
           (col("o_custkey") % 5000).as("b"))
-      graft.operators.KCore.core(s, edges, k = 4)
-        .agg(countDistinct(col("a")).as("core_vertices"),
+      // a fixture needing MORE peel rounds than the oracle unrolls must
+      // flip this boolean and fail loudly, not mismatch mysteriously
+      val (core, rounds) =
+        graft.operators.KCore.coreWithRounds(s, edges, k = 4)
+      core.agg(countDistinct(col("a")).as("core_vertices"),
           coalesce(sum_distinct(col("a")), lit(0L)).cast("long").as("id_sum"),
           (count(lit(1)).cast("long") / 2).cast("long").as("core_edges"))
+        .withColumn("oracle_rounds_cover", lit(rounds <= 10))
     },
 
     // Semi-supervised label propagation (operators/LabelProp): every

@@ -860,7 +860,10 @@ object Events {
     // in ~100 days, never in rows). INTEGER-EXACT floor semantics on
     // both engines: slopes can be negative and Spark's `div` truncates
     // while DuckDB's `//` floors, so the division is SHIFTED positive
-    // by K·dt (K = 10¹²) and K subtracted back — algebraically
+    // by K·dt (K = 10¹⁵ — the shifted numerator stays positive for any
+    // |dv| ≤ 10⁹ cents/day, 100× past the largest daily total any SF
+    // here produces, while K·dt_max ~ 10¹⁷ keeps int64 headroom) and
+    // K subtracted back — algebraically
     // floor(dv·10⁶/dt) everywhere. The lower median picks rank
     // (n+1)/2, deterministic under ties.
     QueryDef.sqlBacked(
@@ -873,8 +876,8 @@ object Events {
         |p AS (
         |  SELECT a.event_type,
         |    ((b.cents - a.cents) * 1000000
-        |      + 1000000000000 * (b.day - a.day)) // (b.day - a.day)
-        |      - 1000000000000 AS slope_ppm
+        |      + 1000000000000000 * (b.day - a.day)) // (b.day - a.day)
+        |      - 1000000000000000 AS slope_ppm
         |  FROM d a JOIN d b
         |    ON a.event_type = b.event_type AND b.day > a.day),
         |r AS (SELECT event_type, slope_ppm,
@@ -885,7 +888,7 @@ object Events {
         |SELECT event_type, CAST(slope_ppm AS BIGINT) AS theil_sen_ppm
         |FROM r WHERE rn = (cnt + 1) // 2
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val K = 1000000000000L
+      val K = 1000000000000000L
       val d = Tables.load(s, dir, "events")
         .groupBy(col("event_type"),
           datediff(to_date(col("ts")), lit("2000-01-01").cast("date"))

@@ -492,16 +492,20 @@ private[sources] class GraftBatchScanBuilder(
         val fields = Array.newBuilder[StructField]
         gFields.foreach(f =>
           fields += StructField(f.name, f.dataType, nullable = true))
+        def declaredType(
+            e: org.apache.spark.sql.connector.expressions.Expression)
+            : DataType =
+          resolved.schema(e.asInstanceOf[
+            org.apache.spark.sql.connector.expressions.NamedReference]
+            .fieldNames.head).dataType
         a.aggregateExpressions.zipWithIndex.foreach {
           case (_: CountStar, i) =>
             fields += StructField(s"agg_$i", LongType, nullable = false)
           case (m: Min, i) =>
-            fields += StructField(s"agg_$i",
-              statsMinMax(m.column, isMin = true, resolved.files)._1,
+            fields += StructField(s"agg_$i", declaredType(m.column),
               nullable = false)
           case (m: Max, i) =>
-            fields += StructField(s"agg_$i",
-              statsMinMax(m.column, isMin = false, resolved.files)._1,
+            fields += StructField(s"agg_$i", declaredType(m.column),
               nullable = false)
           case (other, _) => throw new IllegalStateException(
             s"unreachable: canPushAgg admitted $other")

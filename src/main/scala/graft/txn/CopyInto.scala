@@ -54,14 +54,19 @@ object CopyInto {
     val declared = org.apache.spark.sql.types.DataType
       .fromJson(snap.metadata.get.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val df = spark.read.schema(declared).parquet(fresh: _*)
+    // schema inference reads FOOTERS only — the check is metadata-cheap
     val srcCols = spark.read.parquet(fresh: _*).schema.fieldNames.toSet
     val extra = srcCols -- declared.fieldNames.toSet
     require(extra.isEmpty,
       s"COPY INTO $tablePath: source files carry columns absent from " +
         s"the table schema: ${extra.mkString(", ")} — refusing to drop " +
         "data silently")
-    val rows = df.count()
+    val df = spark.read.schema(declared).parquet(fresh: _*)
+    // row count from the source FOOTERS, not a second pass over the
+    // data pages (the write below is the only data read)
+    val rows = fresh.map(p => TableWriter
+      .footerStats(new org.apache.hadoop.fs.Path(p), conf)
+      .map(_.numRecords).getOrElse(0L)).sum
     val now = System.currentTimeMillis()
     val markers = fresh.map(p => SetTxn(AppPrefix + p, 1L, now)).toSeq
     val next = snap.version + 1

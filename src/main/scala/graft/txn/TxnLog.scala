@@ -275,9 +275,14 @@ final class TxnLog(
     def tsOf(v: Long): Long = read(v)
       .collectFirst { case c: CommitInfo => c.timestamp }
       .getOrElse(Long.MaxValue)
-    val old = vs.filter(v => tsOf(v) < cutoff)
-    if (old.isEmpty) return Seq.empty
-    val horizon = old.max
+    // commit timestamps are monotone by construction, so scanning
+    // NEWEST-first and stopping at the first pre-cutoff commit reads
+    // only the retained tail + 1 — on the million-commit table this
+    // operation exists for, an oldest-first scan would deserialize the
+    // whole log before deleting anything
+    val horizonOpt = vs.reverseIterator.find(v => tsOf(v) < cutoff)
+    if (horizonOpt.isEmpty) return Seq.empty
+    val horizon = horizonOpt.get
     checkpointVersions().filter(_ <= horizon).lastOption match {
       case None => Seq.empty
       case Some(base) =>
@@ -329,10 +334,10 @@ final class TxnLog(
         writer.write(factory.newGroup()
           .append("kind", "add").append("json", Serialization.write(LogLine(a))))
       }
-      snap.txns.foreach { case (app, v) =>
+      snap.txnMarkers.values.foreach { t =>
         writer.write(factory.newGroup()
           .append("kind", "txn").append("json",
-            Serialization.write(LogLine(SetTxn(app, v, 0L)))))
+            Serialization.write(LogLine(t))))
       }
     } finally writer.close()
     if (!fs.rename(tmp, checkpointFile(v))) fs.delete(tmp, false) // lost benign race
@@ -340,7 +345,7 @@ final class TxnLog(
 
   /** Read a checkpoint back into (live files, metadata, protocol, txns). */
   private def readCheckpoint(v: Long)
-      : (Seq[AddFile], Option[Metadata], Option[Protocol], Map[String, Long]) = {
+      : (Seq[AddFile], Option[Metadata], Option[Protocol], Map[String, SetTxn]) = {
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), checkpointFile(v))
       .withConf(conf)
@@ -348,7 +353,7 @@ final class TxnLog(
     val files = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     var meta: Option[Metadata] = None
     var proto: Option[Protocol] = None
-    var txns = Map.empty[String, Long]
+    var txns = Map.empty[String, SetTxn]
     try {
       var g = reader.read()
       while (g != null) {
@@ -357,7 +362,7 @@ final class TxnLog(
           case a: AddFile  => files += a
           case m: Metadata => meta = Some(m)
           case p: Protocol => proto = Some(p)
-          case t: SetTxn   => txns += (t.appId -> t.version)
+          case t: SetTxn   => txns += (t.appId -> t)
           case _           => ()
         }
         g = reader.read()
@@ -381,7 +386,7 @@ final class TxnLog(
     var files = scala.collection.immutable.ListMap.empty[String, AddFile]
     var meta: Option[Metadata] = None
     var proto: Option[Protocol] = None
-    var txns = Map.empty[String, Long]
+    var txns = Map.empty[String, SetTxn]
     cp.foreach { cv =>
       val (cpFiles, cpMeta, cpProto, cpTxns) = readCheckpoint(cv)
       files = scala.collection.immutable.ListMap(cpFiles.map(a => a.path -> a): _*)
@@ -395,7 +400,7 @@ final class TxnLog(
         case r: RemoveFile => files -= r.path
         case m: Metadata   => meta = Some(m)
         case p: Protocol   => proto = Some(p)
-        case t: SetTxn     => txns += (t.appId -> t.version)
+        case t: SetTxn     => txns += (t.appId -> t)
         case _: CommitInfo => ()
       }
     }
@@ -500,7 +505,9 @@ object TxnLog {
 }
 
 /** Live state of the table at a version.
-  * @param txns latest [[SetTxn]] version per appId — the idempotence
+  * @param txnMarkers latest [[SetTxn]] per appId (full action, so
+  *             `lastUpdated` survives checkpoint round-trips — a
+  *             stale-marker expiry policy needs it) — the idempotence
   *             record COPY INTO / exactly-once sinks consult. Defaulted
   *             so pre-txn call sites and checkpoints read unchanged.
   */
@@ -509,4 +516,9 @@ final case class Snapshot(
     files: Seq[AddFile],
     metadata: Option[Metadata],
     protocol: Option[Protocol] = None,
-    txns: Map[String, Long] = Map.empty)
+    txnMarkers: Map[String, SetTxn] = Map.empty) {
+
+  /** appId → latest recorded version (the common lookup shape). */
+  def txns: Map[String, Long] =
+    txnMarkers.map { case (app, t) => app -> t.version }
+}

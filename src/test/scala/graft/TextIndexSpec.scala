@@ -62,6 +62,21 @@ class TextIndexSpec extends AnyFunSuite {
     assert(shared14 > shared12, "doc 4 shares strictly more shingles")
   }
 
+  test("a shingle-less newest doc still advances the high-water") {
+    val p = fresh("tixf")
+    TextIndex.build(spark, docs, p)
+    // doc 6 has < 3 tokens => zero shingles; the empty-doc marker must
+    // record it so the NEXT refresh is a true no-op (no version churn)
+    val withShort = docs.unionByName(Seq((6L, "too short")).toDF("doc_id", "text"))
+    assert(TextIndex.refresh(spark, withShort, p) == 1L)
+    val vAfter = TextIndex.versions(spark, p)
+    assert(TextIndex.refresh(spark, withShort, p) == 0L)
+    assert(TextIndex.versions(spark, p) == vAfter,
+      "re-refresh after an empty doc must not commit")
+    // the marker never surfaces as similarity
+    assert(TextIndex.similar(spark, p, Seq(6L).toDF("doc_id")).count() == 0L)
+  }
+
   test("the df cap drops flooded shingles before the probe join") {
     val p = fresh("tixe")
     TextIndex.build(spark, docs, p)
