@@ -165,6 +165,29 @@ object GraftExtensions {
             .toDF("version", "files_before", "files_after")
             .queryExecution.logical
         }),
+      // liquid-clustering surface: declare cluster columns once; every
+      // argument-less graft_optimize maintains the layout
+      ("graft_cluster_by",
+        info("graft_cluster_by",
+          "graft_cluster_by(tablePath, cols) - declare the table's " +
+            "clustering columns (comma-separated; first may carry a " +
+            "hilbert: prefix; empty string clears); returns " +
+            "(version, cluster_by)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_cluster_by(tablePath, cols)")
+          val path = strLitOf(children.head, "graft_cluster_by")
+          val cols = strLitOf(children(1), "graft_cluster_by")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val spark = org.apache.spark.sql.SparkSession.active
+          val log = new graft.txn.TxnLog(path,
+            spark.sessionState.newHadoopConf())
+          val v = log.latestVersion().get + 1
+          graft.txn.TableWriter.setClusterBy(spark, path, cols,
+            version = v, commitTs = System.currentTimeMillis())
+          import spark.implicits._
+          Seq((v, cols.mkString(","))).toDF("version", "cluster_by")
+            .queryExecution.logical
+        }),
       // CONVERT TO DELTA: register an existing parquet dir in place —
       // one metadata commit, zero data rewritten
       ("graft_convert",

@@ -2463,6 +2463,54 @@ object Maintenance {
           df.queryExecution.executedPlan.toString.contains("GraftBatchAgg")
         df.withColumn("stats_only", lit(statsOnly))
           .orderBy(col("l_returnflag"))
+    },
+
+    // Declared clustering via SQL (graft_cluster_by + argument-less
+    // graft_optimize — the liquid-clustering contract: set once, every
+    // OPTIMIZE maintains the layout). The fixture starts with every
+    // file spanning the whole key range; after the clustered OPTIMIZE
+    // the per-file spans are DISJOINT (boolean rides the hash) and a
+    // range query's totals — what file skipping now accelerates — are
+    // recomputed by the oracle. ClusterBySpec pins override/refusal.
+    QueryDef.sqlBacked(
+      "q259_sql_cluster_by",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  TRUE AS spans_disjoint
+        |FROM lineitem
+        |WHERE l_orderkey % 6 = 0
+        |  AND l_orderkey BETWEEN 1000 AND 9999""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/clby_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      val log = new TxnLog(path, conf)
+      if (log.versions().take(3) != Seq(0L, 1L, 2L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        // 8 files, each spanning the full l_orderkey range (worst layout)
+        TableWriter.write(s,
+          Tables.load(s, dir, "lineitem")
+            .filter(col("l_orderkey") % 6 === 0).repartition(8),
+          path, version = 0L, commitTs = 1000L)
+        graft.functions.GraftExtensions.install(s)
+        s.sql(s"SELECT * FROM graft_cluster_by('$path', 'l_orderkey')")
+          .collect()
+        // layout comes from the DECLARATION, not an argument (the TVF
+        // path is ClusterBySpec-covered; targetFiles=4 keeps the
+        // disjointness assertion non-vacuous)
+        TableWriter.compact(s, path, version = 2L, commitTs = 3000L,
+          targetFiles = 4)
+      }
+      val spans = log.snapshotLatest().files
+        .flatMap(_.stats.map(st => (st.minValues("l_orderkey").toLong,
+          st.maxValues("l_orderkey").toLong)))
+        .sortBy(_._1)
+      val disjoint = spans.size > 1 &&
+        spans.zip(spans.drop(1)).forall { case ((_, hi), (lo, _)) => hi <= lo }
+      s.read.format("graft").option("tablePath", path).load()
+        .filter(col("l_orderkey").between(1000L, 9999L))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        .withColumn("spans_disjoint", lit(disjoint))
     }
   )
 }

@@ -95,7 +95,13 @@ final case class Metadata(
     // WRITE PATH fills them (writer-supplied non-null values reject);
     // per-column allocation cursors ride CommitInfo.identityHighWater.
     // Defaulted, so pre-identity logs and checkpoints read unchanged.
-    identityColumns: Map[String, String] = Map.empty) extends Action
+    identityColumns: Map[String, String] = Map.empty,
+    // Declared clustering columns (the Delta liquid-clustering surface):
+    // OPTIMIZE with no explicit layout arguments clusters by THESE —
+    // set once, every compaction maintains the layout. First entry may
+    // carry the "hilbert:" curve prefix. Defaulted, so pre-clustering
+    // logs and checkpoints read unchanged.
+    clusterBy: Seq[String] = Seq.empty) extends Action
 
 /** Commit provenance; `timestamp` drives timestamp-as-of time travel.
   * @param rowIdHighWater the first UNUSED stable row id after this

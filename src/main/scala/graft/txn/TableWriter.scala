@@ -710,6 +710,16 @@ object TableWriter {
     val snap = log.snapshotLatest()
     TxnLog.assertWritable(snap, tablePath)
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    // Declared clustering (Metadata.clusterBy) applies whenever the
+    // caller passed NO explicit layout — OPTIMIZE maintains the
+    // table's own layout by default, the liquid-clustering contract
+    val metaCluster = snap.metadata.map(_.clusterBy).getOrElse(Seq.empty)
+    val (effZorder, effCluster) =
+      if (zorderBy.nonEmpty || clusterBy.isDefined) (zorderBy, clusterBy)
+      else if (metaCluster.size >= 2) (metaCluster, None)
+      else if (metaCluster.size == 1)
+        (Seq.empty, Some(metaCluster.head.stripPrefix("hilbert:")))
+      else (zorderBy, clusterBy)
     // DV-carrying files are ALWAYS candidates (even alone in their
     // partition): compaction is where deletion vectors get folded back
     // into plain files, and the rewrite below reads through the DV
@@ -755,7 +765,7 @@ object TableWriter {
             coalesce(col(TxnLog.RowIdColumn), col("_base") + col("_ri")))
           .drop("_fn", "_ri", "_path", "_base")
       }
-    val packed = (partCols, zorderBy, clusterBy) match {
+    val packed = (partCols, effZorder, effCluster) match {
       case (pcs, _, _) if pcs.nonEmpty && maxFileBytes < Long.MaxValue =>
         // size-aware bin-packing: each partition gets
         // ceil(candidate bytes / maxFileBytes) writer tasks, salted by
@@ -1199,6 +1209,37 @@ object TableWriter {
     log.commit(version, Seq(
       meta.copy(partitionColumns = partitionBy),
       CommitInfo("SET PARTITIONING", commitTs)))
+  }
+
+  /** Declare the table's clustering columns (the Delta liquid-
+    * clustering ALTER ... CLUSTER BY surface): one metadata commit;
+    * from then on an argument-less OPTIMIZE maintains this layout.
+    * First column may carry the "hilbert:" curve prefix. Empty clears.
+    */
+  def setClusterBy(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no metadata at $tablePath"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    cols.map(_.stripPrefix("hilbert:")).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"cluster column '$c' not in schema at $tablePath")
+      require(!meta.partitionColumns.contains(c),
+        s"cluster column '$c' is a partition column — clustering " +
+          "orders WITHIN files, partitioning routes BETWEEN them")
+    }
+    log.commit(version, Seq(
+      meta.copy(clusterBy = cols),
+      CommitInfo("SET CLUSTER BY", commitTs)))
   }
 
   /** MERGE / upsert at file granularity: rows of `source` replace target
