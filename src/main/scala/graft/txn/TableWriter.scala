@@ -955,6 +955,34 @@ object TableWriter {
     -1L // unreachable
   }
 
+  /** Idempotent append (Delta's txnAppId/txnVersion writer options):
+    * the batch lands IFF `txnVersion` is newer than the snapshot's
+    * recorded [[SetTxn]] for `appId` — the data and the marker commit
+    * atomically, so a replayed epoch (foreachBatch retry, restarted
+    * job) SKIPS instead of duplicating, with no landed-data-without-
+    * marker window. Returns Some(committed version) or None when
+    * skipped. The manual-offset-management sibling of the streaming
+    * sink's epoch tracking and COPY INTO's per-file markers.
+    */
+  def appendIdempotent(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      appId: String,
+      txnVersion: Long,
+      commitTs: Long = System.currentTimeMillis()): Option[Long] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    val snap = log.snapshotLatest()
+    if (snap.txns.get(appId).exists(_ >= txnVersion)) return None
+    val next = snap.version + 1
+    write(spark, df, tablePath,
+      partitionBy = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty),
+      version = next, commitTs = commitTs, operation = "IDEMPOTENT APPEND",
+      extraActions = Seq(SetTxn(appId, txnVersion, commitTs)))
+    Some(next)
+  }
+
   /** Opt-in auto-compaction (Delta's autoOptimize.autoCompact): after a
     * successful append, if the live snapshot holds more than
     * `spark.graft.autoCompact.minFiles` (default 16) files smaller than

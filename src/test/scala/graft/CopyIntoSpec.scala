@@ -75,6 +75,26 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(r.filesCopied == 0L && r.filesSkipped == 1L)
   }
 
+  test("appendIdempotent lands once per (appId, txnVersion)") {
+    val t = freshTable()
+    val batch = Seq((5L, 50L), (6L, 60L)).toDF("id", "v")
+    assert(TableWriter.appendIdempotent(spark, batch, t,
+      appId = "job-a", txnVersion = 1L).isDefined)
+    // the retry of the SAME epoch skips — no commit, no duplicates
+    assert(TableWriter.appendIdempotent(spark, batch, t,
+      appId = "job-a", txnVersion = 1L).isEmpty)
+    assert(tableIds(t) == Set(0L, 5L, 6L))
+    // a NEWER epoch lands; an OLDER one (out-of-order replay) skips
+    assert(TableWriter.appendIdempotent(spark,
+      Seq((7L, 70L)).toDF("id", "v"), t, "job-a", 2L).isDefined)
+    assert(TableWriter.appendIdempotent(spark,
+      Seq((8L, 80L)).toDF("id", "v"), t, "job-a", 1L).isEmpty)
+    // a different app's epochs are independent
+    assert(TableWriter.appendIdempotent(spark,
+      Seq((9L, 90L)).toDF("id", "v"), t, "job-b", 1L).isDefined)
+    assert(tableIds(t) == Set(0L, 5L, 6L, 7L, 9L))
+  }
+
   test("a source file with extra columns refuses loudly") {
     val src = tmp("cis_src4")
     val stage = tmp("cis_stage4")
