@@ -259,6 +259,10 @@ private[sources] object GroupRows {
     case BooleanType => s.toBoolean
     case d: DecimalType =>
       Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+    // Spark's partition inference types `dt=2024-01-01` directories as
+    // DateType (CONVERT surfaces those); internally a date is days since
+    // epoch — LocalDate.parse is zone-free, exactly the inference parse
+    case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
     case other => throw new UnsupportedOperationException(
       s"partition column type $other not supported in row-granular reader")
   }

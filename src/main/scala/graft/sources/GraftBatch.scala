@@ -397,7 +397,15 @@ private[sources] class GraftBatchScanBuilder(
               TimestampNTZType => true
           case _ => false
         }
-        if (ok && resolved.files.forall(_.stats.exists(st =>
+        // string min/max of NON-TIGHT stats (CONVERT-registered foreign
+        // files) may be truncated bounds — sound for skipping, but a
+        // stats-only MIN/MAX answer could return a value the data never
+        // held; numeric stats are exact regardless (no parquet truncation)
+        val exact = resolved.schema(r.fieldNames.head).dataType match {
+          case StringType => resolved.files.forall(_.stats.forall(_.tight))
+          case _ => true
+        }
+        if (ok && exact && resolved.files.forall(_.stats.exists(st =>
           st.minValues.contains(phys) && st.maxValues.contains(phys))))
           Some(phys)
         else None
@@ -433,7 +441,10 @@ private[sources] class GraftBatchScanBuilder(
   override def isPartiallyPushed: Boolean = true
 
   /** Typed min/max of a column across every file's stats (strings are
-    * stats-exact: the writer's footerStats never truncates).
+    * stats-exact here by construction: canPushAgg admits a string column
+    * only when every file's stats are tight — graft's own footerStats
+    * never truncates, and CONVERT-registered foreign files carry
+    * tight=false precisely so they never reach this path).
     */
   private def statsMinMax(
       e: org.apache.spark.sql.connector.expressions.Expression,
@@ -594,6 +605,9 @@ private[sources] class GraftBatchScan(
     */
   private[sources] def boundVersion: Long = resolved.version
   private[sources] def boundResolved: GraftBatch.Resolved = resolved
+  // MV auto-rewrite eligibility: a scan with pushed filters answers a
+  // filtered question the MV does not maintain
+  private[sources] def pushedV1Filters: Seq[Filter] = pushedV1
 
   /** Partition columns whose stored string form is BIT-COMPARABLE with
     * `String.valueOf` of a runtime literal (integral, string, boolean):

@@ -12,11 +12,26 @@ sealed trait Action
   * string shapes — the Delta stats idea). Readers parse them back by
   * the declared column type; a column absent from the maps is simply
   * not skippable.
+  *
+  * @param tight false when string/binary min/max may be TRUNCATED
+  *        bounds rather than exact values: foreign-written parquet
+  *        (arrow/parquet-rs, or parquet-mr with statistics truncation
+  *        configured) registered by [[graft.txn.Convert]] truncates
+  *        binary stats — min to a prefix (≤ the real min) and max to a
+  *        truncated-and-INCREMENTED value not present in the data.
+  *        Such bounds stay sound for file skipping (they only widen),
+  *        but the stats-only MIN/MAX aggregate pushdown must refuse
+  *        string columns of non-tight files or it returns values the
+  *        data never held. Fixed-width numeric stats are exact either
+  *        way (parquet has no truncation for them). Default keeps
+  *        pre-flag logs and checkpoints reading as tight — correct,
+  *        because graft's own writer never truncates.
   */
 final case class FileStats(
     numRecords: Long,
     minValues: Map[String, String],
-    maxValues: Map[String, String])
+    maxValues: Map[String, String],
+    tight: Boolean = true)
 
 /** A data file added to the table at some version.
   * @param partitionValues partition-column → value (empty for unpartitioned)

@@ -32,10 +32,6 @@ object Convert {
       s"CONVERT: $dir already has a transaction log — refusing to " +
         "re-register (the log IS the table)")
 
-    // schema BEFORE registering: Spark's directory read unifies footers
-    // and types the hive partition columns
-    val schema = spark.read.parquet(dir).schema
-
     val files = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.hadoop.fs.FileStatus)]
     def visit(p: org.apache.hadoop.fs.Path, rel: String): Unit =
@@ -60,10 +56,35 @@ object Convert {
     val partCols = files.head._1.split('/').dropRight(1)
       .filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
 
+    // schema AFTER discovery so the partition-column types can be vetted:
+    // Spark's directory read unifies footers and types the hive partition
+    // columns (date/numeric inference included)
+    val schema = spark.read.parquet(dir).schema
+    partCols.foreach { c =>
+      schema.find(_.name == c).map(_.dataType).foreach {
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          // timestamp-inferred directory values are session-zone formatted
+          // strings the partition-value readers do not parse; refusing
+          // loudly beats registering a table that throws at first read
+          throw new IllegalArgumentException(
+            s"CONVERT: partition column $c under $dir was inferred as a " +
+              "timestamp; set spark.sql.sources." +
+              "partitionColumnTypeInference.enabled=false and re-run to " +
+              "register it as a string partition column")
+        case _ => ()
+      }
+    }
+
     val now = System.currentTimeMillis()
     var rows = 0L
     val adds = files.map { case (rel, st) =>
+      // tight = false: these files come from ARBITRARY writers, and
+      // non-parquet-mr writers truncate binary min/max (max incremented
+      // past the real data) — sound for skipping, wrong for stats-only
+      // MIN/MAX answers, so the flag routes string MIN/MAX back to a scan
       val stats = TableWriter.footerStats(st.getPath, conf)
+        .map(_.copy(tight = false))
       rows += stats.map(_.numRecords).getOrElse(0L)
       AddFile(
         path = rel,

@@ -36,13 +36,33 @@ object CopyInto {
   def run(spark: SparkSession, tablePath: String, srcDir: String)
       : CopyResult = {
     val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
-    val all = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
-      .filter(_.isFile)
-      .filter(st => st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith("_"))
-      .map(_.getPath.toUri.getPath)
-      .sorted
+    val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcRoot.getFileSystem(conf)
+    // RECURSIVE listing so a nested source layout ingests instead of
+    // silently returning CopyResult(0,0,0,0); hive-style `col=value`
+    // segments refuse loudly — flattening them would DROP the partition
+    // columns (they live in the path, not the files), and the right tool
+    // for a hive layout is CONVERT, which keeps them
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    def visit(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) ()
+        else if (st.isDirectory) {
+          require(!name.contains('='),
+            s"COPY INTO: $srcDir contains a hive-partitioned directory " +
+              s"($name) — its partition values live in the path and would " +
+              "be dropped by file-level ingestion; use graft_convert for " +
+              "hive layouts")
+          visit(st.getPath)
+        } else if (name.endsWith(".parquet")) found += st.getPath
+      }
+    visit(srcRoot)
+    // idempotence keys are FULLY-QUALIFIED URIs: two files with the same
+    // path on different filesystems (mockfs:// vs file://) must not alias
+    // as already-ingested
+    val all = found.map(p => fs.makeQualified(p).toUri.toString).sorted.toSeq
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     val ingested = snap.txns.keySet

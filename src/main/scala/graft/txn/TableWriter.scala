@@ -970,17 +970,35 @@ object TableWriter {
       tablePath: String,
       appId: String,
       txnVersion: Long,
-      commitTs: Long = System.currentTimeMillis()): Option[Long] = {
+      commitTs: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 3): Option[Long] = {
     require(appId.nonEmpty, "appId must be non-empty")
     val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
-    val snap = log.snapshotLatest()
-    if (snap.txns.get(appId).exists(_ >= txnVersion)) return None
-    val next = snap.version + 1
-    write(spark, df, tablePath,
-      partitionBy = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty),
-      version = next, commitTs = commitTs, operation = "IDEMPOTENT APPEND",
-      extraActions = Seq(SetTxn(appId, txnVersion, commitTs)))
-    Some(next)
+    // same bounded retry as append(): a benign concurrent writer must not
+    // turn an idempotent append into a hard failure. The marker check
+    // re-runs against the FRESH snapshot each attempt — if the concurrent
+    // committer was a replay of this very (appId, txnVersion), the retry
+    // sees its marker and skips, which is the whole point of the contract.
+    var attempt = 0
+    while (true) {
+      val snap = log.snapshotLatest()
+      if (snap.txns.get(appId).exists(_ >= txnVersion)) return None
+      val next = snap.version + 1
+      try {
+        write(spark, df, tablePath,
+          partitionBy =
+            snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty),
+          version = next, commitTs = commitTs,
+          operation = "IDEMPOTENT APPEND",
+          extraActions = Seq(SetTxn(appId, txnVersion, commitTs)))
+        return Some(next)
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("concurrent") =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** Opt-in auto-compaction (Delta's autoOptimize.autoCompact): after a
@@ -1634,11 +1652,22 @@ object TableWriter {
     removes
   }
 
-  /** `l_returnflag=A/...` → Map(l_returnflag -> A) (hive-style dirs). */
+  /** `l_returnflag=A/...` → Map(l_returnflag -> A) (hive-style dirs).
+    * Values are UNESCAPED to the logical value: the writers (Spark's own
+    * partitioned write, and any foreign hive layout CONVERT registers)
+    * percent-escape special characters in the directory segment
+    * (space → `%20`, `:` → `%3A`, …), and the log records LOGICAL
+    * partition values — readers surface them as column values verbatim.
+    * The null sentinel `__HIVE_DEFAULT_PARTITION__` contains no escapes
+    * and passes through for the readers' null mapping.
+    */
   private[graft] def partitionValuesOf(rel: String): Map[String, String] =
     if (rel.isEmpty) Map.empty
     else rel.split('/').filter(_.contains('=')).map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      k -> v
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(k) ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(v)
     }.toMap
 }

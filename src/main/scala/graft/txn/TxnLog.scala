@@ -275,14 +275,26 @@ final class TxnLog(
     def tsOf(v: Long): Long = read(v)
       .collectFirst { case c: CommitInfo => c.timestamp }
       .getOrElse(Long.MaxValue)
-    // commit timestamps are monotone by construction, so scanning
-    // NEWEST-first and stopping at the first pre-cutoff commit reads
-    // only the retained tail + 1 — on the million-commit table this
-    // operation exists for, an oldest-first scan would deserialize the
-    // whole log before deleting anything
-    val horizonOpt = vs.reverseIterator.find(v => tsOf(v) < cutoff)
-    if (horizonOpt.isEmpty) return Seq.empty
-    val horizon = horizonOpt.get
+    // Timestamps are CALLER-SUPPLIED wall clocks, so monotonicity cannot
+    // be assumed: one skewed (older) stamp on a newer version must never
+    // expire in-retention history. Scan OLDEST-first with a running max
+    // (each commit's effective time is clamped up to the newest seen
+    // below it) and stop at the first effective time inside retention —
+    // a skewed clock can then only RETAIN more, never expire early. The
+    // scan deserializes only the expirable prefix + 1: on first expiry
+    // that prefix is exactly what gets deleted (a one-time cost), and on
+    // every later call the log already starts at the previous base, so
+    // the prefix is bounded by retention + one checkpoint interval.
+    var runMax = Long.MinValue
+    var horizon = -1L
+    val it = vs.iterator
+    var halted = false
+    while (it.hasNext && !halted) {
+      val v = it.next()
+      runMax = math.max(runMax, tsOf(v))
+      if (runMax < cutoff) horizon = v else halted = true
+    }
+    if (horizon < 0) return Seq.empty
     checkpointVersions().filter(_ <= horizon).lastOption match {
       case None => Seq.empty
       case Some(base) =>

@@ -161,4 +161,32 @@ class ConcurrencySpec extends AnyFunSuite {
       mine.withColumnRenamed("l_linestatus", "l_status"), dir, commitTs = 4000L)
     assert(v == 2L)
   }
+
+  test("racing idempotent appenders retry through collisions, each lands once") {
+    import spark.implicits._
+    val dir = freshDir("conc_idem")
+    TableWriter.write(spark, Seq((0L, 0L)).toDF("id", "v"), dir,
+      version = 0L, commitTs = 1000L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try TableWriter.appendIdempotent(spark,
+          Seq((i.toLong, i * 10L)).toDF("id", "v"), dir,
+          appId = s"job-$i", txnVersion = 1L, maxAttempts = 12)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"a benign concurrent commit must retry, not throw: $errs")
+    val snap = new TxnLog(dir, spark.sessionState.newHadoopConf())
+      .snapshotLatest()
+    assert((1 to 4).forall(i => snap.txns.get(s"job-$i").contains(1L)),
+      s"every racer's marker must land, got ${snap.txns}")
+    assert(SnapshotReader.read(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // any epoch replayed after the race skips against the fresh snapshot
+    assert(TableWriter.appendIdempotent(spark,
+      Seq((99L, 0L)).toDF("id", "v"), dir, "job-2", 1L).isEmpty)
+  }
 }

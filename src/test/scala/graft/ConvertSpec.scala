@@ -102,4 +102,64 @@ class ConvertSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType, "id", 120L, 130L)
     assert(pruned.size == 1, s"expected 1 surviving file, got $pruned")
   }
+
+  test("escaped partition values surface as logical values") {
+    val dir = freshDir()
+    Seq((1L, "a b:c"), (2L, "plain")).toDF("id", "grp")
+      .write.partitionBy("grp").parquet(dir)
+    Convert.run(spark, dir)
+    // the LOG records the logical value, not the %-escaped dir segment
+    val snap = new TxnLog(dir, spark.sessionState.newHadoopConf())
+      .snapshotLatest()
+    assert(snap.files.flatMap(_.partitionValues.get("grp"))
+      .contains("a b:c"))
+    val t = spark.read.format("graft").option("tablePath", dir).load()
+    assert(t.filter(col("grp") === "a b:c").select(col("id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("date-inferred partition directories read back as dates") {
+    val dir = freshDir()
+    Seq((1L, java.sql.Date.valueOf("2024-01-01")),
+        (2L, java.sql.Date.valueOf("2024-03-15")))
+      .toDF("id", "dt").write.partitionBy("dt").parquet(dir)
+    Convert.run(spark, dir)
+    val t = spark.read.format("graft").option("tablePath", dir).load()
+    assert(t.schema("dt").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(t.filter(col("dt") === lit("2024-03-15").cast("date"))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("timestamp-inferred partition dirs refuse with a clear error") {
+    val dir = freshDir()
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts").write.partitionBy("ts").parquet(dir)
+    val e = intercept[IllegalArgumentException] { Convert.run(spark, dir) }
+    assert(e.getMessage.contains("timestamp"))
+  }
+
+  test("converted string stats are skip-only: MIN/MAX falls back to a scan") {
+    val dir = freshDir()
+    (1L to 40L).map(i => (i, f"tag$i%03d")).toDF("id", "tag")
+      .coalesce(1).write.parquet(dir)
+    Convert.run(spark, dir)
+    val snap = new TxnLog(dir, spark.sessionState.newHadoopConf())
+      .snapshotLatest()
+    assert(snap.files.forall(_.stats.exists(!_.tight)),
+      "CONVERT must register foreign stats as non-tight")
+    val t = spark.read.format("graft").option("tablePath", dir).load()
+    // string MIN/MAX: foreign writers may truncate binary stats, so the
+    // stats-only answer refuses and a real scan produces the result
+    val sAgg = t.agg(min(col("tag")).as("mn"), max(col("tag")).as("mx"))
+    assert(!sAgg.queryExecution.executedPlan.toString
+      .contains("GraftBatchAgg"),
+      "string MIN/MAX over non-tight stats must not answer from stats")
+    assert(sAgg.head() == org.apache.spark.sql.Row("tag001", "tag040"))
+    // numeric stats are exact either way — the push survives conversion
+    val nAgg = t.agg(min(col("id")).as("mn"))
+    assert(nAgg.queryExecution.executedPlan.toString
+      .contains("GraftBatchAgg"))
+    assert(nAgg.head().getLong(0) == 1L)
+  }
 }

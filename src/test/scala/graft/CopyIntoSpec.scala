@@ -112,4 +112,41 @@ class CopyIntoSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("extra"))
   }
+
+  test("nested plain subdirectories ingest recursively") {
+    val src = tmp("cis_src5")
+    writeSrcFile(src, "a.parquet", Seq((1L, 10L)))
+    writeSrcFile(src + "/day1", "b.parquet", Seq((2L, 20L)))
+    writeSrcFile(src + "/day1/late", "c.parquet", Seq((3L, 30L)))
+    val t = freshTable()
+    val r = CopyInto.run(spark, t, src)
+    assert(r.filesCopied == 3L && r.rowsCopied == 3L,
+      s"nested files must ingest, got $r")
+    assert(tableIds(t) == Set(0L, 1L, 2L, 3L))
+    val r2 = CopyInto.run(spark, t, src)
+    assert(r2.filesCopied == 0L && r2.filesSkipped == 3L)
+  }
+
+  test("a hive-partitioned source refuses toward CONVERT") {
+    val src = tmp("cis_src6")
+    writeSrcFile(src + "/band=1", "a.parquet", Seq((1L, 10L)))
+    val t = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.run(spark, t, src)
+    }
+    assert(e.getMessage.contains("graft_convert"))
+  }
+
+  test("idempotence keys are fully-qualified URIs") {
+    val src = tmp("cis_src7")
+    writeSrcFile(src, "a.parquet", Seq((1L, 10L)))
+    val t = freshTable()
+    CopyInto.run(spark, t, src)
+    val log = new TxnLog(t, spark.sessionState.newHadoopConf())
+    val keys = log.snapshotLatest().txns.keySet.filter(_.startsWith("copy:"))
+    // scheme + authority present: the same path on another filesystem
+    // must not alias as already-ingested
+    assert(keys.nonEmpty && keys.forall(_.startsWith("copy:file:")),
+      s"marker keys must carry the filesystem scheme, got $keys")
+  }
 }

@@ -72,4 +72,22 @@ class LogRetentionSpec extends AnyFunSuite {
     assert(log.snapshotLatest().txns.contains("copy:/x/a.parquet"),
       "SetTxn must be replayed from the checkpoint after log expiry")
   }
+
+  test("a skewed older clock on a newer commit cannot expire retained history") {
+    val path = java.nio.file.Files.createTempDirectory("lr2").toString + "/t"
+    // v0..v4 at caller-supplied wall clocks — v3's is SKEWED BACKWARD
+    val ts = Seq(1000L, 2000L, 3000L, 900L, 5000L)
+    for (v <- 0L until 5L)
+      TableWriter.write(spark, Seq((v, v)).toDF("id", "x"), path,
+        version = v, commitTs = ts(v.toInt))
+    val log = new TxnLog(path, spark.sessionState.newHadoopConf())
+    log.writeCheckpoint(3L)
+    // cutoff 1500: only v0 is genuinely expirable. A newest-first scan
+    // trusting monotone clocks would stop at v3 (ts 900), anchor on the
+    // v3 checkpoint, and delete v0..v2 — with v1/v2 still in retention.
+    val deleted = log.expireLog(retainMillis = 1500L, nowMillis = 3000L)
+    assert(deleted.isEmpty, s"skewed clock must retain, got $deleted")
+    assert(log.versions() == (0L to 4L))
+    (0L to 4L).foreach(v => log.snapshot(v)) // every version still resolves
+  }
 }
