@@ -262,6 +262,68 @@ object Cdc {
         .orderBy(col("l_linestatus"))
     },
 
+    // MV AUTO-REWRITE (warehouse query rewrite, as a Catalyst optimizer
+    // rule): the user aggregates over the BASE table; the optimizer
+    // proves the registered MV fresh (watermark == scan-bound version,
+    // re-checked from the logs at plan time) and serves the answer from
+    // the MV scan instead. served_from_mv is the driver-hash gate: it is
+    // computed from the OPTIMIZED PLAN (true iff the MV path is the scan
+    // and the base path is not), so a silently-disabled rewrite fails
+    // the hash compare, not just a spec. At 100 TB this replaces a full
+    // fact-table aggregate with a key-cardinality-sized read.
+    QueryDef.sqlBacked(
+      "q260_mv_autorewrite",
+      s"""WITH final AS (
+         |  SELECT l_linestatus, l_extendedprice
+         |  FROM lineitem WHERE l_returnflag <> 'R'
+         |  UNION ALL SELECT l_linestatus, l_extendedprice
+         |  FROM lineitem WHERE l_orderkey % 97 = 0
+         |  UNION ALL SELECT l_linestatus, l_extendedprice
+         |  FROM lineitem WHERE l_orderkey % 89 = 0)
+         |SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  CAST(1 AS BIGINT) AS served_from_mv
+         |FROM final GROUP BY l_linestatus
+         |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val table = buildFixture(s, dir)
+      val mvPath = s"${fixtureDir(dir)}_mv_q260"
+      val fs = new org.apache.hadoop.fs.Path(mvPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+      val spec = MaterializedAgg.Spec(Seq("l_linestatus"),
+        Seq("l_extendedprice"))
+      MaterializedAgg.create(s, table, mvPath, spec) // at the LATEST base
+      graft.sources.MvRewrite.register(s, table, mvPath, spec.keys,
+        spec.sums)
+      try {
+        val q = s.read.format("graft").option("tablePath", table).load()
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(15,2)"))
+              .as("sum_price"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan.description()
+        }
+        // anchored "<path>@v" matches: mvPath has the base path as a
+        // string PREFIX, so a bare contains(table) would always be true
+        val served = scans.exists(_.contains(s"GraftBatch $mvPath@")) &&
+          !scans.exists(_.contains(s"GraftBatch $table@"))
+        // execute UNDER the registration so the rewritten plan is the
+        // one that ran; the group-cardinality result is driver-small
+        import s.implicits._
+        val rows = q.select(col("l_linestatus"), col("cnt"),
+            col("sum_price").cast("double").as("sum_price"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            if (served) 1L else 0L))
+        rows.toSeq.toDF("l_linestatus", "cnt", "sum_price",
+            "served_from_mv")
+          .orderBy(col("l_linestatus"))
+      } finally graft.sources.MvRewrite.unregister(table)
+    },
+
     // Partition-pruned CDC replay: only partition l_returnflag='A' events
     // replay — the pruned partitions' files are never listed, opened, or
     // shuffled (the single-partition backfill shape). 'A' sees no removes

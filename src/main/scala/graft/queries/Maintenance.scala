@@ -2511,6 +2511,101 @@ object Maintenance {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).cast("long").as("qty"))
         .withColumn("spans_disjoint", lit(disjoint))
+    },
+
+    // Shallow clone of a PARTITIONED, DV-CARRYING source — the round-9
+    // scope lift. The clone inherits external hive-partitioned files AND
+    // an absolutized deletion-vector pointer with one metadata commit,
+    // then diverges: a partitioned local append, a clone-local DV delete
+    // that STACKS over the imported source vector, and a partition drop.
+    // Every final count recomputes from lineitem in the oracle; the
+    // source's untouched state rides along as its own row — a hash
+    // mismatch there means the clone leaked a write into its source.
+    QueryDef.sqlBacked(
+      "q271_clone_partitioned",
+      """WITH ext AS (
+        |  SELECT * FROM lineitem
+        |  WHERE l_orderkey % 13 = 0 AND l_suppkey % 6 <> 0),
+        |cl AS (
+        |  SELECT l_returnflag FROM ext
+        |  WHERE l_partkey % 5 <> 0 AND l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT l_returnflag FROM lineitem
+        |  WHERE l_orderkey % 17 = 0 AND l_partkey % 5 <> 0
+        |    AND l_returnflag <> 'R')
+        |SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM cl GROUP BY 1
+        |UNION ALL
+        |SELECT 'SRC_TOTAL' AS grp, CAST(COUNT(*) AS BIGINT) AS n FROM ext
+        |ORDER BY grp""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val src = s"target/fixtures/clonep_src_$tag"
+      val dst = s"target/fixtures/clonep_dst_$tag"
+      val conf = s.sessionState.newHadoopConf()
+      if (!(new TxnLog(src, conf).versions() == Seq(0L, 1L) &&
+          new TxnLog(dst, conf).versions() == Seq(0L, 1L, 2L, 3L))) {
+        val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(src), true)
+        fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+        val li = Tables.load(s, dir, "lineitem")
+        TableWriter.write(s, li.filter(col("l_orderkey") % 13 === 0), src,
+          partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
+        DeletionVectors.deleteWhere(s, src, col("l_suppkey") % 6 === 0,
+          version = 1L, commitTs = 2000L)
+        TableWriter.cloneShallow(s, src, dst, commitTs = 3000L)
+        TableWriter.append(s, li.filter(col("l_orderkey") % 17 === 0), dst,
+          commitTs = 4000L)
+        DeletionVectors.deleteWhere(s, dst, col("l_partkey") % 5 === 0,
+          version = 2L, commitTs = 5000L)
+        TableWriter.removeWhere(s, dst,
+          pv => pv.get("l_returnflag").contains("R"), version = 3L,
+          commitTs = 6000L)
+      }
+      val clone = SnapshotReader.read(s, dst)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n"))
+      val srcTotal = SnapshotReader.read(s, src)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("SRC_TOTAL").as("grp"), col("n"))
+      clone.unionByName(srcTotal).orderBy(col("grp"))
+    },
+
+    // CONVERT of a DATE-partitioned foreign parquet lake (the round-9
+    // DateType partition support): a month-partitioned plain layout
+    // registers with one metadata commit, the inferred DateType
+    // partition column reads back as real dates, and a month-range
+    // predicate prunes at the partition level. The oracle recomputes
+    // the month rollup from orders directly.
+    QueryDef.sqlBacked(
+      "q272_convert_date_partitions",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
+        |  BETWEEN DATE '1995-01-01' AND DATE '1995-12-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/convdate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions().isEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        Tables.load(s, dir, "orders")
+          .withColumn("o_month",
+            date_trunc("month", col("o_orderdate")).cast("date"))
+          .write.partitionBy("o_month").parquet(path)
+        Convert.run(s, path)
+      }
+      s.read.format("graft").option("tablePath", path).load()
+        .filter(col("o_month").between(
+          lit("1995-01-01").cast("date"), lit("1995-12-01").cast("date")))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_month"))
     }
   )
 }

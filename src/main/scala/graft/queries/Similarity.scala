@@ -542,6 +542,47 @@ object Similarity {
     // when the filter is selective). SimilaritySpec checks recall vs q87.
     QueryDef.sparkOnly("q88_ann_filtered_ivf") { (s, dir) =>
       filteredIvfTop5(s, dir)
+    },
+
+    // Hard-negative mining (contrastive-training data prep): for each
+    // sampled anchor, the most-similar vector of a DIFFERENT label. The
+    // similarity is an ALL-INTEGER dot product over floor(x·1000)
+    // quantized components — exact in both engines (float cosine is
+    // no_oracle territory; integer dots hash-match), so this is the
+    // rare similarity query with a full value-level oracle. Scale
+    // shape: anchors are the broadcast side of a nested-loop join
+    // (sampled 1/17), candidates stream — the labeled exact baseline
+    // that the LSH/IVF paths (q52/q54/q88) approximate at scale.
+    QueryDef.sqlBacked(
+      "q264_hard_negatives",
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+        |  FROM embeddings),
+        |a AS (SELECT * FROM q WHERE vec_id % 17 = 0),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(list_dot_product(a.iv, b.iv) AS BIGINT) AS dot
+        |  FROM a JOIN q b ON b.label <> a.label),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY dot DESC, nid) AS rn FROM p)
+        |SELECT qid, nid, dot FROM r WHERE rn = 1 ORDER BY qid""".stripMargin) {
+      (s, dir) =>
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr(
+          "transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("iv"))
+      val anchors = q.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("alabel"),
+          col("iv").as("aiv"))
+      q.join(broadcast(anchors), col("label") =!= col("alabel"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          expr("aggregate(zip_with(aiv, iv, (x, y) -> x * y), 0L, " +
+            "(acc, v) -> acc + v)").as("dot"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("dot"))
+        .orderBy(col("qid"))
     }
   )
 

@@ -848,6 +848,180 @@ object Text {
       Seq((nA, nB, nI, ok(estA, nA), ok(estB, nB), ok(estI, nI)))
         .toDF("n_a", "n_b", "n_inter",
           "est_a_ok", "est_b_ok", "est_inter_ok")
+    },
+
+    // PII detection + redaction (the training-corpus scrub pass): the
+    // corpus is synthetic word salad, so deterministic PII is INJECTED
+    // inline (every 3rd doc an email, every 5th a phone number — the
+    // same arithmetic in both engines), then detected with
+    // regexp_extract_all and redacted with regexp_replace. Map-only:
+    // no shuffle but the final per-language rollup; the patterns use
+    // [.]-class escapes so the Java and RE2 dialects read identically.
+    QueryDef.sqlBacked(
+      "q261_pii_scrub",
+      """WITH inj AS (
+        |  SELECT doc_id, lang,
+        |    text
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |           || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(t, 'user[0-9]+@example[.]com'))
+        |      AS n_email,
+        |    len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phone,
+        |    length(regexp_replace(regexp_replace(t,
+        |      'user[0-9]+@example[.]com', '[EMAIL]', 'g'),
+        |      '555-[0-9]{4}', '[PHONE]', 'g')) AS red_len
+        |  FROM inj)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_email) AS BIGINT) AS emails,
+        |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+        |  CAST(SUM(red_len) AS BIGINT) AS redacted_chars
+        |FROM scrub GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val emailRe = "user[0-9]+@example[.]com"
+      val phoneRe = "555-[0-9]{4}"
+      Tables.load(s, dir, "documents")
+        .withColumn("t", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .withColumn("n_email",
+          size(expr(s"regexp_extract_all(t, '$emailRe', 0)")))
+        .withColumn("n_phone",
+          size(expr(s"regexp_extract_all(t, '$phoneRe', 0)")))
+        .withColumn("red_len", length(
+          regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_email")).cast("long").as("emails"),
+          sum(col("n_phone")).cast("long").as("phones"),
+          sum(col("red_len")).cast("long").as("redacted_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Boilerplate detection by cross-document bigram frequency: a word
+    // bigram present in ≥5% of ALL docs is boilerplate; per language,
+    // the share of bigram positions that are boilerplate (ppm, integer
+    // division — positive operands, so truncation = floor in both
+    // engines). Scale shape: one count-distinct shuffle on the bigram;
+    // the document-frequency table is vocabulary-sized and BROADCASTS
+    // back onto the positions — no second fact-sized shuffle.
+    QueryDef.sqlBacked(
+      "q262_boilerplate_bigrams",
+      """WITH n AS (SELECT COUNT(*) AS ndocs FROM documents),
+        |toks AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |bi AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+        |    FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+        |df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM bi GROUP BY g),
+        |pos AS (SELECT lang, COUNT(*) AS total,
+        |    COUNT(*) FILTER (WHERE df * 20 >= (SELECT ndocs FROM n)) AS bp
+        |    FROM bi JOIN df USING (g) GROUP BY lang)
+        |SELECT lang, CAST(total AS BIGINT) AS total_grams,
+        |  CAST(bp AS BIGINT) AS boilerplate_grams,
+        |  CAST(bp * 1000000 // total AS BIGINT) AS bp_ppm
+        |FROM pos ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val ndocs = docs.count()
+      val bi = docs
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> concat(w[i], ' ', w[i + 1]))")).as("g"))
+      val df = bi.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      bi.join(broadcast(df), "g")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"),
+          count(when(col("df") * 20 >= ndocs, 1)).as("bp"))
+        .select(col("lang"), col("total").as("total_grams"),
+          col("bp").as("boilerplate_grams"),
+          expr("CAST(bp * 1000000 DIV total AS BIGINT)").as("bp_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    // Group-wise quality-quantile filter (per-language length floor):
+    // keep each language's longest three quarters — the threshold is the
+    // rank inequality rn·4 > cnt, never a computed quantile value, so
+    // both engines make identical keep decisions including ties. One
+    // window shuffle on the language key.
+    QueryDef.sqlBacked(
+      "q263_quality_quantile_filter",
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM r WHERE rn * 4 > cnt GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("rn") * 4 > col("cnt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("n_chars")).as("min_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // TF-IDF top terms per language, ALL-INTEGER scoring: score =
+    // tf · (ndocs·10⁶ ÷ df) with positive integer division, so the
+    // ranking is bit-identical across engines (float idf would tie-break
+    // differently at the 15th digit). The document-frequency side is
+    // vocabulary-sized → broadcast; one explode + two hash aggregates.
+    QueryDef.sqlBacked(
+      "q273_tfidf_top_terms",
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS ndocs FROM toks),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY term),
+        |tf AS (SELECT lang, term, COUNT(*) AS tf
+        |  FROM toks GROUP BY lang, term),
+        |sc AS (SELECT lang, term, tf, df,
+        |    tf * ((SELECT ndocs FROM n) * 1000000 // df) AS score
+        |  FROM tf JOIN df USING (term)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY score DESC, term) AS rn FROM sc)
+        |SELECT lang, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rn <= 5
+        |ORDER BY lang, score DESC, term""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .cache()
+      val ndocs = toks.select(col("doc_id")).distinct().count()
+      val numer = ndocs * 1000000L
+      val df = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val sc = tf.join(broadcast(df), "term")
+        .withColumn("score", expr(s"CAST(tf * (${numer}L DIV df) AS BIGINT)"))
+      sc.withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("term"))))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy(col("lang"), col("score").desc, col("term"))
     }
   )
 }

@@ -393,6 +393,204 @@ object TpchClassics {
           |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAYS)
           |GROUP BY s.s_name
           |ORDER BY numwait DESC, s.s_name LIMIT 10""".stripMargin)
+    },
+
+    // TPC-H Q2 (adapted: no partsupp, so "minimum supply cost" becomes
+    // minimum account balance among the part's lineitem-linked EUROPE
+    // suppliers; ties break by s_suppkey). Dimension chains broadcast;
+    // the one shuffle is the per-part window over the fact join.
+    QueryDef.sqlBacked(
+      "q265_min_cost_supplier",
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+        |    CAST(CAST(s_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT)
+        |      AS acct_cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN eu ON s_suppkey = l_suppkey
+        |  WHERE p_size <= 5),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |    ORDER BY acct_cents, s_suppkey) AS rn FROM cand)
+        |SELECT p_partkey, p_brand, s_suppkey, s_name, acct_cents
+        |FROM ranked WHERE rn = 1
+        |ORDER BY acct_cents DESC, p_partkey LIMIT 25""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val eu = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")),
+          col("r_regionkey") === col("n_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"),
+          (money(col("s_acctbal")) * 100).cast("long").as("acct_cents"))
+      val cand = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_size") <= 5)), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(eu), col("s_suppkey") === col("l_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("acct_cents"))
+        .distinct()
+      cand.withColumn("rn", row_number().over(Window
+          .partitionBy(col("p_partkey"))
+          .orderBy(col("acct_cents"), col("s_suppkey"))))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("acct_cents").desc, col("p_partkey")).limit(25)
+    },
+
+    // TPC-H Q9 (adapted: no ps_supplycost — cost stands in as 10% of
+    // the part's retail price per unit). Product-line profit by
+    // supplier nation and order year, all-decimal until the final cast.
+    QueryDef.sqlBacked(
+      "q266_product_profit",
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM(CAST(l_extendedprice AS $M) * ($ONE - CAST(l_discount AS $R))
+         |    - CAST(p_retailprice AS $M) * CAST(0.10 AS $R)
+         |      * CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS profit
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val costRate = lit(BigDecimal("0.10")).cast(DecimalType(4, 2))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").contains("bolt"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(Tables.load(s, dir, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(money(col("l_extendedprice")) *
+            (oneD - rate(col("l_discount"))) -
+            money(col("p_retailprice")) * costRate *
+            col("l_quantity").cast(DecimalType(6, 2)))
+          .cast("double").as("profit"))
+        .orderBy(col("n_name"), col("o_year"))
+    },
+
+    // TPC-H Q11 (adapted: supplier shipped value stands in for stock
+    // value). Suppliers holding more than 1/10000 of total shipped
+    // value — the threshold compare is MULTIPLIED THROUGH
+    // (value·10000 > total) so no engine ever divides: exact in cents.
+    QueryDef.sqlBacked(
+      "q267_important_suppliers",
+      """WITH v AS (
+        |  SELECT l_suppkey AS s_key,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(value_cents) AS total_cents FROM v)
+        |SELECT s_key, value_cents FROM v, t
+        |WHERE value_cents * 10000 > total_cents
+        |ORDER BY value_cents DESC, s_key""".stripMargin) { (s, dir) =>
+      val v = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("s_key"))
+        .agg(sum((money(col("l_extendedprice")) * 100).cast("long"))
+          .as("value_cents"))
+      val t = v.agg(sum(col("value_cents")).as("total_cents"))
+      v.crossJoin(broadcast(t))
+        .filter(col("value_cents") * 10000 > col("total_cents"))
+        .select(col("s_key"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("s_key"))
+    },
+
+    // TPC-H Q12 (adapted: the schema has no ship modes — lines class
+    // by linenumber parity — and no receipt date — late = shipped 45+
+    // days after the order date). High- vs low-priority counts of late
+    // lines per class: one broadcast-free fact-fact join, one hash agg.
+    QueryDef.sqlBacked(
+      "q268_late_priority_split",
+      """SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'EVEN' ELSE 'ODD' END
+        |    AS ship_class,
+        |  CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS high_line_count,
+        |  CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+        .groupBy(when(col("l_linenumber") % 2 === 0, "EVEN").otherwise("ODD")
+          .as("ship_class"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy(col("ship_class"))
+    },
+
+    // TPC-H Q16 (adapted: the supplier↔part relation comes from
+    // lineitem instead of partsupp). Distinct supplier count per
+    // (brand, size) for non-PROMO parts — COUNT(DISTINCT) after a
+    // broadcast part join.
+    QueryDef.sqlBacked(
+      "q269_supplier_part_cnt",
+      """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO'
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_type") =!= "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(20)
+    },
+
+    // TPC-H Q20 (adapted: "excess stock" becomes shipped-quantity above
+    // the all-supplier average for widget parts; the average compare is
+    // multiplied through — qty·n_suppliers > total — so neither engine
+    // divides). Quantities are 2-decimal: exact in hundredths.
+    QueryDef.sqlBacked(
+      "q270_excess_suppliers",
+      """WITH q AS (
+        |  SELECT l_suppkey AS s_key,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(8,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS qty_hund
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%widget%'
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(qty_hund) AS total, COUNT(*) AS n FROM q)
+        |SELECT s_suppkey, s_name, qty_hund
+        |FROM q JOIN supplier ON s_suppkey = s_key, t
+        |WHERE qty_hund * n > total
+        |ORDER BY qty_hund DESC, s_suppkey""".stripMargin) { (s, dir) =>
+      val q = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").contains("widget"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey").as("s_key"))
+        .agg(sum((col("l_quantity").cast(DecimalType(8, 2)) * 100)
+          .cast("long")).as("qty_hund"))
+      val t = q.agg(sum(col("qty_hund")).as("total"),
+        count(lit(1)).as("n"))
+      q.join(broadcast(Tables.load(s, dir, "supplier")),
+          col("s_suppkey") === col("s_key"))
+        .crossJoin(broadcast(t))
+        .filter(col("qty_hund") * col("n") > col("total"))
+        .select(col("s_suppkey"), col("s_name"), col("qty_hund"))
+        .orderBy(col("qty_hund").desc, col("s_suppkey"))
     }
   )
 }

@@ -293,9 +293,12 @@ object CdcReader {
           }
           .toDF("_p_fn", "_p_dv", "_p_v", "_p_ts")
         val dirs = dvTransitions.map(_._1.dv.get).distinct.toSeq
-        val dvr = spark.read.parquet(dirs.map(d => s"$tablePath/$d"): _*)
-          .withColumn("_dv_src",
-            regexp_extract(col("_metadata.file_path"), "(_dv/dv-\\d+)", 1))
+        // per-dir reads tagged with the exact pointer (relative OR
+        // clone-imported absolute) — see DeletionVectors.dvRows
+        val dvr = dirs.map { d =>
+            spark.read.parquet(TxnLog.dataPath(tablePath, d))
+              .withColumn("_dv_src", lit(d))
+          }.reduce(_ unionByName _)
         val dead = dvr
           .join(broadcast(pairs),
             dvr("file_name") === pairs("_p_fn") &&

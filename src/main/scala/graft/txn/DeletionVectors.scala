@@ -53,10 +53,17 @@ object DeletionVectors {
     val pointer = withDv
       .map(f => (new Path(f.path).getName, f.dv.get)).toDF("file_name", "dv")
     val dirs = withDv.map(_.dv.get).distinct
-    val rows = spark.read
-      .parquet(dirs.map(d => s"$tablePath/$d"): _*)
-      .withColumn("_dv_src",
-        regexp_extract(col("_metadata.file_path"), "(_dv/dv-\\d+)", 1))
+    // one read per vector dir, tagged with the EXACT pointer string the
+    // AddFile carries: pointers may be table-relative (own deletes) or
+    // absolute (shallow-clone-imported source vectors), and a clone can
+    // hold both a local `_dv/dv-N` and a source `/…/_dv/dv-N` whose
+    // suffixes collide — tagging by pointer, not by a path regexp, keys
+    // the validity join unambiguously. Sidecars are KB-scale; the per-dir
+    // reads are metadata-cheap.
+    val rows = dirs.map { d =>
+      spark.read.parquet(TxnLog.dataPath(tablePath, d))
+        .withColumn("_dv_src", lit(d))
+    }.reduce(_ unionByName _)
     Some(rows
       .join(broadcast(pointer),
         rows("file_name") === pointer("file_name") &&
@@ -106,14 +113,19 @@ object DeletionVectors {
     // set; generations are few), unioned by name: a column that is
     // hive-encoded in one generation is plain data in another, so every
     // generation surfaces the same logical columns.
-    def scanOne(group: Seq[AddFile]): DataFrame = {
-      // Shallow-clone imports live under the SOURCE root, so basePath
-      // (hive partition inference) only applies to all-local file sets —
-      // clones are unpartitioned by construction (cloneShallow refuses
-      // partitioned sources), so nothing is lost.
-      val reader0 =
-        if (group.exists(f => TxnLog.isExternal(f.path))) spark.read
-        else spark.read.option("basePath", tablePath)
+    // Shallow-clone imports live under the SOURCE root: hive partition
+    // inference needs a basePath per PHYSICAL root, so external files
+    // group by the root derived from their own path (parent minus one
+    // hive segment per partition column — the source wrote the same
+    // layout its log records). Local files keep tablePath. A clone that
+    // appended locally after import thus scans as two generations of the
+    // same spec, unioned by name — identical logical columns either way.
+    def rootOf(f: AddFile): String =
+      if (!TxnLog.isExternal(f.path)) tablePath
+      else f.path.split('/').dropRight(f.partitionValues.size + 1)
+        .mkString("/")
+    def scanOne(group: Seq[AddFile], base: String): DataFrame = {
+      val reader0 = spark.read.option("basePath", base)
       // Column mapping: the scan asks for PHYSICAL names (what the files
       // carry; logical names would resolve to nulls), then renames the
       // frame back to logical before anything downstream sees it.
@@ -126,9 +138,11 @@ object DeletionVectors {
     // Union — so the per-group transform (logical rename + row-meta
     // columns) applies BEFORE generations merge.
     def scan(perGroup: DataFrame => DataFrame): DataFrame = files
-      .groupBy(_.partitionValues.keySet).toSeq
-      .sortBy(_._1.toSeq.sorted.mkString(",")) // deterministic plan
-      .map { case (_, group) => perGroup(logical(scanOne(group))) }
+      .groupBy(f => (f.partitionValues.keySet, rootOf(f))).toSeq
+      .sortBy { case ((ks, root), _) =>
+        (ks.toSeq.sorted.mkString(","), root) } // deterministic plan
+      .map { case ((_, root), group) =>
+        perGroup(logical(scanOne(group, root))) }
       .reduce(_ unionByName _)
     // DV-free fast path: a plain vectorized scan with zero added columns
     // (the common case must not pay for the feature)

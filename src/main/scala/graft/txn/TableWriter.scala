@@ -1591,9 +1591,14 @@ object TableWriter {
     * deletes external (source-owned) files. Operational contract, same
     * as Delta: the source must not vacuum files a live clone references.
     *
-    * Scope: the source snapshot must be unpartitioned (external files
-    * cannot ride the clone's hive-path partition inference) and DV-free
-    * (DV pointers resolve clone-locally). Both are refused loudly.
+    * Partitioned sources clone as-is: partition values live in the LOG's
+    * AddFile.partitionValues (readers never re-infer them from paths),
+    * so external files keep their partitions and later clone-local
+    * appends land in the clone's own hive layout. DV-carrying snapshots
+    * clone by absolutizing the DV pointer the same way as the data path
+    * — the sidecar stays source-owned and read-only; a clone-local
+    * DELETE stages a NEW clone-local vector (never touching the
+    * source's), exactly like data-file copy-on-write.
     * Returns the cloned source version.
     */
   def cloneShallow(
@@ -1607,20 +1612,12 @@ object TableWriter {
     val snap = versionAsOf.map(srcLog.snapshot).getOrElse(srcLog.snapshotLatest())
     // reading through the clone demands whatever the source demanded
     snap.protocol.foreach(p => TxnLog.assertReadable(p, srcPath))
-    if (snap.metadata.exists(_.partitionColumns.nonEmpty))
-      throw new UnsupportedOperationException(
-        s"shallow clone of a partitioned table is not supported " +
-          s"($srcPath partitions by " +
-          s"${snap.metadata.get.partitionColumns.mkString(",")})")
-    if (snap.files.exists(_.dv.isDefined))
-      throw new UnsupportedOperationException(
-        s"shallow clone of a DV-carrying snapshot is not supported " +
-          s"($srcPath@${snap.version}): DV pointers resolve clone-locally")
     val srcP = new Path(srcPath)
     val srcAbs = srcP.getFileSystem(conf).makeQualified(srcP).toUri.getPath
     val adds = snap.files.map(f =>
       f.copy(path = s"$srcAbs/${f.path}", modificationTime = commitTs,
-        dataChange = true))
+        dataChange = true,
+        dv = f.dv.map(d => s"$srcAbs/$d")))
     val dstLog = new TxnLog(dstPath, conf)
     if (dstLog.latestVersion().isDefined)
       throw new IllegalStateException(s"clone destination $dstPath not empty")

@@ -129,27 +129,73 @@ class CloneSpec extends AnyFunSuite {
       li.filter(col("l_orderkey") % 7 === 0).count())
   }
 
-  test("refusals: partitioned source, DV source, non-empty destination") {
+  test("a PARTITIONED source clones zero-copy; appends land clone-local") {
     val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
-    // partitioned source
     val psrc = s"target/fixtures/clone_psrc_$tag"
+    val pdst = psrc + "_c"
     fsOf(psrc).delete(new org.apache.hadoop.fs.Path(psrc), true)
+    fsOf(pdst).delete(new org.apache.hadoop.fs.Path(pdst), true)
     TableWriter.write(spark, li.filter(col("l_orderkey") % 31 === 0), psrc,
       partitionBy = Seq("l_returnflag"), version = 0L, commitTs = 1000L)
-    intercept[UnsupportedOperationException] {
-      TableWriter.cloneShallow(spark, psrc, psrc + "_c", commitTs = 2000L)
-    }
-    // DV-carrying source
+    TableWriter.cloneShallow(spark, psrc, pdst, commitTs = 2000L)
+    assert(parquetCountUnder(pdst) == 0, "clone v0 must stage no data file")
+    // partition values ride the log, so partition reads work unchanged
+    val want = li.filter(col("l_orderkey") % 31 === 0 &&
+      col("l_returnflag") === "A").count()
+    assert(SnapshotReader.read(spark, pdst)
+      .filter(col("l_returnflag") === "A").count() == want)
+    // a clone-local append follows the source's partition spec and a
+    // partition-granular delete applies across external + local files
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 37 === 0),
+      pdst, commitTs = 3000L)
+    TableWriter.removeWhere(spark, pdst,
+      pv => pv.get("l_returnflag").contains("R"), version = 2L,
+      commitTs = 4000L)
+    // %31 and %37 rows both land (the overlap is stored twice: v0 + append)
+    val expect =
+      li.filter(col("l_orderkey") % 31 === 0 &&
+        col("l_returnflag") =!= "R").count() +
+      li.filter(col("l_orderkey") % 37 === 0 &&
+        col("l_returnflag") =!= "R").count()
+    assert(SnapshotReader.read(spark, pdst).count() == expect)
+    assert(SnapshotReader.read(spark, psrc).count() ==
+      li.filter(col("l_orderkey") % 31 === 0).count(),
+      "the diverged clone must never mutate the source")
+  }
+
+  test("a DV-CARRYING source clones: pointers absolutize, deletes hold") {
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
     val dvsrc = s"target/fixtures/clone_dvsrc_$tag"
+    val dvdst = dvsrc + "_c"
     fsOf(dvsrc).delete(new org.apache.hadoop.fs.Path(dvsrc), true)
+    fsOf(dvdst).delete(new org.apache.hadoop.fs.Path(dvdst), true)
     TableWriter.write(spark, li.filter(col("l_orderkey") % 31 === 0), dvsrc,
       version = 0L, commitTs = 1000L)
     DeletionVectors.deleteWhere(spark, dvsrc, col("l_suppkey") % 2 === 0,
       version = 1L, commitTs = 2000L)
-    intercept[UnsupportedOperationException] {
-      TableWriter.cloneShallow(spark, dvsrc, dvsrc + "_c", commitTs = 3000L)
-    }
-    // occupied destination
+    TableWriter.cloneShallow(spark, dvsrc, dvdst, commitTs = 3000L)
+    assert(new TxnLog(dvdst, conf).snapshot(0L).files
+      .forall(f => f.dv.forall(TxnLog.isExternal)),
+      "cloned DV pointers must be absolute (source-owned)")
+    val afterSrcDelete = li.filter(col("l_orderkey") % 31 === 0 &&
+      col("l_suppkey") % 2 =!= 0)
+    assert(SnapshotReader.read(spark, dvdst).count() ==
+      afterSrcDelete.count(),
+      "source deletions must hold through the clone")
+    // a clone-local delete STACKS a clone-local vector over the external
+    // one; the source's state and sidecars stay untouched
+    DeletionVectors.deleteWhere(spark, dvdst, col("l_partkey") % 3 === 0,
+      version = 1L, commitTs = 4000L)
+    assert(SnapshotReader.read(spark, dvdst).count() ==
+      afterSrcDelete.filter(col("l_partkey") % 3 =!= 0).count())
+    assert(SnapshotReader.read(spark, dvsrc).count() ==
+      afterSrcDelete.count())
+    // metadata-only counts agree with the scan through mixed vectors
+    assert(SnapshotReader.statsCount(spark, dvdst).head().getLong(0) ==
+      afterSrcDelete.filter(col("l_partkey") % 3 =!= 0).count())
+  }
+
+  test("refusal: non-empty destination") {
     intercept[IllegalStateException] {
       TableWriter.cloneShallow(spark, src, dst, commitTs = 9000L)
     }
