@@ -992,6 +992,38 @@ object Events {
         .agg(sum(col("k")).cast("long").as("sum_k"),
           count(when(col("k") > 50, 1)).as("n_high"))
         .orderBy(col("event_type"))
+    },
+
+    // PIVOT to a wide day-of-week × event-type count matrix — the
+    // relational pivot operator (Dataset.pivot with EXPLICIT values, so
+    // no extra distinct-discovery pass runs before the aggregate). The
+    // dow is q197's engine-agnostic epoch-day arithmetic; the oracle
+    // spells the same matrix as CASE aggregation.
+    QueryDef.sqlBacked(
+      "q276_pivot_dow_matrix",
+      """SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS BIGINT)
+        |    AS dow,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |    AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        |    AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        |    AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |    AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(datediff(col("ts").cast("date"),
+            lit("1970-01-05").cast("date")).cast("long").mod(7).as("dow"),
+          col("event_type"))
+        .groupBy(col("dow"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("dow"))
     }
   )
 }

@@ -2606,6 +2606,157 @@ object Maintenance {
           sum(col("o_totalprice").cast("decimal(15,2)"))
             .cast("double").as("revenue"))
         .orderBy(col("o_month"))
+    },
+
+    // Per-file NULL-COUNT statistics (round 9): the log records each
+    // file's per-column null count from the parquet footer, so
+    // IS NULL / IS NOT NULL prune at the file level and COUNT(col)
+    // answers from stats with ZERO data files opened. Both behaviors
+    // are driver-hash gates computed from the executed plans — the
+    // values alone would pass even if the stats path silently died.
+    QueryDef.sqlBacked(
+      "q274_null_stats_scan",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(CASE WHEN l_linenumber <> 1 THEN 1 END) AS BIGINT)
+        |    AS n_v,
+        |  CAST(COUNT(CASE WHEN l_linenumber = 1 THEN 1 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(1 AS BIGINT) AS agg_from_stats,
+        |  CAST(1 AS BIGINT) AS isnull_pruned
+        |FROM lineitem WHERE l_orderkey % 19 = 0""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/nullstats_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_linenumber") =!= 1, col("l_quantity")).as("v"))
+        // file 1: the all-null sliver; file 2: the null-free rest
+        TableWriter.write(s, li.filter(col("l_linenumber") === 1)
+          .coalesce(1), path, version = 0L, commitTs = 1000L)
+        TableWriter.append(s, li.filter(col("l_linenumber") =!= 1)
+          .coalesce(1), path, commitTs = 2000L)
+      }
+      val t = s.read.format("graft").option("tablePath", path).load()
+      val agg = t.agg(count(lit(1)).as("n_total"), count(col("v")).as("n_v"))
+      val aggFromStats =
+        agg.queryExecution.executedPlan.toString.contains("GraftBatchAgg")
+      val isNull = t.filter(col("v").isNull)
+      val pruned =
+        isNull.queryExecution.executedPlan.toString.contains("files=1/2")
+      val r = agg.head()
+      val nNull = isNull.count()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), nNull,
+          if (aggFromStats) 1L else 0L, if (pruned) 1L else 0L))
+        .toDF("n_total", "n_v", "n_null", "agg_from_stats", "isnull_pruned")
+    },
+
+    // TYPE WIDENING lifecycle (ALTER COLUMN TYPE, round 9): an INT
+    // column widens to BIGINT in one metadata commit — zero files
+    // rewritten — then an append lands values past 2³¹ in the SAME
+    // column, and one aggregate sums across both physical generations
+    // (INT32 pages upcast at scan). The zero_rewrite gate counts live
+    // data files: a widening that rewrote data would fail the hash.
+    QueryDef.sqlBacked(
+      "q277_type_widening",
+      """SELECT
+        |  CAST(SUM(CASE WHEN l_orderkey % 23 = 0
+        |    THEN CAST(CAST(l_quantity AS INT) AS BIGINT) END) +
+        |    SUM(CASE WHEN l_orderkey % 29 = 0
+        |    THEN CAST(l_quantity AS BIGINT) * 1000000000 END)
+        |    AS BIGINT) AS sum_v,
+        |  CAST(COUNT(CASE WHEN l_orderkey % 23 = 0 THEN 1 END) +
+        |    COUNT(CASE WHEN l_orderkey % 29 = 0 THEN 1 END) AS BIGINT)
+        |    AS n,
+        |  CAST(1 AS BIGINT) AS is_bigint,
+        |  CAST(1 AS BIGINT) AS zero_rewrite
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L, 2L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val li = Tables.load(s, dir, "lineitem")
+        TableWriter.write(s, li.filter(col("l_orderkey") % 23 === 0)
+          .select(col("l_orderkey"),
+            col("l_quantity").cast("int").as("v")).coalesce(1),
+          path, version = 0L, commitTs = 1000L)
+        TableWriter.widenColumnType(s, path, "v",
+          org.apache.spark.sql.types.LongType, version = 1L,
+          commitTs = 2000L)
+        TableWriter.append(s, li.filter(col("l_orderkey") % 29 === 0)
+          .select(col("l_orderkey"),
+            (col("l_quantity").cast("long") * 1000000000L).as("v"))
+          .coalesce(1), path, commitTs = 3000L)
+      }
+      val t = s.read.format("graft").option("tablePath", path).load()
+      val isBigint =
+        t.schema("v").dataType == org.apache.spark.sql.types.LongType
+      val liveFiles = new TxnLog(path, conf).snapshotLatest().files.size
+      val r = t.agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), if (isBigint) 1L else 0L,
+          if (liveFiles == 2) 1L else 0L))
+        .toDF("sum_v", "n", "is_bigint", "zero_rewrite")
+    },
+
+    // MERGE SCHEMA EVOLUTION (round 9): the merge source carries a
+    // column the table never declared — with autoMergeSchema the schema
+    // evolves ATOMICALLY with the merged rows (one commit), unmatched
+    // old rows surface the new column as null, and only key-matched
+    // files rewrite. n_segment counts the evolved column's non-nulls:
+    // exactly the merged source rows.
+    QueryDef.sqlBacked(
+      "q278_merge_schema_evolution",
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+        |    WHERE o_orderkey % 31 = 0),
+        |src AS (SELECT o_orderkey, o_totalprice,
+        |    o_orderpriority AS segment FROM orders
+        |    WHERE o_orderkey % 37 = 0),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_totalprice, NULL AS segment
+        |  FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT o_orderkey, o_totalprice, segment FROM src)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(COUNT(segment) AS BIGINT) AS n_segment,
+        |  CAST(1 AS BIGINT) AS evolved
+        |FROM merged""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/mergevo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val o = Tables.load(s, dir, "orders")
+        TableWriter.write(s, o.filter(col("o_orderkey") % 31 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")),
+          path, version = 0L, commitTs = 1000L)
+        TableWriter.mergeUpsert(s, path,
+          o.filter(col("o_orderkey") % 37 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority").as("segment")),
+          Seq("o_orderkey"), version = 1L, commitTs = 2000L,
+          autoMergeSchema = true)
+      }
+      val t = s.read.format("graft").option("tablePath", path).load()
+      val evolved = t.schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "segment")
+      val r = t.agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(15,2)")).cast("double")
+          .as("sum_price"),
+        count(col("segment")).as("n_segment")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
+          if (evolved) 1L else 0L))
+        .toDF("n", "sum_price", "n_segment", "evolved")
     }
   )
 }

@@ -381,6 +381,52 @@ object Text {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // CONTAINMENT near-dup (the asymmetric Jaccard variant): detects a
+    // document mostly CONTAINED in another — quote-heavy derivatives,
+    // doc-in-doc duplication — which symmetric Jaccard misses when the
+    // container is much larger. Same inverted-index pair generation as
+    // q45 (complete for containment > 0), scored inter/min(|A|,|B|).
+    QueryDef.sqlBacked(
+      "q275_containment_pairs",
+      s"""WITH corpus AS (${TextOps.nearDupCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+         |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |             FROM corpus)),
+         |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(COUNT(*) AS BIGINT) AS inter
+         |          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sg) AS n FROM sh)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(LEAST(sa.n, sb.n) AS BIGINT) AS min_n
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE inter * 10 >= LEAST(sa.n, sb.n) * 8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // all-integer threshold (inter·10 ≥ min·8 ⇔ containment ≥ 0.8):
+      // no float compare to drift at the boundary
+      val sh = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+      pairs
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          least(col("sa.n"), col("sb.n")).cast("long").as("min_n"))
+        .filter(col("inter") * 10 >= col("min_n") * 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Dedup clustering: connected components over the near-dup pair
     // graph — the step between pair generation and keep-one selection
     // (pairs alone under-delete: A~B, B~C must collapse to ONE keeper

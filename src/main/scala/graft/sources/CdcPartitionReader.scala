@@ -164,8 +164,23 @@ private[sources] object GroupRows {
 
   def extract(g: Group, idx: Int, dt: DataType): Any = dt match {
     case IntegerType => g.getInteger(idx, 0)
-    case LongType => g.getLong(idx, 0)
-    case DoubleType => g.getDouble(idx, 0)
+    // LONG/DOUBLE switch on the FILE's physical type: after a widening
+    // ALTER COLUMN TYPE (int→long, int→double, float→double) old files
+    // keep their narrower encoding forever — the declared type alone
+    // would getLong an INT32 page and throw
+    case LongType =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => g.getInteger(idx, 0).toLong
+        case _ => g.getLong(idx, 0)
+      }
+    case DoubleType =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => g.getInteger(idx, 0).toDouble
+        case FLOAT => g.getFloat(idx, 0).toDouble
+        case _ => g.getDouble(idx, 0)
+      }
     case FloatType => g.getFloat(idx, 0)
     case BooleanType => g.getBoolean(idx, 0)
     case ShortType => g.getInteger(idx, 0).toShort

@@ -110,6 +110,19 @@ private[sources] object GraftBatch {
     * units file stats use (dates as epoch days, timestamps as micros).
     * Only shapes that can prune contribute; everything else is residual.
     */
+  /** Conjunctive IS NULL / IS NOT NULL terms of a pushed filter —
+    * (logical column, isNull). Pruning uses per-file null counts:
+    * IS NULL skips a file with zero recorded nulls; IS NOT NULL skips
+    * an all-null file. Both stay sound under deletion vectors (deletion
+    * only narrows a file, and "keep" is never wrong).
+    */
+  def nullTermsOf(f: Filter): Seq[(String, Boolean)] = f match {
+    case sources.And(l, r) => nullTermsOf(l) ++ nullTermsOf(r)
+    case sources.IsNull(c) => Seq((c, true))
+    case sources.IsNotNull(c) => Seq((c, false))
+    case _ => Seq.empty
+  }
+
   def rangesOf(f: Filter): Seq[(String, Any, Any)] = {
     def unit(v: Any): Option[Any] = v match {
       case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
@@ -411,13 +424,37 @@ private[sources] class GraftBatchScanBuilder(
         else None
       case _ => None
     }
+    // COUNT(col) = Σ(numRecords − nullCount): answerable iff every
+    // file's stats carry the column's null count (pre-feature logs and
+    // unsupported types leave the map entry absent → refuse)
+    def nullCountCol(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 =>
+        val phys = ColumnMapping.physicalName(r.fieldNames.head,
+          resolved.mapping)
+        if (resolved.files.forall(
+            _.stats.exists(_.nullCounts.contains(phys)))) Some(phys)
+        else None
+      case _ => None
+    }
     a.aggregateExpressions.forall {
       case _: CountStar => true
+      case c: Count =>
+        !c.isDistinct && nullCountCol(c.column).isDefined
       case m: Min => statsCol(m.column).isDefined
       case m: Max => statsCol(m.column).isDefined
       case _ => false
     }
   }
+
+  /** Physical column of a pushed COUNT(col) — mirrors canPushAgg. */
+  private def countPhys(
+      e: org.apache.spark.sql.connector.expressions.Expression): String =
+    ColumnMapping.physicalName(e.asInstanceOf[
+      org.apache.spark.sql.connector.expressions.NamedReference]
+      .fieldNames.head, resolved.mapping)
 
   override def supportCompletePushDown(a: Aggregation): Boolean = canPushAgg(a)
 
@@ -427,7 +464,8 @@ private[sources] class GraftBatchScanBuilder(
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a filter is "pushed" if it contributes at least one prunable range;
     // ALL filters stay residual (file-granular pruning is never complete)
-    pushed = filters.filter(f => GraftBatch.rangesOf(f).nonEmpty)
+    pushed = filters.filter(f => GraftBatch.rangesOf(f).nonEmpty ||
+      GraftBatch.nullTermsOf(f).nonEmpty)
     filters
   }
 
@@ -512,6 +550,8 @@ private[sources] class GraftBatchScanBuilder(
         a.aggregateExpressions.zipWithIndex.foreach {
           case (_: CountStar, i) =>
             fields += StructField(s"agg_$i", LongType, nullable = false)
+          case (_: Count, i) =>
+            fields += StructField(s"agg_$i", LongType, nullable = false)
           case (m: Min, i) =>
             fields += StructField(s"agg_$i", declaredType(m.column),
               nullable = false)
@@ -537,6 +577,10 @@ private[sources] class GraftBatchScanBuilder(
           a.aggregateExpressions.foreach {
             case _: CountStar =>
               vals += files.map(_.stats.get.numRecords).sum
+            case c: Count =>
+              val phys = countPhys(c.column)
+              vals += files.map(f => f.stats.get.numRecords -
+                f.stats.get.nullCounts(phys)).sum
             case m: Min => vals += statsMinMax(m.column, isMin = true, files)._2
             case m: Max => vals += statsMinMax(m.column, isMin = false, files)._2
             case other => throw new IllegalStateException(
@@ -554,8 +598,21 @@ private[sources] class GraftBatchScanBuilder(
       }
     val physSchema =
       ColumnMapping.physicalSchema(resolved.schema, resolved.mapping)
-    val statsKept = DataSkipping.pruneFilesAll(
+    val rangeKept = DataSkipping.pruneFilesAll(
       resolved.files, physSchema, ranges.toSeq)
+    // null-count pruning: IS NULL drops zero-null files, IS NOT NULL
+    // drops all-null files; an absent count keeps the file (sound)
+    val nullTerms = pushed.flatMap(GraftBatch.nullTermsOf)
+      .map { case (c, isNull) =>
+        (ColumnMapping.physicalName(c, resolved.mapping), isNull) }
+    val statsKept =
+      if (nullTerms.isEmpty) rangeKept
+      else rangeKept.filter { f =>
+        nullTerms.forall { case (c, isNull) =>
+          f.stats.flatMap(st => st.nullCounts.get(c).map(n =>
+            if (isNull) n > 0 else n < st.numRecords)).getOrElse(true)
+        }
+      }
     // point probes additionally consult the per-file bloom index (the
     // only file-level signal with power on high-cardinality keys)
     val points = ranges.filter { case (_, lo, hi) => lo == hi }

@@ -387,10 +387,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           TableWriter.dropColumn(spark, dir, del.fieldNames().head,
             version = v, commitTs = System.currentTimeMillis())
         }
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        val log = new TxnLog(dir, conf)
+        OptimisticTxn.retrying(log) { v =>
+          TableWriter.widenColumnType(spark, dir, ut.fieldNames().head,
+            ut.newDataType(), version = v,
+            commitTs = System.currentTimeMillis())
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported (supported: ADD " +
-            "COLUMNS of nullable top-level columns, RENAME COLUMN)")
+            "COLUMNS of nullable top-level columns, RENAME COLUMN, " +
+            "widening ALTER COLUMN TYPE)")
     }
     loadTable(ident)
   }

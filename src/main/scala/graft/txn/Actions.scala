@@ -26,12 +26,18 @@ sealed trait Action
   *        way (parquet has no truncation for them). Default keeps
   *        pre-flag logs and checkpoints reading as tight — correct,
   *        because graft's own writer never truncates.
+  * @param nullCounts per-column null-row counts (Delta records these
+  *        too): powers IS NULL / IS NOT NULL file pruning and the
+  *        stats-only COUNT(col) aggregate answer. A column absent from
+  *        the map is simply unknown (pre-feature logs, unsupported
+  *        types) — readers must treat absence as "cannot prune".
   */
 final case class FileStats(
     numRecords: Long,
     minValues: Map[String, String],
     maxValues: Map[String, String],
-    tight: Boolean = true)
+    tight: Boolean = true,
+    nullCounts: Map[String, Long] = Map.empty)
 
 /** A data file added to the table at some version.
   * @param partitionValues partition-column → value (empty for unpartitioned)

@@ -458,6 +458,86 @@ object TableWriter {
       CommitInfo("RENAME COLUMN", commitTs)))
   }
 
+  /** Lossless widening conversions (the Delta type-widening set this
+    * engine supports): every old value is exactly representable in the
+    * new type, so a widened read can never change a query answer.
+    */
+  private[graft] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN TYPE — WIDENING ONLY (Delta's type widening): ONE
+    * metadata commit re-declares the column's type; no data file is
+    * rewritten. Old files keep their narrower physical encoding forever
+    * and every reader upcasts at scan time: Spark 4's vectorized parquet
+    * reader reads INT32 pages under a declared LONG/DOUBLE schema
+    * natively, and the row-granular CDC reader switches on the file's
+    * physical type ([[graft.sources.CdcPartitionReader]]). Narrowing and
+    * lossy changes refuse — a long → int would silently corrupt.
+    *
+    * float→double additionally DROPS the column's min/max from every
+    * live file's stats in the SAME commit (dataChange=false re-adds, a
+    * file-count-sized metadata write): a float-origin max like "3.4"
+    * parsed as double UNDER-states the true float value by half an ulp,
+    * which would make data skipping and stats-only MIN/MAX unsound.
+    * Integer-ladder and decimal widenings parse exactly — stats stay.
+    */
+  def widenColumnType(
+      spark: SparkSession,
+      tablePath: String,
+      colName: String,
+      newType: org.apache.spark.sql.types.DataType,
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val m = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no table metadata at $tablePath"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$colName' at $tablePath"))
+    require(isWidening(field.dataType, newType),
+      s"ALTER COLUMN TYPE supports only lossless widening; " +
+        s"${field.dataType.simpleString} -> ${newType.simpleString} " +
+        "is not (rewrite the table to narrow or reshape)")
+    require(!m.partitionColumns.contains(colName),
+      s"cannot retype partition column '$colName': its directory values " +
+        "were formatted under the old type")
+    val evolved = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == colName) f.copy(dataType = newType) else f))
+    val phys = ColumnMapping.physicalName(colName, m.columnMapping)
+    val statsFix: Seq[Action] =
+      if (field.dataType != org.apache.spark.sql.types.FloatType) Seq.empty
+      else snap.files.filter(_.stats.exists(st =>
+          st.minValues.contains(phys) || st.maxValues.contains(phys)))
+        .flatMap { f =>
+          val cleaned = f.copy(dataChange = false,
+            stats = f.stats.map(st => st.copy(
+              minValues = st.minValues - phys,
+              maxValues = st.maxValues - phys)))
+          Seq(RemoveFile(f.path, commitTs, f.partitionValues,
+            dataChange = false), cleaned)
+        }
+    log.commit(version, Seq(
+      m.copy(schemaJson = evolved.json)) ++ statsFix :+
+      CommitInfo("ALTER COLUMN TYPE", commitTs))
+  }
+
   /** Metadata-only DROP COLUMN (Delta column-mapping semantics): no
     * data file is touched — the commit re-declares the schema without
     * the column, and readers simply never project the files' physical
@@ -608,12 +688,19 @@ object TableWriter {
       val mins = scala.collection.mutable.Map.empty[String, Any]
       val maxs = scala.collection.mutable.Map.empty[String, Any]
       val skip = scala.collection.mutable.Set.empty[String] // no usable stats
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val skipNulls = scala.collection.mutable.Set.empty[String]
       blocks.foreach { b =>
         rows += b.getRowCount
         b.getColumns.asScala.foreach { c =>
           if (c.getPath.size == 1) { // top-level primitives only
             val name = c.getPath.toDotString
             val st = c.getStatistics
+            // null counts are INDEPENDENT of min/max usability: an
+            // all-null column has no min/max but a perfectly good count
+            if (st != null && !st.isEmpty && st.isNumNullsSet)
+              nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            else skipNulls += name
             if (st == null || st.isEmpty || !st.hasNonNullValue) skip += name
             else {
               val prim = c.getPrimitiveType
@@ -653,9 +740,11 @@ object TableWriter {
         }
       }
       skip.foreach { n => mins -= n; maxs -= n }
+      skipNulls.foreach { n => nulls -= n }
       Some(FileStats(rows,
         mins.map { case (k, v) => k -> v.toString }.toMap,
-        maxs.map { case (k, v) => k -> v.toString }.toMap))
+        maxs.map { case (k, v) => k -> v.toString }.toMap,
+        nullCounts = nulls.toMap))
     } catch {
       case _: Exception => None // stats are an optimization, never fatal
     } finally reader.close()
@@ -1306,7 +1395,8 @@ object TableWriter {
       keyCols: Seq[String],
       version: Long,
       commitTs: Long,
-      operation: String = "MERGE"): Unit = {
+      operation: String = "MERGE",
+      autoMergeSchema: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
@@ -1314,6 +1404,42 @@ object TableWriter {
     val snap = log.snapshotLatest()
     TxnLog.assertWritable(snap, tablePath)
     val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    // MERGE SCHEMA EVOLUTION (Delta's schema.autoMerge): source-only
+    // columns evolve the table schema in the SAME commit as the merged
+    // data — untouched files surface them as null (the q112 read-side
+    // evolution contract), rewritten files carry real values. Off by
+    // default: a typo'd column name silently widening a production
+    // schema should be a choice. Re-using a HISTORICALLY DECLARED name
+    // refuses (metadata-only DROP COLUMN leaves old bytes in files —
+    // the catalog's ADD COLUMN mints a fresh physical name for that
+    // case; MERGE keeps its fast path honest instead of duplicating it).
+    val declared = snap.metadata.map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val extraFields: Seq[org.apache.spark.sql.types.StructField] =
+      declared.map(d => source.schema.fields.toSeq
+        .filterNot(f => d.fieldNames.contains(f.name))).getOrElse(Seq.empty)
+    require(extraFields.isEmpty || autoMergeSchema,
+      s"MERGE source carries columns absent from the table schema: " +
+        s"${extraFields.map(_.name).mkString(", ")} — pass " +
+        "autoMergeSchema=true to evolve, or drop them")
+    if (extraFields.nonEmpty) {
+      val m = snap.metadata.get
+      val historicalPhysical: Set[String] = log.changes(0L).flatMap {
+        case (_, actions) => actions.collect {
+          case hm: Metadata =>
+            val sch = org.apache.spark.sql.types.DataType
+              .fromJson(hm.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            ColumnMapping.physicalSchema(sch, hm.columnMapping)
+              .fieldNames.toSeq
+        }.flatten
+      }.toSet
+      extraFields.foreach(f => require(!historicalPhysical.contains(f.name),
+        s"column '${f.name}' was declared by a historical schema — " +
+          "its bytes may survive in live files; use ALTER TABLE ADD " +
+          "COLUMNS (which mints a fresh physical name) before merging"))
+    }
     val byRel = {
       val tableQ = {
         val p = new Path(tablePath)
@@ -1338,7 +1464,9 @@ object TableWriter {
       if (affected.isEmpty) source
       else readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
         .join(srcKeys, keyCols, "left_anti")
-        .unionByName(source)
+        // with evolution, survivors lack the source-only columns — they
+        // fill as null, same as every untouched file will read
+        .unionByName(source, allowMissingColumns = extraFields.nonEmpty)
     // MERGE introduces new/updated rows — CHECK constraints apply to the
     // source side (survivors already passed when first written)
     enforceConstraints(source,
@@ -1347,7 +1475,16 @@ object TableWriter {
       commitTs, dataChange = true)
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
-    log.commit(version, (removes ++ adds) :+ CommitInfo(operation, commitTs))
+    val metaAction: Seq[Action] =
+      if (extraFields.isEmpty) Seq.empty
+      else {
+        val evolved = org.apache.spark.sql.types.StructType(
+          declared.get.fields ++
+            extraFields.map(_.copy(nullable = true)))
+        Seq(snap.metadata.get.copy(schemaJson = evolved.json))
+      }
+    log.commit(version,
+      metaAction ++ (removes ++ adds) :+ CommitInfo(operation, commitTs))
   }
 
   /** MERGE full-sync: make the SCOPE slice of the table equal the source
