@@ -2757,6 +2757,54 @@ object Maintenance {
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
           if (evolved) 1L else 0L))
         .toDF("n", "sum_price", "n_segment", "evolved")
+    },
+
+    // TABLE PROPERTIES as live configuration (round 9): TBLPROPERTIES
+    // persist in the Metadata (checkpoint-surviving, time-traveling),
+    // and `graft.autoCompact.*` set ON THE TABLE drives auto-compaction
+    // with no session conf at all — the table owner's declaration, not
+    // the job's defaults. Gates: the property round-trip and the
+    // property-triggered compaction commit (file count folds to 1).
+    QueryDef.sqlBacked(
+      "q279_table_properties",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(1 AS BIGINT) AS props_roundtrip,
+        |  CAST(1 AS BIGINT) AS auto_compacted
+        |FROM lineitem WHERE l_orderkey % 43 = 0""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/tblprops_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L, 2L, 3L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 43 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        TableWriter.write(s, li.filter(col("l_linenumber") <= 2)
+          .repartition(4), path, version = 0L, commitTs = 1000L)
+        TableWriter.setTableProperties(s, path,
+          set = Map("graft.autoCompact.enabled" -> "true",
+            "graft.autoCompact.minFiles" -> "4",
+            "stage" -> "silver"), version = 1L, commitTs = 2000L)
+        // this append trips the table-property threshold → v3 compaction
+        TableWriter.append(s, li.filter(col("l_linenumber") > 2)
+          .repartition(4), path, commitTs = 3000L)
+      }
+      val log = new TxnLog(path, conf)
+      val snap = log.snapshotLatest()
+      val propsOk = snap.metadata.exists(m =>
+        m.properties.get("stage").contains("silver") &&
+          m.properties.get("graft.autoCompact.enabled").contains("true"))
+      val compacted =
+        log.versions() == Seq(0L, 1L, 2L, 3L) && snap.files.size == 1
+      val r = s.read.format("graft").option("tablePath", path).load()
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), if (propsOk) 1L else 0L,
+          if (compacted) 1L else 0L))
+        .toDF("n", "qty", "props_roundtrip", "auto_compacted")
     }
   )
 }

@@ -82,7 +82,8 @@ private[sources] object GraftBatch {
       files: Seq[AddFile],
       schema: StructType,
       mapping: Map[String, String],
-      partitionColumns: Seq[String])
+      partitionColumns: Seq[String],
+      tableProperties: Map[String, String] = Map.empty)
 
   def resolve(options: Map[String, String]): Resolved = {
     val tablePath = options.getOrElse("tablePath",
@@ -103,7 +104,7 @@ private[sources] object GraftBatch {
       throw new IllegalArgumentException(s"no Metadata action in $tablePath"))
     Resolved(tablePath, version, snap.files,
       DataType.fromJson(meta.schemaJson).asInstanceOf[StructType],
-      meta.columnMapping, meta.partitionColumns)
+      meta.columnMapping, meta.partitionColumns, meta.properties)
   }
 
   /** V1 filter → conjunctive (logical column, lo, hi) ranges in the
@@ -169,13 +170,23 @@ private[sources] object GraftBatch {
 private[sources] class GraftBatchTable(
     tableSchema: StructType,
     properties: Map[String, String],
-    partitionColumns: Seq[String] = Seq.empty)
+    partitionColumns: Seq[String] = Seq.empty,
+    tableProperties: Map[String, String] = Map.empty)
   extends Table
   with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the Metadata's
+    * persisted properties (the read options stay out of it).
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    tableProperties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** SQL-visible CHECK constraints (DESCRIBE, ADD CONSTRAINT name
     * checks): named ones under their names, unnamed (Scala-API-added)

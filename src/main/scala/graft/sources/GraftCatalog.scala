@@ -103,7 +103,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val resolved = GraftBatch.resolve(Map("tablePath" -> dir))
     new GraftBatchTable(resolved.schema,
       Map("tablePath" -> dir),
-      partitionColumns = resolved.partitionColumns)
+      partitionColumns = resolved.partitionColumns,
+      tableProperties = resolved.tableProperties)
   }
 
   /** SQL time travel: `SELECT ... FROM gcat.ns.t VERSION AS OF 3`. */
@@ -119,7 +120,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Map("tablePath" -> dir, "versionAsOf" -> v.toString))
     new GraftBatchTable(resolved.schema,
       Map("tablePath" -> dir, "versionAsOf" -> v.toString),
-      partitionColumns = resolved.partitionColumns)
+      partitionColumns = resolved.partitionColumns,
+      tableProperties = resolved.tableProperties)
   }
 
   /** SQL time travel: `... TIMESTAMP AS OF '2024-01-01T00:00:00Z'`
@@ -135,8 +137,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Map("tablePath" -> dir, "timestampAsOf" -> ms.toString))
     new GraftBatchTable(resolved.schema,
       Map("tablePath" -> dir, "timestampAsOf" -> ms.toString),
-      partitionColumns = resolved.partitionColumns)
+      partitionColumns = resolved.partitionColumns,
+      tableProperties = resolved.tableProperties)
   }
+
+  /** Keys Spark's catalog plumbing injects that are NOT user table
+    * properties — persisting them would make SHOW TBLPROPERTIES echo
+    * engine internals back as if the user had set them.
+    */
+  private def userProperties(
+      properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap -- Seq("provider", "location", "owner",
+      "external", "path", "is_managed_location", "option.tablePath")
 
   override def createTable(
       ident: Identifier,
@@ -157,11 +169,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // CREATE TABLE = one metadata-only commit (v0): schema + partition
     // spec exist before any data file does
     val log = new TxnLog(dir, conf)
+    val props = userProperties(properties)
     log.commit(0L, Seq(
-      Metadata(schema.json, partCols),
+      Metadata(schema.json, partCols, properties = props),
       CommitInfo("CREATE TABLE", System.currentTimeMillis())))
     new GraftBatchTable(schema, Map("tablePath" -> dir),
-      partitionColumns = partCols)
+      partitionColumns = partCols, tableProperties = props)
   }
 
   /** The TableInfo variant Spark routes `CREATE TABLE` with constraints
@@ -226,10 +239,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         constraints = named.values.toSeq,
         generatedColumns = generated,
         constraintNames = named,
-        identityColumns = identity),
+        identityColumns = identity,
+        properties = userProperties(info.properties())),
       CommitInfo("CREATE TABLE", System.currentTimeMillis())))
     new GraftBatchTable(schema, Map("tablePath" -> dir),
-      partitionColumns = partCols)
+      partitionColumns = partCols,
+      tableProperties = userProperties(info.properties()))
   }
 
   // ------ atomic CTAS / REPLACE TABLE AS SELECT (StagingTableCatalog) ------
@@ -386,6 +401,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         OptimisticTxn.retrying(log) { v =>
           TableWriter.dropColumn(spark, dir, del.fieldNames().head,
             version = v, commitTs = System.currentTimeMillis())
+        }
+      case sp: TableChange.SetProperty =>
+        val log = new TxnLog(dir, conf)
+        OptimisticTxn.retrying(log) { v =>
+          TableWriter.setTableProperties(spark, dir,
+            set = Map(sp.property() -> sp.value()), version = v)
+        }
+      case rp: TableChange.RemoveProperty =>
+        val log = new TxnLog(dir, conf)
+        OptimisticTxn.retrying(log) { v =>
+          TableWriter.setTableProperties(spark, dir, set = Map.empty,
+            unset = Seq(rp.property()), version = v)
         }
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1,

@@ -122,7 +122,15 @@ final case class Metadata(
     // set once, every compaction maintains the layout. First entry may
     // carry the "hilbert:" curve prefix. Defaulted, so pre-clustering
     // logs and checkpoints read unchanged.
-    clusterBy: Seq[String] = Seq.empty) extends Action
+    clusterBy: Seq[String] = Seq.empty,
+    // TABLE PROPERTIES (Delta's TBLPROPERTIES): free-form key → value
+    // riding the Metadata, so SET/UNSET is one metadata commit and the
+    // values time-travel with the schema. Keys under `graft.` configure
+    // engine behavior (e.g. graft.autoCompact.* takes precedence over
+    // the session conf); everything else is user storage surfaced by
+    // SHOW TBLPROPERTIES. Defaulted, so pre-properties logs read
+    // unchanged.
+    properties: Map[String, String] = Map.empty) extends Action
 
 /** Commit provenance; `timestamp` drives timestamp-as-of time travel.
   * @param rowIdHighWater the first UNUSED stable row id after this

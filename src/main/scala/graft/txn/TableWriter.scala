@@ -458,6 +458,30 @@ object TableWriter {
       CommitInfo("RENAME COLUMN", commitTs)))
   }
 
+  /** SET / UNSET TBLPROPERTIES: one metadata commit; the values ride
+    * the Metadata action, so they time-travel with the schema and
+    * survive checkpoints. `graft.`-prefixed keys configure engine
+    * behavior (auto-compaction reads them ahead of the session conf);
+    * everything else is durable user storage.
+    */
+  def setTableProperties(
+      spark: SparkSession,
+      tablePath: String,
+      set: Map[String, String],
+      unset: Seq[String] = Seq.empty,
+      version: Long = -1L,
+      commitTs: Long = System.currentTimeMillis()): Unit = {
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val m = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no table metadata at $tablePath"))
+    val v = if (version >= 0) version else snap.version + 1
+    log.commit(v, Seq(
+      m.copy(properties = m.properties -- unset ++ set),
+      CommitInfo("SET TBLPROPERTIES", commitTs)))
+  }
+
   /** Lossless widening conversions (the Delta type-widening set this
     * engine supports): every old value is exactly representable in the
     * new type, so a widened read can never change a query answer.
@@ -1102,16 +1126,17 @@ object TableWriter {
     * write path that silently doubles its commits should be a choice.
     */
   private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit = {
-    if (!spark.conf.getOption("spark.graft.autoCompact.enabled")
-        .exists(_.equalsIgnoreCase("true"))) return
-    val minFiles = spark.conf
-      .getOption("spark.graft.autoCompact.minFiles").map(_.toInt)
-      .getOrElse(16)
-    val targetBytes = spark.conf
-      .getOption("spark.graft.autoCompact.targetFileMB").map(_.toLong)
-      .getOrElse(64L) * 1024L * 1024L
     val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
     val snap = log.snapshotLatest()
+    // TABLE properties take precedence over the session conf (the Delta
+    // convention: the table owner's declaration beats a job's defaults)
+    val props = snap.metadata.map(_.properties).getOrElse(Map.empty)
+    def opt(key: String): Option[String] =
+      props.get(s"graft.$key").orElse(spark.conf.getOption(s"spark.graft.$key"))
+    if (!opt("autoCompact.enabled").exists(_.equalsIgnoreCase("true"))) return
+    val minFiles = opt("autoCompact.minFiles").map(_.toInt).getOrElse(16)
+    val targetBytes = opt("autoCompact.targetFileMB").map(_.toLong)
+      .getOrElse(64L) * 1024L * 1024L
     val small = snap.files.count(_.size < targetBytes)
     if (small <= minFiles) return
     try compact(spark, tablePath, version = snap.version + 1,
