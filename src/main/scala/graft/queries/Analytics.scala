@@ -1478,6 +1478,151 @@ object Analytics {
             |  WHERE n.n_regionkey = r.r_regionkey
             |  ORDER BY bal_cents DESC, c_name LIMIT 3) l
             |ORDER BY r.r_name, l.bal_cents DESC, l.c_name""".stripMargin)
+    },
+
+    // BFS / shortest-hop distance over the supplier↔part bipartite
+    // graph from a seed supplier set — the frontier-expansion shape
+    // (Pregel BFS): each round is ONE distributed join frontier⋈edges
+    // minus visited; round count is the distance bound (4), never data
+    // size. Output: node count per (distance, side) — min-distance
+    // semantics, so a node reached twice counts once at its first
+    // level. Oracle: bounded recursive CTE with a MATERIALIZED edge
+    // list (the memory-checklist convention) and MIN(d) per node.
+    QueryDef.sqlBacked(
+      "q281_bfs_reach",
+      """WITH RECURSIVE e2 AS MATERIALIZED (
+        |  SELECT l_suppkey AS fn, 's' AS ft, l_partkey AS tn, 'p' AS tt
+        |  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+        |  UNION ALL
+        |  SELECT l_partkey, 'p', l_suppkey, 's'
+        |  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)),
+        |walk(node, typ, d) AS (
+        |  SELECT s_suppkey, 's', 0 FROM supplier WHERE s_suppkey % 50 = 0
+        |  UNION
+        |  SELECT e2.tn, e2.tt, w.d + 1
+        |  FROM walk w JOIN e2 ON e2.fn = w.node AND e2.ft = w.typ
+        |  WHERE w.d < 4),
+        |md AS (SELECT node, typ, MIN(d) AS dist FROM walk
+        |  GROUP BY node, typ)
+        |SELECT CAST(dist AS BIGINT) AS dist, typ,
+        |  CAST(COUNT(*) AS BIGINT) AS nodes
+        |FROM md GROUP BY dist, typ ORDER BY dist, typ""".stripMargin) {
+      (s, dir) =>
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct().cache()
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_suppkey") % 50 === 0)
+        .select(col("s_suppkey").as("node"), lit("s").as("typ"),
+          lit(0).as("d"))
+      var levels = Seq(seeds.cache())
+      for (d <- 1 to 4) {
+        val prev = levels.last
+        val next =
+          prev.filter(col("typ") === "s")
+            .join(e, col("node") === col("s"))
+            .select(col("p").as("node"), lit("p").as("typ"),
+              lit(d).as("d"))
+            .unionByName(
+              prev.filter(col("typ") === "p")
+                .join(e, col("node") === col("p"))
+                .select(col("s").as("node"), lit("s").as("typ"),
+                  lit(d).as("d")))
+            .distinct()
+        levels = levels :+ next.cache()
+      }
+      levels.reduce(_ unionByName _)
+        .groupBy(col("node"), col("typ")).agg(min(col("d")).as("dist"))
+        .groupBy(col("dist").cast("long").as("dist"), col("typ"))
+        .agg(count(lit(1)).as("nodes"))
+        .orderBy(col("dist"), col("typ"))
+    },
+
+    // RFM segmentation (recency / frequency / monetary quartiles) —
+    // the classic CRM cut: each customer lands in an (r,f,m) cell via
+    // NTILE(4) with a FULLY DETERMINISTIC order (metric, then custkey),
+    // so both engines tie-break identically. One orders scan, one
+    // customer-keyed aggregate, three window passes over the
+    // customer-sized frame (never the fact table).
+    QueryDef.sqlBacked(
+      "q282_rfm_segments",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    MAX(epoch_ms(o_orderdate)) AS last_ms,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT o_custkey,
+        |    NTILE(4) OVER (ORDER BY last_ms DESC, o_custkey) AS r_q,
+        |    NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+        |    NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+        |  FROM cust)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q, CAST(COUNT(*) AS BIGINT) AS customers
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        // o_orderdate loads as TIMESTAMP_NTZ; the session is pinned UTC,
+        // so the cast matches DuckDB's epoch_ms of the naive timestamp
+        .agg(max(unix_millis(col("o_orderdate").cast("timestamp")))
+          .as("last_ms"),
+          count(lit(1)).as("freq"),
+          sum((col("o_totalprice").cast(DecimalType(15, 2)) * 100)
+            .cast("long")).as("cents"))
+      def q(metric: Column): Column =
+        ntile(4).over(Window.orderBy(metric.desc, col("o_custkey")))
+      cust
+        .withColumn("r_q", q(col("last_ms")).cast("long"))
+        .withColumn("f_q", q(col("freq")).cast("long"))
+        .withColumn("m_q", q(col("cents")).cast("long"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("customers"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // Market-basket affinity: within-order part pairs with ALL-INTEGER
+    // lift in ppm — lift = P(a∧b)/(P(a)·P(b)) becomes
+    // co·n_orders·10⁶ ÷ (c_a·c_b), positive integer division, so the
+    // ranking cannot drift between engines. The pair join is per-order
+    // (bounded by lines-per-order, not table size); top pairs by
+    // support with a full deterministic tie-break.
+    QueryDef.sqlBacked(
+      "q283_basket_affinity",
+      """WITH lines AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS orders FROM lines),
+        |cnt AS (SELECT l_partkey, COUNT(*) AS c FROM lines GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    COUNT(*) AS co
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, CAST(co AS BIGINT) AS co,
+        |  CAST(co * (SELECT orders FROM n) * 1000000
+        |    // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN cnt ca ON ca.l_partkey = pa
+        |  JOIN cnt cb ON cb.l_partkey = pb
+        |ORDER BY co DESC, pa, pb LIMIT 15""".stripMargin) { (s, dir) =>
+      val lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
+      val nOrders = lines.select(col("l_orderkey")).distinct().count()
+      val cnt = lines.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val pairs = lines.as("a").join(lines.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("co"))
+      pairs
+        .join(broadcast(cnt.select(col("l_partkey").as("pa"),
+          col("c").as("ca"))), "pa")
+        .join(broadcast(cnt.select(col("l_partkey").as("pb"),
+          col("c").as("cb"))), "pb")
+        .select(col("pa"), col("pb"), col("co"),
+          expr(s"CAST(co * ${nOrders}L * 1000000 DIV (ca * cb) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy(col("co").desc, col("pa"), col("pb")).limit(15)
     }
   )
 }

@@ -2805,6 +2805,47 @@ object Maintenance {
       Seq((r.getLong(0), r.getLong(1), if (propsOk) 1L else 0L,
           if (compacted) 1L else 0L))
         .toDF("n", "qty", "props_roundtrip", "auto_compacted")
+    },
+
+    // IN-LIST file skipping (round 9): one file per l_linenumber value,
+    // then `l_linenumber IN (1, 3)` must open exactly two of them — the
+    // per-value DISJUNCTION of point probes a single conjunctive range
+    // cannot express. The gate reads the executed plan's kept/total
+    // file count; values are recomputed from lineitem by the oracle.
+    QueryDef.sqlBacked(
+      "q280_in_list_skipping",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(1 AS BIGINT) AS in_pruned
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0 AND l_linenumber IN (1, 3)""".stripMargin) {
+      (s, dir) =>
+      val path =
+        s"target/fixtures/inlist_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val lineNos = li.select(col("l_linenumber")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (new TxnLog(path, conf).versions().size != lineNos.length) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        lineNos.zipWithIndex.foreach { case (ln, i) =>
+          TableWriter.write(s,
+            li.filter(col("l_linenumber") === ln).coalesce(1), path,
+            version = i.toLong, commitTs = 1000L + i)
+        }
+      }
+      val q = s.read.format("graft").option("tablePath", path).load()
+        .filter(col("l_linenumber").isin(1, 3))
+      val pruned = q.queryExecution.executedPlan.toString
+        .contains(s"files=2/${lineNos.length}")
+      val r = q.agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), if (pruned) 1L else 0L))
+        .toDF("n", "qty", "in_pruned")
     }
   )
 }

@@ -124,15 +124,32 @@ private[sources] object GraftBatch {
     case _ => Seq.empty
   }
 
+  /** Literal → the unit file stats use (dates as epoch days, timestamps
+    * as micros); None for null (no range contribution).
+    */
+  private def unit(v: Any): Option[Any] = v match {
+    case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d))
+    case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+    case null => None
+    case other => Some(other)
+  }
+
+  /** Conjunctive IN-list terms — (column, candidate values). A file
+    * survives an IN iff ANY value may sit in its [min, max] (and, when
+    * a bloom index exists, ANY value might be contained): the
+    * DISJUNCTION of point probes, which a single conjunctive range
+    * cannot express. A null literal in the list contributes nothing
+    * (IN never matches null), and an all-null list prunes everything.
+    */
+  def inTermsOf(f: Filter): Seq[(String, Seq[Any])] = f match {
+    case sources.And(l, r) => inTermsOf(l) ++ inTermsOf(r)
+    case sources.In(c, vs) => Seq((c, vs.toSeq.flatMap(unit)))
+    case _ => Seq.empty
+  }
+
   def rangesOf(f: Filter): Seq[(String, Any, Any)] = {
-    def unit(v: Any): Option[Any] = v match {
-      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
-      case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d))
-      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
-      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
-      case null => None
-      case other => Some(other)
-    }
     val NegInf = Double.MinValue
     val PosInf = Double.MaxValue
     // string bounds only prune equality (lexical half-ranges are sound
@@ -476,7 +493,8 @@ private[sources] class GraftBatchScanBuilder(
     // a filter is "pushed" if it contributes at least one prunable range;
     // ALL filters stay residual (file-granular pruning is never complete)
     pushed = filters.filter(f => GraftBatch.rangesOf(f).nonEmpty ||
-      GraftBatch.nullTermsOf(f).nonEmpty)
+      GraftBatch.nullTermsOf(f).nonEmpty ||
+      GraftBatch.inTermsOf(f).nonEmpty)
     filters
   }
 
@@ -624,22 +642,43 @@ private[sources] class GraftBatchScanBuilder(
             if (isNull) n > 0 else n < st.numRecords)).getOrElse(true)
         }
       }
+    // IN-list pruning: a file survives iff ANY candidate value may sit
+    // in its [min, max] — per-term disjunction of point probes
+    val inTerms = pushed.flatMap(GraftBatch.inTermsOf)
+      .map { case (c, vs) =>
+        (ColumnMapping.physicalName(c, resolved.mapping), vs) }
+    val inKept =
+      if (inTerms.isEmpty) statsKept
+      else statsKept.filter { f =>
+        inTerms.forall { case (c, vs) =>
+          vs.exists(v => DataSkipping.pruneFiles(Seq(f),
+            physSchema(c).dataType, c, v, v).nonEmpty)
+        }
+      }
     // point probes additionally consult the per-file bloom index (the
-    // only file-level signal with power on high-cardinality keys)
+    // only file-level signal with power on high-cardinality keys);
+    // IN lists probe the same way — ANY value might-contain keeps
     val points = ranges.filter { case (_, lo, hi) => lo == hi }
     val kept =
-      if (points.isEmpty) statsKept
+      if (points.isEmpty && inTerms.isEmpty) inKept
       else {
         val spark = org.apache.spark.sql.SparkSession.active
         val blooms = BloomIndex.load(spark, resolved.tablePath)
-        if (blooms.isEmpty) statsKept
-        else statsKept.filter { f =>
+        if (blooms.isEmpty) inKept
+        else inKept.filter { f =>
           val fn = new org.apache.hadoop.fs.Path(f.path).getName
           points.forall { case (c, lo, _) =>
             (blooms.get((fn, c)),
               BloomIndex.probeHash(physSchema(c).dataType, lo)) match {
               case (Some(b), Some(h)) => b.mightContain(h)
               case _ => true
+            }
+          } && inTerms.forall { case (c, vs) =>
+            blooms.get((fn, c)) match {
+              case None => true
+              case Some(b) => vs.exists(v =>
+                BloomIndex.probeHash(physSchema(c).dataType, v)
+                  .forall(b.mightContain))
             }
           }
         }
