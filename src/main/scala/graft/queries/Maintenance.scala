@@ -2846,6 +2846,63 @@ object Maintenance {
       import s.implicits._
       Seq((r.getLong(0), r.getLong(1), if (pruned) 1L else 0L))
         .toDF("n", "qty", "in_pruned")
+    },
+
+    // GENERATED-COLUMN PARTITION PRUNING (round 9): the query ranges
+    // over the BASE timestamp only; the scan derives the month-string
+    // range on the GENERATED partition column and prunes directories.
+    // The fixture strips the base column's min/max first, so the
+    // derivation is the ONLY signal — exactly the converted-foreign-
+    // files case where footer stats are absent but the layout declares
+    // its generation expression.
+    QueryDef.sqlBacked(
+      "q285_generated_pruning",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(1 AS BIGINT) AS derived_pruned
+        |FROM orders
+        |WHERE o_orderkey % 11 = 0
+        |  AND o_orderdate >= TIMESTAMP '1996-03-01'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01'""".stripMargin) {
+      (s, dir) =>
+      val path =
+        s"target/fixtures/gpd_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        TableWriter.write(s,
+          Tables.load(s, dir, "orders").filter(col("o_orderkey") % 11 === 0),
+          path, partitionBy = Seq("o_month"), version = 0L,
+          commitTs = 1000L,
+          generated = Map("o_month" ->
+            "date_format(o_orderdate, 'yyyy-MM')"))
+        val log = new TxnLog(path, conf)
+        val snap = log.snapshotLatest()
+        val stripped = snap.files.map(f => f.copy(dataChange = false,
+          stats = f.stats.map(st => st.copy(
+            minValues = st.minValues - "o_orderdate",
+            maxValues = st.maxValues - "o_orderdate"))))
+        log.commit(1L, snap.files.map(f => RemoveFile(f.path, 2000L,
+          f.partitionValues, dataChange = false)) ++ stripped :+
+          CommitInfo("STRIP", 2000L))
+      }
+      val q = s.read.format("graft").option("tablePath", path).load()
+        .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+      val total = new TxnLog(path, conf).snapshotLatest().files.size
+      val keptRe = "files=(\\d+)/(\\d+)".r
+      val m = keptRe.findFirstMatchIn(
+        q.queryExecution.executedPlan.toString)
+      val pruned = m.exists(mm => mm.group(2).toInt == total &&
+        mm.group(1).toInt <= 4 && mm.group(1).toInt < total)
+      val r = q.agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), if (pruned) 1L else 0L))
+        .toDF("n", "cents", "derived_pruned")
     }
   )
 }

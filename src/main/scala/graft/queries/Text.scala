@@ -1068,6 +1068,48 @@ object Text {
         .filter(col("rn") <= 5)
         .select(col("lang"), col("term"), col("tf"), col("df"), col("score"))
         .orderBy(col("lang"), col("score").desc, col("term"))
+    },
+
+    // Dedup KEEPER SELECTION — the step that turns near-dup clusters
+    // into an actual training set: within each connected component keep
+    // the best document (longest text, doc_id tie-break) and drop the
+    // rest. q77 stops at cluster shapes; this emits the keep/drop
+    // decision a pipeline acts on, with a fully deterministic policy.
+    QueryDef.sqlBacked(
+      "q284_cluster_keep_best",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s),
+         |lens AS (SELECT doc_id, length(text) AS ln FROM corpus),
+         |ranked AS (SELECT c.comp, c.id, l.ln,
+         |    ROW_NUMBER() OVER (PARTITION BY c.comp
+         |      ORDER BY l.ln DESC, c.id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY c.comp) AS n
+         |  FROM comp c JOIN lens l ON l.doc_id = c.id)
+         |SELECT comp, id AS keeper, CAST(ln AS BIGINT) AS keeper_len,
+         |  CAST(n - 1 AS BIGINT) AS dropped
+         |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin) { (s, dir) =>
+      val comps = graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      val lens = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"), length(col("text")).as("ln"))
+      val w = Window.partitionBy(col("comp"))
+      comps.join(lens, col("id") === col("doc_id"))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("ln").desc, col("id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("comp"), col("id").as("keeper"),
+          col("ln").cast("long").as("keeper_len"),
+          (col("n") - 1).cast("long").as("dropped"))
+        .orderBy(col("comp"))
     }
   )
 }

@@ -83,7 +83,8 @@ private[sources] object GraftBatch {
       schema: StructType,
       mapping: Map[String, String],
       partitionColumns: Seq[String],
-      tableProperties: Map[String, String] = Map.empty)
+      tableProperties: Map[String, String] = Map.empty,
+      generatedColumns: Map[String, String] = Map.empty)
 
   def resolve(options: Map[String, String]): Resolved = {
     val tablePath = options.getOrElse("tablePath",
@@ -104,13 +105,10 @@ private[sources] object GraftBatch {
       throw new IllegalArgumentException(s"no Metadata action in $tablePath"))
     Resolved(tablePath, version, snap.files,
       DataType.fromJson(meta.schemaJson).asInstanceOf[StructType],
-      meta.columnMapping, meta.partitionColumns, meta.properties)
+      meta.columnMapping, meta.partitionColumns, meta.properties,
+      meta.generatedColumns)
   }
 
-  /** V1 filter → conjunctive (logical column, lo, hi) ranges in the
-    * units file stats use (dates as epoch days, timestamps as micros).
-    * Only shapes that can prune contribute; everything else is residual.
-    */
   /** Conjunctive IS NULL / IS NOT NULL terms of a pushed filter —
     * (logical column, isNull). Pruning uses per-file null counts:
     * IS NULL skips a file with zero recorded nulls; IS NOT NULL skips
@@ -132,6 +130,11 @@ private[sources] object GraftBatch {
     case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d))
     case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+    // TIMESTAMP_NTZ literals arrive as LocalDateTime — without this
+    // branch an NTZ range would push but never prune (the stats compare
+    // keeps on unparseable bounds, sound but useless)
+    case l: java.time.LocalDateTime =>
+      Some(DateTimeUtils.localDateTimeToMicros(l))
     case null => None
     case other => Some(other)
   }
@@ -147,6 +150,58 @@ private[sources] object GraftBatch {
     case sources.And(l, r) => inTermsOf(l) ++ inTermsOf(r)
     case sources.In(c, vs) => Seq((c, vs.toSeq.flatMap(unit)))
     case _ => Seq.empty
+  }
+
+  /** GENERATED-COLUMN PARTITION PRUNING (the Delta feature): when a
+    * partition column is GENERATED from a base column by a MONOTONE
+    * date expression, a pushed range on the BASE column derives a
+    * formatted-string range on the PARTITION column — so
+    * `WHERE ts BETWEEN x AND y` prunes `month=...` directories without
+    * the user ever mentioning the partition column. Recognized shapes
+    * (each monotone, each formatting to a lexicographically-
+    * chronological string): `date_format(b, 'yyyy-MM')`,
+    * `date_format(b, 'yyyy-MM-dd')`, `CAST(b AS DATE)`. Returns
+    * (generatedCol, loStr, hiStr) with ""-/"￿"-style sentinels for
+    * unbounded ends; anything unrecognized derives nothing (sound).
+    */
+  def derivedPartitionRanges(
+      generatedColumns: Map[String, String],
+      partitionColumns: Seq[String],
+      baseRanges: Seq[(String, Any, Any)])
+      : Seq[(String, String, String)] = {
+    val MaxStr = "￿￿￿"
+    def micros(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case d: Double if d == Double.MinValue || d == Double.MaxValue => None
+      case _ => None
+    }
+    def fmt(us: Long, pattern: String): String =
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern(pattern))
+    val DateFormatRe =
+      """(?i)date_format\s*\(\s*([A-Za-z0-9_]+)\s*,\s*'(yyyy-MM|yyyy-MM-dd)'\s*\)""".r
+    val CastDateRe =
+      """(?i)cast\s*\(\s*([A-Za-z0-9_]+)\s+as\s+date\s*\)""".r
+    generatedColumns.toSeq.collect {
+      case (gcol, expr) if partitionColumns.contains(gcol) =>
+        val parsed: Option[(String, String)] = expr.trim match {
+          case DateFormatRe(base, pat) => Some((base, pat))
+          case CastDateRe(base) => Some((base, "yyyy-MM-dd"))
+          case _ => None
+        }
+        parsed.toSeq.flatMap { case (base, pattern) =>
+          baseRanges.filter(_._1 == base).map { case (_, lo, hi) =>
+            // monotone f: [f(lo), f(hi)] covers f of every value in
+            // [lo, hi]; an unbounded or non-temporal end goes to the
+            // string sentinel (prunes nothing on that side)
+            (gcol,
+              micros(lo).map(fmt(_, pattern)).getOrElse(""),
+              micros(hi).map(fmt(_, pattern)).getOrElse(MaxStr))
+          }
+        }
+    }.flatten
   }
 
   def rangesOf(f: Filter): Seq[(String, Any, Any)] = {
@@ -655,17 +710,39 @@ private[sources] class GraftBatchScanBuilder(
             physSchema(c).dataType, c, v, v).nonEmpty)
         }
       }
+    // generated-column partition pruning: a base-column range derives a
+    // formatted range on the generated partition column (logical names —
+    // partition columns are never mapped, and the generation expression
+    // references the base by its logical spelling)
+    val gpr = GraftBatch.derivedPartitionRanges(
+      resolved.generatedColumns, resolved.partitionColumns,
+      pushed.flatMap(GraftBatch.rangesOf))
+    val gprKept =
+      if (gpr.isEmpty) inKept
+      else inKept.filter { f =>
+        gpr.forall { case (gcol, lo, hi) =>
+          f.partitionValues.get(gcol) match {
+            case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" =>
+              def cmp(a: String, b: String): Int =
+                org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                  .compareTo(org.apache.spark.unsafe.types.UTF8String
+                    .fromString(b))
+              cmp(v, lo) >= 0 && cmp(v, hi) <= 0
+            case _ => true
+          }
+        }
+      }
     // point probes additionally consult the per-file bloom index (the
     // only file-level signal with power on high-cardinality keys);
     // IN lists probe the same way — ANY value might-contain keeps
     val points = ranges.filter { case (_, lo, hi) => lo == hi }
     val kept =
-      if (points.isEmpty && inTerms.isEmpty) inKept
+      if (points.isEmpty && inTerms.isEmpty) gprKept
       else {
         val spark = org.apache.spark.sql.SparkSession.active
         val blooms = BloomIndex.load(spark, resolved.tablePath)
-        if (blooms.isEmpty) inKept
-        else inKept.filter { f =>
+        if (blooms.isEmpty) gprKept
+        else gprKept.filter { f =>
           val fn = new org.apache.hadoop.fs.Path(f.path).getName
           points.forall { case (c, lo, _) =>
             (blooms.get((fn, c)),
