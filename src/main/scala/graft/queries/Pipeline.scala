@@ -925,6 +925,74 @@ object Pipeline {
           (col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
             .cast("long").as("quota"))
         .orderBy(col("source"))
+    },
+
+    // CORPUS REPORT — the dataset-card rollup every released training
+    // set ships with: per (source, language) docs, token totals, char
+    // totals, and the within-group exact-duplicate count (docs minus
+    // distinct texts). One scan, one aggregate; every number is an
+    // integer.
+    QueryDef.sqlBacked(
+      "q286_corpus_report",
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS exact_dups
+        |FROM documents
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin) {
+      (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("tokens"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          (count(lit(1)) - countDistinct(col("text"))).cast("long")
+            .as("exact_dups"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // CROSS-SOURCE VOCABULARY OVERLAP — the contamination-risk matrix:
+    // exact pairwise Jaccard of the distinct-term sets of every source
+    // pair, in ppm via integer division (the exact anchor of the KMV
+    // sketch path, which estimates this without the join at scale).
+    // Scale shape: the per-source vocabulary is tiny next to the
+    // corpus; the pair join runs on (term → source list) inverted
+    // form, one shuffle on the term.
+    QueryDef.sqlBacked(
+      "q287_source_overlap",
+      """WITH v AS (SELECT DISTINCT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT source, COUNT(*) AS sz FROM v GROUP BY source),
+        |inter AS (SELECT a.source AS sa, b.source AS sb,
+        |    COUNT(*) AS iw
+        |  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, CAST(iw AS BIGINT) AS inter_terms,
+        |  CAST(iw * 1000000 // (na.sz + nb.sz - iw) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM inter JOIN n na ON na.source = sa JOIN n nb ON nb.source = sb
+        |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      val v = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .distinct().cache()
+      val n = v.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = v.as("a").join(v.as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("iw"))
+      inter
+        .join(broadcast(n.select(col("source").as("sa"),
+          col("sz").as("sza"))), "sa")
+        .join(broadcast(n.select(col("source").as("sb"),
+          col("sz").as("szb"))), "sb")
+        .select(col("sa"), col("sb"), col("iw").as("inter_terms"),
+          expr("CAST(iw * 1000000 DIV (sza + szb - iw) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("sa"), col("sb"))
     }
   )
 }

@@ -1702,6 +1702,23 @@ object TableWriter {
     * diff removes files added since and re-adds files removed since.
     * dataChange=true — a restore is a real data change and CDC shows it.
     */
+  /** RESTORE ... TO TIMESTAMP: resolves the greatest commit at-or-before
+    * `tsMillis` (strict — a timestamp before the first commit errors,
+    * matching time-travel reads) and restores to it. Returns the
+    * resolved version.
+    */
+  def restoreToTimestamp(
+      spark: SparkSession,
+      tablePath: String,
+      tsMillis: Long,
+      version: Long,
+      commitTs: Long): Long = {
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    val v = log.versionAtTimestamp(tsMillis)
+    restore(spark, tablePath, v, version, commitTs)
+    v
+  }
+
   def restore(
       spark: SparkSession,
       tablePath: String,

@@ -353,6 +353,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(v2.filter(col("op") === "c").count() > 0)
   }
 
+  test("restore TO TIMESTAMP resolves the at-or-before version") {
+    val table = freshTable("restore_ts")
+    val li = Tables.load(spark, sf, "lineitem").limit(100)
+    TableWriter.write(spark, li, table, version = 0L, commitTs = 1000L)
+    val n0 = SnapshotReader.read(spark, table).count()
+    TableWriter.deleteWhere(spark, table, col("l_linenumber") === 1,
+      version = 1L, commitTs = 2000L)
+    // ts between the two commits resolves to v0
+    val v = TableWriter.restoreToTimestamp(spark, table, tsMillis = 1500L,
+      version = 2L, commitTs = 3000L)
+    assert(v == 0L)
+    assert(SnapshotReader.read(spark, table).count() == n0)
+    // before the first commit: strict error, no silent fallback
+    intercept[IllegalArgumentException] {
+      TableWriter.restoreToTimestamp(spark, table, tsMillis = 10L,
+        version = 3L, commitTs = 4000L)
+    }
+  }
+
   test("streaming sink appends each batch exactly once (txn marker)") {
     val table = freshTable("stream_sink")
     val li = Tables.load(spark, sf, "lineitem")

@@ -97,6 +97,17 @@ class TablePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW CREATE TABLE reproduces schema and properties") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tpcat.default.tp6")
+    spark.sql("CREATE TABLE tpcat.default.tp6 (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('team' = 'core')")
+    val ddl = spark.sql("SHOW CREATE TABLE tpcat.default.tp6")
+      .head().getString(0)
+    assert(ddl.contains("id BIGINT") && ddl.contains("v STRING"), ddl)
+    assert(ddl.contains("'team' = 'core'") || ddl.contains("team"), ddl)
+  }
+
   test("properties time-travel: an old version shows its old values") {
     val dir = java.nio.file.Files.createTempDirectory("tp5").toString + "/t"
     TableWriter.write(spark, Seq((1L, "a")).toDF("id", "v"), dir,
