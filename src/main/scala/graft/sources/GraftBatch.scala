@@ -693,8 +693,16 @@ private[sources] class GraftBatchScanBuilder(
       if (nullTerms.isEmpty) rangeKept
       else rangeKept.filter { f =>
         nullTerms.forall { case (c, isNull) =>
-          f.stats.flatMap(st => st.nullCounts.get(c).map(n =>
-            if (isNull) n > 0 else n < st.numRecords)).getOrElse(true)
+          f.partitionValues.get(c) match {
+            // hive layout makes files partition-value-pure: the null
+            // sentinel IS the column's nullness for every row
+            case Some(v) =>
+              if (isNull) v == "__HIVE_DEFAULT_PARTITION__"
+              else v != "__HIVE_DEFAULT_PARTITION__"
+            case None =>
+              f.stats.flatMap(st => st.nullCounts.get(c).map(n =>
+                if (isNull) n > 0 else n < st.numRecords)).getOrElse(true)
+          }
         }
       }
     // IN-list pruning: a file survives iff ANY candidate value may sit

@@ -1448,6 +1448,14 @@ object TableWriter {
       s"MERGE source carries columns absent from the table schema: " +
         s"${extraFields.map(_.name).mkString(", ")} — pass " +
         "autoMergeSchema=true to evolve, or drop them")
+    // evolution adds columns, never relaxes the whole-row replacement
+    // contract: a source missing a DECLARED column would silently
+    // null-fill every matched row under allowMissingColumns
+    val missingDeclared = declared.map(_.fieldNames.toSeq
+      .filterNot(source.schema.fieldNames.contains)).getOrElse(Seq.empty)
+    require(extraFields.isEmpty || missingDeclared.isEmpty,
+      s"MERGE source must carry every declared column; missing: " +
+        s"${missingDeclared.mkString(", ")}")
     if (extraFields.nonEmpty) {
       val m = snap.metadata.get
       val historicalPhysical: Set[String] = log.changes(0L).flatMap {

@@ -55,6 +55,21 @@ class MergeEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("autoMergeSchema"))
   }
 
+  test("a source missing a DECLARED column refuses (no silent nulls)") {
+    val dir = freshDir("me4")
+    TableWriter.write(spark,
+      Seq((1L, "a", 5L)).toDF("id", "name", "qty"), dir,
+      version = 0L, commitTs = 1000L)
+    // 'name' absent + 'score' extra: evolution must not smuggle in a
+    // null-filling whole-row replacement
+    val e = intercept[IllegalArgumentException] {
+      TableWriter.mergeUpsert(spark, dir,
+        Seq((1L, 9L, 3L)).toDF("id", "qty", "score"), Seq("id"),
+        version = 1L, commitTs = 2000L, autoMergeSchema = true)
+    }
+    assert(e.getMessage.contains("every declared column"))
+  }
+
   test("a historically-declared name refuses toward ALTER TABLE") {
     val dir = freshDir("me3")
     TableWriter.write(spark,

@@ -77,6 +77,23 @@ class NullStatsSpec extends AnyFunSuite {
     assert(q.head().getLong(0) == 12L)
   }
 
+  test("partition columns prune IS NULL via the hive sentinel") {
+    val dir = java.nio.file.Files.createTempDirectory("ns_p").toString + "/t"
+    TableWriter.write(spark,
+      Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (4L, None))
+        .toDF("id", "grp").coalesce(1), dir, partitionBy = Seq("grp"),
+      version = 0L, commitTs = 1000L)
+    val total = new TxnLog(dir, spark.sessionState.newHadoopConf())
+      .snapshotLatest().files.size
+    val isNull = read(dir).filter(col("grp").isNull)
+    assert(planOf(isNull).contains(s"files=1/$total"),
+      s"only the sentinel partition may hold nulls: ${planOf(isNull)}")
+    assert(isNull.count() == 2L)
+    val notNull = read(dir).filter(col("grp").isNotNull)
+    assert(planOf(notNull).contains(s"files=${total - 1}/$total"))
+    assert(notNull.count() == 2L)
+  }
+
   test("pre-feature stats (no null counts) refuse, never guess") {
     val dir = build()
     // simulate an old log: strip nullCounts from every AddFile
