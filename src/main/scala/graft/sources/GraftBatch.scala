@@ -167,19 +167,39 @@ private[sources] object GraftBatch {
   def derivedPartitionRanges(
       generatedColumns: Map[String, String],
       partitionColumns: Seq[String],
+      schema: StructType,
       baseRanges: Seq[(String, Any, Any)])
       : Seq[(String, String, String)] = {
     val MaxStr = "￿￿￿"
-    def micros(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int => Some(i.toLong)
-      case d: Double if d == Double.MinValue || d == Double.MaxValue => None
-      case _ => None
-    }
-    def fmt(us: Long, pattern: String): String =
-      java.time.LocalDateTime.ofEpochSecond(
-        Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern(pattern))
+    // bound value → LocalDate(Time) in the units the BASE TYPE pushes:
+    // DATE bounds arrive as Int epoch-DAYS, timestamps as Long MICROS —
+    // interpreting days as micros would derive a ~1970 range and wrongly
+    // prune everything, so the base's declared type decides
+    def dateOf(v: Any, dt: DataType): Option[java.time.LocalDateTime] =
+      (v, dt) match {
+        case (days: Int, DateType) =>
+          Some(java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay())
+        case (days: Long, DateType) =>
+          Some(java.time.LocalDate.ofEpochDay(days).atStartOfDay())
+        case (us: Long, TimestampNTZType) =>
+          // NTZ micros are zone-free wall time — format directly
+          Some(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC))
+        case (us: Long, TimestampType) =>
+          // date_format at WRITE time rendered under the writer's
+          // session zone; format under the CURRENT session zone (the
+          // engine pins UTC everywhere — a reader in a different zone
+          // than the writer is outside this derivation's contract)
+          Some(java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L),
+              Math.floorMod(us, 1000000L) * 1000L),
+            java.time.ZoneId.of(org.apache.spark.sql.internal.SQLConf.get
+              .sessionLocalTimeZone)))
+        case _ => None
+      }
+    def fmt(d: java.time.LocalDateTime, pattern: String): String =
+      d.format(java.time.format.DateTimeFormatter.ofPattern(pattern))
     val DateFormatRe =
       """(?i)date_format\s*\(\s*([A-Za-z0-9_]+)\s*,\s*'(yyyy-MM|yyyy-MM-dd)'\s*\)""".r
     val CastDateRe =
@@ -192,13 +212,16 @@ private[sources] object GraftBatch {
           case _ => None
         }
         parsed.toSeq.flatMap { case (base, pattern) =>
-          baseRanges.filter(_._1 == base).map { case (_, lo, hi) =>
-            // monotone f: [f(lo), f(hi)] covers f of every value in
-            // [lo, hi]; an unbounded or non-temporal end goes to the
-            // string sentinel (prunes nothing on that side)
-            (gcol,
-              micros(lo).map(fmt(_, pattern)).getOrElse(""),
-              micros(hi).map(fmt(_, pattern)).getOrElse(MaxStr))
+          val baseType = schema.fields.find(_.name == base).map(_.dataType)
+          baseRanges.filter(_._1 == base).flatMap { case (_, lo, hi) =>
+            baseType.map { dt =>
+              // monotone f: [f(lo), f(hi)] covers f of every value in
+              // [lo, hi]; an unbounded or unrecognized end goes to the
+              // string sentinel (prunes nothing on that side)
+              (gcol,
+                dateOf(lo, dt).map(fmt(_, pattern)).getOrElse(""),
+                dateOf(hi, dt).map(fmt(_, pattern)).getOrElse(MaxStr))
+            }
           }
         }
     }.flatten
@@ -724,7 +747,7 @@ private[sources] class GraftBatchScanBuilder(
     // references the base by its logical spelling)
     val gpr = GraftBatch.derivedPartitionRanges(
       resolved.generatedColumns, resolved.partitionColumns,
-      pushed.flatMap(GraftBatch.rangesOf))
+      resolved.schema, pushed.flatMap(GraftBatch.rangesOf))
     val gprKept =
       if (gpr.isEmpty) inKept
       else inKept.filter { f =>

@@ -340,16 +340,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // a name any HISTORICAL version declared may physically exist
           // inside live data files (DROP COLUMN is metadata-only): the
           // re-added column must map to a FRESH physical name or the
-          // dropped values would resurrect
-          val historicalPhysical: Set[String] = log.changes(0L).flatMap {
-            case (_, actions) => actions.collect {
-              case hm: Metadata =>
-                val sch = org.apache.spark.sql.types.DataType
-                  .fromJson(hm.schemaJson).asInstanceOf[StructType]
-                ColumnMapping.physicalSchema(sch, hm.columnMapping)
-                  .fieldNames.toSeq
-            }.flatten
-          }.toSet
+          // dropped values would resurrect. physicalColumnsEver also
+          // consults live files' stats keys — the surviving evidence
+          // when log retention expired the declaring commits.
+          val historicalPhysical: Set[String] =
+            TableWriter.physicalColumnsEver(log, snap)
           val needsFresh = historicalPhysical.contains(colName)
           val newMapping =
             if (needsFresh) m.columnMapping + (colName -> s"$colName#v$v")

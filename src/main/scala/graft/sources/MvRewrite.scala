@@ -146,7 +146,10 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .queryExecution.optimizedPlan
       finally inRewrite.set(false)
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
-    if (!reg.keys.forall(mvOut.contains) || !mvOut.contains("mv_cnt"))
+    // a registration whose keys/sums don't match the MV's actual
+    // columns must DECLINE, never crash the optimizer mid-plan
+    if (!reg.keys.forall(mvOut.contains) || !mvOut.contains("mv_cnt") ||
+        !reg.sums.forall(c => mvOut.contains(s"sum_$c")))
       return None
 
     val newGrouping: Seq[Expression] = groupAttrs.map(a => mvOut(a.name))

@@ -293,12 +293,7 @@ object CdcReader {
           }
           .toDF("_p_fn", "_p_dv", "_p_v", "_p_ts")
         val dirs = dvTransitions.map(_._1.dv.get).distinct.toSeq
-        // per-dir reads tagged with the exact pointer (relative OR
-        // clone-imported absolute) — see DeletionVectors.dvRows
-        val dvr = dirs.map { d =>
-            spark.read.parquet(TxnLog.dataPath(tablePath, d))
-              .withColumn("_dv_src", lit(d))
-          }.reduce(_ unionByName _)
+        val dvr = DeletionVectors.readDvDirs(spark, tablePath, dirs)
         val dead = dvr
           .join(broadcast(pairs),
             dvr("file_name") === pairs("_p_fn") &&

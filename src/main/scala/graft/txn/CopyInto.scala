@@ -61,13 +61,18 @@ object CopyInto {
     visit(srcRoot)
     // idempotence keys are FULLY-QUALIFIED URIs: two files with the same
     // path on different filesystems (mockfs:// vs file://) must not alias
-    // as already-ingested
+    // as already-ingested. Markers written before the URI-keyed format
+    // (scheme-less paths) still count — a format migration must not
+    // re-ingest a table's whole history as duplicates.
     val all = found.map(p => fs.makeQualified(p).toUri.toString).sorted.toSeq
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     val ingested = snap.txns.keySet
       .filter(_.startsWith(AppPrefix)).map(_.stripPrefix(AppPrefix))
-    val fresh = all.filterNot(ingested.contains)
+    def seen(uri: String): Boolean =
+      ingested.contains(uri) ||
+        ingested.contains(new org.apache.hadoop.fs.Path(uri).toUri.getPath)
+    val fresh = all.filterNot(seen)
     if (fresh.isEmpty)
       return CopyResult(snap.version, 0L, 0L, all.length.toLong)
 

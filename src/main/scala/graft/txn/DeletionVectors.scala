@@ -33,6 +33,25 @@ object DeletionVectors {
   /** Relative DV directory for a delete commit. */
   def dvDir(version: Long): String = f"_dv/dv-$version%020d"
 
+  /** One read per vector dir, tagged `_dv_src` with the EXACT pointer
+    * string the AddFile carries: pointers may be table-relative (own
+    * deletes) or absolute (shallow-clone-imported source vectors), and
+    * a clone can hold both a local `_dv/dv-N` and a source `/…/_dv/dv-N`
+    * whose suffixes collide — tagging by pointer, not by a path regexp,
+    * keys every validity join unambiguously. Sidecars are KB-scale; the
+    * per-dir reads are metadata-cheap. The SHARED loader behind
+    * [[dvRows]], [[SnapshotReader.statsCount]], and the CDC
+    * DV-transition reader — pointer-resolution fixes land once.
+    */
+  private[graft] def readDvDirs(
+      spark: SparkSession,
+      tablePath: String,
+      dirs: Seq[String]): DataFrame =
+    dirs.map { d =>
+      spark.read.parquet(TxnLog.dataPath(tablePath, d))
+        .withColumn("_dv_src", lit(d))
+    }.reduce(_ unionByName _)
+
   private def declaredSchema(snap: Snapshot): Option[StructType] =
     snap.metadata.map(m =>
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -52,18 +71,7 @@ object DeletionVectors {
     // construction (one row per DV-carrying file) — broadcast.
     val pointer = withDv
       .map(f => (new Path(f.path).getName, f.dv.get)).toDF("file_name", "dv")
-    val dirs = withDv.map(_.dv.get).distinct
-    // one read per vector dir, tagged with the EXACT pointer string the
-    // AddFile carries: pointers may be table-relative (own deletes) or
-    // absolute (shallow-clone-imported source vectors), and a clone can
-    // hold both a local `_dv/dv-N` and a source `/…/_dv/dv-N` whose
-    // suffixes collide — tagging by pointer, not by a path regexp, keys
-    // the validity join unambiguously. Sidecars are KB-scale; the per-dir
-    // reads are metadata-cheap.
-    val rows = dirs.map { d =>
-      spark.read.parquet(TxnLog.dataPath(tablePath, d))
-        .withColumn("_dv_src", lit(d))
-    }.reduce(_ unionByName _)
+    val rows = readDvDirs(spark, tablePath, withDv.map(_.dv.get).distinct)
     Some(rows
       .join(broadcast(pointer),
         rows("file_name") === pointer("file_name") &&

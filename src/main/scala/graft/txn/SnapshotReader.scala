@@ -81,13 +81,7 @@ object SnapshotReader {
     val withDead =
       if (dvDirs.isEmpty) perFile.withColumn("_dead", lit(0L))
       else {
-        // per-dir reads tagged with the EXACT pointer string: pointers
-        // may be table-relative or absolute (shallow-clone-imported),
-        // and suffix-regexp keys collide across the two namespaces
-        val dead = dvDirs.map { d =>
-            spark.read.parquet(TxnLog.dataPath(tablePath, d))
-              .withColumn("_dv_src", lit(d))
-          }.reduce(_ unionByName _)
+        val dead = DeletionVectors.readDvDirs(spark, tablePath, dvDirs)
           .groupBy(col("file_name").as("_fn"), col("_dv_src"))
           .count().withColumnRenamed("count", "_dead")
         // honor each file's CURRENT pointer (superseded dirs ignored)

@@ -458,6 +458,34 @@ object TableWriter {
       CommitInfo("RENAME COLUMN", commitTs)))
   }
 
+  /** Every physical column name that may exist inside LIVE data files:
+    * names declared by any SURVIVING historical Metadata (log scan) PLUS
+    * the names each live file's footer stats actually recorded. The
+    * second source matters after log retention: a metadata-only DROP
+    * COLUMN leaves the bytes in files, and expiry can delete every
+    * commit that mentioned the name — but the files' own stats still
+    * carry it. Stats-less files contribute nothing (the residual gap:
+    * a dropped column in a stats-less file whose declaring commits all
+    * expired is undetectable from metadata alone).
+    */
+  private[graft] def physicalColumnsEver(
+      log: TxnLog, snap: Snapshot): Set[String] = {
+    val declared: Set[String] = log.changes(0L).flatMap {
+      case (_, actions) => actions.collect {
+        case hm: Metadata =>
+          val sch = org.apache.spark.sql.types.DataType
+            .fromJson(hm.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          ColumnMapping.physicalSchema(sch, hm.columnMapping)
+            .fieldNames.toSeq
+      }.flatten
+    }.toSet
+    val inFiles: Set[String] = snap.files.flatMap(_.stats.toSeq.flatMap(st =>
+      st.minValues.keySet ++ st.maxValues.keySet ++
+        st.nullCounts.keySet)).toSet
+    declared ++ inFiles
+  }
+
   /** SET / UNSET TBLPROPERTIES: one metadata commit; the values ride
     * the Metadata action, so they time-travel with the schema and
     * survive checkpoints. `graft.`-prefixed keys configure engine
@@ -1125,29 +1153,38 @@ object TableWriter {
     * OPTIMIZE. Off unless `spark.graft.autoCompact.enabled=true`: a
     * write path that silently doubles its commits should be a choice.
     */
-  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit = {
-    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
-    val snap = log.snapshotLatest()
-    // TABLE properties take precedence over the session conf (the Delta
-    // convention: the table owner's declaration beats a job's defaults)
-    val props = snap.metadata.map(_.properties).getOrElse(Map.empty)
-    def opt(key: String): Option[String] =
-      props.get(s"graft.$key").orElse(spark.conf.getOption(s"spark.graft.$key"))
-    if (!opt("autoCompact.enabled").exists(_.equalsIgnoreCase("true"))) return
-    val minFiles = opt("autoCompact.minFiles").map(_.toInt).getOrElse(16)
-    val targetBytes = opt("autoCompact.targetFileMB").map(_.toLong)
-      .getOrElse(64L) * 1024L * 1024L
-    val small = snap.files.count(_.size < targetBytes)
-    if (small <= minFiles) return
-    try compact(spark, tablePath, version = snap.version + 1,
-      commitTs = System.currentTimeMillis(),
-      minFileBytes = targetBytes, maxFileBytes = targetBytes)
-    catch {
+  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit =
+    // the WHOLE pass is best-effort — the append already committed, so
+    // nothing here may surface as a write failure: not a compaction
+    // race, and not a malformed persisted property (a bad
+    // graft.autoCompact.minFiles would otherwise brick every append
+    // until someone fixes the table property). The price of the
+    // property check is one snapshot read per append (checkpoint +
+    // ≤interval tail) — driver-side milliseconds next to the append's
+    // own staging job.
+    try {
+      val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+      val snap = log.snapshotLatest()
+      // TABLE properties take precedence over the session conf (the
+      // Delta convention: the owner's declaration beats a job's default)
+      val props = snap.metadata.map(_.properties).getOrElse(Map.empty)
+      def opt(key: String): Option[String] = props.get(s"graft.$key")
+        .orElse(spark.conf.getOption(s"spark.graft.$key"))
+      if (!opt("autoCompact.enabled").exists(_.equalsIgnoreCase("true")))
+        return
+      val minFiles = opt("autoCompact.minFiles").map(_.toInt).getOrElse(16)
+      val targetBytes = opt("autoCompact.targetFileMB").map(_.toLong)
+        .getOrElse(64L) * 1024L * 1024L
+      val small = snap.files.count(_.size < targetBytes)
+      if (small <= minFiles) return
+      compact(spark, tablePath, version = snap.version + 1,
+        commitTs = System.currentTimeMillis(),
+        minFileBytes = targetBytes, maxFileBytes = targetBytes)
+    } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[graft] auto-compaction of $tablePath skipped: ${e.getMessage}")
     }
-  }
 
   /** Blind append with Delta-style REBASE on commit collision: the data
     * job runs ONCE (files staged under attempt-unique names against the
@@ -1457,17 +1494,7 @@ object TableWriter {
       s"MERGE source must carry every declared column; missing: " +
         s"${missingDeclared.mkString(", ")}")
     if (extraFields.nonEmpty) {
-      val m = snap.metadata.get
-      val historicalPhysical: Set[String] = log.changes(0L).flatMap {
-        case (_, actions) => actions.collect {
-          case hm: Metadata =>
-            val sch = org.apache.spark.sql.types.DataType
-              .fromJson(hm.schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-            ColumnMapping.physicalSchema(sch, hm.columnMapping)
-              .fieldNames.toSeq
-        }.flatten
-      }.toSet
+      val historicalPhysical = physicalColumnsEver(log, snap)
       extraFields.foreach(f => require(!historicalPhysical.contains(f.name),
         s"column '${f.name}' was declared by a historical schema — " +
           "its bytes may survive in live files; use ALTER TABLE ADD " +
@@ -1801,10 +1828,15 @@ object TableWriter {
     snap.protocol.foreach(p => TxnLog.assertReadable(p, srcPath))
     val srcP = new Path(srcPath)
     val srcAbs = srcP.getFileSystem(conf).makeQualified(srcP).toUri.getPath
+    // a path the SOURCE already imported (chained clone: A → B → C)
+    // stays as-is — prefixing an absolute path would commit pointers
+    // to nonexistent '/B//A/…' locations
+    def absolutize(rel: String): String =
+      if (TxnLog.isExternal(rel)) rel else s"$srcAbs/$rel"
     val adds = snap.files.map(f =>
-      f.copy(path = s"$srcAbs/${f.path}", modificationTime = commitTs,
+      f.copy(path = absolutize(f.path), modificationTime = commitTs,
         dataChange = true,
-        dv = f.dv.map(d => s"$srcAbs/$d")))
+        dv = f.dv.map(absolutize)))
     val dstLog = new TxnLog(dstPath, conf)
     if (dstLog.latestVersion().isDefined)
       throw new IllegalStateException(s"clone destination $dstPath not empty")

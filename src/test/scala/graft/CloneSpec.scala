@@ -200,4 +200,35 @@ class CloneSpec extends AnyFunSuite {
       TableWriter.cloneShallow(spark, src, dst, commitTs = 9000L)
     }
   }
+
+  test("a CHAINED clone (A -> B -> C) keeps original absolute pointers") {
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val a = s"target/fixtures/clone_chain_a_$tag"
+    val b = s"target/fixtures/clone_chain_b_$tag"
+    val c = s"target/fixtures/clone_chain_c_$tag"
+    Seq(a, b, c).foreach(p =>
+      fsOf(p).delete(new org.apache.hadoop.fs.Path(p), true))
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 29 === 0), a,
+      version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, a, col("l_suppkey") % 2 === 0,
+      version = 1L, commitTs = 2000L)
+    TableWriter.cloneShallow(spark, a, b, commitTs = 3000L)
+    // B's files are already absolute — C must reference A directly,
+    // never a '/B//A/…' double prefix
+    TableWriter.cloneShallow(spark, b, c, commitTs = 4000L)
+    val want = li.filter(col("l_orderkey") % 29 === 0 &&
+      col("l_suppkey") % 2 =!= 0).count()
+    assert(SnapshotReader.read(spark, c).count() == want)
+    val cFiles = new TxnLog(c, conf).snapshot(0L).files
+    assert(cFiles.forall(f => !f.path.contains(b)),
+      "chained clone must point at the ORIGINAL files")
+    assert(cFiles.forall(f => f.dv.forall(d => !d.contains(b))))
+    // and the chained clone still diverges copy-on-write
+    DeletionVectors.deleteWhere(spark, c, col("l_partkey") % 3 === 0,
+      version = 1L, commitTs = 5000L)
+    assert(SnapshotReader.read(spark, c).count() ==
+      li.filter(col("l_orderkey") % 29 === 0 &&
+        col("l_suppkey") % 2 =!= 0 && col("l_partkey") % 3 =!= 0).count())
+    assert(SnapshotReader.read(spark, a).count() == want)
+  }
 }

@@ -137,6 +137,24 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_convert"))
   }
 
+  test("legacy path-only markers still count as ingested") {
+    val src = tmp("cis_src8")
+    writeSrcFile(src, "a.parquet", Seq((1L, 10L)))
+    val t = freshTable()
+    // a marker in the PRE-URI format (scheme-less path), as an older
+    // engine version would have written it
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    val legacy = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(src, "a.parquet")).toUri.getPath
+    TableWriter.write(spark, Seq((0L, 0L)).toDF("id", "v"), t,
+      version = 1L, commitTs = 1500L, operation = "COPY INTO",
+      extraActions = Seq(SetTxn(s"copy:$legacy", 1L, 1500L)))
+    val r = CopyInto.run(spark, t, src)
+    assert(r.filesCopied == 0L && r.filesSkipped == 1L,
+      s"a legacy marker must not re-ingest, got $r")
+  }
+
   test("idempotence keys are fully-qualified URIs") {
     val src = tmp("cis_src7")
     writeSrcFile(src, "a.parquet", Seq((1L, 10L)))

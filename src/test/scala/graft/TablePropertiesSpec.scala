@@ -97,6 +97,20 @@ class TablePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("a malformed autoCompact property never fails the append") {
+    val dir = java.nio.file.Files.createTempDirectory("tp7").toString + "/t"
+    TableWriter.write(spark, Seq((1L, 1L)).toDF("id", "v"), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      set = Map("graft.autoCompact.enabled" -> "true",
+        "graft.autoCompact.minFiles" -> "sixteen"), commitTs = 2000L)
+    // the append must COMMIT and report success — auto-compaction is
+    // best-effort, and a bad durable property must not brick writes
+    TableWriter.append(spark, Seq((2L, 2L)).toDF("id", "v"), dir,
+      commitTs = 3000L)
+    assert(SnapshotReader.read(spark, dir).count() == 2L)
+  }
+
   test("SHOW CREATE TABLE reproduces schema and properties") {
     wh
     spark.sql("DROP TABLE IF EXISTS tpcat.default.tp6")

@@ -82,6 +82,34 @@ class GeneratedPruningSpec extends AnyFunSuite {
       col("o_orderdate") >= lit("1996-01-25").cast("timestamp")).count())
   }
 
+  test("a DATE base column derives in epoch-DAYS, not micros") {
+    val dir = java.nio.file.Files.createTempDirectory("gp4").toString + "/t"
+    val orders = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") % 5 === 1)
+      .withColumn("o_date", col("o_orderdate").cast("date"))
+      .drop("o_orderdate")
+    TableWriter.write(spark, orders, dir, partitionBy = Seq("o_month"),
+      version = 0L, commitTs = 1000L,
+      generated = Map("o_month" -> "date_format(o_date, 'yyyy-MM')"))
+    stripStats(dir, "o_date")
+    val total = new TxnLog(dir, spark.sessionState.newHadoopConf())
+      .snapshotLatest().files.size
+    // DATE bounds push as Int epoch-days; interpreting them as micros
+    // would derive '1970-01' and wrongly prune EVERYTHING
+    val q = read(dir).filter(
+      col("o_date") >= lit("1996-03-01").cast("date") &&
+        col("o_date") < lit("1996-06-01").cast("date"))
+    val want = orders.filter(
+      col("o_date") >= lit("1996-03-01").cast("date") &&
+        col("o_date") < lit("1996-06-01").cast("date")).count()
+    assert(want > 0)
+    assert(q.count() == want,
+      "a mis-derived range must never drop matching rows")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(planOf(q)).get
+    assert(m.group(2).toInt == total && m.group(1).toInt <= 4,
+      s"date-based derivation must prune months, got ${m.group(0)}")
+  }
+
   test("unrecognized generation expressions derive nothing (sound)") {
     val dir = java.nio.file.Files.createTempDirectory("gp3").toString + "/t"
     val orders = Tables.load(spark, sf, "orders")
