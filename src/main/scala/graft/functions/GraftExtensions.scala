@@ -165,6 +165,42 @@ object GraftExtensions {
             .toDF("version", "files_before", "files_after")
             .queryExecution.logical
         }),
+      // partition-scoped OPTIMIZE (Delta's `OPTIMIZE t WHERE part = v`):
+      // at 100 TB nobody compacts the whole table in one pass — the
+      // maintenance job walks partitions incrementally, and untouched
+      // partitions must not churn (their files keep their paths)
+      ("graft_optimize_where",
+        info("graft_optimize_where",
+          "graft_optimize_where(tablePath, partCol, values[, maxFileMB])" +
+            " - compact ONLY the partitions whose partCol matches one " +
+            "of the comma-separated values; returns (version, " +
+            "files_before, files_after)"),
+        (children: Seq[Expression]) => {
+          require(children.size >= 3 && children.size <= 4,
+            "graft_optimize_where(tablePath, partCol, values[, maxFileMB])")
+          val path = strLitOf(children.head, "graft_optimize_where")
+          val partCol = strLitOf(children(1), "graft_optimize_where")
+          val values = strLitOf(children(2), "graft_optimize_where")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val maxMb = children.lift(3)
+            .map(longLitOf(_, "graft_optimize_where"))
+          val spark = org.apache.spark.sql.SparkSession.active
+          val log = new graft.txn.TxnLog(path,
+            spark.sessionState.newHadoopConf())
+          val before = log.snapshotLatest().files.size
+          graft.txn.TableWriter.compact(spark, path,
+            version = log.latestVersion().get + 1,
+            commitTs = System.currentTimeMillis(),
+            partitionPred =
+              Some(pv => pv.get(partCol).exists(values.contains)),
+            maxFileBytes = maxMb.map(_ * 1024L * 1024L)
+              .getOrElse(Long.MaxValue))
+          val after = log.snapshotLatest()
+          import spark.implicits._
+          Seq((after.version, before.toLong, after.files.size.toLong))
+            .toDF("version", "files_before", "files_after")
+            .queryExecution.logical
+        }),
       // liquid-clustering surface: declare cluster columns once; every
       // argument-less graft_optimize maintains the layout
       ("graft_cluster_by",
@@ -269,15 +305,27 @@ object GraftExtensions {
         }),
       ("graft_vacuum",
         info("graft_vacuum",
-          "graft_vacuum(tablePath, retainMillis[, dryRun]) - delete " +
-            "data files unreferenced by the latest snapshot past the " +
-            "retention horizon; returns one row per deleted path"),
+          "graft_vacuum(tablePath, retainMillis[, dryRun[, force]]) - " +
+            "delete data files unreferenced by the latest snapshot past " +
+            "the retention horizon; retention under 7 days refuses " +
+            "unless force (Delta's retentionDurationCheck); returns one " +
+            "row per deleted path"),
         (children: Seq[Expression]) => {
-          require(children.size >= 2 && children.size <= 3,
-            "graft_vacuum(tablePath, retainMillis[, dryRun])")
+          require(children.size >= 2 && children.size <= 4,
+            "graft_vacuum(tablePath, retainMillis[, dryRun[, force]])")
           val path = strLitOf(children.head, "graft_vacuum")
           val retain = longLitOf(children(1), "graft_vacuum")
           val dry = children.lift(2).exists(boolLitOf(_, "graft_vacuum"))
+          val force = children.lift(3).exists(boolLitOf(_, "graft_vacuum"))
+          // the SQL surface gets the safety interlock the raw API
+          // deliberately omits: a short retention silently breaks
+          // concurrent readers, time travel, and CDC replay. Dry runs
+          // are always allowed — they delete nothing.
+          require(dry || force || retain >= 7L * 24 * 3600 * 1000,
+            s"graft_vacuum: retention ${retain}ms is below the 7-day " +
+              "safety floor — concurrent readers, time travel, and CDC " +
+              "replay may still reference files inside it; pass " +
+              "force=true to override")
           val spark = org.apache.spark.sql.SparkSession.active
           val deleted = graft.txn.TableWriter.vacuum(spark, path,
             retainMillis = retain,

@@ -1684,8 +1684,11 @@ object Maintenance {
         partitionBy = Seq("l_returnflag"), version = 1L, commitTs = 2000L)
       graft.functions.GraftExtensions.install(s)
       val opt = s.sql(s"SELECT * FROM graft_optimize('$path')").head()
+      // retention 0 sits under the SQL surface's 7-day safety floor —
+      // this fixture intends exactly that, so it says force
       val reclaimed = s.sql(
-        s"SELECT COUNT(*) AS n FROM graft_vacuum('$path', 0)").head().getLong(0)
+        s"SELECT COUNT(*) AS n FROM graft_vacuum('$path', 0, false, true)")
+        .head().getLong(0)
       s.sql(
         s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
@@ -2903,6 +2906,51 @@ object Maintenance {
       import s.implicits._
       Seq((r.getLong(0), r.getLong(1), if (pruned) 1L else 0L))
         .toDF("n", "cents", "derived_pruned")
+    },
+
+    // PARTITION-SCOPED OPTIMIZE (round 9 — `OPTIMIZE t WHERE part=v` as
+    // the graft_optimize_where TVF): only the named partition's files
+    // fold; every other partition's files keep their PATHS (the gate
+    // asserts untouched modification times survive), which is what lets
+    // a 100 TB maintenance job walk partitions incrementally without
+    // churning the rest of the table or its CDC stream.
+    QueryDef.sqlBacked(
+      "q288_optimize_where",
+      """SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS scoped_fold
+        |FROM lineitem WHERE l_orderkey % 53 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/optw_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L, 2L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 53 === 0)
+        // two commits → ≥2 files per partition (fragmented layout)
+        TableWriter.write(s, li.filter(col("l_linenumber") % 2 === 0),
+          path, partitionBy = Seq("l_returnflag"), version = 0L,
+          commitTs = 1000L)
+        TableWriter.append(s, li.filter(col("l_linenumber") % 2 =!= 0),
+          path, commitTs = 2000L)
+        graft.functions.GraftExtensions.install(s)
+        s.sql(s"SELECT * FROM graft_optimize_where('$path', " +
+          "'l_returnflag', 'A')").collect()
+      }
+      val snap = new TxnLog(path, conf).snapshotLatest()
+      val aFiles = snap.files
+        .filter(_.partitionValues.get("l_returnflag").contains("A"))
+      val others = snap.files
+        .filterNot(_.partitionValues.get("l_returnflag").contains("A"))
+      val scoped = aFiles.size == 1 &&
+        others.nonEmpty && others.forall(_.modificationTime <= 2000L)
+      val counts = s.read.format("graft").option("tablePath", path).load()
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n"))
+      import s.implicits._
+      counts.withColumn("scoped_fold", lit(if (scoped) 1L else 0L))
+        .orderBy(col("grp"))
     }
   )
 }

@@ -92,4 +92,25 @@ class MetadataTvfSpec extends AnyFunSuite {
     assert(out.length == 1 &&
       out.head.getLong(out.head.fieldIndex("n_rows")) == 1L)
   }
+
+  test("vacuum TVF: sub-7-day retention refuses unless forced; dry runs pass") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("tvf_vac")
+      .toString + "/t"
+    graft.txn.TableWriter.write(spark, Seq((1L, "a")).toDF("id", "v"),
+      path, version = 0L, commitTs = 1000L)
+    graft.functions.GraftExtensions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_vacuum('$path', 1000)").collect()
+    }
+    assert(e.getMessage.contains("safety floor"))
+    // dry run and forced run both go through
+    spark.sql(s"SELECT * FROM graft_vacuum('$path', 1000, true)").collect()
+    spark.sql(s"SELECT * FROM graft_vacuum('$path', 1000, false, true)")
+      .collect()
+    // a ≥7-day retention needs no force
+    spark.sql(
+      s"SELECT * FROM graft_vacuum('$path', ${8L * 24 * 3600 * 1000})")
+      .collect()
+  }
 }
