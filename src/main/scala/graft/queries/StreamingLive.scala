@@ -366,6 +366,73 @@ object StreamingLive {
           |  CAST(SUM(cents) AS BIGINT) AS cents
           |FROM gcat.default.stream_upsert
           |GROUP BY 1 ORDER BY grp""".stripMargin)
+    },
+
+    // RATE-LIMITED BACKFILL (maxFilesPerTrigger=1): the bounded-batch
+    // admission control that keeps a 100 TB backfill from materializing
+    // as one giant first micro-batch. The stream must take AT LEAST as
+    // many batches as there are snapshot files (each trigger admits one
+    // file), and the drained total must equal the table exactly — the
+    // `bounded_batches` gate fails if admission control silently stops
+    // limiting, the counts fail if limiting drops or duplicates rows.
+    QueryDef.sqlBacked(
+      "q289_rate_limited_backfill",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS bounded_batches
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      // dedicated 4-file fixture: the gate needs >1 file to be
+      // non-vacuous, and the shared single-batch fixtures must keep
+      // their layout
+      val table = s"target/fixtures/rate_${tag(dir)}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(table, conf).versions() != Seq(0L)) {
+        val tfs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+        tfs.delete(new org.apache.hadoop.fs.Path(table), true)
+        TableWriter.write(s,
+          Tables.load(s, dir, "events")
+            .select(col("event_id"), col("event_type")).repartition(4),
+          table, version = 0L, commitTs = 1000L)
+      }
+      val nFiles = new TxnLog(table, s.sessionState.newHadoopConf())
+        .snapshotLatest().files.size
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val out = s"target/fixtures/rate_${tag(dir)}_out"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      // the row-capped admission walker is the one that composes the
+      // per-file cap ACROSS the initial full copy (the coarse path
+      // deliberately admits the snapshot as one batch); a huge row cap
+      // makes the file budget the binding limit
+      val q = s.readStream.format("graft-cdc")
+        .option("tablePath", table)
+        .option("startingVersion", "0")
+        .option("includeHistory", "true")
+        .option("maxRowsPerTrigger", "1000000000")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .filter(col("op") === "c")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            b.select(col("event_type"))
+              .write.mode("append").parquet(out)
+          }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("rate_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val bounded = batches.get() >= nFiles && nFiles > 1
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bounded_batches", lit(if (bounded) 1L else 0L))
+        .orderBy(col("event_type"))
     }
   )
 }
