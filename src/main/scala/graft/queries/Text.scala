@@ -1110,6 +1110,212 @@ object Text {
           col("ln").cast("long").as("keeper_len"),
           (col("n") - 1).cast("long").as("dropped"))
         .orderBy(col("comp"))
+    },
+
+    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // via Importance Resampling"): hashed-bigram features (md5 → 4096
+    // buckets, engine-portable), a TARGET distribution estimated from
+    // one source's docs, add-one smoothing, and a per-doc importance
+    // score. Logs are transcendental (cross-engine drift), so the score
+    // is the CROSS-MULTIPLIED smoothed difference
+    //   Σ_positions (t_b+1)·(R+B) − (r_b+1)·(T+B)
+    // whose SIGN and ORDER agree with the likelihood-ratio ranking per
+    // bucket. Scale shape: both bucket tables are 4096 rows → broadcast;
+    // the only fact-scale shuffle is the per-doc aggregate. Intermediates
+    // stay < 2^63 up to ~10⁹ bigram positions; past that the same
+    // expression runs on DECIMAL(38,0).
+    QueryDef.sqlBacked(
+      "q290_dsir_importance",
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |bi AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8))
+        |      AS BIGINT) % 4096 AS b
+        |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+        |tgt AS (SELECT b, COUNT(*) AS tc FROM bi WHERE source = 'src0'
+        |  GROUP BY b),
+        |rawc AS (SELECT b, COUNT(*) AS rc FROM bi WHERE source <> 'src0'
+        |  GROUP BY b),
+        |tot AS (SELECT
+        |    (SELECT COUNT(*) FROM bi WHERE source = 'src0') + 4096 AS tt,
+        |    (SELECT COUNT(*) FROM bi WHERE source <> 'src0') + 4096 AS rt),
+        |sc AS (SELECT doc_id, source,
+        |    CAST(SUM((COALESCE(tc, 0) + 1) * (SELECT rt FROM tot)
+        |      - (COALESCE(rc, 0) + 1) * (SELECT tt FROM tot)) AS BIGINT)
+        |      AS score
+        |  FROM bi LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b)
+        |  WHERE source <> 'src0' GROUP BY doc_id, source)
+        |SELECT doc_id, source, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val bi = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(0, size(w) - 2), " +
+            "i -> concat(w[i], ' ', w[i + 1]))")).as("g"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+            % 4096).as("b"))
+        .cache()
+      val totals = bi.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("r"))
+        .head()
+      val tt = totals.getLong(0) + 4096L
+      val rt = totals.getLong(1) + 4096L
+      val tgt = bi.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val rawc = bi.filter(col("source") =!= "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      bi.filter(col("source") =!= "src0")
+        .join(broadcast(tgt), Seq("b"), "left")
+        .join(broadcast(rawc), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum((coalesce(col("tc"), lit(0L)) + 1L) * rt
+          - (coalesce(col("rc"), lit(0L)) + 1L) * tt)
+          .cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // Top collocations by PMI, ALL-INTEGER ranking: PMI's log argument
+    // c_xy·M² / (c_x·c_y·N) is ranked via the staged floor-division
+    // ((c_xy·10⁶ ÷ c_x) · M) ÷ (c_y·N) — the SAME expression in both
+    // engines (positive operands, so truncation = floor), staged so
+    // every intermediate stays < 2^63 up to ~10⁹ tokens. Unigram and
+    // bigram count tables are vocabulary-sized → broadcast joins; the
+    // corpus shuffles exactly twice (the two count aggregates).
+    QueryDef.sqlBacked(
+      "q291_pmi_collocations",
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |uni AS (SELECT t AS tok, COUNT(*) AS c
+        |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM uni),
+        |bi AS (SELECT w[i] AS x, w[i+1] AS y
+        |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+        |bc AS (SELECT x, y, COUNT(*) AS cxy FROM bi GROUP BY x, y),
+        |n AS (SELECT COUNT(*) AS n FROM bi),
+        |sc AS (SELECT x || ' ' || y AS g, cxy,
+        |    ((cxy * 1000000 // ux.c) * (SELECT m FROM m))
+        |      // (uy.c * (SELECT n FROM n)) AS score
+        |  FROM bc JOIN uni ux ON ux.tok = x JOIN uni uy ON uy.tok = y
+        |  WHERE cxy >= 5)
+        |SELECT g, CAST(cxy AS BIGINT) AS cxy,
+        |  CAST(score AS BIGINT) AS score
+        |FROM sc ORDER BY score DESC, g LIMIT 15""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("w")).cache()
+      val uni = toks.select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")).cache()
+      val m = uni.agg(sum(col("c"))).head().getLong(0)
+      val bc = toks.select(explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> struct(w[i] AS x, w[i + 1] AS y))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy")).cache()
+      val n = bc.agg(sum(col("cxy"))).head().getLong(0)
+      bc.filter(col("cxy") >= 5)
+        .join(broadcast(uni.select(col("tok").as("x"), col("c").as("cx"))),
+          "x")
+        .join(broadcast(uni.select(col("tok").as("y"), col("c").as("cy"))),
+          "y")
+        .select(concat(col("x"), lit(" "), col("y")).as("g"), col("cxy"),
+          expr(s"CAST(((cxy * 1000000 DIV cx) * ${m}L) " +
+            s"DIV (cy * ${n}L) AS BIGINT)").as("score"))
+        .orderBy(col("score").desc, col("g"))
+        .limit(15)
+    },
+
+    // Linear quality classifier (the fastText-style quality-filter shape
+    // with fixed, inspectable weights): integer features — type-token
+    // ratio ppk, stopword-share deviation from the natural band, mean
+    // word length ×100 via cross-multiplication — combine into one
+    // integer score; class cut points are integer comparisons, so both
+    // engines make identical keep decisions including ties. Map-only
+    // scan + one tiny hash aggregate.
+    QueryDef.sqlBacked(
+      "q292_quality_linear",
+      """WITH f AS (SELECT doc_id, lang, len(w) AS n_tok,
+        |    len(list_distinct(w)) AS n_uniq,
+        |    list_sum(list_transform(w, x -> length(x))) AS chars,
+        |    len(list_filter(w, x -> x = 'the' OR x = 'a')) AS sw
+        |  FROM (SELECT doc_id, lang,
+        |      string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |s AS (SELECT lang,
+        |    2 * (n_uniq * 1000 // n_tok) - abs(sw * 1000 // n_tok - 60)
+        |      - abs(chars * 100 // n_tok - 450) // 10 AS score
+        |  FROM f)
+        |SELECT lang,
+        |  CASE WHEN score >= 1100 THEN 'high'
+        |       WHEN score >= 700 THEN 'mid' ELSE 'low' END AS cls,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(score) AS BIGINT) AS sum_score
+        |FROM s GROUP BY lang, cls ORDER BY lang, cls""".stripMargin) {
+      (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("w"))
+        .select(col("lang"), size(col("w")).as("n_tok"),
+          size(array_distinct(col("w"))).as("n_uniq"),
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("chars"),
+          size(expr("filter(w, x -> x = 'the' OR x = 'a')")).as("sw"))
+        .withColumn("score",
+          expr("2 * (n_uniq * 1000 DIV n_tok) " +
+            "- abs(sw * 1000 DIV n_tok - 60) " +
+            "- abs(chars * 100 DIV n_tok - 450) DIV 10"))
+        .withColumn("cls", when(col("score") >= 1100, "high")
+          .when(col("score") >= 700, "mid").otherwise("low"))
+        .groupBy(col("lang"), col("cls"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("score")).cast("long").as("sum_score"))
+        .orderBy(col("lang"), col("cls"))
+    },
+
+    // Bigram-predictability boilerplate screen — the LM-perplexity
+    // filter shape without a model: per-position conditional frequency
+    // c(x,y)·10⁶ ÷ c(x,·) from the corpus itself, averaged per doc with
+    // integer division. Highly predictable docs are templated/repetitive
+    // (the CCNet/Gopher "perplexity band" intuition, transcendental-free
+    // so the oracle is exact). Bigram- and first-token-count tables are
+    // vocabulary-sized → broadcast; one per-doc shuffle.
+    QueryDef.sqlBacked(
+      "q293_bigram_predictability",
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |bi AS (SELECT doc_id, source, w[i] AS x,
+        |    w[i] || ' ' || w[i+1] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+        |cb AS (SELECT g, COUNT(*) AS cxy FROM bi GROUP BY g),
+        |cx AS (SELECT x, COUNT(*) AS cx FROM bi GROUP BY x),
+        |d AS (SELECT doc_id, source,
+        |    SUM(cxy * 1000000 // cx) // COUNT(*) AS pred
+        |  FROM bi JOIN cb USING (g) JOIN cx USING (x)
+        |  GROUP BY doc_id, source)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(*) FILTER (WHERE pred >= 36000) AS BIGINT)
+        |    AS flagged,
+        |  CAST(SUM(pred) AS BIGINT) AS sum_pred
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val bi = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> struct(w[i] AS x, concat(w[i], ' ', w[i + 1]) AS g))"))
+          .as("p"))
+        .select(col("doc_id"), col("source"),
+          col("p.x").as("x"), col("p.g").as("g"))
+        .cache()
+      val cb = bi.groupBy(col("g")).agg(count(lit(1)).as("cxy"))
+      val cx = bi.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+      bi.join(broadcast(cb), "g").join(broadcast(cx), "x")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("SUM(cxy * 1000000 DIV cx) DIV COUNT(*)").as("pred"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          count(when(col("pred") >= 36000, 1)).as("flagged"),
+          sum(col("pred")).cast("long").as("sum_pred"))
+        .orderBy(col("source"))
     }
   )
 }
