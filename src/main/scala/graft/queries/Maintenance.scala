@@ -2951,6 +2951,101 @@ object Maintenance {
       import s.implicits._
       counts.withColumn("scoped_fold", lit(if (scoped) 1L else 0L))
         .orderBy(col("grp"))
+    },
+
+    // PREDICATE-SCOPED OVERWRITE (Delta's replaceWhere, here the DSv2
+    // `writeTo(...).overwrite(cond)` bridge + TableWriter.replaceWhere):
+    // one atomic commit deletes every row matching the predicate and
+    // inserts the replacement — the idempotent backfill primitive. The
+    // gate pins the 100 TB property: partitions OUTSIDE the predicate
+    // keep their physical files (modificationTime still v0's), so
+    // re-loading one slice never churns the rest of the table or its
+    // CDC stream. Oracle recomputes the final state from raw parquet.
+    QueryDef.sqlBacked(
+      "q294_replace_where",
+      """SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(q * 100) AS BIGINT)) AS BIGINT) AS qcents,
+        |  CAST(1 AS BIGINT) AS scoped
+        |FROM (SELECT l_returnflag,
+        |        CASE WHEN l_returnflag = 'A' THEN l_quantity + 100
+        |             ELSE l_quantity END AS q
+        |      FROM lineitem WHERE l_orderkey % 23 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/rpw_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 23 === 0)
+        TableWriter.write(s, li, path, partitionBy = Seq("l_returnflag"),
+          version = 0L, commitTs = 1000L)
+        TableWriter.replaceWhere(s, path,
+          li.filter(col("l_returnflag") === "A")
+            .withColumn("l_quantity", col("l_quantity") + 100.0),
+          col("l_returnflag") === "A", version = 1L, commitTs = 2000L)
+      }
+      val snap = new TxnLog(path, conf).snapshotLatest()
+      val others = snap.files
+        .filterNot(_.partitionValues.get("l_returnflag").contains("A"))
+      val scoped = others.nonEmpty &&
+        others.forall(_.modificationTime <= 1000L) &&
+        snap.files.exists(_.modificationTime >= 2000L)
+      s.read.format("graft").option("tablePath", path).load()
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100).cast("long")).as("qcents"))
+        .withColumn("scoped", lit(if (scoped) 1L else 0L))
+        .orderBy(col("grp"))
+    },
+
+    // DYNAMIC PARTITION OVERWRITE: replace exactly the partitions
+    // PRESENT in the incoming frame (the nightly re-materialization
+    // shape where the job decides which slices it recomputed); doomed
+    // files are discovered from the LOG's partition values — metadata
+    // only, no data file opened. The gate pins that absent partitions
+    // keep their v0 files.
+    QueryDef.sqlBacked(
+      "q295_dynamic_overwrite",
+      """SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BIGINT) AS dyn_scoped
+        |FROM (SELECT o_orderpriority,
+        |        CASE WHEN o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |             THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |      FROM orders WHERE o_orderkey % 19 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/dyno_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val conf = s.sessionState.newHadoopConf()
+      if (new TxnLog(path, conf).versions() != Seq(0L, 1L)) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val od = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 19 === 0)
+        TableWriter.write(s, od, path,
+          partitionBy = Seq("o_orderpriority"), version = 0L,
+          commitTs = 1000L)
+        TableWriter.overwritePartitionsDynamic(s, path,
+          od.filter(col("o_orderpriority")
+              .isin("1-URGENT", "3-MEDIUM"))
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          version = 1L, commitTs = 2000L)
+      }
+      val snap = new TxnLog(path, conf).snapshotLatest()
+      val touched = Set("1-URGENT", "3-MEDIUM")
+      val others = snap.files.filterNot(f =>
+        f.partitionValues.get("o_orderpriority").exists(touched))
+      val scoped = others.nonEmpty &&
+        others.forall(_.modificationTime <= 1000L) &&
+        snap.files.exists(_.modificationTime >= 2000L)
+      s.read.format("graft").option("tablePath", path).load()
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("dyn_scoped", lit(if (scoped) 1L else 0L))
+        .orderBy(col("grp"))
     }
   )
 }

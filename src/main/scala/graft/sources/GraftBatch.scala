@@ -402,6 +402,12 @@ private[sources] class GraftBatchTable(
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      // NOT OVERWRITE_DYNAMIC: Spark has no V1Write fallback exec for
+      // OverwritePartitionsDynamic (only AppendData/OverwriteByExpression
+      // bridge); declaring it would pass analysis then fail planning.
+      // Dynamic partition overwrite is the programmatic
+      // TableWriter.overwritePartitionsDynamic.
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -413,17 +419,28 @@ private[sources] class GraftBatchTable(
     * INSERT gets constraints, generated columns, footer stats, schema
     * enforcement, and commit REBASE (the data job never re-runs on a
     * version race); INSERT OVERWRITE maps to the atomic remove+add
-    * commit of overwriteAll.
+    * commit of overwriteAll; `overwrite(condition)` (replaceWhere) and
+    * `overwritePartitions()` scope the replacement to the predicate's
+    * rows / the incoming frame's partitions, untouched files keeping
+    * their paths.
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var doTruncate = false
+      private var overwriteFilters: Option[Array[Filter]] = None
       override def truncate()
           : org.apache.spark.sql.connector.write.WriteBuilder = {
         doTruncate = true; this
+      }
+      override def overwrite(filters: Array[Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources
+              .AlwaysTrue])) doTruncate = true
+        else overwriteFilters = Some(filters)
+        this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -435,11 +452,25 @@ private[sources] class GraftBatchTable(
                   overwrite: Boolean): Unit = {
                 val path = properties("tablePath")
                 val s = data.sparkSession
-                if (doTruncate || overwrite)
-                  TableWriter.overwriteAll(s, data, path)
-                else
-                  TableWriter.appendRebasing(s, data, path,
-                    commitTs = System.currentTimeMillis())
+                overwriteFilters match {
+                  case Some(fs) =>
+                    val cond = fs.map(f =>
+                        GraftBatchTable.filterColumn(f).getOrElse(
+                          throw new UnsupportedOperationException(
+                            s"replaceWhere condition not expressible: $f")))
+                      .reduceOption(_ && _)
+                      .getOrElse(org.apache.spark.sql.functions.lit(true))
+                    val log = new graft.txn.TxnLog(path,
+                      s.sessionState.newHadoopConf())
+                    TableWriter.replaceWhere(s, path, data, cond,
+                      version = log.latestVersion().getOrElse(0L) + 1,
+                      commitTs = System.currentTimeMillis())
+                  case None if doTruncate || overwrite =>
+                    TableWriter.overwriteAll(s, data, path)
+                  case None =>
+                    TableWriter.appendRebasing(s, data, path,
+                      commitTs = System.currentTimeMillis())
+                }
               }
             }
           // df.writeStream.toTable(...): epoch-per-commit exactly-once

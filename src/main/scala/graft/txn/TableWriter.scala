@@ -1372,6 +1372,138 @@ object TableWriter {
     -1L // unreachable
   }
 
+  /** Predicate-scoped OVERWRITE (Delta's `replaceWhere`): ONE atomic
+    * commit that deletes every row matching `pred` and inserts `df` —
+    * the idempotent backfill / partition-reload primitive. Every
+    * incoming row must satisfy the predicate (refused otherwise: an
+    * overwrite that writes outside its declared scope turns a re-run
+    * into silent data corruption). Files with no matching row keep
+    * their paths, so re-loading one day of a 100 TB table rewrites only
+    * that day's files; rows of partially-matching files whose predicate
+    * is NOT TRUE (false or NULL) survive the rewrite. CHECK constraints
+    * and generated columns validate on the incoming frame through the
+    * same rules as append; dataChange=true — the churn is real CDC.
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      version: Long,
+      commitTs: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val meta = snap.metadata
+    val partCols = meta.map(_.partitionColumns).getOrElse(Seq.empty)
+    require(meta.forall(_.identityColumns.isEmpty),
+      s"replaceWhere on a table with identity columns is not supported " +
+        s"at $tablePath — identity allocation belongs to append/MERGE")
+    // Generated columns compute-or-validate on the INCOMING frame (the
+    // survivors already carry validated values from their own writes).
+    val genDefs = meta.map(_.generatedColumns).getOrElse(Map.empty)
+    val filled = genDefs.foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else {
+        val f = d.withColumn(c,
+          coalesce(col(c), expr(e).cast(d.schema(c).dataType)))
+        val bad = f.filter(!(col(c) <=> expr(e))).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"generated column violation at $tablePath: '$c' disagrees " +
+            s"with GENERATED ALWAYS AS ($e) on $bad rows")
+        f
+      }
+    }
+    val declared = meta.map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    declared.foreach { d =>
+      require(d.fieldNames.toSet == filled.columns.toSet,
+        s"replaceWhere schema ${filled.schema.simpleString} does not " +
+          s"match the table schema at $tablePath")
+    }
+    val aligned = declared
+      .map(d => filled.select(d.fieldNames.toIndexedSeq.map(col): _*))
+      .getOrElse(filled)
+    val outside = aligned.filter(!(pred <=> lit(true))).count()
+    require(outside == 0,
+      s"replaceWhere: $outside incoming rows do not satisfy the " +
+        s"predicate at $tablePath")
+    enforceConstraints(aligned,
+      meta.map(_.constraints).getOrElse(Seq.empty), tablePath)
+    // Affected-file discovery, DV-aware — same shape as deleteWhere:
+    // only file NAMES reach the driver.
+    val tableQ = {
+      val p = new Path(tablePath)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val byRel = snap.files.map(f => new Path(tableQ, f.path).toString
+      .replaceFirst("^file:/+", "/") -> f).toMap
+    val target = DeletionVectors
+      .readSnapshot(spark, tablePath, snap, withRowMeta = true)
+      .withColumnRenamed("_path", "_file")
+    val affected = target.filter(pred)
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).flatMap(byRel.get).toIndexedSeq
+    val combined =
+      if (affected.isEmpty) aligned
+      else readDeclared(spark, tablePath, snap, affected)
+        .filter(!(pred <=> lit(true)))
+        .unionByName(aligned)
+    val adds = stageAndMove(spark, combined, tablePath, partCols, version,
+      commitTs, dataChange = true)
+    val removes = affected.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues))
+    log.commit(version,
+      (removes ++ adds) :+ CommitInfo("REPLACE WHERE", commitTs))
+  }
+
+  /** Dynamic partition overwrite (`writeTo(...).overwritePartitions()`,
+    * `partitionOverwriteMode=dynamic`): replace exactly the partitions
+    * PRESENT in the incoming frame, leave every other partition's files
+    * untouched — the nightly re-materialization shape where the job
+    * itself decides which days it recomputed. The doomed file set comes
+    * from the LOG's partition values (metadata-only discovery: no data
+    * file is opened to decide what to remove).
+    */
+  def overwritePartitionsDynamic(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      version: Long,
+      commitTs: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty)
+    require(partCols.nonEmpty,
+      s"dynamic partition overwrite needs a partitioned table at " +
+        s"$tablePath — use INSERT OVERWRITE for full replacement")
+    // Incoming partition tuples, canonicalized the same way the writer
+    // routes them (string form, null → hive sentinel) so the match is
+    // exact against AddFile.partitionValues.
+    val incoming = df.select(partCols.map(c =>
+        coalesce(col(c).cast("string"),
+          org.apache.spark.sql.functions.lit("__HIVE_DEFAULT_PARTITION__"))
+          .as(c)): _*)
+      .distinct().collect()
+      .map(r => partCols.map(c => c -> r.getAs[String](c)).toMap)
+      .toSet
+    val doomed = snap.files.filter(f =>
+      incoming.contains(partCols.map(c =>
+        c -> f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__"))
+        .toMap))
+    val removes: Seq[Action] = doomed.map(f =>
+      RemoveFile(f.path, commitTs, f.partitionValues))
+    write(spark, df, tablePath, partCols, version = version,
+      commitTs = commitTs, operation = "OVERWRITE PARTITIONS",
+      extraActions = removes)
+  }
+
   /** Partition evolution (metadata-only, Iceberg's headline trick):
     * change the partition spec of FUTURE writes without touching a byte
     * of existing data. Earlier generations keep their layout; the
@@ -1640,8 +1772,11 @@ object TableWriter {
       log.commit(version, Seq(CommitInfo("DELETE", commitTs)))
       return
     }
+    // SQL DELETE deletes rows where pred IS TRUE; a row whose predicate
+    // evaluates NULL (e.g. `x > 5` with null x) survives. `!pred` alone
+    // would map NULL → NULL and silently drop those rows at rewrite.
     val survivors = readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
-      .filter(!pred)
+      .filter(!(pred <=> org.apache.spark.sql.functions.lit(true)))
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
