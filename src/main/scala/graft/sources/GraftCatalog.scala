@@ -418,11 +418,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             ut.newDataType(), version = v,
             commitTs = System.currentTimeMillis())
         }
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames().length == 1,
+          "nested ALTER COLUMN DEFAULT is not supported")
+        // DROP DEFAULT arrives as an empty default string
+        val sql = Option(ud.newDefaultValue()).filter(_.nonEmpty)
+        val log = new TxnLog(dir, conf)
+        OptimisticTxn.retrying(log) { v =>
+          TableWriter.setColumnDefault(spark, dir, ud.fieldNames().head,
+            sql, version = v, commitTs = System.currentTimeMillis())
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported (supported: ADD " +
             "COLUMNS of nullable top-level columns, RENAME COLUMN, " +
-            "widening ALTER COLUMN TYPE)")
+            "widening ALTER COLUMN TYPE, ALTER COLUMN SET/DROP DEFAULT)")
     }
     loadTable(ident)
   }

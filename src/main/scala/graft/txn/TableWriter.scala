@@ -590,6 +590,69 @@ object TableWriter {
       CommitInfo("ALTER COLUMN TYPE", commitTs))
   }
 
+  /** ALTER COLUMN SET/DROP DEFAULT — metadata-only: the default rides
+    * the schema's field metadata under Spark's own CURRENT_DEFAULT key,
+    * so the analyzer (ResolveDefaultColumns) materializes it for every
+    * later INSERT that omits the column or writes the DEFAULT keyword.
+    * Existing rows are untouched (a default is a WRITE-side fill, never
+    * a read-side rewrite — that's what generated columns are for).
+    * `None` drops the default. The expression must be constant and
+    * cast-compatible with the column; validated by evaluating the cast
+    * once at DDL time, so a bad default fails here, not at first INSERT.
+    */
+  def setColumnDefault(
+      spark: SparkSession,
+      tablePath: String,
+      colName: String,
+      defaultSql: Option[String],
+      version: Long,
+      commitTs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap = log.snapshotLatest()
+    TxnLog.assertWritable(snap, tablePath)
+    val m = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"no table metadata at $tablePath"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$colName' at $tablePath"))
+    require(!m.generatedColumns.contains(colName),
+      s"'$colName' is GENERATED ALWAYS AS — it cannot also carry a " +
+        s"DEFAULT at $tablePath")
+    require(!m.identityColumns.contains(colName),
+      s"'$colName' is GENERATED ALWAYS AS IDENTITY — it cannot carry " +
+        s"a DEFAULT at $tablePath")
+    defaultSql.foreach { sql =>
+      // constant + cast check: one driver-side evaluation
+      try spark.sql(s"SELECT CAST(($sql) AS ${field.dataType.sql})")
+        .collect()
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"DEFAULT ($sql) is not a valid constant of type " +
+            s"${field.dataType.simpleString} for '$colName': " +
+            e.getMessage)
+      }
+    }
+    val key = "CURRENT_DEFAULT"
+    val evolved = org.apache.spark.sql.types.StructType(schema.fields.map {
+      f =>
+        if (f.name != colName) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          defaultSql match {
+            case Some(sql) => mb.putString(key, sql)
+            case None      => mb.remove(key)
+          }
+          f.copy(metadata = mb.build())
+        }
+    })
+    log.commit(version, Seq(m.copy(schemaJson = evolved.json),
+      CommitInfo("ALTER COLUMN DEFAULT", commitTs)))
+  }
+
   /** Metadata-only DROP COLUMN (Delta column-mapping semantics): no
     * data file is touched — the commit re-declares the schema without
     * the column, and readers simply never project the files' physical
