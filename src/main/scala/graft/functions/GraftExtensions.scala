@@ -99,6 +99,28 @@ object GraftExtensions {
             endingVersion = ev)
             .queryExecution.logical
         }),
+      // Change data feed (Delta's table_changes): row-level change
+      // records with exact UPDATE pre/post-images where the commit wrote
+      // change files, inferred insert/delete rows elsewhere
+      ("graft_table_changes",
+        info("graft_table_changes",
+          "graft_table_changes(tablePath, startingVersion[, " +
+            "endingVersion]) - change-data-feed rows (_change_type ∈ " +
+            "insert/update_preimage/update_postimage/delete, " +
+            "_commit_version, _commit_timestamp) between two versions " +
+            "(end defaults to latest)"),
+        (children: Seq[Expression]) => {
+          require(children.size >= 2 && children.size <= 3,
+            "graft_table_changes(tablePath, startingVersion[, " +
+              "endingVersion])")
+          val path = strLitOf(children.head, "graft_table_changes")
+          val sv = longLitOf(children(1), "graft_table_changes")
+          val ev = children.lift(2).map(longLitOf(_, "graft_table_changes"))
+          graft.txn.ChangeDataFeed.tableChanges(
+            org.apache.spark.sql.SparkSession.active, path,
+            startingVersion = sv, endingVersion = ev)
+            .queryExecution.logical
+        }),
       ("graft_history",
         info("graft_history",
           "graft_history(tablePath) - commit history of a graft table " +

@@ -94,6 +94,44 @@ object Cdc {
     dir
   }
 
+  /** 6-version CHANGE DATA FEED fixture over events (event_id unique):
+    *   v0: event_id%3=0              (event_id, event_type, cents) ts=1000
+    *   v1: SET TBLPROPERTIES graft.enableChangeDataFeed=true       ts=1500
+    *   v2: UPDATE cents += 1000 WHERE %12=0 (COW, exact images)    ts=2000
+    *   v3: DELETE WHERE %18=0 (COW, exact delete rows)             ts=3000
+    *   v4: DV DELETE WHERE %30=0 (sidecar-only, exact delete rows) ts=4000
+    *   v5: MERGE src = (%3=0 ∧ %24=0 → update-or-resurrect)
+    *              ∪ (%3=1 ∧ %20=0 → insert), cents := id*3         ts=5000
+    */
+  def buildCdfFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/cdf_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L, 4L, 5L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def ev = Tables.load(spark, sfDir, "events").select(
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    TableWriter.write(spark, ev.filter(col("event_id") % 3 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, dir, col("event_id") % 12 === 0,
+      Map("cents" -> (col("cents") + 1000L)), version = 2L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("event_id") % 18 === 0,
+      version = 3L, commitTs = 3000L)
+    DeletionVectors.deleteWhere(spark, dir, col("event_id") % 30 === 0,
+      version = 4L, commitTs = 4000L)
+    val src = ev
+      .filter((col("event_id") % 3 === 0 && col("event_id") % 24 === 0) ||
+        (col("event_id") % 3 === 1 && col("event_id") % 20 === 0))
+      .withColumn("cents", (col("event_id") * 3).cast("long"))
+    TableWriter.mergeUpsert(spark, dir, src, Seq("event_id"),
+      version = 5L, commitTs = 5000L)
+    dir
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // CDC replay: full-copy + incremental envelope, counted by op.
     QueryDef.sqlBacked(
@@ -559,6 +597,133 @@ object Cdc {
            |  CAST(SUM(cents) AS BIGINT) AS cents_sum
            |FROM graft_changes('$path', 0, false, 2)
            |GROUP BY op ORDER BY op""".stripMargin)
+    },
+
+    // CHANGE DATA FEED (Delta's table_changes with CDF enabled): the
+    // op-envelope CDC above is file-level — a copy-on-write UPDATE
+    // surfaces survivors as churn. With graft.enableChangeDataFeed set,
+    // every DML commit writes its EXACT changed rows to _change_data/
+    // sidecars, and the feed serves update_preimage/update_postimage/
+    // delete records per commit. The oracle replays the fixture's DML
+    // arithmetic from the events table — counts AND cents sums, so a
+    // survivor row leaking into the feed (or a lost image) breaks the
+    // hash, not just the count.
+    QueryDef.sqlBacked(
+      "q290_cdf_update_delete",
+      """WITH b AS (
+        |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 3 = 0),
+        |u AS (SELECT id, cents,
+        |  CASE WHEN id % 12 = 0 THEN cents + 1000 ELSE cents END AS c2
+        |  FROM b)
+        |SELECT v, ct, n, cents FROM (
+        |  SELECT CAST(2 AS BIGINT) AS v, 'update_preimage' AS ct,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM u WHERE id % 12 = 0 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'update_postimage',
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(c2) AS BIGINT)
+        |  FROM u WHERE id % 12 = 0 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'delete',
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(c2) AS BIGINT)
+        |  FROM u WHERE id % 18 = 0 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), 'delete',
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(c2) AS BIGINT)
+        |  FROM u WHERE id % 30 = 0 AND id % 18 <> 0 HAVING COUNT(*) > 0
+        |) ORDER BY v, ct""".stripMargin) { (s, dir) =>
+      val t = buildCdfFixture(s, dir)
+      ChangeDataFeed.tableChanges(s, t, 2L, Some(4L))
+        .groupBy(col(ChangeDataFeed.VersionCol).as("v"),
+          col(ChangeDataFeed.TypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("cents"))
+        .orderBy(col("v"), col("ct"))
+    },
+
+    // CDF through MERGE: matched alive keys yield pre/post-image pairs;
+    // source keys whose target rows died earlier (COW delete at v3, DV
+    // delete at v4) are NOT matched and insert — the oracle replays the
+    // liveness arithmetic, so a MERGE that matched a dead row (DV
+    // resurrection) or mis-classified an insert breaks the hash.
+    // id%24=0 implies id%12=0, so every matched preimage carries the v2
+    // update (+1000) — the feed composes across the fixture's history.
+    QueryDef.sqlBacked(
+      "q291_cdf_merge",
+      """WITH b AS (
+        |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT id, cents + 1000 AS pre FROM b
+        |  WHERE id % 3 = 0 AND id % 24 = 0 AND id % 18 <> 0 AND id % 30 <> 0),
+        |srcnew AS (SELECT id FROM b WHERE (id % 3 = 1 AND id % 20 = 0)
+        |  OR (id % 3 = 0 AND id % 24 = 0 AND (id % 18 = 0 OR id % 30 = 0)))
+        |SELECT ct, n, cents, id_sum FROM (
+        |  SELECT 'update_preimage' AS ct, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pre) AS BIGINT) AS cents, CAST(SUM(id) AS BIGINT) AS id_sum
+        |  FROM m HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(id * 3) AS BIGINT), CAST(SUM(id) AS BIGINT)
+        |  FROM m HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(id * 3) AS BIGINT), CAST(SUM(id) AS BIGINT)
+        |  FROM srcnew HAVING COUNT(*) > 0
+        |) ORDER BY ct""".stripMargin) { (s, dir) =>
+      val t = buildCdfFixture(s, dir)
+      ChangeDataFeed.tableChanges(s, t, 5L, Some(5L))
+        .groupBy(col(ChangeDataFeed.TypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("cents"),
+          sum("event_id").cast("long").as("id_sum"))
+        .orderBy(col("ct"))
+    },
+
+    // CDF inference (the Delta rule for commits WITHOUT change files):
+    // appends read as inserts, whole-file removes as deletes of the
+    // rows live at the prior version — no table property needed. The
+    // feed is total over append/partition-drop history, and only DV
+    // transitions demand the property (q290/q291 cover those).
+    QueryDef.sqlBacked(
+      "q292_cdf_inferred",
+      """WITH b AS (
+        |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    CAST(event_id % 4 AS VARCHAR) AS grp
+        |  FROM events)
+        |SELECT v, ct, n, cents FROM (
+        |  SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ct,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM b HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'delete',
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+        |  FROM b WHERE grp = '2' HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'insert',
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+        |  FROM b WHERE id % 5 = 0 HAVING COUNT(*) > 0
+        |) ORDER BY v, ct""".stripMargin) { (s, dir) =>
+      val path =
+        s"target/fixtures/cdfi_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val log = new TxnLog(path, s.sessionState.newHadoopConf())
+      if (log.versions() != Seq(0L, 1L, 2L)) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val ev = Tables.load(s, dir, "events").select(
+          col("event_id"), floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_id") % 4).cast("string").as("grp"))
+        TableWriter.write(s, ev, path, partitionBy = Seq("grp"),
+          version = 0L, commitTs = 1000L)
+        TableWriter.removeWhere(s, path,
+          pv => pv.get("grp").contains("2"), version = 1L, commitTs = 2000L)
+        TableWriter.write(s, ev.filter(col("event_id") % 5 === 0), path,
+          partitionBy = Seq("grp"), version = 2L, commitTs = 3000L)
+      }
+      ChangeDataFeed.tableChanges(s, path, 0L, Some(2L))
+        .groupBy(col(ChangeDataFeed.VersionCol).as("v"),
+          col(ChangeDataFeed.TypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("cents"))
+        .orderBy(col("v"), col("ct"))
     }
   )
 }

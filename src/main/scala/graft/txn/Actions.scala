@@ -149,6 +149,25 @@ final case class CommitInfo(
     rowIdHighWater: Option[Long] = None,
     identityHighWater: Option[Map[String, Long]] = None) extends Action
 
+/** A change-data sidecar file (the Delta AddCDCFile idea): exact row-level
+  * change records for ONE commit, written by DML paths (MERGE / UPDATE /
+  * DELETE — copy-on-write and deletion-vector alike) when the table
+  * property `graft.enableChangeDataFeed` is true. The file carries every
+  * table column (partition columns materialized as regular columns, under
+  * LOGICAL names as of the writing commit) plus `_change_type` ∈
+  * {insert, update_preimage, update_postimage, delete}.
+  *
+  * Never part of table state: snapshot replay ignores these lines, and
+  * readers of the table never open the files — only
+  * [[ChangeDataFeed.tableChanges]] does. Vacuum protects a change file
+  * while its commit is still in the log; once [[TxnLog.expireLog]] drops
+  * the commit, the file ages out through the orphan sweep.
+  */
+final case class CdcFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long) extends Action
+
 /** Forward-compatibility guard (the Delta protocol action): a reader
   * whose supported version is below `minReaderVersion` must REFUSE the
   * table — failing loudly beats silently misreading actions written by
@@ -177,10 +196,11 @@ final case class LogLine(
     metaData: Option[Metadata] = None,
     commitInfo: Option[CommitInfo] = None,
     protocol: Option[Protocol] = None,
-    txn: Option[SetTxn] = None) {
+    txn: Option[SetTxn] = None,
+    cdc: Option[CdcFile] = None) {
   def action: Action =
     add.orElse[Action](remove).orElse(metaData).orElse(commitInfo)
-      .orElse(protocol).orElse(txn)
+      .orElse(protocol).orElse(txn).orElse(cdc)
       .getOrElse(throw new IllegalArgumentException("empty log line"))
 }
 
@@ -192,5 +212,6 @@ object LogLine {
     case x: CommitInfo => LogLine(commitInfo = Some(x))
     case x: Protocol   => LogLine(protocol = Some(x))
     case x: SetTxn     => LogLine(txn = Some(x))
+    case x: CdcFile    => LogLine(cdc = Some(x))
   }
 }

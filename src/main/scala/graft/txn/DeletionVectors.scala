@@ -231,12 +231,19 @@ object DeletionVectors {
     TxnLog.assertWritable(snap, tablePath)
     // the marker evaluates over the LIVE view (already-deleted rows
     // can't re-match — their deleted_at must keep the original version)
-    // persisted: feeds both the affected-file discovery and the vector
-    // write — without it the marking scan runs twice
-    val matched = mark(readSnapshot(spark, tablePath, snap, withRowMeta = true))
+    // persisted: feeds the affected-file discovery, the vector write,
+    // and (when the change feed is on) the delete change rows — without
+    // it the marking scan runs three times. Cache the narrowest frame
+    // every consumer can derive from: row handles in the common case,
+    // full rows only when the feed needs them.
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    val markedRaw = mark(readSnapshot(spark, tablePath, snap,
+      withRowMeta = true))
+    val cached = (if (cdfOn) markedRaw
+      else markedRaw.select(col("_fn"), col("_ri"))).persist()
+    val matched = cached
       .select(col("_fn").as("file_name"), col("_ri").as("row_index"),
         lit(version).as("deleted_at"))
-      .persist()
     try {
     val affectedNames = matched.select("file_name").distinct()
       .collect().map(_.getString(0)).toSet // file names only, ≤ |files|
@@ -271,9 +278,18 @@ object DeletionVectors {
     val protocol: Seq[Action] =
       if (snap.protocol.exists(_.minReaderVersion >= 2)) Seq.empty
       else Seq(Protocol(2, 2))
+    // Change data feed: the exact deleted rows, straight from the cached
+    // marking scan (no second table read)
+    val cdcActions: Seq[Action] =
+      if (!cdfOn) Seq.empty
+      else ChangeDataFeed.stage(spark,
+        cached.drop("_fn", "_ri", "_path")
+          .withColumn(ChangeDataFeed.TypeCol, lit(ChangeDataFeed.Delete)),
+        tablePath, version)
     log.commit(version,
-      protocol ++ removes ++ adds :+ CommitInfo("DELETE_DV", commitTs))
-    } finally matched.unpersist()
+      protocol ++ removes ++ adds ++ cdcActions :+
+        CommitInfo("DELETE_DV", commitTs))
+    } finally cached.unpersist()
   }
 
   /** Fold every deletion vector back into plain files: DV-carrying files

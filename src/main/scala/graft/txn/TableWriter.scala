@@ -1063,6 +1063,10 @@ object TableWriter {
           removedAt(r.path) = math.max(r.deletionTimestamp,
             removedAt.getOrElse(r.path, Long.MinValue))
         case a: AddFile => referenced += a.path
+        // change-data sidecars are protected while their commit is in
+        // the log; expireLog dropping the commit releases them to the
+        // orphan sweep below
+        case c: CdcFile => referenced += c.path
         case _ => ()
       }
     }
@@ -1654,7 +1658,7 @@ object TableWriter {
       commitTs: Long,
       operation: String = "MERGE",
       autoMergeSchema: Boolean = false): Unit = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -1726,6 +1730,35 @@ object TableWriter {
     // source side (survivors already passed when first written)
     enforceConstraints(source,
       snap.metadata.map(_.constraints).getOrElse(Seq.empty), tablePath)
+    // Change data feed: matched target rows are the preimages, their
+    // source replacements the postimages, unmatched source rows inserts.
+    // Under duplicate source keys the pre/post sets are NOT 1:1 pairs —
+    // they are the exact dying and arriving row sets, which is the
+    // whole-row-replacement contract this MERGE implements. One extra
+    // scan of the AFFECTED files only; proportional to the touched
+    // sliver, never the table.
+    val cdcActions: Seq[Action] =
+      if (!ChangeDataFeed.enabled(snap)) Seq.empty
+      else {
+        import ChangeDataFeed.{TypeCol, Insert, UpdatePre, UpdatePost}
+        val evolving = extraFields.nonEmpty
+        val changes =
+          if (affected.isEmpty) source.withColumn(TypeCol, lit(Insert))
+          else {
+            val pre = readDeclared(spark, tablePath, snap,
+                affected.toIndexedSeq)
+              .join(srcKeys, keyCols, "left_semi")
+            val matchedKeys = pre.select(keyCols.map(col): _*).distinct()
+            val post = source.join(matchedKeys, keyCols, "left_semi")
+            val ins = source.join(matchedKeys, keyCols, "left_anti")
+            pre.withColumn(TypeCol, lit(UpdatePre))
+              .unionByName(post.withColumn(TypeCol, lit(UpdatePost)),
+                allowMissingColumns = evolving)
+              .unionByName(ins.withColumn(TypeCol, lit(Insert)),
+                allowMissingColumns = evolving)
+          }
+        ChangeDataFeed.stage(spark, changes, tablePath, version)
+      }
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
@@ -1739,7 +1772,8 @@ object TableWriter {
         Seq(snap.metadata.get.copy(schemaJson = evolved.json))
       }
     log.commit(version,
-      metaAction ++ (removes ++ adds) :+ CommitInfo(operation, commitTs))
+      metaAction ++ (removes ++ adds) ++ cdcActions :+
+        CommitInfo(operation, commitTs))
   }
 
   /** MERGE full-sync: make the SCOPE slice of the table equal the source
@@ -1763,7 +1797,7 @@ object TableWriter {
       scope: org.apache.spark.sql.Column,
       version: Long,
       commitTs: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.functions.{col, lit, not}
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
@@ -1795,12 +1829,29 @@ object TableWriter {
         .unionByName(source)
     enforceConstraints(source,
       snap.metadata.map(_.constraints).getOrElse(Seq.empty), tablePath)
+    // Change data feed: full-sync is a slice swap, and its honest change
+    // record is exactly that — every in-scope target row deletes, every
+    // source row inserts (there is no key identity here to pair pre/post
+    // images on).
+    val cdcActions: Seq[Action] =
+      if (!ChangeDataFeed.enabled(snap)) Seq.empty
+      else {
+        import ChangeDataFeed.{TypeCol, Insert, Delete}
+        val dead =
+          if (affected.isEmpty) None
+          else Some(readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
+            .filter(scope).withColumn(TypeCol, lit(Delete)))
+        val ins = source.withColumn(TypeCol, lit(Insert))
+        ChangeDataFeed.stage(spark,
+          dead.fold(ins)(_.unionByName(ins)), tablePath, version)
+      }
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
     log.commit(version,
-      (removes ++ adds) :+ CommitInfo("MERGE_FULL_SYNC", commitTs))
+      (removes ++ adds) ++ cdcActions :+
+        CommitInfo("MERGE_FULL_SYNC", commitTs))
   }
 
   /** Row-level DELETE WHERE: rewrites only the files containing matching
@@ -1813,7 +1864,7 @@ object TableWriter {
       pred: org.apache.spark.sql.Column,
       version: Long,
       commitTs: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
@@ -1838,13 +1889,23 @@ object TableWriter {
     // SQL DELETE deletes rows where pred IS TRUE; a row whose predicate
     // evaluates NULL (e.g. `x > 5` with null x) survives. `!pred` alone
     // would map NULL → NULL and silently drop those rows at rewrite.
-    val survivors = readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
+    val base = readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
+    val survivors = base
       .filter(!(pred <=> org.apache.spark.sql.functions.lit(true)))
+    // Change data feed: the exact deleted rows (pred IS TRUE — the same
+    // 3VL rule the rewrite uses, so feed and state can never disagree)
+    val cdcActions: Seq[Action] =
+      if (!ChangeDataFeed.enabled(snap)) Seq.empty
+      else ChangeDataFeed.stage(spark,
+        base.filter(pred <=> org.apache.spark.sql.functions.lit(true))
+          .withColumn(ChangeDataFeed.TypeCol, lit(ChangeDataFeed.Delete)),
+        tablePath, version)
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
-    log.commit(version, (removes ++ adds) :+ CommitInfo("DELETE", commitTs))
+    log.commit(version,
+      (removes ++ adds) ++ cdcActions :+ CommitInfo("DELETE", commitTs))
   }
 
   /** Row-level UPDATE WHERE: rewrite only the files that CONTAIN a
@@ -1862,7 +1923,7 @@ object TableWriter {
       set: Map[String, org.apache.spark.sql.Column],
       version: Long,
       commitTs: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.functions.{col, lit, when}
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -1907,11 +1968,32 @@ object TableWriter {
     }.drop(set.toSeq.indices.map(i => s"_upd_$i"): _*)
     enforceConstraints(rewritten,
       meta.map(_.constraints).getOrElse(Seq.empty), tablePath)
+    // Change data feed: preimages are the matching rows as read, the
+    // postimages those same rows with the SET expressions applied — the
+    // identical stage-then-swap evaluation the rewrite uses (every SET
+    // sees the OLD row), so image and state cannot diverge.
+    val cdcActions: Seq[Action] =
+      if (!ChangeDataFeed.enabled(snap)) Seq.empty
+      else {
+        import ChangeDataFeed.{TypeCol, UpdatePre, UpdatePost}
+        val preRows = base.filter(pred)
+        val stagedPost = set.toSeq.zipWithIndex.foldLeft(preRows) {
+          case (d, ((_, e), i)) => d.withColumn(s"_upd_$i", e)
+        }
+        val postRows = set.toSeq.zipWithIndex.foldLeft(stagedPost) {
+          case (d, ((c, _), i)) => d.withColumn(c, col(s"_upd_$i"))
+        }.drop(set.toSeq.indices.map(i => s"_upd_$i"): _*)
+        ChangeDataFeed.stage(spark,
+          preRows.withColumn(TypeCol, lit(UpdatePre))
+            .unionByName(postRows.withColumn(TypeCol, lit(UpdatePost))),
+          tablePath, version)
+      }
     val adds = stageAndMove(spark, rewritten, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues)).toIndexedSeq
-    log.commit(version, (removes ++ adds) :+ CommitInfo("UPDATE", commitTs))
+    log.commit(version,
+      (removes ++ adds) ++ cdcActions :+ CommitInfo("UPDATE", commitTs))
   }
 
   /** The file set under the table's DECLARED schema, column mapping

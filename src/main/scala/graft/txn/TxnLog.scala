@@ -414,6 +414,7 @@ final class TxnLog(
         case p: Protocol   => proto = Some(p)
         case t: SetTxn     => txns += (t.appId -> t)
         case _: CommitInfo => ()
+        case _: CdcFile    => () // change-data sidecars are never table state
       }
     }
     proto.foreach(TxnLog.assertReadable(_, tablePath))

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.txn.{ChangeDataFeed, DeletionVectors, TableWriter, TxnLog}
+
+/** Change data feed: exact row-level change records with UPDATE
+  * pre/post-images, inference for commits without change files, vacuum
+  * protection, and the property gate.
+  */
+class ChangeDataFeedSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import ChangeDataFeed._
+
+  private def freshDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  /** 200-row keyed frame: (k, grp, cents). */
+  private def base = {
+    import spark.implicits._
+    (0L until 200L).map(k => (k, (k % 4).toString, k * 10L))
+      .toDF("k", "grp", "cents")
+  }
+
+  private def withCdf(dir: String): Unit =
+    TableWriter.setTableProperties(spark, dir, Map(Prop -> "true"),
+      version = 1L, commitTs = 1500L)
+
+  private def changes(dir: String, from: Long, to: Long) =
+    ChangeDataFeed.tableChanges(spark, dir, from, Some(to))
+
+  test("UPDATE writes exact pre/post-images") {
+    val dir = freshDir("cdf_upd")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.updateWhere(spark, dir, col("k") % 50 === 0,
+      Map("cents" -> (col("cents") + 7L)), version = 2L, commitTs = 2000L)
+    val ch = changes(dir, 2L, 2L)
+      .select(col("k"), col("cents"), col(TypeCol), col(VersionCol),
+        col(TimestampCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val want = (0L until 200L by 50L).flatMap(k => Seq(
+      (k, k * 10L, UpdatePre, 2L, 2000L),
+      (k, k * 10L + 7L, UpdatePost, 2L, 2000L))).sorted
+    assert(ch == want)
+  }
+
+  test("copy-on-write DELETE and DV DELETE both record exact delete rows") {
+    val dir = freshDir("cdf_del")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.deleteWhere(spark, dir, col("k") < 5, version = 2L,
+      commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("k") >= 195, version = 3L,
+      commitTs = 3000L)
+    def deleted(v: Long) = changes(dir, v, v)
+      .filter(col(TypeCol) === Delete)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(deleted(2L) == (0L until 5L))
+    assert(deleted(3L) == (195L until 200L))
+    // the DV commit re-adds its file, but the change feed serves the
+    // sidecar, never infers — no survivor noise
+    assert(changes(dir, 3L, 3L).count() == 5L)
+  }
+
+  test("MERGE records update_preimage/update_postimage/insert") {
+    import spark.implicits._
+    val dir = freshDir("cdf_merge")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    // keys 10,11 exist (update), key 1000 is new (insert)
+    val src = Seq((10L, "x", 1L), (11L, "y", 2L), (1000L, "z", 3L))
+      .toDF("k", "grp", "cents")
+    TableWriter.mergeUpsert(spark, dir, src, Seq("k"), version = 2L,
+      commitTs = 2000L)
+    val ch = changes(dir, 2L, 2L)
+      .select(col("k"), col("cents"), col(TypeCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(ch == Seq(
+      (10L, 1L, UpdatePost), (10L, 100L, UpdatePre),
+      (11L, 2L, UpdatePost), (11L, 110L, UpdatePre),
+      (1000L, 3L, Insert)).sorted)
+  }
+
+  test("appends infer as inserts; CDF-off DML stays file-level") {
+    import spark.implicits._
+    val dir = freshDir("cdf_infer")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    // no CDF property: append at v1, COW delete at v2
+    TableWriter.write(spark, Seq((500L, "a", 1L)).toDF("k", "grp", "cents"),
+      dir, version = 1L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("k") === 500L, version = 2L,
+      commitTs = 3000L)
+    // v0+v1: pure adds → inserts (201 rows)
+    val ins = changes(dir, 0L, 1L)
+    assert(ins.filter(col(TypeCol) === Insert).count() == 201L)
+    // v2 rewrote a file without change data: inference reports the whole
+    // file as delete+insert (file-level truth, like the op envelope) —
+    // net change must still be the one deleted row
+    val v2 = changes(dir, 2L, 2L)
+    val delK = v2.filter(col(TypeCol) === Delete).select("k")
+    val insK = v2.filter(col(TypeCol) === Insert).select("k")
+    val net = delK.exceptAll(insK).collect().map(_.getLong(0)).toSeq
+    assert(net == Seq(500L))
+  }
+
+  test("DV transition without change data refuses loudly") {
+    val dir = freshDir("cdf_refuse")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    // CDF off: the DV commit re-adds the path it removes
+    DeletionVectors.deleteWhere(spark, dir, col("k") === 0L, version = 1L,
+      commitTs = 2000L)
+    val e = intercept[IllegalArgumentException] {
+      changes(dir, 1L, 1L).count()
+    }
+    assert(e.getMessage.contains("enableChangeDataFeed"))
+  }
+
+  test("vacuum protects change files while their commit is in the log") {
+    val dir = freshDir("cdf_vac")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.deleteWhere(spark, dir, col("k") < 3, version = 2L,
+      commitTs = 2000L)
+    // far-future vacuum horizon: everything unreferenced would go
+    val doomed = TableWriter.vacuum(spark, dir, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L * 3600, dryRun = true)
+    assert(!doomed.exists(_.startsWith("_change_data/")),
+      s"change files in vacuum list: $doomed")
+    // and the feed still reads after a real vacuum
+    TableWriter.vacuum(spark, dir, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L * 3600)
+    assert(changes(dir, 2L, 2L).filter(col(TypeCol) === Delete).count() == 3L)
+  }
+
+  test("SQL TVF graft_table_changes serves the feed") {
+    val dir = freshDir("cdf_tvf")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.updateWhere(spark, dir, col("k") === 7L,
+      Map("cents" -> lit(999L)), version = 2L, commitTs = 2000L)
+    graft.functions.GraftExtensions.install(spark)
+    val rows = spark.sql(
+      s"""SELECT _change_type, cents FROM graft_table_changes('$dir', 2, 2)
+         |ORDER BY _change_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq((UpdatePost, 999L), (UpdatePre, 70L)))
+  }
+}
