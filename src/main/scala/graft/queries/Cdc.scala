@@ -724,6 +724,64 @@ object Cdc {
           col(ChangeDataFeed.TypeCol).as("ct"))
         .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("cents"))
         .orderBy(col("v"), col("ct"))
+    },
+
+    // STREAMING change data feed (Delta's readChangeFeed stream): drain
+    // the CDF fixture's whole history — inferred inserts at v0, exact
+    // update/delete/merge images at v2–v5 — through the GraftCdf
+    // micro-batch source into a keyed downstream replica
+    // (ApplyChanges.applyCdfBatch: deletes drop keys, postimages/inserts
+    // upsert). The replica's final state must equal the source's final
+    // snapshot, which the oracle recomputes from the fixture arithmetic:
+    // a lost preimage pairing, a resurrection, or a mis-keyed upsert all
+    // break the hash. maxVersionsPerTrigger=2 forces multi-batch
+    // progress, so batch-boundary invariance is exercised too.
+    QueryDef.sqlBacked(
+      "q293_cdf_stream_apply",
+      """WITH b AS (
+        |  SELECT event_id AS id, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT id, event_type,
+        |    CASE WHEN id % 24 = 0 THEN id * 3
+        |         WHEN id % 12 = 0 THEN cents + 1000
+        |         ELSE cents END AS c
+        |  FROM b WHERE id % 3 = 0 AND id % 18 <> 0 AND id % 30 <> 0
+        |  UNION ALL
+        |  SELECT id, event_type, id * 3 FROM b
+        |  WHERE id % 3 = 0 AND id % 24 = 0 AND (id % 18 = 0 OR id % 30 = 0)
+        |  UNION ALL
+        |  SELECT id, event_type, id * 3 FROM b
+        |  WHERE id % 3 = 1 AND id % 20 = 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      val src = buildCdfFixture(s, dir)
+      val dst = java.nio.file.Files.createTempDirectory("cdf_apply").toString
+      new java.io.File(dst).delete()
+      val q = s.readStream.format("graft.sources.GraftCdf")
+        .option("tablePath", src)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.ApplyChanges.applyCdfBatch(s, batch, dst,
+            keyCols = Seq("event_id"))
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdf_apply_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      SnapshotReader.read(s, dst)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("cents_sum"),
+          sum(col("event_id")).cast("long").as("id_sum"))
+        .orderBy(col("event_type"))
     }
   )
 }

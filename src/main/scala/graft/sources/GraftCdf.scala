@@ -1,0 +1,272 @@
+package graft.sources
+
+import graft.txn._
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 micro-batch STREAMING source over the change data feed —
+  * `spark.readStream.format("graft.sources.GraftCdf")` (Delta's
+  * `readChangeFeed` streaming surface). Where [[GraftCdc]] streams the
+  * file-level op envelope, this source streams ROW-LEVEL change records:
+  * `_change_type` ∈ {insert, update_preimage, update_postimage, delete}
+  * plus `_commit_version` / `_commit_timestamp`, appended after the table
+  * columns.
+  *
+  * Offsets are plain commit versions (the last version fully admitted) —
+  * a CDF batch is always whole commits: change sidecars are KB-to-MB
+  * scale by construction (proportional to changed rows, never the
+  * table), so mid-file resume buys nothing here; `maxVersionsPerTrigger`
+  * bounds restart backlogs instead.
+  *
+  * Per admitted version the partitions are:
+  *  - its [[CdcFile]] sidecars (exact change rows; `_change_type` read
+  *    from the file), when the commit wrote them;
+  *  - else its dataChange [[AddFile]]s as constant-`insert` partitions
+  *    (append commits never write sidecars — same inference as the batch
+  *    [[ChangeDataFeed.tableChanges]]).
+  *
+  * Commits that REMOVE files without change data refuse loudly: their
+  * delete rows need the prior version's deletion-vector state, which is
+  * a distributed anti-join — the batch feed serves those; the streaming
+  * path demands `graft.enableChangeDataFeed` for row-level DML, exactly
+  * like Delta. Add files carrying a deletion vector (a shallow-clone
+  * import) refuse for the same reason.
+  */
+class GraftCdf extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-cdf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("tablePath")
+    require(path != null && path.nonEmpty, "tablePath is required")
+    GraftCdf.cdfSchema(GraftCdc.declaredSchema(path, new Configuration()))
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftCdfTable(schema, properties.asScala.toMap)
+}
+
+object GraftCdf {
+
+  /** Table columns (nullable on read — schema evolution) + the three
+    * change columns, appended LAST like Delta's CDF.
+    */
+  def cdfSchema(payload: StructType): StructType =
+    StructType(payload.fields.map(_.copy(nullable = true)).toList :::
+      StructField(ChangeDataFeed.TypeCol, StringType, nullable = false) ::
+      StructField(ChangeDataFeed.VersionCol, LongType, nullable = false) ::
+      StructField(ChangeDataFeed.TimestampCol, LongType, nullable = false) ::
+      Nil)
+}
+
+private[sources] class GraftCdfTable(
+    tableSchema: StructType,
+    properties: Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graftcdf(${properties.getOrElse("tablePath", "?")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftCdfMicroBatchStream(tableSchema,
+          properties ++ options.asCaseSensitiveMap().asScala)
+    }
+}
+
+/** Offset = last fully-admitted commit version. */
+private[sources] final case class CdfOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] class GraftCdfMicroBatchStream(
+    schema: StructType,
+    options: Map[String, String])
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val tablePath = options.getOrElse("tablePath",
+    throw new IllegalArgumentException("tablePath is required"))
+  private val startingVersion = options.get("startingVersion")
+    .map(_.toLong).getOrElse(0L)
+  private val maxVersions = options.get("maxVersionsPerTrigger").map(_.toLong)
+  maxVersions.foreach(m => require(m >= 1, "maxVersionsPerTrigger must be >= 1"))
+
+  private val serConf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private def log = new TxnLog(tablePath, serConf.value)
+
+  // payload = declared table columns (the three change columns are
+  // appended by the reader, never read from the log schema)
+  private val payloadJson =
+    StructType(schema.fields.dropRight(3)).json
+
+  override def initialOffset(): Offset = CdfOffset(startingVersion - 1)
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.latestVersion().getOrElse(-1L))
+
+  private def capped(v: Long): Long =
+    availableNowCap.fold(v)(math.min(v, _))
+
+  override def latestOffset(): Offset =
+    CdfOffset(math.max(capped(log.latestVersion().getOrElse(-1L)),
+      startingVersion - 1))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdfOffset].v
+    maxVersions match {
+      case None => latestOffset()
+      case Some(cap) =>
+        // admit at most `cap` EXISTING versions past the start (version
+        // numbers may have gaps after log expiry — count, don't add)
+        val admitted = log.versions()
+          .filter(v => v > s && v <= capped(Long.MaxValue)).take(cap.toInt)
+        CdfOffset(admitted.lastOption.getOrElse(s))
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    CdfOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdfOffset].v
+    val e = end.asInstanceOf[CdfOffset].v
+    val l = log
+    l.versions().filter(v => v > s && v <= e).flatMap { v =>
+      val actions = l.read(v)
+      val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(0L)
+      val cdcFiles = actions.collect { case c: CdcFile => c }
+      if (cdcFiles.nonEmpty) {
+        cdcFiles.map(c => CdfFilePartition(
+          TxnLog.dataPath(tablePath, c.path), constKind = None,
+          partitionValues = Map.empty, version = v, ts = ts,
+          schemaJson = payloadJson, conf = serConf))
+      } else {
+        val adds = actions.collect { case a: AddFile if a.dataChange => a }
+        val removes = actions.collect {
+          case r: RemoveFile if r.dataChange => r }
+        require(removes.isEmpty,
+          s"streaming change feed: version $v of $tablePath removes " +
+            s"files without change data — set TBLPROPERTIES " +
+            s"('${ChangeDataFeed.Prop}'='true') before row-level DML, or " +
+            "read this range through the batch graft_table_changes")
+        adds.map { a =>
+          require(a.dv.isEmpty,
+            s"streaming change feed: version $v of $tablePath adds " +
+              s"${a.path} with a deletion vector (a clone import?) — " +
+              "start from a later version or use the batch feed")
+          CdfFilePartition(TxnLog.dataPath(tablePath, a.path),
+            constKind = Some(ChangeDataFeed.Insert),
+            partitionValues = a.partitionValues, version = v, ts = ts,
+            schemaJson = payloadJson, conf = serConf)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory
+}
+
+private[sources] final case class CdfFilePartition(
+    filePath: String,
+    constKind: Option[String],
+    partitionValues: Map[String, String],
+    version: Long,
+    ts: Long,
+    schemaJson: String,
+    conf: SerializableConfiguration) extends InputPartition
+
+private[sources] class CdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new CdfFileReader(p.asInstanceOf[CdfFilePartition])
+}
+
+/** Streams one data or change file as CDF rows: payload columns resolved
+  * by NAME against the file (hive partition values from the log; columns
+  * the file predates surface as null), then `_change_type` (constant for
+  * inferred inserts, read from the sidecar otherwise), `_commit_version`,
+  * `_commit_timestamp`.
+  */
+private[sources] class CdfFileReader(p: CdfFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val payload =
+    DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(p.filePath))
+    .withConf(p.conf.value)
+    .build()
+
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new Array[Any](payload.length + 3)
+    val fileSchema = current.getType
+    var i = 0
+    while (i < payload.length) {
+      val f = payload(i)
+      row(i) =
+        if (p.partitionValues.contains(f.name))
+          GroupRows.castPartitionValue(p.partitionValues(f.name), f.dataType)
+        else if (!fileSchema.containsField(f.name)) null
+        else {
+          val idx = fileSchema.getFieldIndex(f.name)
+          if (current.getFieldRepetitionCount(idx) == 0) null
+          else GroupRows.extract(current, idx, f.dataType)
+        }
+      i += 1
+    }
+    row(payload.length) = p.constKind match {
+      case Some(k) => UTF8String.fromString(k)
+      case None =>
+        val idx = fileSchema.getFieldIndex(ChangeDataFeed.TypeCol)
+        UTF8String.fromString(current.getString(idx, 0))
+    }
+    row(payload.length + 1) = p.version
+    row(payload.length + 2) = p.ts
+    new GenericInternalRow(row)
+  }
+
+  override def close(): Unit = reader.close()
+}

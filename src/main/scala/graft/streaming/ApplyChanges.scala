@@ -56,6 +56,38 @@ object ApplyChanges {
     } finally { b.unpersist(); () }
   }
 
+  /** Replay one micro-batch of the CHANGE DATA FEED (the
+    * [[graft.sources.GraftCdf]] / graft_table_changes shape) into `dst`,
+    * keyed: `delete` rows drop their keys, `update_postimage` and
+    * `insert` rows upsert — `update_preimage` rows are the old copies and
+    * carry no replay work. The whole batch collapses to the last change
+    * per key in `_commit_version` order (a postimage/insert outranks a
+    * delete of the same key within one version — that pair IS an
+    * update), so the replay is at most one keyed DV delete plus one
+    * append regardless of how many source commits the batch spans.
+    */
+  def applyCdfBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      dst: String,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "applyCdfBatch needs declared key columns")
+    import graft.txn.ChangeDataFeed._
+    val b = batch
+      .withColumn("op",
+        when(col(TypeCol) === Delete, "r")
+          .when(col(TypeCol).isin(Insert, UpdatePost), "c"))
+      .filter(col("op").isNotNull)
+      .withColumn("commit_version", col(VersionCol))
+      .drop(TypeCol, VersionCol, TimestampCol)
+      .persist()
+    try {
+      if (b.isEmpty) return
+      applyKeyed(spark, b, dst, keyCols,
+        envelope = Seq("op", "commit_version"))
+    } finally { b.unpersist(); () }
+  }
+
   private def nextVersion(spark: SparkSession, dst: String): Long =
     new TxnLog(dst, spark.sessionState.newHadoopConf())
       .latestVersion().map(_ + 1).getOrElse(0L)

@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.txn.{ChangeDataFeed, DeletionVectors, TableWriter, TxnLog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming change-data-feed source: exact images through micro-batches,
+  * version-bounded admission, and the loud refusals.
+  */
+class GraftCdfSourceSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import ChangeDataFeed._
+
+  private def freshDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def base = {
+    import spark.implicits._
+    (0L until 100L).map(k => (k, k * 10L)).toDF("k", "cents")
+  }
+
+  /** Drain the CDF stream, collecting (k, cents, type, version) rows. */
+  private def drain(
+      dir: String,
+      maxVersions: Option[Long] = None,
+      collectBatches: Boolean = false)
+      : (Seq[(Long, Long, String, Long)], Long) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long)]
+    var batches = 0L
+    val reader = spark.readStream.format("graft.sources.GraftCdf")
+      .option("tablePath", dir)
+      .option("startingVersion", "0")
+    val q = maxVersions.fold(reader)(m =>
+        reader.option("maxVersionsPerTrigger", m.toString))
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select(col("k"), col("cents"), col(TypeCol),
+            col(VersionCol))
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        buf.synchronized {
+          if (rows.nonEmpty || collectBatches) batches += 1
+          buf ++= rows
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdf_src_ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (buf.toSeq.sorted, batches)
+  }
+
+  test("exact update images and DV deletes stream through") {
+    val dir = freshDir("cdfs1")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir, Map(Prop -> "true"),
+      version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, dir, col("k") === 5L,
+      Map("cents" -> lit(777L)), version = 2L, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("k") === 9L,
+      version = 3L, commitTs = 3000L)
+    val (rows, _) = drain(dir)
+    // v0: 100 inferred inserts; v2: one pre + one post; v3: one delete
+    assert(rows.count(_._3 == Insert) == 100)
+    assert(rows.filter(_._4 == 2L).map(r => (r._2, r._3)).sorted ==
+      Seq((50L, UpdatePre), (777L, UpdatePost)))
+    assert(rows.filter(_._4 == 3L) == Seq((9L, 90L, Delete, 3L)))
+  }
+
+  test("maxVersionsPerTrigger bounds each batch") {
+    val dir = freshDir("cdfs2")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir, Map(Prop -> "true"),
+      version = 1L, commitTs = 1500L)
+    (2L to 4L).foreach { v =>
+      TableWriter.updateWhere(spark, dir, col("k") === v,
+        Map("cents" -> lit(v * 1000L)), version = v, commitTs = 1000L * v)
+    }
+    val (rows, batches) = drain(dir, maxVersions = Some(1L))
+    // each of v2..v4 yields 2 image rows; v0 yields 100 inserts — with
+    // one version per trigger the data arrives in >= 4 non-empty batches
+    assert(rows.size == 106)
+    assert(batches >= 4)
+  }
+
+  test("DV delete without the property refuses loudly") {
+    val dir = freshDir("cdfs3")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, dir, col("k") === 1L,
+      version = 1L, commitTs = 2000L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir)
+    }
+    assert(e.getMessage.contains("enableChangeDataFeed") ||
+      Option(e.getCause).exists(_.getMessage.contains("enableChangeDataFeed")))
+  }
+
+  test("startingVersion skips earlier commits") {
+    val dir = freshDir("cdfs4")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir, Map(Prop -> "true"),
+      version = 1L, commitTs = 1500L)
+    TableWriter.deleteWhere(spark, dir, col("k") < 2L, version = 2L,
+      commitTs = 2000L)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft.sources.GraftCdf")
+      .option("tablePath", dir)
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.select(col("k"), col(TypeCol)).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdf_src_ck4").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.toSeq.sorted == Seq((0L, Delete), (1L, Delete)))
+  }
+}
