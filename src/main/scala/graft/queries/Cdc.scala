@@ -609,7 +609,7 @@ object Cdc {
     // survivor row leaking into the feed (or a lost image) breaks the
     // hash, not just the count.
     QueryDef.sqlBacked(
-      "q290_cdf_update_delete",
+      "q296_cdf_update_delete",
       """WITH b AS (
         |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
         |  FROM events WHERE event_id % 3 = 0),
@@ -649,7 +649,7 @@ object Cdc {
     // id%24=0 implies id%12=0, so every matched preimage carries the v2
     // update (+1000) — the feed composes across the fixture's history.
     QueryDef.sqlBacked(
-      "q291_cdf_merge",
+      "q297_cdf_merge",
       """WITH b AS (
         |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
         |  FROM events),
@@ -684,7 +684,7 @@ object Cdc {
     // feed is total over append/partition-drop history, and only DV
     // transitions demand the property (q290/q291 cover those).
     QueryDef.sqlBacked(
-      "q292_cdf_inferred",
+      "q298_cdf_inferred",
       """WITH b AS (
         |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
         |    CAST(event_id % 4 AS VARCHAR) AS grp
@@ -737,7 +737,7 @@ object Cdc {
     // break the hash. maxVersionsPerTrigger=2 forces multi-batch
     // progress, so batch-boundary invariance is exercised too.
     QueryDef.sqlBacked(
-      "q293_cdf_stream_apply",
+      "q299_cdf_stream_apply",
       """WITH b AS (
         |  SELECT event_id AS id, event_type,
         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
