@@ -583,6 +583,58 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("qid"), col("nid"), col("dot"))
         .orderBy(col("qid"))
+    },
+
+    // K-MEANS assignment step (the Lloyd iteration's E-step, the kernel
+    // under IVF cell fitting and SemDeDup cell scoping): every vector
+    // assigns to its nearest of K=8 deterministic seed centroids by
+    // squared L2, with inertia (within-cluster sum of squared distances)
+    // — THE clustering-quality number. ALL-INTEGER arithmetic over
+    // floor(x·1000) quantized components (the q264 convention): |v−c|²
+    // decomposes to v·v − 2v·c + c·c in exact BIGINTs, so this is a
+    // clustering query with a full value-level oracle, not a recall
+    // gate. Scale shape: the K seeds broadcast (KB-scale); vectors
+    // stream through one codegen'd projection + a partial aggregate —
+    // no shuffle of vector payloads, the exact plan a 100 TB E-step
+    // needs. Ties break toward the smaller centroid id in both engines.
+    QueryDef.sqlBacked(
+      "q300_kmeans_assign",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cid, iv AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, s.cid,
+        |    CAST(list_dot_product(e.iv, e.iv)
+        |      - 2 * list_dot_product(e.iv, s.cv)
+        |      + list_dot_product(s.cv, s.cv) AS BIGINT) AS dist
+        |  FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, cid, dist, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(dist) AS BIGINT) AS inertia
+        |FROM a WHERE rn = 1
+        |GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("iv"))
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("iv").as("cv"))
+      val dist = expr(
+        "aggregate(zip_with(iv, cv, (x, y) -> (x - y) * (x - y)), 0L, " +
+          "(acc, v) -> acc + v)")
+      e.join(broadcast(seeds))
+        .select(col("vec_id"), col("cid"), dist.as("dist"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          sum("vec_id").cast("long").as("id_sum"),
+          sum("dist").cast("long").as("inertia"))
+        .orderBy(col("cid"))
     }
   )
 

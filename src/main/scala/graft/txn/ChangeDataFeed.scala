@@ -88,6 +88,39 @@ object ChangeDataFeed {
     out.toSeq
   }
 
+  /** Timestamp-bounded feed (Delta's startingTimestamp/endingTimestamp):
+    * start resolves to the FIRST commit at-or-after `startMillis`, end to
+    * the LAST commit at-or-before `endMillis` (both strict — an empty
+    * window errors rather than silently serving a neighboring range).
+    * Commit timestamps are caller-supplied wall clocks, so resolution
+    * clamps each to the running max of its predecessors (the expireLog
+    * rule): one skewed clock can widen the window, never lose commits.
+    */
+  def tableChangesByTime(
+      spark: SparkSession,
+      tablePath: String,
+      startMillis: Long,
+      endMillis: Option[Long] = None): DataFrame = {
+    val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
+    var runMax = Long.MinValue
+    val stamped = log.versions().map { v =>
+      val ts = log.read(v)
+        .collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(Long.MinValue)
+      runMax = math.max(runMax, ts)
+      (v, runMax)
+    }
+    val sv = stamped.find(_._2 >= startMillis).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit at or after timestamp $startMillis in $tablePath"))
+    val ev = endMillis.map { t =>
+      stamped.takeWhile(_._2 <= t).lastOption.map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"no commit at or before timestamp $t in $tablePath"))
+    }
+    tableChanges(spark, tablePath, sv, ev)
+  }
+
   /** The change feed over versions [startingVersion, endingVersion]
     * (inclusive; endingVersion defaults to latest): table columns under
     * the writing commit's logical names, plus [[TypeCol]], [[VersionCol]],

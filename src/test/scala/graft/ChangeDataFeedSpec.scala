@@ -135,6 +135,30 @@ class ChangeDataFeedSpec extends AnyFunSuite {
     assert(changes(dir, 2L, 2L).filter(col(TypeCol) === Delete).count() == 3L)
   }
 
+  test("timestamp-bounded feed resolves against a skew-clamped clock") {
+    val dir = freshDir("cdf_ts")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir) // v1, ts=1500
+    TableWriter.deleteWhere(spark, dir, col("k") < 2, version = 2L,
+      commitTs = 3000L)
+    // v3 carries a SKEWED (older) clock; v4 is normal
+    TableWriter.deleteWhere(spark, dir, col("k") === 50L, version = 3L,
+      commitTs = 2500L)
+    TableWriter.deleteWhere(spark, dir, col("k") === 60L, version = 4L,
+      commitTs = 4000L)
+    // [3000, 3500]: v2 starts the window; the skewed v3 clamps UP to
+    // 3000 and stays inside; v4 (4000) is out
+    val ks = ChangeDataFeed.tableChangesByTime(spark, dir, 3000L, Some(3500L))
+      .filter(col(TypeCol) === Delete)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == Seq(0L, 1L, 50L))
+    // empty windows refuse rather than serving neighbors
+    intercept[IllegalArgumentException] {
+      ChangeDataFeed.tableChangesByTime(spark, dir, 99999L)
+    }
+    ()
+  }
+
   test("SQL TVF graft_table_changes serves the feed") {
     val dir = freshDir("cdf_tvf")
     TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
