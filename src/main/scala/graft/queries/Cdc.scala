@@ -782,6 +782,52 @@ object Cdc {
           sum(col("cents")).cast("long").as("cents_sum"),
           sum(col("event_id")).cast("long").as("id_sum"))
         .orderBy(col("event_type"))
+    },
+
+    // Incremental MV maintained from the CHANGE FEED: the q106/q260 IVM
+    // state machine with its delta read from _change_data sidecars
+    // (+post/+insert, −pre/−delete) instead of the file-level envelope —
+    // the delta scan is proportional to CHANGED ROWS, not churned files
+    // (a 1-row UPDATE costs a KB sidecar read, not two full file scans).
+    // The MV is created at v1 (pre-DML) and maintained through the
+    // fixture's UPDATE / COW-delete / DV-delete / MERGE history; its
+    // final state must hash-match the oracle's from-scratch recompute of
+    // the final snapshot. MaterializedAggSpec pins that the DML delta
+    // reads ONLY _change_data files.
+    QueryDef.sqlBacked(
+      "q301_cdf_incremental_mv",
+      """WITH b AS (
+        |  SELECT event_id AS id, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT id, event_type,
+        |    CASE WHEN id % 24 = 0 THEN id * 3
+        |         WHEN id % 12 = 0 THEN cents + 1000
+        |         ELSE cents END AS c
+        |  FROM b WHERE id % 3 = 0 AND id % 18 <> 0 AND id % 30 <> 0
+        |  UNION ALL
+        |  SELECT id, event_type, id * 3 FROM b
+        |  WHERE id % 3 = 0 AND id % 24 = 0 AND (id % 18 = 0 OR id % 30 = 0)
+        |  UNION ALL
+        |  SELECT id, event_type, id * 3 FROM b
+        |  WHERE id % 3 = 1 AND id % 20 = 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS mv_cnt,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      val table = buildCdfFixture(s, dir)
+      val mvPath = s"${table}_mv_q301"
+      val fs = new org.apache.hadoop.fs.Path(mvPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+      val spec = MaterializedAgg.Spec(Seq("event_type"), Seq("cents"))
+      MaterializedAgg.create(s, table, mvPath, spec, versionAsOf = Some(1L))
+      MaterializedAgg.refreshFromCdf(s, table, mvPath, spec)
+      SnapshotReader.read(s, mvPath)
+        .select(col("event_type"), col("mv_cnt"),
+          col("sum_cents").cast("long").as("sum_cents"))
+        .orderBy(col("event_type"))
     }
   )
 }

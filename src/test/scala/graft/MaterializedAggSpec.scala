@@ -87,6 +87,41 @@ class MaterializedAggSpec extends AnyFunSuite {
     assertMatches(dir, mvPath) // live state untouched by vacuum
   }
 
+  test("CDF refresh lands on the recompute and reads only change " +
+      "sidecars for DML ranges") {
+    import graft.txn.ChangeDataFeed
+    val dir = java.nio.file.Files.createTempDirectory("mvc_base").toString
+    val mvPath =
+      java.nio.file.Files.createTempDirectory("mvc_state").toString + "/mv"
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 3 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    MaterializedAgg.create(spark, dir, mvPath, spec)
+    // v2 UPDATE + v3 DV delete, then refresh from the change feed
+    TableWriter.updateWhere(spark, dir, col("l_quantity") < 10,
+      Map("l_quantity" -> (col("l_quantity") + 5.0)),
+      version = 2L, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 7 === 0,
+      version = 3L, commitTs = 3000L)
+    // the DML-only delta must touch ONLY _change_data sidecars — the
+    // churned data files (whole rewritten files, survivors included)
+    // never enter the scan. This is the scale point of the CDF path.
+    val from = MaterializedAgg.refreshedThrough(spark, mvPath)
+    val inputs = ChangeDataFeed.tableChanges(spark, dir, from + 1, Some(3L))
+      .inputFiles.toSeq
+    assert(inputs.nonEmpty && inputs.forall(_.contains("_change_data/")),
+      s"delta read outside _change_data: $inputs")
+    assert(MaterializedAgg.refreshFromCdf(spark, dir, mvPath, spec) == 3L)
+    assertMatches(dir, mvPath)
+    // appends flow through inference (no sidecars) — still exact
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 3 === 1), dir,
+      commitTs = 4000L)
+    MaterializedAgg.refreshFromCdf(spark, dir, mvPath, spec)
+    assertMatches(dir, mvPath)
+  }
+
   test("refresh after a compaction-only base commit advances the " +
       "watermark without crashing or rewriting state") {
     val dir = java.nio.file.Files.createTempDirectory("mv_base_c").toString
