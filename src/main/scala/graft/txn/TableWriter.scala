@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions.{coalesce, col, expr}
   */
 object TableWriter {
 
+  /** Max CODE POINTS of a string min/max bound in the log (Delta caps at
+    * 32 by default; 64 keeps every current fixture's bounds exact).
+    */
+  private[graft] val StatsStringCap = 64
+
   /** Write `df` as version `v` of `tablePath` (appending to prior
     * versions), optionally hive-partitioned by `partitionBy`.
     * `commitTs` is the deterministic event/commit time recorded in the
@@ -856,10 +861,53 @@ object TableWriter {
       }
       skip.foreach { n => mins -= n; maxs -= n }
       skipNulls.foreach { n => nulls -= n }
-      Some(FileStats(rows,
-        mins.map { case (k, v) => k -> v.toString }.toMap,
-        maxs.map { case (k, v) => k -> v.toString }.toMap,
-        nullCounts = nulls.toMap))
+      // Cap string bounds (Delta's dataSkippingStringPrefixLength idea):
+      // a multi-KB document text would otherwise land VERBATIM — twice —
+      // in every AddFile log line, and at 100 TB the transaction log
+      // becomes a copy of the corpus' extremes. Truncation stays SOUND
+      // for file skipping: the min truncates to a prefix (≤ every value
+      // in UTF-8 order), the max truncates and INCREMENTS its last code
+      // point (> every value with that prefix; UTF-8 encoding is
+      // code-point-order-preserving, so the byte comparison agrees).
+      // A file with any truncated bound commits tight=false — the
+      // stats-only MIN/MAX aggregate answer refuses strings there, the
+      // same contract Convert uses for foreign-truncated footers.
+      var truncated = false
+      def cpPrefix(s: String, n: Int): String =
+        s.substring(0, s.offsetByCodePoints(0, n))
+      def truncMin(s: String): String =
+        if (s.codePointCount(0, s.length) <= StatsStringCap) s
+        else { truncated = true; cpPrefix(s, StatsStringCap) }
+      def truncMax(s: String): Option[String] = {
+        if (s.codePointCount(0, s.length) <= StatsStringCap) return Some(s)
+        truncated = true
+        val p = cpPrefix(s, StatsStringCap).codePoints().toArray
+        var i = p.length - 1
+        while (i >= 0) {
+          val next = p(i) + 1 match {
+            // the surrogate block is unencodable as lone code points —
+            // jump past it (every scalar in [E000, ...] is > any in it)
+            case c if c >= 0xD800 && c <= 0xDFFF => 0xE000
+            case c => c
+          }
+          if (next <= 0x10FFFF) {
+            val out = p.take(i + 1); out(i) = next
+            return Some(new String(out, 0, out.length))
+          }
+          i -= 1 // last code point was U+10FFFF — carry left
+        }
+        None // all-U+10FFFF prefix: no finite upper bound at this length
+      }
+      val cappedMins = mins.map {
+        case (k, s: String) => k -> truncMin(s)
+        case (k, v)         => k -> v.toString
+      }.toMap
+      val cappedMaxs = maxs.flatMap {
+        case (k, s: String) => truncMax(s).map(k -> _)
+        case (k, v)         => Some(k -> v.toString)
+      }.toMap
+      Some(FileStats(rows, cappedMins, cappedMaxs,
+        tight = !truncated, nullCounts = nulls.toMap))
     } catch {
       case _: Exception => None // stats are an optimization, never fatal
     } finally reader.close()
