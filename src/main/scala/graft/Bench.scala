@@ -57,6 +57,8 @@ object Bench {
       queries.Maintenance.restoreFixture(spark, sfDir)
       queries.Maintenance.evolutionFixture(spark, sfDir)
       queries.Pipeline.seedIndexFixture(spark, sfDir)
+      queries.Cdc.buildKeyedFixture(spark, sfDir)
+      queries.Cdc.buildCdfFixture(spark, sfDir)
       queries.Maintenance.rebaseFixture(spark, sfDir)
       queries.Maintenance.optimisticRetryFixture(spark, sfDir)
       queries.Maintenance.streamTailFixture(spark, sfDir)
