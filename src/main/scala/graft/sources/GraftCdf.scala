@@ -164,16 +164,32 @@ private[sources] class GraftCdfMicroBatchStream(
     val s = start.asInstanceOf[CdfOffset].v
     val e = end.asInstanceOf[CdfOffset].v
     val l = log
-    l.versions().filter(v => v > s && v <= e).flatMap { v =>
+    val inRange = l.versions().filter(v => v > s && v <= e)
+    // Versions are assigned DENSELY, so a gap at the resume boundary can
+    // only mean log retention expired commits past the checkpoint —
+    // silently resuming after it would lose their changes forever.
+    require(inRange.isEmpty || inRange.head == s + 1,
+      s"streaming change feed: versions ${s + 1}..${inRange.headOption
+        .map(_ - 1).getOrElse(s + 1)} of $tablePath have been expired " +
+        "by log retention — the checkpointed offset cannot resume " +
+        "without losing changes; restart from a fresh checkpoint")
+    // Column mapping: physical names never change after creation (RENAME
+    // is metadata-only), so the LATEST mapping resolves every file in
+    // the log; columns a file predates read as null through the reader's
+    // by-name resolution.
+    val mapping = l.snapshotLatest().metadata
+      .map(_.columnMapping).getOrElse(Map.empty)
+    inRange.flatMap { v =>
       val actions = l.read(v)
       val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L)
       val cdcFiles = actions.collect { case c: CdcFile => c }
       if (cdcFiles.nonEmpty) {
+        // sidecars are written under LOGICAL names — no mapping applies
         cdcFiles.map(c => CdfFilePartition(
           TxnLog.dataPath(tablePath, c.path), constKind = None,
           partitionValues = Map.empty, version = v, ts = ts,
-          schemaJson = payloadJson, conf = serConf))
+          schemaJson = payloadJson, mapping = Map.empty, conf = serConf))
       } else {
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         val removes = actions.collect {
@@ -191,7 +207,7 @@ private[sources] class GraftCdfMicroBatchStream(
           CdfFilePartition(TxnLog.dataPath(tablePath, a.path),
             constKind = Some(ChangeDataFeed.Insert),
             partitionValues = a.partitionValues, version = v, ts = ts,
-            schemaJson = payloadJson, conf = serConf)
+            schemaJson = payloadJson, mapping = mapping, conf = serConf)
         }
       }
     }.toArray
@@ -208,6 +224,7 @@ private[sources] final case class CdfFilePartition(
     version: Long,
     ts: Long,
     schemaJson: String,
+    mapping: Map[String, String], // logical → physical (data files only)
     conf: SerializableConfiguration) extends InputPartition
 
 private[sources] class CdfReaderFactory extends PartitionReaderFactory {
@@ -246,12 +263,15 @@ private[sources] class CdfFileReader(p: CdfFilePartition)
     var i = 0
     while (i < payload.length) {
       val f = payload(i)
+      // data files carry PHYSICAL names (column mapping); sidecars are
+      // logical and ship an empty mapping
+      val fileField = p.mapping.getOrElse(f.name, f.name)
       row(i) =
         if (p.partitionValues.contains(f.name))
           GroupRows.castPartitionValue(p.partitionValues(f.name), f.dataType)
-        else if (!fileSchema.containsField(f.name)) null
+        else if (!fileSchema.containsField(fileField)) null
         else {
-          val idx = fileSchema.getFieldIndex(f.name)
+          val idx = fileSchema.getFieldIndex(fileField)
           if (current.getFieldRepetitionCount(idx) == 0) null
           else GroupRows.extract(current, idx, f.dataType)
         }

@@ -58,13 +58,17 @@ object ApplyChanges {
 
   /** Replay one micro-batch of the CHANGE DATA FEED (the
     * [[graft.sources.GraftCdf]] / graft_table_changes shape) into `dst`,
-    * keyed: `delete` rows drop their keys, `update_postimage` and
-    * `insert` rows upsert — `update_preimage` rows are the old copies and
-    * carry no replay work. The whole batch collapses to the last change
-    * per key in `_commit_version` order (a postimage/insert outranks a
-    * delete of the same key within one version — that pair IS an
-    * update), so the replay is at most one keyed DV delete plus one
-    * append regardless of how many source commits the batch spans.
+    * keyed: `delete` AND `update_preimage` rows drop their keys,
+    * `update_postimage` and `insert` rows upsert. Preimages must count
+    * as removes — an UPDATE is free to SET a key column, and then the
+    * OLD key exists only in the preimage; dropping preimages would
+    * leave that stale row in the replica forever. For the common
+    * key-preserving update the preimage's remove and the postimage's
+    * upsert share a key, and the collapse resolves them: last change
+    * per key in `_commit_version` order, postimage/insert outranking a
+    * remove within one version (that pair IS an update). The replay is
+    * at most one keyed DV delete plus one append regardless of how many
+    * source commits the batch spans.
     */
   def applyCdfBatch(
       spark: SparkSession,
@@ -75,7 +79,7 @@ object ApplyChanges {
     import graft.txn.ChangeDataFeed._
     val b = batch
       .withColumn("op",
-        when(col(TypeCol) === Delete, "r")
+        when(col(TypeCol).isin(Delete, UpdatePre), "r")
           .when(col(TypeCol).isin(Insert, UpdatePost), "c"))
       .filter(col("op").isNotNull)
       .withColumn("commit_version", col(VersionCol))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * copy-on-write UPDATE surfaces as "whole file removed + whole file
   * added" — survivors included. CDF closes that gap: when the table
   * property [[ChangeDataFeed.Prop]] is true, every DML path (MERGE /
-  * UPDATE / DELETE, copy-on-write and deletion-vector alike) writes the
+  * UPDATE / DELETE — copy-on-write and deletion-vector alike) writes the
   * EXACT changed rows to `_change_data/` sidecars committed atomically
   * with the data (as [[CdcFile]] actions), and [[tableChanges]] serves
   * them back with `_change_type` ∈ {insert, update_preimage,
@@ -22,14 +22,18 @@ import org.apache.spark.sql.functions._
   * Delta: dataChange AddFiles read as inserts, dataChange RemoveFiles read
   * as deletes (of their rows live as of the PRIOR version — earlier DV
   * kills must not resurrect as delete events here). Inference refuses a
-  * commit that re-adds a path it removes (a DV transition written with
-  * CDF off): inferring there would double-count the file's surviving rows
-  * as delete+insert while only a sliver changed.
+  * commit that re-adds a path that is LIVE at the prior version — a
+  * deletion-vector transition (whether or not the remove rides in the
+  * same commit: RESTORE emits a bare re-add when only the DV pointer
+  * changed) — because inferring there would read the file's surviving
+  * rows as fresh inserts.
   *
   * Scale shape: change files are proportional to the CHANGED rows, never
   * the table — a 100-row MERGE into a 100 TB table writes KB-scale
-  * sidecars. Reads are one distributed parquet scan per commit group; no
-  * driver-side row material ever.
+  * sidecars. The reader is ONE incremental log walk (a single seed
+  * snapshot before the range, then per-commit action deltas — never a
+  * snapshot per version) plus one distributed parquet scan per commit
+  * group; no driver-side row material ever.
   */
 object ChangeDataFeed {
 
@@ -50,6 +54,16 @@ object ChangeDataFeed {
     */
   def enabled(snap: Snapshot): Boolean =
     snap.metadata.exists(_.properties.get(Prop).exists(_.equalsIgnoreCase("true")))
+
+  /** Cap on sidecar files per commit for SMALL change sets: a change
+    * frame arriving in many near-empty partitions (a union of shuffled
+    * join branches under a large shuffle-partition setting) consolidates
+    * after staging, so a 3-row MERGE can never append dozens of CdcFile
+    * lines. Large change sets keep their parallel layout — the rewrite
+    * only fires below [[SidecarCoalesceBytes]].
+    */
+  private val MaxSidecarFiles = 16
+  private val SidecarCoalesceBytes = 256L * 1024 * 1024
 
   /** Stage `changes` (table columns + [[TypeCol]]) as parquet under
     * `_change_data/` and return the [[CdcFile]] actions the caller must
@@ -72,17 +86,32 @@ object ChangeDataFeed {
     val staging = new Path(tablePath, s".staging-cdc-$version-$attemptId")
     fs.delete(staging, true)
     changes.write.mode("overwrite").parquet(staging.toString)
+    def parts() = fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    var staged = parts()
+    // many-tiny-files consolidation (see MaxSidecarFiles): re-write the
+    // staged bytes coalesced — the data is small by the size guard, so
+    // the second pass is metadata-cheap
+    if (staged.length > MaxSidecarFiles &&
+        staged.map(_.getLen).sum < SidecarCoalesceBytes) {
+      val tmp = new Path(tablePath, s".staging-cdc2-$version-$attemptId")
+      fs.delete(tmp, true)
+      spark.read.parquet(staging.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(staging, true)
+      if (!fs.rename(tmp, staging))
+        throw new IllegalStateException(s"rename failed: $staging")
+      staged = parts()
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[CdcFile]
-    fs.listStatus(staging).foreach { st =>
-      if (st.getPath.getName.endsWith(".parquet")) {
-        val destRel =
-          f"_change_data/cd-$version%020d-${out.size}%05d-$attemptId.parquet"
-        val dest = new Path(table, destRel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest))
-          throw new IllegalStateException(s"rename failed: $dest")
-        out += CdcFile(destRel, Map.empty, st.getLen)
-      }
+    staged.foreach { st =>
+      val destRel =
+        f"_change_data/cd-$version%020d-${out.size}%05d-$attemptId.parquet"
+      val dest = new Path(table, destRel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
+        throw new IllegalStateException(s"rename failed: $dest")
+      out += CdcFile(destRel, Map.empty, st.getLen)
     }
     fs.delete(staging, true)
     out.toSeq
@@ -95,6 +124,9 @@ object ChangeDataFeed {
     * Commit timestamps are caller-supplied wall clocks, so resolution
     * clamps each to the running max of its predecessors (the expireLog
     * rule): one skewed clock can widen the window, never lose commits.
+    * The scan stops at the first commit past the end bound (the clamped
+    * clock is non-decreasing) — a bounded window never reads the whole
+    * log's commit files.
     */
   def tableChangesByTime(
       spark: SparkSession,
@@ -103,22 +135,27 @@ object ChangeDataFeed {
       endMillis: Option[Long] = None): DataFrame = {
     val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
     var runMax = Long.MinValue
-    val stamped = log.versions().map { v =>
-      val ts = log.read(v)
+    var sv: Option[Long] = None
+    var ev: Option[Long] = None
+    val it = log.versions().iterator
+    var halted = false
+    while (it.hasNext && !halted) {
+      val v = it.next()
+      runMax = math.max(runMax, log.read(v)
         .collectFirst { case c: CommitInfo => c.timestamp }
-        .getOrElse(Long.MinValue)
-      runMax = math.max(runMax, ts)
-      (v, runMax)
+        .getOrElse(Long.MinValue))
+      if (sv.isEmpty && runMax >= startMillis) sv = Some(v)
+      endMillis match {
+        case Some(t) => if (runMax <= t) ev = Some(v) else halted = true
+        case None    => if (sv.isDefined) halted = true // start found; end=latest
+      }
     }
-    val sv = stamped.find(_._2 >= startMillis).map(_._1).getOrElse(
+    val s = sv.getOrElse(throw new IllegalArgumentException(
+      s"no commit at or after timestamp $startMillis in $tablePath"))
+    val e = endMillis.map(t => ev.getOrElse(
       throw new IllegalArgumentException(
-        s"no commit at or after timestamp $startMillis in $tablePath"))
-    val ev = endMillis.map { t =>
-      stamped.takeWhile(_._2 <= t).lastOption.map(_._1).getOrElse(
-        throw new IllegalArgumentException(
-          s"no commit at or before timestamp $t in $tablePath"))
-    }
-    tableChanges(spark, tablePath, sv, ev)
+        s"no commit at or before timestamp $t in $tablePath")))
+    tableChanges(spark, tablePath, s, e)
   }
 
   /** The change feed over versions [startingVersion, endingVersion]
@@ -135,68 +172,83 @@ object ChangeDataFeed {
       endingVersion: Option[Long] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
-    val end = endingVersion.getOrElse(log.latestVersion().getOrElse(
+    val all = log.versions()
+    val end = endingVersion.getOrElse(all.lastOption.getOrElse(
       throw new IllegalArgumentException(s"empty table at $tablePath")))
-    val versions = log.versions().filter(v => v >= startingVersion && v <= end)
+    val versions = all.filter(v => v >= startingVersion && v <= end)
     require(versions.nonEmpty,
       s"no versions in [$startingVersion, $end] at $tablePath " +
         "(expired by log retention?)")
+    // ONE seed snapshot strictly before the range, then an incremental
+    // walk: liveByPath/meta advance by each commit's own actions, so an
+    // N-version read does one log replay total — not one per version.
+    val seedV = all.filter(_ < versions.head).lastOption
+    var liveByPath: Map[String, AddFile] = Map.empty
+    var meta: Option[Metadata] = None
+    seedV.foreach { sv =>
+      val seed = log.snapshot(sv)
+      liveByPath = seed.files.map(f => f.path -> f).toMap
+      meta = seed.metadata
+    }
+    def schemaOf(m: Option[Metadata]) = m.map(mm =>
+      org.apache.spark.sql.types.DataType.fromJson(mm.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val frames = versions.flatMap { v =>
       val actions = log.read(v)
       val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L)
+      // a Metadata in the commit applies to the commit's own files
+      // (schema-evolution MERGE lands both atomically)
+      actions.collectFirst { case m: Metadata => m }.foreach(m => meta = Some(m))
+      val adds = actions.collect { case a: AddFile if a.dataChange => a }
+      val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
       def stamp(df: DataFrame, kind: Option[String]): DataFrame = {
         val typed = kind.fold(df)(k => df.withColumn(TypeCol, lit(k)))
         typed.withColumn(VersionCol, lit(v))
           .withColumn(TimestampCol, lit(ts))
       }
       val cdcFiles = actions.collect { case c: CdcFile => c }
-      if (cdcFiles.nonEmpty) {
-        // exact change rows, written by the commit itself
-        Seq(stamp(spark.read.parquet(
-          cdcFiles.map(c => TxnLog.dataPath(tablePath, c.path)): _*), None))
-      } else {
-        val adds = actions.collect { case a: AddFile if a.dataChange => a }
-        val removes = actions.collect {
-          case r: RemoveFile if r.dataChange => r }
-        val readded = adds.map(_.path).toSet intersect removes.map(_.path).toSet
-        require(readded.isEmpty,
-          s"version $v of $tablePath re-adds ${readded.size} file(s) it " +
-            s"removes (a deletion-vector transition) without change data — " +
-            s"set TBLPROPERTIES ('$Prop'='true') before row-level DML to " +
-            "read it through the change feed")
-        // inference (the Delta rule): adds are inserts; removes are
-        // deletes of the file's rows LIVE at v-1 (its DV then applied —
-        // rows an earlier commit killed already fed that commit's feed)
-        val snapPrev = if (removes.nonEmpty) Some(log.snapshot(v - 1)) else None
-        val insertRows =
-          if (adds.isEmpty) None
-          else {
-            val snap = log.snapshot(v)
-            Some(stamp(DeletionVectors.readFiles(spark, tablePath, adds,
-              snap.metadata.map(m =>
-                org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-                  .asInstanceOf[org.apache.spark.sql.types.StructType]),
-              withRowMeta = false,
-              // inserts must surface the ADDED bytes only, DV-free by
-              // construction (a brand-new file carries no vector)
-              mapping = snap.metadata.map(_.columnMapping)
-                .getOrElse(Map.empty)), Some(Insert)))
-          }
-        val deleteRows = snapPrev.flatMap { prev =>
-          val prevByPath = prev.files.map(f => f.path -> f).toMap
-          val doomed = removes.flatMap(r => prevByPath.get(r.path))
-          if (doomed.isEmpty) None
-          else Some(stamp(DeletionVectors.readFiles(spark, tablePath, doomed,
-            prev.metadata.map(m =>
-              org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-                .asInstanceOf[org.apache.spark.sql.types.StructType]),
-            withRowMeta = false,
-            mapping = prev.metadata.map(_.columnMapping)
-              .getOrElse(Map.empty)), Some(Delete)))
+      val out: Seq[DataFrame] =
+        if (cdcFiles.nonEmpty) {
+          // exact change rows, written by the commit itself
+          Seq(stamp(spark.read.parquet(
+            cdcFiles.map(c => TxnLog.dataPath(tablePath, c.path)): _*), None))
+        } else {
+          // inference (the Delta rule): adds are inserts; removes are
+          // deletes of the file's rows LIVE before this commit (its DV
+          // then applied — rows an earlier commit killed already fed
+          // that commit's feed). A re-add of a LIVE path is a DV
+          // transition — with or without a paired remove (RESTORE emits
+          // bare re-adds when only the pointer changed) — and refuses:
+          // inferring would read survivors as fresh inserts.
+          val reAdded = adds.map(_.path).filter(liveByPath.contains)
+          require(reAdded.isEmpty,
+            s"version $v of $tablePath re-adds ${reAdded.size} live " +
+              s"file(s) (a deletion-vector transition) without change " +
+              s"data — set TBLPROPERTIES ('$Prop'='true') before " +
+              "row-level DML to read it through the change feed")
+          val mapping = meta.map(_.columnMapping).getOrElse(Map.empty)
+          val insertRows =
+            if (adds.isEmpty) None
+            else Some(stamp(DeletionVectors.readFiles(spark, tablePath,
+              adds, schemaOf(meta), withRowMeta = false,
+              mapping = mapping), Some(Insert)))
+          val doomed = removes.flatMap(r => liveByPath.get(r.path))
+          val deleteRows =
+            if (doomed.isEmpty) None
+            else Some(stamp(DeletionVectors.readFiles(spark, tablePath,
+              doomed, schemaOf(meta), withRowMeta = false,
+              mapping = mapping), Some(Delete)))
+          insertRows.toSeq ++ deleteRows.toSeq
         }
-        insertRows.toSeq ++ deleteRows.toSeq
+      // advance the walk state (all actions, dataChange or not — a
+      // compaction moves files without being a change event)
+      actions.foreach {
+        case a: AddFile    => liveByPath += (a.path -> a)
+        case r: RemoveFile => liveByPath -= r.path
+        case _             => ()
       }
+      out
     }
     require(frames.nonEmpty,
       s"no data-changing commits in [$startingVersion, $end] at $tablePath")

@@ -130,11 +130,26 @@ object SnapshotReader {
         s"stats min/max unsupported for $other")
     }
     def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: String, y: String) => x < y
+      // UTF-8 byte order — the footerStats combine and every skipping
+      // comparison use it; Java's UTF-16 order disagrees for
+      // supplementary code points
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
       case (x: Number, y: Number) => x.doubleValue() < y.doubleValue()
       case _ => throw new IllegalStateException("mixed stat types")
     }
-    val (dvFiles, clean) = snap.files.partition(_.dv.isDefined)
+    // Files whose stats cannot SERVE a min/max answer scan instead:
+    // DV-carrying files (the vector may have killed the extreme row) and
+    // — for string columns — non-tight files, whose bounds are TRUNCATED
+    // (the writer's 64-code-point cap, or a foreign CONVERT): a
+    // truncated min is a prefix that exists in no row, an incremented
+    // max exists in no row — returning either would fabricate values.
+    // Numeric bounds are exact regardless of tight (parquet never
+    // truncates fixed-width stats), matching GraftBatch's pushdown rule.
+    val (dvFiles, clean) = snap.files.partition(f => f.dv.isDefined ||
+      (dt == org.apache.spark.sql.types.StringType &&
+        f.stats.exists(!_.tight)))
     val cleanBounds = clean.flatMap(f => f.stats.flatMap(st =>
       st.minValues.get(phys).zip(st.maxValues.get(phys))
         .map { case (mn, mx) => (parse(mn), parse(mx)) }))

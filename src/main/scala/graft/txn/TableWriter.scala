@@ -1857,7 +1857,9 @@ object TableWriter {
     }
     val byRel = snap.files.map(f => new Path(tableQ, f.path).toString
       .replaceFirst("^file:/+", "/") -> f).toMap
-    val outOfScope = source.filter(not(scope)).count()
+    // a NULL-scope source row is NOT in scope (3VL) — it must refuse,
+    // or it would land outside the declared slice
+    val outOfScope = source.filter(!(scope <=> lit(true))).count()
     require(outOfScope == 0L,
       s"mergeFullSync: $outOfScope source rows fall outside the sync " +
         s"scope at $tablePath — the scope predicate must cover the source")
@@ -1869,18 +1871,23 @@ object TableWriter {
       .collect().map(_.getString(0)).flatMap(byRel.get) // file names only
     // in-scope target rows all die (matched ones are replaced by their
     // source version, unmatched-by-source ones are deleted); survivors
-    // of an affected file are exactly its OUT-of-scope rows
+    // of an affected file are its NOT-in-scope rows — scope IS TRUE
+    // dies, FALSE **and NULL** survive (the deleteWhere 3VL rule):
+    // `not(scope)` would drop NULL-scope rows from affected files while
+    // identical rows in untouched files survive — row fate must never
+    // depend on file layout
     val survivors =
       if (affected.isEmpty) source
       else readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
-        .filter(not(scope))
+        .filter(!(scope <=> lit(true)))
         .unionByName(source)
     enforceConstraints(source,
       snap.metadata.map(_.constraints).getOrElse(Seq.empty), tablePath)
     // Change data feed: full-sync is a slice swap, and its honest change
-    // record is exactly that — every in-scope target row deletes, every
-    // source row inserts (there is no key identity here to pair pre/post
-    // images on).
+    // record is exactly that — every in-scope (scope IS TRUE) target row
+    // deletes, every source row inserts (there is no key identity here
+    // to pair pre/post images on). Dead = exactly NOT survivor, the same
+    // 3VL expression complemented, so feed and state cannot diverge.
     val cdcActions: Seq[Action] =
       if (!ChangeDataFeed.enabled(snap)) Seq.empty
       else {
@@ -1888,7 +1895,8 @@ object TableWriter {
         val dead =
           if (affected.isEmpty) None
           else Some(readDeclared(spark, tablePath, snap, affected.toIndexedSeq)
-            .filter(scope).withColumn(TypeCol, lit(Delete)))
+            .filter(scope <=> lit(true))
+            .withColumn(TypeCol, lit(Delete)))
         val ins = source.withColumn(TypeCol, lit(Insert))
         ChangeDataFeed.stage(spark,
           dead.fold(ins)(_.unionByName(ins)), tablePath, version)

@@ -118,6 +118,94 @@ class ChangeDataFeedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("enableChangeDataFeed"))
   }
 
+  test("RESTORE over a DV transition refuses inference (bare re-add of " +
+      "a live file)") {
+    val dir = freshDir("cdf_restore")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    // no CDF property: v1 DV delete, v2 restore to v0 — the restore
+    // re-adds the file with only its DV pointer changed (no remove), so
+    // naive add/remove inference would read every surviving row as a
+    // fresh insert
+    DeletionVectors.deleteWhere(spark, dir, col("k") === 3L, version = 1L,
+      commitTs = 2000L)
+    TableWriter.restore(spark, dir, toVersion = 0L, version = 2L,
+      commitTs = 3000L)
+    val e = intercept[IllegalArgumentException] {
+      changes(dir, 2L, 2L).count()
+    }
+    assert(e.getMessage.contains("enableChangeDataFeed"))
+  }
+
+  test("mergeFullSync 3VL: NULL-scope rows survive everywhere; feed " +
+      "records exactly the in-scope deletes") {
+    import spark.implicits._
+    val dir = freshDir("cdf_fsync")
+    // x nullable: k=1 has NULL x — NOT in scope (3VL), so it must
+    // survive REGARDLESS of which file it shares with an in-scope row,
+    // and the feed must not record it
+    val t = Seq((1L, Option.empty[Long], 10L), (2L, Some(1L), 20L),
+      (3L, Some(9L), 30L)).toDF("k", "x", "cents")
+    TableWriter.write(spark, t.coalesce(1), dir, version = 0L,
+      commitTs = 1000L) // ONE file: k=1 rides in the affected file
+    withCdf(dir)
+    val src = Seq((9L, Option(7L), 90L)).toDF("k", "x", "cents")
+    TableWriter.mergeFullSync(spark, dir, src, col("x") > 5L,
+      version = 2L, commitTs = 2000L)
+    val state = graft.txn.SnapshotReader.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(state == Seq(1L, 2L, 9L))
+    val feed = changes(dir, 2L, 2L)
+      .select(col("k"), col(TypeCol)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(feed == Seq((3L, Delete), (9L, Insert)))
+    // and a NULL-scope SOURCE row refuses — it would land outside the
+    // declared slice
+    intercept[IllegalArgumentException] {
+      TableWriter.mergeFullSync(spark, dir,
+        Seq((10L, Option.empty[Long], 1L)).toDF("k", "x", "cents"),
+        col("x") > 5L, version = 3L, commitTs = 3000L)
+    }
+    ()
+  }
+
+  test("keyed CDF apply handles a key-changing UPDATE (preimage removes " +
+      "the old key)") {
+    val dir = freshDir("cdf_keychg")
+    val dst = freshDir("cdf_keychg_dst")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    // UPDATE that MOVES a key: k=5 becomes k=505
+    TableWriter.updateWhere(spark, dir, col("k") === 5L,
+      Map("k" -> lit(505L)), version = 2L, commitTs = 2000L)
+    // replica seeded from v0, then the DML batch applied keyed
+    TableWriter.write(spark,
+      graft.txn.SnapshotReader.read(spark, dir, versionAsOf = Some(0L)),
+      dst, version = 0L, commitTs = 1000L)
+    graft.streaming.ApplyChanges.applyCdfBatch(spark,
+      changes(dir, 2L, 2L), dst, keyCols = Seq("k"))
+    val got = graft.txn.SnapshotReader.read(spark, dst)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val want = graft.txn.SnapshotReader.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    assert(!got.contains(5L) && got.contains(505L))
+  }
+
+  test("stage consolidates a many-partition tiny change frame") {
+    import spark.implicits._
+    val dir = freshDir("cdf_stage")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    val tiny = (0L until 40L).map(k => (k, "g", k))
+      .toDF("k", "grp", "cents")
+      .repartition(40)
+      .withColumn(TypeCol, lit(Insert))
+    val files = ChangeDataFeed.stage(spark, tiny, dir, version = 99L)
+    assert(files.size <= 16, s"${files.size} sidecars for a tiny frame")
+    val back = spark.read.parquet(
+      files.map(f => dir + "/" + f.path): _*)
+    assert(back.count() == 40L)
+  }
+
   test("vacuum protects change files while their commit is in the log") {
     val dir = freshDir("cdf_vac")
     TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)

@@ -52,6 +52,24 @@ class StatsTruncationSpec extends AnyFunSuite {
     assert(st.minValues("text") == "alpha" && st.maxValues("text") == "omega")
   }
 
+  test("statsMinMax scans truncated-string files instead of fabricating " +
+      "bounds") {
+    import spark.implicits._
+    val dir = freshDir("trunc4")
+    val a = "apple " * 40
+    val z = "zebra " * 40
+    TableWriter.write(spark,
+      Seq((1L, a), (2L, z)).toDF("id", "text").coalesce(1), dir,
+      version = 0L, commitTs = 1000L)
+    // the stored bounds are truncated (no real row holds them) — the
+    // metadata-only answer must fall back to scanning and return REAL
+    // values; numeric columns still answer from stats
+    val (mn, mx) = graft.txn.SnapshotReader.statsMinMax(spark, dir, "text")
+    assert(mn == a && mx == z)
+    val (imn, imx) = graft.txn.SnapshotReader.statsMinMax(spark, dir, "id")
+    assert(imn == 1L && imx == 2L)
+  }
+
   test("skipping still prunes on truncated bounds, never falsely") {
     import spark.implicits._
     val dir = freshDir("trunc3")

@@ -99,6 +99,61 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("enableChangeDataFeed")))
   }
 
+  test("inferred inserts resolve column mapping (RENAME COLUMN)") {
+    import spark.implicits._
+    val dir = freshDir("cdfs5")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    TableWriter.renameColumn(spark, dir, "cents", "pennies", version = 1L,
+      commitTs = 1500L)
+    // post-rename append: the file carries the PHYSICAL name ('cents');
+    // the stream's logical schema says 'pennies' — resolution must go
+    // through the mapping, not read null
+    TableWriter.append(spark,
+      Seq((500L, 777L)).toDF("k", "pennies"), dir, commitTs = 2000L)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Any)]
+    val q = spark.readStream.format("graft.sources.GraftCdf")
+      .option("tablePath", dir)
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.select(col("k"), col("pennies")).collect()
+            .map(r => (r.getLong(0), r.get(1)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdf_src_ck5").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.toSeq == Seq((500L, 777L)))
+  }
+
+  test("an expired-log gap at the resume point refuses instead of " +
+      "silently skipping") {
+    import spark.implicits._
+    val dir = freshDir("cdfs6")
+    // 11 commits with strictly old timestamps, checkpoint lands at v10
+    // (interval 10); expire everything below the checkpoint
+    (0L to 10L).foreach { v =>
+      TableWriter.write(spark, Seq((v, v)).toDF("k", "cents"), dir,
+        version = v, commitTs = 1000L + v)
+    }
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    assert(log.expireLog(retainMillis = 0L,
+      nowMillis = 10_000_000L).nonEmpty)
+    val stream = new GraftCdfMicroBatchStream(
+      GraftCdf.cdfSchema(GraftCdc.declaredSchema(dir,
+        spark.sessionState.newHadoopConf())),
+      Map("tablePath" -> dir, "startingVersion" -> "3"))
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(CdfOffset(2L), CdfOffset(10L))
+    }
+    assert(e.getMessage.contains("expired"))
+    ()
+  }
+
   test("startingVersion skips earlier commits") {
     val dir = freshDir("cdfs4")
     TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
