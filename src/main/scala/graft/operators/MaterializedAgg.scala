@@ -182,6 +182,61 @@ object MaterializedAgg {
     latest
   }
 
+  /** CONTINUOUSLY maintained MV: stream the base's change feed
+    * ([[graft.sources.GraftCdf]]) and fold each micro-batch's signed
+    * delta into the stored state — UPDATEs and DELETEs flow, not just
+    * appends (the upsertAggregate sink's limitation). Exactly-once
+    * across restarts: a SetTxn marker (`appId`, batchId) commits IN THE
+    * SAME MV COMMIT as the state it produced, so a replayed batch skips;
+    * a defensive watermark filter (`_commit_version` > refreshed-through)
+    * additionally guards a stream restarted from a stale checkpoint.
+    * Start the stream AFTER [[create]]; it picks up from the MV's
+    * recorded base watermark.
+    */
+  def maintainFromCdfStream(
+      spark: SparkSession,
+      basePath: String,
+      mvPath: String,
+      spec: Spec,
+      checkpointLocation: String,
+      appId: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.txn.ChangeDataFeed
+    val from0 = refreshedThrough(spark, mvPath)
+    spark.readStream.format("graft.sources.GraftCdf")
+      .option("tablePath", basePath)
+      .option("startingVersion", (from0 + 1).toString)
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = spark.sessionState.newHadoopConf()
+        val mvLog = new TxnLog(mvPath, conf)
+        val mvSnap = mvLog.snapshotLatest()
+        val already = mvSnap.txns.get(appId).exists(_ >= batchId)
+        if (!already) {
+          val from = refreshedThrough(spark, mvPath)
+          val delta = batch
+            .filter(col(ChangeDataFeed.VersionCol) > from)
+            .withColumn("_sign",
+              when(col(ChangeDataFeed.TypeCol).isin(
+                ChangeDataFeed.Insert, ChangeDataFeed.UpdatePost), lit(1L))
+                .otherwise(lit(-1L)))
+            .persist()
+          try {
+            val hi = delta.agg(max(col(ChangeDataFeed.VersionCol))).head()
+            if (!hi.isNullAt(0)) {
+              val latest = hi.getLong(0)
+              val nowMs = System.currentTimeMillis()
+              applyDelta(spark, mvPath, mvSnap, spec, delta, latest, nowMs,
+                extra = Seq(graft.txn.SetTxn(appId, batchId, nowMs)))
+            }
+          } finally { delta.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Merge a signed delta frame into the stored MV state (shared by the
     * envelope and change-feed refresh paths).
     */
@@ -192,7 +247,8 @@ object MaterializedAgg {
       spec: Spec,
       delta: DataFrame,
       latest: Long,
-      now: Long): Unit = {
+      now: Long,
+      extra: Seq[graft.txn.Action] = Seq.empty): Unit = {
     val dAgg = aggOf(delta, spec, col("_sign"))
       .withColumnRenamed("mv_cnt", "_d_cnt")
     val dRenamed = spec.sums.foldLeft(dAgg)((d, c) =>
@@ -218,6 +274,6 @@ object MaterializedAgg {
       RemoveFile(f.path, now, f.partitionValues))
     TableWriter.write(spark, merged, mvPath, version = mvSnap.version + 1,
       commitTs = now, operation = opString("MV REFRESH", latest),
-      extraActions = removes)
+      extraActions = removes ++ extra)
   }
 }

@@ -828,6 +828,53 @@ object Cdc {
         .select(col("event_type"), col("mv_cnt"),
           col("sum_cents").cast("long").as("sum_cents"))
         .orderBy(col("event_type"))
+    },
+
+    // CONTINUOUSLY maintained MV over the STREAMING change feed: q301's
+    // state machine driven by GraftCdf micro-batches instead of a manual
+    // refresh call — UPDATEs / COW deletes / DV deletes / MERGE images
+    // fold into the aggregate as they stream, exactly-once via a SetTxn
+    // marker committed with each state generation. Same oracle as q301:
+    // the final MV must hash-match the from-scratch recompute of the
+    // base's final snapshot.
+    QueryDef.sqlBacked(
+      "q302_cdf_streaming_mv",
+      """WITH b AS (
+        |  SELECT event_id AS id, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT id, event_type,
+        |    CASE WHEN id % 24 = 0 THEN id * 3
+        |         WHEN id % 12 = 0 THEN cents + 1000
+        |         ELSE cents END AS c
+        |  FROM b WHERE id % 3 = 0 AND id % 18 <> 0 AND id % 30 <> 0
+        |  UNION ALL
+        |  SELECT id, event_type, id * 3 FROM b
+        |  WHERE id % 3 = 0 AND id % 24 = 0 AND (id % 18 = 0 OR id % 30 = 0)
+        |  UNION ALL
+        |  SELECT id, event_type, id * 3 FROM b
+        |  WHERE id % 3 = 1 AND id % 20 = 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS mv_cnt,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      val table = buildCdfFixture(s, dir)
+      val mvPath = s"${table}_mv_q302"
+      val fs = new org.apache.hadoop.fs.Path(mvPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+      val spec = MaterializedAgg.Spec(Seq("event_type"), Seq("cents"))
+      MaterializedAgg.create(s, table, mvPath, spec, versionAsOf = Some(1L))
+      val q = MaterializedAgg.maintainFromCdfStream(s, table, mvPath, spec,
+        checkpointLocation =
+          java.nio.file.Files.createTempDirectory("mv_q302_ck").toString,
+        appId = "q302")
+      try q.processAllAvailable() finally q.stop()
+      SnapshotReader.read(s, mvPath)
+        .select(col("event_type"), col("mv_cnt"),
+          col("sum_cents").cast("long").as("sum_cents"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -122,6 +122,46 @@ class MaterializedAggSpec extends AnyFunSuite {
     assertMatches(dir, mvPath)
   }
 
+  test("streaming CDF MV lands on the recompute, resumes across " +
+      "restarts, and replays idempotently") {
+    import graft.txn.ChangeDataFeed
+    val dir = java.nio.file.Files.createTempDirectory("mvs_base").toString
+    val mvPath =
+      java.nio.file.Files.createTempDirectory("mvs_state").toString + "/mv"
+    val ck = java.nio.file.Files.createTempDirectory("mvs_ck").toString
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 3 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    MaterializedAgg.create(spark, dir, mvPath, spec)
+    TableWriter.updateWhere(spark, dir, col("l_quantity") < 10,
+      Map("l_quantity" -> (col("l_quantity") + 5.0)),
+      version = 2L, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("l_suppkey") % 7 === 0,
+      version = 3L, commitTs = 3000L)
+    def drain(): Unit = {
+      val q = MaterializedAgg.maintainFromCdfStream(spark, dir, mvPath,
+        spec, checkpointLocation = ck, appId = "mvs")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assertMatches(dir, mvPath)
+    // base moves while the stream is down; a restart on the SAME
+    // checkpoint picks up exactly the new versions
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 3 === 1), dir,
+      commitTs = 4000L)
+    drain()
+    assertMatches(dir, mvPath)
+    // no new data: a further restart must not move the MV
+    val log = new graft.txn.TxnLog(mvPath,
+      spark.sessionState.newHadoopConf())
+    val before = log.latestVersion()
+    drain()
+    assert(log.latestVersion() == before)
+    assertMatches(dir, mvPath)
+  }
+
   test("refresh after a compaction-only base commit advances the " +
       "watermark without crashing or rewriting state") {
     val dir = java.nio.file.Files.createTempDirectory("mv_base_c").toString
