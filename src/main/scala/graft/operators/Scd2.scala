@@ -75,6 +75,62 @@ object Scd2 {
         col("valid_from"), col("valid_to"))): _*)
   }
 
+  /** Validity intervals built from the CHANGE DATA FEED instead of
+    * per-version snapshot scans: one seed aggregate at `baseVersion`
+    * plus the change rows after it. [[intervals]] re-aggregates the
+    * WHOLE table once per version (N versions of a 100 TB table = N full
+    * scans); this path costs one scan plus the changed rows — the same
+    * economics [[graft.operators.MaterializedAgg.refreshFromCdf]] buys
+    * the MV.
+    *
+    * Construction: state-opening events are the seed keys (at
+    * `baseVersion`) and every insert/update_postimage group; closing
+    * events are delete/update_preimage rows. An open interval at v
+    * closes at the SMALLEST closing version > v for its key (updates
+    * close-and-reopen at the same version, so the pre@v pairs with the
+    * previous open and the post@v starts the next interval), and stays
+    * current (valid_to null) when no later close exists. Requires the
+    * feed to be exact over the range — DML commits must carry sidecars
+    * (append-only commits infer fine) — and KEYS TO BE UNIQUE per
+    * version (the dimension-table contract): a change event speaks for
+    * its whole key here, so a delete of one copy of a duplicated key
+    * would close the key's interval while other copies live on.
+    * [[intervals]] (per-version aggregate states) remains the correct
+    * tool for duplicate-key tables.
+    */
+  def intervalsFromCdf(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      centsOf: Column,
+      baseVersion: Long): DataFrame = {
+    import graft.txn.ChangeDataFeed
+    import ChangeDataFeed.{TypeCol, VersionCol, Insert, UpdatePre, UpdatePost, Delete}
+    val seed = SnapshotReader.read(spark, tablePath,
+        versionAsOf = Some(baseVersion))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents"))
+      .withColumn("valid_from", lit(baseVersion))
+    val ch = ChangeDataFeed.tableChanges(spark, tablePath, baseVersion + 1)
+    val opens = seed.unionByName(
+      ch.filter(col(TypeCol).isin(Insert, UpdatePost))
+        .groupBy((keys.map(col) :+ col(VersionCol).as("valid_from")): _*)
+        .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents")))
+    val closes = ch.filter(col(TypeCol).isin(Delete, UpdatePre))
+      .select((keys.map(col) :+ col(VersionCol).as("_close_v")): _*)
+      .distinct()
+    // valid_to = min closing version AFTER the open; both sides are
+    // change-scale (keys that ever changed), so the range join is small
+    // and the per-key close list is bounded by the key's change count
+    opens.join(closes, keys.map(k => opens(k) <=> closes(k))
+        .reduce(_ && _) && col("_close_v") > col("valid_from"), "left")
+      .groupBy((keys.map(opens(_)) :+ col("valid_from") :+ col("n") :+
+        col("cents")): _*)
+      .agg(min(col("_close_v")).as("valid_to"))
+      .select((keys.map(col) ++ Seq(col("n"), col("cents"),
+        col("valid_from"), col("valid_to"))): _*)
+  }
+
   // ------------------------------------------------------------------
   // Incremental maintenance: the intervals frame as a MAINTAINED graft
   // table. A refresh walks only the base versions since the watermark,

@@ -875,6 +875,50 @@ object Cdc {
         .select(col("event_type"), col("mv_cnt"),
           col("sum_cents").cast("long").as("sum_cents"))
         .orderBy(col("event_type"))
+    },
+
+    // SCD2 validity intervals from the CHANGE FEED: where q133/q142
+    // re-aggregate the whole table once per version, this build costs
+    // one seed scan plus the changed rows — update images close-and-
+    // reopen at their version, deletes close, inserts (including the
+    // merge's dead-key resurrections) open. The oracle replays every
+    // interval's (from, to, cents) from the fixture arithmetic, so a
+    // mis-paired image or a lost close breaks the hash. Output is the
+    // per-(from, to) interval census (counts + cents + id sums).
+    QueryDef.sqlBacked(
+      "q303_cdf_scd2",
+      """WITH b AS (
+        |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |iv AS (
+        |  SELECT id, cents, CAST(1 AS BIGINT) AS vf,
+        |    CASE WHEN id % 12 = 0 THEN 2 WHEN id % 18 = 0 THEN 3
+        |         WHEN id % 30 = 0 THEN 4 ELSE NULL END AS vt
+        |  FROM b WHERE id % 3 = 0
+        |  UNION ALL
+        |  SELECT id, cents + 1000, 2,
+        |    CASE WHEN id % 18 = 0 THEN 3 WHEN id % 30 = 0 THEN 4
+        |         WHEN id % 24 = 0 THEN 5 ELSE NULL END
+        |  FROM b WHERE id % 3 = 0 AND id % 12 = 0
+        |  UNION ALL
+        |  SELECT id, id * 3, 5, NULL FROM b
+        |  WHERE (id % 3 = 0 AND id % 24 = 0) OR (id % 3 = 1 AND id % 20 = 0))
+        |SELECT vf AS valid_from,
+        |  CAST(COALESCE(vt, -1) AS BIGINT) AS valid_to_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM iv GROUP BY vf, vt
+        |ORDER BY valid_from, valid_to_k""".stripMargin) { (s, dir) =>
+      val table = buildCdfFixture(s, dir)
+      graft.operators.Scd2.intervalsFromCdf(s, table, Seq("event_id"),
+          col("cents"), baseVersion = 1L)
+        .groupBy(col("valid_from"),
+          coalesce(col("valid_to"), lit(-1L)).cast("long").as("valid_to_k"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("cents")).cast("long").as("cents_sum"),
+          sum(col("event_id")).cast("long").as("id_sum"))
+        .orderBy(col("valid_from"), col("valid_to_k"))
     }
   )
 }

@@ -127,6 +127,49 @@ class Scd2Spec extends AnyFunSuite {
       spark.sessionState.newHadoopConf()).latestVersion() == before)
   }
 
+  test("CDF interval build reconstructs every snapshot (unique keys)") {
+    import spark.implicits._
+    import graft.txn.ChangeDataFeed
+    val dir = java.nio.file.Files.createTempDirectory("scd2c").toString + "/t"
+    // unique-key dimension (the intervalsFromCdf contract)
+    TableWriter.write(spark,
+      (0L until 200L).map(k => (k, k * 10L)).toDF("k", "cents"),
+      dir, version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, dir, col("k") % 4 === 0,
+      Map("cents" -> (col("cents") + 1L)), version = 2L, commitTs = 2000L)
+    DeletionVectors.deleteWhere(spark, dir, col("k") % 10 === 0,
+      version = 3L, commitTs = 3000L)
+    TableWriter.deleteWhere(spark, dir, col("k") % 7 === 0, version = 4L,
+      commitTs = 4000L)
+    // merge: update survivors %6, resurrect %70 (killed at v3), insert
+    // fresh keys
+    val src = ((0L until 200L).filter(k =>
+        (k % 6 == 0 && k % 10 != 0 && k % 7 != 0) || k % 70 == 0) ++
+        Seq(900L, 901L)).map(k => (k, k + 5L)).toDF("k", "cents")
+    TableWriter.mergeUpsert(spark, dir, src, Seq("k"), version = 5L,
+      commitTs = 5000L)
+    TableWriter.append(spark, Seq((950L, 1L)).toDF("k", "cents"), dir,
+      commitTs = 6000L)
+
+    val iv = Scd2.intervalsFromCdf(spark, dir, Seq("k"), col("cents"),
+      baseVersion = 1L).collect()
+    def stateAt(v: Long) = SnapshotReader
+      .read(spark, dir, versionAsOf = Some(v))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach { v =>
+      val covering = iv.filter(r => r.getAs[Long]("valid_from") <= v &&
+        (r.isNullAt(r.fieldIndex("valid_to")) ||
+          r.getAs[Long]("valid_to") > v))
+      assert(covering.length == covering.map(_.getLong(0)).distinct.length,
+        s"overlapping intervals at v=$v")
+      val got = covering.map(r => r.getLong(0) -> r.getAs[Long]("cents"))
+        .toMap
+      assert(got == stateAt(v), s"CDF intervals diverge at v=$v")
+    }
+  }
+
   test("unchanged keys yield exactly one open interval") {
     val dir = java.nio.file.Files.createTempDirectory("scd2b").toString + "/t"
     val li = Tables.load(spark, sf, "lineitem")
