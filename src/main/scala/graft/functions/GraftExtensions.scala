@@ -121,6 +121,27 @@ object GraftExtensions {
             startingVersion = sv, endingVersion = ev)
             .queryExecution.logical
         }),
+      // row-level change audit at metadata cost (DESCRIBE HISTORY's
+      // companion: how many ROWS each commit touched, by change type)
+      ("graft_changes_summary",
+        info("graft_changes_summary",
+          "graft_changes_summary(tablePath, startingVersion[, " +
+            "endingVersion]) - per-version row counts by change type, " +
+            "answered from footer stats, DV sidecars, and change-file " +
+            "_change_type columns only"),
+        (children: Seq[Expression]) => {
+          require(children.size >= 2 && children.size <= 3,
+            "graft_changes_summary(tablePath, startingVersion[, " +
+              "endingVersion])")
+          val path = strLitOf(children.head, "graft_changes_summary")
+          val sv = longLitOf(children(1), "graft_changes_summary")
+          val ev = children.lift(2)
+            .map(longLitOf(_, "graft_changes_summary"))
+          graft.txn.ChangeDataFeed.changesSummary(
+            org.apache.spark.sql.SparkSession.active, path,
+            startingVersion = sv, endingVersion = ev)
+            .queryExecution.logical
+        }),
       ("graft_history",
         info("graft_history",
           "graft_history(tablePath) - commit history of a graft table " +

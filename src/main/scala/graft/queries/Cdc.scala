@@ -919,6 +919,42 @@ object Cdc {
           sum(col("cents")).cast("long").as("cents_sum"),
           sum(col("event_id")).cast("long").as("id_sum"))
         .orderBy(col("valid_from"), col("valid_to_k"))
+    },
+
+    // Row-level change AUDIT at metadata cost (the DESCRIBE HISTORY
+    // companion): per version × change type, how many rows changed —
+    // add-only commits answer from footer stats, sidecar commits scan
+    // just their _change_type column. The oracle replays every count
+    // from the fixture arithmetic, so a stats undercount or a sidecar
+    // misclassification breaks the hash. Through the SQL TVF.
+    QueryDef.sqlBacked(
+      "q304_changes_summary",
+      """WITH b AS (SELECT event_id AS id FROM events)
+        |SELECT v, ct, n FROM (
+        |  SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ct,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM b WHERE id % 3 = 0
+        |  UNION ALL SELECT 2, 'update_preimage', COUNT(*) FROM b
+        |  WHERE id % 12 = 0
+        |  UNION ALL SELECT 2, 'update_postimage', COUNT(*) FROM b
+        |  WHERE id % 12 = 0
+        |  UNION ALL SELECT 3, 'delete', COUNT(*) FROM b WHERE id % 18 = 0
+        |  UNION ALL SELECT 4, 'delete', COUNT(*) FROM b
+        |  WHERE id % 30 = 0 AND id % 18 <> 0
+        |  UNION ALL SELECT 5, 'update_preimage', COUNT(*) FROM b
+        |  WHERE id % 3 = 0 AND id % 24 = 0 AND id % 18 <> 0 AND id % 30 <> 0
+        |  UNION ALL SELECT 5, 'update_postimage', COUNT(*) FROM b
+        |  WHERE id % 3 = 0 AND id % 24 = 0 AND id % 18 <> 0 AND id % 30 <> 0
+        |  UNION ALL SELECT 5, 'insert', COUNT(*) FROM b
+        |  WHERE (id % 3 = 1 AND id % 20 = 0)
+        |     OR (id % 3 = 0 AND id % 24 = 0 AND (id % 18 = 0 OR id % 30 = 0))
+        |) WHERE n > 0 ORDER BY v, ct""".stripMargin) { (s, dir) =>
+      val table = buildCdfFixture(s, dir)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT version AS v, change_type AS ct,
+           |  CAST(n_rows AS BIGINT) AS n
+           |FROM graft_changes_summary('$table', 0)
+           |ORDER BY v, ct""".stripMargin)
     }
   )
 }

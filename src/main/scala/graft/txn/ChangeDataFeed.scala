@@ -117,6 +117,85 @@ object ChangeDataFeed {
     out.toSeq
   }
 
+  /** Row-level change AUDIT at metadata cost: per version and change
+    * type, HOW MANY rows changed — without reading any data column.
+    * Sidecar versions scan just their `_change_type` column (columnar
+    * prune of KB-scale files); add-only versions answer from AddFile
+    * footer stats; whole-file removes answer from stats minus the
+    * KB-scale DV sidecar counts. The DESCRIBE HISTORY companion: history
+    * says which files moved, this says how many ROWS each commit
+    * touched — on a 100 TB table still a metadata-sized question.
+    * Versions with no data change produce no rows. Same refusal as
+    * [[tableChanges]] for sidecar-less DV transitions.
+    */
+  def changesSummary(
+      spark: SparkSession,
+      tablePath: String,
+      startingVersion: Long,
+      endingVersion: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val all = log.versions()
+    val end = endingVersion.getOrElse(all.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"empty table at $tablePath")))
+    val versions = all.filter(v => v >= startingVersion && v <= end)
+    require(versions.nonEmpty,
+      s"no versions in [$startingVersion, $end] at $tablePath")
+    val seedV = all.filter(_ < versions.head).lastOption
+    var liveByPath: Map[String, AddFile] =
+      seedV.map(sv => log.snapshot(sv).files.map(f => f.path -> f).toMap)
+        .getOrElse(Map.empty)
+    val metaRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long)] // (version, ts, type, n)
+    val sidecarFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    versions.foreach { v =>
+      val actions = log.read(v)
+      val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(0L)
+      val cdcFiles = actions.collect { case c: CdcFile => c }
+      val adds = actions.collect { case a: AddFile if a.dataChange => a }
+      val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+      if (cdcFiles.nonEmpty) {
+        sidecarFrames += spark.read.parquet(
+            cdcFiles.map(c => TxnLog.dataPath(tablePath, c.path)): _*)
+          .select(col(TypeCol))
+          .groupBy(col(TypeCol).as("change_type"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("version", lit(v)).withColumn("commit_ts", lit(ts))
+      } else {
+        val reAdded = adds.map(_.path).filter(liveByPath.contains)
+        require(reAdded.isEmpty,
+          s"version $v of $tablePath re-adds ${reAdded.size} live " +
+            s"file(s) without change data — set TBLPROPERTIES " +
+            s"('$Prop'='true') before row-level DML")
+        val insN = adds.flatMap(_.stats.map(_.numRecords))
+        if (insN.nonEmpty)
+          metaRows += ((v, ts, Insert, insN.sum))
+        val doomed = removes.flatMap(r => liveByPath.get(r.path))
+        if (doomed.nonEmpty) {
+          val total = doomed.flatMap(_.stats.map(_.numRecords)).sum
+          val dead =
+            if (doomed.forall(_.dv.isEmpty)) 0L
+            else DeletionVectors.deletedPerFile(spark, tablePath, doomed)
+              .agg(coalesce(sum(col("n_deleted")), lit(0L))).head().getLong(0)
+          metaRows += ((v, ts, Delete, total - dead))
+        }
+      }
+      actions.foreach {
+        case a: AddFile    => liveByPath += (a.path -> a)
+        case r: RemoveFile => liveByPath -= r.path
+        case _             => ()
+      }
+    }
+    val metaDf = metaRows.toSeq
+      .toDF("version", "commit_ts", "change_type", "n_rows")
+    val out = (metaDf +: sidecarFrames.toSeq).map(_.select(
+      col("version"), col("commit_ts"), col("change_type"), col("n_rows")))
+      .reduce(_ unionByName _)
+    out
+  }
+
   /** Timestamp-bounded feed (Delta's startingTimestamp/endingTimestamp):
     * start resolves to the FIRST commit at-or-after `startMillis`, end to
     * the LAST commit at-or-before `endMillis` (both strict — an empty
