@@ -60,10 +60,16 @@ object MaterializedAgg {
     */
   def refreshedThrough(spark: SparkSession, mvPath: String): Long = {
     val log = new TxnLog(mvPath, spark.sessionState.newHadoopConf())
-    log.history().collectFirst {
-      case (_, op, _, _, _) if BaseRe.findFirstMatchIn(op).isDefined =>
-        BaseRe.findFirstMatchIn(op).get.group(1).toLong
-    }.getOrElse(throw new IllegalStateException(
+    // lazy newest-first: every MV commit carries the marker, so this
+    // reads ONE commit file in steady state — history() would read the
+    // whole log, turning an N-batch stream into O(N²) driver log I/O
+    log.versions().reverseIterator.flatMap { v =>
+      log.read(v).collectFirst {
+        case c: CommitInfo
+            if BaseRe.findFirstMatchIn(c.operation).isDefined =>
+          BaseRe.findFirstMatchIn(c.operation).get.group(1).toLong
+      }
+    }.nextOption().getOrElse(throw new IllegalStateException(
       s"no MV base watermark in the log at $mvPath"))
   }
 
@@ -186,10 +192,17 @@ object MaterializedAgg {
     * ([[graft.sources.GraftCdf]]) and fold each micro-batch's signed
     * delta into the stored state — UPDATEs and DELETEs flow, not just
     * appends (the upsertAggregate sink's limitation). Exactly-once
-    * across restarts: a SetTxn marker (`appId`, batchId) commits IN THE
-    * SAME MV COMMIT as the state it produced, so a replayed batch skips;
-    * a defensive watermark filter (`_commit_version` > refreshed-through)
-    * additionally guards a stream restarted from a stale checkpoint.
+    * across restarts comes from the MV's OWN base watermark (committed
+    * atomically with every state generation): the delta keeps only
+    * `_commit_version` > watermark, so a replayed batch (same
+    * checkpoint, crash between MV commit and offset commit) nets an
+    * empty delta and no commit, and a FRESH checkpoint simply
+    * re-delivers already-applied versions that filter out — no
+    * batch-id bookkeeping, nothing to go stale. The converse mismatch
+    * (an OLD checkpoint whose offsets start past the MV watermark —
+    * someone recreated the MV) cannot be filtered into correctness:
+    * the batch's versions must extend the watermark contiguously, and
+    * a gap REFUSES loudly instead of silently losing the middle.
     * Start the stream AFTER [[create]]; it picks up from the MV's
     * recorded base watermark.
     */
@@ -198,8 +211,7 @@ object MaterializedAgg {
       basePath: String,
       mvPath: String,
       spec: Spec,
-      checkpointLocation: String,
-      appId: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.txn.ChangeDataFeed
     val from0 = refreshedThrough(spark, mvPath)
     spark.readStream.format("graft.sources.GraftCdf")
@@ -208,30 +220,39 @@ object MaterializedAgg {
       .load()
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val conf = spark.sessionState.newHadoopConf()
         val mvLog = new TxnLog(mvPath, conf)
         val mvSnap = mvLog.snapshotLatest()
-        val already = mvSnap.txns.get(appId).exists(_ >= batchId)
-        if (!already) {
-          val from = refreshedThrough(spark, mvPath)
-          val delta = batch
-            .filter(col(ChangeDataFeed.VersionCol) > from)
-            .withColumn("_sign",
-              when(col(ChangeDataFeed.TypeCol).isin(
-                ChangeDataFeed.Insert, ChangeDataFeed.UpdatePost), lit(1L))
-                .otherwise(lit(-1L)))
-            .persist()
-          try {
-            val hi = delta.agg(max(col(ChangeDataFeed.VersionCol))).head()
-            if (!hi.isNullAt(0)) {
-              val latest = hi.getLong(0)
+        val from = refreshedThrough(spark, mvPath)
+        val delta = batch
+          .withColumn("_sign",
+            when(col(ChangeDataFeed.TypeCol).isin(
+              ChangeDataFeed.Insert, ChangeDataFeed.UpdatePost), lit(1L))
+              .otherwise(lit(-1L)))
+          .persist()
+        try {
+          val bounds = delta
+            .agg(min(col(ChangeDataFeed.VersionCol)),
+              max(col(ChangeDataFeed.VersionCol))).head()
+          if (!bounds.isNullAt(0)) {
+            val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+            // contiguity: the batch must reach back to the watermark —
+            // an old checkpoint against a recreated MV starts PAST it,
+            // and the skipped middle would be lost forever
+            require(lo <= from + 1,
+              s"streaming MV at $mvPath: batch starts at base version " +
+                s"$lo but the MV watermark is $from — the stream " +
+                "checkpoint does not extend this MV's state (recreate " +
+                "the MV or start a fresh checkpoint)")
+            if (hi > from) {
               val nowMs = System.currentTimeMillis()
-              applyDelta(spark, mvPath, mvSnap, spec, delta, latest, nowMs,
-                extra = Seq(graft.txn.SetTxn(appId, batchId, nowMs)))
+              applyDelta(spark, mvPath, mvSnap, spec,
+                delta.filter(col(ChangeDataFeed.VersionCol) > from),
+                hi, nowMs)
             }
-          } finally { delta.unpersist(); () }
-        }
+          }
+        } finally { delta.unpersist(); () }
         ()
       }
       .start()

@@ -111,13 +111,23 @@ object Scd2 {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents"))
       .withColumn("valid_from", lit(baseVersion))
-    val ch = ChangeDataFeed.tableChanges(spark, tablePath, baseVersion + 1)
+    // ONE aggregate pass over the feed (emptyOk: "no changes since the
+    // base" is a legitimate answer — every seed interval stays open),
+    // cached because both the opens and closes branches derive from it:
+    // without the cache the sidecar/inference scans would run twice.
+    // The frame is change-scale post-aggregation; KB-to-MB class.
+    val events = ChangeDataFeed
+      .tableChanges(spark, tablePath, baseVersion + 1, emptyOk = true)
+      .groupBy((keys.map(col) :+ col(VersionCol).as("_v") :+
+        col(TypeCol).isin(Insert, UpdatePost).as("_open")): _*)
+      .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents"))
+      .persist()
     val opens = seed.unionByName(
-      ch.filter(col(TypeCol).isin(Insert, UpdatePost))
-        .groupBy((keys.map(col) :+ col(VersionCol).as("valid_from")): _*)
-        .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents")))
-    val closes = ch.filter(col(TypeCol).isin(Delete, UpdatePre))
-      .select((keys.map(col) :+ col(VersionCol).as("_close_v")): _*)
+      events.filter(col("_open"))
+        .select((keys.map(col) ++ Seq(col("_v").as("valid_from"),
+          col("n"), col("cents"))): _*))
+    val closes = events.filter(!col("_open"))
+      .select((keys.map(col) :+ col("_v").as("_close_v")): _*)
       .distinct()
     // valid_to = min closing version AFTER the open; both sides are
     // change-scale (keys that ever changed), so the range join is small
@@ -144,13 +154,20 @@ object Scd2 {
 
   private val BaseRe = """base=(\d+)""".r
 
-  /** The base version the history reflects (from the newest commit). */
+  /** The base version the history reflects (from the newest commit).
+    * Lazy newest-first scan: every history commit carries the marker,
+    * so one commit file is read in steady state (history() would read
+    * the whole log each call).
+    */
   def refreshedThrough(spark: SparkSession, historyPath: String): Long = {
     val log = new TxnLog(historyPath, spark.sessionState.newHadoopConf())
-    log.history().collectFirst {
-      case (_, op, _, _, _) if BaseRe.findFirstMatchIn(op).isDefined =>
-        BaseRe.findFirstMatchIn(op).get.group(1).toLong
-    }.getOrElse(throw new IllegalStateException(
+    log.versions().reverseIterator.flatMap { v =>
+      log.read(v).collectFirst {
+        case c: CommitInfo
+            if BaseRe.findFirstMatchIn(c.operation).isDefined =>
+          BaseRe.findFirstMatchIn(c.operation).get.group(1).toLong
+      }
+    }.nextOption().getOrElse(throw new IllegalStateException(
       s"no SCD2 watermark in the log at $historyPath"))
   }
 

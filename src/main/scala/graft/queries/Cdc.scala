@@ -868,8 +868,7 @@ object Cdc {
       MaterializedAgg.create(s, table, mvPath, spec, versionAsOf = Some(1L))
       val q = MaterializedAgg.maintainFromCdfStream(s, table, mvPath, spec,
         checkpointLocation =
-          java.nio.file.Files.createTempDirectory("mv_q302_ck").toString,
-        appId = "q302")
+          java.nio.file.Files.createTempDirectory("mv_q302_ck").toString)
       try q.processAllAvailable() finally q.stop()
       SnapshotReader.read(s, mvPath)
         .select(col("event_type"), col("mv_cnt"),

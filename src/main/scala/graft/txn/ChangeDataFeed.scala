@@ -117,6 +117,72 @@ object ChangeDataFeed {
     out.toSeq
   }
 
+  /** One commit's resolved change inputs (see [[walkRange]]). `doomed`
+    * is the removed files AS THEY WERE LIVE before the commit (their
+    * then-current DV pointers); `meta` the metadata in effect AT the
+    * commit (a same-commit Metadata applies to its own files).
+    */
+  private final case class CommitChanges(
+      version: Long,
+      ts: Long,
+      cdcFiles: Seq[CdcFile],
+      adds: Seq[AddFile],
+      doomed: Seq[AddFile],
+      meta: Option[Metadata])
+
+  /** ONE incremental pass over `versions`: a single seed snapshot
+    * strictly before the range, then per-commit action deltas — never a
+    * snapshot per version. Refuses a sidecar-less re-add of a LIVE path
+    * (a deletion-vector transition, with or without a paired remove —
+    * RESTORE emits bare re-adds when only the pointer changed):
+    * inferring there would read survivors as fresh changes. The walk
+    * invariants live HERE, shared by [[tableChanges]] and
+    * [[changesSummary]].
+    */
+  private def walkRange(
+      log: TxnLog,
+      tablePath: String,
+      all: Seq[Long],
+      versions: Seq[Long]): Seq[CommitChanges] = {
+    val seedV = all.filter(_ < versions.head).lastOption
+    var liveByPath: Map[String, AddFile] = Map.empty
+    var meta: Option[Metadata] = None
+    seedV.foreach { sv =>
+      val seed = log.snapshot(sv)
+      liveByPath = seed.files.map(f => f.path -> f).toMap
+      meta = seed.metadata
+    }
+    versions.map { v =>
+      val actions = log.read(v)
+      val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(0L)
+      actions.collectFirst { case m: Metadata => m }
+        .foreach(m => meta = Some(m))
+      val cdcFiles = actions.collect { case c: CdcFile => c }
+      val adds = actions.collect { case a: AddFile if a.dataChange => a }
+      val removes = actions.collect {
+        case r: RemoveFile if r.dataChange => r }
+      if (cdcFiles.isEmpty) {
+        val reAdded = adds.map(_.path).filter(liveByPath.contains)
+        require(reAdded.isEmpty,
+          s"version $v of $tablePath re-adds ${reAdded.size} live " +
+            s"file(s) (a deletion-vector transition) without change " +
+            s"data — set TBLPROPERTIES ('$Prop'='true') before " +
+            "row-level DML to read it through the change feed")
+      }
+      val doomed = removes.flatMap(r => liveByPath.get(r.path))
+      val out = CommitChanges(v, ts, cdcFiles, adds, doomed, meta)
+      // advance (all actions, dataChange or not — a compaction moves
+      // files without being a change event)
+      actions.foreach {
+        case a: AddFile    => liveByPath += (a.path -> a)
+        case r: RemoveFile => liveByPath -= r.path
+        case _             => ()
+      }
+      out
+    }
+  }
+
   /** Row-level change AUDIT at metadata cost: per version and change
     * type, HOW MANY rows changed — without reading any data column.
     * Sidecar versions scan just their `_change_type` column (columnar
@@ -142,58 +208,48 @@ object ChangeDataFeed {
     val versions = all.filter(v => v >= startingVersion && v <= end)
     require(versions.nonEmpty,
       s"no versions in [$startingVersion, $end] at $tablePath")
-    val seedV = all.filter(_ < versions.head).lastOption
-    var liveByPath: Map[String, AddFile] =
-      seedV.map(sv => log.snapshot(sv).files.map(f => f.path -> f).toMap)
-        .getOrElse(Map.empty)
     val metaRows = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)] // (version, ts, type, n)
     val sidecarFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    versions.foreach { v =>
-      val actions = log.read(v)
-      val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
-        .getOrElse(0L)
-      val cdcFiles = actions.collect { case c: CdcFile => c }
-      val adds = actions.collect { case a: AddFile if a.dataChange => a }
-      val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
-      if (cdcFiles.nonEmpty) {
+    walkRange(log, tablePath, all, versions).foreach { c =>
+      if (c.cdcFiles.nonEmpty) {
         sidecarFrames += spark.read.parquet(
-            cdcFiles.map(c => TxnLog.dataPath(tablePath, c.path)): _*)
+            c.cdcFiles.map(f => TxnLog.dataPath(tablePath, f.path)): _*)
           .select(col(TypeCol))
           .groupBy(col(TypeCol).as("change_type"))
           .agg(count(lit(1)).as("n_rows"))
-          .withColumn("version", lit(v)).withColumn("commit_ts", lit(ts))
+          .withColumn("version", lit(c.version))
+          .withColumn("commit_ts", lit(c.ts))
       } else {
-        val reAdded = adds.map(_.path).filter(liveByPath.contains)
-        require(reAdded.isEmpty,
-          s"version $v of $tablePath re-adds ${reAdded.size} live " +
-            s"file(s) without change data — set TBLPROPERTIES " +
-            s"('$Prop'='true') before row-level DML")
-        val insN = adds.flatMap(_.stats.map(_.numRecords))
-        if (insN.nonEmpty)
-          metaRows += ((v, ts, Insert, insN.sum))
-        val doomed = removes.flatMap(r => liveByPath.get(r.path))
-        if (doomed.nonEmpty) {
-          val total = doomed.flatMap(_.stats.map(_.numRecords)).sum
-          val dead =
-            if (doomed.forall(_.dv.isEmpty)) 0L
-            else DeletionVectors.deletedPerFile(spark, tablePath, doomed)
-              .agg(coalesce(sum(col("n_deleted")), lit(0L))).head().getLong(0)
-          metaRows += ((v, ts, Delete, total - dead))
+        // an AUDIT must refuse stat-less files loudly — counting around
+        // them would report fewer rows than the feed serves (and a
+        // stat-less doomed file with a DV would even undercount past
+        // its own kills)
+        (c.adds ++ c.doomed).filter(_.stats.isEmpty) match {
+          case Seq() => ()
+          case bad => throw new IllegalStateException(
+            s"version ${c.version} of $tablePath touches ${bad.size} " +
+              "stat-less file(s) (pre-stats log) — row counts " +
+              "unavailable; use graft_table_changes to read the rows")
         }
-      }
-      actions.foreach {
-        case a: AddFile    => liveByPath += (a.path -> a)
-        case r: RemoveFile => liveByPath -= r.path
-        case _             => ()
+        if (c.adds.nonEmpty)
+          metaRows += ((c.version, c.ts, Insert,
+            c.adds.map(_.stats.get.numRecords).sum))
+        if (c.doomed.nonEmpty) {
+          val total = c.doomed.map(_.stats.get.numRecords).sum
+          val dead =
+            if (c.doomed.forall(_.dv.isEmpty)) 0L
+            else DeletionVectors.deletedPerFile(spark, tablePath, c.doomed)
+              .agg(coalesce(sum(col("n_deleted")), lit(0L))).head().getLong(0)
+          metaRows += ((c.version, c.ts, Delete, total - dead))
+        }
       }
     }
     val metaDf = metaRows.toSeq
       .toDF("version", "commit_ts", "change_type", "n_rows")
-    val out = (metaDf +: sidecarFrames.toSeq).map(_.select(
+    (metaDf +: sidecarFrames.toSeq).map(_.select(
       col("version"), col("commit_ts"), col("change_type"), col("n_rows")))
       .reduce(_ unionByName _)
-    out
   }
 
   /** Timestamp-bounded feed (Delta's startingTimestamp/endingTimestamp):
@@ -244,91 +300,79 @@ object ChangeDataFeed {
     * pre-evolution change rows surface later columns as null, the q112
     * read-side contract.
     */
+  /** @param emptyOk when true, an empty range (or a range with no
+    *        data-changing commits) returns an EMPTY frame with the
+    *        table's current CDF schema instead of refusing — the shape
+    *        incremental consumers ([[graft.operators.Scd2]]) want when
+    *        "changes since X" legitimately means "none".
+    */
   def tableChanges(
       spark: SparkSession,
       tablePath: String,
       startingVersion: Long,
-      endingVersion: Option[Long] = None): DataFrame = {
+      endingVersion: Option[Long] = None,
+      emptyOk: Boolean = false): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val all = log.versions()
+    def emptyFrame(): DataFrame = {
+      val payload = log.snapshotLatest().metadata.map(m =>
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"no metadata at $tablePath"))
+      val schema = org.apache.spark.sql.types.StructType(
+        payload.fields.map(_.copy(nullable = true)).toSeq ++ Seq(
+          org.apache.spark.sql.types.StructField(TypeCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(VersionCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(TimestampCol,
+            org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val end = endingVersion.getOrElse(all.lastOption.getOrElse(
       throw new IllegalArgumentException(s"empty table at $tablePath")))
     val versions = all.filter(v => v >= startingVersion && v <= end)
+    if (versions.isEmpty && emptyOk) return emptyFrame()
     require(versions.nonEmpty,
       s"no versions in [$startingVersion, $end] at $tablePath " +
         "(expired by log retention?)")
-    // ONE seed snapshot strictly before the range, then an incremental
-    // walk: liveByPath/meta advance by each commit's own actions, so an
-    // N-version read does one log replay total — not one per version.
-    val seedV = all.filter(_ < versions.head).lastOption
-    var liveByPath: Map[String, AddFile] = Map.empty
-    var meta: Option[Metadata] = None
-    seedV.foreach { sv =>
-      val seed = log.snapshot(sv)
-      liveByPath = seed.files.map(f => f.path -> f).toMap
-      meta = seed.metadata
-    }
     def schemaOf(m: Option[Metadata]) = m.map(mm =>
       org.apache.spark.sql.types.DataType.fromJson(mm.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val frames = versions.flatMap { v =>
-      val actions = log.read(v)
-      val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
-        .getOrElse(0L)
-      // a Metadata in the commit applies to the commit's own files
-      // (schema-evolution MERGE lands both atomically)
-      actions.collectFirst { case m: Metadata => m }.foreach(m => meta = Some(m))
-      val adds = actions.collect { case a: AddFile if a.dataChange => a }
-      val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+    val frames = walkRange(log, tablePath, all, versions).flatMap { c =>
       def stamp(df: DataFrame, kind: Option[String]): DataFrame = {
         val typed = kind.fold(df)(k => df.withColumn(TypeCol, lit(k)))
-        typed.withColumn(VersionCol, lit(v))
-          .withColumn(TimestampCol, lit(ts))
+        typed.withColumn(VersionCol, lit(c.version))
+          .withColumn(TimestampCol, lit(c.ts))
       }
-      val cdcFiles = actions.collect { case c: CdcFile => c }
-      val out: Seq[DataFrame] =
-        if (cdcFiles.nonEmpty) {
-          // exact change rows, written by the commit itself
-          Seq(stamp(spark.read.parquet(
-            cdcFiles.map(c => TxnLog.dataPath(tablePath, c.path)): _*), None))
-        } else {
-          // inference (the Delta rule): adds are inserts; removes are
-          // deletes of the file's rows LIVE before this commit (its DV
-          // then applied — rows an earlier commit killed already fed
-          // that commit's feed). A re-add of a LIVE path is a DV
-          // transition — with or without a paired remove (RESTORE emits
-          // bare re-adds when only the pointer changed) — and refuses:
-          // inferring would read survivors as fresh inserts.
-          val reAdded = adds.map(_.path).filter(liveByPath.contains)
-          require(reAdded.isEmpty,
-            s"version $v of $tablePath re-adds ${reAdded.size} live " +
-              s"file(s) (a deletion-vector transition) without change " +
-              s"data — set TBLPROPERTIES ('$Prop'='true') before " +
-              "row-level DML to read it through the change feed")
-          val mapping = meta.map(_.columnMapping).getOrElse(Map.empty)
-          val insertRows =
-            if (adds.isEmpty) None
-            else Some(stamp(DeletionVectors.readFiles(spark, tablePath,
-              adds, schemaOf(meta), withRowMeta = false,
-              mapping = mapping), Some(Insert)))
-          val doomed = removes.flatMap(r => liveByPath.get(r.path))
-          val deleteRows =
-            if (doomed.isEmpty) None
-            else Some(stamp(DeletionVectors.readFiles(spark, tablePath,
-              doomed, schemaOf(meta), withRowMeta = false,
-              mapping = mapping), Some(Delete)))
-          insertRows.toSeq ++ deleteRows.toSeq
-        }
-      // advance the walk state (all actions, dataChange or not — a
-      // compaction moves files without being a change event)
-      actions.foreach {
-        case a: AddFile    => liveByPath += (a.path -> a)
-        case r: RemoveFile => liveByPath -= r.path
-        case _             => ()
+      if (c.cdcFiles.nonEmpty) {
+        // exact change rows, written by the commit itself
+        Seq(stamp(spark.read.parquet(
+          c.cdcFiles.map(f => TxnLog.dataPath(tablePath, f.path)): _*),
+          None))
+      } else {
+        // inference (the Delta rule): adds are inserts; removes are
+        // deletes of the file's rows LIVE before this commit (its DV
+        // then applied — rows an earlier commit killed already fed that
+        // commit's feed); walkRange refused DV transitions already
+        val mapping = c.meta.map(_.columnMapping).getOrElse(Map.empty)
+        val insertRows =
+          if (c.adds.isEmpty) None
+          else Some(stamp(DeletionVectors.readFiles(spark, tablePath,
+            c.adds, schemaOf(c.meta), withRowMeta = false,
+            mapping = mapping), Some(Insert)))
+        val deleteRows =
+          if (c.doomed.isEmpty) None
+          else Some(stamp(DeletionVectors.readFiles(spark, tablePath,
+            c.doomed, schemaOf(c.meta), withRowMeta = false,
+            mapping = mapping), Some(Delete)))
+        insertRows.toSeq ++ deleteRows.toSeq
       }
-      out
     }
+    if (frames.isEmpty && emptyOk) return emptyFrame()
     require(frames.nonEmpty,
       s"no data-changing commits in [$startingVersion, $end] at $tablePath")
     frames.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -142,7 +142,7 @@ class MaterializedAggSpec extends AnyFunSuite {
       version = 3L, commitTs = 3000L)
     def drain(): Unit = {
       val q = MaterializedAgg.maintainFromCdfStream(spark, dir, mvPath,
-        spec, checkpointLocation = ck, appId = "mvs")
+        spec, checkpointLocation = ck)
       try q.processAllAvailable() finally q.stop()
     }
     drain()
