@@ -812,6 +812,51 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Length-3 path mining over the event stream (the sequential-pattern
+    // step past q177's bigram matrix): per-user ordered event-type
+    // trigrams via two LEADs on one window, counted globally, top-20
+    // with full deterministic tie-breaks and support share in exact
+    // integer ppm. One user-keyed shuffle; the ranking window runs on
+    // the |types|³-bounded path frame, never the stream.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q305_event_trigram_paths",
+      """WITH s AS (SELECT event_type AS a,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS c
+        |  FROM events),
+        |p AS (SELECT a, b, c, COUNT(*) AS n FROM s
+        |  WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT SUM(n) AS tot FROM p),
+        |r AS (SELECT a, b, c, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, a, b, c) AS rnk FROM p)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, a, b, c, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000 - (n * 1000000) % tot) / tot AS BIGINT)
+        |    AS share_ppm
+        |FROM r CROSS JOIN t WHERE rnk <= 20 ORDER BY rnk""".stripMargin) {
+      (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val paths = Tables.load(s, dir, "events")
+        .select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("event_type"), 2).over(w).as("c"))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("n"))
+      val tot = paths.agg(sum(col("n")).as("tot"))
+      paths
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("a"), col("b"), col("c"))))
+        .filter(col("rnk") <= 20)
+        .crossJoin(broadcast(tot))
+        .select(col("rnk").cast("long").as("rnk"), col("a"), col("b"),
+          col("c"), col("n"), expr("(n * 1000000L) div tot").as("share_ppm"))
+        .orderBy(col("rnk"))
+    },
+
+    // ------------------------------------------------------------------
     // Hybrid retrieval via reciprocal-rank fusion: two independent
     // integer rankings per query doc — shared 3-token shingles and
     // shared distinct unigrams (both df-capped count-then-filter, the
