@@ -857,6 +857,63 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Growth accounting (the new/retained/resurrected/churned user
+    // ledger): per epoch-week, classify each active user by their
+    // previous active week — first week ever = new, previous week
+    // active = retained, a gap = resurrected — and attribute churn to
+    // the week AFTER a user's last activity (capped at the corpus'
+    // final week). All-integer weeks (epoch-day div 7, the q197
+    // convention), so both engines bucket identically. Scale shape:
+    // one user-week distinct aggregate, one user-keyed window, one
+    // small per-week rollup — the fact table shuffles once.
+    // ------------------------------------------------------------------
+    QueryDef.sqlBacked(
+      "q306_growth_accounting",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS w
+        |  FROM events),
+        |mx AS (SELECT MAX(w) AS maxw FROM uw),
+        |lagged AS (SELECT user_id, w,
+        |    LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+        |    LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+        |  FROM uw),
+        |states AS (
+        |  SELECT w, CASE WHEN pw IS NULL THEN 'new'
+        |    WHEN pw = w - 1 THEN 'retained'
+        |    ELSE 'resurrected' END AS state
+        |  FROM lagged
+        |  UNION ALL
+        |  SELECT w + 1, 'churned' FROM lagged CROSS JOIN mx
+        |  WHERE (nw IS NULL OR nw > w + 1) AND w + 1 <= maxw)
+        |SELECT w AS week, state, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM states GROUP BY w, state
+        |ORDER BY week, state""".stripMargin) { (s, dir) =>
+      val uw = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          (datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long")
+            / 7L).cast("long").as("w"))
+        .distinct()
+      val maxw = uw.agg(max(col("w")).as("maxw"))
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("w"))
+      val lagged = uw
+        .withColumn("pw", lag(col("w"), 1).over(wUser))
+        .withColumn("nw", lead(col("w"), 1).over(wUser))
+      val active = lagged.select(col("w"),
+        when(col("pw").isNull, "new")
+          .when(col("pw") === col("w") - 1, "retained")
+          .otherwise("resurrected").as("state"))
+      val churned = lagged
+        .filter(col("nw").isNull || col("nw") > col("w") + 1)
+        .crossJoin(broadcast(maxw))
+        .filter(col("w") + 1 <= col("maxw"))
+        .select((col("w") + 1).as("w"), lit("churned").as("state"))
+      active.unionByName(churned)
+        .groupBy(col("w").as("week"), col("state"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("week"), col("state"))
+    },
+
+    // ------------------------------------------------------------------
     // Hybrid retrieval via reciprocal-rank fusion: two independent
     // integer rankings per query doc — shared 3-token shingles and
     // shared distinct unigrams (both df-capped count-then-filter, the
