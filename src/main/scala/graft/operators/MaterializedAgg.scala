@@ -239,12 +239,28 @@ object MaterializedAgg {
             val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
             // contiguity: the batch must reach back to the watermark —
             // an old checkpoint against a recreated MV starts PAST it,
-            // and the skipped middle would be lost forever
-            require(lo <= from + 1,
-              s"streaming MV at $mvPath: batch starts at base version " +
-                s"$lo but the MV watermark is $from — the stream " +
-                "checkpoint does not extend this MV's state (recreate " +
-                "the MV or start a fresh checkpoint)")
+            // and the skipped middle would be lost forever. The watermark
+            // only ever advances to the max ROW-BEARING version, so a
+            // non-row-bearing base commit in between (OPTIMIZE, SET
+            // TBLPROPERTIES) legitimately leaves lo > from + 1 — before
+            // refusing, verify the gap actually carries row events
+            // (bounded: reads only the gap's commit FILES, never data).
+            if (lo > from + 1) {
+              val baseLog = new TxnLog(basePath, conf)
+              val gapHasRows = baseLog.changes(from + 1)
+                .takeWhile(_._1 < lo)
+                .exists { case (_, actions) => actions.exists {
+                  case a: AddFile    => a.dataChange
+                  case r: RemoveFile => r.dataChange
+                  case _             => false
+                } }
+              require(!gapHasRows,
+                s"streaming MV at $mvPath: batch starts at base version " +
+                  s"$lo but the MV watermark is $from and versions in " +
+                  "between carry data changes — the stream checkpoint " +
+                  "does not extend this MV's state (recreate the MV or " +
+                  "start a fresh checkpoint)")
+            }
             if (hi > from) {
               val nowMs = System.currentTimeMillis()
               applyDelta(spark, mvPath, mvSnap, spec,

@@ -112,16 +112,20 @@ object Scd2 {
       .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents"))
       .withColumn("valid_from", lit(baseVersion))
     // ONE aggregate pass over the feed (emptyOk: "no changes since the
-    // base" is a legitimate answer — every seed interval stays open),
-    // cached because both the opens and closes branches derive from it:
-    // without the cache the sidecar/inference scans would run twice.
-    // The frame is change-scale post-aggregation; KB-to-MB class.
+    // base" is a legitimate answer — every seed interval stays open).
+    // Both the opens and closes branches derive from this aggregate; NOT
+    // persisted (a returned-lazy frame can never unpersist safely, and
+    // the old persist leaked cached blocks on every call). The branches
+    // differ only by the `_open` filter, which Catalyst pushes below the
+    // aggregate and into each sidecar scan (PushedFilters on
+    // _change_type) — the two branches aggregate DISJOINT row sets, so
+    // the combined work equals one unfiltered pass and nothing needs a
+    // cache (Scd2Spec pins the pushed filters + no leaked blocks).
     val events = ChangeDataFeed
       .tableChanges(spark, tablePath, baseVersion + 1, emptyOk = true)
       .groupBy((keys.map(col) :+ col(VersionCol).as("_v") :+
         col(TypeCol).isin(Insert, UpdatePost).as("_open")): _*)
       .agg(count(lit(1)).as("n"), sum(centsOf.cast("long")).as("cents"))
-      .persist()
     val opens = seed.unionByName(
       events.filter(col("_open"))
         .select((keys.map(col) ++ Seq(col("_v").as("valid_from"),

@@ -147,9 +147,13 @@ private[sources] class GraftCdfMicroBatchStream(
       case None => latestOffset()
       case Some(cap) =>
         // admit at most `cap` EXISTING versions past the start (version
-        // numbers may have gaps after log expiry — count, don't add)
+        // numbers may have gaps after log expiry — count, don't add).
+        // Clamp before toInt: a cap above Int.MaxValue would wrap
+        // negative, take(negative) returns empty, and the offset would
+        // silently never advance.
         val admitted = log.versions()
-          .filter(v => v > s && v <= capped(Long.MaxValue)).take(cap.toInt)
+          .filter(v => v > s && v <= capped(Long.MaxValue))
+          .take(math.min(cap, Int.MaxValue.toLong).toInt)
         CdfOffset(admitted.lastOption.getOrElse(s))
     }
   }

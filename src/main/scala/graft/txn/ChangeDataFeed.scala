@@ -117,6 +117,27 @@ object ChangeDataFeed {
     out.toSeq
   }
 
+  /** Refuse a change-feed range that reaches at or below the earliest
+    * retained version after [[TxnLog.expireLog]] (the streaming source's
+    * expired-gap rule, applied to the batch paths): silently narrowing
+    * the range would DROP the expired versions' changes, and a range
+    * starting AT the retained base has no pre-state to resolve removes
+    * against (the seed snapshot must be strictly before the range), so
+    * removes of files added before the range would read as empty and the
+    * re-add-live refusal would be blind. Delta throws
+    * VersionNotFoundException in the same spot.
+    */
+  private def requireRetained(
+      all: Seq[Long], startingVersion: Long, tablePath: String): Unit = {
+    val earliest = all.head
+    require(earliest == 0L || startingVersion > earliest,
+      s"change feed of $tablePath: versions below ${earliest + 1} have " +
+        s"been expired by log retention (earliest retained: $earliest, " +
+        s"and changes AT the retained base are not reconstructible — " +
+        s"the seed snapshot must precede the range); requested " +
+        s"startingVersion $startingVersion would silently lose changes")
+  }
+
   /** One commit's resolved change inputs (see [[walkRange]]). `doomed`
     * is the removed files AS THEY WERE LIVE before the commit (their
     * then-current DV pointers); `meta` the metadata in effect AT the
@@ -205,6 +226,7 @@ object ChangeDataFeed {
     val all = log.versions()
     val end = endingVersion.getOrElse(all.lastOption.getOrElse(
       throw new IllegalArgumentException(s"empty table at $tablePath")))
+    requireRetained(all, startingVersion, tablePath)
     val versions = all.filter(v => v >= startingVersion && v <= end)
     require(versions.nonEmpty,
       s"no versions in [$startingVersion, $end] at $tablePath")
@@ -232,9 +254,18 @@ object ChangeDataFeed {
               "stat-less file(s) (pre-stats log) — row counts " +
               "unavailable; use graft_table_changes to read the rows")
         }
-        if (c.adds.nonEmpty)
-          metaRows += ((c.version, c.ts, Insert,
-            c.adds.map(_.stats.get.numRecords).sum))
+        if (c.adds.nonEmpty) {
+          // a DV-carrying add (shallow-clone import) reads DV-APPLIED
+          // through tableChanges, so the audit must subtract its kills
+          // exactly as the doomed branch does — raw numRecords would
+          // overcount inserts relative to the rows the feed serves
+          val total = c.adds.map(_.stats.get.numRecords).sum
+          val dead =
+            if (c.adds.forall(_.dv.isEmpty)) 0L
+            else DeletionVectors.deletedPerFile(spark, tablePath, c.adds)
+              .agg(coalesce(sum(col("n_deleted")), lit(0L))).head().getLong(0)
+          metaRows += ((c.version, c.ts, Insert, total - dead))
+        }
         if (c.doomed.nonEmpty) {
           val total = c.doomed.map(_.stats.get.numRecords).sum
           val dead =
@@ -334,6 +365,7 @@ object ChangeDataFeed {
     }
     val end = endingVersion.getOrElse(all.lastOption.getOrElse(
       throw new IllegalArgumentException(s"empty table at $tablePath")))
+    requireRetained(all, startingVersion, tablePath)
     val versions = all.filter(v => v >= startingVersion && v <= end)
     if (versions.isEmpty && emptyOk) return emptyFrame()
     require(versions.nonEmpty,

@@ -247,6 +247,55 @@ class ChangeDataFeedSpec extends AnyFunSuite {
     ()
   }
 
+  test("changesSummary subtracts DV kills from DV-carrying adds (clone " +
+      "import) so the audit matches the feed") {
+    val src = freshDir("cdf_sum_src")
+    val dst = freshDir("cdf_sum_dst")
+    TableWriter.write(spark, base, src, version = 0L, commitTs = 1000L)
+    // CDF off on the source: the DV delete is a plain DV transition there
+    DeletionVectors.deleteWhere(spark, src, col("k") < 20, version = 1L,
+      commitTs = 2000L)
+    // the clone imports DV-CARRYING AddFiles as dst's version 0
+    TableWriter.cloneShallow(spark, src, dst, commitTs = 3000L)
+    val feedRows = ChangeDataFeed.tableChanges(spark, dst, 0L).count()
+    assert(feedRows == 180L, s"feed should serve DV-applied adds: $feedRows")
+    val sm = ChangeDataFeed.changesSummary(spark, dst, 0L)
+      .select("change_type", "n_rows").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sm == Seq((Insert, 180L)),
+      s"audit must subtract DV kills from DV-carrying adds: $sm")
+  }
+
+  test("expired-log ranges refuse instead of silently narrowing") {
+    val dir = freshDir("cdf_exp")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.deleteWhere(spark, dir, col("k") < 2, version = 2L,
+      commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("k") === 9L, version = 3L,
+      commitTs = 3000L)
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    log.writeCheckpoint(2L)
+    // expire everything below v2 — versions 0..1 are gone
+    assert(log.expireLog(retainMillis = 500L, nowMillis = 3100L).nonEmpty)
+    // a range reaching below the earliest retained version must refuse
+    // (the old behavior silently served only the surviving suffix)
+    val e = intercept[IllegalArgumentException] {
+      changes(dir, 0L, 3L).count()
+    }
+    assert(e.getMessage.contains("expired"))
+    // a range starting AT the retained base also refuses: its pre-state
+    // (the seed snapshot strictly before the range) no longer exists, so
+    // removes there could silently read as empty
+    intercept[IllegalArgumentException] { changes(dir, 2L, 3L).count() }
+    intercept[IllegalArgumentException] {
+      ChangeDataFeed.changesSummary(spark, dir, 0L, Some(3L)).count()
+    }
+    // strictly-after-base ranges still serve exactly
+    assert(changes(dir, 3L, 3L).filter(col(TypeCol) === Delete)
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("SQL TVF graft_table_changes serves the feed") {
     val dir = freshDir("cdf_tvf")
     TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)

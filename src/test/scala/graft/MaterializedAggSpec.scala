@@ -162,6 +162,66 @@ class MaterializedAggSpec extends AnyFunSuite {
     assertMatches(dir, mvPath)
   }
 
+  test("streaming CDF MV survives a non-row-bearing base commit between " +
+      "row commits (benign watermark gap)") {
+    import graft.txn.ChangeDataFeed
+    val dir = java.nio.file.Files.createTempDirectory("mvg_base").toString
+    val mvPath =
+      java.nio.file.Files.createTempDirectory("mvg_state").toString + "/mv"
+    val ck = java.nio.file.Files.createTempDirectory("mvg_ck").toString
+    val li = Tables.load(spark, sf, "lineitem")
+    TableWriter.write(spark, li.filter(col("l_orderkey") % 4 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    MaterializedAgg.create(spark, dir, mvPath, spec)
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 4 === 1), dir,
+      commitTs = 2000L) // v2: rows → watermark lands at 2
+    def drain(): Unit = {
+      val q = MaterializedAgg.maintainFromCdfStream(spark, dir, mvPath,
+        spec, checkpointLocation = ck)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(MaterializedAgg.refreshedThrough(spark, mvPath) == 2L)
+    // v3: compaction only (dataChange=false — no CDF rows); v4: rows.
+    // The next batch's min row-bearing version is 4 while the watermark
+    // is 2 — the contiguity check must recognize the gap at v3 carries
+    // no row events instead of refusing the stream forever (r10 ADVICE).
+    assert(TableWriter.compact(spark, dir, version = 3L,
+      commitTs = 3000L).nonEmpty)
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 4 === 2), dir,
+      commitTs = 4000L)
+    drain()
+    assertMatches(dir, mvPath)
+    assert(MaterializedAgg.refreshedThrough(spark, mvPath) == 4L)
+    // a REAL gap still refuses: recreate the MV fresh (watermark 4 with
+    // only ≤v4 applied is fine) — but an old checkpoint whose offsets
+    // start past a RECREATED MV's watermark must refuse, which the
+    // resume test in GraftCdfSourceSpec covers; here we just pin that
+    // the benign-gap path did not weaken the row-bearing refusal
+    TableWriter.deleteWhere(spark, dir, col("l_orderkey") % 8 === 0,
+      version = 5L, commitTs = 5000L) // rows at v5
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 4 === 3), dir,
+      commitTs = 6000L) // rows at v6
+    // roll the MV back by recreating it at the CURRENT base, then point
+    // the OLD checkpoint (already past v4) at a fresh MV whose watermark
+    // is 4: versions 5..6 carry rows, so the gap check must refuse
+    val mv2 = java.nio.file.Files
+      .createTempDirectory("mvg_state2").toString + "/mv"
+    MaterializedAgg.create(spark, dir, mv2, spec,
+      versionAsOf = Some(2L)) // watermark 2; checkpoint is past v4
+    TableWriter.append(spark, li.filter(col("l_orderkey") % 16 === 5), dir,
+      commitTs = 7000L) // v7: new rows so the old checkpoint has a batch
+    val q2 = MaterializedAgg.maintainFromCdfStream(spark, dir, mv2,
+      spec, checkpointLocation = ck)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(err.getMessage.contains("does not extend") ||
+      Option(err.getCause).exists(_.getMessage.contains("does not extend")))
+  }
+
   test("refresh after a compaction-only base commit advances the " +
       "watermark without crashing or rewriting state") {
     val dir = java.nio.file.Files.createTempDirectory("mv_base_c").toString

@@ -170,6 +170,35 @@ class Scd2Spec extends AnyFunSuite {
     }
   }
 
+  test("intervalsFromCdf pushes the open/close split into the sidecar " +
+      "scans and leaves no cached blocks behind") {
+    import spark.implicits._
+    import graft.txn.ChangeDataFeed
+    val dir = java.nio.file.Files.createTempDirectory("scd2r").toString + "/t"
+    TableWriter.write(spark,
+      (0L until 50L).map(k => (k, k * 10L)).toDF("k", "cents"),
+      dir, version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, dir, col("k") % 4 === 0,
+      Map("cents" -> (col("cents") + 1L)), version = 2L, commitTs = 2000L)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val iv = Scd2.intervalsFromCdf(spark, dir, Seq("k"), col("cents"),
+      baseVersion = 1L)
+    // the opens and closes branches both derive from ONE events
+    // aggregate split by `_open`; Catalyst pushes that split below the
+    // aggregate and into the sidecar scans as _change_type PushedFilters,
+    // so the branches aggregate DISJOINT row sets — combined work equals
+    // one unfiltered pass, with no persist() to leak (r10 ADVICE)
+    val plan = iv.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(_change_type") &&
+      plan.contains("PushedFilters: [Not(In(_change_type"),
+      s"expected the open/close split pushed into both sidecar scans:\n$plan")
+    iv.count() // materialize
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "intervalsFromCdf must not leak cached blocks")
+  }
+
   test("unchanged keys yield exactly one open interval") {
     val dir = java.nio.file.Files.createTempDirectory("scd2b").toString + "/t"
     val li = Tables.load(spark, sf, "lineitem")
