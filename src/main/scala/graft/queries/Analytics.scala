@@ -547,8 +547,9 @@ object Analytics {
     // ------------------------------------------------------------------
     // RFM segmentation: per-customer recency/frequency/monetary, each
     // NTILE(5)-binned with a unique tiebreak so bin edges are identical
-    // across engines; output is the segment-size cube. The NTILE windows
-    // run on the per-customer aggregate (customers ≪ orders).
+    // across engines; output is the segment-size cube. NTILE derives
+    // from a DISTRIBUTED global rank (DistributedOrder) — never an
+    // unpartitioned single-task window, even on the post-agg frame.
     // ------------------------------------------------------------------
     QueryDef.sqlBacked(
       "q161_rfm_segments",
@@ -569,23 +570,34 @@ object Analytics {
          |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
       val d0 = o.agg(max(col("o_orderdate").cast("date"))).first().getDate(0)
+      // cached: three distributed rank passes read this aggregate (the
+      // alternative — three unpartitioned NTILE windows — would put the
+      // whole customer frame through ONE task each; here every pass is a
+      // parallel range sort, NTILE derives from the global rank in exact
+      // integer arithmetic, and the 5^3-row result releases the cache
+      // via an eager checkpoint)
       val c = o.groupBy(col("o_custkey").as("cust"))
         .agg(datediff(lit(d0), max(col("o_orderdate").cast("date")))
             .as("rec"),
           count(lit(1)).as("freq"),
           sum(money(col("o_totalprice")) * 100).cast("long").as("mon"))
-      c.select(col("cust"),
-          ntile(5).over(Window.orderBy(col("rec"), col("cust"))).as("r_q"),
-          ntile(5).over(Window.orderBy(col("freq").desc, col("cust")))
-            .as("f_q"),
-          ntile(5).over(Window.orderBy(col("mon").desc, col("cust")))
-            .as("m_q"))
+        .persist()
+      val n = c.count()
+      import graft.operators.DistributedOrder
+      def tile(out: String, sort: Column*): org.apache.spark.sql.DataFrame =
+        DistributedOrder.withRank(c, "_r", sort: _*)
+          .select(col("cust"), DistributedOrder.ntileFromRank("_r", n, 5)
+            .as(out))
+      val res = tile("r_q", col("rec"), col("cust"))
+        .join(tile("f_q", col("freq").desc, col("cust")), "cust")
+        .join(tile("m_q", col("mon").desc, col("cust")), "cust")
         .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_customers"))
         .select(col("r_q").cast("int").as("r_q"),
           col("f_q").cast("int").as("f_q"),
           col("m_q").cast("int").as("m_q"), col("n_customers"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      try res.localCheckpoint(eager = true) finally c.unpersist()
     },
 
     // ------------------------------------------------------------------
@@ -661,7 +673,8 @@ object Analytics {
     // Gini concentration of customer revenue, exact to the ppm: the
     // rank-sum formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over cents with
     // a total order (x, custkey), every product in 128-bit integers.
-    // The ranking window runs on the per-customer aggregate.
+    // Ranks come from a DISTRIBUTED sort + per-partition offsets
+    // (DistributedOrder), never a single-task ROW_NUMBER window.
     // ------------------------------------------------------------------
     QueryDef.sqlBacked(
       "q164_gini",
@@ -680,13 +693,14 @@ object Analytics {
       val c = Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(money(col("o_totalprice")) * 100).cast("long").as("x"))
-      val all = Window.partitionBy()
-      val r = c.select(col("x").cast(big).as("x"),
-        row_number().over(Window.orderBy(col("x"), col("o_custkey")))
-          .cast(big).as("i"),
-        count(lit(1)).over(all).cast(big).as("n"))
-      r.agg(max(col("n")).as("n"), sum(col("i") * col("x")).as("six"),
-          sum(col("x")).as("sx"))
+      // global rank via DISTRIBUTED sort + per-partition offsets (the
+      // q193 pattern) — an unpartitioned ROW_NUMBER window would put the
+      // whole customer frame through ONE task (PlanSpec pins no Window)
+      val r = graft.operators.DistributedOrder
+        .withRank(c, "i", col("x"), col("o_custkey"))
+        .select(col("x").cast(big).as("x"), col("i").cast(big).as("i"))
+      r.agg(count(lit(1)).cast(big).as("n"),
+          sum(col("i") * col("x")).as("six"), sum(col("x")).as("sx"))
         .select(col("n").cast("long").as("n_customers"),
           expr("((2 * six - (n + 1) * sx) * 1000000) div (n * sx)")
             .as("gini_ppm"))
@@ -1644,8 +1658,8 @@ object Analytics {
     // the classic CRM cut: each customer lands in an (r,f,m) cell via
     // NTILE(4) with a FULLY DETERMINISTIC order (metric, then custkey),
     // so both engines tie-break identically. One orders scan, one
-    // customer-keyed aggregate, three window passes over the
-    // customer-sized frame (never the fact table).
+    // customer-keyed aggregate, three DISTRIBUTED rank passes over the
+    // customer-sized frame (never the fact table, never one task).
     QueryDef.sqlBacked(
       "q282_rfm_segments",
       """WITH cust AS (
@@ -1672,15 +1686,22 @@ object Analytics {
           count(lit(1)).as("freq"),
           sum((col("o_totalprice").cast(DecimalType(15, 2)) * 100)
             .cast("long")).as("cents"))
-      def q(metric: Column): Column =
-        ntile(4).over(Window.orderBy(metric.desc, col("o_custkey")))
-      cust
-        .withColumn("r_q", q(col("last_ms")).cast("long"))
-        .withColumn("f_q", q(col("freq")).cast("long"))
-        .withColumn("m_q", q(col("cents")).cast("long"))
+        .persist() // three rank passes; released via eager checkpoint
+      val n = cust.count()
+      import graft.operators.DistributedOrder
+      // NTILE via distributed global rank (q161's rationale): three
+      // unpartitioned window sorts would each run in ONE task
+      def q(out: String, metric: Column): org.apache.spark.sql.DataFrame =
+        DistributedOrder.withRank(cust, "_r", metric.desc, col("o_custkey"))
+          .select(col("o_custkey"),
+            DistributedOrder.ntileFromRank("_r", n, 4).cast("long").as(out))
+      val res = q("r_q", col("last_ms"))
+        .join(q("f_q", col("freq")), "o_custkey")
+        .join(q("m_q", col("cents")), "o_custkey")
         .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("customers"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      try res.localCheckpoint(eager = true) finally cust.unpersist()
     },
 
     // Market-basket affinity: within-order part pairs with ALL-INTEGER

@@ -1116,9 +1116,11 @@ object Relational {
     // (DECIMAL(38,0) / HUGEINT) so they cannot wrap however large total
     // revenue grows — BIGINT cum·20 would overflow past ~$4.6e15.
     // (cents DESC, l_partkey) is a total order, so the running sum is
-    // deterministic. Scale shape: the ordered window runs over the
-    // per-PART frame (parts ≪ lineitems, post-agg); the fact table meets
-    // only one hash aggregate.
+    // deterministic. Scale shape: the fact table meets one hash
+    // aggregate; the running sum over the per-PART frame is a
+    // DISTRIBUTED range sort + per-partition prefix offsets
+    // (operators.DistributedOrder) — even an entity-sized frame never
+    // funnels through a single-task ordered window.
     QueryDef.sqlBacked(
       "q110_pareto_class",
       s"""WITH r AS (
@@ -1142,14 +1144,16 @@ object Relational {
         .groupBy(col("l_partkey"))
         .agg(sum(money(col("l_extendedprice"))).as("rev"),
           (sum(money(col("l_extendedprice"))) * 100).cast("long").as("cents"))
-      val wCum = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // running sum via DISTRIBUTED sort + per-partition prefix offsets
+      // (DistributedOrder) — the old unpartitioned cumulative window ran
+      // the whole per-part frame in ONE task (PlanSpec pins no Window).
+      // Long accumulation holds to ~$9.2e16 total revenue; the 128-bit
+      // casts below are for the x5/x20 threshold PRODUCTS, as before.
       val big = DecimalType(38, 0)
-      r.select(col("rev"),
-          sum(col("cents")).over(wCum).cast(big).as("cum"),
-          sum(col("cents")).over(Window.partitionBy()).cast(big).as("tot"))
-        .select(when(col("cum") * 5 <= col("tot") * 4, "A")
-          .when(col("cum") * 20 <= col("tot") * 19, "B")
+      graft.operators.DistributedOrder.withPrefixSum(r, "cum0", "tot0",
+          col("cents"), col("cents").desc, col("l_partkey"))
+        .select(when(col("cum0").cast(big) * 5 <= col("tot0").cast(big) * 4, "A")
+          .when(col("cum0").cast(big) * 20 <= col("tot0").cast(big) * 19, "B")
           .otherwise("C").as("abc_class"), col("rev"))
         .groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"),

@@ -376,6 +376,24 @@ class PlanSpec extends AnyFunSuite {
       "global top-10 must be TakeOrdered, not a full sort")
   }
 
+  test("q110 pareto: no single-task window — cumulative sum is distributed") {
+    // the old plan ran SUM OVER (ORDER BY ...) with no PARTITION BY: a
+    // SinglePartition exchange + ONE task holding the whole per-part
+    // frame. DistributedOrder replaced it; no Window may reappear.
+    // (the 1-row FINAL aggregates below still legitimately gather their
+    // per-partition partials — that exchange moves partition counts, not
+    // frame rows, so only Window is banned here)
+    val p = planOf("q110_pareto_class")
+    assert(!p.contains("Window"),
+      s"q110 must not use an unpartitioned window:\n${p.take(2000)}")
+  }
+
+  test("q164 gini: no single-task window — global rank is distributed") {
+    val p = planOf("q164_gini")
+    assert(!p.contains("Window"),
+      s"q164 must not use an unpartitioned ROW_NUMBER window:\n${p.take(2000)}")
+  }
+
   test("q173 DSv2 scan: pushdown reaches the custom source") {
     val df = SparkEntry.queries("q173_dsv2_scan")(spark, sf)
     val scans = df.queryExecution.optimizedPlan.collect {
