@@ -747,12 +747,18 @@ object Text {
         .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
         .filter(TextOps.jaccard(col("sg_a"), col("sg_b")) >= 0.6)
         .select(col("doc_a"), col("doc_b"))
-      val nExact = exact.count()
-      val nLsh = lsh.count()
-      val matched = exact.join(lsh, Seq("doc_a", "doc_b")).count()
-      import s.implicits._
-      Seq((nExact, matched == nExact, matched == nLsh))
-        .toDF("n_exact_pairs", "lsh_recall_100", "lsh_precision_100")
+      // both pair frames feed a count AND the matched join — persist so
+      // the expensive anchors run ONCE each, not 2-3x (r10 VERDICT); the
+      // result is a driver-local frame, so unpersisting here is safe
+      exact.persist(); lsh.persist()
+      try {
+        val nExact = exact.count()
+        val nLsh = lsh.count()
+        val matched = exact.join(lsh, Seq("doc_a", "doc_b")).count()
+        import s.implicits._
+        Seq((nExact, matched == nExact, matched == nLsh))
+          .toDF("n_exact_pairs", "lsh_recall_100", "lsh_precision_100")
+      } finally { exact.unpersist(); lsh.unpersist(); sh.unpersist(); () }
     },
 
     // The SimHash twin of the gate above, gated on the guarantee the
@@ -825,13 +831,19 @@ object Text {
         .filter(col("fa.doc_id") < col("fb.doc_id") &&
           TextOps.hamming64(col("fa.sig"), col("fb.sig")) <= 3)
         .select(col("fa.doc_id").as("doc_a"), col("fb.doc_id").as("doc_b"))
-      val planted = exact.filter(col("doc_b") === col("doc_a") + 100000)
-      val nExact = exact.count()
-      val nPlanted = planted.count()
-      val missing = brute.join(sim, Seq("doc_a", "doc_b"), "left_anti").count()
-      import s.implicits._
-      Seq((nExact, nPlanted, missing == 0L))
-        .toDF("n_exact_pairs", "n_planted_pairs", "pigeonhole_complete")
+      // exact feeds two counts (full + planted) — persist so the
+      // inverted-index anchor runs once (r10 VERDICT); sim feeds one
+      // anti-join only, fp/sh release with the driver-local result
+      exact.persist()
+      try {
+        val planted = exact.filter(col("doc_b") === col("doc_a") + 100000)
+        val nExact = exact.count()
+        val nPlanted = planted.count()
+        val missing = brute.join(sim, Seq("doc_a", "doc_b"), "left_anti").count()
+        import s.implicits._
+        Seq((nExact, nPlanted, missing == 0L))
+          .toDF("n_exact_pairs", "n_planted_pairs", "pigeonhole_complete")
+      } finally { exact.unpersist(); sh.unpersist(); fp.unpersist(); () }
     },
 
     // Corpus-overlap estimation via KMV sketches: split the corpus into
