@@ -386,6 +386,10 @@ object Text {
     // doc-in-doc duplication — which symmetric Jaccard misses when the
     // container is much larger. Same inverted-index pair generation as
     // q45 (complete for containment > 0), scored inter/min(|A|,|B|).
+    // LABELED EXACT ANCHOR (q45's class): the uncapped inverted-index
+    // self-join is quadratic in a hot shingle's document frequency —
+    // q307 is the df-capped scale twin that survives a boilerplate
+    // flood; this row stays exact for the oracle.
     QueryDef.sqlBacked(
       "q275_containment_pairs",
       s"""WITH corpus AS (${TextOps.nearDupCorpusSql}),
@@ -414,6 +418,64 @@ object Text {
         .cache()
       val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
       val pairs = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+      pairs
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          least(col("sa.n"), col("sb.n")).cast("long").as("min_n"))
+        .filter(col("inter") * 10 >= col("min_n") * 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // q275's SCALE TWIN: containment pairs over a DOCUMENT-FREQUENCY-
+    // CAPPED inverted index (q187's pattern) — shingles shared by more
+    // than DfCap documents leave the index via a broadcast ANTI-join on
+    // the (tiny) hot list, so one boilerplate trigram flood can no
+    // longer emit df² candidate pairs. Intersections undercount only on
+    // pairs whose overlap is hot-shingle boilerplate — exactly the
+    // pairs a containment dedup should NOT link; sizes stay exact. The
+    // oracle applies the identical cap, so the row is hash-checked.
+    QueryDef.sqlBacked(
+      "q307_containment_scaled",
+      s"""WITH corpus AS (${TextOps.nearDupCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+         |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |             FROM corpus)),
+         |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |hot AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) > 256),
+         |kept AS (SELECT doc_id, s FROM inv
+         |         WHERE s NOT IN (SELECT s FROM hot)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(COUNT(*) AS BIGINT) AS inter
+         |          FROM kept a JOIN kept b
+         |            ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sg) AS n FROM sh)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(LEAST(sa.n, sb.n) AS BIGINT) AS min_n
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE inter * 10 >= LEAST(sa.n, sb.n) * 8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val DfCap = 256
+      val sh = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      // hot list = shingles past the cap: tiny by construction (each
+      // needs > DfCap postings), so it broadcasts; the anti-join keeps
+      // the index shuffle-free of the flood before pair generation
+      val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select(col("s"))
+      val kept = inv.join(broadcast(hot), Seq("s"), "left_anti")
+      val pairs = kept.as("a").join(kept.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))

@@ -394,6 +394,16 @@ class PlanSpec extends AnyFunSuite {
       s"q164 must not use an unpartitioned ROW_NUMBER window:\n${p.take(2000)}")
   }
 
+  test("q307 capped containment: hot-list broadcast anti-join bounds the " +
+      "pair join (q187's pattern)") {
+    val df = SparkEntry.queries("q307_containment_scaled")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the df>cap hot list must broadcast-anti-join the index:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q173 DSv2 scan: pushdown reaches the custom source") {
     val df = SparkEntry.queries("q173_dsv2_scan")(spark, sf)
     val scans = df.queryExecution.optimizedPlan.collect {
