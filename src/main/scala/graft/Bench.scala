@@ -59,6 +59,7 @@ object Bench {
       queries.Pipeline.seedIndexFixture(spark, sfDir)
       queries.Cdc.buildKeyedFixture(spark, sfDir)
       queries.Cdc.buildCdfFixture(spark, sfDir)
+      queries.Cdc.buildCdfPartFixture(spark, sfDir)
       queries.Maintenance.rebaseFixture(spark, sfDir)
       queries.Maintenance.optimisticRetryFixture(spark, sfDir)
       queries.Maintenance.streamTailFixture(spark, sfDir)

@@ -105,20 +105,26 @@ object GraftExtensions {
       ("graft_table_changes",
         info("graft_table_changes",
           "graft_table_changes(tablePath, startingVersion[, " +
-            "endingVersion]) - change-data-feed rows (_change_type ∈ " +
+            "endingVersion[, partitionFilter]]) - change-data-feed rows " +
+            "(_change_type ∈ " +
             "insert/update_preimage/update_postimage/delete, " +
             "_commit_version, _commit_timestamp) between two versions " +
-            "(end defaults to latest)"),
+            "(end defaults to latest); partitionFilter " +
+            "'col=val[,col=val]' prunes sidecars before I/O"),
         (children: Seq[Expression]) => {
-          require(children.size >= 2 && children.size <= 3,
+          require(children.size >= 2 && children.size <= 4,
             "graft_table_changes(tablePath, startingVersion[, " +
-              "endingVersion])")
+              "endingVersion[, partitionFilter]])")
           val path = strLitOf(children.head, "graft_table_changes")
           val sv = longLitOf(children(1), "graft_table_changes")
           val ev = children.lift(2).map(longLitOf(_, "graft_table_changes"))
+          val pf = children.lift(3)
+            .map(strLitOf(_, "graft_table_changes"))
+            .map(parsePartitionFilter)
           graft.txn.ChangeDataFeed.tableChanges(
             org.apache.spark.sql.SparkSession.active, path,
-            startingVersion = sv, endingVersion = ev)
+            startingVersion = sv, endingVersion = ev,
+            partitionFilter = pf)
             .queryExecution.logical
         }),
       // row-level change audit at metadata cost (DESCRIBE HISTORY's
@@ -538,6 +544,18 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal boolean, got $other")
   }
+
+  /** "col=val[,col=val...]" → conjunctive partition filter (the
+    * CdcOptions shape, shared by the CDF TVFs).
+    */
+  private def parsePartitionFilter(s: String): Map[String, String] =
+    s.split(',').map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"partitionFilter must be col=value[,col=value...], got '$s'")
+      }
+    }.toMap
 
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -954,6 +954,76 @@ object Cdc {
            |  CAST(n_rows AS BIGINT) AS n
            |FROM graft_changes_summary('$table', 0)
            |ORDER BY v, ct""".stripMargin)
+    },
+
+    // PARTITION-PRUNED change feed (the reference's one optimizer idea —
+    // action-level pruning before I/O, DeltaReader.java:181-226 — applied
+    // to the row-level feed): DML sidecars on a hive-partitioned table
+    // split per changed partition and carry partitionValues in their
+    // CdcFile actions, so a single-partition backfill prunes every other
+    // partition's sidecars from the LOG, never opening them (spec proves
+    // it by corrupting the pruned files). Through the SQL TVF's filter
+    // arg; the oracle replays the click-partition arithmetic.
+    QueryDef.sqlBacked(
+      "q308_cdf_partition_pruned",
+      """WITH e AS (
+        |  SELECT event_id AS id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'click'),
+        |u AS (SELECT * FROM e WHERE id % 10 = 0),
+        |d AS (SELECT id,
+        |    cents + CASE WHEN id % 10 = 0 THEN 1000 ELSE 0 END AS c
+        |  FROM e WHERE id % 15 = 0)
+        |SELECT change_type, version, n_rows, sum_cents FROM (
+        |  SELECT 'update_preimage' AS change_type, CAST(2 AS BIGINT) AS version,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents FROM u
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(2 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents + 1000) AS BIGINT)
+        |  FROM u
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(c) AS BIGINT) FROM d
+        |) ORDER BY version, change_type""".stripMargin) { (s, dir) =>
+      val t = buildCdfPartFixture(s, dir)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT _change_type AS change_type,
+           |  _commit_version AS version,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+           |FROM graft_table_changes('$t', 2, 3, 'event_type=click')
+           |GROUP BY 1, 2
+           |ORDER BY version, change_type""".stripMargin)
     }
   )
+
+  /** Hive-partitioned CDF fixture (q308): events by event_type with the
+    * feed on — DML sidecars split per changed partition, carrying
+    * partitionValues for action-level pruning.
+    *   v0: (event_id, event_type, cents) partitioned by event_type
+    *   v1: SET TBLPROPERTIES graft.enableChangeDataFeed=true
+    *   v2: UPDATE cents += 1000 WHERE id%10=0 (COW, all partitions)
+    *   v3: DELETE WHERE id%15=0 (COW, all partitions)
+    */
+  def buildCdfPartFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/cdfp_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val ev = Tables.load(spark, sfDir, "events").select(
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    TableWriter.write(spark, ev, dir, partitionBy = Seq("event_type"),
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, dir, col("event_id") % 10 === 0,
+      Map("cents" -> (col("cents") + 1000L)), version = 2L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("event_id") % 15 === 0,
+      version = 3L, commitTs = 3000L)
+    dir
+  }
 }

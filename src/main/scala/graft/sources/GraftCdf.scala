@@ -113,6 +113,22 @@ private[sources] class GraftCdfMicroBatchStream(
   private val maxVersions = options.get("maxVersionsPerTrigger").map(_.toLong)
   maxVersions.foreach(m => require(m >= 1, "maxVersionsPerTrigger must be >= 1"))
 
+  // "col=val[,col=val...]" — all pairs must match (the GraftCdc/
+  // CdcOptions shape). Sidecars and inferred adds prune at the ACTION
+  // level; legacy pv-less sidecars fall back to a reader-side row filter.
+  private val partitionFilter: Map[String, String] =
+    options.get("partitionFilter").filter(_.nonEmpty).map { s =>
+      s.split(',').map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => k -> v
+          case _ => throw new IllegalArgumentException(
+            s"partitionFilter must be col=value[,col=value...], got '$s'")
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+  private def keepPv(pv: Map[String, String]): Boolean =
+    partitionFilter.forall { case (k, v) => pv.get(k).contains(v) }
+
   private val serConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private def log = new TxnLog(tablePath, serConf.value)
@@ -189,11 +205,17 @@ private[sources] class GraftCdfMicroBatchStream(
         .getOrElse(0L)
       val cdcFiles = actions.collect { case c: CdcFile => c }
       if (cdcFiles.nonEmpty) {
-        // sidecars are written under LOGICAL names — no mapping applies
-        cdcFiles.map(c => CdfFilePartition(
-          TxnLog.dataPath(tablePath, c.path), constKind = None,
-          partitionValues = Map.empty, version = v, ts = ts,
-          schemaJson = payloadJson, mapping = Map.empty, conf = serConf))
+        // sidecars are written under LOGICAL names — no mapping applies.
+        // Partition-valued sidecars prune HERE (action level, no I/O);
+        // legacy pv-less ones read whole with a reader-side row filter.
+        cdcFiles
+          .filter(c => c.partitionValues.isEmpty || keepPv(c.partitionValues))
+          .map(c => CdfFilePartition(
+            TxnLog.dataPath(tablePath, c.path), constKind = None,
+            partitionValues = Map.empty, version = v, ts = ts,
+            schemaJson = payloadJson, mapping = Map.empty, conf = serConf,
+            rowFilter =
+              if (c.partitionValues.isEmpty) partitionFilter else Map.empty))
       } else {
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         val removes = actions.collect {
@@ -203,7 +225,7 @@ private[sources] class GraftCdfMicroBatchStream(
             s"files without change data — set TBLPROPERTIES " +
             s"('${ChangeDataFeed.Prop}'='true') before row-level DML, or " +
             "read this range through the batch graft_table_changes")
-        adds.map { a =>
+        adds.filter(a => keepPv(a.partitionValues)).map { a =>
           require(a.dv.isEmpty,
             s"streaming change feed: version $v of $tablePath adds " +
               s"${a.path} with a deletion vector (a clone import?) — " +
@@ -229,7 +251,10 @@ private[sources] final case class CdfFilePartition(
     ts: Long,
     schemaJson: String,
     mapping: Map[String, String], // logical → physical (data files only)
-    conf: SerializableConfiguration) extends InputPartition
+    conf: SerializableConfiguration,
+    // partition-column equality filter applied ROW-side — only for
+    // legacy pv-less sidecars that action-level pruning can't prove out
+    rowFilter: Map[String, String] = Map.empty) extends InputPartition
 
 private[sources] class CdfReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -256,8 +281,33 @@ private[sources] class CdfFileReader(p: CdfFilePartition)
 
   private var current: org.apache.parquet.example.data.Group = _
 
+  // expected internal values for the row filter, resolved once against
+  // the payload schema (hive null sentinel → null)
+  private val filterExpect: Seq[(String, Any)] = p.rowFilter.toSeq.map {
+    case (k, v) =>
+      val dt = payload(payload.fieldIndex(k)).dataType
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+            else GroupRows.castPartitionValue(v, dt))
+  }
+
+  private def matches(g: org.apache.parquet.example.data.Group): Boolean =
+    filterExpect.forall { case (k, want) =>
+      val fs = g.getType
+      val fileField = p.mapping.getOrElse(k, k)
+      val got =
+        if (!fs.containsField(fileField)) null
+        else {
+          val idx = fs.getFieldIndex(fileField)
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else GroupRows.extract(g, idx,
+            payload(payload.fieldIndex(k)).dataType)
+        }
+      if (want == null) got == null else want == got
+    }
+
   override def next(): Boolean = {
     current = reader.read()
+    while (current != null && !matches(current)) current = reader.read()
     current != null
   }
 

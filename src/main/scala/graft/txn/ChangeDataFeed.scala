@@ -71,12 +71,21 @@ object ChangeDataFeed {
     * columns ride INSIDE the files as regular columns — change files
     * answer "what changed", never "where does this row live", so hive
     * routing would buy nothing and cost a directory walk at read.
+    *
+    * With `partitionColumns` set, the staged write is SPLIT per changed
+    * partition (duplicated shadow columns drive a partitionBy, so the
+    * originals still ride inside the files) and each [[CdcFile]] carries
+    * its partitionValues — the feed readers then prune sidecars at the
+    * ACTION level, before any parquet I/O (the reference's one optimizer
+    * idea, DeltaReader.java:181–226, applied to the row-level feed).
+    * Sidecar count = changed partitions, bounded by the change set.
     */
   def stage(
       spark: SparkSession,
       changes: DataFrame,
       tablePath: String,
-      version: Long): Seq[CdcFile] = {
+      version: Long,
+      partitionColumns: Seq[String] = Seq.empty): Seq[CdcFile] = {
     require(changes.columns.contains(TypeCol),
       s"change frame must carry $TypeCol")
     val conf = spark.sessionState.newHadoopConf()
@@ -85,36 +94,73 @@ object ChangeDataFeed {
     val attemptId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(tablePath, s".staging-cdc-$version-$attemptId")
     fs.delete(staging, true)
-    changes.write.mode("overwrite").parquet(staging.toString)
-    def parts() = fs.listStatus(staging)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    var staged = parts()
-    // many-tiny-files consolidation (see MaxSidecarFiles): re-write the
-    // staged bytes coalesced — the data is small by the size guard, so
-    // the second pass is metadata-cheap
-    if (staged.length > MaxSidecarFiles &&
-        staged.map(_.getLen).sum < SidecarCoalesceBytes) {
-      val tmp = new Path(tablePath, s".staging-cdc2-$version-$attemptId")
-      fs.delete(tmp, true)
-      spark.read.parquet(staging.toString).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
+    val partCols = partitionColumns.filter(changes.columns.contains)
+    if (partCols.isEmpty) {
+      changes.write.mode("overwrite").parquet(staging.toString)
+      def parts() = fs.listStatus(staging)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      var staged = parts()
+      // many-tiny-files consolidation (see MaxSidecarFiles): re-write the
+      // staged bytes coalesced — the data is small by the size guard, so
+      // the second pass is metadata-cheap
+      if (staged.length > MaxSidecarFiles &&
+          staged.map(_.getLen).sum < SidecarCoalesceBytes) {
+        val tmp = new Path(tablePath, s".staging-cdc2-$version-$attemptId")
+        fs.delete(tmp, true)
+        spark.read.parquet(staging.toString).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(staging, true)
+        if (!fs.rename(tmp, staging))
+          throw new IllegalStateException(s"rename failed: $staging")
+        staged = parts()
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[CdcFile]
+      staged.foreach { st =>
+        val destRel =
+          f"_change_data/cd-$version%020d-${out.size}%05d-$attemptId.parquet"
+        val dest = new Path(table, destRel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new IllegalStateException(s"rename failed: $dest")
+        out += CdcFile(destRel, Map.empty, st.getLen)
+      }
       fs.delete(staging, true)
-      if (!fs.rename(tmp, staging))
-        throw new IllegalStateException(s"rename failed: $staging")
-      staged = parts()
+      out.toSeq
+    } else {
+      // shadow copies keep the REAL columns inside the files (readers
+      // are unchanged); repartition on them consolidates to ~one file
+      // per changed partition before the partitionBy split
+      val shadow = partCols.map(c => s"_cdp_$c")
+      val shadowed = partCols.zip(shadow).foldLeft(changes) {
+        case (df, (c, sc)) => df.withColumn(sc, org.apache.spark.sql
+          .functions.col(c))
+      }
+      shadowed.repartition(shadow.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").partitionBy(shadow: _*)
+        .parquet(staging.toString)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CdcFile]
+      def visit(dir: Path, rel: String): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory)
+            visit(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+          else if (name.endsWith(".parquet")) {
+            val pv = TableWriter.partitionValuesOf(rel).map {
+              case (k, v) => k.stripPrefix("_cdp_") -> v
+            }
+            val destRel =
+              f"_change_data/cd-$version%020d-${out.size}%05d-$attemptId.parquet"
+            val dest = new Path(table, destRel)
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(st.getPath, dest))
+              throw new IllegalStateException(s"rename failed: $dest")
+            out += CdcFile(destRel, pv, st.getLen)
+          }
+        }
+      visit(staging, "")
+      fs.delete(staging, true)
+      out.toSeq
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[CdcFile]
-    staged.foreach { st =>
-      val destRel =
-        f"_change_data/cd-$version%020d-${out.size}%05d-$attemptId.parquet"
-      val dest = new Path(table, destRel)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(st.getPath, dest))
-        throw new IllegalStateException(s"rename failed: $dest")
-      out += CdcFile(destRel, Map.empty, st.getLen)
-    }
-    fs.delete(staging, true)
-    out.toSeq
   }
 
   /** Refuse a change-feed range that reaches at or below the earliest
@@ -137,6 +183,45 @@ object ChangeDataFeed {
         s"the seed snapshot must precede the range); requested " +
         s"startingVersion $startingVersion would silently lose changes")
   }
+
+  /** Conjunctive equality filter on partitionValues — the same
+    * `col=value[,col=value...]` shape as [[CdcOptions.keepPartition]].
+    * An empty pv map matches nothing under a filter (filter keys must
+    * be partition columns of a partitioned table).
+    */
+  private def keepPv(
+      filter: Option[Map[String, String]],
+      pv: Map[String, String]): Boolean =
+    filter.forall(_.forall { case (k, v) => pv.get(k).contains(v) })
+
+  /** The filter as a ROW predicate over the table's partition columns
+    * (they ride inside sidecar files as regular columns) — the fallback
+    * for LEGACY pv-less sidecars that action-level pruning can't prove
+    * out. Values compare under the hive-routing encoding
+    * (cast-to-string; null = the hive default sentinel).
+    */
+  private def pvPredicate(filter: Map[String, String])
+      : org.apache.spark.sql.Column =
+    filter.map { case (k, v) =>
+      if (v == "__HIVE_DEFAULT_PARTITION__") col(k).isNull
+      else col(k).cast("string") === lit(v)
+    }.reduce(_ && _)
+
+  /** Action-level partition pruning of one commit's change inputs —
+    * BEFORE any parquet I/O. Runs on the walk's OUTPUT only: the walk's
+    * liveByPath state must see every action regardless of the filter.
+    * pv-less sidecars (legacy format / unpartitioned tables) are kept;
+    * their rows filter at read time via [[pvPredicate]].
+    */
+  private def pruneCommit(
+      c: CommitChanges,
+      filter: Option[Map[String, String]]): CommitChanges =
+    if (filter.isEmpty) c
+    else c.copy(
+      cdcFiles = c.cdcFiles.filter(f =>
+        f.partitionValues.isEmpty || keepPv(filter, f.partitionValues)),
+      adds = c.adds.filter(a => keepPv(filter, a.partitionValues)),
+      doomed = c.doomed.filter(a => keepPv(filter, a.partitionValues)))
 
   /** One commit's resolved change inputs (see [[walkRange]]). `doomed`
     * is the removed files AS THEY WERE LIVE before the commit (their
@@ -219,7 +304,8 @@ object ChangeDataFeed {
       spark: SparkSession,
       tablePath: String,
       startingVersion: Long,
-      endingVersion: Option[Long] = None): DataFrame = {
+      endingVersion: Option[Long] = None,
+      partitionFilter: Option[Map[String, String]] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -233,15 +319,31 @@ object ChangeDataFeed {
     val metaRows = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)] // (version, ts, type, n)
     val sidecarFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    walkRange(log, tablePath, all, versions).foreach { c =>
-      if (c.cdcFiles.nonEmpty) {
-        sidecarFrames += spark.read.parquet(
-            c.cdcFiles.map(f => TxnLog.dataPath(tablePath, f.path)): _*)
-          .select(col(TypeCol))
+    walkRange(log, tablePath, all, versions).foreach { c0 =>
+      // branch on the PRE-prune commit (same rule as tableChanges): a
+      // fully-pruned sidecar commit contributes nothing, never stats
+      val c = pruneCommit(c0, partitionFilter)
+      if (c0.cdcFiles.nonEmpty) {
+        // partition-valued sidecars were pruned at the ACTION level;
+        // legacy (pv-less) sidecars under a filter fall back to a
+        // row-level filter on the partition columns they carry inside
+        val (exact, legacy) =
+          c.cdcFiles.partition(_.partitionValues.nonEmpty)
+        def grouped(df: DataFrame) = df
           .groupBy(col(TypeCol).as("change_type"))
           .agg(count(lit(1)).as("n_rows"))
           .withColumn("version", lit(c.version))
           .withColumn("commit_ts", lit(c.ts))
+        val paths = (files: Seq[CdcFile]) =>
+          files.map(f => TxnLog.dataPath(tablePath, f.path))
+        if (exact.nonEmpty || partitionFilter.isEmpty)
+          sidecarFrames += grouped(spark.read.parquet(
+              paths(if (partitionFilter.isEmpty) c.cdcFiles else exact): _*)
+            .select(col(TypeCol)))
+        if (legacy.nonEmpty && partitionFilter.isDefined)
+          sidecarFrames += grouped(spark.read.parquet(paths(legacy): _*)
+            .filter(pvPredicate(partitionFilter.get))
+            .select(col(TypeCol)))
       } else {
         // an AUDIT must refuse stat-less files loudly — counting around
         // them would report fewer rows than the feed serves (and a
@@ -298,7 +400,8 @@ object ChangeDataFeed {
       spark: SparkSession,
       tablePath: String,
       startMillis: Long,
-      endMillis: Option[Long] = None): DataFrame = {
+      endMillis: Option[Long] = None,
+      partitionFilter: Option[Map[String, String]] = None): DataFrame = {
     val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
     var runMax = Long.MinValue
     var sv: Option[Long] = None
@@ -321,7 +424,7 @@ object ChangeDataFeed {
     val e = endMillis.map(t => ev.getOrElse(
       throw new IllegalArgumentException(
         s"no commit at or before timestamp $t in $tablePath")))
-    tableChanges(spark, tablePath, s, e)
+    tableChanges(spark, tablePath, s, e, partitionFilter = partitionFilter)
   }
 
   /** The change feed over versions [startingVersion, endingVersion]
@@ -336,13 +439,19 @@ object ChangeDataFeed {
     *        table's current CDF schema instead of refusing — the shape
     *        incremental consumers ([[graft.operators.Scd2]]) want when
     *        "changes since X" legitimately means "none".
+    * @param partitionFilter conjunctive partition-value equality filter:
+    *        sidecars and inferred add/remove files prune at the ACTION
+    *        level, before any parquet I/O (legacy pv-less sidecars fall
+    *        back to a row filter); a single-partition backfill of a
+    *        100 TB table reads only that partition's KB sidecars.
     */
   def tableChanges(
       spark: SparkSession,
       tablePath: String,
       startingVersion: Long,
       endingVersion: Option[Long] = None,
-      emptyOk: Boolean = false): DataFrame = {
+      emptyOk: Boolean = false,
+      partitionFilter: Option[Map[String, String]] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val all = log.versions()
@@ -374,15 +483,20 @@ object ChangeDataFeed {
     def schemaOf(m: Option[Metadata]) = m.map(mm =>
       org.apache.spark.sql.types.DataType.fromJson(mm.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val frames = walkRange(log, tablePath, all, versions).flatMap { c =>
+    val frames = walkRange(log, tablePath, all, versions).flatMap { c0 =>
+      // branch on the PRE-prune commit: a sidecar commit whose sidecars
+      // all prune out must contribute nothing — never fall back to
+      // inferring from its (survivor-rewrite) data files
+      val c = pruneCommit(c0, partitionFilter)
       def stamp(df: DataFrame, kind: Option[String]): DataFrame = {
         val typed = kind.fold(df)(k => df.withColumn(TypeCol, lit(k)))
         typed.withColumn(VersionCol, lit(c.version))
           .withColumn(TimestampCol, lit(c.ts))
       }
-      if (c.cdcFiles.nonEmpty) {
+      if (c0.cdcFiles.nonEmpty) {
         // exact change rows, written by the commit itself
-        Seq(stamp(spark.read.parquet(
+        if (c.cdcFiles.isEmpty) Seq.empty
+        else Seq(stamp(spark.read.parquet(
           c.cdcFiles.map(f => TxnLog.dataPath(tablePath, f.path)): _*),
           None))
       } else {
@@ -404,9 +518,15 @@ object ChangeDataFeed {
         insertRows.toSeq ++ deleteRows.toSeq
       }
     }
-    if (frames.isEmpty && emptyOk) return emptyFrame()
+    // a filter that selects no partition is a legitimate empty answer —
+    // only the UNFILTERED no-data-change case stays a refusal
+    if (frames.isEmpty && (emptyOk || partitionFilter.isDefined))
+      return emptyFrame()
     require(frames.nonEmpty,
       s"no data-changing commits in [$startingVersion, $end] at $tablePath")
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // row-level completion of the prune: exact for legacy pv-less
+    // sidecars, a no-op for action-pruned files (their rows all match)
+    partitionFilter.fold(unioned)(f => unioned.filter(pvPredicate(f)))
   }
 }

@@ -285,7 +285,8 @@ object DeletionVectors {
       else ChangeDataFeed.stage(spark,
         cached.drop("_fn", "_ri", "_path")
           .withColumn(ChangeDataFeed.TypeCol, lit(ChangeDataFeed.Delete)),
-        tablePath, version)
+        tablePath, version, partitionColumns =
+          snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty))
     log.commit(version,
       protocol ++ removes ++ adds ++ cdcActions :+
         CommitInfo("DELETE_DV", commitTs))

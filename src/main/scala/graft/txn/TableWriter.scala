@@ -1805,7 +1805,8 @@ object TableWriter {
               .unionByName(ins.withColumn(TypeCol, lit(Insert)),
                 allowMissingColumns = evolving)
           }
-        ChangeDataFeed.stage(spark, changes, tablePath, version)
+        ChangeDataFeed.stage(spark, changes, tablePath, version,
+          partitionColumns = partCols)
       }
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
@@ -1899,7 +1900,8 @@ object TableWriter {
             .withColumn(TypeCol, lit(Delete)))
         val ins = source.withColumn(TypeCol, lit(Insert))
         ChangeDataFeed.stage(spark,
-          dead.fold(ins)(_.unionByName(ins)), tablePath, version)
+          dead.fold(ins)(_.unionByName(ins)), tablePath, version,
+          partitionColumns = partCols)
       }
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
@@ -1955,7 +1957,7 @@ object TableWriter {
       else ChangeDataFeed.stage(spark,
         base.filter(pred <=> org.apache.spark.sql.functions.lit(true))
           .withColumn(ChangeDataFeed.TypeCol, lit(ChangeDataFeed.Delete)),
-        tablePath, version)
+        tablePath, version, partitionColumns = partCols)
     val adds = stageAndMove(spark, survivors, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
@@ -2042,7 +2044,7 @@ object TableWriter {
         ChangeDataFeed.stage(spark,
           preRows.withColumn(TypeCol, lit(UpdatePre))
             .unionByName(postRows.withColumn(TypeCol, lit(UpdatePost))),
-          tablePath, version)
+          tablePath, version, partitionColumns = partCols)
       }
     val adds = stageAndMove(spark, rewritten, tablePath, partCols, version,
       commitTs, dataChange = true)

@@ -296,6 +296,93 @@ class ChangeDataFeedSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("partition pruning is ACTION-level: a single-partition read " +
+      "touches only that partition's sidecars, before any I/O") {
+    val dir = freshDir("cdf_prune")
+    TableWriter.write(spark, base, dir, partitionBy = Seq("grp"),
+      version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    // DML touching every partition: sidecars split per changed partition
+    TableWriter.updateWhere(spark, dir, col("k") % 2 === 0,
+      Map("cents" -> (col("cents") + 1L)), version = 2L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("k") % 3 === 0, version = 3L,
+      commitTs = 3000L)
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    val sidecars = (2L to 3L).flatMap(v => log.read(v).collect {
+      case c: graft.txn.CdcFile => c })
+    assert(sidecars.forall(_.partitionValues.keySet == Set("grp")),
+      s"sidecars must carry partition values: $sidecars")
+    assert(sidecars.map(_.partitionValues("grp")).toSet.size > 1,
+      "DML across partitions must split sidecars per partition")
+    val filter = Some(Map("grp" -> "1"))
+    // equivalence: pruned read == unfiltered read row-filtered
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "grp", "cents", TypeCol, VersionCol)
+      .collect().map(_.toSeq).toSet
+    assert(canon(ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L),
+        partitionFilter = filter)) ==
+      canon(ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L))
+        .filter(col("grp") === "1")))
+    // the prune happens BEFORE parquet I/O: physically corrupt every
+    // OTHER partition's sidecar — the pruned read must still succeed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    sidecars.filter(_.partitionValues("grp") != "1").foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(TxnLog.dataPath(dir, c.path))
+      val out = fs.create(p, true)
+      out.write("not parquet".getBytes); out.close()
+    }
+    val pruned = ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L),
+      partitionFilter = filter)
+    assert(pruned.count() > 0)
+    assert(pruned.inputFiles.forall(_.contains("_change_data/")))
+    intercept[Throwable] { // the unfiltered read DOES hit the corruption
+      ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L)).count()
+    }
+    // the audit prunes the same way (counts match the pruned feed)
+    val sm = ChangeDataFeed.changesSummary(spark, dir, 2L, Some(3L),
+        partitionFilter = filter)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(sm == pruned.count())
+  }
+
+  test("column pruning pushes into sidecar scans: a one-column delta " +
+      "reads one payload column of the KB sidecars") {
+    val dir = freshDir("cdf_colprune")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.updateWhere(spark, dir, col("k") % 9 === 0,
+      Map("cents" -> (col("cents") + 2L)), version = 2L, commitTs = 2000L)
+    // the consumer wants (type, cents) — the parquet scan over
+    // _change_data must read exactly those, not k/grp (Catalyst prunes
+    // through the feed's unions; this is what keeps a one-column MV
+    // delta at one-column sidecar I/O)
+    val df = ChangeDataFeed.tableChanges(spark, dir, 2L, Some(2L))
+      .select(col(TypeCol), col("cents"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("_change_data"), s"expected a sidecar scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("grp"),
+      s"unrequested payload columns must not be read:\n$p")
+  }
+
+  test("partition filter on an unpartitioned table row-filters legacy " +
+      "pv-less sidecars") {
+    val dir = freshDir("cdf_prune_legacy")
+    TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.updateWhere(spark, dir, col("k") % 2 === 0,
+      Map("cents" -> (col("cents") + 1L)), version = 2L, commitTs = 2000L)
+    val got = ChangeDataFeed.tableChanges(spark, dir, 2L, Some(2L),
+        partitionFilter = Some(Map("grp" -> "2")))
+      .select("k", TypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = ChangeDataFeed.tableChanges(spark, dir, 2L, Some(2L))
+      .filter(col("grp") === "2")
+      .select("k", TypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("SQL TVF graft_table_changes serves the feed") {
     val dir = freshDir("cdf_tvf")
     TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)

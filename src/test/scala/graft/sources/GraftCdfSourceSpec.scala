@@ -154,6 +154,51 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     ()
   }
 
+  test("partitionFilter prunes sidecars at the action level and " +
+      "row-filters legacy pv-less ones") {
+    import spark.implicits._
+    val dir = freshDir("cdfs7")
+    val t = (0L until 100L).map(k => (k, (k % 4).toString, k * 10L))
+      .toDF("k", "grp", "cents")
+    TableWriter.write(spark, t, dir, partitionBy = Seq("grp"),
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir, Map(Prop -> "true"),
+      version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, dir, col("k") % 3 === 0,
+      Map("cents" -> (col("cents") + 1L)), version = 2L, commitTs = 2000L)
+    def drainFiltered(startV: Long): Seq[(Long, String, String, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      val q = spark.readStream.format("graft.sources.GraftCdf")
+        .option("tablePath", dir)
+        .option("startingVersion", startV.toString)
+        .option("partitionFilter", "grp=1")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.select(col("k"), col("grp"), col(TypeCol),
+                col(VersionCol)).collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                r.getLong(3)))
+          }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdf_src_ck7").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.toSeq.sorted
+    }
+    val rows = drainFiltered(0L)
+    assert(rows.nonEmpty && rows.forall(_._2 == "1"),
+      s"filtered stream leaked other partitions: ${rows.take(5)}")
+    // v0 inferred inserts prune by AddFile pv (grp=1 only: 25 rows);
+    // v2 images: k%3==0 && k%4==1 → k=9,21,...,93 → 8 keys x pre/post
+    assert(rows.count(_._3 == Insert) == 25)
+    assert(rows.count(r => r._4 == 2L) == 16)
+  }
+
   test("startingVersion skips earlier commits") {
     val dir = freshDir("cdfs4")
     TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
