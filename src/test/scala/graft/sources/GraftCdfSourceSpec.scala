@@ -199,6 +199,109 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     assert(rows.count(r => r._4 == 2L) == 16)
   }
 
+  test("streaming MV survives a crash between state commit and offset " +
+      "commit: the replayed batch nets an empty delta (exactly once)") {
+    import graft.operators.MaterializedAgg
+    import spark.implicits._
+    val dir = freshDir("cdfs_crash_mv")
+    val mvPath = freshDir("cdfs_crash_mv_state")
+    val ck = java.nio.file.Files.createTempDirectory("cdfs_crash_ck").toString
+    val t = (0L until 100L).map(k => (k, (k % 3).toString, k * 10L))
+      .toDF("k", "grp", "cents")
+    TableWriter.write(spark, t, dir, version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir, Map(Prop -> "true"),
+      version = 1L, commitTs = 1500L)
+    val spec = MaterializedAgg.Spec(Seq("grp"), Seq("cents"))
+    MaterializedAgg.create(spark, dir, mvPath, spec)
+    TableWriter.updateWhere(spark, dir, col("k") % 5 === 0,
+      Map("cents" -> (col("cents") + 7L)), version = 2L, commitTs = 2000L)
+    def drain(): Unit = {
+      val q = MaterializedAgg.maintainFromCdfStream(spark, dir, mvPath,
+        spec, checkpointLocation = ck)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def recompute() = graft.txn.SnapshotReader.read(spark, dir)
+      .groupBy(col("grp")).agg(count(lit(1)).as("mv_cnt"),
+        sum(col("cents").cast("decimal(15,2)")).cast("decimal(25,2)")
+          .as("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    def mvState() = graft.txn.SnapshotReader.read(spark, mvPath)
+      .select("grp", "mv_cnt", "sum_cents")
+      .collect().map(_.toSeq).toSet
+    drain()
+    assert(mvState() == recompute())
+    val mvLog = new TxnLog(mvPath, spark.sessionState.newHadoopConf())
+    val generationsAfterV2 = mvLog.versions().size
+    // CRASH WINDOW: the MV state committed (watermark rode inside it)
+    // but the sink never recorded the batch — delete the newest sink
+    // commit marker so a restart REPLAYS that exact batch from offsets
+    val commitsDir = new java.io.File(ck, "commits")
+    val commits = commitsDir.listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(commits.last.delete(), "failed to simulate the crash window")
+    // the local checkpoint FS pairs each commit with a .N.crc checksum;
+    // a stale one makes the replayed re-write look like a concurrent
+    // query, so the crash simulation removes both
+    new java.io.File(commitsDir, s".${commits.last.getName}.crc").delete()
+    TableWriter.append(spark,
+      Seq((500L, "1", 3L)).toDF("k", "grp", "cents"), dir,
+      commitTs = 3000L) // v3: genuinely-new rows behind the replay
+    drain()
+    // the replayed v2 delta filtered to empty (no extra MV generation
+    // for it); v3 applied exactly once
+    assert(mvState() == recompute(),
+      "replayed batch must not double-apply")
+    assert(mvLog.versions().size == generationsAfterV2 + 1,
+      "exactly one new MV generation for the genuinely-new version")
+  }
+
+  test("keyed CDF replica survives the same crash window: replaying the " +
+      "batch is delete-then-reinsert by key (idempotent)") {
+    import spark.implicits._
+    val src = freshDir("cdfs_crash_src")
+    val dst = freshDir("cdfs_crash_dst")
+    val ck = java.nio.file.Files.createTempDirectory("cdfs_crash_ck2").toString
+    val t = (0L until 100L).map(k => (k, (k % 3).toString, k * 10L))
+      .toDF("k", "grp", "cents")
+    TableWriter.write(spark, t, src, version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, src, Map(Prop -> "true"),
+      version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, src, col("k") % 4 === 0,
+      Map("cents" -> (col("cents") + 1L)), version = 2L, commitTs = 2000L)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftCdf")
+        .option("tablePath", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.ApplyChanges.applyCdfBatch(spark, b, dst,
+            keyCols = Seq("k"))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(path: String) = graft.txn.SnapshotReader.read(spark, path)
+      .select("k", "grp", "cents").collect().map(_.toSeq).toSet
+    drain()
+    assert(state(dst) == state(src))
+    val commitsDir = new java.io.File(ck, "commits")
+    val commits = commitsDir.listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(commits.last.delete(), "failed to simulate the crash window")
+    // the local checkpoint FS pairs each commit with a .N.crc checksum;
+    // a stale one makes the replayed re-write look like a concurrent
+    // query, so the crash simulation removes both
+    new java.io.File(commitsDir, s".${commits.last.getName}.crc").delete()
+    DeletionVectors.deleteWhere(spark, src, col("k") % 7 === 0,
+      version = 3L, commitTs = 3000L)
+    drain() // replays the last batch, then applies v3
+    assert(state(dst) == state(src),
+      "keyed replay must be idempotent and v3 applied exactly once")
+  }
+
   test("startingVersion skips earlier commits") {
     val dir = freshDir("cdfs4")
     TableWriter.write(spark, base, dir, version = 0L, commitTs = 1000L)
