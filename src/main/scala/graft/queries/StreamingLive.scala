@@ -202,6 +202,50 @@ object StreamingLive {
           col("user_id"))).cast("long").as("matched_user_sum"))
     },
 
+    // LEFT OUTER stream-stream interval join as a green row (completes
+    // the oracle-backed join-mode matrix: inner q34-twin, FULL q217,
+    // semi q258): every purchase emits — matched per qualifying click,
+    // or null-padded once the watermark proves no click can still
+    // arrive; clicks-only rows must NOT emit. Oracle replays the same
+    // set arithmetic.
+    QueryDef.sqlBacked(
+      "q309_stream_left_outer",
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, purchase_id, click_id
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |        AND c.c_ts <= p.p_ts),
+        |po AS (SELECT user_id, purchase_id FROM p
+        |       WHERE NOT EXISTS (SELECT 1 FROM c
+        |         WHERE c.user_id = p.user_id
+        |           AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |           AND c.c_ts <= p.p_ts))
+        |SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_matched,
+        |  CAST((SELECT COUNT(*) FROM po) AS BIGINT) AS n_unmatched,
+        |  CAST((SELECT SUM(user_id) FROM m) AS BIGINT) AS matched_user_sum,
+        |  CAST((SELECT SUM(purchase_id) FROM po) AS BIGINT)
+        |    AS unmatched_id_sum""".stripMargin) { (s, dir) =>
+      val table = joinEventsFixture(s, dir)
+      val out = s"target/fixtures/out_sleft_${tag(dir)}"
+      val emitted = drainToParquet(s, table, out) { stream =>
+        EventStreams.purchaseClickJoinOuter(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "click"))
+      }.filter(col("user_id") < 9999998L) // sentinels never emit
+      emitted.agg(
+        count(when(col("click_id").isNotNull, 1)).cast("long")
+          .as("n_matched"),
+        count(when(col("click_id").isNull, 1)).cast("long")
+          .as("n_unmatched"),
+        sum(when(col("click_id").isNotNull, col("user_id"))).cast("long")
+          .as("matched_user_sum"),
+        sum(when(col("click_id").isNull, col("purchase_id"))).cast("long")
+          .as("unmatched_id_sum"))
+    },
+
     // Stream-stream LEFT SEMI join — the conversion flag: each purchase
     // with at least one qualifying click within the 30-minute gap emits
     // EXACTLY ONCE however many clicks matched (an inner join would
