@@ -60,6 +60,7 @@ object Bench {
       queries.Cdc.buildKeyedFixture(spark, sfDir)
       queries.Cdc.buildCdfFixture(spark, sfDir)
       queries.Cdc.buildCdfPartFixture(spark, sfDir)
+      queries.Cdc.buildCdfReplaceFixture(spark, sfDir)
       queries.Maintenance.rebaseFixture(spark, sfDir)
       queries.Maintenance.optimisticRetryFixture(spark, sfDir)
       queries.Maintenance.streamTailFixture(spark, sfDir)

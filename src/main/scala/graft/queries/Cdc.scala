@@ -995,8 +995,80 @@ object Cdc {
            |FROM graft_table_changes('$t', 2, 3, 'event_type=click')
            |GROUP BY 1, 2
            |ORDER BY version, change_type""".stripMargin)
+    },
+
+    // REPLACE WHERE + dynamic partition overwrite through the CHANGE
+    // FEED (Delta parity — both DML shapes write exact change records):
+    // the whole replaced slice deletes, the incoming frame inserts. The
+    // oracle replays both commits' counts and cents from the events
+    // arithmetic — a survivor leak into the feed, a lost delete, or a
+    // mis-scoped overwrite all break the hash.
+    QueryDef.sqlBacked(
+      "q310_cdf_replace_overwrite",
+      """WITH e AS (
+        |  SELECT event_id AS id, event_type AS et,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT change_type, version, n_rows, sum_cents FROM (
+        |  SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS version,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM e WHERE et = 'click'
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents + 5) AS BIGINT)
+        |  FROM e WHERE et = 'click' AND id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM e WHERE et = 'error'
+        |  UNION ALL
+        |  SELECT 'insert', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents * 2) AS BIGINT)
+        |  FROM e WHERE et = 'error' AND id % 11 = 0
+        |) ORDER BY version, change_type""".stripMargin) { (s, dir) =>
+      val t = buildCdfReplaceFixture(s, dir)
+      ChangeDataFeed.tableChanges(s, t, 2L, Some(3L))
+        .groupBy(col(ChangeDataFeed.TypeCol).as("change_type"),
+          col(ChangeDataFeed.VersionCol).as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("version"), col("change_type"))
     }
   )
+
+  /** replaceWhere + dynamic-overwrite CDF fixture (q310):
+    *   v0: (event_id, event_type, cents) partitioned by event_type
+    *   v1: SET TBLPROPERTIES graft.enableChangeDataFeed=true
+    *   v2: REPLACE WHERE event_type='click' ← clicks with id%7=0,
+    *       cents+5 (whole slice deletes, incoming inserts)
+    *   v3: dynamic partition overwrite of 'error' ← errors with id%11=0,
+    *       cents*2
+    */
+  def buildCdfReplaceFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/cdfr_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val ev = Tables.load(spark, sfDir, "events").select(
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    TableWriter.write(spark, ev, dir, partitionBy = Seq("event_type"),
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    TableWriter.replaceWhere(spark, dir,
+      ev.filter(col("event_type") === "click" && col("event_id") % 7 === 0)
+        .withColumn("cents", col("cents") + 5L),
+      col("event_type") === "click", version = 2L, commitTs = 2000L)
+    TableWriter.overwritePartitionsDynamic(spark, dir,
+      ev.filter(col("event_type") === "error" && col("event_id") % 11 === 0)
+        .withColumn("cents", col("cents") * 2L),
+      version = 3L, commitTs = 3000L)
+    dir
+  }
 
   /** Hive-partitioned CDF fixture (q308): events by event_type with the
     * feed on — DML sidecars split per changed partition, carrying

@@ -1567,12 +1567,29 @@ object TableWriter {
       else readDeclared(spark, tablePath, snap, affected)
         .filter(!(pred <=> lit(true)))
         .unionByName(aligned)
+    // Change data feed (Delta writes CDF for replaceWhere too): a slice
+    // swap's honest change record — every pred-IS-TRUE target row
+    // deletes, every incoming row inserts (same complement rule as
+    // mergeFullSync, so feed and state cannot diverge)
+    val cdcActions: Seq[Action] =
+      if (!ChangeDataFeed.enabled(snap)) Seq.empty
+      else {
+        import ChangeDataFeed.{TypeCol, Insert, Delete}
+        val dead =
+          if (affected.isEmpty) None
+          else Some(readDeclared(spark, tablePath, snap, affected)
+            .filter(pred <=> lit(true))
+            .withColumn(TypeCol, lit(Delete)))
+        val ins = aligned.withColumn(TypeCol, lit(Insert))
+        ChangeDataFeed.stage(spark, dead.fold(ins)(_.unionByName(ins)),
+          tablePath, version, partitionColumns = partCols)
+      }
     val adds = stageAndMove(spark, combined, tablePath, partCols, version,
       commitTs, dataChange = true)
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues))
     log.commit(version,
-      (removes ++ adds) :+ CommitInfo("REPLACE WHERE", commitTs))
+      (removes ++ adds) ++ cdcActions :+ CommitInfo("REPLACE WHERE", commitTs))
   }
 
   /** Dynamic partition overwrite (`writeTo(...).overwritePartitions()`,
@@ -1589,7 +1606,7 @@ object TableWriter {
       df: DataFrame,
       version: Long,
       commitTs: Long): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
@@ -1614,9 +1631,25 @@ object TableWriter {
         .toMap))
     val removes: Seq[Action] = doomed.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues))
+    // Change data feed (Delta covers overwrite too): the replaced
+    // partitions' live rows delete, the incoming frame inserts — exact
+    // rows, DV-applied, split per partition for action-level pruning
+    val cdcActions: Seq[Action] =
+      if (!ChangeDataFeed.enabled(snap)) Seq.empty
+      else {
+        import ChangeDataFeed.{TypeCol, Insert, Delete}
+        val dead =
+          if (doomed.isEmpty) None
+          else Some(readDeclared(spark, tablePath, snap,
+              doomed.toIndexedSeq)
+            .withColumn(TypeCol, lit(Delete)))
+        val ins = df.withColumn(TypeCol, lit(Insert))
+        ChangeDataFeed.stage(spark, dead.fold(ins)(_.unionByName(ins)),
+          tablePath, version, partitionColumns = partCols)
+      }
     write(spark, df, tablePath, partCols, version = version,
       commitTs = commitTs, operation = "OVERWRITE PARTITIONS",
-      extraActions = removes)
+      extraActions = removes ++ cdcActions)
   }
 
   /** Partition evolution (metadata-only, Iceberg's headline trick):

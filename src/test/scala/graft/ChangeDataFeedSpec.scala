@@ -346,6 +346,38 @@ class ChangeDataFeedSpec extends AnyFunSuite {
     assert(sm == pruned.count())
   }
 
+  test("replaceWhere and dynamic partition overwrite write exact change " +
+      "records (Delta parity)") {
+    import spark.implicits._
+    val dir = freshDir("cdf_rw")
+    TableWriter.write(spark, base, dir, partitionBy = Seq("grp"),
+      version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    // v2: replace the grp='1' slice (50 rows) with 2 fresh rows
+    TableWriter.replaceWhere(spark, dir,
+      Seq((1001L, "1", 5L), (1002L, "1", 6L)).toDF("k", "grp", "cents"),
+      col("grp") === "1", version = 2L, commitTs = 2000L)
+    val v2 = changes(dir, 2L, 2L).groupBy(col(TypeCol))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 == Map(Delete -> 50L, Insert -> 2L), s"v2: $v2")
+    // v3: dynamically overwrite the grp='2' partition with 1 row
+    TableWriter.overwritePartitionsDynamic(spark, dir,
+      Seq((2002L, "2", 7L)).toDF("k", "grp", "cents"),
+      version = 3L, commitTs = 3000L)
+    val v3 = changes(dir, 3L, 3L).groupBy(col(TypeCol))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v3 == Map(Delete -> 50L, Insert -> 1L), s"v3: $v3")
+    // sidecars carry partition values (action-level pruning works), and
+    // a grp='3' pruned read of v2..v3 is empty (untouched partition)
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    val sidecars = (2L to 3L).flatMap(v => log.read(v).collect {
+      case c: graft.txn.CdcFile => c })
+    assert(sidecars.nonEmpty &&
+      sidecars.forall(_.partitionValues.keySet == Set("grp")))
+    assert(ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L),
+      partitionFilter = Some(Map("grp" -> "3"))).count() == 0L)
+  }
+
   test("column pruning pushes into sidecar scans: a one-column delta " +
       "reads one payload column of the KB sidecars") {
     val dir = freshDir("cdf_colprune")
