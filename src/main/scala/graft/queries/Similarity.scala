@@ -643,6 +643,60 @@ object Similarity {
           sum("vec_id").cast("long").as("id_sum"),
           sum("dist").cast("long").as("inertia"))
         .orderBy(col("cid"))
+    },
+
+    // K-MEANS update step (the Lloyd iteration's M-step) as SUFFICIENT
+    // STATISTICS: per cluster, the exact-integer aggregates the new
+    // centroid derives from — member count, the total of all component
+    // sums, the first component's sum (pins dimension alignment), and
+    // the old-centroid·member dot total (the drift numerator). All four
+    // are COMMUTING aggregates over the assigned rows, so the whole
+    // M-step is the E-step's broadcast probe + ONE hash aggregate — no
+    // vector-payload shuffle, the 100 TB Lloyd-iteration plan. Together
+    // with q300 the full clustering iteration is value-level-oracled.
+    QueryDef.sqlBacked(
+      "q311_kmeans_update",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cid, iv AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, s.cid, e.iv, s.cv,
+        |    CAST(list_dot_product(e.iv, e.iv)
+        |      - 2 * list_dot_product(e.iv, s.cv)
+        |      + list_dot_product(s.cv, s.cv) AS BIGINT) AS dist
+        |  FROM e CROSS JOIN s),
+        |a AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(list_sum(iv)) AS BIGINT) AS comp_sum,
+        |  CAST(SUM(iv[1]) AS BIGINT) AS dim0_sum,
+        |  CAST(SUM(list_dot_product(cv, iv)) AS BIGINT) AS drift_dot
+        |FROM a WHERE rn = 1
+        |GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("iv"))
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("iv").as("cv"))
+      val dist = expr(
+        "aggregate(zip_with(iv, cv, (x, y) -> (x - y) * (x - y)), 0L, " +
+          "(acc, v) -> acc + v)")
+      e.join(broadcast(seeds))
+        .select(col("vec_id"), col("cid"), col("iv"), col("cv"),
+          dist.as("dist"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("aggregate(iv, 0L, (acc, v) -> acc + v)"))
+            .cast("long").as("comp_sum"),
+          sum(expr("element_at(iv, 1)")).cast("long").as("dim0_sum"),
+          sum(expr("aggregate(zip_with(cv, iv, (x, y) -> x * y), 0L, " +
+            "(acc, v) -> acc + v)")).cast("long").as("drift_dot"))
+        .orderBy(col("cid"))
     }
   )
 

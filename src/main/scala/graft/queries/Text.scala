@@ -519,6 +519,48 @@ object Text {
         .orderBy(col("comp"))
     },
 
+    // QUALITY-AWARE keeper selection (keep-BEST, the production twin of
+    // q78's keep-first): within each near-dup component the survivor is
+    // the doc with the most content (max char length, doc_id tiebreak) —
+    // the rule real pipelines want when a later crawl carries the fuller
+    // page. One argmax window over the component-sized frame; the planted
+    // copies are strictly longer than their originals, so keep-best
+    // provably picks DIFFERENT keepers than keep-first here.
+    QueryDef.sqlBacked(
+      "q312_dedup_keep_best",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s),
+         |lens AS (SELECT doc_id AS id, length(text) AS l FROM corpus),
+         |ranked AS (SELECT c.comp, c.id, lens.l,
+         |    ROW_NUMBER() OVER (PARTITION BY c.comp
+         |      ORDER BY lens.l DESC, c.id) AS rn
+         |  FROM comp c JOIN lens ON lens.id = c.id)
+         |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id,
+         |  CAST(MAX(CASE WHEN rn = 1 THEN l END) AS BIGINT) AS kept_len
+         |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin) { (s, dir) =>
+      val comp = graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      val lens = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id").as("id"), length(col("text")).as("l"))
+      comp.join(lens, "id")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("comp"))
+          .orderBy(col("l").desc, col("id"))))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("id"))).cast("long").as("keeper_id"),
+          max(when(col("rn") === 1, col("l"))).cast("long").as("kept_len"))
+        .orderBy(col("comp"))
+    },
+
     // The dedup pipeline's last mile: drop every doc whose component
     // keeper is another doc (keeper = min id), keep the rest of the
     // corpus — one anti-join against the (small) non-keeper set.
