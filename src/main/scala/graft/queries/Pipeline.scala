@@ -993,6 +993,54 @@ object Pipeline {
           expr("CAST(iw * 1000000 DIV (sza + szb - iw) AS BIGINT)")
             .as("jaccard_ppm"))
         .orderBy(col("sa"), col("sb"))
+    },
+
+    // Per-source document cap (crawl curation): keep at most N=10 docs
+    // per source by quality proxy (n_chars DESC, doc_id tiebreak), report
+    // the per-source admission ledger. TWO-PHASE top-N so a head domain
+    // can't own a single window task at 100 TB: phase 1 ranks inside
+    // (source, 16-way doc-hash salt) sub-partitions and keeps each
+    // sub-top-N; phase 2 ranks the ≤16·N salted winners per source —
+    // exact (every global top-N row is in its salt's top-N) and the
+    // global window frame is bounded at 160 rows per source regardless
+    // of how many billions of docs the domain has. Oracle is the plain
+    // single-window form.
+    QueryDef.sqlBacked(
+      "q314_source_cap",
+      """WITH ranked AS (SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) FILTER (WHERE rn <= 10) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) FILTER (WHERE rn <= 10) AS BIGINT) AS kept_chars,
+        |  CAST(MIN(n_chars) FILTER (WHERE rn <= 10) AS BIGINT) AS cutoff_chars,
+        |  CAST(COUNT(*) FILTER (WHERE rn > 10) AS BIGINT) AS n_dropped
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val capN = 10
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val localTop = docs
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"), col("salt"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") <= capN).drop("rn", "salt")
+      val kept = localTop
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") <= capN)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          min(col("n_chars")).as("cutoff_chars"))
+      val totals = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"))
+      kept.join(broadcast(totals), "source")
+        .select(col("source"), col("n_kept"), col("kept_chars"),
+          col("cutoff_chars"),
+          (col("n_total") - col("n_kept")).as("n_dropped"))
+        .orderBy(col("source"))
     }
   )
 }

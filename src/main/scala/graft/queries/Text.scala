@@ -561,6 +561,34 @@ object Text {
         .orderBy(col("comp"))
     },
 
+    // Boilerplate shingle mining: the word trigrams shared by the most
+    // DISTINCT documents — navigation chrome, license headers, cookie
+    // banners. Shingles are per-doc distinct before the count, so the
+    // count IS document frequency; the plan is one explode + one
+    // map-side-combined shuffle + TakeOrdered — no joins, no pair
+    // generation, linear in corpus token count at any scale. (Literal
+    // shingle strings here, not 64-bit hashes: the mined SPAN is the
+    // output, unlike q45 where shingles are only join keys.)
+    QueryDef.sqlBacked(
+      "q313_boilerplate_shingles",
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |             FROM documents)),
+        |inv AS (SELECT unnest(sg) AS s FROM sh)
+        |SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM inv GROUP BY s HAVING COUNT(*) >= 3
+        |ORDER BY df DESC, s LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextOps.shingles(TextOps.tokens(col("text"))))
+          .as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("s"))
+        .limit(20)
+    },
+
     // The dedup pipeline's last mile: drop every doc whose component
     // keeper is another doc (keeper = min id), keep the rest of the
     // corpus — one anti-join against the (small) non-keeper set.

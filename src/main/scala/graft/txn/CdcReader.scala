@@ -137,6 +137,15 @@ object CdcReader {
     log.changes(startingVersion + 1).iterator
       .takeWhile { case (v, _) => endingVersion.forall(v <= _) }
       .foreach { case (v, actions) =>
+      // FSCK removes record files whose bytes are GONE — an 'r' event
+      // would read the removed file's rows, which no longer exist
+      require(!actions.exists {
+          case c: CommitInfo => c.operation == Fsck.Operation
+          case _ => false
+        },
+        s"CDC read of $tablePath: version $v is an FSCK repair — its " +
+          "removed files were physically lost and cannot be replayed " +
+          s"as row events; start the read after version $v")
       // A DV delete commits Remove(p) + Add(p, dv) for each affected
       // file: the CDC meaning is "these ROWS died", not "this file
       // churned" — emit op='d' for the newly-dead rows and suppress the

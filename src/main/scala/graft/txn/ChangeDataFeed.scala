@@ -249,7 +249,8 @@ object ChangeDataFeed {
       log: TxnLog,
       tablePath: String,
       all: Seq[Long],
-      versions: Seq[Long]): Seq[CommitChanges] = {
+      versions: Seq[Long],
+      allowLostFiles: Boolean = false): Seq[CommitChanges] = {
     val seedV = all.filter(_ < versions.head).lastOption
     var liveByPath: Map[String, AddFile] = Map.empty
     var meta: Option[Metadata] = None
@@ -260,6 +261,19 @@ object ChangeDataFeed {
     }
     versions.map { v =>
       val actions = log.read(v)
+      // FSCK removes record files whose BYTES are gone — their rows are
+      // unrecoverable, so the row-materializing feed refuses the range
+      // (Delta parity: CDF across an FSCK commit fails). The metadata-
+      // only changesSummary path still audits the lost COUNTS from
+      // stats (allowLostFiles) — it never opens the files.
+      require(allowLostFiles || !actions.exists {
+          case c: CommitInfo => c.operation == Fsck.Operation
+          case _ => false
+        },
+        s"version $v of $tablePath is an FSCK repair: its removed " +
+          "files were physically lost, so their rows cannot be " +
+          "reconstructed as change data — start the feed after " +
+          s"version $v (changesSummary can still audit the lost counts)")
       val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L)
       actions.collectFirst { case m: Metadata => m }
@@ -319,7 +333,10 @@ object ChangeDataFeed {
     val metaRows = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)] // (version, ts, type, n)
     val sidecarFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    walkRange(log, tablePath, all, versions).foreach { c0 =>
+    // allowLostFiles: this path answers from log stats and KB sidecars,
+    // never the doomed files' bytes — FSCK-lost rows still audit here
+    walkRange(log, tablePath, all, versions,
+        allowLostFiles = true).foreach { c0 =>
       // branch on the PRE-prune commit (same rule as tableChanges): a
       // fully-pruned sidecar commit contributes nothing, never stats
       val c = pruneCommit(c0, partitionFilter)
