@@ -1041,6 +1041,83 @@ object Pipeline {
           col("cutoff_chars"),
           (col("n_total") - col("n_kept")).as("n_dropped"))
         .orderBy(col("source"))
+    },
+
+    // Vocabulary coverage curve: what share of all token OCCURRENCES the
+    // top-k most frequent tokens cover (the Zipf head a tokenizer's
+    // vocab must absorb). The heavy work is ONE count shuffle over the
+    // corpus; the global rank over the VOCAB-sized frame is
+    // DistributedOrder.withRank (range sort + offsets, never one task);
+    // the cumulative sum then runs over rank <= max(k) rows — a frame
+    // bounded by the CONSTANT 20, where a single-task window is fine.
+    QueryDef.sqlBacked(
+      "q315_vocab_coverage",
+      """WITH c AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |        FROM documents) GROUP BY t),
+        |r AS (SELECT cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        |tot AS (SELECT SUM(cnt) AS t FROM c)
+        |SELECT CAST(rn AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_occ,
+        |  CAST(t AS BIGINT) AS total_occ,
+        |  CAST(cum * 1000000 // t AS BIGINT) AS coverage_ppm
+        |FROM r, tot WHERE rn IN (5, 10, 20) ORDER BY k""".stripMargin) {
+      (s, dir) =>
+      val counts = Tables.load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("t"))
+      val head = graft.operators.DistributedOrder
+        .withRank(counts, "rn", col("cnt").desc, col("token"))
+        .filter(col("rn") <= 20)
+      head
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn").isin(5L, 10L, 20L))
+        .crossJoin(broadcast(tot))
+        .select(col("rn").as("k"), col("cum").as("cum_occ"),
+          col("t").as("total_occ"),
+          expr("CAST(cum * 1000000 DIV t AS BIGINT)").as("coverage_ppm"))
+        .orderBy(col("k"))
+    },
+
+    // Per-source duplication rate (crawl health): how much of each
+    // source is byte-identical content — fingerprint (md5 of normalized
+    // text) count vs doc count, in ppm. One hash aggregate; the planted
+    // exact-dup corpus (q43's fixture, source column kept) gives every
+    // 7th doc's source a nonzero rate both engines must agree on.
+    QueryDef.sqlBacked(
+      "q316_source_dup_rate",
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+        |    AS n_distinct,
+        |  CAST((COUNT(*) - COUNT(DISTINCT md5(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g')))))) * 1000000
+        |    // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM corpus GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = d.unionAll(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+            col("source")))
+      corpus
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextOps.fingerprint(col("text"))).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("CAST((n_docs - n_distinct) * 1000000 DIV n_docs AS BIGINT)")
+            .as("dup_ppm"))
+        .orderBy(col("source"))
     }
   )
 }
