@@ -148,6 +148,24 @@ object GraftExtensions {
             startingVersion = sv, endingVersion = ev)
             .queryExecution.logical
         }),
+      // net multiset row diff between two versions ("what changed
+      // between Monday and today") — change-feed-proportional when the
+      // feed covers the range, snapshot multiset compare otherwise
+      ("graft_table_diff",
+        info("graft_table_diff",
+          "graft_table_diff(tablePath, fromVersion, toVersion) - net " +
+            "multiset row diff between two versions: payload columns " +
+            "plus _net_change = count(to) - count(from), never zero"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3,
+            "graft_table_diff(tablePath, fromVersion, toVersion)")
+          val path = strLitOf(children.head, "graft_table_diff")
+          val fv = longLitOf(children(1), "graft_table_diff")
+          val tv = longLitOf(children(2), "graft_table_diff")
+          graft.txn.TableDiff.diff(
+            org.apache.spark.sql.SparkSession.active, path, fv, tv)
+            .queryExecution.logical
+        }),
       ("graft_history",
         info("graft_history",
           "graft_history(tablePath) - commit history of a graft table " +

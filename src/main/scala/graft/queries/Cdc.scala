@@ -1034,6 +1034,54 @@ object Cdc {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("cents")).cast("long").as("sum_cents"))
         .orderBy(col("version"), col("change_type"))
+    },
+
+    // SNAPSHOT DIFF as data ("what changed between v0 and today"): the
+    // graft_table_diff TVF folds the change feed's signs per row VALUE
+    // (cost ∝ changed rows — KB sidecars, never two table scans) into
+    // net multiset deltas; updates telescope (the intermediate value's
+    // +1/−1 cancels), deletes-then-resurrections net to the value move.
+    // The oracle computes the v0 and v5 multisets independently and
+    // FULL-OUTER subtracts them — any telescoping error, lost delete,
+    // or double-counted resurrection breaks the hash.
+    QueryDef.sqlBacked(
+      "q317_table_diff",
+      """WITH base AS (SELECT event_id AS id, event_type AS t,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |v0 AS (SELECT id, t, c FROM base WHERE id % 3 = 0),
+        |v5 AS (
+        |  SELECT id, t, CASE WHEN id % 24 = 0 THEN id * 3
+        |                     WHEN id % 12 = 0 THEN c + 1000
+        |                     ELSE c END AS c
+        |  FROM v0 WHERE id % 24 = 0 OR (id % 18 <> 0 AND id % 30 <> 0)
+        |  UNION ALL
+        |  SELECT id, t, id * 3 AS c FROM base
+        |  WHERE id % 3 = 1 AND id % 20 = 0),
+        |b AS (SELECT id, t, c, COUNT(*) AS n FROM v0 GROUP BY 1, 2, 3),
+        |a AS (SELECT id, t, c, COUNT(*) AS n FROM v5 GROUP BY 1, 2, 3),
+        |d AS (SELECT COALESCE(a.id, b.id) AS id, COALESCE(a.t, b.t) AS t,
+        |        COALESCE(a.c, b.c) AS c,
+        |        COALESCE(a.n, 0) - COALESCE(b.n, 0) AS net
+        |      FROM a FULL OUTER JOIN b
+        |        ON a.id = b.id AND a.t = b.t AND a.c = b.c)
+        |SELECT t AS event_type,
+        |  CASE WHEN net > 0 THEN 'gained' ELSE 'lost' END AS side,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(c) AS BIGINT) AS cents_sum
+        |FROM d WHERE net <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val t = buildCdfFixture(s, dir)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT event_type,
+           |  CASE WHEN _net_change > 0 THEN 'gained' ELSE 'lost' END
+           |    AS side,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+           |FROM graft_table_diff('$t', 0, 5)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }
   )
 

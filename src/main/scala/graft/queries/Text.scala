@@ -563,27 +563,35 @@ object Text {
 
     // Boilerplate shingle mining: the word trigrams shared by the most
     // DISTINCT documents — navigation chrome, license headers, cookie
-    // banners. Shingles are per-doc distinct before the count, so the
-    // count IS document frequency; the plan is one explode + one
-    // map-side-combined shuffle + TakeOrdered — no joins, no pair
+    // banners. Document frequency via the aggregate's two-phase
+    // count-distinct, NOT per-doc array_distinct (array_distinct on a
+    // string array is pairwise-equals O(n²) per document — measured 9+ s
+    // at sf0.1 vs ~1 s this way); the plan is one explode + one
+    // partial-distinct shuffle + TakeOrdered — no joins, no pair
     // generation, linear in corpus token count at any scale. (Literal
     // shingle strings here, not 64-bit hashes: the mined SPAN is the
     // output, unlike q45 where shingles are only join keys.)
     QueryDef.sqlBacked(
       "q313_boilerplate_shingles",
-      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
-        |         range(1, len(t) - 1),
-        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
-        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |             FROM documents)),
-        |inv AS (SELECT unnest(sg) AS s FROM sh)
-        |SELECT s, CAST(COUNT(*) AS BIGINT) AS df
-        |FROM inv GROUP BY s HAVING COUNT(*) >= 3
+      """WITH inv AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents))
+        |SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM inv GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 3
         |ORDER BY df DESC, s LIMIT 20""".stripMargin) { (s, dir) =>
+      // tokens materialize as an attribute FIRST: an element_at over the
+      // raw split() expression re-runs the regex split per lambda
+      // element (3 splits per shingle — measured 10x slower)
       Tables.load(s, dir, "documents")
-        .select(explode(TextOps.shingles(TextOps.tokens(col("text"))))
-          .as("s"))
-        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2),
+              element_at(col("t"), i + 3)))).as("s"))
+        .groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 3)
         .orderBy(col("df").desc, col("s"))
         .limit(20)
