@@ -1753,6 +1753,43 @@ object Analytics {
           expr(s"CAST(co * ${nOrders}L * 1000000 DIV (ca * cb) AS BIGINT)")
             .as("lift_ppm"))
         .orderBy(col("co").desc, col("pa"), col("pb")).limit(15)
+    },
+
+    // Data-quality expectations audit (operators.Expectations): the
+    // DRY-RUN counterpart of CHECK constraints — per expectation, how
+    // many rows violate (predicate exactly FALSE; NULL passes, SQL
+    // CHECK semantics), in ppm. ALL expectations audit in ONE aggregate
+    // scan (k conditional counts fused into one partial agg) — cost is
+    // one table pass no matter how many expectations ride along.
+    QueryDef.sqlBacked(
+      "q318_expectations_audit",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+        |SELECT expectation, n_rows, n_violations,
+        |  CAST(n_violations * 1000000 // n_rows AS BIGINT) AS violation_ppm
+        |FROM (
+        |  SELECT 'discount_le_5pct' AS expectation, n_rows,
+        |    (SELECT CAST(COUNT(*) FILTER (NOT (l_discount <= 0.05))
+        |       AS BIGINT) FROM lineitem) AS n_violations FROM n
+        |  UNION ALL
+        |  SELECT 'positive_price', n_rows,
+        |    (SELECT COUNT(*) FILTER (NOT (l_extendedprice > 0))
+        |     FROM lineitem) FROM n
+        |  UNION ALL
+        |  SELECT 'qty_le_30', n_rows,
+        |    (SELECT COUNT(*) FILTER (NOT (l_quantity <= 30))
+        |     FROM lineitem) FROM n
+        |  UNION ALL
+        |  SELECT 'tax_lt_discount', n_rows,
+        |    (SELECT COUNT(*) FILTER (NOT (l_tax < l_discount))
+        |     FROM lineitem) FROM n
+        |) ORDER BY expectation""".stripMargin) { (s, dir) =>
+      graft.operators.Expectations.audit(
+        Tables.load(s, dir, "lineitem"),
+        Seq(
+          "discount_le_5pct" -> "l_discount <= 0.05",
+          "positive_price" -> "l_extendedprice > 0",
+          "qty_le_30" -> "l_quantity <= 30",
+          "tax_lt_discount" -> "l_tax < l_discount"))
     }
   )
 }
