@@ -19,7 +19,8 @@ import java.nio.charset.StandardCharsets
 final class TxnLog(
     val tablePath: String,
     conf: Configuration,
-    val checkpointInterval: Int = TxnLog.DefaultCheckpointInterval) {
+    val checkpointInterval: Int = TxnLog.DefaultCheckpointInterval,
+    val checkpointPartSize: Int = TxnLog.DefaultCheckpointPartSize) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -38,6 +39,36 @@ final class TxnLog(
   }
   private def checkpointFile(v: Long): Path =
     new Path(logDir, f"$v%020d.checkpoint.parquet")
+  // Multi-part checkpoint (the Delta `v.checkpoint.<i>.<n>.parquet`
+  // idea): a million-AddFile state splits across parts so no single
+  // parquet write/read serializes the whole log state through one
+  // buffer. A version is checkpointed iff the single file exists OR a
+  // COMPLETE part set does (all n of `.i.n.parquet`, i = 1..n) —
+  // a crash mid-set leaves an ignored incomplete set, never a torn read.
+  private def checkpointPartFile(v: Long, part: Int, numParts: Int): Path =
+    new Path(logDir, f"$v%020d.checkpoint.$part%010d.$numParts%010d.parquet")
+  private val PartName =
+    """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  /** The physical checkpoint file(s) of `v`: the single file when
+    * present, else the complete part set, else empty (no checkpoint /
+    * incomplete crash leftovers).
+    */
+  private def checkpointFilesOf(v: Long): Seq[Path] = {
+    if (fs.exists(checkpointFile(v))) return Seq(checkpointFile(v))
+    val parts = if (!fs.exists(logDir)) Seq.empty else
+      fs.listStatus(logDir).toSeq.map(_.getPath.getName).flatMap {
+        case PartName(ver, p, n) if ver.toLong == v =>
+          Some((p.toInt, n.toInt))
+        case _ => None
+      }
+    parts.map(_._2).distinct.sorted.reverseIterator
+      .map(n => (n, parts.filter(_._2 == n).map(_._1).distinct.sorted))
+      .collectFirst { case (n, ps) if ps == (1 to n) =>
+        (1 to n).map(p => checkpointPartFile(v, p, n))
+      }
+      .getOrElse(Seq.empty)
+  }
 
   /** Commit-file reads since construction — observability hook for the
     * checkpoint spec (proves snapshot() reads checkpoint + tail, not the
@@ -299,7 +330,7 @@ final class TxnLog(
       case None => Seq.empty
       case Some(base) =>
         val doomed = vs.filter(_ < base).map(commitFile) ++
-          checkpointVersions().filter(_ < base).map(checkpointFile)
+          checkpointVersions().filter(_ < base).flatMap(checkpointFilesOf)
         doomed.foreach(p => fs.delete(p, false))
         doomed.map(_.getName)
     }
@@ -308,11 +339,19 @@ final class TxnLog(
   /** Committed checkpoint versions, ascending. */
   def checkpointVersions(): Seq[Long] = {
     if (!fs.exists(logDir)) return Seq.empty
-    fs.listStatus(logDir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint.parquet"))
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val single = names.filter(_.endsWith(".checkpoint.parquet"))
       .map(_.stripSuffix(".checkpoint.parquet").toLong)
-      .sorted
+    // multipart: complete sets only (all n of parts 1..n present)
+    val parts = names.flatMap {
+      case PartName(ver, p, n) => Some((ver.toLong, p.toInt, n.toInt))
+      case _ => None
+    }
+    val multi = parts.groupBy(_._1).collect {
+      case (v, ps) if ps.map(_._3).distinct.exists(n =>
+        ps.filter(_._3 == n).map(_._2).distinct.sorted == (1 to n)) => v
+    }
+    (single ++ multi).distinct.sorted
   }
 
   /** Write the live-file state at `v` as a parquet checkpoint: one row
@@ -322,64 +361,86 @@ final class TxnLog(
     */
   def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(v)
-    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
-      "message checkpoint { required binary kind (UTF8); required binary json (UTF8); }")
-    val tmp = new Path(logDir, f".$v%020d.checkpoint.parquet.tmp")
-    fs.delete(tmp, false)
-    val writeConf = new Configuration(conf)
-    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, writeConf)
-    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
-    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, writeConf))
-      .withConf(writeConf)
-      .build()
-    try {
-      snap.metadata.foreach { m =>
+    // (kind, json) lines in deterministic order: control actions first,
+    // then the live adds — chunked into parts when the state outgrows
+    // checkpointPartSize (no single parquet write then serializes a
+    // million-file state through one buffer)
+    val lines: Seq[(String, String)] =
+      snap.metadata.toSeq.map(m =>
+        "meta" -> Serialization.write(LogLine(m))) ++
+      snap.protocol.toSeq.map(p =>
+        "protocol" -> Serialization.write(LogLine(p))) ++
+      snap.files.map(a => "add" -> Serialization.write(LogLine(a))) ++
+      snap.txnMarkers.values.toSeq.map(t =>
+        "txn" -> Serialization.write(LogLine(t)))
+    def writeOne(tmp: Path, chunk: Seq[(String, String)]): Unit = {
+      val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+        "message checkpoint { required binary kind (UTF8); required binary json (UTF8); }")
+      fs.delete(tmp, false)
+      val writeConf = new Configuration(conf)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, writeConf)
+      val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, writeConf))
+        .withConf(writeConf)
+        .build()
+      try chunk.foreach { case (kind, json) =>
         writer.write(factory.newGroup()
-          .append("kind", "meta").append("json", Serialization.write(LogLine(m))))
+          .append("kind", kind).append("json", json))
+      } finally writer.close()
+    }
+    if (lines.size <= checkpointPartSize) {
+      val tmp = new Path(logDir, f".$v%020d.checkpoint.parquet.tmp")
+      writeOne(tmp, lines)
+      if (!fs.rename(tmp, checkpointFile(v)))
+        fs.delete(tmp, false) // lost benign race
+    } else {
+      val chunks = lines.grouped(checkpointPartSize).toSeq
+      val n = chunks.size
+      // write EVERY part to a temp first, then rename the set in: a
+      // crash mid-way leaves an incomplete set that readers ignore
+      val staged = chunks.zipWithIndex.map { case (chunk, i) =>
+        val tmp = new Path(logDir,
+          f".$v%020d.checkpoint.${i + 1}%010d.$n%010d.parquet.tmp")
+        writeOne(tmp, chunk)
+        (tmp, checkpointPartFile(v, i + 1, n))
       }
-      snap.protocol.foreach { p =>
-        writer.write(factory.newGroup()
-          .append("kind", "protocol").append("json", Serialization.write(LogLine(p))))
+      staged.foreach { case (tmp, dst) =>
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
       }
-      snap.files.foreach { a =>
-        writer.write(factory.newGroup()
-          .append("kind", "add").append("json", Serialization.write(LogLine(a))))
-      }
-      snap.txnMarkers.values.foreach { t =>
-        writer.write(factory.newGroup()
-          .append("kind", "txn").append("json",
-            Serialization.write(LogLine(t))))
-      }
-    } finally writer.close()
-    if (!fs.rename(tmp, checkpointFile(v))) fs.delete(tmp, false) // lost benign race
+    }
   }
 
   /** Read a checkpoint back into (live files, metadata, protocol, txns). */
   private def readCheckpoint(v: Long)
       : (Seq[AddFile], Option[Metadata], Option[Protocol], Map[String, SetTxn]) = {
-    val reader = org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), checkpointFile(v))
-      .withConf(conf)
-      .build()
+    val paths = checkpointFilesOf(v)
+    require(paths.nonEmpty,
+      s"no complete checkpoint at version $v of $tablePath")
     val files = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     var meta: Option[Metadata] = None
     var proto: Option[Protocol] = None
     var txns = Map.empty[String, SetTxn]
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val action = Serialization.read[LogLine](g.getString("json", 0)).action
-        action match {
-          case a: AddFile  => files += a
-          case m: Metadata => meta = Some(m)
-          case p: Protocol => proto = Some(p)
-          case t: SetTxn   => txns += (t.appId -> t)
-          case _           => ()
+    paths.foreach { path =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val action = Serialization.read[LogLine](g.getString("json", 0)).action
+          action match {
+            case a: AddFile  => files += a
+            case m: Metadata => meta = Some(m)
+            case p: Protocol => proto = Some(p)
+            case t: SetTxn   => txns += (t.appId -> t)
+            case _           => ()
+          }
+          g = reader.read()
         }
-        g = reader.read()
-      }
-    } finally reader.close()
+      } finally reader.close()
+    }
     (files.toSeq, meta, proto, txns)
   }
 
@@ -460,6 +521,11 @@ object TxnLog {
     * tail replay ≤ N commit files, checkpoint write amortized over N).
     */
   val DefaultCheckpointInterval = 10
+  // Actions per checkpoint part before the writer splits into a
+  // multi-part set (Delta's multi-part checkpoint idea): 100k action
+  // lines ≈ a few hundred MB of JSON — comfortably one parquet buffer,
+  // while a 5M-file table checkpoints as 50 parallel-readable parts.
+  val DefaultCheckpointPartSize = 100000
 
   /** One commit lock per QUALIFIED table URI, JVM-wide (see
     * [[TxnLog.commit]]) — keyed by `fs.makeQualified(path).toUri`, never
