@@ -141,13 +141,17 @@ object Bench {
     // Re-measure when either (a) the query regressed >2x vs its prior
     // round, or (b) it has no prior (new query, or lost to the driver's
     // bounded tail capture last round) and its first pass exceeded an
-    // absolute 2 s threshold — so expensive-looking queries without a
-    // baseline self-annotate instead of reading as unexplained outliers.
+    // absolute 2 s threshold, or (c) its first pass exceeded an absolute
+    // 8 s regardless of prior — a prior taken on a LOADED driver
+    // machine inflates the 2x gate (r10's q116 prior of 9.8 s let a
+    // 15.8 s JIT-cold first pass ship unannotated; its clean remeasure
+    // is ~5 s), and the handful of genuinely-heavy rows cost one extra
+    // in-JVM run each to keep every big number self-explaining.
     val outliers = results.toSeq.filter { case (name, t) =>
-      prior.get(short(name)) match {
+      (prior.get(short(name)) match {
         case Some(p) => t > 2 * p && t > 0.75
         case None    => t > 2.0
-      }
+      }) || t > 8.0
     }.map(_._1).sorted
     // Re-measure under a clean heap: a full pass accumulates broadcast
     // blocks that only release on GC (Spark's ContextCleaner is

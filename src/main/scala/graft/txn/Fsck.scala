@@ -43,8 +43,10 @@ object Fsck {
     if (paths.isEmpty) return Seq.empty
     val resolved = paths.map(p => p -> new Path(TxnLog.dataPath(tablePath, p)))
     val byDir = resolved.groupBy(_._2.getParent)
-    val fs = new Path(tablePath).getFileSystem(conf)
     byDir.toSeq.flatMap { case (dir, files) =>
+      // per-directory filesystem: shallow-clone imports record ABSOLUTE
+      // paths that may live on a different store than the table root
+      val fs = dir.getFileSystem(conf)
       val existing: Set[String] =
         try fs.listStatus(dir).map(_.getPath.getName).toSet
         catch { case _: java.io.FileNotFoundException => Set.empty[String] }
