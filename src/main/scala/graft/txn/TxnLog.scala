@@ -363,17 +363,21 @@ final class TxnLog(
     val snap = snapshot(v)
     // (kind, json) lines in deterministic order: control actions first,
     // then the live adds — chunked into parts when the state outgrows
-    // checkpointPartSize (no single parquet write then serializes a
-    // million-file state through one buffer)
-    val lines: Seq[(String, String)] =
-      snap.metadata.toSeq.map(m =>
+    // checkpointPartSize. LAZY iterator end to end: JSON serialization
+    // happens as each part streams out, so even the 5M-file state never
+    // materializes its action strings in driver memory at once.
+    val total = snap.metadata.size + snap.protocol.size +
+      snap.files.size + snap.txnMarkers.size
+    def lines: Iterator[(String, String)] =
+      snap.metadata.iterator.map(m =>
         "meta" -> Serialization.write(LogLine(m))) ++
-      snap.protocol.toSeq.map(p =>
+      snap.protocol.iterator.map(p =>
         "protocol" -> Serialization.write(LogLine(p))) ++
-      snap.files.map(a => "add" -> Serialization.write(LogLine(a))) ++
-      snap.txnMarkers.values.toSeq.map(t =>
+      snap.files.iterator.map(a =>
+        "add" -> Serialization.write(LogLine(a))) ++
+      snap.txnMarkers.valuesIterator.map(t =>
         "txn" -> Serialization.write(LogLine(t)))
-    def writeOne(tmp: Path, chunk: Seq[(String, String)]): Unit = {
+    def writeOne(tmp: Path, chunk: Iterator[(String, String)]): Unit = {
       val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
         "message checkpoint { required binary kind (UTF8); required binary json (UTF8); }")
       fs.delete(tmp, false)
@@ -389,22 +393,22 @@ final class TxnLog(
           .append("kind", kind).append("json", json))
       } finally writer.close()
     }
-    if (lines.size <= checkpointPartSize) {
+    if (total <= checkpointPartSize) {
       val tmp = new Path(logDir, f".$v%020d.checkpoint.parquet.tmp")
       writeOne(tmp, lines)
       if (!fs.rename(tmp, checkpointFile(v)))
         fs.delete(tmp, false) // lost benign race
     } else {
-      val chunks = lines.grouped(checkpointPartSize).toSeq
-      val n = chunks.size
+      val n = ((total + checkpointPartSize - 1) / checkpointPartSize).toInt
       // write EVERY part to a temp first, then rename the set in: a
       // crash mid-way leaves an incomplete set that readers ignore
-      val staged = chunks.zipWithIndex.map { case (chunk, i) =>
-        val tmp = new Path(logDir,
-          f".$v%020d.checkpoint.${i + 1}%010d.$n%010d.parquet.tmp")
-        writeOne(tmp, chunk)
-        (tmp, checkpointPartFile(v, i + 1, n))
-      }
+      val staged = lines.grouped(checkpointPartSize).zipWithIndex
+        .map { case (chunk, i) =>
+          val tmp = new Path(logDir,
+            f".$v%020d.checkpoint.${i + 1}%010d.$n%010d.parquet.tmp")
+          writeOne(tmp, chunk.iterator)
+          (tmp, checkpointPartFile(v, i + 1, n))
+        }.toSeq
       staged.foreach { case (tmp, dst) =>
         if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
       }
