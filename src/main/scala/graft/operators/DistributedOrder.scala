@@ -85,6 +85,43 @@ object DistributedOrder {
     spark.createDataFrame(out, schema)
   }
 
+  /** Append the EXCLUSIVE running minimum of `value` (cast to long;
+    * must be non-null) under the total order `sortCols` — for each row,
+    * the minimum over all STRICTLY EARLIER rows (Long.MaxValue for the
+    * first). The dominance primitive: in a (cost asc)-sorted frame,
+    * "was anything cheaper also smaller?" is one comparison against
+    * this column. Same distributed shape as [[withPrefixSum]]: range
+    * sort, one long per partition to the driver, scanLeft offsets.
+    */
+  def withPrefixMin(
+      df: DataFrame,
+      minName: String,
+      value: Column,
+      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val tagged = df.withColumn("_dpm_v", value.cast("long"))
+    val vIdx = tagged.schema.length - 1
+    val sorted = tagged.sort(sortCols: _*).rdd
+    val perPart = sorted.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MaxValue
+      it.foreach(r => m = math.min(m, r.getLong(vIdx)))
+      Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(Long.MaxValue)(math.min)
+    val offB = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(df.schema.fields :+
+      StructField(minName, LongType, nullable = false))
+    val out = sorted.mapPartitionsWithIndex { (i, it) =>
+      var run = offB.value(i)
+      it.map { r =>
+        val exclusive = run
+        run = math.min(run, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq.init :+ exclusive)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** NTILE(k) from a precomputed global rank: with n rows, the first
     * n mod k tiles take ceil(n/k) rows and the rest floor(n/k) — the
     * standard SQL NTILE split, in exact integer arithmetic (no float

@@ -1790,6 +1790,47 @@ object Analytics {
           "positive_price" -> "l_extendedprice > 0",
           "qty_le_30" -> "l_quantity <= 30",
           "tax_lt_discount" -> "l_tax < l_discount"))
+    },
+
+    // Skyline / Pareto frontier (cheapest-and-smallest parts): points
+    // no other point dominates on (price, size) — multi-objective
+    // selection, the catalog's "efficient frontier". DISTRIBUTED via
+    // order statistics, not the quadratic NOT-EXISTS self-join the
+    // oracle uses: per price the min size (one shuffle over the
+    // price-distinct frame), then DistributedOrder.withPrefixMin gives
+    // each price the min size over all STRICTLY CHEAPER prices — a
+    // point is on the frontier iff it IS its price's min and beats
+    // that exclusive prefix min. Exact, including tie semantics
+    // (equal (price, size) points don't dominate each other).
+    QueryDef.sqlBacked(
+      "q319_pareto_frontier",
+      """WITH pt AS (SELECT CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+        |    AS price_cents, p_size AS size FROM part),
+        |g AS (SELECT price_cents, size, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |      FROM pt GROUP BY 1, 2)
+        |SELECT price_cents, CAST(size AS BIGINT) AS size, n_parts
+        |FROM g p
+        |WHERE NOT EXISTS (SELECT 1 FROM g q
+        |  WHERE q.price_cents <= p.price_cents AND q.size <= p.size
+        |    AND (q.price_cents < p.price_cents OR q.size < p.size))
+        |ORDER BY price_cents""".stripMargin) { (s, dir) =>
+      val pts = Tables.load(s, dir, "part")
+        .select(floor(col("p_retailprice") * 100).cast("long")
+          .as("price_cents"), col("p_size").cast("long").as("size"))
+        .groupBy(col("price_cents"), col("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val perPrice = pts.groupBy(col("price_cents"))
+        .agg(min(col("size")).as("mn"))
+      val frontier = graft.operators.DistributedOrder
+        .withPrefixMin(perPrice, "cheaper_min", col("mn"),
+          col("price_cents"))
+        .filter(col("mn") < col("cheaper_min"))
+        .select(col("price_cents"), col("mn"))
+      pts.join(frontier,
+          pts("price_cents") === frontier("price_cents") &&
+            pts("size") === frontier("mn"))
+        .select(pts("price_cents"), col("size"), col("n_parts"))
+        .orderBy(col("price_cents"))
     }
   )
 }

@@ -87,4 +87,19 @@ class DistributedOrderSpec extends AnyFunSuite {
       s"expected a distributed range sort:\n$sortPlan")
     assert(!sortPlan.contains("Exchange SinglePartition"))
   }
+
+  test("withPrefixMin equals the exclusive running-min window " +
+      "(Long.MaxValue before the first row)") {
+    val df = frame
+    val got = DistributedOrder
+      .withPrefixMin(df, "pm", col("v"), col("id"))
+      .select(col("id"), col("pm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.select(col("id"),
+        coalesce(min(col("v")).over(w), lit(Long.MaxValue)).as("pm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got(0L) == Long.MaxValue)
+  }
 }
