@@ -1831,6 +1831,61 @@ object Analytics {
             pts("size") === frontier("mn"))
         .select(pts("price_cents"), col("size"), col("n_parts"))
         .orderBy(col("price_cents"))
+    },
+
+    // Distribution drift between two corpus snapshots (train-refresh
+    // monitoring): per language, a symmetric chi-square-style distance
+    // between the reference half and the candidate half over
+    // length-bucket cells — Σ (p−q)²/(p+q) with p=r/R, q=c/C, folded
+    // to the integer form (rC−cR)²·10¹² / (RC·(rC+cR)) per cell and
+    // summed after per-term floor division, in 128-bit integers, so
+    // the statistic is bit-identical across engines (a float ln-based
+    // PSI would hash-drift). One aggregate over (lang, bucket) cells
+    // (corpus-scan cost), then arithmetic on the tiny cell frame.
+    QueryDef.sqlBacked(
+      "q320_distribution_drift",
+      """WITH d AS (SELECT lang, n_chars // 100 AS b, doc_id % 2 = 0 AS ref
+        |  FROM documents),
+        |cell AS (SELECT lang, b,
+        |    CAST(COUNT(*) FILTER (ref) AS BIGINT) AS r,
+        |    CAST(COUNT(*) FILTER (NOT ref) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(r) AS rn, SUM(c) AS cn FROM cell
+        |        GROUP BY 1)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(MAX(rn) AS BIGINT) AS ref_n,
+        |  CAST(MAX(cn) AS BIGINT) AS cand_n,
+        |  CAST(SUM(
+        |    (CAST(r * cn - c * rn AS HUGEINT) * (r * cn - c * rn)
+        |       * 1000000000000)
+        |    // (CAST(rn AS HUGEINT) * cn * (r * cn + c * rn))
+        |  ) AS BIGINT) AS chi2_e12
+        |FROM cell JOIN tot USING (lang)
+        |WHERE rn > 0 AND cn > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val cell = Tables.load(s, dir, "documents")
+        .select(col("lang"), (col("n_chars") / 100).cast("long").as("b"),
+          (col("doc_id") % 2 === 0).as("ref"))
+        .groupBy(col("lang"), col("b"))
+        .agg(count(when(col("ref"), 1)).as("r"),
+          count(when(!col("ref"), 1)).as("c"))
+      val tot = cell.groupBy(col("lang"))
+        .agg(sum(col("r")).as("rn"), sum(col("c")).as("cn"))
+      cell.join(broadcast(tot), "lang")
+        .filter(col("rn") > 0 && col("cn") > 0)
+        .select(col("lang"), col("r"), col("c"),
+          col("rn"), col("cn"),
+          expr("""CAST(r * cn - c * rn AS DECIMAL(38,0))
+                 |  * (r * cn - c * rn) * 1000000000000""".stripMargin)
+            .as("num"),
+          (col("rn").cast(big) * col("cn") *
+            (col("r") * col("cn") + col("c") * col("rn"))).as("den"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("rn")).as("ref_n"),
+          max(col("cn")).as("cand_n"),
+          sum(expr("num DIV den")).cast("long").as("chi2_e12"))
+        .orderBy(col("lang"))
     }
   )
 }
