@@ -404,6 +404,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q314 source cap: every window is PARTITIONED and Spark's " +
+      "WindowGroupLimit pushes the rank cap below the shuffle") {
+    val df = SparkEntry.queries("q314_source_cap")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    // both phases' windows carry a PARTITION BY (never a global frame),
+    // and Spark 4 plans Partial+Final WindowGroupLimit — the top-N is
+    // capped map-side BEFORE the exchange, on top of the salt design
+    assert(!p.contains("windowspecdefinition(") ||
+      !p.replaceAll("windowspecdefinition\\((source|salt)[^)]*\\)", "")
+        .contains("windowspecdefinition("),
+      s"q314 must never plan an unpartitioned window:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the rank cap pushed below the shuffle:\n${p.take(2000)}")
+  }
+
+  test("q319 pareto frontier: the tiny frontier broadcasts onto the " +
+      "points — no pair join, no window") {
+    val df = SparkEntry.queries("q319_pareto_frontier")(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the frontier join must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop") && !p.contains("Window"),
+      s"no dominance pair join, no window:\n${p.take(2000)}")
+  }
+
   test("q173 DSv2 scan: pushdown reaches the custom source") {
     val df = SparkEntry.queries("q173_dsv2_scan")(spark, sf)
     val scans = df.queryExecution.optimizedPlan.collect {
