@@ -1179,6 +1179,37 @@ object Relational {
         .orderBy(col("bucket"))
     },
 
+    // EQUI-DEPTH histogram (q104's equal-frequency twin, the optimizer-
+    // statistics shape): 8 buckets of equal row count over the FACT
+    // table, exact boundaries included. The global rank runs on
+    // DistributedOrder (range sort + offsets — never a single-task
+    // NTILE window over 100 TB of lineitem); the bucket id is
+    // ntileFromRank's exact integer arithmetic, so boundaries cannot
+    // drift between engines.
+    QueryDef.sqlBacked(
+      "q321_equidepth_histogram",
+      """WITH t AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |    AS cents, l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT cents, CAST(NTILE(8) OVER (ORDER BY cents,
+        |    l_orderkey, l_linenumber) AS INT) AS bucket FROM t)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(cents) AS lo, MAX(cents) AS hi
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+      val n = t.count()
+      graft.operators.DistributedOrder
+        .withRank(t, "r", col("cents"), col("l_orderkey"),
+          col("l_linenumber"))
+        .select(graft.operators.DistributedOrder
+          .ntileFromRank("r", n, 8).as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
     // Data profiling: per-column quality stats (count/nulls/min/max/
     // cents-exact sum/exact distinct) for three measure columns in ONE
     // scan — the metrics all fold into a single aggregate row, then

@@ -519,6 +519,39 @@ object Text {
         .orderBy(col("comp"))
     },
 
+    // Dup-cluster SIZE DISTRIBUTION — the dedup report's headline
+    // histogram ("how much of the corpus sits in 2-clusters vs
+    // mega-clusters"): component sizes from the q77 clustering, rolled
+    // up to (size → n_clusters, n_docs). The mega-cluster tail is what
+    // flags boilerplate floods before the keep-one pass destroys data.
+    // Rollup frames are cluster-count-sized; the corpus never re-joins.
+    QueryDef.sqlBacked(
+      "q322_cluster_size_dist",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s),
+         |csizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp
+         |          GROUP BY comp)
+         |SELECT sz AS cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM csizes GROUP BY sz ORDER BY sz""".stripMargin) { (s, dir) =>
+      graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
+
     // QUALITY-AWARE keeper selection (keep-BEST, the production twin of
     // q78's keep-first): within each near-dup component the survivor is
     // the doc with the most content (max char length, doc_id tiebreak) —
