@@ -1210,6 +1210,34 @@ object Relational {
         .orderBy(col("bucket"))
     },
 
+    // Join-key SKEW AUDIT — the pre-join diagnostic behind every
+    // salting decision (SkewGuard's "should I?"): per candidate join
+    // key, its row count and its multiple of the mean in exact ppm
+    // (cnt·n_keys·10⁶ DIV total), top-5 heaviest. One count shuffle +
+    // a broadcast of the two global scalars + TakeOrdered — the shape
+    // that tells you a key owns 30% of a 100 TB fact table BEFORE the
+    // join melts an executor.
+    QueryDef.sqlBacked(
+      "q323_join_skew_audit",
+      """WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+        |SELECT o_custkey, cnt, n_keys,
+        |  CAST(cnt * n_keys * 1000000 // total AS BIGINT)
+        |    AS skew_ppm
+        |FROM c, g
+        |ORDER BY cnt DESC, o_custkey LIMIT 5""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val g = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+      c.crossJoin(broadcast(g))
+        .select(col("o_custkey"), col("cnt"), col("n_keys"),
+          expr("CAST(cnt * n_keys * 1000000 DIV total AS BIGINT)")
+            .as("skew_ppm"))
+        .orderBy(col("cnt").desc, col("o_custkey")).limit(5)
+    },
+
     // Data profiling: per-column quality stats (count/nulls/min/max/
     // cents-exact sum/exact distinct) for three measure columns in ONE
     // scan — the metrics all fold into a single aggregate row, then
