@@ -581,6 +581,64 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // AS-OF join WITH TOLERANCE (q24's production variant — pandas
+    // merge_asof's `tolerance`): each purchase takes its single most
+    // recent preceding click by the same user, but the match only
+    // COUNTS within 30 minutes — older matches classify as expired,
+    // users with no preceding click as unmatched. Same union-tag +
+    // one-shuffle running-state shape as q24 (never purchases ×
+    // clicks-per-user); the tolerance compares exact MICROSECONDS
+    // (unix_micros ↔ epoch_us) so a 1800.4 s gap cannot classify
+    // differently across engines the way floor-second arithmetic would.
+    QueryDef.sqlBacked(
+      "q324_asof_tolerance",
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pt
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, ts AS ct
+        |      FROM events WHERE event_type = 'click'),
+        |best AS (SELECT pid, cid, ct, pt,
+        |    ROW_NUMBER() OVER (PARTITION BY pid
+        |      ORDER BY ct DESC, cid DESC) AS rn
+        |  FROM p JOIN c USING (user_id) WHERE ct <= pt),
+        |m AS (SELECT pid, cid,
+        |    epoch_us(pt) - epoch_us(ct) <= 1800000000 AS ok
+        |  FROM best WHERE rn = 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM m WHERE ok) AS BIGINT) AS n_matched,
+        |  CAST((SELECT COUNT(*) FROM m WHERE NOT ok) AS BIGINT)
+        |    AS n_expired,
+        |  CAST((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM m)
+        |    AS BIGINT) AS n_no_click,
+        |  CAST((SELECT COALESCE(SUM(cid), 0) FROM m WHERE ok) AS BIGINT)
+        |    AS matched_click_sum""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click").select(
+        col("user_id").as("u"), col("ts").as("t"), lit(0).as("kind"),
+        col("event_id").as("cid"), lit(null).cast("long").as("pid"))
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id").as("u"), col("ts").as("t"), lit(1).as("kind"),
+        lit(null).cast("long").as("cid"), col("event_id").as("pid"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("t"), col("kind"), col("cid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.unionAll(p)
+        .withColumn("acid", last(col("cid"), ignoreNulls = true).over(w))
+        .withColumn("act", last(when(col("kind") === 0, col("t")),
+          ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("pid"), col("acid"),
+          (unix_micros(col("t")) - unix_micros(col("act")) <=
+            1800000000L).as("ok"))
+        .agg(
+          count(when(col("acid").isNotNull && col("ok"), 1)).cast("long")
+            .as("n_matched"),
+          count(when(col("acid").isNotNull && !col("ok"), 1)).cast("long")
+            .as("n_expired"),
+          count(when(col("acid").isNull, 1)).cast("long").as("n_no_click"),
+          coalesce(sum(when(col("acid").isNotNull && col("ok"),
+            col("acid"))), lit(0L)).cast("long").as("matched_click_sum"))
+    },
+
     // Global top-k with deterministic tiebreak (§2.6 O3)
     QueryDef.sqlBacked(
       "q25_global_topk",
