@@ -51,6 +51,42 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // Behavioral diversity via EXACT Gini impurity (the rational
+    // entropy substitute — float ln would hash-drift): per user,
+    // impurity_ppm = (total² − Σcnt²)·10⁶ DIV total² over the user's
+    // event-type distribution; top-10 most diverse users with
+    // deterministic tiebreaks. Two hash aggregates (user×type, then
+    // user) + TakeOrdered — the per-user frame never exceeds |types|.
+    QueryDef.sqlBacked(
+      "q325_behavior_impurity",
+      """WITH ct AS (SELECT user_id, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, SUM(cnt) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(cnt * cnt) AS sq
+        |  FROM ct GROUP BY user_id)
+        |SELECT user_id, CAST(total AS BIGINT) AS n_events, n_types,
+        |  CAST((total * total - sq) * 1000000 // (total * total)
+        |    AS BIGINT) AS impurity_ppm
+        |FROM u
+        |ORDER BY impurity_ppm DESC, user_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_types"),
+          sum(col("cnt") * col("cnt")).as("sq"))
+        .select(col("user_id"), col("total").as("n_events"),
+          col("n_types"),
+          expr("""CAST((total * total - sq) * 1000000
+                 |  DIV (total * total) AS BIGINT)""".stripMargin)
+            .as("impurity_ppm"))
+        .orderBy(col("impurity_ppm").desc, col("user_id")).limit(10)
+    },
+
     // Sliding-window (batch form): per-user ordered event sequence with
     // time-to-previous-event — the batch projection of sessionization input.
     QueryDef.sqlBacked(
