@@ -1886,6 +1886,57 @@ object Analytics {
           max(col("cn")).as("cand_n"),
           sum(expr("num DIV den")).cast("long").as("chi2_e12"))
         .orderBy(col("lang"))
+    },
+
+    // Winsorized (clipped) revenue: order totals clamped at the exact
+    // per-priority p05/p95 ORDER STATISTICS before summing — the
+    // robust-mean preprocessing every reward/quality-score pipeline runs
+    // before averaging, so one fat-finger outlier can't move the mean.
+    // The quantiles come from operators.ExactQuantile (histogram-bracket
+    // selection: 3 bounded scans, driver state ≤ groups × buckets —
+    // NEVER a global sort, the 100 TB selection shape); clamp + sum is
+    // then one broadcast join + one aggregate. Money in integer cents
+    // end-to-end (Relational's convention); the oracle states the same
+    // rank definition (k = ceil(q·n) in integer arithmetic) via
+    // ROW_NUMBER, which this plan provably implements without sorting.
+    QueryDef.sqlBacked(
+      "q329_winsorized_mean",
+      s"""WITH o AS (SELECT o_orderpriority AS priority,
+         |    CAST(CAST(o_totalprice AS $M) * 100 AS BIGINT) AS v
+         |  FROM orders),
+         |r AS (SELECT priority, v,
+         |    ROW_NUMBER() OVER (PARTITION BY priority ORDER BY v) AS rn,
+         |    COUNT(*) OVER (PARTITION BY priority) AS n FROM o),
+         |q AS (SELECT priority, MAX(n) AS n,
+         |    MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS lo,
+         |    MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS hi
+         |  FROM r GROUP BY priority)
+         |SELECT o.priority, CAST(q.n AS BIGINT) AS n_orders,
+         |  CAST(q.lo AS BIGINT) AS p05_cents,
+         |  CAST(q.hi AS BIGINT) AS p95_cents,
+         |  CAST(SUM(GREATEST(LEAST(o.v, q.hi), q.lo)) AS BIGINT)
+         |    AS winsor_sum_cents
+         |FROM o JOIN q ON o.priority = q.priority
+         |GROUP BY 1, 2, 3, 4 ORDER BY o.priority""".stripMargin) {
+      (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          expr(s"CAST(CAST(o_totalprice AS $M) * 100 AS BIGINT)").as("v"))
+      val q = graft.operators.ExactQuantile.quantiles(
+          o, col("priority"), col("v"),
+          Seq(("p05", 5L, 100L), ("p95", 95L, 100L)))
+        .groupBy(col("g").as("priority"))
+        .agg(max(when(col("label") === "p05", col("v"))).as("lo"),
+          max(when(col("label") === "p95", col("v"))).as("hi"))
+      o.join(broadcast(q), "priority")
+        .groupBy(col("priority"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(greatest(least(col("v"), col("hi")), col("lo")))
+            .cast("long").as("winsor_sum_cents"))
+        .select(col("priority"), col("n_orders"),
+          col("lo").as("p05_cents"), col("hi").as("p95_cents"),
+          col("winsor_sum_cents"))
+        .orderBy(col("priority"))
     }
   )
 }

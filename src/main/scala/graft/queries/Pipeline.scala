@@ -1118,6 +1118,87 @@ object Pipeline {
           expr("CAST((n_docs - n_distinct) * 1000000 DIV n_docs AS BIGINT)")
             .as("dup_ppm"))
         .orderBy(col("source"))
+    },
+
+    // Train/val/test split assignment keyed by CONTENT hash, not doc_id:
+    // the split key is the normalized-text fingerprint, so
+    // byte-identical duplicates always land in the SAME split and can
+    // never leak train→test (splitting on a row id spreads a duplicated
+    // doc across splits — the classic contamination bug). Buckets are
+    // lexicographic ranges over the first fingerprint byte (hex
+    // '00'–'04' test ≈ 2%, '05'–'09' val ≈ 2%, rest train):
+    // deterministic, engine-portable, and stable under append — a new
+    // shard never reassigns existing docs. One map-side hash + one
+    // aggregate; the per-source total is a |sources|-row broadcast.
+    QueryDef.sqlBacked(
+      "q326_split_assignment",
+      """WITH a AS (SELECT source,
+        |    CASE WHEN substr(md5(lower(trim(regexp_replace(text, '\s+',
+        |        ' ', 'g')))), 1, 2) < '05' THEN 'test'
+        |      WHEN substr(md5(lower(trim(regexp_replace(text, '\s+',
+        |        ' ', 'g')))), 1, 2) < '0a' THEN 'val'
+        |      ELSE 'train' END AS split
+        |  FROM documents),
+        |c AS (SELECT source, split, COUNT(*) AS n FROM a GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.source, c.split, CAST(c.n AS BIGINT) AS n_docs,
+        |  CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+        |FROM c JOIN t ON c.source = t.source
+        |ORDER BY c.source, c.split""".stripMargin) { (s, dir) =>
+      val b2 = substring(TextOps.fingerprint(col("text")), 1, 2)
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          when(b2 < "05", "test").when(b2 < "0a", "val")
+            .otherwise("train").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(totals), "source")
+        .select(col("source"), col("split"), col("n").as("n_docs"),
+          expr("CAST(n * 1000000 DIV tot AS BIGINT)").as("share_ppm"))
+        .orderBy(col("source"), col("split"))
+    },
+
+    // Cross-source contamination matrix: byte-identical content shared
+    // between DIFFERENT sources (q316 measures duplication WITHIN a
+    // source; a mirror site shows up here, not there). Planted fixture:
+    // every 5th doc re-enters under source 'mirror'. Scale path:
+    // distinct (fingerprint, source), then ONE groupBy fingerprint
+    // collecting its ≤|sources| distinct sources and emitting ordered
+    // pairs from the array — never a fingerprint self-join, so a
+    // boilerplate fp shared by s sources emits C(s,2) pairs from one
+    // grouped row, with s bounded by the source count, not the corpus.
+    QueryDef.sqlBacked(
+      "q328_cross_source_overlap",
+      """WITH corpus AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' AS source FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |fp AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text,
+        |    '\s+', ' ', 'g')))) AS f, source FROM corpus)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.select(col("text"), col("source")).unionAll(
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("text"), lit("mirror").as("source")))
+      corpus
+        .select(TextOps.fingerprint(col("text")).as("f"), col("source"))
+        .distinct()
+        .groupBy(col("f"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(srcs, (x, i) -> transform(" +
+            "slice(srcs, i + 2, size(srcs)), y -> " +
+            "struct(x AS a, y AS b))))")).as("p"))
+        .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 }

@@ -1501,6 +1501,164 @@ object Text {
           count(when(col("pred") >= 36000, 1)).as("flagged"),
           sum(col("pred")).cast("long").as("sum_pred"))
         .orderBy(col("source"))
+    },
+
+    // PII pattern audit + redaction cost: emails and phone numbers
+    // regex-detected per source; redacted_chars prices the rewrite
+    // (length delta after deleting every match). The synthetic corpus is
+    // PII-free, so the fixture plants DETERMINISTIC PII in-query (every
+    // 13th doc an email, every 17th a phone — q316's planted-dup idiom):
+    // the detector must report nonzero exact counts both engines agree
+    // on. Patterns stay inside the RE2 ∩ java.util.regex common dialect
+    // (character classes + bounded repeats, no lookaround, no
+    // backreferences). Map-only scan + one |sources|-group aggregate —
+    // at 100 TB this is embarrassingly parallel and never shuffles rows.
+    QueryDef.sqlBacked(
+      "q327_pii_audit",
+      """WITH c AS (SELECT source,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' contact user'
+        |        || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE text END
+        |    || CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567 now'
+        |      ELSE '' END AS t FROM documents),
+        |m AS (SELECT source,
+        |    len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS np,
+        |    length(t) - length(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+        |      '\d{3}-\d{3}-\d{4}', '', 'g')) AS rc
+        |  FROM c)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE ne + np > 0) AS BIGINT)
+        |    AS docs_with_pii,
+        |  CAST(SUM(ne) AS BIGINT) AS n_email,
+        |  CAST(SUM(np) AS BIGINT) AS n_phone,
+        |  CAST(SUM(rc) AS BIGINT) AS redacted_chars
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val t = concat(
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(col("text")),
+        when(col("doc_id") % 17 === 0, lit(" call 555-123-4567 now"))
+          .otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), t.as("t"))
+        .select(col("source"),
+          regexp_count(col("t"), lit(email)).as("ne"),
+          regexp_count(col("t"), lit(phone)).as("np"),
+          (length(col("t")) - length(regexp_replace(
+            regexp_replace(col("t"), email, ""), phone, ""))).as("rc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("ne") + col("np") > 0, 1)).as("docs_with_pii"),
+          sum(col("ne")).cast("long").as("n_email"),
+          sum(col("np")).cast("long").as("n_phone"),
+          sum(col("rc")).cast("long").as("redacted_chars"))
+        .orderBy(col("source"))
+    },
+
+    // Character-set overhead screen: UTF-8 multibyte share per language
+    // — bytes vs chars on one raw scan, the cheap proxy for "is this
+    // slice really the script it claims" (a 'zh' slice that is 100%
+    // single-byte is mislabeled or transliterated). The synthetic corpus
+    // is pure ASCII, so every 11th doc gets a deterministic accented
+    // suffix (doc_id % 3 'é's) — nonzero overhead both engines must
+    // reproduce byte-for-byte. Map-only + one 5-group aggregate.
+    QueryDef.sqlBacked(
+      "q330_charset_overhead",
+      """WITH c AS (SELECT lang,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN text || repeat('é', CAST(doc_id % 3 AS INT))
+        |      ELSE text END AS t FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(octet_length(encode(t))) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(octet_length(encode(t)) - length(t)) * 1000000
+        |    // SUM(octet_length(encode(t))) AS BIGINT) AS overhead_ppm
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val t = when(col("doc_id") % 11 === 0,
+        concat(col("text"), expr("repeat('é', CAST(doc_id % 3 AS INT))")))
+        .otherwise(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), t.as("t"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("t"))).cast("long").as("n_chars"),
+          sum(expr("octet_length(t)")).cast("long").as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bytes"),
+          expr("CAST((n_bytes - n_chars) * 1000000 DIV n_bytes AS BIGINT)")
+            .as("overhead_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    // Decoding-loop artifact detector: max repetition count of any ONE
+    // 5-gram WITHIN a document. Natural text rarely repeats a 5-gram; a
+    // looping generator repeats one endlessly — every 19th doc gets a
+    // deterministic looped suffix (2 + doc_id%3 repeats, so some planted
+    // docs sit below the >=3 flag threshold and the detector must
+    // separate them). Distinct from q79 (duplicate-WORD fraction,
+    // unordered) and q313 (shingle df ACROSS documents): this is
+    // within-doc and order-sensitive. Tokens materialize as an attribute
+    // before the transform lambda (q313's element_at-over-split lesson);
+    // both aggregates are keyed by doc — no global state, no windows.
+    QueryDef.sqlBacked(
+      "q331_ngram_loop",
+      """WITH c AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 19 = 0 THEN text || repeat(
+        |        ' neon tiger drives the midnight bus',
+        |        CAST(2 + doc_id % 3 AS INT))
+        |      ELSE text END AS t FROM documents),
+        |tok AS (SELECT doc_id, source,
+        |    string_split_regex(trim(t), '\s+') AS w FROM c),
+        |g AS (SELECT doc_id, source, unnest(list_transform(
+        |    range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4])) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |rep AS (SELECT doc_id, source, MAX(cnt) AS max_rep FROM (
+        |    SELECT doc_id, source, s, COUNT(*) AS cnt FROM g
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |agg AS (SELECT source,
+        |    COUNT(*) FILTER (WHERE max_rep >= 3) AS flagged,
+        |    MAX(max_rep) AS worst FROM rep GROUP BY source),
+        |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY source)
+        |SELECT tot.source, CAST(tot.n_docs AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(agg.flagged, 0) AS BIGINT) AS flagged_docs,
+        |  CAST(COALESCE(agg.worst, 1) AS BIGINT) AS worst_rep
+        |FROM tot LEFT JOIN agg ON tot.source = agg.source
+        |ORDER BY tot.source""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 19 === 0, concat(col("text"),
+            expr("repeat(' neon tiger drives the midnight bus', " +
+              "CAST(2 + doc_id % 3 AS INT))")))
+            .otherwise(col("text")).as("t"))
+      val tok = c.select(col("doc_id"), col("source"),
+        TextOps.tokens(col("t")).as("w"))
+      val grams = tok.filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', " +
+            "w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")).as("s"))
+      val rep = grams
+        .groupBy(col("doc_id"), col("source"), col("s"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(max(col("cnt")).as("max_rep"))
+      val agg = rep.groupBy(col("source"))
+        .agg(count(when(col("max_rep") >= 3, 1)).as("flagged"),
+          max(col("max_rep")).as("worst"))
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(agg, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("flagged"), lit(0L)).cast("long").as("flagged_docs"),
+          coalesce(col("worst"), lit(1L)).cast("long").as("worst_rep"))
+        .orderBy(col("source"))
     }
   )
 }
