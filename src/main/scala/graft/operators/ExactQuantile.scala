@@ -32,6 +32,31 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
+  /** Hard ceiling on driver-held histogram cells (|groups| × buckets):
+    * the bracket walk materializes one row per non-empty (group, bucket)
+    * on the driver, so a high-cardinality group column could otherwise
+    * OOM it silently. ~32M cells ≈ a few GB of tuples — refuse loudly
+    * above that instead of dying in collect().
+    */
+  private val MaxDriverCells = 32L * 1024 * 1024
+
+  /** Refuses group columns whose cardinality would blow the driver:
+    * one exact distinct-count over the cached 2-column projection —
+    * metadata-cheap next to the three passes it protects.
+    */
+  private def guardGroups(
+      src: org.apache.spark.sql.DataFrame, buckets: Int): Unit = {
+    val nGroups = src.select("g").distinct().count()
+    if (nGroups * buckets > MaxDriverCells) {
+      src.unpersist()
+      throw new IllegalArgumentException(
+        s"ExactQuantile: $nGroups groups x $buckets buckets = " +
+          s"${nGroups * buckets} driver histogram cells exceeds the " +
+          s"$MaxDriverCells bound — reduce `buckets`, pre-aggregate the " +
+          "group column, or shard the call per group range")
+    }
+  }
+
   /** @param qs  (label, num, den) targets, rank = ceil(num·n/den)
     * @return (g, label, value) — one row per group × target
     */
@@ -51,6 +76,7 @@ object ExactQuantile {
     val src = df.select(grpCol.cast("string").as("g"),
       valCol.cast("long").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    guardGroups(src, buckets)
 
     // pass 1: one row per GROUP
     val stats = src.groupBy($"g")
@@ -132,6 +158,7 @@ object ExactQuantile {
     val src = df.select(grpCol.cast("string").as("g"),
       valCol.cast("long").as("v"), weightCol.cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    guardGroups(src, buckets)
 
     // pass 1: one row per GROUP (weight domain + value domain)
     val stats = src.groupBy($"g")

@@ -1931,8 +1931,11 @@ object Analytics {
       o.join(broadcast(q), "priority")
         .groupBy(col("priority"), col("lo"), col("hi"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(greatest(least(col("v"), col("hi")), col("lo")))
-            .cast("long").as("winsor_sum_cents"))
+          // sum in DECIMAL(38,0): Spark's long sum wraps silently on
+          // overflow while the DuckDB oracle sums into HUGEINT — the
+          // wide accumulator keeps the engines agreeing at any SF
+          sum(greatest(least(col("v"), col("hi")), col("lo"))
+            .cast("decimal(38,0)")).cast("long").as("winsor_sum_cents"))
         .select(col("priority"), col("n_orders"),
           col("lo").as("p05_cents"), col("hi").as("p95_cents"),
           col("winsor_sum_cents"))

@@ -1578,7 +1578,8 @@ object Text {
         |  CAST(SUM(length(t)) AS BIGINT) AS n_chars,
         |  CAST(SUM(octet_length(encode(t))) AS BIGINT) AS n_bytes,
         |  CAST(SUM(octet_length(encode(t)) - length(t)) * 1000000
-        |    // SUM(octet_length(encode(t))) AS BIGINT) AS overhead_ppm
+        |    // GREATEST(SUM(octet_length(encode(t))), 1) AS BIGINT)
+        |    AS overhead_ppm
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val t = when(col("doc_id") % 11 === 0,
         concat(col("text"), expr("repeat('é', CAST(doc_id % 3 AS INT))")))
@@ -1590,7 +1591,11 @@ object Text {
           sum(length(col("t"))).cast("long").as("n_chars"),
           sum(expr("octet_length(t)")).cast("long").as("n_bytes"))
         .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bytes"),
-          expr("CAST((n_bytes - n_chars) * 1000000 DIV n_bytes AS BIGINT)")
+          // GREATEST(n_bytes, 1): an all-empty lang group divides by
+          // zero — DuckDB errors on // 0 while Spark DIV yields NULL,
+          // so the degenerate group must be guarded on BOTH engines
+          expr("CAST((n_bytes - n_chars) * 1000000 " +
+            "DIV GREATEST(n_bytes, 1) AS BIGINT)")
             .as("overhead_ppm"))
         .orderBy(col("lang"))
     },
@@ -1640,6 +1645,10 @@ object Text {
             .otherwise(col("text")).as("t"))
       val tok = c.select(col("doc_id"), col("source"),
         TextOps.tokens(col("t")).as("w"))
+      // sequence(0, size(w) - 5) is safe ONLY under the >= 5 filter:
+      // Spark's sequence DESCENDS when stop < start, so without the
+      // filter short docs would emit garbage negative-index n-grams
+      // instead of failing — keep the filter and the range in sync
       val grams = tok.filter(size(col("w")) >= 5)
         .select(col("doc_id"), col("source"), explode(expr(
           "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', " +
