@@ -3046,6 +3046,74 @@ object Maintenance {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
         .withColumn("dyn_scoped", lit(if (scoped) 1L else 0L))
         .orderBy(col("grp"))
+    },
+
+    // MERGE-ON-READ UPDATE and MERGE (spark.graft.update.mode=dv): the
+    // exact q208 statement sequence, but matched old rows mark dead in
+    // KB-scale deletion-vector sidecars and replacement/insert rows
+    // APPEND — no pre-statement file is ever removed or rewritten (the
+    // boolean rides the hash). On a 100 TB table this turns the most
+    // common DML path from "rewrite every touched ~1 GB file" into
+    // "kilobytes of sidecar + one small append"; graft_reorg folds the
+    // vectors back off the hot path. RowLevelSpec pins the DV-pointer
+    // mechanics, exact CDF images, constraint validation, and the
+    // concurrent-DV-delete identity conflict.
+    QueryDef.sqlBacked(
+      "q332_merge_update_mor",
+      """WITH t AS (
+        |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 8 = 0 AND event_id % 16 <> 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT)
+        |  FROM events WHERE event_id % 16 = 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT)
+        |  FROM events WHERE event_id % 8 = 3),
+        |u AS (SELECT event_id,
+        |    cents + CASE WHEN event_id % 5 = 0 THEN 7 ELSE 0 END AS cents
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  TRUE AS zero_files_rewritten
+        |FROM u""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_src")
+      s.sql("DROP TABLE IF EXISTS gcat.default.events_mor")
+      s.sql(
+        """CREATE TABLE gcat.default.events_mor AS
+          |SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          |FROM events_src WHERE event_id % 8 = 0""".stripMargin)
+      s.sql(
+        """SELECT event_id, CAST(FLOOR(value * 200) AS BIGINT) AS cents
+          |FROM events_src
+          |WHERE event_id % 16 = 0 OR event_id % 8 = 3""".stripMargin)
+        .createOrReplaceTempView("mor_src")
+      val log = new TxnLog(s"$wh/default/events_mor",
+        s.sessionState.newHadoopConf())
+      val before = log.snapshotLatest().files.map(_.path).toSet
+      s.conf.set("spark.graft.update.mode", "dv")
+      try {
+        s.sql(
+          """MERGE INTO gcat.default.events_mor t USING mor_src s
+            |ON t.event_id = s.event_id
+            |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+            |WHEN NOT MATCHED THEN INSERT (event_id, cents)
+            |  VALUES (s.event_id, s.cents)""".stripMargin)
+        s.sql(
+          """UPDATE gcat.default.events_mor SET cents = cents + 7
+            |WHERE event_id % 5 = 0""".stripMargin)
+      } finally s.conf.unset("spark.graft.update.mode")
+      val after = log.snapshotLatest().files.map(_.path).toSet
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+          |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+          |FROM gcat.default.events_mor""".stripMargin)
+        .withColumn("zero_files_rewritten", lit(before.subsetOf(after)))
     }
   )
 }

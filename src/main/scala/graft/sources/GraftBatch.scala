@@ -75,6 +75,14 @@ private[sources] object GraftBatch {
     */
   val RowIdMetadataColumn: String = TxnLog.RowIdColumn
 
+  /** Metadata column exposing each row's RAW position in its data file
+    * (0-based, DV kills NOT renumbered — the same identity the deletion-
+    * vector sidecars key on). With [[FileMetadataColumn]] this pair is
+    * the row id of the DELTA (merge-on-read) row-level operation: a
+    * matched row's (file, pos) is exactly the handle a DV marks dead.
+    */
+  val PosMetadataColumn = "_graft_pos"
+
   /** The snapshot a scan binds to: resolved once, on the driver. */
   final case class Resolved(
       tablePath: String,
@@ -325,30 +333,58 @@ private[sources] class GraftBatchTable(
           org.apache.spark.sql.types.LongType
         // NULL only for files written before row tracking existed
         override def isNullable: Boolean = true
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftBatch.PosMetadataColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
       })
 
   /** SQL `MERGE INTO` / `UPDATE` (and predicate DELETEs SupportsDelete
-    * refuses): group-based copy-on-write — see [[GraftRowLevelOperation]].
+    * refuses). Two physical strategies behind one statement (the same
+    * toggle shape as [[deleteWhere]]):
+    *  - `cow` (default): group-based copy-on-write — every file group
+    *    containing a match rewrites (see [[GraftRowLevelOperation]]);
+    *  - `dv` (`spark.graft.update.mode=dv` for UPDATE/MERGE,
+    *    `spark.graft.delete.mode=dv` for the rewrite-path DELETE):
+    *    delta-based merge-on-read — matched rows mark dead in a
+    *    KB-scale deletion-vector sidecar and replacement/insert rows
+    *    APPEND; no touched file rewrites (see
+    *    [[GraftDeltaRowLevelOperation]]).
     * CHECK constraints and generated columns are enforced over the
-    * replacement rows before the commit (same one-pass rules as the
-    * append path). Column-mapped tables still refuse: the rewrite
-    * writer emits logical field names, which a mapped table's files
-    * must not contain.
+    * new rows before the commit on BOTH paths (same one-pass rules as
+    * the append path). Column-mapped tables still refuse: the writers
+    * emit logical field names, which a mapped table's files must not
+    * contain.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     val path = properties("tablePath")
-    val snap = new TxnLog(path, org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()).snapshotLatest()
+    val spark = org.apache.spark.sql.SparkSession.active
+    val snap = new TxnLog(path,
+      spark.sessionState.newHadoopConf()).snapshotLatest()
     snap.metadata.foreach { m =>
       if (m.columnMapping.nonEmpty)
         throw new UnsupportedOperationException(
           s"row-level ${info.command()} on a table with column mapping " +
             s"is not supported ($path)")
     }
-    () => new GraftRowLevelOperation(info.command(), properties,
-      partitionColumns)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val modeKey = info.command() match {
+      case Command.DELETE => "spark.graft.delete.mode"
+      case _ => "spark.graft.update.mode"
+    }
+    val useDv = spark.conf.getOption(modeKey)
+      .exists(_.equalsIgnoreCase("dv"))
+    () =>
+      if (useDv)
+        new GraftDeltaRowLevelOperation(info.command(), properties,
+          partitionColumns)
+      else
+        new GraftRowLevelOperation(info.command(), properties,
+          partitionColumns)
   }
 
   /** `DELETE FROM` / `TRUNCATE TABLE`: the pushed filters become the
@@ -674,7 +710,7 @@ private[sources] class GraftBatchScanBuilder(
           if (groupCols.isEmpty) Seq((Nil, resolved.files))
           else resolved.files
             .groupBy(f => groupCols.map(f.partitionValues(_)))
-            .toSeq.sortBy(_._1.mkString(" "))
+            .toSeq.sortBy(_._1.mkString("\u0000"))
         // contract: group-by columns first, then aggregate columns
         val fields = Array.newBuilder[StructField]
         gFields.foreach(f =>
@@ -1410,7 +1446,12 @@ private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
             GroupRows.extract(current, fileSchema.getFieldIndex(f.name),
               org.apache.spark.sql.types.LongType)
           else p.baseRowId.map(b => java.lang.Long.valueOf(b + rowIdx)).orNull
-        } else if (p.partitionValues.contains(f.name))
+        } else if (f.name == GraftBatch.PosMetadataColumn)
+          // raw position in file (DV skips never renumber): with the
+          // file name this is the delta row-level operation's row id —
+          // exactly the handle a deletion-vector sidecar marks dead
+          java.lang.Long.valueOf(rowIdx)
+        else if (p.partitionValues.contains(f.name))
           GroupRows.castPartitionValue(p.partitionValues(f.name), f.dataType)
         else if (!fileSchema.containsField(f.name)) null // schema evolution
         else {

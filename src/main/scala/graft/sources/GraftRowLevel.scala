@@ -66,6 +66,81 @@ private[sources] class GraftRowLevelOperation(
     Array(Expressions.column(GraftBatch.FileMetadataColumn))
 }
 
+/** Shared machinery of the two row-level writes (group-based
+  * copy-on-write [[GraftRowLevelBatchWrite]] and delta-based
+  * merge-on-read [[GraftDeltaBatchWrite]]): staged-file cleanup, the
+  * one-pass replacement validation, and the concurrent-append conflict
+  * probe — the rules are identical, only what gets committed differs.
+  */
+private[sources] object GraftRowLevelOps {
+
+  def dropFiles(
+      tablePath: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      adds: Seq[AddFile]): Unit = {
+    val fs = new Path(tablePath).getFileSystem(conf)
+    adds.foreach(a =>
+      try fs.delete(new Path(TxnLog.dataPath(tablePath, a.path)), false)
+      catch { case _: Throwable => () })
+  }
+
+  /** One-pass validation of staged replacement/insert rows: read them
+    * back with the DECLARED schema and enforce CHECK constraints plus
+    * generated-column agreement — the same rules the append path runs.
+    * The rewrite plan supplies every column, so generated columns are
+    * VALIDATED (a value disagreeing with its GENERATED ALWAYS AS
+    * expression fails the statement) rather than recomputed. Drops the
+    * staged files before rethrowing.
+    */
+  def validateReplacement(
+      tablePath: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      adds: Seq[AddFile],
+      log: TxnLog): Unit = {
+    if (adds.isEmpty) return
+    val meta = log.snapshotLatest().metadata.getOrElse(return)
+    val genChecks = meta.generatedColumns.toSeq.map { case (c, e) =>
+      s"`$c` <=> ($e)"
+    }
+    if (meta.constraints.isEmpty && genChecks.isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val staged = spark.read.schema(declared)
+      .option("basePath", tablePath)
+      .parquet(adds.map(a => TxnLog.dataPath(tablePath, a.path)): _*)
+    try TableWriter.enforceConstraints(
+      staged, meta.constraints ++ genChecks, tablePath)
+    catch { case t: Throwable => dropFiles(tablePath, conf, adds); throw t }
+  }
+
+  /** Concurrently appended files that may have matched the operation's
+    * read: stats overlap against the pushed predicate ranges; with no
+    * pushable predicate the read was effectively full-table (a MERGE
+    * join), so ANY genuinely new dataChange file conflicts.
+    */
+  def matchingConcurrentAppends(
+      log: TxnLog,
+      scan: GraftBatchScan,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Seq[AddFile] = {
+    val resolved = scan.boundResolved
+    val boundPaths = resolved.files.map(_.path).toSet
+    val appended = log.versions().filter(_ > scan.boundVersion)
+      .flatMap(v => log.read(v))
+      .collect {
+        case a: AddFile if a.dataChange && !boundPaths.contains(a.path) => a
+      }
+    val ranges = pushed.flatMap(GraftBatch.rangesOf).toSeq
+    if (appended.isEmpty) Seq.empty
+    else if (ranges.isEmpty) appended
+    else DataSkipping.pruneFilesAll(appended,
+      ColumnMapping.physicalSchema(resolved.schema, resolved.mapping),
+      ranges.map { case (c, lo, hi) =>
+        (ColumnMapping.physicalName(c, resolved.mapping), lo, hi)
+      })
+  }
+}
+
 /** The replacing write: task writers reuse the streaming sink's
   * parquet writer (hive layout, attempt-unique names, footer stats);
   * the driver validates the replacement rows against the table's
@@ -103,38 +178,8 @@ private[sources] class GraftRowLevelBatchWrite(
     GraftRowLevelWriterFactory(tablePath, writeSchema.json, partCols, serConf)
   }
 
-  private def dropFiles(adds: Seq[AddFile]): Unit = {
-    val fs = new Path(tablePath).getFileSystem(conf)
-    adds.foreach(a =>
-      try fs.delete(new Path(TxnLog.dataPath(tablePath, a.path)), false)
-      catch { case _: Throwable => () })
-  }
-
-  /** One-pass validation of the replacement rows: read the staged (not
-    * yet committed, so invisible to other readers) files back with the
-    * DECLARED schema and enforce CHECK constraints plus generated-column
-    * agreement — the same rules the append path runs. The rewrite plan
-    * supplies every column, so generated columns are VALIDATED (a value
-    * disagreeing with its GENERATED ALWAYS AS expression fails the
-    * statement) rather than recomputed.
-    */
-  private def validateReplacement(adds: Seq[AddFile], log: TxnLog): Unit = {
-    if (adds.isEmpty) return
-    val meta = log.snapshotLatest().metadata.getOrElse(return)
-    val genChecks = meta.generatedColumns.toSeq.map { case (c, e) =>
-      s"`$c` <=> ($e)"
-    }
-    if (meta.constraints.isEmpty && genChecks.isEmpty) return
-    val spark = org.apache.spark.sql.SparkSession.active
-    val declared = org.apache.spark.sql.types.DataType
-      .fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val staged = spark.read.schema(declared)
-      .option("basePath", tablePath)
-      .parquet(adds.map(a => TxnLog.dataPath(tablePath, a.path)): _*)
-    try TableWriter.enforceConstraints(
-      staged, meta.constraints ++ genChecks, tablePath)
-    catch { case t: Throwable => dropFiles(adds); throw t }
-  }
+  private def dropFiles(adds: Seq[AddFile]): Unit =
+    GraftRowLevelOps.dropFiles(tablePath, conf, adds)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.flatMap {
@@ -144,7 +189,7 @@ private[sources] class GraftRowLevelBatchWrite(
     val scan = boundScan()
     val removes = scan.map(_.kept).getOrElse(Seq.empty)
     val log = new TxnLog(tablePath, conf)
-    validateReplacement(adds, log)
+    GraftRowLevelOps.validateReplacement(tablePath, conf, adds, log)
     val ts = System.currentTimeMillis()
     var attempt = 0
     while (true) {
@@ -168,22 +213,8 @@ private[sources] class GraftRowLevelBatchWrite(
       // pushable predicate the read was effectively full-table (MERGE
       // join), so ANY genuinely new file conflicts
       scan.foreach { sc =>
-        val resolved = sc.boundResolved
-        val boundPaths = resolved.files.map(_.path).toSet
-        val appended = log.versions().filter(_ > sc.boundVersion)
-          .flatMap(v => log.read(v))
-          .collect {
-            case a: AddFile if a.dataChange && !boundPaths.contains(a.path) => a
-          }
-        val ranges = pushedFilters().flatMap(GraftBatch.rangesOf).toSeq
-        val matching =
-          if (appended.isEmpty) Seq.empty
-          else if (ranges.isEmpty) appended
-          else DataSkipping.pruneFilesAll(appended,
-            ColumnMapping.physicalSchema(resolved.schema, resolved.mapping),
-            ranges.map { case (c, lo, hi) =>
-              (ColumnMapping.physicalName(c, resolved.mapping), lo, hi)
-            })
+        val matching = GraftRowLevelOps.matchingConcurrentAppends(
+          log, sc, pushedFilters())
         if (matching.nonEmpty) {
           dropFiles(adds)
           throw new IllegalStateException(

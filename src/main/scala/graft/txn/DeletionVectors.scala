@@ -219,6 +219,52 @@ object DeletionVectors {
       live => live.join(keys.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi"))
 
+  /** Existing valid dead rows of `files` under their CURRENT pointers,
+    * as (file_name, row_index, deleted_at) — what a new vector for the
+    * same files must carry forward (pointers replace, never chain).
+    * None when no file carries a vector.
+    */
+  private[graft] def carriedRows(
+      spark: SparkSession,
+      tablePath: String,
+      files: Seq[AddFile]): Option[DataFrame] =
+    dvRows(spark, tablePath, files.filter(_.dv.isDefined))
+      .map(_.select(col("_dv_fn").as("file_name"),
+        col("_dv_ri").as("row_index"), col("deleted_at")))
+
+  /** Write `allRows` (file_name, row_index, deleted_at) as version
+    * `version`'s deletion-vector directory (staged, then renamed into
+    * place) and return the table-relative pointer the re-committed
+    * AddFiles must carry. The caller folds the pointer into its OWN
+    * commit; an uncommitted directory is invisible (vacuum sweeps it).
+    */
+  private[graft] def stageVector(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      allRows: DataFrame): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rel = dvDir(version)
+    val staging = new Path(tablePath, s".staging-dv-$version")
+    val fs = staging.getFileSystem(conf)
+    fs.delete(staging, true)
+    allRows.write.mode("overwrite").parquet(staging.toString)
+    val dest = new Path(tablePath, rel)
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, true)
+    if (!fs.rename(staging, dest))
+      throw new IllegalStateException(s"rename failed: $dest")
+    rel
+  }
+
+  /** Drop an UNCOMMITTED staged vector dir (commit-retry cleanup). */
+  private[graft] def dropVector(
+      spark: SparkSession, tablePath: String, rel: String): Unit = {
+    val p = new Path(tablePath, rel)
+    try p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    catch { case _: Throwable => () }
+  }
+
   private def deleteRows(
       spark: SparkSession,
       tablePath: String,
@@ -255,21 +301,9 @@ object DeletionVectors {
       .filter(f => affectedNames.contains(new Path(f.path).getName))
     // union the affected files' EXISTING dead rows into the new vector
     // (pointers replace, never chain), keeping original deleted_at
-    val carried = dvRows(spark, tablePath, affected.filter(_.dv.isDefined))
-      .map(_.select(col("_dv_fn").as("file_name"),
-        col("_dv_ri").as("row_index"), col("deleted_at")))
+    val carried = carriedRows(spark, tablePath, affected)
     val allRows = carried.fold(matched)(matched.unionByName(_))
-
-    val rel = dvDir(version)
-    val staging = new Path(tablePath, s".staging-dv-$version")
-    val fs = staging.getFileSystem(conf)
-    fs.delete(staging, true)
-    allRows.write.mode("overwrite").parquet(staging.toString)
-    val dest = new Path(tablePath, rel)
-    fs.mkdirs(dest.getParent)
-    fs.delete(dest, true)
-    if (!fs.rename(staging, dest))
-      throw new IllegalStateException(s"rename failed: $dest")
+    val rel = stageVector(spark, tablePath, version, allRows)
 
     val removes = affected.map(f =>
       RemoveFile(f.path, commitTs, f.partitionValues))

@@ -294,6 +294,180 @@ class RowLevelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("appended concurrently"), e.getMessage)
   }
 
+  // ---- delta-based merge-on-read (spark.graft.update.mode=dv) ----
+
+  private def dvMode[A](body: => A): A = {
+    spark.conf.set("spark.graft.update.mode", "dv")
+    try body finally spark.conf.unset("spark.graft.update.mode")
+  }
+
+  test("dv-mode UPDATE marks old rows dead and appends — zero rewrites") {
+    freshTable("mu1")
+    val before = log("mu1").snapshotLatest().files
+    val vBefore = log("mu1").latestVersion().get
+    dvMode {
+      spark.sql("UPDATE grl.default.mu1 SET v = v + 1 WHERE id = 2")
+    }
+    assert(log("mu1").latestVersion().get == vBefore + 1,
+      "one UPDATE = one commit")
+    val after = log("mu1").snapshotLatest().files
+    assert(before.map(_.path).toSet.subsetOf(after.map(_.path).toSet),
+      "dv-mode UPDATE must not remove or rewrite any pre-statement file")
+    val touched = after.filter(_.dv.isDefined)
+    assert(touched.nonEmpty, "the matched file must gain a DV pointer")
+    assert(after.map(_.path).toSet.size == before.size + 1,
+      "exactly one appended update-image file")
+    val rows = spark.sql("SELECT id, v FROM grl.default.mu1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 21L), (3L, 30L),
+      (11L, 110L), (12L, 120L), (13L, 130L)))
+  }
+
+  test("dv-mode MERGE: matched update + insert, one commit, zero rewrites") {
+    freshTable("mm1")
+    spark.sql(
+      """SELECT * FROM VALUES (2, 'a', 200), (99, 'b', 990)
+        |AS s(id, bucket, v)""".stripMargin)
+      .createOrReplaceTempView("mm1_src")
+    val before = log("mm1").snapshotLatest().files.map(_.path).toSet
+    val vBefore = log("mm1").latestVersion().get
+    dvMode {
+      spark.sql(
+        """MERGE INTO grl.default.mm1 t USING mm1_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, bucket, v)
+          |  VALUES (s.id, s.bucket, CAST(s.v AS BIGINT))""".stripMargin)
+    }
+    assert(log("mm1").latestVersion().get == vBefore + 1)
+    val after = log("mm1").snapshotLatest().files
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "no pre-statement file may be removed")
+    val rows = spark.sql("SELECT id, v FROM grl.default.mm1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 200L), (3L, 30L),
+      (11L, 110L), (12L, 120L), (13L, 130L), (99L, 990L)))
+  }
+
+  test("dv-mode MERGE WHEN MATCHED DELETE + NOT MATCHED BY SOURCE") {
+    freshTable("mm2")
+    spark.sql(
+      """SELECT * FROM VALUES (1, 'a', 0), (99, 'b', 990)
+        |AS s(id, bucket, v)""".stripMargin)
+      .createOrReplaceTempView("mm2_src")
+    dvMode {
+      spark.sql(
+        """MERGE INTO grl.default.mm2 t USING mm2_src s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT (id, bucket, v)
+          |  VALUES (s.id, s.bucket, CAST(s.v AS BIGINT))
+          |WHEN NOT MATCHED BY SOURCE AND t.id > 12 THEN DELETE""".stripMargin)
+    }
+    val ids = spark.sql("SELECT id FROM grl.default.mm2 ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(2L, 3L, 11L, 12L, 99L))
+  }
+
+  test("dv-mode UPDATE stages exact CDF images") {
+    wh
+    val path = s"$wh/default/mcdf"
+    spark.sql("DROP TABLE IF EXISTS grl.default.mcdf")
+    spark.sql(
+      """CREATE TABLE grl.default.mcdf (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.enableChangeDataFeed'='true')""".stripMargin)
+    spark.sql("INSERT INTO grl.default.mcdf VALUES (1, 10), (2, 20), (3, 30)")
+    val vBefore = log("mcdf").latestVersion().get
+    dvMode {
+      spark.sql("UPDATE grl.default.mcdf SET v = v * 100 WHERE id = 2")
+    }
+    val changes = ChangeDataFeed.tableChanges(spark, path, vBefore + 1)
+      .select("id", "v", ChangeDataFeed.TypeCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(changes == Set(
+      (2L, 20L, ChangeDataFeed.UpdatePre),
+      (2L, 2000L, ChangeDataFeed.UpdatePost)), changes)
+  }
+
+  test("dv-mode MERGE CDF: preimage/postimage/insert/delete classified") {
+    wh
+    val path = s"$wh/default/mcdf2"
+    spark.sql("DROP TABLE IF EXISTS grl.default.mcdf2")
+    spark.sql(
+      """CREATE TABLE grl.default.mcdf2 (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.enableChangeDataFeed'='true')""".stripMargin)
+    spark.sql("INSERT INTO grl.default.mcdf2 VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(
+      """SELECT * FROM VALUES (2, 200), (3, -1), (9, 900) AS s(id, v)
+        |""".stripMargin).createOrReplaceTempView("mcdf2_src")
+    val vBefore = log("mcdf2").latestVersion().get
+    dvMode {
+      spark.sql(
+        """MERGE INTO grl.default.mcdf2 t USING mcdf2_src s ON t.id = s.id
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v)
+          |  VALUES (s.id, CAST(s.v AS BIGINT))""".stripMargin)
+    }
+    val changes = ChangeDataFeed.tableChanges(spark, path, vBefore + 1)
+      .select("id", "v", ChangeDataFeed.TypeCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(changes == Set(
+      (2L, 20L, ChangeDataFeed.UpdatePre),
+      (2L, 200L, ChangeDataFeed.UpdatePost),
+      (3L, 30L, ChangeDataFeed.Delete),
+      (9L, 900L, ChangeDataFeed.Insert)), changes)
+  }
+
+  test("dv-mode UPDATE validates CHECK constraints before committing") {
+    freshTable("mc1")
+    TableWriter.addConstraint(spark, s"$wh/default/mc1", "v >= 0",
+      log("mc1").latestVersion().get + 1, System.currentTimeMillis())
+    val vBefore = log("mc1").latestVersion().get
+    val e = intercept[Throwable] {
+      dvMode {
+        spark.sql("UPDATE grl.default.mc1 SET v = -5 WHERE id = 2")
+      }
+    }
+    assert(rootMessages(e).exists(m =>
+      m.toLowerCase.contains("check constraint")), s"wrong failure: $e")
+    assert(log("mc1").latestVersion().get == vBefore, "nothing may commit")
+    assert(spark.sql("SELECT v FROM grl.default.mc1 WHERE id = 2")
+      .head().getLong(0) == 20L)
+  }
+
+  test("delta commit conflicts with a concurrent DV delete by identity") {
+    freshTable("mcv1")
+    val path = s"$wh/default/mcv1"
+    val scan = new GraftBatchScanBuilder(
+      GraftBatch.resolve(Map("tablePath" -> path)))
+      .build().asInstanceOf[GraftBatchScan]
+    val dataSchema = org.apache.spark.sql.types.StructType(Seq())
+    val write = new GraftDeltaBatchWrite(path, dataSchema, Seq("bucket"),
+      () => Some(scan), () => Array.empty, "UPDATE")
+    // a real task writer stages a dead handle against the file id=2
+    // lives in (bound BEFORE the concurrent delete)
+    val target = log("mcv1").snapshotLatest().files
+      .find(_.partitionValues.get("bucket").contains("a")).get
+    val fileName = new org.apache.hadoop.fs.Path(target.path).getName
+    val w = new GraftDeltaDataWriter(path, dataSchema, Seq.empty,
+      write.stagingRel, spark.sessionState.newHadoopConf(), 0, 0L)
+    val id = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"$path/${target.path}"), 1L))
+    w.delete(null, id)
+    val msg = w.commit()
+    // concurrent DV delete: same path stays live, pointer changes
+    DeletionVectors.deleteMatching(spark, path,
+      spark.sql("SELECT CAST(3 AS BIGINT) AS id"), Seq("id"),
+      log("mcv1").latestVersion().get + 1, System.currentTimeMillis())
+    val e = intercept[IllegalStateException] {
+      write.commit(Array(msg))
+    }
+    assert(e.getMessage.contains("changed or vanished"), e.getMessage)
+    assert(fileName.nonEmpty)
+  }
+
   test("concurrent append outside the pushed predicate ranges commutes") {
     freshTable("cv3")
     val path = s"$wh/default/cv3"
