@@ -196,10 +196,14 @@ object GraftExtensions {
               .map(longLitOf(_, "graft_snapshot")))
             .queryExecution.logical
         }),
-      // PROCEDURE-style TVFs (the Iceberg CALL idea expressed as table
-      // functions, like Delta's OPTIMIZE/VACUUM commands): the
-      // maintenance action runs when the function is PLANNED — also
-      // under EXPLAIN — and the returned relation is its metrics row.
+      // PROCEDURE-style TVFs — DEPRECATED ALIASES of the real
+      // procedures (`CALL <catalog>.system.optimize(...)` via
+      // graft.sources.GraftProcedures): the TVF form runs its side
+      // effect when the function is PLANNED — also under EXPLAIN —
+      // which CALL fixes (ExecutableDuringAnalysis stages for EXPLAIN
+      // without invoking). Kept for path-only sessions with no
+      // catalog registered; both surfaces delegate to the same
+      // TableWriter/TxnLog entry points.
       ("graft_optimize",
         info("graft_optimize",
           "graft_optimize(tablePath[, maxFileMB[, zorderCols]]) - " +

@@ -3114,6 +3114,44 @@ object Maintenance {
           |  CAST(SUM(event_id) AS BIGINT) AS id_sum
           |FROM gcat.default.events_mor""".stripMargin)
         .withColumn("zero_files_rewritten", lit(before.subsetOf(after)))
+    },
+
+    // Maintenance at EXECUTION time: CALL gcat.system.optimize via
+    // Spark 4's ProcedureCatalog. The TVF aliases run their side
+    // effects at PLAN time (EXPLAIN would vacuum — the documented
+    // caveat); Call implements ExecutableDuringAnalysis, so EXPLAIN
+    // stages without invoking (ProcedureSpec pins that) and the body
+    // runs exactly once per executed statement. The row certifies the
+    // CALL path end-to-end: metrics row consumed, compaction landed
+    // (files_after < files_before rides the hash as a boolean), state
+    // byte-identical to the oracle's recompute.
+    QueryDef.sqlBacked(
+      "q333_call_optimize",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  TRUE AS compacted
+        |FROM lineitem WHERE l_orderkey % 23 = 0""".stripMargin) { (s, dir) =>
+      val wh = s"target/fixtures/wh_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = s"$wh/default/li_callopt"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TableWriter.write(s,
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 23 === 0)
+          .select(col("l_orderkey"), col("l_quantity")).repartition(8),
+        path, version = 0L, commitTs = 1000L)
+      val m = s.sql("CALL gcat.system.optimize(table => 'default.li_callopt')")
+        .collect().head
+      val compacted = m.getLong(1) == 8L && m.getLong(2) < 8L &&
+        new TxnLog(path, conf).snapshotLatest().files.size == m.getLong(2)
+      s.read.format("graft").option("tablePath", path).load()
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .withColumn("compacted", lit(compacted))
     }
   )
 }

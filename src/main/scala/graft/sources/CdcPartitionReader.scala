@@ -66,37 +66,11 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
     * the set is every dead row (skip them); in "dead" mode it is the rows
     * that died at exactly dvVersion (emit only them, as op='d').
     */
-  private lazy val dvSet: java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    if (p.dvMode != "none") {
-      val fileName = new org.apache.hadoop.fs.Path(p.filePath).getName
-      val dir = new org.apache.hadoop.fs.Path(p.dvDir)
-      val fs = dir.getFileSystem(p.conf.value)
-      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          val r = ParquetReader
-            .builder(new GroupReadSupport(), st.getPath)
-            .withConf(p.conf.value)
-            .build()
-          try {
-            var g = r.read()
-            while (g != null) {
-              val t = g.getType
-              if (g.getString(t.getFieldIndex("file_name"), 0) == fileName) {
-                val keep = p.dvMode match {
-                  case "live" => true
-                  case _ => g.getLong(t.getFieldIndex("deleted_at"), 0) ==
-                    p.dvVersion
-                }
-                if (keep) set.add(g.getLong(t.getFieldIndex("row_index"), 0))
-              }
-              g = r.read()
-            }
-          } finally r.close()
-        }
-    }
-    set
-  }
+  private lazy val dvSet: org.roaringbitmap.longlong.Roaring64Bitmap =
+    if (p.dvMode == "none") new org.roaringbitmap.longlong.Roaring64Bitmap()
+    else graft.txn.DeletionVectors.deadPositions(p.dvDir, p.conf.value,
+      new org.apache.hadoop.fs.Path(p.filePath).getName,
+      keep = if (p.dvMode == "live") _ => true else _ == p.dvVersion)
 
   override def next(): Boolean = {
     // mid-file resume bounds: yield only rows in [skipRows, untilRow) —

@@ -1381,35 +1381,14 @@ private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
   private var rowIdx: Long = -1L
   private var emitted: Long = 0L
 
-  /** Dead row positions of this file (whole sidecar rows are keyed by
-    * file name; the sidecar is small by design — dead rows, not file
-    * rows).
+  /** Dead row positions of this file as ONE roaring bitmap — bounded
+    * memory however wide the vector (bitmap sidecars fold by OR; legacy
+    * row-per-dead-row sidecars add position-by-position).
     */
-  private lazy val dvSet: java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    if (p.dvDir.nonEmpty) {
-      val fileName = new org.apache.hadoop.fs.Path(p.filePath).getName
-      val dir = new org.apache.hadoop.fs.Path(p.dvDir)
-      val fs = dir.getFileSystem(p.conf.value)
-      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          val r = ParquetReader
-            .builder(new GroupReadSupport(), st.getPath)
-            .withConf(p.conf.value)
-            .build()
-          try {
-            var g = r.read()
-            while (g != null) {
-              val t = g.getType
-              if (g.getString(t.getFieldIndex("file_name"), 0) == fileName)
-                set.add(g.getLong(t.getFieldIndex("row_index"), 0))
-              g = r.read()
-            }
-          } finally r.close()
-        }
-    }
-    set
-  }
+  private lazy val dvSet: org.roaringbitmap.longlong.Roaring64Bitmap =
+    if (p.dvDir.isEmpty) new org.roaringbitmap.longlong.Roaring64Bitmap()
+    else graft.txn.DeletionVectors.deadPositions(p.dvDir, p.conf.value,
+      new org.apache.hadoop.fs.Path(p.filePath).getName)
 
   override def next(): Boolean = {
     if (p.limit >= 0 && emitted >= p.limit) return false

@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
   * apply to SQL writers for free.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with StagingTableCatalog {
+  with StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -42,6 +43,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** Maintenance procedures at EXECUTION time (`CALL
+    * gcat.system.optimize(...)`): Spark's Call plan stages for EXPLAIN
+    * without invoking, closing the TVFs' plan-time side-effect caveat.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(warehouse, namespace)
 
   /** SQL CHECK constraints (`CREATE TABLE ... CHECK`, `ALTER TABLE
     * ADD/DROP CONSTRAINT`) and generated columns (`GENERATED ALWAYS

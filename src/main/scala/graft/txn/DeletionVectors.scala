@@ -33,24 +33,130 @@ object DeletionVectors {
   /** Relative DV directory for a delete commit. */
   def dvDir(version: Long): String = f"_dv/dv-$version%020d"
 
-  /** One read per vector dir, tagged `_dv_src` with the EXACT pointer
-    * string the AddFile carries: pointers may be table-relative (own
+  /** Sidecar encodings. Vectors written since round 12 are ROARING
+    * BITMAPS: one parquet row per (file_name, deleted_at) pair holding
+    * the dead positions as a serialized Roaring64Bitmap plus its
+    * cardinality — a 10⁸-row delete is one compressed-bitmap row, not
+    * 10⁸ parquet rows, and readers hold ONE bitmap per file (bounded
+    * memory) instead of a hash set of boxed longs. Row-granular
+    * `deleted_at` survives exactly where the CDC needs it: per-version
+    * bitmaps, since a row's kill version keys the op='d' replay.
+    * LEGACY dirs (rounds 4–11: one row per dead row) read forever —
+    * format is detected per directory from the parquet schema.
+    */
+  private[graft] def serializeBitmap(
+      bm: org.roaringbitmap.longlong.Roaring64Bitmap): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  private[graft] def deserializeBitmap(
+      bytes: Array[Byte]): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    bm.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  /** One read per vector dir NORMALIZED to the bitmap shape
+    * `(file_name, deleted_at, n_rows, bitmap, _dv_src)` — legacy
+    * row-per-dead-row dirs surface n_rows=1 and a null bitmap with
+    * their row_index kept aside; `_dv_src` carries the EXACT pointer
+    * string the AddFile holds: pointers may be table-relative (own
     * deletes) or absolute (shallow-clone-imported source vectors), and
     * a clone can hold both a local `_dv/dv-N` and a source `/…/_dv/dv-N`
     * whose suffixes collide — tagging by pointer, not by a path regexp,
-    * keys every validity join unambiguously. Sidecars are KB-scale; the
-    * per-dir reads are metadata-cheap. The SHARED loader behind
-    * [[dvRows]], [[SnapshotReader.statsCount]], and the CDC
-    * DV-transition reader — pointer-resolution fixes land once.
+    * keys every validity join unambiguously.
     */
-  private[graft] def readDvDirs(
+  private def readDvDirsRaw(
       spark: SparkSession,
       tablePath: String,
       dirs: Seq[String]): DataFrame =
     dirs.map { d =>
-      spark.read.parquet(TxnLog.dataPath(tablePath, d))
-        .withColumn("_dv_src", lit(d))
+      val raw = spark.read.parquet(TxnLog.dataPath(tablePath, d))
+      val norm =
+        if (raw.columns.contains("bitmap"))
+          raw.select(col("file_name"), col("deleted_at"), col("n_rows"),
+            col("bitmap"), lit(null).cast("long").as("row_index"))
+        else
+          raw.select(col("file_name"), col("deleted_at"),
+            lit(1L).as("n_rows"),
+            lit(null).cast("binary").as("bitmap"), col("row_index"))
+      norm.withColumn("_dv_src", lit(d))
     }.reduce(_ unionByName _)
+
+  /** The ROW-EXPANDED view `(file_name, row_index, deleted_at,
+    * _dv_src)` of the given vector dirs — bitmap rows unpack through a
+    * LAZY iterator (flatMap never materializes a whole dead set), so a
+    * wide vector streams. The SHARED loader behind [[dvRows]],
+    * [[SnapshotReader.statsCount]], and the CDC DV-transition reader —
+    * pointer-resolution fixes land once.
+    */
+  private[graft] def readDvDirs(
+      spark: SparkSession,
+      tablePath: String,
+      dirs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val raw = readDvDirsRaw(spark, tablePath, dirs)
+    val legacy = raw.filter(col("bitmap").isNull)
+      .select(col("file_name"), col("row_index"), col("deleted_at"),
+        col("_dv_src"))
+    val packed = raw.filter(col("bitmap").isNotNull)
+      .select(col("file_name"), col("deleted_at"), col("bitmap"),
+        col("_dv_src"))
+      .as[(String, Long, Array[Byte], String)]
+      .flatMap { case (f, d, b, src) =>
+        val it = deserializeBitmap(b).getLongIterator
+        new Iterator[(String, Long, Long, String)] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (String, Long, Long, String) =
+            (f, it.next(), d, src)
+        }
+      }
+      .toDF("file_name", "row_index", "deleted_at", "_dv_src")
+    legacy.unionByName(packed)
+  }
+
+  /** EXECUTOR-side sidecar fold (plain parquet-mr, no SparkSession):
+    * the dead positions of `fileName` across every part of `dvDirPath`,
+    * restricted to kill versions passing `keep`. Returns ONE
+    * Roaring64Bitmap — the streaming/batch readers' bounded-memory
+    * application path: a 10⁸-row vector folds as compressed bitmap ORs,
+    * never a hash set of boxed longs. Handles both encodings.
+    */
+  private[graft] def deadPositions(
+      dvDirPath: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      fileName: String,
+      keep: Long => Boolean = _ => true)
+      : org.roaringbitmap.longlong.Roaring64Bitmap = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    val dir = new Path(dvDirPath)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            val t = g.getType
+            if (g.getString(t.getFieldIndex("file_name"), 0) == fileName &&
+                keep(g.getLong(t.getFieldIndex("deleted_at"), 0))) {
+              if (t.containsField("bitmap"))
+                out.or(deserializeBitmap(
+                  g.getBinary(t.getFieldIndex("bitmap"), 0).getBytes))
+              else out.addLong(g.getLong(t.getFieldIndex("row_index"), 0))
+            }
+            g = r.read()
+          }
+        } finally r.close()
+      }
+    out
+  }
 
   private def declaredSchema(snap: Snapshot): Option[StructType] =
     snap.metadata.map(m =>
@@ -91,14 +197,21 @@ object DeletionVectors {
       tablePath: String,
       files: Seq[AddFile]): DataFrame = {
     import spark.implicits._
-    dvRows(spark, tablePath, files) match {
-      case Some(rows) =>
-        rows.groupBy(col("_dv_fn").as("file_name"))
-          .agg(count(lit(1)).as("n_deleted"))
-          .select(col("file_name"), col("n_deleted"))
-      case None =>
-        Seq.empty[(String, Long)].toDF("file_name", "n_deleted")
-    }
+    val withDv = files.filter(_.dv.isDefined)
+    if (withDv.isEmpty)
+      return Seq.empty[(String, Long)].toDF("file_name", "n_deleted")
+    // counts come straight from the sidecars' n_rows (bitmap rows carry
+    // their cardinality; legacy rows normalize to 1) — a wide vector is
+    // never expanded just to be counted
+    val pointer = withDv
+      .map(f => (new Path(f.path).getName, f.dv.get)).toDF("file_name", "dv")
+    val raw = readDvDirsRaw(spark, tablePath, withDv.map(_.dv.get).distinct)
+    raw.join(broadcast(pointer),
+        raw("file_name") === pointer("file_name") &&
+          raw("_dv_src") === pointer("dv"))
+      .groupBy(raw("file_name").as("file_name"))
+      .agg(sum(col("n_rows")).as("n_deleted"))
+      .select(col("file_name"), col("n_deleted"))
   }
 
   /** Read `files` of the table with deletion vectors applied. With
@@ -243,12 +356,28 @@ object DeletionVectors {
       tablePath: String,
       version: Long,
       allRows: DataFrame): String = {
+    import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val rel = dvDir(version)
     val staging = new Path(tablePath, s".staging-dv-$version")
     val fs = staging.getFileSystem(conf)
     fs.delete(staging, true)
-    allRows.write.mode("overwrite").parquet(staging.toString)
+    // pack to the bitmap encoding: one row per (file, kill version),
+    // positions as a Roaring64Bitmap — the shuffle moves row handles
+    // (exactly what the legacy write moved) but what lands on disk is
+    // compressed-bitmap-sized, and each group folds through ONE bitmap
+    val packed = allRows
+      .select(col("file_name").cast("string"),
+        col("row_index").cast("long"), col("deleted_at").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(t => (t._1, t._3))
+      .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Long)]) =>
+        val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+        it.foreach(t => bm.addLong(t._2))
+        (key._1, key._2, bm.getLongCardinality, serializeBitmap(bm))
+      }
+      .toDF("file_name", "deleted_at", "n_rows", "bitmap")
+    packed.write.mode("overwrite").parquet(staging.toString)
     val dest = new Path(tablePath, rel)
     fs.mkdirs(dest.getParent)
     fs.delete(dest, true)

@@ -411,6 +411,75 @@ class DeletionVectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("wide delete: bitmap sidecar is orders of magnitude under row encoding") {
+    val path = s"target/fixtures/dv_wide_${System.nanoTime()}"
+    import spark.implicits._
+    val n = 200000L
+    TableWriter.write(spark,
+      (0L until n).toDF("id").repartition(2),
+      path, version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, path, col("id") % 2 === 0,
+      version = 1L, commitTs = 2000L)
+    val l = new TxnLog(path, spark.sessionState.newHadoopConf())
+    assert(SnapshotReader.read(spark, path).count() == n / 2)
+    // the vector holds 100k dead positions; pin it well under ONE byte
+    // per dead row AND strictly smaller than the legacy row-per-dead-row
+    // parquet encoding of the very same handles
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def bytesUnder(dir: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, dir))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val dvBytes = bytesUnder(DeletionVectors.dvDir(1L))
+    assert(dvBytes < n / 2,
+      s"bitmap sidecar is $dvBytes bytes for ${n / 2} dead rows")
+    val oneName = new org.apache.hadoop.fs.Path(
+      l.snapshotLatest().files.head.path).getName
+    val handles = (0L until n / 2).map(i => (oneName, i * 2, 1L))
+      .toDF("file_name", "row_index", "deleted_at")
+    handles.coalesce(1).write.parquet(s"$path/.legacy_shape")
+    val legacyBytes = bytesUnder(".legacy_shape")
+    assert(dvBytes * 4 < legacyBytes,
+      s"bitmap $dvBytes must be well under the row encoding $legacyBytes")
+    // cardinality rides the sidecar: the count answers without expansion
+    val counted = DeletionVectors.deletedPerFile(spark, path,
+        l.snapshotLatest().files)
+      .agg(sum(col("n_deleted"))).head().getLong(0)
+    assert(counted == n / 2)
+  }
+
+  test("legacy row-per-dead-row sidecars read forever (mixed-format table)") {
+    val path = s"target/fixtures/dv_legacy_${System.nanoTime()}"
+    import spark.implicits._
+    TableWriter.write(spark, (0L until 100L).toDF("id").coalesce(1),
+      path, version = 0L, commitTs = 1000L)
+    val l = new TxnLog(path, spark.sessionState.newHadoopConf())
+    val f0 = l.snapshotLatest().files.head
+    val fn = new org.apache.hadoop.fs.Path(f0.path).getName
+    // hand-write a LEGACY-format vector (one parquet row per dead row:
+    // positions 0..9 died at version 1) and commit the pointer
+    val rel = DeletionVectors.dvDir(1L)
+    (0L until 10L).map(i => (fn, i, 1L))
+      .toDF("file_name", "row_index", "deleted_at")
+      .coalesce(1).write.parquet(s"$path/$rel")
+    l.commit(1L, Seq(
+      Protocol(2, 2),
+      RemoveFile(f0.path, 2000L, f0.partitionValues),
+      f0.copy(modificationTime = 2000L, dv = Some(rel)),
+      CommitInfo("DELETE_DV", 2000L)))
+    assert(SnapshotReader.read(spark, path).count() == 90L)
+    assert(SnapshotReader.read(spark, path)
+      .agg(min(col("id"))).head().getLong(0) == 10L)
+    // a SECOND (bitmap-era) delete carries the legacy kills forward
+    DeletionVectors.deleteWhere(spark, path, col("id") >= 95L,
+      version = 2L, commitTs = 3000L)
+    assert(SnapshotReader.read(spark, path).count() == 85L)
+    val counted = DeletionVectors.deletedPerFile(spark, path,
+        l.snapshotLatest().files)
+      .agg(sum(col("n_deleted"))).head().getLong(0)
+    assert(counted == 15L)
+  }
+
   test("streaming snapshot STARTING at a DV version emits live rows only") {
     val q = spark.readStream.format("graft.sources.GraftCdc")
       .option("tablePath", table)

@@ -445,10 +445,16 @@ class RowLevelSpec extends AnyFunSuite {
     val dataSchema = org.apache.spark.sql.types.StructType(Seq())
     val write = new GraftDeltaBatchWrite(path, dataSchema, Seq("bucket"),
       () => Some(scan), () => Array.empty, "UPDATE")
-    // a real task writer stages a dead handle against the file id=2
-    // lives in (bound BEFORE the concurrent delete)
+    // a real task writer stages a dead handle against the file id=3
+    // lives in (bound BEFORE the concurrent delete) — the SAME file the
+    // concurrent DV delete will re-point, whichever file that is
+    val targetAbs = spark.sql(
+      "SELECT _graft_file FROM grl.default.mcv1 WHERE id = 3")
+      .head().getString(0)
+    val targetName = new org.apache.hadoop.fs.Path(targetAbs).getName
     val target = log("mcv1").snapshotLatest().files
-      .find(_.partitionValues.get("bucket").contains("a")).get
+      .find(f => new org.apache.hadoop.fs.Path(f.path).getName == targetName)
+      .get
     val fileName = new org.apache.hadoop.fs.Path(target.path).getName
     val w = new GraftDeltaDataWriter(path, dataSchema, Seq.empty,
       write.stagingRel, spark.sessionState.newHadoopConf(), 0, 0L)
