@@ -112,19 +112,27 @@ object GraftExtensions {
             "(end defaults to latest); partitionFilter " +
             "'col=val[,col=val]' prunes sidecars before I/O"),
         (children: Seq[Expression]) => {
-          require(children.size >= 2 && children.size <= 4,
+          require(children.size >= 2 && children.size <= 5,
             "graft_table_changes(tablePath, startingVersion[, " +
-              "endingVersion[, partitionFilter]])")
+              "endingVersion[, partitionFilter[, partitionPredicate]]])")
           val path = strLitOf(children.head, "graft_table_changes")
           val sv = longLitOf(children(1), "graft_table_changes")
           val ev = children.lift(2).map(longLitOf(_, "graft_table_changes"))
           val pf = children.lift(3)
             .map(strLitOf(_, "graft_table_changes"))
+            .filter(_.nonEmpty) // '' = no equality filter (predicate-only)
             .map(parsePartitionFilter)
+          // 5th arg: arbitrary partition-column predicate SQL ('dt >=
+          // DATE''2024-01-01''') — range backfills prune sidecars at the
+          // action level, which the equality shape can't express
+          val pp = children.lift(4)
+            .map(strLitOf(_, "graft_table_changes"))
+            .filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.expr)
           graft.txn.ChangeDataFeed.tableChanges(
             org.apache.spark.sql.SparkSession.active, path,
             startingVersion = sv, endingVersion = ev,
-            partitionFilter = pf)
+            partitionFilter = pf, partitionPredicate = pp)
             .queryExecution.logical
         }),
       // row-level change audit at metadata cost (DESCRIBE HISTORY's

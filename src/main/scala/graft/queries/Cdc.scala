@@ -997,6 +997,52 @@ object Cdc {
            |ORDER BY version, change_type""".stripMargin)
     },
 
+    // DATE-RANGE backfill of the change feed (the shape the equality
+    // filter can't express): the TVF's 5th argument takes an arbitrary
+    // partition-column predicate; the feed evaluates the range's
+    // distinct partitionValues ONCE against it (hive strings cast back
+    // to DATE) and prunes sidecars at the ACTION level, before any
+    // parquet I/O — a one-week backfill of a 100 TB table's feed reads
+    // only that week's KB sidecars (spec corrupts the out-of-range
+    // sidecars to prove they never open; the streaming GraftCdf option
+    // plans the same way). The oracle replays the in-range arithmetic
+    // from the fixture's deterministic date derivation.
+    QueryDef.sqlBacked(
+      "q334_cdf_range_backfill",
+      """WITH e AS (
+        |  SELECT event_id AS id, event_id % 8 AS d,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |u AS (SELECT * FROM e WHERE id % 10 = 0 AND d >= 5),
+        |x AS (SELECT id,
+        |    cents + CASE WHEN id % 10 = 0 THEN 1000 ELSE 0 END AS c
+        |  FROM e WHERE id % 15 = 0 AND d >= 5)
+        |SELECT change_type, version, n_rows, sum_cents FROM (
+        |  SELECT 'update_preimage' AS change_type,
+        |    CAST(2 AS BIGINT) AS version,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents FROM u
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(2 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents + 1000) AS BIGINT)
+        |  FROM u
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(c) AS BIGINT) FROM x
+        |) ORDER BY version, change_type""".stripMargin) { (s, dir) =>
+      val t = buildCdfDateFixture(s, dir)
+      graft.functions.GraftExtensions.install(s)
+      s.sql(
+        s"""SELECT _change_type AS change_type,
+           |  _commit_version AS version,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+           |FROM graft_table_changes('$t', 2, 3, '',
+           |  'dt >= DATE''2024-01-06''')
+           |GROUP BY 1, 2
+           |ORDER BY version, change_type""".stripMargin)
+    },
+
     // REPLACE WHERE + dynamic partition overwrite through the CHANGE
     // FEED (Delta parity — both DML shapes write exact change records):
     // the whole replaced slice deletes, the incoming frame inserts. The
@@ -1114,6 +1160,38 @@ object Cdc {
     TableWriter.overwritePartitionsDynamic(spark, dir,
       ev.filter(col("event_type") === "error" && col("event_id") % 11 === 0)
         .withColumn("cents", col("cents") * 2L),
+      version = 3L, commitTs = 3000L)
+    dir
+  }
+
+  /** DATE-partitioned CDF fixture (q334): events bucketed onto 8
+    * deterministic dates (dt = 2024-01-01 + event_id % 8 — no ts
+    * semantics to drift across engines), feed on, then the same COW
+    * UPDATE/DELETE history as [[buildCdfPartFixture]]:
+    *   v0: (event_id, dt, cents) partitioned by dt
+    *   v1: SET TBLPROPERTIES graft.enableChangeDataFeed=true
+    *   v2: UPDATE cents += 1000 WHERE id%10=0 (all dates)
+    *   v3: DELETE WHERE id%15=0 (all dates)
+    */
+  def buildCdfDateFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/cdfd_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L, 2L, 3L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val ev = Tables.load(spark, sfDir, "events").select(
+      col("event_id"),
+      expr("date_add(DATE'2024-01-01', CAST(event_id % 8 AS INT))")
+        .as("dt"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    TableWriter.write(spark, ev, dir, partitionBy = Seq("dt"),
+      version = 0L, commitTs = 1000L)
+    TableWriter.setTableProperties(spark, dir,
+      Map(ChangeDataFeed.Prop -> "true"), version = 1L, commitTs = 1500L)
+    TableWriter.updateWhere(spark, dir, col("event_id") % 10 === 0,
+      Map("cents" -> (col("cents") + 1000L)), version = 2L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("event_id") % 15 === 0,
       version = 3L, commitTs = 3000L)
     dir
   }

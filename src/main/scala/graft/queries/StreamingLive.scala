@@ -477,6 +477,73 @@ object StreamingLive {
         .agg(count(lit(1)).as("n"))
         .withColumn("bounded_batches", lit(if (bounded) 1L else 0L))
         .orderBy(col("event_type"))
+    },
+
+    // WATERMARK LATE-DROP as a green row (T5's policy, previously
+    // spec-only): batch 1 streams the on-time rows plus a far-future
+    // clock row that pushes the watermark past every real window; the
+    // rows appended as version 1 are then ALL provably late (their
+    // window ends sit hours before the watermark) and must DROP from
+    // the tumbling aggregate. The drained final state equals the
+    // on-time rows' window arithmetic exactly — a leaked late row, a
+    // lost on-time window, or a double emission all break the hash.
+    // Deterministic: single-version batches, integer minute buckets,
+    // integral `value` doubles (exact in the decimal-sum path).
+    QueryDef.sqlBacked(
+      "q336_stream_late_drop",
+      """SELECT CAST((event_id % 60) // 10 AS BIGINT) AS w,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_id % 3 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val table = s"target/fixtures/slate_${tag(dir)}"
+      val out = s"target/fixtures/out_slate_${tag(dir)}"
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      // ALWAYS rebuild: the stream below must bind to a v0-only table
+      // (a cached two-version fixture would fold the late rows into the
+      // initial snapshot and nothing would be late)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        expr("timestampadd(MINUTE, CAST(event_id % 60 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("event_type"),
+        floor(col("value") * 100).cast("double").as("value"),
+        col("user_id"))
+      val clock = Seq((-1L,
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          "zclock", 0.0d, -1L))
+        .toDF("event_id", "ts", "event_type", "value", "user_id")
+      TableWriter.write(s, ev.filter(col("event_id") % 3 =!= 0)
+        .unionAll(clock), table, version = 0L, commitTs = 1000L)
+      val q = s.readStream.format("graft")
+        .option("tablePath", table).load()
+        .transform(EventStreams.tumblingCounts(_,
+          windowLen = "10 minutes", lateness = "5 minutes"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("slate_ck").toString)
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: watermark → 09:55
+        // version 1: every one of these is now LATE (window ends ≤
+        // 01:00 ≪ 09:55) and must drop
+        TableWriter.appendRebasing(s,
+          ev.filter(col("event_id") % 3 === 0), table,
+          commitTs = 2000L)
+        q.processAllAvailable() // batch 2: drops late rows, closes wins
+      } finally q.stop()
+      s.read.parquet(out)
+        .select(((unix_timestamp(col("win_start")) -
+            unix_timestamp(lit(java.sql.Timestamp.valueOf(
+              "2024-01-01 00:00:00")))) / 600).cast("long").as("w"),
+          col("event_type"), col("n"),
+          col("total_value").cast("long").as("cents"))
+        .orderBy(col("w"), col("event_type"))
     }
   )
 }

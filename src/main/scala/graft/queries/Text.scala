@@ -1668,6 +1668,95 @@ object Text {
           coalesce(col("flagged"), lit(0L)).cast("long").as("flagged_docs"),
           coalesce(col("worst"), lit(1L)).cast("long").as("worst_rep"))
         .orderBy(col("source"))
+    },
+
+    // LEARNED-MERGE BPE TRAINER (q86 is regex-piece "BPE-ish"; this is
+    // the real Sennrich loop): 4 rounds of adjacent-pair counting over
+    // the word-FREQUENCY table → deterministic top merge → greedy
+    // left-to-right re-tokenization. The corpus is scanned ONCE (word
+    // freq build); each round is one vocab-sized shuffle + a 1-row
+    // top + a codegen'd string replace (BpeSpec pins one shuffle per
+    // round and the greedy run semantics). The oracle unrolls the same
+    // 4 rounds as chained CTEs on the identical `(a)(b)(c)` symbol
+    // encoding — plain non-overlapping string replace IS the greedy
+    // merge on that form, so both engines re-derive the whole chain
+    // value-for-value; row 99 pins the final corpus tokenization size.
+    QueryDef.sqlBacked(
+      "q335_bpe_train",
+      """WITH tok AS (
+        |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |    FROM documents)
+        |  WHERE len(t) BETWEEN 2 AND 20 GROUP BY 1),
+        |w0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, f
+        |  FROM tok),
+        |p1 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w0) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m1 AS (SELECT x, y, c FROM p1 ORDER BY c DESC, x, y LIMIT 1),
+        |w1 AS (SELECT replace(s,
+        |    '(' || (SELECT x FROM m1) || ')(' || (SELECT y FROM m1) || ')',
+        |    '(' || (SELECT x FROM m1) || (SELECT y FROM m1) || ')') AS s, f
+        |  FROM w0),
+        |p2 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w1) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m2 AS (SELECT x, y, c FROM p2 ORDER BY c DESC, x, y LIMIT 1),
+        |w2 AS (SELECT replace(s,
+        |    '(' || (SELECT x FROM m2) || ')(' || (SELECT y FROM m2) || ')',
+        |    '(' || (SELECT x FROM m2) || (SELECT y FROM m2) || ')') AS s, f
+        |  FROM w1),
+        |p3 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w2) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m3 AS (SELECT x, y, c FROM p3 ORDER BY c DESC, x, y LIMIT 1),
+        |w3 AS (SELECT replace(s,
+        |    '(' || (SELECT x FROM m3) || ')(' || (SELECT y FROM m3) || ')',
+        |    '(' || (SELECT x FROM m3) || (SELECT y FROM m3) || ')') AS s, f
+        |  FROM w2),
+        |p4 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w3) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m4 AS (SELECT x, y, c FROM p4 ORDER BY c DESC, x, y LIMIT 1),
+        |w4 AS (SELECT replace(s,
+        |    '(' || (SELECT x FROM m4) || ')(' || (SELECT y FROM m4) || ')',
+        |    '(' || (SELECT x FROM m4) || (SELECT y FROM m4) || ')') AS s, f
+        |  FROM w3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, x, y, c AS n FROM m1
+        |  UNION ALL SELECT 2, x, y, c FROM m2
+        |  UNION ALL SELECT 3, x, y, c FROM m3
+        |  UNION ALL SELECT 4, x, y, c FROM m4
+        |  UNION ALL SELECT 99, '_total_', '',
+        |    CAST(SUM(f * len(str_split(substring(s, 2, length(s) - 2),
+        |      ')('))) AS BIGINT)
+        |  FROM w4
+        |) ORDER BY round""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val words = graft.operators.BpeTrainer.wordTable(
+        Tables.load(s, dir, "documents"), "text")
+      val (merges, fin) = graft.operators.BpeTrainer.train(words, 4)
+      val total = fin.select(sum(expr(
+          "f * size(split(substring(s, 2, length(s) - 2), '\\\\)\\\\('))"))
+          .cast("long"))
+        .head().getLong(0)
+      fin.unpersist()
+      (merges.map(m => (m.round.toLong, m.x, m.y, m.count)) :+
+        ((99L, "_total_", "", total)))
+        .toDF("round", "x", "y", "n")
+        .orderBy(col("round"))
     }
   )
 }

@@ -129,6 +129,15 @@ private[sources] class GraftCdfMicroBatchStream(
   private def keepPv(pv: Map[String, String]): Boolean =
     partitionFilter.forall { case (k, v) => pv.get(k).contains(v) }
 
+  // arbitrary partition-column predicate SQL (ranges/INs/disjunctions —
+  // what the equality option can't say): actions prune through
+  // ChangeDataFeed.pvKeepFn before any I/O. Requires partition-valued
+  // sidecars — a legacy pv-less sidecar REFUSES under a predicate (its
+  // rows can't be row-filtered by SQL executor-side; use the batch feed)
+  private val partitionPredicate: Option[org.apache.spark.sql.Column] =
+    options.get("partitionPredicate").filter(_.nonEmpty)
+      .map(org.apache.spark.sql.functions.expr)
+
   private val serConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private def log = new TxnLog(tablePath, serConf.value)
@@ -197,10 +206,31 @@ private[sources] class GraftCdfMicroBatchStream(
     // is metadata-only), so the LATEST mapping resolves every file in
     // the log; columns a file predates read as null through the reader's
     // by-name resolution.
-    val mapping = l.snapshotLatest().metadata
-      .map(_.columnMapping).getOrElse(Map.empty)
-    inRange.flatMap { v =>
-      val actions = l.read(v)
+    val snapMeta = l.snapshotLatest().metadata
+    val mapping = snapMeta.map(_.columnMapping).getOrElse(Map.empty)
+    val versioned = inRange.map(v => v -> l.read(v))
+    // one evaluation over the admitted range's distinct partition
+    // values builds the predicate's action-level keep function
+    val rangePvs = versioned.flatMap(_._2).collect {
+      case c: CdcFile => c.partitionValues
+      case a: AddFile if a.dataChange => a.partitionValues
+    }
+    lazy val predRefs: Set[String] = partitionPredicate.map { p =>
+      ChangeDataFeed.predicateRefs(
+        org.apache.spark.sql.SparkSession.active,
+        rangePvs.flatMap(_.keySet).distinct.sorted, p)
+    }.getOrElse(Set.empty)
+    val keepFn: Map[String, String] => Boolean = partitionPredicate match {
+      case None => _ => true
+      case Some(p) =>
+        val declared = snapMeta.map(m =>
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[StructType])
+          .getOrElse(StructType(Seq.empty))
+        ChangeDataFeed.pvKeepFn(
+          org.apache.spark.sql.SparkSession.active, declared, p, rangePvs)
+    }
+    versioned.flatMap { case (v, actions) =>
       val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L)
       val cdcFiles = actions.collect { case c: CdcFile => c }
@@ -208,8 +238,24 @@ private[sources] class GraftCdfMicroBatchStream(
         // sidecars are written under LOGICAL names — no mapping applies.
         // Partition-valued sidecars prune HERE (action level, no I/O);
         // legacy pv-less ones read whole with a reader-side row filter.
+        // STRICT in streaming: the batch feed completes a conservative
+        // keep with a row-level filter, but this reader emits rows
+        // directly — a sidecar that can't be proven in or out must
+        // refuse, never leak out-of-range rows
+        partitionPredicate.foreach { _ =>
+          val refs = predRefs
+          require(cdcFiles.forall(c => refs.subsetOf(
+              c.partitionValues.keySet)),
+            s"streaming change feed: version $v of $tablePath carries " +
+              "change sidecars without values for the predicate's " +
+              s"columns ${refs.mkString(", ")} — partitionPredicate " +
+              "pruning needs partition-valued sidecars; use the " +
+              "equality partitionFilter option or the batch " +
+              "graft_table_changes")
+        }
         cdcFiles
-          .filter(c => c.partitionValues.isEmpty || keepPv(c.partitionValues))
+          .filter(c => (c.partitionValues.isEmpty ||
+            keepPv(c.partitionValues)) && keepFn(c.partitionValues))
           .map(c => CdfFilePartition(
             TxnLog.dataPath(tablePath, c.path), constKind = None,
             partitionValues = Map.empty, version = v, ts = ts,
@@ -225,7 +271,18 @@ private[sources] class GraftCdfMicroBatchStream(
             s"files without change data — set TBLPROPERTIES " +
             s"('${ChangeDataFeed.Prop}'='true') before row-level DML, or " +
             "read this range through the batch graft_table_changes")
-        adds.filter(a => keepPv(a.partitionValues)).map { a =>
+        // same strictness for inferred adds: a file lacking a referenced
+        // partition value (pre-evolution generation) can't be proven in
+        // or out — refuse rather than leak
+        partitionPredicate.foreach { _ =>
+          val refs = predRefs
+          require(adds.forall(a => refs.subsetOf(a.partitionValues.keySet)),
+            s"streaming change feed: version $v of $tablePath adds files " +
+              "without values for the predicate's columns " +
+              s"${refs.mkString(", ")} — use the batch graft_table_changes")
+        }
+        adds.filter(a => keepPv(a.partitionValues) &&
+            keepFn(a.partitionValues)).map { a =>
           require(a.dv.isEmpty,
             s"streaming change feed: version $v of $tablePath adds " +
               s"${a.path} with a deletion vector (a clone import?) — " +

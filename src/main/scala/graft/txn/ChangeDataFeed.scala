@@ -207,21 +207,104 @@ object ChangeDataFeed {
       else col(k).cast("string") === lit(v)
     }.reduce(_ && _)
 
+  /** Action-level keep function for an ARBITRARY partition-column
+    * predicate (ranges, INs, disjunctions — the shapes the equality
+    * `partitionFilter` can't express): the distinct partitionValues of
+    * the range evaluate through ONE tiny local filter with their hive
+    * strings cast back to the declared types (the hive null sentinel
+    * becomes a real NULL), so a date-RANGE backfill prunes sidecars
+    * before any parquet I/O exactly like an equality filter does.
+    *
+    * Soundness: a pv LACKING a referenced column keeps conservatively
+    * (pre-evolution generations store the column as data; the caller's
+    * row-level completion filter decides), NULL/false evaluations
+    * prune. The predicate must be UNRESOLVED (`col("dt")`/`expr(...)`)
+    * and reference partition columns only — anything else fails the
+    * local analysis loudly rather than mis-pruning.
+    */
+  /** Column names a partition predicate references, resolved by
+    * ANALYZING it against an empty frame of `candidateCols` (Spark 4's
+    * Column wraps a lazy ColumnNode — the tree is not walkable before
+    * analysis). A reference outside the candidates fails the analysis
+    * loudly — exactly the "predicate must be over partition columns"
+    * contract.
+    */
+  private[graft] def predicateRefs(
+      spark: SparkSession,
+      candidateCols: Seq[String],
+      pred: org.apache.spark.sql.Column): Set[String] = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(candidateCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))))
+    empty.filter(pred).queryExecution.analyzed.expressions
+      .flatMap(_.references.map(_.name)).toSet
+  }
+
+  private[graft] def pvKeepFn(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      pred: org.apache.spark.sql.Column,
+      pvs: Seq[Map[String, String]]): Map[String, String] => Boolean = {
+    val distinct = pvs.distinct
+    if (distinct.isEmpty) return pv => true
+    val allCols = distinct.flatMap(_.keySet).distinct.sorted
+    val refs = predicateRefs(spark, allCols, pred)
+    require(refs.nonEmpty,
+      "partition predicate references no columns — pass an unresolved " +
+        "Column (col(\"dt\") / expr(...)) over partition columns")
+    val (evaluable, keptBlind) =
+      distinct.partition(pv => refs.subsetOf(pv.keySet))
+    if (evaluable.isEmpty) return pv => true
+    val cols = evaluable.flatMap(_.keySet).distinct.sorted
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(evaluable.zipWithIndex.map { case (pv, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          i +: cols.map(c => pv.get(c).orNull))
+      }: _*)
+    val base = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("_pv_idx",
+          org.apache.spark.sql.types.IntegerType) +:
+          cols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+    val typed = cols.foldLeft(base) { (d, c) =>
+      val dt = schema.fields.find(_.name == c)
+        .map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      d.withColumn(c,
+        when(col(c) === "__HIVE_DEFAULT_PARTITION__", lit(null))
+          .otherwise(col(c)).cast(dt))
+    }
+    val matched = typed.filter(pred).select("_pv_idx")
+      .collect().map(_.getInt(0)).toSet
+    val keep: Set[Map[String, String]] =
+      matched.map(evaluable) ++ keptBlind
+    pv => keep.contains(pv)
+  }
+
   /** Action-level partition pruning of one commit's change inputs —
     * BEFORE any parquet I/O. Runs on the walk's OUTPUT only: the walk's
     * liveByPath state must see every action regardless of the filter.
     * pv-less sidecars (legacy format / unpartitioned tables) are kept;
-    * their rows filter at read time via [[pvPredicate]].
+    * their rows filter at read time via [[pvPredicate]] (equality) or
+    * the caller's predicate completion filter.
     */
   private def pruneCommit(
       c: CommitChanges,
-      filter: Option[Map[String, String]]): CommitChanges =
-    if (filter.isEmpty) c
-    else c.copy(
-      cdcFiles = c.cdcFiles.filter(f =>
-        f.partitionValues.isEmpty || keepPv(filter, f.partitionValues)),
-      adds = c.adds.filter(a => keepPv(filter, a.partitionValues)),
-      doomed = c.doomed.filter(a => keepPv(filter, a.partitionValues)))
+      filter: Option[Map[String, String]],
+      keepFn: Option[Map[String, String] => Boolean] = None): CommitChanges =
+    if (filter.isEmpty && keepFn.isEmpty) c
+    else {
+      def ok(pv: Map[String, String]): Boolean =
+        keepPv(filter, pv) && keepFn.forall(_(pv))
+      c.copy(
+        cdcFiles = c.cdcFiles.filter(f =>
+          f.partitionValues.isEmpty || ok(f.partitionValues)),
+        adds = c.adds.filter(a => ok(a.partitionValues)),
+        doomed = c.doomed.filter(a => ok(a.partitionValues)))
+    }
 
   /** One commit's resolved change inputs (see [[walkRange]]). `doomed`
     * is the removed files AS THEY WERE LIVE before the commit (their
@@ -418,7 +501,9 @@ object ChangeDataFeed {
       tablePath: String,
       startMillis: Long,
       endMillis: Option[Long] = None,
-      partitionFilter: Option[Map[String, String]] = None): DataFrame = {
+      partitionFilter: Option[Map[String, String]] = None,
+      partitionPredicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val log = new TxnLog(tablePath, spark.sessionState.newHadoopConf())
     var runMax = Long.MinValue
     var sv: Option[Long] = None
@@ -441,7 +526,8 @@ object ChangeDataFeed {
     val e = endMillis.map(t => ev.getOrElse(
       throw new IllegalArgumentException(
         s"no commit at or before timestamp $t in $tablePath")))
-    tableChanges(spark, tablePath, s, e, partitionFilter = partitionFilter)
+    tableChanges(spark, tablePath, s, e, partitionFilter = partitionFilter,
+      partitionPredicate = partitionPredicate)
   }
 
   /** The change feed over versions [startingVersion, endingVersion]
@@ -461,6 +547,12 @@ object ChangeDataFeed {
     *        level, before any parquet I/O (legacy pv-less sidecars fall
     *        back to a row filter); a single-partition backfill of a
     *        100 TB table reads only that partition's KB sidecars.
+    * @param partitionPredicate arbitrary UNRESOLVED Column over
+    *        partition columns (ranges, INs, disjunctions — what the
+    *        equality filter can't say): actions prune through
+    *        [[pvKeepFn]] before any parquet I/O, then the same
+    *        predicate completes the prune row-level — a date-RANGE
+    *        backfill of the feed never opens out-of-range sidecars.
     */
   def tableChanges(
       spark: SparkSession,
@@ -468,7 +560,9 @@ object ChangeDataFeed {
       startingVersion: Long,
       endingVersion: Option[Long] = None,
       emptyOk: Boolean = false,
-      partitionFilter: Option[Map[String, String]] = None): DataFrame = {
+      partitionFilter: Option[Map[String, String]] = None,
+      partitionPredicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val all = log.versions()
@@ -500,11 +594,23 @@ object ChangeDataFeed {
     def schemaOf(m: Option[Metadata]) = m.map(mm =>
       org.apache.spark.sql.types.DataType.fromJson(mm.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val frames = walkRange(log, tablePath, all, versions).flatMap { c0 =>
+    val commits = walkRange(log, tablePath, all, versions)
+    // one evaluation over the range's DISTINCT partition values builds
+    // the predicate's action-level keep function
+    val keepFn = partitionPredicate.map { p =>
+      pvKeepFn(spark,
+        schemaOf(log.snapshotLatest().metadata).getOrElse(
+          org.apache.spark.sql.types.StructType(Seq.empty)),
+        p,
+        commits.flatMap(c => c.cdcFiles.map(_.partitionValues) ++
+          c.adds.map(_.partitionValues) ++
+          c.doomed.map(_.partitionValues)))
+    }
+    val frames = commits.flatMap { c0 =>
       // branch on the PRE-prune commit: a sidecar commit whose sidecars
       // all prune out must contribute nothing — never fall back to
       // inferring from its (survivor-rewrite) data files
-      val c = pruneCommit(c0, partitionFilter)
+      val c = pruneCommit(c0, partitionFilter, keepFn)
       def stamp(df: DataFrame, kind: Option[String]): DataFrame = {
         val typed = kind.fold(df)(k => df.withColumn(TypeCol, lit(k)))
         typed.withColumn(VersionCol, lit(c.version))
@@ -537,13 +643,17 @@ object ChangeDataFeed {
     }
     // a filter that selects no partition is a legitimate empty answer —
     // only the UNFILTERED no-data-change case stays a refusal
-    if (frames.isEmpty && (emptyOk || partitionFilter.isDefined))
+    if (frames.isEmpty && (emptyOk || partitionFilter.isDefined ||
+        partitionPredicate.isDefined))
       return emptyFrame()
     require(frames.nonEmpty,
       s"no data-changing commits in [$startingVersion, $end] at $tablePath")
     val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     // row-level completion of the prune: exact for legacy pv-less
-    // sidecars, a no-op for action-pruned files (their rows all match)
-    partitionFilter.fold(unioned)(f => unioned.filter(pvPredicate(f)))
+    // sidecars and conservatively-kept pre-evolution files, a no-op for
+    // action-pruned files (their rows all match)
+    val eqDone =
+      partitionFilter.fold(unioned)(f => unioned.filter(pvPredicate(f)))
+    partitionPredicate.fold(eqDone)(p => eqDone.filter(p))
   }
 }

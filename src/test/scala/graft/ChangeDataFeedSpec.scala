@@ -346,6 +346,79 @@ class ChangeDataFeedSpec extends AnyFunSuite {
     assert(sm == pruned.count())
   }
 
+  test("partitionPredicate: a date-RANGE feed read never opens " +
+      "out-of-range sidecars") {
+    val dir = freshDir("cdf_pred")
+    import spark.implicits._
+    val dated = (0L until 160L).map(k =>
+        (k, java.sql.Date.valueOf(f"2024-01-${k % 8 + 1}%02d"), k * 10L))
+      .toDF("k", "dt", "cents")
+    TableWriter.write(spark, dated, dir, partitionBy = Seq("dt"),
+      version = 0L, commitTs = 1000L)
+    withCdf(dir)
+    TableWriter.updateWhere(spark, dir, col("k") % 2 === 0,
+      Map("cents" -> (col("cents") + 1L)), version = 2L, commitTs = 2000L)
+    TableWriter.deleteWhere(spark, dir, col("k") % 3 === 0, version = 3L,
+      commitTs = 3000L)
+    val cut = java.sql.Date.valueOf("2024-01-06")
+    val pred = col("dt") >= lit(cut) // the shape equality can't say
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "dt", "cents", TypeCol, VersionCol)
+      .collect().map(_.toSeq).toSet
+    // equivalence: predicate read == unfiltered read row-filtered
+    assert(canon(ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L),
+        partitionPredicate = Some(pred))) ==
+      canon(ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L))
+        .filter(col("dt") >= lit(cut))))
+    // the prune is ACTION-level: corrupt every OUT-OF-RANGE sidecar —
+    // the range read must never open one
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    val sidecars = (2L to 3L).flatMap(v => log.read(v).collect {
+      case c: graft.txn.CdcFile => c })
+    assert(sidecars.forall(_.partitionValues.keySet == Set("dt")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    sidecars.filter(c => java.sql.Date.valueOf(
+        c.partitionValues("dt")).before(cut)).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(TxnLog.dataPath(dir, c.path))
+      val out = fs.create(p, true)
+      out.write("not parquet".getBytes); out.close()
+    }
+    val ranged = ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L),
+      partitionPredicate = Some(pred))
+    assert(ranged.count() > 0)
+    intercept[Throwable] { // the unfiltered read DOES hit the corruption
+      ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L)).count()
+    }
+    // the SQL TVF's 5th argument takes the same predicate
+    graft.functions.GraftExtensions.install(spark)
+    assert(canon(spark.sql(
+      s"""SELECT k, dt, cents, `$TypeCol`, `$VersionCol`
+         |FROM graft_table_changes('$dir', 2, 3, '',
+         |  'dt >= DATE''2024-01-06''')""".stripMargin)) == canon(ranged))
+    // streaming: the GraftCdf option plans ONLY in-range sidecars — the
+    // drain succeeds despite the corrupted out-of-range files and
+    // matches the batch read
+    val q = spark.readStream.format("graft.sources.GraftCdf")
+      .option("tablePath", dir)
+      .option("startingVersion", "2")
+      .option("partitionPredicate", "dt >= DATE'2024-01-06'")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdf_pred_stream")
+      .option("checkpointLocation",
+        s"target/fixtures/cdf_pred_ckpt_${System.nanoTime()}")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        s"SELECT k, dt, cents, `$TypeCol`, `$VersionCol` " +
+          "FROM cdf_pred_stream")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == canon(ranged))
+    } finally q.stop()
+  }
+
   test("replaceWhere and dynamic partition overwrite write exact change " +
       "records (Delta parity)") {
     import spark.implicits._
