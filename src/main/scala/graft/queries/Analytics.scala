@@ -1940,6 +1940,168 @@ object Analytics {
           col("lo").as("p05_cents"), col("hi").as("p95_cents"),
           col("winsor_sum_cents"))
         .orderBy(col("priority"))
+    },
+
+    // Two-sample Kolmogorov–Smirnov drift statistic, EXACT: D is the
+    // max gap between the two empirical CDFs, kept as the INTEGER
+    // cross-product form |F1(v)·n2 − F2(v)·n1| (a float CDF would
+    // hash-drift), reported in ppm by floor division plus the argmax
+    // value (smallest-v tiebreak). Complements q320's chi-square: KS
+    // needs no bucketing choice and catches location shifts a coarse
+    // histogram smears. Shape: one value-grouped aggregate → TWO
+    // prefix sums over the DISTINCT-VALUE frame (DistributedOrder —
+    // range sort + one long per partition, never a single-task window)
+    // → TakeOrdered(1).
+    QueryDef.sqlBacked(
+      "q337_ks_drift",
+      """WITH s AS (SELECT n_chars AS v,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 2 <> 0) AS BIGINT) AS c2
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT v,
+        |    SUM(c1) OVER (ORDER BY v) AS f1,
+        |    SUM(c2) OVER (ORDER BY v) AS f2,
+        |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM s)
+        |SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cand,
+        |  CAST(v AS BIGINT) AS at_value,
+        |  CAST(abs(f1 * n2 - f2 * n1) * 1000000 // (n1 * n2) AS BIGINT)
+        |    AS d_ppm
+        |FROM c ORDER BY abs(f1 * n2 - f2 * n1) DESC, v
+        |LIMIT 1""".stripMargin) { (s, dir) =>
+      val per = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+        .groupBy(col("v"))
+        .agg(count(when(col("doc_id") % 2 === 0, 1)).as("c1"),
+          count(when(col("doc_id") % 2 =!= 0, 1)).as("c2"))
+      val cum = graft.operators.DistributedOrder.withPrefixSum(
+        graft.operators.DistributedOrder.withPrefixSum(
+          per, "f1", "n1", col("c1"), col("v")),
+        "f2", "n2", col("c2"), col("v"))
+      cum
+        .select(col("v"),
+          abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dn"),
+          col("n1"), col("n2"))
+        .orderBy(col("dn").desc, col("v")).limit(1)
+        .select(col("n1").as("n_ref"), col("n2").as("n_cand"),
+          col("v").as("at_value"),
+          expr("CAST(dn * 1000000 DIV (n1 * n2) AS BIGINT)").as("d_ppm"))
+    },
+
+    // Spearman rank correlation over the FACT table, EXACT with ties:
+    // tie-averaged ranks carry as 2×-SCALED INTEGERS (rank of the rows
+    // at value v is c<(v) + (cnt+1)/2, so 2·rank = 2·c< + cnt + 1 —
+    // always integral), the mean scaled rank is exactly n+1, and ρ is
+    // Pearson over the centered scaled ranks in DECIMAL(38,0)/HUGEINT.
+    // Reported as q251's exact protocol: sign plus
+    // ρ²_e6 = num² DIV GREATEST(den DIV 10⁶, 1) — pure integer ops both
+    // engines state identically (num²·10⁶ would blow 38 digits at SF).
+    // Shape: two value-grouped prefix-sum rank tables (distinct-value-
+    // sized) joined back on value, then ONE aggregate — the corpus is
+    // never globally sorted row-wise. The operator answers "does my
+    // quality score actually rank like the signal" — the filter-
+    // validation question every curation pipeline asks.
+    QueryDef.sqlBacked(
+      "q338_spearman",
+      """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_orderkey % 16 = 0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+        |rx AS (SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x)) - cnt + 1 AS r2
+        |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM f
+        |        GROUP BY 1)),
+        |ry AS (SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y)) - cnt + 1 AS r2
+        |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM f
+        |        GROUP BY 1)),
+        |d AS (SELECT rx.r2 - (SELECT n FROM n) - 1 AS dx,
+        |             ry.r2 - (SELECT n FROM n) - 1 AS dy
+        |      FROM f JOIN rx USING (x) JOIN ry USING (y)),
+        |agg AS (SELECT SUM(CAST(dx * dy AS HUGEINT)) AS sxy,
+        |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    SUM(CAST(dy AS HUGEINT) * dy) AS syy FROM d)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+        |  CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS sign,
+        |  CAST(sxy * sxy
+        |    // GREATEST(sxx * syy // 1000000, 1) AS BIGINT) AS rho2_e6
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val f = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .persist()
+      try {
+        val n = f.count()
+        def rankTable(c: String) = {
+          val per = f.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          graft.operators.DistributedOrder.withPrefixSum(
+              per, "cum", "tot", col("cnt"), col(c))
+            .select(col(c),
+              (lit(2L) * col("cum") - col("cnt") + 1L).as(s"r2_$c"))
+        }
+        val d = f
+          .join(rankTable("x"), "x").join(rankTable("y"), "y")
+          .select((col("r2_x") - (n + 1L)).as("dx"),
+            (col("r2_y") - (n + 1L)).as("dy"))
+        d.agg(
+            sum(expr("CAST(dx * dy AS DECIMAL(38,0))")).as("sxy"),
+            sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
+            sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
+          .select(lit(n).as("n"),
+            signum(col("sxy")).cast("long").as("sign"),
+            expr("CAST(sxy * sxy DIV " +
+              "GREATEST(sxx * syy DIV 1000000, 1) AS BIGINT)")
+              .as("rho2_e6"))
+      } finally f.unpersist()
+    },
+
+    // Exact AUC (Mann–Whitney) of a score against binary labels — the
+    // classifier-eval number behind every quality-filter threshold
+    // decision, EXACT under ties via the same 2×-scaled tie-averaged
+    // ranks as q338: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) becomes
+    // (A2 − n⁺·(n⁺+1))·10⁶ DIV (2·n⁺·n⁻) with A2 = Σ scaled ranks of
+    // positives — and A2 needs NO join back: it aggregates straight off
+    // the distinct-score frame (per score: positives × that score's
+    // scaled rank). One value-grouped aggregate + one prefix sum + one
+    // fold; wide sums in DECIMAL(38,0)/HUGEINT.
+    QueryDef.sqlBacked(
+      "q339_exact_auc",
+      """WITH f AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |    AS score, (l_returnflag = 'R') AS pos
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |per AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(COUNT(*) FILTER (pos) AS BIGINT) AS cpos
+        |  FROM f GROUP BY 1),
+        |r AS (SELECT score, cpos,
+        |    2 * (SUM(cnt) OVER (ORDER BY score)) - cnt + 1 AS r2
+        |  FROM per),
+        |agg AS (SELECT SUM(CAST(cpos AS HUGEINT) * r2) AS a2,
+        |    (SELECT SUM(cpos) FROM per) AS npos,
+        |    (SELECT SUM(cnt) - SUM(cpos) FROM per) AS nneg FROM r)
+        |SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+        |  CAST((a2 - CAST(npos AS HUGEINT) * (npos + 1)) * 1000000
+        |    // (2 * CAST(npos AS HUGEINT) * nneg) AS BIGINT) AS auc_ppm
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val per = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(floor(col("l_extendedprice") * 100).cast("long")
+            .as("score"),
+          (col("l_returnflag") === "R").as("pos"))
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("pos"), 1)).as("cpos"))
+      graft.operators.DistributedOrder.withPrefixSum(
+          per, "cum", "tot", col("cnt"), col("score"))
+        .select(col("cnt"), col("cpos"),
+          (lit(2L) * col("cum") - col("cnt") + 1L).as("r2"))
+        .agg(
+          sum(expr("CAST(cpos AS DECIMAL(38,0)) * r2")).as("a2"),
+          sum(col("cpos")).as("npos"),
+          (sum(col("cnt")) - sum(col("cpos"))).as("nneg"))
+        .select(col("npos").cast("long").as("n_pos"),
+          col("nneg").cast("long").as("n_neg"),
+          expr("CAST((a2 - CAST(npos AS DECIMAL(38,0)) * (npos + 1)) " +
+            "* 1000000 DIV (2 * CAST(npos AS DECIMAL(38,0)) * nneg) " +
+            "AS BIGINT)").as("auc_ppm"))
     }
   )
 }
