@@ -144,16 +144,25 @@ object GraftExtensions {
             "answered from footer stats, DV sidecars, and change-file " +
             "_change_type columns only"),
         (children: Seq[Expression]) => {
-          require(children.size >= 2 && children.size <= 3,
+          require(children.size >= 2 && children.size <= 5,
             "graft_changes_summary(tablePath, startingVersion[, " +
-              "endingVersion])")
+              "endingVersion[, partitionFilter[, partitionPredicate]]])")
           val path = strLitOf(children.head, "graft_changes_summary")
           val sv = longLitOf(children(1), "graft_changes_summary")
           val ev = children.lift(2)
             .map(longLitOf(_, "graft_changes_summary"))
+          val pf = children.lift(3)
+            .map(strLitOf(_, "graft_changes_summary"))
+            .filter(_.nonEmpty)
+            .map(parsePartitionFilter)
+          val pp = children.lift(4)
+            .map(strLitOf(_, "graft_changes_summary"))
+            .filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.expr)
           graft.txn.ChangeDataFeed.changesSummary(
             org.apache.spark.sql.SparkSession.active, path,
-            startingVersion = sv, endingVersion = ev)
+            startingVersion = sv, endingVersion = ev,
+            partitionFilter = pf, partitionPredicate = pp)
             .queryExecution.logical
         }),
       // net multiset row diff between two versions ("what changed

@@ -402,7 +402,9 @@ object ChangeDataFeed {
       tablePath: String,
       startingVersion: Long,
       endingVersion: Option[Long] = None,
-      partitionFilter: Option[Map[String, String]] = None): DataFrame = {
+      partitionFilter: Option[Map[String, String]] = None,
+      partitionPredicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
@@ -416,13 +418,33 @@ object ChangeDataFeed {
     val metaRows = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)] // (version, ts, type, n)
     val sidecarFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val anyFilter = partitionFilter.isDefined || partitionPredicate.isDefined
     // allowLostFiles: this path answers from log stats and KB sidecars,
     // never the doomed files' bytes — FSCK-lost rows still audit here
-    walkRange(log, tablePath, all, versions,
-        allowLostFiles = true).foreach { c0 =>
+    val commits = walkRange(log, tablePath, all, versions,
+      allowLostFiles = true)
+    val keepFn = partitionPredicate.map { p =>
+      pvKeepFn(spark,
+        log.snapshotLatest().metadata.map(m =>
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(org.apache.spark.sql.types.StructType(Seq.empty)),
+        p,
+        commits.flatMap(c => c.cdcFiles.map(_.partitionValues) ++
+          c.adds.map(_.partitionValues) ++
+          c.doomed.map(_.partitionValues)))
+    }
+    val predRefsOpt = partitionPredicate.map { p =>
+      predicateRefs(spark,
+        commits.flatMap(c => (c.cdcFiles.map(_.partitionValues) ++
+            c.adds.map(_.partitionValues) ++
+            c.doomed.map(_.partitionValues)).flatMap(_.keySet))
+          .distinct.sorted, p)
+    }
+    commits.foreach { c0 =>
       // branch on the PRE-prune commit (same rule as tableChanges): a
       // fully-pruned sidecar commit contributes nothing, never stats
-      val c = pruneCommit(c0, partitionFilter)
+      val c = pruneCommit(c0, partitionFilter, keepFn)
       if (c0.cdcFiles.nonEmpty) {
         // partition-valued sidecars were pruned at the ACTION level;
         // legacy (pv-less) sidecars under a filter fall back to a
@@ -436,14 +458,24 @@ object ChangeDataFeed {
           .withColumn("commit_ts", lit(c.ts))
         val paths = (files: Seq[CdcFile]) =>
           files.map(f => TxnLog.dataPath(tablePath, f.path))
-        if (exact.nonEmpty || partitionFilter.isEmpty)
+        // an exact sidecar matched the ACTION-level prune fully — but a
+        // predicate keeping a sidecar BLIND (missing a referenced
+        // partition value) must complete row-level like legacy ones
+        val (proven, blind) = exact.partition(f => predRefsOpt.forall(
+          _.subsetOf(f.partitionValues.keySet)))
+        if (proven.nonEmpty || !anyFilter)
           sidecarFrames += grouped(spark.read.parquet(
-              paths(if (partitionFilter.isEmpty) c.cdcFiles else exact): _*)
+              paths(if (!anyFilter) c.cdcFiles else proven): _*)
             .select(col(TypeCol)))
-        if (legacy.nonEmpty && partitionFilter.isDefined)
-          sidecarFrames += grouped(spark.read.parquet(paths(legacy): _*)
-            .filter(pvPredicate(partitionFilter.get))
-            .select(col(TypeCol)))
+        val rowFiltered = legacy ++ (if (anyFilter) blind else Seq.empty)
+        if (rowFiltered.nonEmpty && anyFilter) {
+          val raw = spark.read.parquet(paths(rowFiltered): _*)
+          val eqDone = partitionFilter.fold(raw)(f =>
+            raw.filter(pvPredicate(f)))
+          sidecarFrames += grouped(
+            partitionPredicate.fold(eqDone)(p => eqDone.filter(p))
+              .select(col(TypeCol)))
+        }
       } else {
         // an AUDIT must refuse stat-less files loudly — counting around
         // them would report fewer rows than the feed serves (and a
@@ -455,6 +487,20 @@ object ChangeDataFeed {
             s"version ${c.version} of $tablePath touches ${bad.size} " +
               "stat-less file(s) (pre-stats log) — row counts " +
               "unavailable; use graft_table_changes to read the rows")
+        }
+        // a predicate keeping a file BLIND (no value for a referenced
+        // partition column) cannot count from stats — the audit refuses
+        // loudly rather than overcount (the row-materializing feed
+        // completes those row-level; an audit has no rows)
+        predRefsOpt.foreach { refs =>
+          val blind = (c.adds ++ c.doomed)
+            .filterNot(f => refs.subsetOf(f.partitionValues.keySet))
+          require(blind.isEmpty,
+            s"changesSummary of $tablePath: version ${c.version} " +
+              s"touches ${blind.size} file(s) without values for the " +
+              s"predicate's columns ${refs.mkString(", ")} — stats " +
+              "cannot answer a partial-partition count; use " +
+              "graft_table_changes for this range")
         }
         if (c.adds.nonEmpty) {
           // a DV-carrying add (shallow-clone import) reads DV-APPLIED

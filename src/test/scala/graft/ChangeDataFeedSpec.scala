@@ -390,6 +390,12 @@ class ChangeDataFeedSpec extends AnyFunSuite {
     intercept[Throwable] { // the unfiltered read DOES hit the corruption
       ChangeDataFeed.tableChanges(spark, dir, 2L, Some(3L)).count()
     }
+    // the audit prunes the same way (counts match the ranged feed, and
+    // the corrupted out-of-range sidecars never open here either)
+    val sm = ChangeDataFeed.changesSummary(spark, dir, 2L, Some(3L),
+        partitionPredicate = Some(pred))
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(sm == ranged.count())
     // the SQL TVF's 5th argument takes the same predicate
     graft.functions.GraftExtensions.install(spark)
     assert(canon(spark.sql(
