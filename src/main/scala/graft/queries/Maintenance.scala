@@ -3152,6 +3152,70 @@ object Maintenance {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("qty"))
         .withColumn("compacted", lit(compacted))
+    },
+
+    // DEEP CLONE via CALL: an independent physical copy of the
+    // DV-carrying fixture — data files AND the referenced vectors copy
+    // (distributed, one task per file) into the clone's own tree, the
+    // clone reads the identical live state (the oracle recomputes it
+    // from lineitem arithmetic), owns every path (`all_local`), and a
+    // subsequent SOURCE delete provably cannot move it
+    // (`independent`). CloneSpec pins shallow→deep materialization and
+    // source-vacuum/-removal survival.
+    QueryDef.sqlBacked(
+      "q340_deep_clone",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  TRUE AS all_local, TRUE AS independent
+        |FROM lineitem
+        |WHERE l_orderkey % 13 = 0 AND l_suppkey % 5 <> 0""".stripMargin) {
+      (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // OWN source fixture (the shared dvFixture's timings must not pay
+      // for this row's post-clone mutation): v0 = %13 rows, v1 = a DV
+      // delete — rebuilt whenever a prior run's mutation moved it past
+      // its 2-version contract
+      val src = s"target/fixtures/deepsrc_$tag"
+      val conf = s.sessionState.newHadoopConf()
+      val srcLog = new TxnLog(src, conf)
+      if (srcLog.versions() != Seq(0L, 1L)) {
+        val f = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+        f.delete(new org.apache.hadoop.fs.Path(src), true)
+        TableWriter.write(s,
+          Tables.load(s, dir, "lineitem")
+            .filter(col("l_orderkey") % 13 === 0),
+          src, partitionBy = Seq("l_returnflag"),
+          version = 0L, commitTs = 1000L)
+        DeletionVectors.deleteWhere(s, src, col("l_suppkey") % 5 === 0,
+          version = 1L, commitTs = 2000L)
+      }
+      val wh = s"target/fixtures/wh_$tag"
+      val dst = s"$wh/default/li_deep"
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      s.sql(s"CALL gcat.system.clone_deep('$src', 'default.li_deep')")
+        .collect()
+      val log = new TxnLog(dst, conf)
+      val allLocal = log.snapshot(0L).files.forall(f =>
+        !TxnLog.isExternal(f.path) && f.dv.forall(d =>
+          !TxnLog.isExternal(d)))
+      val before = s.read.format("graft").option("tablePath", dst).load()
+        .count()
+      // source mutates AFTER the clone: an entangled clone would move
+      DeletionVectors.deleteWhere(s, src,
+        col("l_orderkey") % 26 === 0,
+        version = srcLog.latestVersion().get + 1,
+        commitTs = System.currentTimeMillis())
+      val independent = s.read.format("graft")
+        .option("tablePath", dst).load().count() == before
+      s.read.format("graft").option("tablePath", dst).load()
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .withColumn("all_local", lit(allLocal))
+        .withColumn("independent", lit(independent))
     }
   )
 }

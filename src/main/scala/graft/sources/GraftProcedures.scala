@@ -165,6 +165,27 @@ private[sources] object GraftProcedures {
       }
     },
 
+    new P("clone_deep",
+      "independent physical copy of a table snapshot: data files and " +
+        "referenced deletion-vector sidecars copy (distributed) into " +
+        "the destination's own tree; deep-cloning a shallow clone " +
+        "materializes it",
+      Seq(in("source", StringType), in("target", StringType),
+        inDefault("version", LongType, "NULL")),
+      StructType(Seq(StructField("source_version", LongType),
+        StructField("files", LongType),
+        StructField("bytes", LongType)))) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val src = resolvePath(warehouse, in.getUTF8String(0).toString)
+        val dst = resolvePath(warehouse, in.getUTF8String(1).toString)
+        val asOf = if (in.isNullAt(2)) None else Some(in.getLong(2))
+        val v = TableWriter.cloneDeep(spark, src, dst,
+          commitTs = System.currentTimeMillis(), versionAsOf = asOf)
+        val files = log(spark, dst).snapshotLatest().files
+        Seq(Seq(v, files.size.toLong, files.map(_.size).sum))
+      }
+    },
+
     new P("reorg",
       "rewrite deletion-vector-carrying files without their dead rows " +
         "(REORG ... APPLY (PURGE)) — logical table unchanged",

@@ -2217,6 +2217,96 @@ object TableWriter {
     snap.version
   }
 
+  /** DEEP clone (Delta's `CREATE TABLE ... DEEP CLONE`): an INDEPENDENT
+    * physical copy — every live data file's bytes, and the DV sidecar
+    * directories the snapshot's pointers reference, copy into the
+    * destination's own tree; version 0 of the destination commits the
+    * same logical state under LOCAL paths. The disaster-recovery /
+    * dev-copy op: the source may vacuum, expire its log, or vanish
+    * afterwards without touching the clone. Deep-cloning a SHALLOW
+    * clone fully materializes it — external (source-owned) pointers
+    * localize, data and vectors alike.
+    *
+    * The byte copy is DISTRIBUTED: one task per file over a
+    * parallelized file list (executor-side FileSystem copy) — a 100 TB
+    * clone is a cluster-wide copy job, never a driver loop over bytes.
+    * Row-tracking base ids, footer stats, partition values, column
+    * mapping, constraints, and properties all carry over verbatim.
+    * Returns the cloned source version.
+    */
+  def cloneDeep(
+      spark: SparkSession,
+      srcPath: String,
+      dstPath: String,
+      commitTs: Long,
+      versionAsOf: Option[Long] = None): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcLog = new TxnLog(srcPath, conf)
+    val snap = versionAsOf.map(srcLog.snapshot)
+      .getOrElse(srcLog.snapshotLatest())
+    snap.protocol.foreach(p => TxnLog.assertReadable(p, srcPath))
+    val dstLog = new TxnLog(dstPath, conf)
+    if (dstLog.latestVersion().isDefined)
+      throw new IllegalStateException(s"clone destination $dstPath not empty")
+
+    // destination-relative path per file: local files keep their layout;
+    // external (shallow-clone-imported) files localize under their hive
+    // partition dir with an ordinal prefix — two same-named imports from
+    // different source roots must not collide
+    def hiveDir(f: AddFile): String = {
+      val segs = new Path(f.path).getParent.toString.split('/')
+        .filter(_.contains('='))
+      if (segs.isEmpty) "" else segs.mkString("", "/", "/")
+    }
+    val dataPairs = snap.files.zipWithIndex.map { case (f, i) =>
+      val rel =
+        if (!TxnLog.isExternal(f.path)) f.path
+        else s"${hiveDir(f)}ext-$i-${new Path(f.path).getName}"
+      (f, rel)
+    }
+    // distinct DV dirs → local names (relative pointers keep theirs;
+    // absolute imported ones get a fresh local dir under _dv/)
+    val dvMap: Map[String, String] = snap.files.flatMap(_.dv).distinct
+      .zipWithIndex.map { case (d, i) =>
+        d -> (if (!TxnLog.isExternal(d)) d
+              else f"_dv/clone-ext-$i%05d")
+      }.toMap
+    val dvPairs: Seq[(String, String)] = dvMap.toSeq.flatMap {
+      case (srcDir, dstDir) =>
+        val p = new Path(TxnLog.dataPath(srcPath, srcDir))
+        p.getFileSystem(conf).listStatus(p)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (st.getPath.toString,
+            s"$dstDir/${st.getPath.getName}"))
+    }
+    val copies: Seq[(String, String)] =
+      dataPairs.map { case (f, rel) =>
+        (TxnLog.dataPath(srcPath, f.path), rel) } ++ dvPairs
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dst = dstPath
+    if (copies.nonEmpty)
+      spark.sparkContext
+        .parallelize(copies, math.max(1, math.min(copies.size, 64)))
+        .foreach { case (srcAbs, rel) =>
+          val sp = new Path(srcAbs)
+          val dp = new Path(dst, rel)
+          val sfs = sp.getFileSystem(serConf.value)
+          val dfs = dp.getFileSystem(serConf.value)
+          dfs.mkdirs(dp.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(
+              sfs, sp, dfs, dp, false, true, serConf.value))
+            throw new java.io.IOException(s"copy failed: $srcAbs -> $dp")
+        }
+    val adds = dataPairs.map { case (f, rel) =>
+      f.copy(path = rel, modificationTime = commitTs, dataChange = true,
+        dv = f.dv.map(dvMap))
+    }
+    dstLog.commit(0L,
+      snap.metadata.toSeq ++ snap.protocol.toSeq ++ adds :+
+        CommitInfo("CLONE_DEEP", commitTs))
+    snap.version
+  }
+
   /** Commit RemoveFile actions for every live file whose partitionValues
     * satisfy `pred` — partition-granularity delete, the CDC-generating
     * delete shape of the reference (RemoveFile actions,

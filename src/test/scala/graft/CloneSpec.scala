@@ -231,4 +231,61 @@ class CloneSpec extends AnyFunSuite {
         col("l_suppkey") % 2 =!= 0 && col("l_partkey") % 3 =!= 0).count())
     assert(SnapshotReader.read(spark, a).count() == want)
   }
+
+  // ---- deep clone ----
+
+  test("deep clone is INDEPENDENT: local paths, vectors copied, source " +
+      "mutations and vacuum can't touch it") {
+    val a = java.nio.file.Files.createTempDirectory("deep_src").toString
+    val d = java.nio.file.Files.createTempDirectory("deep_dst") + "/t"
+    val rows = li.filter(col("l_orderkey") % 29 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+    TableWriter.write(spark, rows, a, version = 0L, commitTs = 1000L)
+    DeletionVectors.deleteWhere(spark, a, col("l_suppkey") % 2 === 0,
+      version = 1L, commitTs = 2000L)
+    val want = rows.filter(col("l_suppkey") % 2 =!= 0).count()
+    val srcV = TableWriter.cloneDeep(spark, a, d, commitTs = 3000L)
+    assert(srcV == 1L)
+    assert(SnapshotReader.read(spark, d).count() == want)
+    val dFiles = new TxnLog(d, conf).snapshot(0L).files
+    assert(dFiles.forall(f => !TxnLog.isExternal(f.path)),
+      "deep clone must own every data file")
+    assert(dFiles.forall(_.dv.forall(v => !TxnLog.isExternal(v))),
+      "deep clone must own every vector")
+    // independence: mutate AND vacuum the source — the clone is unmoved
+    DeletionVectors.deleteWhere(spark, a, col("l_partkey") % 3 === 0,
+      version = 2L, commitTs = 4000L)
+    TableWriter.vacuum(spark, a, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis())
+    assert(SnapshotReader.read(spark, d).count() == want)
+  }
+
+  test("deep clone of a SHALLOW clone materializes the external files") {
+    val a = java.nio.file.Files.createTempDirectory("deep_sc_src").toString
+    val b = java.nio.file.Files.createTempDirectory("deep_sc_mid") + "/t"
+    val d = java.nio.file.Files.createTempDirectory("deep_sc_dst") + "/t"
+    val rows = li.filter(col("l_orderkey") % 31 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    TableWriter.write(spark, rows, a, version = 0L, commitTs = 1000L)
+    TableWriter.cloneShallow(spark, a, b, commitTs = 2000L)
+    TableWriter.cloneDeep(spark, b, d, commitTs = 3000L)
+    val dFiles = new TxnLog(d, conf).snapshot(0L).files
+    assert(dFiles.forall(f => !TxnLog.isExternal(f.path)),
+      "materialization must localize every imported pointer")
+    assert(SnapshotReader.read(spark, d).count() == rows.count())
+    // the original can vanish entirely; the deep clone still reads
+    fsOf(a).delete(new org.apache.hadoop.fs.Path(a), true)
+    assert(SnapshotReader.read(spark, d).count() == rows.count())
+  }
+
+  test("deep clone refuses a non-empty destination") {
+    val d = java.nio.file.Files.createTempDirectory("deep_ne") + "/t"
+    TableWriter.write(spark,
+      li.filter(col("l_orderkey") % 37 === 0).select(col("l_orderkey")),
+      d, version = 0L, commitTs = 1000L)
+    val e = intercept[IllegalStateException] {
+      TableWriter.cloneDeep(spark, src, d, commitTs = 2000L)
+    }
+    assert(e.getMessage.contains("not empty"))
+  }
 }

@@ -367,6 +367,23 @@ class RowLevelSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(2L, 3L, 11L, 12L, 99L))
   }
 
+  test("dv-mode UPDATE moves a row across hive partitions") {
+    freshTable("mp1")
+    dvMode {
+      spark.sql(
+        "UPDATE grl.default.mp1 SET bucket = 'b', v = 0 WHERE id = 2")
+    }
+    val rows = spark.sql(
+      "SELECT id, bucket, v FROM grl.default.mp1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10L), (2L, "b", 0L), (3L, "a", 30L),
+      (11L, "b", 110L), (12L, "b", 120L), (13L, "b", 130L)))
+    // the update image landed under the NEW partition's hive dir
+    val newest = log("mp1").snapshotLatest().files
+      .filter(_.dv.isEmpty).maxBy(_.modificationTime)
+    assert(newest.partitionValues.get("bucket").contains("b"), newest)
+  }
+
   test("dv-mode UPDATE stages exact CDF images") {
     wh
     val path = s"$wh/default/mcdf"
