@@ -1121,6 +1121,41 @@ private[sources] class GraftBatchScan(
       org.apache.spark.sql.SparkSession.active, resolved.tablePath,
       pushedV1).getOrElse(1.0)
 
+  /** ANALYZE column stats shaped for the CBO (loaded once per scan;
+    * one metadata read, only when a `_stats` sidecar exists). Min/max
+    * convert from the sidecar's string form to the CATALYST-internal
+    * value the estimators expect; unconvertible types surface
+    * ndv/null-count only (still enough for equality selectivity).
+    */
+  private lazy val analyzedColumnStats
+      : Map[String, graft.txn.Analyze.ColStats] =
+    graft.txn.Analyze.columnStatsFor(
+      org.apache.spark.sql.SparkSession.active, resolved.tablePath)
+
+  private def typedStat(
+      dt: org.apache.spark.sql.types.DataType,
+      s: String): java.util.Optional[Object] = {
+    import org.apache.spark.sql.types._
+    try {
+      if (s == null) java.util.Optional.empty()
+      else {
+        val v: Object = dt match {
+          case LongType => java.lang.Long.valueOf(s)
+          case IntegerType => java.lang.Integer.valueOf(s)
+          case ShortType => java.lang.Short.valueOf(s)
+          case ByteType => java.lang.Byte.valueOf(s)
+          case DoubleType => java.lang.Double.valueOf(s)
+          case FloatType => java.lang.Float.valueOf(s)
+          case DateType => java.lang.Integer.valueOf(
+            java.time.LocalDate.parse(s).toEpochDay.toInt)
+          case _: DecimalType => Decimal(s)
+          case _ => null
+        }
+        java.util.Optional.ofNullable(v)
+      }
+    } catch { case _: Throwable => java.util.Optional.empty() }
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L,
@@ -1131,6 +1166,33 @@ private[sources] class GraftBatchScan(
         OptionalLong.of(math.max(if (counts.sum > 0) 1L else 0L,
           (counts.sum * statsSelectivity).toLong))
       else OptionalLong.empty()
+    }
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      analyzedColumnStats.foreach { case (c, st) =>
+        resolved.schema.fields.find(_.name == c)
+          .filter(f => required.fieldNames.contains(f.name))
+          .foreach { f =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def distinctCount(): OptionalLong =
+                  OptionalLong.of(st.ndv)
+                override def nullCount(): OptionalLong =
+                  OptionalLong.of(st.nNull)
+                override def min(): java.util.Optional[Object] =
+                  typedStat(f.dataType, st.minS)
+                override def max(): java.util.Optional[Object] =
+                  typedStat(f.dataType, st.maxS)
+              })
+          }
+      }
+      m
     }
   }
 

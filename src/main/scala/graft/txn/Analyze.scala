@@ -89,9 +89,20 @@ object Analyze {
     builds.lastOption.map(p => spark.read.parquet(p.toString))
   }
 
-  private final case class ColStats(
+  private[graft] final case class ColStats(
       n: Long, nNull: Long, ndv: Long, minS: String, maxS: String,
       hist: Option[Seq[Double]] = None)
+
+  /** The latest ANALYZE build's per-column stats (empty when never
+    * analyzed) — the DSv2 `Statistics.columnStats` feed: with
+    * `spark.sql.cbo.enabled` Spark's own FilterEstimation /
+    * JoinEstimation consume these through the scan, so selective-filter
+    * cardinality (and with it broadcast and join-order decisions) stops
+    * assuming uniformity over file sizes. One `_stats` sidecar read.
+    */
+  private[graft] def columnStatsFor(
+      spark: SparkSession, tablePath: String): Map[String, ColStats] =
+    statsMap(spark, tablePath).getOrElse(Map.empty)
 
   private def statsMap(spark: SparkSession, tablePath: String)
       : Option[Map[String, ColStats]] =

@@ -128,6 +128,33 @@ class AnalyzeSpec extends AnyFunSuite {
       s"histogram estimate $est should crush the uniform guess $uniform")
   }
 
+  test("ANALYZE stats surface to Catalyst CBO as per-column statistics") {
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.read.format("graft").option("tablePath", table).load()
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined, "CBO must see a row count")
+      val attr = stats.attributeStats.toSeq
+        .map { case (a, s) => a.name -> s }.toMap
+      assert(attr.contains("o_orderpriority"),
+        s"analyzed column must carry CBO stats: ${attr.keySet}")
+      assert(attr("o_orderpriority").distinctCount.exists(_.toLong == 5L))
+      assert(attr("o_orderkey").nullCount.exists(_.toLong == 0L))
+      assert(attr("o_orderkey").min.isDefined &&
+        attr("o_orderkey").max.isDefined,
+        "numeric min/max must convert from the sidecar's string form")
+      // the estimators consume them: an equality filter's cardinality
+      // comes out ~ n/ndv, far below the unfiltered count
+      val n = stats.rowCount.get.toLong
+      val filtered = df.filter(col("o_orderpriority") === "1-URGENT")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.isDefined)
+      val est = filtered.rowCount.get.toLong
+      assert(est < n / 2 && est > 0,
+        s"equality selectivity must bite: $est of $n")
+    }
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
