@@ -1189,6 +1189,32 @@ private[sources] class GraftBatchScan(
                   typedStat(f.dataType, st.minS)
                 override def max(): java.util.Optional[Object] =
                   typedStat(f.dataType, st.maxS)
+                // ANALYZE's equi-depth bounds become a CBO histogram:
+                // range selectivity on SKEWED columns stops assuming
+                // uniform [min, max] — per-bin ndv is the honest
+                // equi-depth approximation ndv/B
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats
+                      .Histogram] =
+                  st.hist.filter(_.length >= 2).map { bounds =>
+                    import org.apache.spark.sql.connector.read.colstats._
+                    val b = bounds.length - 1
+                    val binNdv = math.max(1L, st.ndv / b)
+                    val h: Histogram = new Histogram {
+                      override def height(): Double =
+                        (st.n - st.nNull).toDouble / b
+                      override def bins(): Array[HistogramBin] =
+                        (0 until b).map { i =>
+                          val bin: HistogramBin = new HistogramBin {
+                            override def lo(): Double = bounds(i)
+                            override def hi(): Double = bounds(i + 1)
+                            override def ndv(): Long = binNdv
+                          }
+                          bin
+                        }.toArray
+                    }
+                    java.util.Optional.of(h)
+                  }.getOrElse(java.util.Optional.empty())
               })
           }
       }

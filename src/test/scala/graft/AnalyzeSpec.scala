@@ -155,6 +155,35 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO range estimates use the equi-depth histogram on skew") {
+    import spark.implicits._
+    val path = freshDir("anlz_cbo_hist")
+    // 10k rows at x=0 (the hot value), 100 spread over (1000, 1100]
+    val skewed = (0 until 10000).map(_ => 0L) ++
+      (1 to 100).map(i => 1000L + i)
+    TableWriter.write(spark, skewed.toDF("x"), path,
+      version = 0L, commitTs = 1000L)
+    Analyze.computeStats(spark, path, Seq("x"))
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.read.format("graft").option("tablePath", path).load()
+      val base = df.queryExecution.optimizedPlan.stats
+      assert(base.attributeStats.toSeq.exists {
+        case (a, s) => a.name == "x" && s.histogram.isDefined
+      }, "the equi-depth bounds must surface as a CBO histogram")
+      val est = df.filter(col("x") > 500L)
+        .queryExecution.optimizedPlan.stats.rowCount.get.toLong
+      // uniform [0, 1100] would say ~55% of 10100 ≈ 5500 rows; the
+      // histogram knows the tail is (at most) one thin bucket. CBO
+      // estimates are heuristics — the pin is the ORDER OF MAGNITUDE
+      // (a wrong-side estimate here flips broadcasts at 100 TB), not
+      // exact truth-tracking: equi-depth bins under extreme skew may
+      // under-estimate the thin tail.
+      assert(est < 1500L,
+        s"histogram range estimate must crush the uniform guess: $est")
+      assert(est >= 1L, s"and stay positive: $est")
+    }
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
