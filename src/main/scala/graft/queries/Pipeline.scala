@@ -1199,6 +1199,50 @@ object Pipeline {
         .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
         .agg(count(lit(1)).as("shared_fps"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Sliding-window CHUNKING with overlap (the RAG/embedding-prep
+    // shape: 64-token windows, stride 48 → 16-token overlap, final
+    // short window kept): per source the chunk ledger — documents,
+    // chunks, chunk-token volume, and the overlap cost in exact ppm
+    // (how many extra tokens the overlap re-embeds — THE number that
+    // prices a chunking config). Chunk starts explode from pure
+    // sequence arithmetic on the TOKEN COUNT (never materializing
+    // token arrays per chunk): map-only explode + one rollup, linear
+    // in documents, constant per chunk.
+    QueryDef.sqlBacked(
+      "q341_chunking",
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT source, n,
+        |    unnest(range(0, n, 48)) AS s0 FROM d)
+        |SELECT source,
+        |  CAST(COUNT(CASE WHEN s0 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(LEAST(64, n - s0)) AS BIGINT) AS chunk_tokens,
+        |  CAST((SUM(LEAST(64, n - s0)) -
+        |        SUM(CASE WHEN s0 = 0 THEN n ELSE 0 END)) * 1000000
+        |    // SUM(LEAST(64, n - s0)) AS BIGINT) AS overlap_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      d.select(col("source"), col("n"),
+          explode(expr("sequence(0, n - 1, 48)")).as("s0"))
+        .groupBy(col("source"))
+        .agg(
+          count(when(col("s0") === 0, 1)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(least(lit(64L), col("n") - col("s0"))).cast("long")
+            .as("chunk_tokens"),
+          expr("CAST((SUM(LEAST(64, n - s0)) - " +
+            "SUM(CASE WHEN s0 = 0 THEN n ELSE 0 END)) * 1000000 " +
+            "DIV SUM(LEAST(64, n - s0)) AS BIGINT)").as("overlap_ppm"))
+        .orderBy(col("source"))
     }
   )
 }
