@@ -40,14 +40,19 @@ object ExactQuantile {
     */
   private val MaxDriverCells = 32L * 1024 * 1024
 
-  /** Refuses group columns whose cardinality would blow the driver:
-    * one exact distinct-count over the cached 2-column projection —
-    * metadata-cheap next to the three passes it protects.
+  /** Refuses group columns whose cardinality would blow the driver.
+    * The count comes from the PERSISTED pass-1 aggregate (one row per
+    * group — the frame the guard exists to keep off the driver), so
+    * guarding costs one extra action over already-computed state, not
+    * an extra distinct shuffle.
     */
   private def guardGroups(
-      src: org.apache.spark.sql.DataFrame, buckets: Int): Unit = {
-    val nGroups = src.select("g").distinct().count()
+      statsDf: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame,
+      buckets: Int): Unit = {
+    val nGroups = statsDf.count()
     if (nGroups * buckets > MaxDriverCells) {
+      statsDf.unpersist()
       src.unpersist()
       throw new IllegalArgumentException(
         s"ExactQuantile: $nGroups groups x $buckets buckets = " +
@@ -76,13 +81,16 @@ object ExactQuantile {
     val src = df.select(grpCol.cast("string").as("g"),
       valCol.cast("long").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    guardGroups(src, buckets)
 
-    // pass 1: one row per GROUP
-    val stats = src.groupBy($"g")
+    // pass 1: one row per GROUP (persisted so the cardinality guard
+    // counts it distributed BEFORE anything lands on the driver)
+    val statsDf = src.groupBy($"g")
       .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
-      .collect()
+      .persist()
+    guardGroups(statsDf, src, buckets)
+    val stats = statsDf.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    statsDf.unpersist()
 
     // per-group bucket width; ≥1 so degenerate (constant) groups work
     val meta = stats.map { case (g, _, lo, hi) =>
@@ -158,15 +166,18 @@ object ExactQuantile {
     val src = df.select(grpCol.cast("string").as("g"),
       valCol.cast("long").as("v"), weightCol.cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    guardGroups(src, buckets)
 
-    // pass 1: one row per GROUP (weight domain + value domain)
-    val stats = src.groupBy($"g")
+    // pass 1: one row per GROUP (weight domain + value domain),
+    // persisted so the cardinality guard counts it distributed first
+    val statsDf = src.groupBy($"g")
       .agg(sum($"w").as("tw"), min($"v").as("lo"), max($"v").as("hi"),
         min($"w").as("wmin"))
-      .collect()
+      .persist()
+    guardGroups(statsDf, src, buckets)
+    val stats = statsDf.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
+    statsDf.unpersist()
     stats.foreach { case (g, _, _, _, wmin) =>
       require(wmin > 0L,
         s"weighted quantile needs positive integer weights; group '$g' " +

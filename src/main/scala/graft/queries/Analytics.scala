@@ -1964,9 +1964,11 @@ object Analytics {
         |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM s)
         |SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cand,
         |  CAST(v AS BIGINT) AS at_value,
-        |  CAST(abs(f1 * n2 - f2 * n1) * 1000000 // (n1 * n2) AS BIGINT)
-        |    AS d_ppm
-        |FROM c ORDER BY abs(f1 * n2 - f2 * n1) DESC, v
+        |  CAST(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)
+        |    * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_ppm
+        |FROM c
+        |ORDER BY abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)
+        |  DESC, v
         |LIMIT 1""".stripMargin) { (s, dir) =>
       val per = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars").cast("long").as("v"))
@@ -1978,13 +1980,17 @@ object Analytics {
           per, "f1", "n1", col("c1"), col("v")),
         "f2", "n2", col("c2"), col("v"))
       cum
+        // DECIMAL(38,0) ↔ HUGEINT: f1·n2 and dn·10⁶ overflow BIGINT at
+        // large document counts — the q338/q339 wide-integer protocol
         .select(col("v"),
-          abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dn"),
+          expr("abs(CAST(f1 AS DECIMAL(38,0)) * n2 " +
+            "- CAST(f2 AS DECIMAL(38,0)) * n1)").as("dn"),
           col("n1"), col("n2"))
         .orderBy(col("dn").desc, col("v")).limit(1)
         .select(col("n1").as("n_ref"), col("n2").as("n_cand"),
           col("v").as("at_value"),
-          expr("CAST(dn * 1000000 DIV (n1 * n2) AS BIGINT)").as("d_ppm"))
+          expr("CAST(dn * 1000000 DIV " +
+            "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("d_ppm"))
     },
 
     // Spearman rank correlation over the FACT table, EXACT with ties:

@@ -228,7 +228,8 @@ private[sources] class GraftCdfMicroBatchStream(
             .asInstanceOf[StructType])
           .getOrElse(StructType(Seq.empty))
         ChangeDataFeed.pvKeepFn(
-          org.apache.spark.sql.SparkSession.active, declared, p, rangePvs)
+          org.apache.spark.sql.SparkSession.active, declared, p, rangePvs,
+          knownRefs = Some(predRefs))
     }
     versioned.flatMap { case (v, actions) =>
       val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }

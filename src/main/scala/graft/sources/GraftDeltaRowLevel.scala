@@ -184,6 +184,20 @@ private[sources] class GraftDeltaBatchWrite(
       val scan = boundScan().getOrElse(throw new IllegalStateException(
         s"$op at $tablePath: no bound scan — the delta write cannot " +
           "locate the rows it marks dead"))
+      // handles and DV sidecars key rows by file BASENAME — sound for
+      // files this table wrote (names embed version + ordinal) but a
+      // shallow-clone import can collide with a local name. A silent
+      // collision would mark the WRONG file's positions dead: refuse.
+      val dupNames = scan.boundResolved.files
+        .groupBy(f => new Path(f.path).getName)
+        .collect { case (n, fs) if fs.size > 1 => n }
+      if (dupNames.nonEmpty)
+        fail(new UnsupportedOperationException(
+          s"$op at $tablePath in dv mode: ${dupNames.size} live file " +
+            s"basename(s) collide (e.g. ${dupNames.head}; clone " +
+            "imports?) — deletion-vector row identity is " +
+            "basename-keyed; run in copy-on-write mode or deep-clone " +
+            "first"))
       val byName = scan.boundResolved.files
         .map(f => new Path(f.path).getName -> f).toMap
       val affected = affectedNames.toSeq.sorted.map(n => byName.getOrElse(n,

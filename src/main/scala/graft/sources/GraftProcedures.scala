@@ -81,6 +81,13 @@ private[sources] object GraftProcedures {
   private def log(spark: SparkSession, path: String): TxnLog =
     new TxnLog(path, spark.sessionState.newHadoopConf())
 
+  /** Next version of a table that must EXIST — a typo'd identifier
+    * fails with the resolved path, not a bare NoSuchElementException.
+    */
+  private def nextVersion(l: TxnLog, path: String): Long =
+    l.latestVersion().getOrElse(throw new IllegalArgumentException(
+      s"no graft table at $path (empty or missing _txn_log)")) + 1
+
   /** The procedure registry for one catalog (bound to its warehouse). */
   def all(warehouse: String): Map[String, UnboundProcedure] = Seq(
 
@@ -101,9 +108,10 @@ private[sources] object GraftProcedures {
           else in.getUTF8String(2).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val l = log(spark, path)
+        val v = nextVersion(l, path)
         val before = l.snapshotLatest().files.size
         TableWriter.compact(spark, path,
-          version = l.latestVersion().get + 1,
+          version = v,
           commitTs = System.currentTimeMillis(),
           zorderBy = zorder,
           maxFileBytes = maxMb.map(_ * 1024L * 1024L)
@@ -147,7 +155,7 @@ private[sources] object GraftProcedures {
       override def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
         val path = resolvePath(warehouse, in.getUTF8String(0).toString)
         val to = in.getLong(1)
-        val v = log(spark, path).latestVersion().get + 1
+        val v = nextVersion(log(spark, path), path)
         TableWriter.restore(spark, path, toVersion = to,
           version = v, commitTs = System.currentTimeMillis())
         Seq(Seq(v, to))
@@ -197,7 +205,7 @@ private[sources] object GraftProcedures {
         val path = resolvePath(warehouse, in.getUTF8String(0).toString)
         val l = log(spark, path)
         val rewritten = DeletionVectors.purge(spark, path,
-          version = l.latestVersion().get + 1,
+          version = nextVersion(l, path),
           commitTs = System.currentTimeMillis())
         val after = l.snapshotLatest()
         Seq(Seq(after.version, rewritten.size.toLong,

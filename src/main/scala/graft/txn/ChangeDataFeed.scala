@@ -246,11 +246,13 @@ object ChangeDataFeed {
       spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       pred: org.apache.spark.sql.Column,
-      pvs: Seq[Map[String, String]]): Map[String, String] => Boolean = {
+      pvs: Seq[Map[String, String]],
+      knownRefs: Option[Set[String]] = None)
+      : Map[String, String] => Boolean = {
     val distinct = pvs.distinct
     if (distinct.isEmpty) return pv => true
     val allCols = distinct.flatMap(_.keySet).distinct.sorted
-    val refs = predicateRefs(spark, allCols, pred)
+    val refs = knownRefs.getOrElse(predicateRefs(spark, allCols, pred))
     require(refs.nonEmpty,
       "partition predicate references no columns — pass an unresolved " +
         "Column (col(\"dt\") / expr(...)) over partition columns")
@@ -423,23 +425,19 @@ object ChangeDataFeed {
     // never the doomed files' bytes — FSCK-lost rows still audit here
     val commits = walkRange(log, tablePath, all, versions,
       allowLostFiles = true)
+    val rangePvs = commits.flatMap(c =>
+      c.cdcFiles.map(_.partitionValues) ++
+        c.adds.map(_.partitionValues) ++ c.doomed.map(_.partitionValues))
+    // resolve the predicate's references ONCE; pvKeepFn reuses them
+    val predRefsOpt = partitionPredicate.map(p => predicateRefs(spark,
+      rangePvs.flatMap(_.keySet).distinct.sorted, p))
     val keepFn = partitionPredicate.map { p =>
       pvKeepFn(spark,
         log.snapshotLatest().metadata.map(m =>
           org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
           .getOrElse(org.apache.spark.sql.types.StructType(Seq.empty)),
-        p,
-        commits.flatMap(c => c.cdcFiles.map(_.partitionValues) ++
-          c.adds.map(_.partitionValues) ++
-          c.doomed.map(_.partitionValues)))
-    }
-    val predRefsOpt = partitionPredicate.map { p =>
-      predicateRefs(spark,
-        commits.flatMap(c => (c.cdcFiles.map(_.partitionValues) ++
-            c.adds.map(_.partitionValues) ++
-            c.doomed.map(_.partitionValues)).flatMap(_.keySet))
-          .distinct.sorted, p)
+        p, rangePvs, knownRefs = predRefsOpt)
     }
     commits.foreach { c0 =>
       // branch on the PRE-prune commit (same rule as tableChanges): a

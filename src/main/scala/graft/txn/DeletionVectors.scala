@@ -349,7 +349,15 @@ object DeletionVectors {
     * `version`'s deletion-vector directory (staged, then renamed into
     * place) and return the table-relative pointer the re-committed
     * AddFiles must carry. The caller folds the pointer into its OWN
-    * commit; an uncommitted directory is invisible (vacuum sweeps it).
+    * commit; an uncommitted directory is invisible (vacuum's stale-
+    * staging sweep reclaims crashed leftovers).
+    *
+    * The directory name carries an ATTEMPT-UNIQUE suffix: two writers
+    * racing on the same target version would otherwise stage and
+    * rename onto the SAME `_dv/dv-N` path — the loser's rename (or its
+    * conflict-cleanup delete) clobbering the WINNER's just-committed
+    * vector, resurrecting its deleted rows. Pointer strings are
+    * opaque to every reader, so uniqueness is free.
     */
   private[graft] def stageVector(
       spark: SparkSession,
@@ -358,8 +366,9 @@ object DeletionVectors {
       allRows: DataFrame): String = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
-    val rel = dvDir(version)
-    val staging = new Path(tablePath, s".staging-dv-$version")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val rel = s"${dvDir(version)}-$attempt"
+    val staging = new Path(tablePath, s".staging-dv-$version-$attempt")
     val fs = staging.getFileSystem(conf)
     fs.delete(staging, true)
     // pack to the bitmap encoding: one row per (file, kill version),
@@ -380,7 +389,8 @@ object DeletionVectors {
     packed.write.mode("overwrite").parquet(staging.toString)
     val dest = new Path(tablePath, rel)
     fs.mkdirs(dest.getParent)
-    fs.delete(dest, true)
+    // attempt-unique name: the destination cannot pre-exist, so no
+    // delete-before-rename — a clobber here would be a UUID collision
     if (!fs.rename(staging, dest))
       throw new IllegalStateException(s"rename failed: $dest")
     rel

@@ -1154,12 +1154,25 @@ object TableWriter {
         }
       }
     if (fs.exists(table)) walk(table)
-    val doomed = (removed ++ orphans).distinct.sorted
+    // stale STAGING leftovers: the DML paths stage under `.staging-*`
+    // dirs and rename into place on success — a crash between staging
+    // and commit strands the directory, and the dot-dir skip above
+    // would otherwise hide it from the sweep forever. Anything past
+    // the retention horizon is provably not an in-flight commit.
+    val staleStaging: Seq[String] =
+      if (!fs.exists(table)) Seq.empty
+      else fs.listStatus(table)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(".staging-") &&
+          st.getModificationTime <= cutoff)
+        .map(_.getPath.getName).toSeq
+    val doomed = (removed ++ orphans ++ staleStaging).distinct.sorted
     // DRY RUN: report what WOULD be reclaimed, delete nothing — the
     // operator's answer to "is my retention window about to eat a
     // version someone still time-travels to"
     if (dryRun) return doomed
-    doomed.foreach(p => fs.delete(new Path(tablePath, p), false))
+    doomed.foreach(p => fs.delete(new Path(tablePath, p),
+      p.startsWith(".staging-")))
     // drop emptied DV directories so the _dv namespace doesn't
     // accumulate husks of reclaimed vectors (recursive: local
     // filesystems leave .crc shadows behind the deleted parquet)

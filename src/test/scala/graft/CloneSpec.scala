@@ -123,8 +123,10 @@ class CloneSpec extends AnyFunSuite {
       col("l_suppkey") % 5 =!= 0).count()
     assert(SnapshotReader.read(spark, dir).count() == expected)
     // the sidecar is clone-local; the source is untouched
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
-      DeletionVectors.dvDir(1L))))
+    val dvs = new TxnLog(dir, conf).snapshotLatest().files
+      .flatMap(_.dv).distinct
+    assert(dvs.nonEmpty && dvs.forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, d))))
     assert(SnapshotReader.read(spark, src).count() ==
       li.filter(col("l_orderkey") % 7 === 0).count())
   }

@@ -42,7 +42,8 @@ class DeletionVectorSpec extends AnyFunSuite {
   test("second delete unions the vector, keeping original deleted_at") {
     // the v2 vector must carry BOTH versions' dead rows for re-affected
     // files (pointers replace, never chain)
-    val v2dv = spark.read.parquet(s"$table/${DeletionVectors.dvDir(2L)}")
+    val ptrs = log.snapshot(2L).files.flatMap(_.dv).distinct
+    val v2dv = spark.read.parquet(ptrs.map(d => s"$table/$d"): _*)
     val byVersion = v2dv.groupBy("deleted_at").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byVersion.contains(2L))
@@ -147,8 +148,10 @@ class DeletionVectorSpec extends AnyFunSuite {
     // vacuum reclaims the superseded dv-1 sidecar
     TableWriter.vacuum(spark, dir, retainMillis = 0L,
       nowMillis = System.currentTimeMillis() + 1000L * 86400)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
-      DeletionVectors.dvDir(1L))))
+    val dv1 = new TxnLog(dir, spark.sessionState.newHadoopConf())
+      .snapshot(1L).files.flatMap(_.dv).distinct
+    assert(dv1.nonEmpty && dv1.forall(d =>
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, d))))
     // restoring to v1 would re-commit pointers at the missing dv-1 dir —
     // every subsequent read would fail; the restore must refuse instead
     val e = intercept[IllegalStateException] {
@@ -255,10 +258,10 @@ class DeletionVectorSpec extends AnyFunSuite {
     val l = new TxnLog(dir, conf)
     val live = l.snapshotLatest().files.map(_.path).toSet
     assert(live.forall(p => fs.exists(new org.apache.hadoop.fs.Path(dir, p))))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
-      DeletionVectors.dvDir(1L))) ||
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir,
-        DeletionVectors.dvDir(1L))).isEmpty,
+    val dv1p = l.snapshot(1L).files.flatMap(_.dv).distinct
+    assert(dv1p.forall(d =>
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, d)) ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir, d)).isEmpty),
       "purged+vacuumed DV sidecars should not linger")
   }
 
@@ -282,10 +285,13 @@ class DeletionVectorSpec extends AnyFunSuite {
     // the LIVE vector (dv-2, which carries both versions' rows) survives;
     // the superseded dv-1 dir is reclaimed like a removed data file
     assert(SnapshotReader.read(spark, dir).count() == before)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
-      DeletionVectors.dvDir(2L))))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
-      DeletionVectors.dvDir(1L))))
+    val l2 = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    val liveDv = l2.snapshot(2L).files.flatMap(_.dv).distinct
+    val oldDv = l2.snapshot(1L).files.flatMap(_.dv).distinct
+    assert(liveDv.nonEmpty && liveDv.forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, d))))
+    assert(oldDv.nonEmpty && oldDv.forall(d =>
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, d))))
   }
 
   test("DV-aware paths: merge, delete, and skipping never resurrect") {
@@ -430,7 +436,8 @@ class DeletionVectorSpec extends AnyFunSuite {
     def bytesUnder(dir: String): Long =
       fs.listStatus(new org.apache.hadoop.fs.Path(path, dir))
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    val dvBytes = bytesUnder(DeletionVectors.dvDir(1L))
+    val dvBytes = l.snapshotLatest().files.flatMap(_.dv).distinct
+      .map(bytesUnder).sum
     assert(dvBytes < n / 2,
       s"bitmap sidecar is $dvBytes bytes for ${n / 2} dead rows")
     val oneName = new org.apache.hadoop.fs.Path(
@@ -446,6 +453,29 @@ class DeletionVectorSpec extends AnyFunSuite {
         l.snapshotLatest().files)
       .agg(sum(col("n_deleted"))).head().getLong(0)
     assert(counted == n / 2)
+  }
+
+  test("vacuum sweeps STALE staging leftovers, spares fresh ones") {
+    val path = s"target/fixtures/dv_staging_${System.nanoTime()}"
+    import spark.implicits._
+    TableWriter.write(spark, (0L until 10L).toDF("id"), path,
+      version = 0L, commitTs = 1000L)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // a crashed writer's leftover: staged parquet that never renamed
+    val stale = new org.apache.hadoop.fs.Path(path, ".staging-dv-7-dead")
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "part-x.parquet")).close()
+    fs.setTimes(stale, 1000L, -1L)
+    val fresh = new org.apache.hadoop.fs.Path(path, ".staging-rlh-live")
+    fs.mkdirs(fresh)
+    val swept = TableWriter.vacuum(spark, path, retainMillis = 3600 * 1000L,
+      nowMillis = System.currentTimeMillis())
+    assert(swept.contains(".staging-dv-7-dead"), swept)
+    assert(!fs.exists(stale), "the stale staging dir must be reclaimed")
+    assert(fs.exists(fresh),
+      "an in-horizon staging dir may belong to an in-flight commit")
+    assert(SnapshotReader.read(spark, path).count() == 10L)
   }
 
   test("legacy row-per-dead-row sidecars read forever (mixed-format table)") {
