@@ -552,6 +552,62 @@ object Text {
         .orderBy(col("cluster_size"))
     },
 
+    // SOFT dedup / survivor REWEIGHTING (the "dedup but keep the
+    // counts" trick production LLM pipelines use so dedup doesn't
+    // silently reweight the data distribution): each near-dup
+    // component's keeper carries weight = component size, untouched
+    // docs carry weight 1 — and Σ weights must equal the corpus
+    // EXACTLY (the `conserved` boolean rides the hash; a lost or
+    // double-counted member breaks it). Output is the weight
+    // spectrum: how many keepers carry how many documents.
+    QueryDef.sqlBacked(
+      "q342_dedup_reweight",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s),
+         |csizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp
+         |          GROUP BY comp),
+         |cl AS (SELECT sz AS weight, CAST(COUNT(*) AS BIGINT) AS n_keepers,
+         |         CAST(SUM(sz) AS BIGINT) AS docs_carried
+         |       FROM csizes GROUP BY sz),
+         |singles AS (SELECT CAST(1 AS BIGINT) AS weight,
+         |  CAST((SELECT COUNT(*) FROM corpus)
+         |    - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_keepers,
+         |  CAST((SELECT COUNT(*) FROM corpus)
+         |    - (SELECT COUNT(*) FROM comp) AS BIGINT) AS docs_carried)
+         |SELECT weight, n_keepers, docs_carried, TRUE AS conserved
+         |FROM (SELECT * FROM cl UNION ALL SELECT * FROM singles)
+         |ORDER BY weight""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val corpus = TextOps.nearDupCorpus(s, dir)
+      val comp = graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir)
+          .select(col("doc_a"), col("doc_b")))
+        .persist()
+      try {
+        val nCorpus = corpus.count()
+        val nMembers = comp.count()
+        val clusters = comp.groupBy(col("comp"))
+          .agg(count(lit(1)).as("w"))
+          .groupBy(col("w").as("weight"))
+          .agg(count(lit(1)).as("n_keepers"),
+            sum(col("w")).cast("long").as("docs_carried"))
+        val singles = Seq((1L, nCorpus - nMembers, nCorpus - nMembers))
+          .toDF("weight", "n_keepers", "docs_carried")
+        val all = clusters.unionByName(singles)
+        val total = all.agg(sum(col("docs_carried"))).head().getLong(0)
+        all.withColumn("conserved", lit(total == nCorpus))
+          .orderBy(col("weight"))
+      } finally comp.unpersist()
+    },
+
     // QUALITY-AWARE keeper selection (keep-BEST, the production twin of
     // q78's keep-first): within each near-dup component the survivor is
     // the doc with the most content (max char length, doc_id tiebreak) —
