@@ -1243,6 +1243,53 @@ object Pipeline {
             "SUM(CASE WHEN s0 = 0 THEN n ELSE 0 END)) * 1000000 " +
             "DIV SUM(LEAST(64, n - s0)) AS BIGINT)").as("overlap_ppm"))
         .orderBy(col("source"))
+    },
+
+    // GREEDY TOKEN-BUDGET FILL (the "build the best mix that fits"
+    // selection every training run starts with): documents admit in
+    // quality order (n_chars desc, doc_id tiebreak) while the running
+    // token total stays within the budget — here a DATA-DERIVED budget
+    // of ⌊total/3⌋ so the cut provably binds at every SF. The global
+    // running total is DistributedOrder.withPrefixSum (range sort +
+    // one long per partition — NEVER a single-task window over the
+    // corpus); the oracle states the identical inclusive-cumsum rule.
+    // Output: the per-source admission ledger + the budget invariant
+    // riding the hash.
+    QueryDef.sqlBacked(
+      "q343_budget_fill",
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |b AS (SELECT SUM(tok) // 3 AS budget FROM d),
+        |r AS (SELECT source, tok,
+        |    SUM(tok) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source,
+        |  CAST(COUNT(*) FILTER (WHERE cum <= (SELECT budget FROM b))
+        |    AS BIGINT) AS n_admitted,
+        |  CAST(COALESCE(SUM(tok) FILTER (
+        |    WHERE cum <= (SELECT budget FROM b)), 0) AS BIGINT)
+        |    AS tokens_admitted,
+        |  TRUE AS budget_respected
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      val ranked = graft.operators.DistributedOrder.withPrefixSum(
+        d, "cum", "tot", col("tok"), col("n_chars").desc, col("doc_id"))
+      val out = ranked
+        .withColumn("budget", expr("tot DIV 3"))
+        .groupBy(col("source"))
+        .agg(
+          count(when(col("cum") <= col("budget"), 1)).as("n_admitted"),
+          coalesce(sum(when(col("cum") <= col("budget"), col("tok"))),
+            lit(0L)).cast("long").as("tokens_admitted"))
+      val respected = out.agg(sum(col("tokens_admitted"))).head().getLong(0) <=
+        d.agg(sum(col("tok"))).head().getLong(0) / 3
+      out.withColumn("budget_respected", lit(respected))
+        .orderBy(col("source"))
     }
   )
 }
