@@ -166,7 +166,13 @@ final case class CommitInfo(
 final case class CdcFile(
     path: String,
     partitionValues: Map[String, String],
-    size: Long) extends Action
+    size: Long,
+    // commit wall-clock, stamped when the action folds into a CHECKPOINT
+    // (commit files leave it None — the CommitInfo on the same line set
+    // carries the time there): checkpoints expire cdc references by age,
+    // and the reference needs a clock that rides the row. Defaulted, so
+    // pre-field logs and checkpoints read unchanged.
+    commitTimestamp: Option[Long] = None) extends Action
 
 /** Forward-compatibility guard (the Delta protocol action): a reader
   * whose supported version is below `minReaderVersion` must REFUSE the

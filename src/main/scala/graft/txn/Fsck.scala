@@ -18,13 +18,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Scale shape: existence checking is one `listStatus` per DISTINCT
   * data directory (table root + one per partition dir of a live file),
-  * never one RPC per file — on an object store a million-file table
-  * costs as many LIST calls as it has partitions, all driver-side
-  * metadata, no executor work at all.
+  * never one RPC per file — and past a few dozen directories the LIST
+  * calls fan out as a Spark job (one task per directory batch), so a
+  * 100k-partition table checks in parallel instead of serially on the
+  * driver.
   */
 object Fsck {
 
   val Operation = "FSCK"
+
+  /** Above this many distinct directories, existence checks run as
+    * executor tasks instead of a driver loop.
+    */
+  private[graft] val DriverDirThreshold = 64
 
   /** Live files whose bytes are gone, as table-relative paths (absolute
     * for shallow-clone imports). Pure read — shared by [[repair]] and
@@ -33,25 +39,46 @@ object Fsck {
   def missingFiles(spark: SparkSession, tablePath: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
-    missingOf(log.snapshotLatest().files.map(_.path), tablePath, conf)
+    missingOf(spark, log.snapshotLatest().files.map(_.path), tablePath, conf)
   }
 
   private def missingOf(
+      spark: SparkSession,
       paths: Seq[String],
       tablePath: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     if (paths.isEmpty) return Seq.empty
-    val resolved = paths.map(p => p -> new Path(TxnLog.dataPath(tablePath, p)))
-    val byDir = resolved.groupBy(_._2.getParent)
-    byDir.toSeq.flatMap { case (dir, files) =>
+    val resolved = paths.map { p =>
+      val abs = new Path(TxnLog.dataPath(tablePath, p))
+      (p, abs.getParent.toString, abs.getName)
+    }
+    val byDir: Seq[(String, Seq[(String, String)])] = resolved
+      .groupBy(_._2).view
+      .mapValues(_.map(t => (t._1, t._3))).toSeq
+    def checkOne(
+        dir: String,
+        files: Seq[(String, String)],
+        c: org.apache.hadoop.conf.Configuration): Seq[String] = {
       // per-directory filesystem: shallow-clone imports record ABSOLUTE
       // paths that may live on a different store than the table root
-      val fs = dir.getFileSystem(conf)
+      val d = new Path(dir)
+      val fs = d.getFileSystem(c)
       val existing: Set[String] =
-        try fs.listStatus(dir).map(_.getPath.getName).toSet
+        try fs.listStatus(d).map(_.getPath.getName).toSet
         catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-      files.collect { case (rel, p) if !existing(p.getName) => rel }
-    }.sorted
+      files.collect { case (rel, name) if !existing(name) => rel }
+    }
+    if (byDir.size <= DriverDirThreshold)
+      byDir.flatMap { case (d, fsq) => checkOne(d, fsq, conf) }.sorted
+    else {
+      // many partition dirs: one listStatus per dir, fanned out as tasks
+      // (the collect is bounded by the MISSING count, not the file count)
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      spark.sparkContext
+        .parallelize(byDir, math.max(1, math.min(byDir.size, 64)))
+        .flatMap { case (d, fsq) => checkOne(d, fsq, serConf.value) }
+        .collect().toSeq.sorted
+    }
   }
 
   /** Commit removes for every live-but-missing file; returns the removed
@@ -71,7 +98,7 @@ object Fsck {
       val snap = log.snapshotLatest()
       TxnLog.assertWritable(snap, tablePath)
       val liveByPath = snap.files.map(f => f.path -> f).toMap
-      removed = missingOf(liveByPath.keys.toSeq, tablePath, conf)
+      removed = missingOf(spark, liveByPath.keys.toSeq, tablePath, conf)
       if (removed.nonEmpty) {
         val removes = removed.map { p =>
           val f = liveByPath(p)

@@ -1091,88 +1091,172 @@ object TableWriter {
       retainMillis: Long,
       nowMillis: Long,
       dryRun: Boolean = false): Seq[String] = {
+    import org.apache.spark.sql.functions.{get_json_object, lit, max, when,
+      struct, regexp_extract}
+    import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val log = new TxnLog(tablePath, conf)
     val latestSnap = log.snapshotLatest()
-    val live = latestSnap.files.map(_.path).toSet
     // DV dirs referenced by the LATEST snapshot are protected; superseded
     // or purged vectors age out past the horizon like removed data files
     // (same documented trade: time travel past the horizon stops working)
     val liveDv = latestSnap.files.flatMap(_.dv).toSet
     val cutoff = nowMillis - retainMillis
-    // newest removal timestamp per path (a path can be re-added later —
-    // the live check guards that); referenced = every path ANY commit
-    // has ever added
-    val removedAt = scala.collection.mutable.Map.empty[String, Long]
-    val referenced = scala.collection.mutable.Set.empty[String]
-    log.changes(0L).foreach { case (_, actions) =>
-      actions.foreach {
-        case r: RemoveFile =>
-          removedAt(r.path) = math.max(r.deletionTimestamp,
-            removedAt.getOrElse(r.path, Long.MinValue))
-        case a: AddFile => referenced += a.path
-        // change-data sidecars are protected while their commit is in
-        // the log; expireLog dropping the commit releases them to the
-        // orphan sweep below
-        case c: CdcFile => referenced += c.path
-        case _ => ()
-      }
-    }
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
-    val removed = removedAt.toSeq
-      // external (shallow-clone-imported) paths belong to the SOURCE
-      // table — the clone's vacuum must never reach outside its root
-      .filter { case (p, ts) =>
-        !live.contains(p) && ts <= cutoff && !TxnLog.isExternal(p) }
-      .map(_._1)
-    // orphan sweep: on-disk parquet never referenced by the log
-    val tableUri = fs.makeQualified(table).toUri
-    val latestBloom = BloomIndex.latestBuild(spark, tablePath)
-    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(dir: Path): Unit =
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) {
-          if (name != "_txn_log" && !name.startsWith(".")) walk(st.getPath)
-        } else if (name.endsWith(".parquet")) {
-          val rel = tableUri.relativize(
-            fs.makeQualified(st.getPath).toUri).getPath
-          // DV sidecars: protected only while the LATEST snapshot points
-          // at their dir; data files: protected while any commit ever
-          // added them (the removed/horizon rule above reclaims those)
-          val isReferenced =
-            if (rel.startsWith("_dv/"))
-              liveDv.exists(d => rel.startsWith(d + "/"))
-            // bloom-index sidecars: the LATEST build is always protected
-            // (it prunes live reads); superseded builds age out below
-            else if (rel.startsWith("_bloom/"))
-              latestBloom.exists(d => rel.startsWith(d + "/"))
-            else referenced.contains(rel)
-          if (!isReferenced && st.getModificationTime <= cutoff)
-            orphans += rel
+
+    // ---- action history as DATAFRAMES: checkpoint base + commit tail.
+    // The base is the newest parquet checkpoint, read DISTRIBUTED — it
+    // carries the live adds, the remove tombstones younger than the
+    // tombstone retention, and the cdc references, so vacuum never
+    // replays the whole log and never holds every-path-ever maps on the
+    // driver. The tail (≤ checkpointInterval commits, or the whole
+    // retained log when the vacuum window outlives the tombstones —
+    // conservative full replay, never unsafe) is driver-parsed: it is
+    // bounded by construction.
+    val cp: Option[Long] = log.checkpointVersions().lastOption
+    val tailFrom: Long =
+      if (retainMillis <= log.tombstoneRetentionMillis) cp.map(_ + 1).getOrElse(0L)
+      else 0L
+    val baseDf: Option[DataFrame] = cp.map { cv =>
+      spark.read.parquet(log.checkpointPaths(cv).map(_.toString): _*)
+        .filter(col("kind").isin("add", "remove", "cdc"))
+        .select(
+          col("kind"),
+          coalesce(
+            get_json_object(col("json"), "$.add.path"),
+            get_json_object(col("json"), "$.remove.path"),
+            get_json_object(col("json"), "$.cdc.path")).as("path"),
+          get_json_object(col("json"), "$.remove.deletionTimestamp")
+            .cast("long").as("rts"),
+          lit(cv).as("v"))
+    }
+    val tailRows: Seq[(String, String, Option[Long], Long)] =
+      log.changes(tailFrom).flatMap { case (v, actions) =>
+        actions.flatMap {
+          case a: AddFile    => Some(("add", a.path, None, v))
+          case r: RemoveFile =>
+            Some(("remove", r.path, Some(r.deletionTimestamp), v))
+          case c: CdcFile    => Some(("cdc", c.path, None, v))
+          case _             => None
         }
-      }
-    if (fs.exists(table)) walk(table)
+      }.toSeq
+    val tailDf = tailRows.toDF("kind", "path", "rts", "v")
+    val acts = baseDf.map(_.unionByName(tailDf)).getOrElse(tailDf)
+
+    // per-path verdict: a path whose newest REMOVE outranks its newest
+    // ADD is a tombstoned file, reclaimable once its removal timestamp
+    // passes the horizon. A DV re-commit (remove + re-add, same version)
+    // lands lastAdd == lastRem — live, retained. External
+    // (shallow-clone-imported) paths belong to the SOURCE table — the
+    // clone's vacuum must never reach outside its root.
+    val perPath = acts.filter(col("kind").isin("add", "remove"))
+      .groupBy(col("path"))
+      .agg(
+        max(when(col("kind") === "add", col("v"))).as("lastAdd"),
+        max(when(col("kind") === "remove",
+          struct(col("v"), col("rts")))).as("lastRem"))
+    val reclaimDf = perPath
+      .filter(col("lastRem").isNotNull &&
+        (col("lastAdd").isNull || col("lastRem.v") > col("lastAdd")) &&
+        col("lastRem.rts") <= cutoff &&
+        !col("path").startsWith("/") && !col("path").contains(":/"))
+      .select(col("path").as("rel"))
+    val referencedDf = acts.select(col("path").as("rel")).distinct()
+
+    // ---- orphan sweep: on-disk parquet never referenced by the log,
+    // past the mtime horizon. The LISTING runs in executor tasks (one
+    // per top-level directory, recursive within) — a million-file table
+    // lists as a cluster job, never a single-threaded driver walk.
+    val rootEntries =
+      if (fs.exists(table)) fs.listStatus(table).toSeq else Seq.empty
+    val tableUriStr = fs.makeQualified(table).toUri.toString
+    def keepDir(name: String): Boolean =
+      name != "_txn_log" && !name.startsWith(".")
+    val subDirs = rootEntries
+      .filter(st => st.isDirectory && keepDir(st.getPath.getName))
+      .map(_.getPath.toString)
+    val rootFiles = rootEntries
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getModificationTime))
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val listedDf =
+      if (subDirs.isEmpty) rootFiles.toDF("rel", "mtime")
+      else spark.sparkContext
+        .parallelize(subDirs, math.max(1, math.min(subDirs.size, 64)))
+        .flatMap { d =>
+          val p = new Path(d)
+          val dfs = p.getFileSystem(serConf.value)
+          val base = java.net.URI.create(tableUriStr)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          def walk(dir: Path): Unit = dfs.listStatus(dir).foreach { st =>
+            val name = st.getPath.getName
+            if (st.isDirectory) { if (keepDir(name)) walk(st.getPath) }
+            else if (name.endsWith(".parquet"))
+              out += ((base.relativize(dfs.makeQualified(st.getPath).toUri)
+                .getPath, st.getModificationTime))
+          }
+          walk(p)
+          out
+        }.toDF("rel", "mtime")
+        .unionByName(rootFiles.toDF("rel", "mtime"))
+    // classification joins: DV sidecars are protected while the LATEST
+    // snapshot points at their dir; the latest bloom build is always
+    // protected (it prunes live reads); everything else is protected
+    // while the checkpoint+tail history references it.
+    val latestBloom = BloomIndex.latestBuild(spark, tablePath)
+    val candidates = listedDf.filter(col("mtime") <= cutoff)
+      .withColumn("parent", regexp_extract(col("rel"), "^(.*)/[^/]+$", 1))
+    val dvOrphans = candidates.filter(col("rel").startsWith("_dv/"))
+      .join(liveDv.toSeq.toDF("dir"), col("parent") === col("dir"),
+        "left_anti")
+    val bloomOrphans = candidates.filter(col("rel").startsWith("_bloom/"))
+      .filter(col("parent") =!= lit(latestBloom.getOrElse("")))
+    val dataOrphans = candidates
+      .filter(!col("rel").startsWith("_dv/") &&
+        !col("rel").startsWith("_bloom/"))
+      .join(referencedDf, Seq("rel"), "left_anti")
+    val orphansDf = dvOrphans.select("rel")
+      .unionByName(bloomOrphans.select("rel"))
+      .unionByName(dataOrphans.select("rel"))
+
     // stale STAGING leftovers: the DML paths stage under `.staging-*`
     // dirs and rename into place on success — a crash between staging
     // and commit strands the directory, and the dot-dir skip above
-    // would otherwise hide it from the sweep forever. Anything past
-    // the retention horizon is provably not an in-flight commit.
-    val staleStaging: Seq[String] =
-      if (!fs.exists(table)) Seq.empty
-      else fs.listStatus(table)
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(".staging-") &&
-          st.getModificationTime <= cutoff)
-        .map(_.getPath.getName).toSeq
-    val doomed = (removed ++ orphans ++ staleStaging).distinct.sorted
+    // would otherwise hide it from the sweep forever. Age by the NEWEST
+    // file inside the dir (an object store's dir mtime can be creation
+    // time — a long-running statement still writing must not lose its
+    // staging mid-flight); an empty dir falls back to its own mtime.
+    val staleStaging: Seq[String] = rootEntries
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".staging-"))
+      .filter { st =>
+        val inner = fs.listStatus(st.getPath)
+        val newest =
+          if (inner.isEmpty) st.getModificationTime
+          else inner.map(_.getModificationTime).max
+        newest <= cutoff
+      }
+      .map(_.getPath.getName)
+
+    // the collect is the API contract (callers get the reclaimed list);
+    // it is bounded by the reclaim size, and the DELETES below run as a
+    // cluster job, not a driver loop
+    val doomed = (reclaimDf.unionByName(orphansDf).distinct()
+      .as[String].collect().toSeq ++ staleStaging).distinct.sorted
     // DRY RUN: report what WOULD be reclaimed, delete nothing — the
     // operator's answer to "is my retention window about to eat a
     // version someone still time-travels to"
     if (dryRun) return doomed
-    doomed.foreach(p => fs.delete(new Path(tablePath, p),
-      p.startsWith(".staging-")))
+    if (doomed.nonEmpty) {
+      val tbl = tablePath
+      spark.sparkContext
+        .parallelize(doomed, math.max(1, math.min(doomed.size, 64)))
+        .foreach { p =>
+          val dp = new Path(tbl, p)
+          dp.getFileSystem(serConf.value).delete(dp, p.startsWith(".staging-"))
+        }
+    }
     // drop emptied DV directories so the _dv namespace doesn't
     // accumulate husks of reclaimed vectors (recursive: local
     // filesystems leave .crc shadows behind the deleted parquet)
@@ -2284,14 +2368,27 @@ object TableWriter {
         d -> (if (!TxnLog.isExternal(d)) d
               else f"_dv/clone-ext-$i%05d")
       }.toMap
-    val dvPairs: Seq[(String, String)] = dvMap.toSeq.flatMap {
-      case (srcDir, dstDir) =>
-        val p = new Path(TxnLog.dataPath(srcPath, srcDir))
-        p.getFileSystem(conf).listStatus(p)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => (st.getPath.toString,
-            s"$dstDir/${st.getPath.getName}"))
-    }
+    // DV sidecars key dead rows by data-file BASENAME — localizing an
+    // external file under an 'ext-$i-' prefix changes its basename, so
+    // the copied vectors' file_name column must be rewritten to the new
+    // names or every deleted row of an imported file silently resurrects
+    // in the clone. Two imports sharing a basename fan one sidecar row
+    // out to both new names (the pointer join keys on (name, dir), so a
+    // duplicated row binds only to the file whose AddFile points here).
+    val renames: Map[String, Seq[String]] = dataPairs
+      .filter { case (f, _) => TxnLog.isExternal(f.path) }
+      .groupBy { case (f, _) => new Path(f.path).getName }
+      .map { case (old, ps) => old -> ps.map(p => new Path(p._2).getName) }
+    val dvPairs: Seq[(String, String)] =
+      if (renames.nonEmpty) Seq.empty // rewritten below, not byte-copied
+      else dvMap.toSeq.flatMap {
+        case (srcDir, dstDir) =>
+          val p = new Path(TxnLog.dataPath(srcPath, srcDir))
+          p.getFileSystem(conf).listStatus(p)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(st => (st.getPath.toString,
+              s"$dstDir/${st.getPath.getName}"))
+      }
     val copies: Seq[(String, String)] =
       dataPairs.map { case (f, rel) =>
         (TxnLog.dataPath(srcPath, f.path), rel) } ++ dvPairs
@@ -2310,6 +2407,21 @@ object TableWriter {
               sfs, sp, dfs, dp, false, true, serConf.value))
             throw new java.io.IOException(s"copy failed: $srcAbs -> $dp")
         }
+    // basename-rewriting DV materialization (external imports present):
+    // each sidecar dir re-writes with file_name mapped through `renames`
+    // (rows for local files pass through untouched). Distributed via the
+    // normal parquet write path; sidecar dirs are KB-to-MB-scale.
+    if (renames.nonEmpty && dvMap.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, explode, udf}
+      val remap = udf((fn: String) =>
+        renames.getOrElse(fn, Seq(fn)).toArray)
+      dvMap.foreach { case (srcDir, dstDir) =>
+        spark.read.parquet(TxnLog.dataPath(srcPath, srcDir))
+          .withColumn("file_name", explode(remap(col("file_name"))))
+          .write.mode("overwrite")
+          .parquet(new Path(dstPath, dstDir).toString)
+      }
+    }
     val adds = dataPairs.map { case (f, rel) =>
       f.copy(path = rel, modificationTime = commitTs, dataChange = true,
         dv = f.dv.map(dvMap))

@@ -20,7 +20,8 @@ final class TxnLog(
     val tablePath: String,
     conf: Configuration,
     val checkpointInterval: Int = TxnLog.DefaultCheckpointInterval,
-    val checkpointPartSize: Int = TxnLog.DefaultCheckpointPartSize) {
+    val checkpointPartSize: Int = TxnLog.DefaultCheckpointPartSize,
+    val tombstoneRetentionMillis: Long = TxnLog.DefaultTombstoneRetentionMillis) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -355,19 +356,65 @@ final class TxnLog(
   }
 
   /** Write the live-file state at `v` as a parquet checkpoint: one row
-    * per action (kind ∈ {add, meta}, json = the LogLine encoding), written
-    * to a temp file then renamed in. Idempotent — re-writing the same
-    * checkpoint is harmless.
+    * per action (kind ∈ {add, meta, remove, cdc, …}, json = the LogLine
+    * encoding), written to a temp file then renamed in. Idempotent —
+    * re-writing the same checkpoint is harmless.
+    *
+    * Beyond live state, the checkpoint carries REMOVE TOMBSTONES and
+    * CDC-sidecar references younger than [[tombstoneRetentionMillis]]
+    * (the Delta deleted-file-retention idea, aged against THIS
+    * checkpoint's own commit timestamp so test clocks stay in one
+    * domain): VACUUM then resolves its removed/referenced sets from one
+    * checkpoint + the tail instead of replaying the whole log, and
+    * [[expireLog]] can still drop old commits without vacuum losing the
+    * removal times it retains for. Snapshot replay ignores these rows.
     */
   def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(v)
+    val ckptTs = read(v)
+      .collectFirst { case c: CommitInfo => c.timestamp }
+      .getOrElse(Long.MaxValue)
+    // saturating floor: fake small test clocks must not wrap negative
+    val keepFloor =
+      if (ckptTs == Long.MaxValue || ckptTs < Long.MinValue + tombstoneRetentionMillis)
+        Long.MinValue
+      else ckptTs - tombstoneRetentionMillis
+    // carry-forward: previous checkpoint's retained tombstones/cdc refs
+    // plus everything in the commits since — deduped (newest removal per
+    // path), then expired against the floor
+    val prevCp = checkpointVersions().filter(_ < v).lastOption
+    val (prevTombs, prevCdc) =
+      prevCp.map(readCheckpointExtras).getOrElse((Seq.empty, Seq.empty))
+    val tombByPath = scala.collection.mutable.Map.empty[String, RemoveFile]
+    prevTombs.foreach(r => tombByPath(r.path) = r)
+    val cdcByPath = scala.collection.mutable.Map.empty[String, CdcFile]
+    prevCdc.foreach(c => cdcByPath(c.path) = c)
+    versions().filter(x => x > prevCp.getOrElse(-1L) && x <= v).foreach { tv =>
+      val actions = read(tv)
+      val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(0L)
+      actions.foreach {
+        case r: RemoveFile =>
+          if (!tombByPath.get(r.path).exists(
+              _.deletionTimestamp >= r.deletionTimestamp))
+            tombByPath(r.path) = r
+        case c: CdcFile =>
+          cdcByPath(c.path) = c.copy(commitTimestamp =
+            Some(c.commitTimestamp.getOrElse(ts)))
+        case _ => ()
+      }
+    }
+    val tombs = tombByPath.valuesIterator
+      .filter(_.deletionTimestamp >= keepFloor).toSeq.sortBy(_.path)
+    val cdcRefs = cdcByPath.valuesIterator
+      .filter(_.commitTimestamp.forall(_ >= keepFloor)).toSeq.sortBy(_.path)
     // (kind, json) lines in deterministic order: control actions first,
     // then the live adds — chunked into parts when the state outgrows
     // checkpointPartSize. LAZY iterator end to end: JSON serialization
     // happens as each part streams out, so even the 5M-file state never
     // materializes its action strings in driver memory at once.
     val total = snap.metadata.size + snap.protocol.size +
-      snap.files.size + snap.txnMarkers.size
+      snap.files.size + snap.txnMarkers.size + tombs.size + cdcRefs.size
     def lines: Iterator[(String, String)] =
       snap.metadata.iterator.map(m =>
         "meta" -> Serialization.write(LogLine(m))) ++
@@ -376,7 +423,11 @@ final class TxnLog(
       snap.files.iterator.map(a =>
         "add" -> Serialization.write(LogLine(a))) ++
       snap.txnMarkers.valuesIterator.map(t =>
-        "txn" -> Serialization.write(LogLine(t)))
+        "txn" -> Serialization.write(LogLine(t))) ++
+      tombs.iterator.map(r =>
+        "remove" -> Serialization.write(LogLine(r))) ++
+      cdcRefs.iterator.map(c =>
+        "cdc" -> Serialization.write(LogLine(c)))
     def writeOne(tmp: Path, chunk: Iterator[(String, String)]): Unit = {
       val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
         "message checkpoint { required binary kind (UTF8); required binary json (UTF8); }")
@@ -414,6 +465,38 @@ final class TxnLog(
       }
     }
   }
+
+  /** The remove tombstones and cdc references a checkpoint retained —
+    * [[writeCheckpoint]]'s carry-forward input and vacuum's unit pins.
+    */
+  private[graft] def readCheckpointExtras(v: Long)
+      : (Seq[RemoveFile], Seq[CdcFile]) = {
+    val tombs = scala.collection.mutable.ArrayBuffer.empty[RemoveFile]
+    val cdc = scala.collection.mutable.ArrayBuffer.empty[CdcFile]
+    checkpointFilesOf(v).foreach { path =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          Serialization.read[LogLine](g.getString("json", 0)).action match {
+            case r: RemoveFile => tombs += r
+            case c: CdcFile    => cdc += c
+            case _             => ()
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    (tombs.toSeq, cdc.toSeq)
+  }
+
+  /** Physical file(s) of checkpoint `v` — lets vacuum read the action
+    * state as a DataFrame (distributed) instead of driver-side maps.
+    */
+  private[graft] def checkpointPaths(v: Long): Seq[Path] = checkpointFilesOf(v)
 
   /** Read a checkpoint back into (live files, metadata, protocol, txns). */
   private def readCheckpoint(v: Long)
@@ -530,6 +613,14 @@ object TxnLog {
   // lines ≈ a few hundred MB of JSON — comfortably one parquet buffer,
   // while a 5M-file table checkpoints as 50 parallel-readable parts.
   val DefaultCheckpointPartSize = 100000
+
+  /** How long checkpoints retain remove tombstones and cdc references
+    * (Delta's deletedFileRetentionDuration default): vacuum resolving
+    * from checkpoint + tail sees every removal younger than this. A
+    * vacuum with a LONGER retention window falls back to full log
+    * replay (conservative, never unsafe).
+    */
+  val DefaultTombstoneRetentionMillis: Long = 7L * 24 * 3600 * 1000
 
   /** One commit lock per QUALIFIED table URI, JVM-wide (see
     * [[TxnLog.commit]]) — keyed by `fs.makeQualified(path).toUri`, never

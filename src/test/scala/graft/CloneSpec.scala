@@ -280,6 +280,39 @@ class CloneSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, d).count() == rows.count())
   }
 
+  test("deep clone of a shallow clone carries imported DELETION VECTORS: " +
+      "renamed externals must not resurrect their dead rows") {
+    val a = java.nio.file.Files.createTempDirectory("deep_dv_src").toString
+    val b = java.nio.file.Files.createTempDirectory("deep_dv_mid") + "/t"
+    val d = java.nio.file.Files.createTempDirectory("deep_dv_dst") + "/t"
+    val rows = li.filter(col("l_orderkey") % 41 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    TableWriter.write(spark, rows, a, version = 0L, commitTs = 1000L)
+    // source-side DV delete BEFORE the shallow clone: the import carries
+    // both the external data files and their external vector pointers
+    DeletionVectors.deleteWhere(spark, a, col("l_suppkey") % 2 === 0,
+      version = 1L, commitTs = 1500L)
+    val want = rows.filter(col("l_suppkey") % 2 =!= 0).count()
+    TableWriter.cloneShallow(spark, a, b, commitTs = 2000L)
+    // clone-local DV delete on top: a LOCAL vector dir whose rows are
+    // keyed by the EXTERNAL files' basenames — the other rewrite case
+    DeletionVectors.deleteWhere(spark, b, col("l_suppkey") % 3 === 0,
+      version = 1L, commitTs = 2500L)
+    val want2 = rows.filter(col("l_suppkey") % 2 =!= 0 &&
+      col("l_suppkey") % 3 =!= 0).count()
+    assert(SnapshotReader.read(spark, b).count() == want2)
+    TableWriter.cloneDeep(spark, b, d, commitTs = 3000L)
+    val dFiles = new TxnLog(d, conf).snapshot(0L).files
+    assert(dFiles.forall(f => !TxnLog.isExternal(f.path)))
+    assert(dFiles.forall(_.dv.forall(v => !TxnLog.isExternal(v))))
+    assert(SnapshotReader.read(spark, d).count() == want2,
+      "deep clone of a DV-carrying shallow clone must keep deleted rows dead")
+    assert(want2 < want && want < rows.count()) // the assertions had teeth
+    // the source can vanish; vectors were materialized, not pointed to
+    fsOf(a).delete(new org.apache.hadoop.fs.Path(a), true)
+    assert(SnapshotReader.read(spark, d).count() == want2)
+  }
+
   test("deep clone refuses a non-empty destination") {
     val d = java.nio.file.Files.createTempDirectory("deep_ne") + "/t"
     TableWriter.write(spark,

@@ -101,6 +101,60 @@ class CompactionSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).count() == 100)
   }
 
+  test("vacuum from a CHECKPOINTED log retains recently-removed files: " +
+      "tombstones ride the checkpoint, not a full log replay") {
+    val table = freshTable("vac_tomb")
+    val li = Tables.load(spark, sf, "lineitem").limit(200)
+    val now = System.currentTimeMillis()
+    TableWriter.write(spark, li, table, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = now - 100000L)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // age every data file far past any horizon: the orphan mtime rule
+    // alone would sweep them — only the log can prove they're retained
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val old = now - 10L * 24 * 3600 * 1000
+    log.snapshotLatest().files.foreach(f => fs.setTimes(
+      new org.apache.hadoop.fs.Path(table, f.path), old, old))
+    val removed = TableWriter.removeWhere(spark, table,
+      pv => pv.get("l_returnflag").contains("R"), version = 1L,
+      commitTs = now - 1000L) // removed RECENTLY
+    assert(removed.nonEmpty)
+    log.writeCheckpoint(1L)
+    // retention 1h: removal is in-window -> the tombstone in the
+    // checkpoint must protect the aged files from the orphan sweep
+    assert(TableWriter.vacuum(spark, table,
+      retainMillis = 3600 * 1000L, nowMillis = now).isEmpty)
+    removed.foreach(r => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(table, r.path)),
+      "recently-removed file must survive a checkpoint-based vacuum"))
+    // retention 0: the tombstone's timestamp passes the horizon -> gone
+    val swept = TableWriter.vacuum(spark, table,
+      retainMillis = 0L, nowMillis = now)
+    assert(swept.sorted == removed.map(_.path).sorted, s"swept $swept")
+  }
+
+  test("vacuum never sweeps live files whose commits EXPIRED from the log") {
+    val table = freshTable("vac_expired")
+    for (v <- 0L until 11L)
+      TableWriter.write(spark,
+        Tables.load(spark, sf, "lineitem").limit(10).withColumn("v",
+          org.apache.spark.sql.functions.lit(v)),
+        table, version = v, commitTs = 1000L * (v + 1))
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    assert(log.checkpointVersions().contains(10L))
+    // drop commits v0..v9 — their AddFiles now exist ONLY in the
+    // checkpoint; a referenced-set built from commit JSONs alone would
+    // let the orphan sweep eat ten elevenths of the live table
+    assert(log.expireLog(retainMillis = 0L, nowMillis = 99000L).nonEmpty)
+    val before = SnapshotReader.read(spark, table).count()
+    assert(before == 110L)
+    val swept = TableWriter.vacuum(spark, table, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000)
+    assert(swept.isEmpty, s"live files swept after log expiry: $swept")
+    assert(SnapshotReader.read(spark, table).count() == before)
+  }
+
   test("append auto-assigns versions") {
     val table = freshTable("append_auto")
     val li = Tables.load(spark, sf, "lineitem")

@@ -465,10 +465,20 @@ class DeletionVectorSpec extends AnyFunSuite {
     // a crashed writer's leftover: staged parquet that never renamed
     val stale = new org.apache.hadoop.fs.Path(path, ".staging-dv-7-dead")
     fs.mkdirs(stale)
-    fs.create(new org.apache.hadoop.fs.Path(stale, "part-x.parquet")).close()
+    val staleInner = new org.apache.hadoop.fs.Path(stale, "part-x.parquet")
+    fs.create(staleInner).close()
+    // staleness is judged by the NEWEST file INSIDE the dir (a live
+    // writer keeps producing; a dir's own mtime can be creation time on
+    // object stores) — a dead writer's files all age out together
+    fs.setTimes(staleInner, 1000L, -1L)
     fs.setTimes(stale, 1000L, -1L)
     val fresh = new org.apache.hadoop.fs.Path(path, ".staging-rlh-live")
     fs.mkdirs(fresh)
+    // a long-running statement's staging with a FRESH file inside must
+    // survive even if the dir's own mtime looks ancient
+    val freshInner = new org.apache.hadoop.fs.Path(fresh, "part-y.parquet")
+    fs.create(freshInner).close()
+    fs.setTimes(fresh, 1000L, -1L)
     val swept = TableWriter.vacuum(spark, path, retainMillis = 3600 * 1000L,
       nowMillis = System.currentTimeMillis())
     assert(swept.contains(".staging-dv-7-dead"), swept)

@@ -73,6 +73,47 @@ class LogRetentionSpec extends AnyFunSuite {
       "SetTxn must be replayed from the checkpoint after log expiry")
   }
 
+  test("checkpoints carry remove tombstones + cdc refs, expired by age " +
+      "against the checkpoint's own clock") {
+    val path = java.nio.file.Files.createTempDirectory("lr_tomb").toString + "/t"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(path, conf, checkpointInterval = 0,
+      tombstoneRetentionMillis = 5000L)
+    def add(p: String) = AddFile(p, Map.empty, 1L, 0L, dataChange = true)
+    log.commit(0L, Seq(add("a.parquet"), add("b.parquet"),
+      Metadata("""{"type":"struct","fields":[]}""", Seq.empty),
+      CommitInfo("WRITE", 1000L)))
+    log.commit(1L, Seq(
+      RemoveFile("a.parquet", 2000L, Map.empty),
+      CdcFile("_change_data/cd-1.parquet", Map.empty, 1L),
+      CommitInfo("DELETE", 2000L)))
+    log.commit(2L, Seq(RemoveFile("b.parquet", 9500L, Map.empty),
+      CommitInfo("DELETE", 9500L)))
+    log.commit(3L, Seq(CommitInfo("NOOP", 10000L)))
+    // ckptTs = 10000, floor = 5000: b's tombstone (9500) survives, a's
+    // (2000) and the cdc ref (commit ts 2000) age out
+    log.writeCheckpoint(3L)
+    val (tombs, cdc) = log.readCheckpointExtras(3L)
+    assert(tombs.map(_.path) == Seq("b.parquet"), s"got $tombs")
+    assert(cdc.isEmpty, s"got $cdc")
+    // carry-forward: the NEXT checkpoint re-reads the prior one's
+    // retained tombstones without replaying the expired commits
+    log.commit(4L, Seq(CommitInfo("NOOP", 11000L)))
+    log.writeCheckpoint(4L)
+    val (tombs2, _) = log.readCheckpointExtras(4L)
+    assert(tombs2.map(_.path) == Seq("b.parquet"))
+    // a young cdc ref rides along with its commit timestamp stamped
+    log.commit(5L, Seq(
+      CdcFile("_change_data/cd-5.parquet", Map.empty, 1L),
+      CommitInfo("DELETE", 12000L)))
+    log.writeCheckpoint(5L)
+    val (_, cdc5) = log.readCheckpointExtras(5L)
+    assert(cdc5.map(c => (c.path, c.commitTimestamp)) ==
+      Seq(("_change_data/cd-5.parquet", Some(12000L))))
+    // snapshot replay is UNCHANGED by the extra rows
+    assert(log.snapshot(5L).files.map(_.path).isEmpty)
+  }
+
   test("a skewed older clock on a newer commit cannot expire retained history") {
     val path = java.nio.file.Files.createTempDirectory("lr2").toString + "/t"
     // v0..v4 at caller-supplied wall clocks — v3's is SKEWED BACKWARD

@@ -78,6 +78,23 @@ class RemoteFsSpec extends AnyFunSuite {
       "CDC partition readers must open files via the custom scheme")
   }
 
+  test("vacuum's orphan listing fans out as EXECUTOR tasks, not a " +
+      "driver walk") {
+    scheme
+    import spark.implicits._
+    val local = java.nio.file.Files.createTempDirectory("mockfs_vac")
+    java.nio.file.Files.delete(local)
+    val table = s"mockfs://$local"
+    val df = (1 to 60).map(i => (i.toLong, s"t${i % 6}")).toDF("id", "tag")
+    TableWriter.write(spark, df, table, partitionBy = Seq("tag"))
+    val before = CountingMockFs.taskLists.get()
+    TableWriter.vacuum(spark, table, retainMillis = 3600 * 1000L,
+      nowMillis = System.currentTimeMillis())
+    assert(CountingMockFs.taskLists.get() > before,
+      "the per-directory listStatus calls must run inside Spark tasks")
+    assert(SnapshotReader.read(spark, table).count() == 60)
+  }
+
   test("maintenance ops (OPTIMIZE) work against the custom scheme") {
     val table = freshTable()
     TableWriter.compact(spark,
@@ -100,8 +117,17 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     CountingMockFs.opens.incrementAndGet()
     super.open(p, bufferSize)
   }
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    // counted only when running INSIDE a Spark task: local[n] shares the
+    // JVM, so TaskContext presence is what separates executor-side
+    // listing (the 100 TB shape) from a driver walk
+    if (org.apache.spark.TaskContext.get() != null)
+      CountingMockFs.taskLists.incrementAndGet()
+    super.listStatus(p)
+  }
 }
 
 object CountingMockFs {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val taskLists = new java.util.concurrent.atomic.AtomicInteger(0)
 }
