@@ -2001,6 +2001,14 @@ object Analytics {
     // Reported as q251's exact protocol: sign plus
     // ρ²_e6 = num² DIV GREATEST(den DIV 10⁶, 1) — pure integer ops both
     // engines state identically (num²·10⁶ would blow 38 digits at SF).
+    // Moment terms grow as n³, so their PRODUCTS reach n⁶ — past
+    // n ≈ 10⁷ rows that exceeds DECIMAL(38,0)/HUGEINT and Spark
+    // (non-ANSI) would NULL silently while DuckDB errors. Both engines
+    // therefore pre-scale identically: K = max(1, n³ DIV 10¹⁵) divides
+    // |sxy|, sxx, syy before any multiplication (floor division on
+    // non-negative terms — engine-identical), capping every product
+    // near 10³⁰ for ANY n while K = 1 keeps small-n results bit-exact
+    // with the unscaled formula.
     // Shape: two value-grouped prefix-sum rank tables (distinct-value-
     // sized) joined back on value, then ONE aggregate — the corpus is
     // never globally sorted row-wise. The operator answers "does my
@@ -2023,12 +2031,18 @@ object Analytics {
         |      FROM f JOIN rx USING (x) JOIN ry USING (y)),
         |agg AS (SELECT SUM(CAST(dx * dy AS HUGEINT)) AS sxy,
         |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
-        |    SUM(CAST(dy AS HUGEINT) * dy) AS syy FROM d)
+        |    SUM(CAST(dy AS HUGEINT) * dy) AS syy FROM d),
+        |k AS (SELECT GREATEST(CAST(1 AS HUGEINT),
+        |    (SELECT CAST(n AS HUGEINT) * n * n FROM n)
+        |      // 1000000000000000) AS kdiv)
         |SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
         |  CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END
         |    AS BIGINT) AS sign,
-        |  CAST(sxy * sxy
-        |    // GREATEST(sxx * syy // 1000000, 1) AS BIGINT) AS rho2_e6
+        |  CAST((ABS(sxy) // (SELECT kdiv FROM k))
+        |      * (ABS(sxy) // (SELECT kdiv FROM k))
+        |    // GREATEST((sxx // (SELECT kdiv FROM k))
+        |      * (syy // (SELECT kdiv FROM k)) // 1000000, 1)
+        |    AS BIGINT) AS rho2_e6
         |FROM agg""".stripMargin) { (s, dir) =>
       val f = Tables.load(s, dir, "lineitem")
         .filter(col("l_orderkey") % 16 === 0)
@@ -2048,15 +2062,25 @@ object Analytics {
           .join(rankTable("x"), "x").join(rankTable("y"), "y")
           .select((col("r2_x") - (n + 1L)).as("dx"),
             (col("r2_y") - (n + 1L)).as("dy"))
+        // mirror of the oracle's pre-scale: K = max(1, n^3 / 10^15),
+        // floor-divided into the non-negative moment terms on BOTH
+        // engines before any product (see the ledger comment above)
+        val kdiv = (BigInt(n).pow(3) / BigInt(10).pow(15)).max(BigInt(1))
         d.agg(
             sum(expr("CAST(dx * dy AS DECIMAL(38,0))")).as("sxy"),
             sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
             sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
           .select(lit(n).as("n"),
             signum(col("sxy")).cast("long").as("sign"),
-            expr("CAST(sxy * sxy DIV " +
-              "GREATEST(sxx * syy DIV 1000000, 1) AS BIGINT)")
-              .as("rho2_e6"))
+            // Spark's DIV yields LONG — re-widen each scaled term to
+            // DECIMAL(38,0) before multiplying or the products would
+            // wrap silently in non-ANSI long arithmetic
+            expr("CAST(" +
+              s"CAST(ABS(sxy) DIV $kdiv AS DECIMAL(38,0)) * " +
+              s"CAST(ABS(sxy) DIV $kdiv AS DECIMAL(38,0)) DIV " +
+              s"GREATEST(CAST(sxx DIV $kdiv AS DECIMAL(38,0)) * " +
+              s"CAST(syy DIV $kdiv AS DECIMAL(38,0)) DIV 1000000, 1) " +
+              "AS BIGINT)").as("rho2_e6"))
       } finally f.unpersist()
     },
 

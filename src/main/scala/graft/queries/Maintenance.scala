@@ -1492,7 +1492,9 @@ object Maintenance {
     // untouched-group contract; this row certifies VALUES end-to-end):
     // matched keys take the source's cents, unmatched keys insert, then
     // an UPDATE bumps a slice — the final state recomputed by DuckDB
-    // from the same arithmetic.
+    // from the same arithmetic. COW is now the OPT-OUT (merge-on-read
+    // is the engine default since round 13), so this row pins the
+    // opt-out explicitly; q332 is the default-path twin.
     QueryDef.sqlBacked(
       "q208_sql_merge_update",
       """WITH t AS (
@@ -1526,15 +1528,18 @@ object Maintenance {
           |FROM events_src
           |WHERE event_id % 16 = 0 OR event_id % 8 = 3""".stripMargin)
         .createOrReplaceTempView("merge_src")
-      s.sql(
-        """MERGE INTO gcat.default.events_merge t USING merge_src s
-          |ON t.event_id = s.event_id
-          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
-          |WHEN NOT MATCHED THEN INSERT (event_id, cents)
-          |  VALUES (s.event_id, s.cents)""".stripMargin)
-      s.sql(
-        """UPDATE gcat.default.events_merge SET cents = cents + 7
-          |WHERE event_id % 5 = 0""".stripMargin)
+      s.conf.set("spark.graft.update.mode", "cow")
+      try {
+        s.sql(
+          """MERGE INTO gcat.default.events_merge t USING merge_src s
+            |ON t.event_id = s.event_id
+            |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+            |WHEN NOT MATCHED THEN INSERT (event_id, cents)
+            |  VALUES (s.event_id, s.cents)""".stripMargin)
+        s.sql(
+          """UPDATE gcat.default.events_merge SET cents = cents + 7
+            |WHERE event_id % 5 = 0""".stripMargin)
+      } finally s.conf.unset("spark.graft.update.mode")
       s.sql(
         """SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |  CAST(SUM(cents) AS BIGINT) AS cents_sum,

@@ -105,6 +105,123 @@ object Multimodal {
         .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keeper"))
         .filter(col("n_copies") > 1)
         .orderBy(col("keeper"))
+    },
+
+    // REAL codec-free decode, value-gated: genuine PPM/BMP/WAV blobs
+    // (headers, BMP bottom-up row padding, RIFF chunk walk — the full
+    // formats) are built per document from pure doc_id arithmetic,
+    // decoded by operators/Multimodal's real decoders, and the per-kind
+    // luminance/energy statistics must match DuckDB's independent
+    // replay of the same pixel/sample formulas — a decoder bug (wrong
+    // channel order, padding slip, off-by-one header) shifts the sums
+    // and reddens the hash. The stub now covers only codec-bound
+    // formats (JPEG/MP3), which stay labeled.
+    QueryDef.sqlBacked(
+      "q344_multimodal_decode",
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |img AS (SELECT d, CASE WHEN d % 3 = 0 THEN 'ppm' ELSE 'bmp' END
+        |    AS kind, 4 + d % 5 AS w, 3 + d % 4 AS h
+        |  FROM d WHERE d % 3 < 2),
+        |px AS (SELECT d, kind, w * h AS units, i.range AS i
+        |  FROM img CROSS JOIN range(48) i WHERE i.range < w * h),
+        |lum AS (SELECT d, kind, units,
+        |    (7 * d + 3 * i) % 256 + (11 * d + 5 * i) % 256
+        |      + (13 * d + 7 * i) % 256 AS lum3
+        |  FROM px),
+        |imgagg AS (SELECT kind, d, units, SUM(lum3) AS s1, MAX(lum3) AS m1
+        |  FROM lum GROUP BY 1, 2, 3),
+        |wav AS (SELECT d, 8 + d % 9 AS n FROM d WHERE d % 3 = 2),
+        |smp AS (SELECT d, n, (31 * d + 17 * i.range) % 2001 - 1000 AS s
+        |  FROM wav CROSS JOIN range(17) i WHERE i.range < n),
+        |wavagg AS (SELECT 'wav' AS kind, d, n AS units,
+        |    SUM(s * s) AS s1, MAX(ABS(s)) AS m1
+        |  FROM smp GROUP BY 1, 2, 3),
+        |u AS (SELECT * FROM imgagg UNION ALL SELECT * FROM wavagg)
+        |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(units) AS BIGINT) AS units,
+        |  CAST(SUM(s1) AS BIGINT) AS sum1,
+        |  CAST(MAX(m1) AS BIGINT) AS max1
+        |FROM u GROUP BY 1 ORDER BY kind""".stripMargin) { (s, dir) =>
+      MM.extractDecodedStats(s, MM.syntheticCodecTable(s, dir))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("units")).cast("long").as("units"),
+          sum(col("sum1")).cast("long").as("sum1"),
+          max(col("max1")).cast("long").as("max1"))
+        .orderBy(col("kind"))
+    },
+
+    // REAL nearest-neighbor resize over DECODED pixels (the standard
+    // pre-embedding normalization): every synthetic PPM/BMP decodes,
+    // resizes to 4x3 (source pixel of output (x,y) is ((x·w)/4,(y·h)/3),
+    // floor division), and the per-kind resized-luminance sums must
+    // match DuckDB's replay of the same index arithmetic — a sampling
+    // or stride bug shifts which source pixels survive and reddens the
+    // hash. WAV rows pass through counted as 'skipped'.
+    QueryDef.sqlBacked(
+      "q345_image_resize",
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |img AS (SELECT d, 4 + d % 5 AS w, 3 + d % 4 AS h
+        |  FROM d WHERE d % 3 < 2),
+        |opx AS (SELECT d, CASE WHEN d % 3 = 0 THEN 'ppm' ELSE 'bmp' END
+        |    AS kind, w, h, i.range % 4 AS x, i.range // 4 AS y
+        |  FROM img CROSS JOIN range(12) i),
+        |src AS (SELECT d, kind,
+        |    ((y * h) // 3) * w + ((x * w) // 4) AS i FROM opx),
+        |lum AS (SELECT d, kind,
+        |    (7 * d + 3 * i) % 256 + (11 * d + 5 * i) % 256
+        |      + (13 * d + 7 * i) % 256 AS lum3
+        |  FROM src),
+        |per AS (SELECT kind, d, SUM(lum3) AS s, MAX(lum3) AS m
+        |  FROM lum GROUP BY 1, 2),
+        |sk AS (SELECT 'skipped' AS kind, CAST(COUNT(*) AS BIGINT)
+        |    AS n_media, CAST(0 AS BIGINT) AS px,
+        |    CAST(0 AS BIGINT) AS lum3_sum, CAST(0 AS BIGINT) AS lum3_max
+        |  FROM d WHERE d % 3 = 2)
+        |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(12 * COUNT(*) AS BIGINT) AS px,
+        |  CAST(SUM(s) AS BIGINT) AS lum3_sum,
+        |  CAST(MAX(m) AS BIGINT) AS lum3_max
+        |FROM per GROUP BY 1
+        |UNION ALL SELECT * FROM sk
+        |ORDER BY kind""".stripMargin) { (s, dir) =>
+      MM.resizedImageStats(s, MM.syntheticCodecTable(s, dir), ow = 4, oh = 3)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("px")).cast("long").as("px"),
+          sum(col("lum3_sum")).cast("long").as("lum3_sum"),
+          max(col("lum3_max")).cast("long").as("lum3_max"))
+        .orderBy(col("kind"))
+    },
+
+    // Windowed audio FRAME ENERGY over decoded PCM (the VAD /
+    // segmentation primitive): each synthetic WAV's samples split into
+    // 4-sample frames (final short frame kept), per-frame exact Σs²;
+    // the ledger reports per-frame-index clip counts and total energy —
+    // DuckDB replays the same sample formula and framing arithmetic.
+    QueryDef.sqlBacked(
+      "q346_audio_frames",
+      """WITH d AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 2),
+        |wav AS (SELECT d, 8 + d % 9 AS n FROM d),
+        |smp AS (SELECT d, i.range // 4 AS frame_idx,
+        |    (31 * d + 17 * i.range) % 2001 - 1000 AS s
+        |  FROM wav CROSS JOIN range(17) i WHERE i.range < n),
+        |fr AS (SELECT d, frame_idx, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    SUM(s * s) AS energy
+        |  FROM smp GROUP BY 1, 2)
+        |SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(SUM(energy) AS BIGINT) AS energy
+        |FROM fr GROUP BY 1 ORDER BY frame_idx""".stripMargin) { (s, dir) =>
+      MM.audioFrameEnergy(s,
+          MM.syntheticCodecTable(s, dir)
+            .filter(col("media_id") % 3 === 2), frameLen = 4)
+        .groupBy(col("frame_idx"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples")).cast("long").as("n_samples"),
+          sum(col("energy")).cast("long").as("energy"))
+        .orderBy(col("frame_idx"))
     }
   )
 }

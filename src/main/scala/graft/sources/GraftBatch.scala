@@ -344,14 +344,18 @@ private[sources] class GraftBatchTable(
   /** SQL `MERGE INTO` / `UPDATE` (and predicate DELETEs SupportsDelete
     * refuses). Two physical strategies behind one statement (the same
     * toggle shape as [[deleteWhere]]):
-    *  - `cow` (default): group-based copy-on-write — every file group
-    *    containing a match rewrites (see [[GraftRowLevelOperation]]);
-    *  - `dv` (`spark.graft.update.mode=dv` for UPDATE/MERGE,
-    *    `spark.graft.delete.mode=dv` for the rewrite-path DELETE):
+    *  - `dv` (the UPDATE/MERGE DEFAULT since both paths baked green):
     *    delta-based merge-on-read — matched rows mark dead in a
     *    KB-scale deletion-vector sidecar and replacement/insert rows
     *    APPEND; no touched file rewrites (see
-    *    [[GraftDeltaRowLevelOperation]]).
+    *    [[GraftDeltaRowLevelOperation]]). On a 100 TB table this is
+    *    the difference between "rewrite every touched ~1 GB file" and
+    *    "kilobytes of sidecar + one small append".
+    *  - `cow` (`spark.graft.update.mode=cow`, the opt-out; still the
+    *    DELETE default via `spark.graft.delete.mode`): group-based
+    *    copy-on-write — every file group containing a match rewrites
+    *    (see [[GraftRowLevelOperation]]). The right trade when reads
+    *    vastly outnumber writes and reorg windows are scarce.
     * CHECK constraints and generated columns are enforced over the
     * new rows before the commit on BOTH paths (same one-pass rules as
     * the append path). Column-mapped tables still refuse: the writers
@@ -372,12 +376,15 @@ private[sources] class GraftBatchTable(
             s"is not supported ($path)")
     }
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-    val modeKey = info.command() match {
-      case Command.DELETE => "spark.graft.delete.mode"
-      case _ => "spark.graft.update.mode"
+    // UPDATE/MERGE default to merge-on-read (cow is the opt-out); the
+    // rewrite-path DELETE keeps its cow default (the dedicated dv DELETE
+    // path is SupportsDelete + deleteWhere, toggled separately)
+    val useDv = info.command() match {
+      case Command.DELETE => spark.conf
+        .getOption("spark.graft.delete.mode").exists(_.equalsIgnoreCase("dv"))
+      case _ => !spark.conf
+        .getOption("spark.graft.update.mode").exists(_.equalsIgnoreCase("cow"))
     }
-    val useDv = spark.conf.getOption(modeKey)
-      .exists(_.equalsIgnoreCase("dv"))
     () =>
       if (useDv)
         new GraftDeltaRowLevelOperation(info.command(), properties,
@@ -838,25 +845,23 @@ private[sources] class GraftBatchScanBuilder(
       if (points.isEmpty && inTerms.isEmpty) gprKept
       else {
         val spark = org.apache.spark.sql.SparkSession.active
-        val blooms = BloomIndex.load(spark, resolved.tablePath)
-        if (blooms.isEmpty) gprKept
-        else gprKept.filter { f =>
-          val fn = new org.apache.hadoop.fs.Path(f.path).getName
-          points.forall { case (c, lo, _) =>
-            (blooms.get((fn, c)),
-              BloomIndex.probeHash(physSchema(c).dataType, lo)) match {
-              case (Some(b), Some(h)) => b.mightContain(h)
-              case _ => true
-            }
-          } && inTerms.forall { case (c, vs) =>
-            blooms.get((fn, c)) match {
-              case None => true
-              case Some(b) => vs.exists(v =>
-                BloomIndex.probeHash(physSchema(c).dataType, v)
-                  .forall(b.mightContain))
-            }
-          }
+        // bloom evaluation runs in tasks over the sidecar; only DROPPED
+        // file names reach the driver. An IN term with any UNHASHABLE
+        // value cannot prune (matches the soundness rule: keep).
+        val pointTerms = points.flatMap { case (c, lo, _) =>
+          BloomIndex.probeHash(physSchema(c).dataType, lo)
+            .map(h => (c, Seq(h)))
         }
+        val listTerms = inTerms.flatMap { case (c, vs) =>
+          val hs = vs.flatMap(v =>
+            BloomIndex.probeHash(physSchema(c).dataType, v))
+          if (hs.size == vs.size && hs.nonEmpty) Some((c, hs)) else None
+        }
+        val dropped = BloomIndex.prunedFiles(spark, resolved.tablePath,
+          pointTerms ++ listTerms)
+        if (dropped.isEmpty) gprKept
+        else gprKept.filterNot(f =>
+          dropped.contains(new org.apache.hadoop.fs.Path(f.path).getName))
       }
     new GraftBatchScan(resolved, kept, required, limit, options,
       pushed.toSeq)
@@ -1126,10 +1131,18 @@ private[sources] class GraftBatchScan(
     * convert from the sidecar's string form to the CATALYST-internal
     * value the estimators expect; unconvertible types surface
     * ndv/null-count only (still enough for equality selectivity).
+    *
+    * TIME-TRAVELED scans (VERSION/TIMESTAMP AS OF) take NO column
+    * stats: the sidecar describes the latest analyzed state, and
+    * feeding it to a pinned older snapshot would hand the CBO numbers
+    * for a different table (plan quality, not results — but a wrong
+    * broadcast decision at 100 TB is an OOM, not a detail).
     */
   private lazy val analyzedColumnStats
       : Map[String, graft.txn.Analyze.ColStats] =
-    graft.txn.Analyze.columnStatsFor(
+    if (options.contains("versionAsOf") || options.contains("timestampAsOf"))
+      Map.empty
+    else graft.txn.Analyze.columnStatsFor(
       org.apache.spark.sql.SparkSession.active, resolved.tablePath)
 
   private def typedStat(

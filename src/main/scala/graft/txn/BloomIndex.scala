@@ -57,14 +57,19 @@ object BloomIndex {
     val mapping = meta.columnMapping
     val files = snap.files.filterNot(f => TxnLog.isExternal(f.path))
     if (files.isEmpty) return
-    // one sizing for every file of a column: aggregateByKey needs a
-    // uniform zero, and the max row count bounds every file's key count
-    val maxRows = files.flatMap(_.stats.map(_.numRecords)).reduceOption(_ max _)
-      .getOrElse(1L << 20)
+    // each file's bloom is sized by ITS OWN row count (footer stats) —
+    // a uniform largest-file sizing would put hundreds of GB of mostly-
+    // empty bloom bytes on disk for a skewed 100k-file table
+    val sizeByFile: Map[String, Long] = files.map { f =>
+      new Path(f.path).getName ->
+        f.stats.map(_.numRecords).getOrElse(1L << 20)
+    }.toMap
+    val bSizes = spark.sparkContext.broadcast(sizeByFile)
+    val bpk = bitsPerKey
     val physSchema = ColumnMapping.physicalSchema(schema, mapping)
     val paths = files.map(f => TxnLog.dataPath(tablePath, f.path))
     import spark.implicits._
-    val rows: Seq[(String, String, Int, Array[Byte])] = columns.flatMap { c =>
+    val perCol = columns.map { c =>
       val dt = schema(c).dataType
       require(dt == LongType || dt == StringType,
         s"bloom index supports LONG/STRING, '$c' is $dt")
@@ -80,21 +85,76 @@ object BloomIndex {
           }
           r.getString(0) -> h
         }
-      hashed.aggregateByKey(BloomFilterExprs.empty(maxRows, bitsPerKey))(
-          { (b, h) => b.put(h); b }, { (a, b) => a.merge(b) })
-        .collect() // one row per (file, column): bounded by |files|
+      // the key rides inside the value so the first-seen combiner can
+      // size the bloom for ITS file (aggregateByKey's seqOp never sees
+      // the key); merges only ever pair same-file (= same-size) blooms
+      hashed.map { case (fn, h) => (fn, (fn, h)) }
+        .aggregateByKey(null: LongBloom)(
+          { (b, v) =>
+            val bb = if (b != null) b
+              else BloomFilterExprs.empty(
+                math.max(1L, bSizes.value.getOrElse(v._1, 1L << 20)), bpk)
+            bb.put(v._2); bb
+          },
+          { (a, b) =>
+            if (a == null) b else if (b == null) a else a.merge(b) })
         .map { case (fn, bloom) =>
           (fn, phys, bloom.k, longsToBytes(bloom.bits))
         }
     }
-    rows.toDF("file_name", "column", "k", "bits")
-      .coalesce(1)
+    // EXECUTOR-side write, never a driver collect: the sidecar lands
+    // straight from the aggregation tasks; file count scales with the
+    // row count (one row per (file, column))
+    val outParts = math.max(1,
+      math.min(256, files.size * columns.size / 1000 + 1))
+    spark.sparkContext.union(perCol)
+      .toDF("file_name", "column", "k", "bits")
+      .repartition(outParts)
       .write.mode("overwrite")
       .parquet(s"$tablePath/${dir(version)}")
   }
 
+  /** File names DROPPED by the given point probes, evaluated where the
+    * blooms live — inside tasks over the sidecar parquet (filter
+    * pushdown prunes to the probed columns); the driver only ever holds
+    * file NAMES, never bloom bytes. Each term is (physical column,
+    * candidate hashes): a file is dropped when some term's bloom row
+    * says NO candidate might be contained. Files or columns without a
+    * bloom row are never dropped (soundness).
+    */
+  def prunedFiles(
+      spark: SparkSession,
+      tablePath: String,
+      terms: Seq[(String, Seq[Long])]): Set[String] = {
+    val ts = terms.filter(_._2.nonEmpty)
+    if (ts.isEmpty) return Set.empty
+    latestBuild(spark, tablePath) match {
+      case None => Set.empty
+      case Some(d) =>
+        // AND across terms, so SAME-column terms stay separate probes
+        val termsByCol: Map[String, Seq[Seq[Long]]] =
+          ts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val bTerms = spark.sparkContext.broadcast(termsByCol)
+        import spark.implicits._
+        spark.read.parquet(s"$tablePath/$d")
+          .filter(col("column").isin(termsByCol.keys.toSeq: _*))
+          .select(col("file_name"), col("column"), col("k"), col("bits"))
+          .as[(String, String, Int, Array[Byte])]
+          .flatMap { case (fn, c, k, bits) =>
+            bTerms.value.get(c).flatMap { probes =>
+              val b = new LongBloom(bytesToLongs(bits), k)
+              if (probes.exists(hs => !hs.exists(b.mightContain))) Some(fn)
+              else None
+            }
+          }
+          .distinct().collect().toSet
+    }
+  }
+
   /** Latest build's blooms: (file_name, physical column) → sketch.
-    * Empty when no build exists.
+    * INTROSPECTION/SPEC surface only — materializes every bloom on the
+    * driver, which the prune path ([[prunedFiles]]) deliberately never
+    * does. Empty when no build exists.
     */
   def load(
       spark: SparkSession,

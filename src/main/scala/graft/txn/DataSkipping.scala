@@ -160,17 +160,16 @@ object DataSkipping {
     val kept =
       if (points.isEmpty) statsKept
       else {
-        val blooms = BloomIndex.load(spark, tablePath)
-        if (blooms.isEmpty) statsKept
-        else statsKept.filter { f =>
-          val fn = new org.apache.hadoop.fs.Path(f.path).getName
-          points.forall { case (c, lo, _) =>
-            (blooms.get((fn, c)), BloomIndex.probeHash(physSchema(c).dataType, lo)) match {
-              case (Some(b), Some(h)) => b.mightContain(h)
-              case _ => true
-            }
-          }
+        // bloom evaluation runs in tasks over the sidecar; only DROPPED
+        // file names come back to the driver
+        val terms = points.flatMap { case (c, lo, _) =>
+          BloomIndex.probeHash(physSchema(c).dataType, lo)
+            .map(h => (c, Seq(h)))
         }
+        val dropped = BloomIndex.prunedFiles(spark, tablePath, terms)
+        if (dropped.isEmpty) statsKept
+        else statsKept.filterNot(f =>
+          dropped.contains(new org.apache.hadoop.fs.Path(f.path).getName))
       }
     (kept, schema, mapping)
   }

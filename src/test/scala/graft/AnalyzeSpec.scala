@@ -184,6 +184,38 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO stats flip the PHYSICAL JOIN both ways: sort-merge without " +
+      "cbo, broadcast with cbo + ANALYZE") {
+    // the filter is an OR across two columns: never pushed to the scan
+    // (so the sidecar's pushed-filter selectivity cannot shrink the scan
+    // size — isolating the CBO decision), but FilterEstimation can
+    // estimate it from the ANALYZE ndv's as ~2/ndv — a few rows
+    val key1 = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey")).head().getLong(0)
+    val fact = Tables.load(spark, sf, "lineitem")
+    def plan(cbo: Boolean, threshold: Long): String = withSQLConf(
+        "spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString) {
+      val dim = spark.read.format("graft").option("tablePath", table).load()
+        .filter(col("o_custkey") === key1 || col("o_orderkey") === 7L)
+      fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.sparkPlan.toString
+    }
+    // threshold: half the UNFILTERED dim scan size — the cbo-off filter
+    // estimate (= child size) stays above it; the cbo-on estimate
+    // (couple of rows) falls far below it
+    val dimSize = spark.read.format("graft").option("tablePath", table)
+      .load().queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val off = plan(cbo = false, dimSize / 2)
+    val on = plan(cbo = true, dimSize / 2)
+    assert(off.contains("SortMergeJoin") && !off.contains("BroadcastHashJoin"),
+      s"without cbo the join must sort-merge:\n${off.take(800)}")
+    assert(on.contains("BroadcastHashJoin"),
+      s"with cbo + ANALYZE the dim slice must broadcast:\n${on.take(800)}")
+    // stats that never change a plan are decoration — this is the
+    // decision-level pin on top of AnalyzeSpec's estimator pins
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

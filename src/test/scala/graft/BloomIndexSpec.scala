@@ -84,6 +84,37 @@ class BloomIndexSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("blooms are sized per FILE (own row count), never by the largest " +
+      "file, and the prune path moves only names to the driver") {
+    val dir = freshDir("bi6")
+    // one 4-row file and one ~1500-row file in a single table
+    val small = Tables.load(spark, sf, "orders").limit(4).coalesce(1)
+    val big = Tables.load(spark, sf, "orders").coalesce(1)
+    TableWriter.write(spark, small, dir, version = 0L, commitTs = 1000L)
+    TableWriter.append(spark, big, dir, commitTs = 2000L)
+    BloomIndex.build(spark, dir, Seq("o_orderkey"), version = 1L)
+    val d = BloomIndex.latestBuild(spark, dir).get
+    val rows = spark.read.parquet(s"$dir/$d")
+      .select(col("file_name"), org.apache.spark.sql.functions
+        .length(col("bits")).as("len"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 2)
+    val lens = rows.values.toSeq.sorted
+    assert(lens.head < lens.last,
+      s"per-file sizing must differ for 4 vs ~1500 rows, got $rows")
+    // prunedFiles drops the file that can't hold the key (names only)
+    val key = big.select(col("o_orderkey"))
+      .orderBy(col("o_orderkey").desc).head().getLong(0)
+    val dropped = BloomIndex.prunedFiles(spark, dir,
+      Seq(("o_orderkey", Seq(key))))
+    assert(dropped.size == 1, s"expected the small file dropped: $dropped")
+    // exactness end to end
+    assert(DataSkipping.readWhere(spark, dir,
+      col("o_orderkey") === key).count() ==
+      Tables.load(spark, sf, "orders")
+        .filter(col("o_orderkey") === key).count())
+  }
+
   test("vacuum keeps the latest build, reclaims superseded ones") {
     val dir = fixture("bi5")
     TableWriter.append(spark, Tables.load(spark, sf, "orders").limit(10),

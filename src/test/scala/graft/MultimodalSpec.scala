@@ -35,6 +35,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("bytes") > col("blob_len")).count() == 0)
   }
 
+  test("PPM round-trips, including header comments and multi-digit dims") {
+    val w = 13; val h = 7 // w*3 not a multiple of 4 — irrelevant for PPM
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val enc = Multimodal.encodePpm(w, h, rgb)
+    val (dw, dh, drgb) = Multimodal.decodePpm(enc)
+    assert((dw, dh) == (w, h) && drgb.sameElements(rgb))
+    // a foreign-written header with a comment line must parse too
+    val foreign = ("P6\n# written elsewhere\n13 7\n255\n").getBytes("US-ASCII") ++ rgb
+    val (fw, fh, frgb) = Multimodal.decodePpm(foreign)
+    assert((fw, fh) == (w, h) && frgb.sameElements(rgb))
+  }
+
+  test("BMP round-trips across row paddings 0..3") {
+    for (w <- 4 to 7; h <- Seq(3, 5)) { // w*3 % 4 covers 0,1,2,3
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + w) % 256).toByte)
+      val enc = Multimodal.encodeBmp(w, h, rgb)
+      val (dw, dh, drgb) = Multimodal.decodeBmp(enc)
+      assert((dw, dh) == (w, h), s"dims for w=$w h=$h")
+      assert(drgb.sameElements(rgb),
+        s"pixels must survive bottom-up + padding for w=$w h=$h")
+    }
+  }
+
+  test("WAV PCM16 round-trips, negative samples and odd chunk walk") {
+    val samples = Array.tabulate(31)(i => ((i * 997) % 2001 - 1000).toShort)
+    val enc = Multimodal.encodeWavPcm16(samples)
+    assert(Multimodal.decodeWavPcm16(enc).sameElements(samples))
+    // decodeStats dispatch: energy and peak are exact integers
+    val st = Multimodal.decodeStats(enc).get
+    assert(st.kind == "wav" && st.units == 31)
+    assert(st.sum1 == samples.map(s => s.toLong * s).sum)
+    assert(st.max1 == samples.map(s => math.abs(s.toLong)).max)
+  }
+
+  test("decodeStats dispatches by magic bytes; unknown formats stay " +
+      "on the labeled stub path") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
+    assert(Multimodal.decodeStats(Multimodal.encodePpm(4, 3, rgb))
+      .exists(_.kind == "ppm"))
+    assert(Multimodal.decodeStats(Multimodal.encodeBmp(4, 3, rgb))
+      .exists(_.kind == "bmp"))
+    assert(Multimodal.decodeStats("ÿØjpegish".getBytes("ISO-8859-1"))
+      .isEmpty, "codec-bound bytes must fall through to the stub")
+    // image stats match a direct pixel fold
+    val st = Multimodal.decodeStats(Multimodal.encodeBmp(4, 3, rgb)).get
+    val lum3 = rgb.grouped(3).map(p =>
+      (p(0) & 0xff) + (p(1) & 0xff) + (p(2) & 0xff)).toSeq
+    assert(st.units == 12 && st.sum1 == lum3.map(_.toLong).sum &&
+      st.max1 == lum3.max.toLong)
+  }
+
   test("stub decoder histogram matches a local recomputation") {
     val one = Multimodal.mediaTable(spark, sf)
       .filter(col("media_id") === 0).select("blob").collect()(0)

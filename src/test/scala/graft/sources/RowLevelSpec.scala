@@ -8,9 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * row-level operation: correctness of the final state, ONE atomic
   * commit per statement, and the group contract — files without matches
   * are never rewritten (runtime `_graft_file` filtering).
+  *
+  * Merge-on-read is the ENGINE DEFAULT since round 13, so this suite
+  * pins `spark.graft.update.mode=cow` (the opt-out) for its COW
+  * certification and restores it after each dv-section block; the
+  * mixed-history test at the bottom certifies both modes interleave on
+  * one table.
   */
-class RowLevelSpec extends AnyFunSuite {
+class RowLevelSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestSession._
+
+  override def beforeAll(): Unit =
+    spark.conf.set("spark.graft.update.mode", "cow")
+  override def afterAll(): Unit =
+    spark.conf.unset("spark.graft.update.mode")
 
   private lazy val wh: String = {
     val dir = java.nio.file.Files.createTempDirectory("rls_wh").toString
@@ -298,7 +310,8 @@ class RowLevelSpec extends AnyFunSuite {
 
   private def dvMode[A](body: => A): A = {
     spark.conf.set("spark.graft.update.mode", "dv")
-    try body finally spark.conf.unset("spark.graft.update.mode")
+    // restore the suite's cow pin, not the engine default
+    try body finally spark.conf.set("spark.graft.update.mode", "cow")
   }
 
   test("dv-mode UPDATE marks old rows dead and appends — zero rewrites") {
@@ -508,5 +521,57 @@ class RowLevelSpec extends AnyFunSuite {
       () => Some(scan), () => filters, "UPDATE")
     write.commit(Array.empty) // no overlap -> commits (replaces kept files)
     assert(log("cv3").latestVersion().get == vBefore + 1)
+  }
+
+  test("the ENGINE DEFAULT for UPDATE/MERGE is merge-on-read: no mode " +
+      "set, zero files rewritten, a DV pointer lands") {
+    freshTable("def1")
+    val path = s"$wh/default/def1"
+    val before = log("def1").snapshotLatest().files.map(_.path).toSet
+    spark.conf.unset("spark.graft.update.mode") // drop the suite's cow pin
+    try spark.sql("UPDATE grl.default.def1 SET v = v + 1 WHERE id = 2")
+    finally spark.conf.set("spark.graft.update.mode", "cow")
+    val after = log("def1").snapshotLatest().files
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "default-mode UPDATE must not rewrite any pre-statement file")
+    assert(after.exists(_.dv.isDefined),
+      "default-mode UPDATE must mark old rows via a deletion vector")
+    assert(spark.sql("SELECT v FROM grl.default.def1 WHERE id = 2")
+      .head().getLong(0) == 21L)
+  }
+
+  test("MIXED HISTORY: cow commits, then dv commits, then reorg — one " +
+      "read path, identical state at every step") {
+    freshTable("mix1")
+    val path = s"$wh/default/mix1"
+    // 1) COW UPDATE (suite default pins cow)
+    spark.sql("UPDATE grl.default.mix1 SET v = v + 1 WHERE id = 1")
+    // 2) dv MERGE + UPDATE on top of the rewritten files
+    dvMode {
+      spark.sql("SELECT * FROM VALUES (2, 'a', 2000), (42, 'b', 4200) " +
+        "AS s(id, bucket, v)").createOrReplaceTempView("mix1_src")
+      spark.sql(
+        """MERGE INTO grl.default.mix1 t USING mix1_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, bucket, v)
+          |  VALUES (s.id, s.bucket, CAST(s.v AS BIGINT))""".stripMargin)
+      spark.sql("UPDATE grl.default.mix1 SET v = 0 WHERE id = 13")
+    }
+    val want = Seq((1L, 11L), (2L, 2000L), (3L, 30L), (11L, 110L),
+      (12L, 120L), (13L, 0L), (42L, 4200L))
+    def state(): Seq[(Long, Long)] =
+      spark.sql("SELECT id, v FROM grl.default.mix1 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state() == want)
+    assert(log("mix1").snapshotLatest().files.exists(_.dv.isDefined),
+      "the dv commits must have left vectors to reorg")
+    // 3) reorg folds the vectors back into plain files; state unchanged
+    DeletionVectors.purge(spark, path,
+      log("mix1").latestVersion().get + 1, System.currentTimeMillis())
+    assert(log("mix1").snapshotLatest().files.forall(_.dv.isEmpty))
+    assert(state() == want)
+    // 4) time travel still replays the mixed history
+    assert(spark.read.format("graft").option("tablePath", path)
+      .option("versionAsOf", "1").load().count() == 6)
   }
 }
