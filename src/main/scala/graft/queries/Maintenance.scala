@@ -3221,6 +3221,107 @@ object Maintenance {
           sum(col("l_quantity").cast("long")).as("qty"))
         .withColumn("all_local", lit(allLocal))
         .withColumn("independent", lit(independent))
+    },
+
+    // ANALYZE through CALL, full then INCREMENTAL: the sidecar's exact
+    // per-column counts (rows, nulls) are the oracle-checkable core of
+    // the stats build (ndv is a sketch, so its value rides as a
+    // BOOLEAN: the incremental union must EQUAL a from-scratch rebuild
+    // — the register-wise-max property that makes incremental ANALYZE
+    // sound). Half the orders load at v0 and analyze fully; the other
+    // half appends and analyzes INCREMENTALLY (only the new files
+    // scan).
+    QueryDef.sqlBacked(
+      "q347_call_analyze",
+      """WITH t AS (SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 17 = 0 THEN NULL ELSE o_custkey END
+        |      AS cust_n
+        |  FROM orders)
+        |SELECT c.col_name AS col_name,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n,
+        |  CASE c.col_name WHEN 'cust_n' THEN
+        |    (SELECT CAST(COUNT(*) FILTER (cust_n IS NULL) AS BIGINT)
+        |     FROM t)
+        |  ELSE CAST(0 AS BIGINT) END AS n_null,
+        |  TRUE AS incremental_used, TRUE AS ndv_matches_rebuild
+        |FROM (SELECT 'cust_n' AS col_name UNION ALL
+        |      SELECT 'o_orderkey') c
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/analyze_call_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_custkey") % 17 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_n"))
+      TableWriter.write(s, o.filter(col("o_orderkey") % 2 === 0), path,
+        version = 0L, commitTs = 1000L)
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", "target/fixtures")
+      s.sql(s"CALL gcat.system.analyze('$path', 'o_orderkey,cust_n')")
+        .collect()
+      TableWriter.append(s, o.filter(col("o_orderkey") % 2 =!= 0), path,
+        commitTs = 2000L)
+      val mode = s.sql(s"CALL gcat.system.analyze('$path', " +
+          "'o_orderkey,cust_n', incremental => true)")
+        .collect().head.getString(2)
+      val inc = graft.txn.Analyze.columnStatsFor(s, path)
+      graft.txn.Analyze.computeStats(s, path, Seq("o_orderkey", "cust_n"))
+      val full = graft.txn.Analyze.columnStatsFor(s, path)
+      val ndvMatches = Seq("o_orderkey", "cust_n").forall(c =>
+        inc(c).ndv == full(c).ndv && inc(c).minS == full(c).minS &&
+          inc(c).maxS == full(c).maxS)
+      import s.implicits._
+      Seq("cust_n", "o_orderkey").map(c =>
+          (c, inc(c).n, inc(c).nNull, mode == "incremental", ndvMatches))
+        .toDF("col_name", "n", "n_null", "incremental_used",
+          "ndv_matches_rebuild")
+        .orderBy(col("col_name"))
+    },
+
+    // FSCK through CALL: a partition's files vanish out-of-band (the
+    // operator's rm / lifecycle-rule disaster), the dry run lists the
+    // loss without touching the log, REPAIR commits the removes, and
+    // scans work again with exactly the surviving partitions — DuckDB
+    // recomputes the survivors from the same arithmetic.
+    QueryDef.sqlBacked(
+      "q348_call_fsck",
+      """SELECT CAST(event_id % 4 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS lost_listed_dry, TRUE AS repaired
+        |FROM events WHERE event_id % 4 < 3
+        |GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/fsck_call_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TableWriter.write(s,
+        Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            (col("event_id") % 4).as("band")),
+        path, partitionBy = Seq("band"), version = 0L, commitTs = 1000L)
+      fs.delete(new org.apache.hadoop.fs.Path(path, "band=3"), true)
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", "target/fixtures")
+      val dry = s.sql(s"CALL gcat.system.fsck('$path')").collect()
+      val lostListed = dry.nonEmpty && dry.forall(r =>
+        r.getString(0).startsWith("band=3/") && !r.getBoolean(1))
+      val rep = s.sql(
+        s"CALL gcat.system.fsck('$path', dry_run => false)").collect()
+      val repaired = rep.map(_.getString(0)).toSeq ==
+        dry.map(_.getString(0)).toSeq && rep.forall(_.getBoolean(1))
+      s.read.format("graft").option("tablePath", path).load()
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("lost_listed_dry", lit(lostListed))
+        .withColumn("repaired", lit(repaired))
+        .orderBy(col("band"))
     }
   )
 }

@@ -1290,6 +1290,70 @@ object Pipeline {
         d.agg(sum(col("tok"))).head().getLong(0) / 3
       out.withColumn("budget_respected", lit(respected))
         .orderBy(col("source"))
+    },
+
+    // Temperature-scaled mixture sampling (the pretraining data-mix
+    // primitive, the multilingual-sampling α of mT5/XLM-R): admission
+    // rate per source ∝ n_s^α with α = 1/2, flattening the source
+    // distribution so heads stop drowning tails. EXACT integer
+    // protocol: weight_s = isqrt(n_s) (floor-sqrt is engine-identical
+    // for n < 2^52), rate_permille_s = min(1000, 1000·w_s·Σn DIV
+    // (Σw·n_s)) — scaled so the EXPECTED admitted volume stays near
+    // the corpus's (a pure n^α/Σn^α rate would also shrink it), capped
+    // at keep-all; a document admits iff doc_id % 1000 < its source's
+    // permille (deterministic hash-free sampling both engines state
+    // identically). The ledger reports per-source admitted counts +
+    // the flattening invariant: every tail source's rate ≥ every
+    // head's (α < 1 must monotonically favor tails).
+    QueryDef.sqlBacked(
+      "q349_temperature_mix",
+      """WITH d AS (SELECT source, doc_id FROM documents),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        |        GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS tn,
+        |    SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS tw FROM per),
+        |rate AS (SELECT source, n,
+        |    LEAST(CAST(1000 AS BIGINT),
+        |      1000 * CAST(FLOOR(SQRT(n)) AS BIGINT)
+        |        * (SELECT tn FROM tot)
+        |        // ((SELECT tw FROM tot) * n)) AS permille
+        |  FROM per),
+        |adm AS (SELECT d.source, COUNT(*) AS n_admitted
+        |  FROM d JOIN rate ON d.source = rate.source
+        |  WHERE d.doc_id % 1000 < rate.permille
+        |  GROUP BY 1),
+        |flat AS (SELECT COUNT(*) = 0 AS ok FROM rate a JOIN rate b
+        |  ON a.n < b.n AND a.permille < b.permille)
+        |SELECT r.source, CAST(r.n AS BIGINT) AS n_docs,
+        |  CAST(r.permille AS BIGINT) AS rate_permille,
+        |  CAST(COALESCE(a.n_admitted, 0) AS BIGINT) AS n_admitted,
+        |  (SELECT ok FROM flat) AS tails_favored
+        |FROM rate r LEFT JOIN adm a ON r.source = a.source
+        |ORDER BY r.source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("source"),
+        col("doc_id"))
+      val per = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+      // per-source rates: one tiny frame (|sources| rows) — broadcast
+      val t = per.agg(sum(col("n")).as("tn"), sum(col("w")).as("tw"))
+        .head()
+      val (tn, tw) = (t.getLong(0), t.getLong(1))
+      val rate = per.withColumn("permille",
+        least(lit(1000L),
+          expr(s"1000 * w * ${tn}L DIV (${tw}L * n)")))
+      val flat = rate.as("a").join(rate.as("b"),
+        col("a.n") < col("b.n") &&
+          col("a.permille") < col("b.permille")).count() == 0
+      val adm = d.join(broadcast(rate), Seq("source"))
+        .filter(pmod(col("doc_id"), lit(1000L)) < col("permille"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+      rate.join(adm, Seq("source"), "left")
+        .select(col("source"), col("n").as("n_docs"),
+          col("permille").as("rate_permille"),
+          coalesce(col("n_admitted"), lit(0L)).cast("long")
+            .as("n_admitted"),
+          lit(flat).as("tails_favored"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -194,6 +194,51 @@ private[sources] object GraftProcedures {
       }
     },
 
+    new P("analyze",
+      "compute per-column statistics (counts, nulls, HLL ndv, min/max, " +
+        "equi-depth histogram) into a versioned _stats sidecar the CBO " +
+        "consumes; incremental => true scans only files appended since " +
+        "the last build (sketches union; falls back to full on " +
+        "rewrites/deletes)",
+      Seq(in("table", StringType), in("columns", StringType),
+        inDefault("incremental", BooleanType, "false")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("n_columns", LongType),
+        StructField("mode", StringType)))) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val path = resolvePath(warehouse, in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val inc = !in.isNullAt(2) && in.getBoolean(2)
+        val l = log(spark, path)
+        val v = l.latestVersion().getOrElse(
+          throw new IllegalArgumentException(
+            s"no graft table at $path (empty or missing _txn_log)"))
+        val mode =
+          if (inc) Analyze.computeStatsIncremental(spark, path, cols)
+          else { Analyze.computeStats(spark, path, cols); "full" }
+        Seq(Seq(v, cols.size.toLong, mode))
+      }
+    },
+
+    new P("fsck",
+      "reconcile the log with physical storage: live files whose bytes " +
+        "are gone list (dry_run, the default) or commit as removes so " +
+        "scans stop crashing on lost splits (FSCK REPAIR TABLE)",
+      Seq(in("table", StringType),
+        inDefault("dry_run", BooleanType, "true")),
+      StructType(Seq(StructField("missing_path", StringType),
+        StructField("repaired", BooleanType)))) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val path = resolvePath(warehouse, in.getUTF8String(0).toString)
+        val dry = in.isNullAt(1) || in.getBoolean(1)
+        val missing =
+          if (dry) Fsck.missingFiles(spark, path)
+          else Fsck.repair(spark, path, System.currentTimeMillis())
+        missing.map(p => Seq(p, java.lang.Boolean.valueOf(!dry)))
+      }
+    },
+
     new P("reorg",
       "rewrite deletion-vector-carrying files without their dead rows " +
         "(REORG ... APPLY (PURGE)) — logical table unchanged",

@@ -50,43 +50,200 @@ object Analyze {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         f.name
     }.toSet
+    writeBuild(spark, tablePath, snap.version,
+      statsRows(spark, df, columns, numeric, withHist = true))
+  }
+
+  /** HLL lgConfigK: 2^12 registers ≈ ±1.6% ndv at any scale, 8 KB per
+    * column — small enough to ride the sidecar, mergeable so
+    * [[computeStatsIncremental]] unions instead of rescanning.
+    */
+  private val HllLgK = 12
+
+  /** One aggregate scan of `df` → per-column stats rows
+    * (column, n, n_null, ndv, min_str, max_str, hist, hll).
+    * `ndv` derives from a DataSketches HLL sketch (register-wise max
+    * merge makes incremental refresh EQUAL a full rebuild); the sketch
+    * bytes persist beside it.
+    */
+  private def statsRows(
+      spark: SparkSession,
+      df: DataFrame,
+      columns: Seq[String],
+      numeric: Set[String],
+      withHist: Boolean): Seq[StatsRow] = {
     val pcts = (0 to HistBuckets).map(_.toDouble / HistBuckets)
     val aggs = columns.flatMap { c =>
       Seq(count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, 1)).as(s"${c}__null"),
-        approx_count_distinct(col(c), 0.01).as(s"${c}__ndv"),
+        // sketch over the STRING form: one codegen'd path for every
+        // type, distinctness preserved within a column's fixed shape
+        hll_sketch_agg(col(c).cast("string"), lit(HllLgK))
+          .as(s"${c}__hll"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max")) ++
-        (if (numeric(c))
+        (if (withHist && numeric(c))
           Seq(percentile_approx(col(c).cast("double"),
             lit(pcts.toArray), lit(10000)).as(s"${c}__hist"))
         else Seq.empty)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
-    val out = columns.map { c =>
-      (c, row.getAs[Long](s"${c}__n"), row.getAs[Long](s"${c}__null"),
-        row.getAs[Long](s"${c}__ndv"), row.getAs[String](s"${c}__min"),
-        row.getAs[String](s"${c}__max"),
-        if (numeric(c))
+    columns.map { c =>
+      val hll = row.getAs[Array[Byte]](s"${c}__hll")
+      StatsRow(c, row.getAs[Long](s"${c}__n"),
+        row.getAs[Long](s"${c}__null"),
+        estimateOf(hll),
+        row.getAs[String](s"${c}__min"), row.getAs[String](s"${c}__max"),
+        if (withHist && numeric(c))
           Option(row.getAs[scala.collection.Seq[Double]](s"${c}__hist"))
             .map(_.toList)
-        else None)
+        else None,
+        Option(hll))
     }
+  }
+
+  private[graft] final case class StatsRow(
+      column: String, n: Long, nNull: Long, ndv: Long,
+      minS: String, maxS: String, hist: Option[Seq[Double]],
+      hll: Option[Array[Byte]])
+
+  private def estimateOf(hll: Array[Byte]): Long =
+    if (hll == null || hll.isEmpty) 0L
+    else math.round(
+      org.apache.datasketches.hll.HllSketch.heapify(hll).getEstimate)
+
+  private def writeBuild(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      rows: Seq[StatsRow]): Unit = {
     import spark.implicits._
-    out.toDF("column", "n", "n_null", "ndv", "min_str", "max_str", "hist")
+    rows.map(r => (r.column, r.n, r.nNull, r.ndv, r.minS, r.maxS,
+        r.hist, r.hll.orNull))
+      .toDF("column", "n", "n_null", "ndv", "min_str", "max_str", "hist",
+        "hll")
       .coalesce(1).write.mode("overwrite")
-      .parquet(new Path(tablePath, dir(snap.version)).toString)
+      .parquet(new Path(tablePath, dir(version)).toString)
+  }
+
+  /** INCREMENTAL refresh: when the current snapshot is a pure SUPERSET
+    * of the analyzed one (append-only ingest — the overwhelmingly
+    * common case), only the NEW files scan; counts add, min/max widen,
+    * and the HLL sketches union register-wise (bit-identical to a full
+    * rebuild). Any rewrite, delete, or DV change falls back to a full
+    * scan — subtraction from sketches/min-max is unsound. Equi-depth
+    * histograms carry forward from the prior build (documented
+    * staleness: bucket BOUNDS describe the analyzed prefix; counts and
+    * ndv stay exact/fresh) — a FULL analyze refreshes them.
+    * Returns the mode taken: "incremental", "full", or "noop".
+    */
+  def computeStatsIncremental(
+      spark: SparkSession,
+      tablePath: String,
+      columns: Seq[String]): String = {
+    require(columns.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(tablePath, conf)
+    val snap1 = log.snapshotLatest()
+    val priorDirOpt = latestBuild(spark, tablePath)
+    def full(): String = { computeStats(spark, tablePath, columns); "full" }
+    priorDirOpt match {
+      case None => full()
+      case Some(priorDir) =>
+        val v0 = priorDir.stripPrefix("_stats/stats-").toLong
+        if (v0 >= snap1.version) return "noop"
+        val priorDf = spark.read.parquet(s"$tablePath/$priorDir")
+        if (!priorDf.columns.contains("hll")) return full() // pre-sketch build
+        val prior = priorDf.collect().map { r =>
+          r.getAs[String]("column") -> StatsRow(
+            r.getAs[String]("column"), r.getAs[Long]("n"),
+            r.getAs[Long]("n_null"), r.getAs[Long]("ndv"),
+            r.getAs[String]("min_str"), r.getAs[String]("max_str"),
+            Option(r.getAs[scala.collection.Seq[Double]]("hist"))
+              .map(_.toList),
+            Option(r.getAs[Array[Byte]]("hll")))
+        }.toMap
+        if (columns.exists(c => !prior.contains(c))) return full()
+        val snap0 = log.snapshot(v0)
+        val byPath0 = snap0.files.map(f => f.path -> f.dv).toMap
+        val byPath1 = snap1.files.map(f => f.path -> f.dv).toMap
+        val sameOld = snap0.files.forall(f =>
+          byPath1.get(f.path).contains(f.dv))
+        if (!sameOld) return full() // rewrite/delete/DV change: no subtraction
+        val newFiles = snap1.files.filterNot(f => byPath0.contains(f.path))
+        if (newFiles.isEmpty) return "noop"
+        val schema = snap1.metadata.map(m =>
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val mapping = snap1.metadata.map(_.columnMapping).getOrElse(Map.empty)
+        val slice = DeletionVectors.readFiles(spark, tablePath, newFiles,
+          schema, mapping = mapping)
+        val numeric: Set[String] = slice.schema.fields.collect {
+          case f if f.dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+        }.toSet
+        val fresh = statsRows(spark, slice, columns, numeric,
+          withHist = false)
+        val types = slice.schema.fields.map(f => f.name -> f.dataType).toMap
+        val merged = fresh.map { nw =>
+          val p = prior(nw.column)
+          val u = new org.apache.datasketches.hll.Union(HllLgK)
+          p.hll.foreach(b =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(b)))
+          nw.hll.foreach(b =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(b)))
+          val uBytes = u.getResult(
+            org.apache.datasketches.hll.TgtHllType.HLL_8).toUpdatableByteArray
+          StatsRow(nw.column, p.n + nw.n, p.nNull + nw.nNull,
+            estimateOf(uBytes),
+            mergeBound(types(nw.column), p.minS, nw.minS, takeMin = true),
+            mergeBound(types(nw.column), p.maxS, nw.maxS, takeMin = false),
+            p.hist, // carried forward; a FULL analyze refreshes bounds
+            Some(uBytes))
+        }
+        writeBuild(spark, tablePath, snap1.version, merged)
+        "incremental"
+    }
+  }
+
+  /** Typed min/max merge of two string-form bounds (either may be null
+    * for an all-null slice): numerics compare as BigDecimal, everything
+    * else in UTF-8 byte order (what the stats writer's string cast
+    * preserves for dates/timestamps).
+    */
+  private def mergeBound(
+      dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String, takeMin: Boolean): String = {
+    if (a == null) return b
+    if (b == null) return a
+    val aLess = dt match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        BigDecimal(a) <= BigDecimal(b)
+      case _ =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b)) <= 0
+    }
+    if (aLess == takeMin) a else b
   }
 
   /** Latest stats build at or below the current snapshot version. */
-  def latest(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+  def latest(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    latestBuild(spark, tablePath)
+      .map(d => spark.read.parquet(s"$tablePath/$d"))
+
+  /** Most recent `_stats/stats-<v>` directory, if any — vacuum protects
+    * it (the CBO prunes live reads with it); superseded builds age out
+    * through the orphan sweep like superseded bloom builds.
+    */
+  def latestBuild(spark: SparkSession, tablePath: String): Option[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath, "_stats")
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return None
-    val builds = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("stats-")).sortBy(_.getName)
-    builds.lastOption.map(p => spark.read.parquet(p.toString))
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("stats-")).sorted.lastOption
+      .map(n => s"_stats/$n")
   }
 
   private[graft] final case class ColStats(

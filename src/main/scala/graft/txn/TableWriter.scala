@@ -1205,6 +1205,10 @@ object TableWriter {
     // protected (it prunes live reads); everything else is protected
     // while the checkpoint+tail history references it.
     val latestBloom = BloomIndex.latestBuild(spark, tablePath)
+    // ANALYZE `_stats` builds are never log actions, so — like the bloom
+    // index — the LATEST build is protected (the CBO prunes live reads
+    // with it) and superseded ones age out past the horizon
+    val latestStats = Analyze.latestBuild(spark, tablePath)
     val candidates = listedDf.filter(col("mtime") <= cutoff)
       .withColumn("parent", regexp_extract(col("rel"), "^(.*)/[^/]+$", 1))
     val dvOrphans = candidates.filter(col("rel").startsWith("_dv/"))
@@ -1212,12 +1216,16 @@ object TableWriter {
         "left_anti")
     val bloomOrphans = candidates.filter(col("rel").startsWith("_bloom/"))
       .filter(col("parent") =!= lit(latestBloom.getOrElse("")))
+    val statsOrphans = candidates.filter(col("rel").startsWith("_stats/"))
+      .filter(col("parent") =!= lit(latestStats.getOrElse("")))
     val dataOrphans = candidates
       .filter(!col("rel").startsWith("_dv/") &&
-        !col("rel").startsWith("_bloom/"))
+        !col("rel").startsWith("_bloom/") &&
+        !col("rel").startsWith("_stats/"))
       .join(referencedDf, Seq("rel"), "left_anti")
     val orphansDf = dvOrphans.select("rel")
       .unionByName(bloomOrphans.select("rel"))
+      .unionByName(statsOrphans.select("rel"))
       .unionByName(dataOrphans.select("rel"))
 
     // stale STAGING leftovers: the DML paths stage under `.staging-*`
@@ -1260,7 +1268,8 @@ object TableWriter {
     // drop emptied DV directories so the _dv namespace doesn't
     // accumulate husks of reclaimed vectors (recursive: local
     // filesystems leave .crc shadows behind the deleted parquet)
-    doomed.filter(p => p.startsWith("_dv/") || p.startsWith("_bloom/"))
+    doomed.filter(p => p.startsWith("_dv/") || p.startsWith("_bloom/") ||
+        p.startsWith("_stats/"))
       .map(p => new Path(tablePath, p).getParent).distinct
       .foreach { d =>
         if (fs.exists(d) &&

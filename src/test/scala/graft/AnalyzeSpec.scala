@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.txn.{Analyze, SnapshotReader, TableWriter}
+import graft.txn.{Analyze, DeletionVectors, SnapshotReader, TableWriter, TxnLog}
 
 /** ANALYZE stats sidecar + the cost-based broadcast decision. */
 class AnalyzeSpec extends AnyFunSuite {
@@ -182,6 +182,71 @@ class AnalyzeSpec extends AnyFunSuite {
         s"histogram range estimate must crush the uniform guess: $est")
       assert(est >= 1L, s"and stay positive: $est")
     }
+  }
+
+  test("INCREMENTAL analyze over appends EQUALS a full rebuild " +
+      "(sketches union register-wise); mutations fall back to full") {
+    val dir = freshDir("anlz_inc2")
+    val o = Tables.load(spark, sf, "orders")
+    TableWriter.write(spark, o.filter(col("o_orderkey") % 2 === 0), dir,
+      version = 0L, commitTs = 1000L)
+    Analyze.computeStats(spark, dir, Seq("o_orderkey", "o_orderpriority"))
+    TableWriter.append(spark, o.filter(col("o_orderkey") % 2 =!= 0), dir,
+      commitTs = 2000L)
+    assert(Analyze.computeStatsIncremental(spark, dir,
+      Seq("o_orderkey", "o_orderpriority")) == "incremental")
+    val inc = Analyze.columnStatsFor(spark, dir)
+    // full rebuild over the same state must agree EXACTLY — counts and
+    // bounds by arithmetic, ndv because HLL union is register-wise max
+    Analyze.computeStats(spark, dir, Seq("o_orderkey", "o_orderpriority"))
+    val full = Analyze.columnStatsFor(spark, dir)
+    Seq("o_orderkey", "o_orderpriority").foreach { c =>
+      assert(inc(c).n == full(c).n, s"$c n")
+      assert(inc(c).nNull == full(c).nNull, s"$c nulls")
+      assert(inc(c).minS == full(c).minS && inc(c).maxS == full(c).maxS,
+        s"$c bounds")
+      assert(inc(c).ndv == full(c).ndv,
+        s"$c ndv: incremental ${inc(c).ndv} vs rebuild ${full(c).ndv}")
+    }
+    assert(inc("o_orderkey").n == o.count())
+    // nothing new -> noop; a DV delete -> full fallback
+    assert(Analyze.computeStatsIncremental(spark, dir,
+      Seq("o_orderkey", "o_orderpriority")) == "noop")
+    DeletionVectors.deleteWhere(spark, dir, col("o_orderkey") % 7 === 0,
+      version = new TxnLog(dir,
+        spark.sessionState.newHadoopConf()).latestVersion().get + 1,
+      commitTs = 3000L)
+    assert(Analyze.computeStatsIncremental(spark, dir,
+      Seq("o_orderkey", "o_orderpriority")) == "full")
+    assert(Analyze.columnStatsFor(spark, dir)("o_orderkey").n ==
+      o.filter(col("o_orderkey") % 7 =!= 0).count())
+  }
+
+  test("vacuum protects the LATEST stats build, reclaims superseded " +
+      "ones — ANALYZE must survive maintenance") {
+    val dir = freshDir("anlz_vac")
+    TableWriter.write(spark, Tables.load(spark, sf, "orders").limit(200),
+      dir, version = 0L, commitTs = 1000L)
+    Analyze.computeStats(spark, dir, Seq("o_orderkey"))
+    TableWriter.append(spark,
+      Tables.load(spark, sf, "orders").limit(10), dir, commitTs = 2000L)
+    Analyze.computeStats(spark, dir, Seq("o_orderkey", "o_custkey"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // age every stats sidecar so the orphan mtime rule would fire
+    val statsRoot = new org.apache.hadoop.fs.Path(dir, "_stats")
+    def allStats() = fs.listStatus(statsRoot).map(_.getPath)
+    allStats().foreach { d =>
+      fs.listStatus(d).foreach(f => fs.setTimes(f.getPath, 1000L, -1L))
+    }
+    assert(allStats().length == 2)
+    TableWriter.vacuum(spark, dir, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000)
+    val remaining = allStats().map(_.getName).toSeq
+    assert(remaining == Seq(remaining.max),
+      s"only the latest build may remain: $remaining")
+    assert(Analyze.columnStatsFor(spark, dir).contains("o_custkey"),
+      "the surviving build must still load")
   }
 
   test("CBO stats flip the PHYSICAL JOIN both ways: sort-merge without " +

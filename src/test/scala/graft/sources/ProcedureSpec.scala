@@ -125,6 +125,55 @@ class ProcedureSpec extends AnyFunSuite {
       .head().getLong(0) == 900L)
   }
 
+  test("CALL system.analyze writes the stats sidecar (full and " +
+      "incremental modes)") {
+    fragmented("p7")
+    val full = spark.sql(
+      "CALL gproc.system.analyze(table => 'default.p7', columns => 'id')")
+      .collect().head
+    assert(full.getString(2) == "full")
+    val stats = Analyze.columnStatsFor(spark, s"$wh/default/p7")
+    assert(stats("id").n == 1000L && stats("id").nNull == 0L)
+    // append → incremental: only the new files scan, counts add
+    import spark.implicits._
+    TableWriter.append(spark, (1000L until 1200L).toDF("id"),
+      s"$wh/default/p7", commitTs = 2000L)
+    val inc = spark.sql(
+      "CALL gproc.system.analyze(table => 'default.p7', " +
+        "columns => 'id', incremental => true)").collect().head
+    assert(inc.getString(2) == "incremental", inc.toString)
+    val stats2 = Analyze.columnStatsFor(spark, s"$wh/default/p7")
+    assert(stats2("id").n == 1200L)
+    assert(stats2("id").maxS == "1199")
+  }
+
+  test("CALL system.fsck lists lost files dry, repairs on demand") {
+    fragmented("p8")
+    val path = s"$wh/default/p8"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // lose one file out-of-band
+    val victim = log("p8").snapshotLatest().files.head
+    fs.delete(new org.apache.hadoop.fs.Path(path, victim.path), false)
+    val dry = spark.sql("CALL gproc.system.fsck(table => 'default.p8')")
+      .collect()
+    assert(dry.map(_.getString(0)).toSeq == Seq(victim.path))
+    assert(dry.forall(!_.getBoolean(1)), "dry run must not repair")
+    intercept[Throwable] { // still broken (COUNT would answer from
+      // footer stats without opening files — SUM must read bytes)
+      spark.sql("SELECT SUM(id) FROM gproc.default.p8").collect()
+    }
+    val rep = spark.sql(
+      "CALL gproc.system.fsck(table => 'default.p8', dry_run => false)")
+      .collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq(victim.path))
+    assert(rep.forall(_.getBoolean(1)))
+    // scans work again; the lost file's rows are gone
+    val n = spark.sql("SELECT COUNT(*) FROM gproc.default.p8")
+      .head().getLong(0)
+    assert(n == 1000L - victim.stats.get.numRecords)
+  }
+
   test("unknown procedure refuses with the available list") {
     wh
     val e = intercept[Throwable] {
