@@ -161,6 +161,12 @@ object ExactQuantile {
       buckets: Int,
       weighted: Boolean,
       maxDriverCells: Long): DataFrame = {
+    if (stats.isEmpty) { // zero groups: an empty result, not a crash
+      val spark = src.sparkSession
+      import spark.implicits._
+      src.unpersist()
+      return Seq.empty[(String, String, Long)].toDF("g", "label", "v")
+    }
     val chunkSize = math.max(1L, maxDriverCells / buckets).toInt
     try stats.grouped(chunkSize)
       .map(chunk => bracketPass(src, chunk, qs, buckets, weighted))

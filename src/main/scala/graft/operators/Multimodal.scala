@@ -115,7 +115,12 @@ object Multimodal {
     val h = rdLe32(blob, 22)
     require(rdLe16(blob, 28) == 24, "only 24 bpp supported")
     require(rdLe32(blob, 30) == 0, "only uncompressed supported")
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"bad dimensions ${w}x$h (top-down/negative-height unsupported)")
     val rowPad = (4 - (w * 3) % 4) % 4
+    require(off >= 54 &&
+      off.toLong + (w.toLong * 3 + rowPad) * h <= blob.length,
+      "truncated pixel data")
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -161,6 +166,11 @@ object Multimodal {
     while (i + 8 <= blob.length) {
       val id = new String(blob, i, 4, "US-ASCII")
       val size = rdLe32(blob, i + 4)
+      // a corrupt negative/oversized chunk size would otherwise loop
+      // forever or read out of bounds — refuse LOUDLY; the extraction
+      // wrappers catch and count the blob as corrupt
+      require(size >= 0 && i + 8 + size.toLong <= blob.length,
+        s"corrupt RIFF chunk '$id' size $size at offset $i")
       if (id == "fmt ") {
         require(rdLe16(blob, i + 8) == 1, "only PCM supported")
         bits = rdLe16(blob, i + 22)
@@ -305,17 +315,21 @@ object Multimodal {
 
   /** Partition-parallel REAL decode: one [[decodeStats]] per blob,
     * batched per partition; rows whose format has no offline decoder
-    * are surfaced with kind='undecodable' (count them, never drop
-    * silently).
+    * surface with kind='undecodable', and blobs whose known-magic bytes
+    * fail to decode (truncation, corrupt headers) surface with
+    * kind='corrupt' — counted either way, never dropped silently and
+    * never allowed to kill the whole job.
     */
   def extractDecodedStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, blob) =>
-          decodeStats(blob) match {
+          try decodeStats(blob) match {
             case Some(s) => (id, s.kind, s.units, s.sum1, s.max1)
             case None => (id, "undecodable", 0L, 0L, 0L)
+          } catch { case scala.util.control.NonFatal(_) =>
+            (id, "corrupt", 0L, 0L, 0L)
           }
         }
       }.toDF("media_id", "kind", "units", "sum1", "max1")
@@ -357,13 +371,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, blob) =>
-          val decoded: Option[(String, Int, Int, Array[Byte])] =
+          def decoded: Option[(String, Int, Int, Array[Byte])] =
             if (blob.length >= 2 && blob(0) == 'P' && blob(1) == '6') {
               val (w, h, rgb) = decodePpm(blob); Some(("ppm", w, h, rgb))
             } else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') {
               val (w, h, rgb) = decodeBmp(blob); Some(("bmp", w, h, rgb))
             } else None
-          decoded match {
+          try decoded match {
             case Some((kind, w, h, rgb)) =>
               val r = resizeNearest(rgb, w, h, ow, oh)
               var sum = 0L; var mx = 0L; var i = 0
@@ -374,6 +388,8 @@ object Multimodal {
               }
               (id, kind, (ow * oh).toLong, sum, mx)
             case None => (id, "skipped", 0L, 0L, 0L)
+          } catch { case scala.util.control.NonFatal(_) =>
+            (id, "corrupt", 0L, 0L, 0L)
           }
         }
       }.toDF("media_id", "kind", "px", "lum3_sum", "lum3_max")
@@ -395,12 +411,14 @@ object Multimodal {
           new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
           new String(blob, 8, 4, "US-ASCII") == "WAVE"
         if (!isWav) Iterator((id, -1, 0L, 0L))
-        else {
+        else try {
           val s = decodeWavPcm16(blob)
           s.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
             (id, i, fr.length.toLong,
               fr.foldLeft(0L)((a, v) => a + v.toLong * v))
-          }
+          }.toVector.iterator
+        } catch { case scala.util.control.NonFatal(_) =>
+          Iterator((id, -1, 0L, 0L)) // corrupt clip: counted, not fatal
         }
       }.toDF("media_id", "frame_idx", "n_samples", "energy")
   }

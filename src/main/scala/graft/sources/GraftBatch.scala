@@ -1121,7 +1121,11 @@ private[sources] class GraftBatchScan(
     * factor is 1.0 and behavior is unchanged.
     */
   private lazy val statsSelectivity: Double =
-    if (pushedV1.isEmpty) 1.0
+    // same snapshot-pinning rule as analyzedColumnStats below: the
+    // sidecar describes the LATEST analyzed state — a time-traveled
+    // scan must not scale its size estimate by it
+    if (pushedV1.isEmpty || options.contains("versionAsOf") ||
+        options.contains("timestampAsOf")) 1.0
     else Analyze.selectivityOfFilters(
       org.apache.spark.sql.SparkSession.active, resolved.tablePath,
       pushedV1).getOrElse(1.0)

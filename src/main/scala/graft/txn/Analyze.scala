@@ -164,7 +164,11 @@ object Analyze {
             Option(r.getAs[Array[Byte]]("hll")))
         }.toMap
         if (columns.exists(c => !prior.contains(c))) return full()
-        val snap0 = log.snapshot(v0)
+        // the analyzed base version may have EXPIRED from the log
+        // (expireLog) — not incrementable, but analyzable from scratch
+        val snap0 =
+          try log.snapshot(v0)
+          catch { case _: IllegalArgumentException => return full() }
         val byPath0 = snap0.files.map(f => f.path -> f.dv).toMap
         val byPath1 = snap1.files.map(f => f.path -> f.dv).toMap
         val sameOld = snap0.files.forall(f =>
@@ -216,8 +220,16 @@ object Analyze {
       a: String, b: String, takeMin: Boolean): String = {
     if (a == null) return b
     if (b == null) return a
+    import org.apache.spark.sql.types._
     val aLess = dt match {
-      case _: org.apache.spark.sql.types.NumericType =>
+      // fractional columns can legitimately carry "NaN"/"Infinity"
+      // strings (BigDecimal would throw); Double.compare totals-orders
+      // them with NaN LARGEST — exactly Spark's min/max ordering
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(
+          java.lang.Double.parseDouble(a),
+          java.lang.Double.parseDouble(b)) <= 0
+      case _: NumericType =>
         BigDecimal(a) <= BigDecimal(b)
       case _ =>
         org.apache.spark.unsafe.types.UTF8String.fromString(a)

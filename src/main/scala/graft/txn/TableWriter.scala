@@ -1115,12 +1115,21 @@ object TableWriter {
     // conservative full replay, never unsafe) is driver-parsed: it is
     // bounded by construction.
     val cp: Option[Long] = log.checkpointVersions().lastOption
-    val tailFrom: Long =
-      if (retainMillis <= log.tombstoneRetentionMillis) cp.map(_ + 1).getOrElse(0L)
-      else 0L
-    val baseDf: Option[DataFrame] = cp.map { cv =>
+    val cpRaw: Option[DataFrame] = cp.map { cv =>
       spark.read.parquet(log.checkpointPaths(cv).map(_.toString): _*)
-        .filter(col("kind").isin("add", "remove", "cdc"))
+    }
+    // a PRE-FEATURE checkpoint (no tombstone marker) must not be
+    // trusted as "no removals" — fall back to replaying the whole
+    // retained log (the old cost, once; the next checkpoint carries
+    // the marker)
+    val cpHasTombstones = cpRaw.exists(df =>
+      !df.filter(col("kind") === "tombstones").isEmpty)
+    val tailFrom: Long =
+      if (cpHasTombstones && retainMillis <= log.tombstoneRetentionMillis)
+        cp.map(_ + 1).getOrElse(0L)
+      else 0L
+    val baseDf: Option[DataFrame] = cpRaw.map { raw =>
+      raw.filter(col("kind").isin("add", "remove", "cdc"))
         .select(
           col("kind"),
           coalesce(
@@ -1129,7 +1138,7 @@ object TableWriter {
             get_json_object(col("json"), "$.cdc.path")).as("path"),
           get_json_object(col("json"), "$.remove.deletionTimestamp")
             .cast("long").as("rts"),
-          lit(cv).as("v"))
+          lit(cp.get).as("v"))
     }
     val tailRows: Seq[(String, String, Option[Long], Long)] =
       log.changes(tailFrom).flatMap { case (v, actions) =>
@@ -1156,11 +1165,15 @@ object TableWriter {
         max(when(col("kind") === "add", col("v"))).as("lastAdd"),
         max(when(col("kind") === "remove",
           struct(col("v"), col("rts")))).as("lastRem"))
+    // external test shares TxnLog.isExternal (the ONE rule every read
+    // site resolves through) — an inline re-statement could silently
+    // diverge and reach outside a clone's root
+    val isExt = org.apache.spark.sql.functions.udf(
+      (p: String) => TxnLog.isExternal(p))
     val reclaimDf = perPath
       .filter(col("lastRem").isNotNull &&
         (col("lastAdd").isNull || col("lastRem.v") > col("lastAdd")) &&
-        col("lastRem.rts") <= cutoff &&
-        !col("path").startsWith("/") && !col("path").contains(":/"))
+        col("lastRem.rts") <= cutoff && !isExt(col("path")))
       .select(col("path").as("rel"))
     val referencedDf = acts.select(col("path").as("rel")).distinct()
 
@@ -1218,14 +1231,31 @@ object TableWriter {
       .filter(col("parent") =!= lit(latestBloom.getOrElse("")))
     val statsOrphans = candidates.filter(col("rel").startsWith("_stats/"))
       .filter(col("parent") =!= lit(latestStats.getOrElse("")))
+    // change-data sidecars honor the CdcFile contract: protected while
+    // their commit is STILL IN THE LOG (the version is in the filename
+    // — an O(1) test, no replay), released to the mtime rule only once
+    // expireLog drops the commit. Unparseable names fall back to the
+    // referenced rule.
+    val earliestRetained: Long = log.versions().headOption.getOrElse(0L)
+    val cdcCand = candidates.filter(col("rel").startsWith("_change_data/"))
+      .withColumn("cdcV", expr( // try_cast: a non-matching extract is ''
+        "try_cast(regexp_extract(rel, '^_change_data/cd-([0-9]+)-', 1) " +
+          "AS long)"))
+    val cdcOrphans = cdcCand
+      .filter(col("cdcV").isNotNull && col("cdcV") < earliestRetained)
+      .unionByName(cdcCand.filter(col("cdcV").isNull)
+        .join(referencedDf, Seq("rel"), "left_anti"))
+      .drop("cdcV")
     val dataOrphans = candidates
       .filter(!col("rel").startsWith("_dv/") &&
         !col("rel").startsWith("_bloom/") &&
-        !col("rel").startsWith("_stats/"))
+        !col("rel").startsWith("_stats/") &&
+        !col("rel").startsWith("_change_data/"))
       .join(referencedDf, Seq("rel"), "left_anti")
     val orphansDf = dvOrphans.select("rel")
       .unionByName(bloomOrphans.select("rel"))
       .unionByName(statsOrphans.select("rel"))
+      .unionByName(cdcOrphans.select("rel"))
       .unionByName(dataOrphans.select("rel"))
 
     // stale STAGING leftovers: the DML paths stage under `.staging-*`
@@ -2384,10 +2414,18 @@ object TableWriter {
     // in the clone. Two imports sharing a basename fan one sidecar row
     // out to both new names (the pointer join keys on (name, dir), so a
     // duplicated row binds only to the file whose AddFile points here).
+    // a LOCAL file may share a basename with an external import — its
+    // sidecar rows must keep the original name in the fan-out, or its
+    // deleted rows would resurrect while the import's stay dead
+    val localNames: Set[String] = dataPairs
+      .collect { case (f, _) if !TxnLog.isExternal(f.path) =>
+        new Path(f.path).getName }.toSet
     val renames: Map[String, Seq[String]] = dataPairs
       .filter { case (f, _) => TxnLog.isExternal(f.path) }
       .groupBy { case (f, _) => new Path(f.path).getName }
-      .map { case (old, ps) => old -> ps.map(p => new Path(p._2).getName) }
+      .map { case (old, ps) =>
+        old -> (ps.map(p => new Path(p._2).getName) ++
+          (if (localNames(old)) Seq(old) else Seq.empty)) }
     val dvPairs: Seq[(String, String)] =
       if (renames.nonEmpty) Seq.empty // rewritten below, not byte-copied
       else dvMap.toSeq.flatMap {

@@ -381,15 +381,20 @@ final class TxnLog(
       else ckptTs - tombstoneRetentionMillis
     // carry-forward: previous checkpoint's retained tombstones/cdc refs
     // plus everything in the commits since — deduped (newest removal per
-    // path), then expired against the floor
+    // path), then expired against the floor. A previous checkpoint
+    // WITHOUT the tombstone marker (written before the feature) carries
+    // nothing, so the gather falls back to the whole retained log — the
+    // one-time upgrade cost that makes the marker trustworthy.
     val prevCp = checkpointVersions().filter(_ < v).lastOption
-    val (prevTombs, prevCdc) =
-      prevCp.map(readCheckpointExtras).getOrElse((Seq.empty, Seq.empty))
+    val (prevTombs, prevCdc, prevHasMarker) =
+      prevCp.map(readCheckpointExtras).getOrElse((Seq.empty, Seq.empty, false))
     val tombByPath = scala.collection.mutable.Map.empty[String, RemoveFile]
     prevTombs.foreach(r => tombByPath(r.path) = r)
     val cdcByPath = scala.collection.mutable.Map.empty[String, CdcFile]
     prevCdc.foreach(c => cdcByPath(c.path) = c)
-    versions().filter(x => x > prevCp.getOrElse(-1L) && x <= v).foreach { tv =>
+    val gatherFrom =
+      if (prevHasMarker) prevCp.getOrElse(-1L) else -1L
+    versions().filter(x => x > gatherFrom && x <= v).foreach { tv =>
       val actions = read(tv)
       val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L)
@@ -414,7 +419,7 @@ final class TxnLog(
     // happens as each part streams out, so even the 5M-file state never
     // materializes its action strings in driver memory at once.
     val total = snap.metadata.size + snap.protocol.size +
-      snap.files.size + snap.txnMarkers.size + tombs.size + cdcRefs.size
+      snap.files.size + snap.txnMarkers.size + tombs.size + cdcRefs.size + 1
     def lines: Iterator[(String, String)] =
       snap.metadata.iterator.map(m =>
         "meta" -> Serialization.write(LogLine(m))) ++
@@ -427,7 +432,14 @@ final class TxnLog(
       tombs.iterator.map(r =>
         "remove" -> Serialization.write(LogLine(r))) ++
       cdcRefs.iterator.map(c =>
-        "cdc" -> Serialization.write(LogLine(c)))
+        "cdc" -> Serialization.write(LogLine(c))) ++
+      // the FEATURE MARKER: distinguishes "this checkpoint carries
+      // tombstones (possibly zero)" from a pre-feature checkpoint —
+      // vacuum must not trust a tombstone-less old checkpoint as "no
+      // removals" (that would delete recently-removed files). The json
+      // is a parseable LogLine whose action every reader ignores.
+      Iterator("tombstones" ->
+        Serialization.write(LogLine(CommitInfo("TOMBSTONES_V1", keepFloor))))
     def writeOne(tmp: Path, chunk: Iterator[(String, String)]): Unit = {
       val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
         "message checkpoint { required binary kind (UTF8); required binary json (UTF8); }")
@@ -466,13 +478,16 @@ final class TxnLog(
     }
   }
 
-  /** The remove tombstones and cdc references a checkpoint retained —
+  /** The remove tombstones and cdc references a checkpoint retained,
+    * plus whether it carries the TOMBSTONE MARKER at all (a pre-feature
+    * checkpoint must not be mistaken for "no removals") —
     * [[writeCheckpoint]]'s carry-forward input and vacuum's unit pins.
     */
   private[graft] def readCheckpointExtras(v: Long)
-      : (Seq[RemoveFile], Seq[CdcFile]) = {
+      : (Seq[RemoveFile], Seq[CdcFile], Boolean) = {
     val tombs = scala.collection.mutable.ArrayBuffer.empty[RemoveFile]
     val cdc = scala.collection.mutable.ArrayBuffer.empty[CdcFile]
+    var marker = false
     checkpointFilesOf(v).foreach { path =>
       val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
@@ -481,7 +496,8 @@ final class TxnLog(
       try {
         var g = reader.read()
         while (g != null) {
-          Serialization.read[LogLine](g.getString("json", 0)).action match {
+          if (g.getString("kind", 0) == "tombstones") marker = true
+          else Serialization.read[LogLine](g.getString("json", 0)).action match {
             case r: RemoveFile => tombs += r
             case c: CdcFile    => cdc += c
             case _             => ()
@@ -490,7 +506,7 @@ final class TxnLog(
         }
       } finally reader.close()
     }
-    (tombs.toSeq, cdc.toSeq)
+    (tombs.toSeq, cdc.toSeq, marker)
   }
 
   /** Physical file(s) of checkpoint `v` — lets vacuum read the action

@@ -134,6 +134,88 @@ class CompactionSpec extends AnyFunSuite {
     assert(swept.sorted == removed.map(_.path).sorted, s"swept $swept")
   }
 
+  test("a PRE-FEATURE checkpoint (no tombstone marker) is NOT trusted: " +
+      "vacuum falls back to full replay and keeps in-retention removals") {
+    val table = freshTable("vac_prefeature")
+    val li = Tables.load(spark, sf, "lineitem").limit(150)
+    val now = System.currentTimeMillis()
+    TableWriter.write(spark, li, table, partitionBy = Seq("l_returnflag"),
+      version = 0L, commitTs = now - 100000L)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    val log = new TxnLog(table, conf)
+    val old = now - 10L * 24 * 3600 * 1000
+    log.snapshotLatest().files.foreach(f => fs.setTimes(
+      new org.apache.hadoop.fs.Path(table, f.path), old, old))
+    val removed = TableWriter.removeWhere(spark, table,
+      pv => pv.get("l_returnflag").contains("R"), version = 1L,
+      commitTs = now - 1000L)
+    log.writeCheckpoint(1L)
+    // simulate an r12-era checkpoint: strip the marker + tombstones
+    val cpFile = new org.apache.hadoop.fs.Path(table,
+      f"_txn_log/${1L}%020d.checkpoint.parquet")
+    val stripped = spark.read.parquet(cpFile.toString)
+      .filter(!col("kind").isin("remove", "cdc", "tombstones"))
+    val tmp = new org.apache.hadoop.fs.Path(table, ".cp_strip")
+    stripped.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.delete(cpFile, false)
+    assert(fs.rename(part, cpFile))
+    fs.delete(tmp, true)
+    // recently-removed + anciently-written: only a full replay knows
+    // the removal is in-retention — trusting the stripped checkpoint
+    // would orphan-sweep it
+    assert(TableWriter.vacuum(spark, table,
+      retainMillis = 3600 * 1000L, nowMillis = now).isEmpty)
+    removed.foreach(r => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(table, r.path)),
+      "pre-feature checkpoint must trigger the full-replay fallback"))
+  }
+
+  test("cdc sidecars stay protected while their commit is IN THE LOG, " +
+      "age out only after expireLog drops it") {
+    val table = freshTable("vac_cdc")
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    TableWriter.write(spark, (0L until 50L).toDF("id"), table,
+      version = 0L, commitTs = now - 2000L)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    // a real change-data sidecar committed as a CdcFile action
+    val rel = f"_change_data/cd-${1L}%020d-00000-test.parquet"
+    Seq((1L, "insert")).toDF("id", "_change_type").coalesce(1)
+      .write.parquet(s"$table/.cdc_stage")
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$table/.cdc_stage")).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_change_data"))
+    fs.rename(staged, new org.apache.hadoop.fs.Path(table, rel))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/.cdc_stage"), true)
+    val log = new TxnLog(table, conf, tombstoneRetentionMillis = 1L)
+    log.commit(1L, Seq(CdcFile(rel, Map.empty, 1L),
+      CommitInfo("DELETE", now - 1000L)))
+    log.commit(2L, Seq(CommitInfo("NOOP", now)))
+    // checkpoint whose tiny tombstone retention EXPIRES the cdc ref —
+    // the in-log protection must come from the filename's version, not
+    // from the checkpoint
+    log.writeCheckpoint(2L)
+    val old = now - 10L * 24 * 3600 * 1000
+    fs.setTimes(new org.apache.hadoop.fs.Path(table, rel), old, old)
+    assert(TableWriter.vacuum(spark, table,
+      retainMillis = 3600 * 1000L, nowMillis = now).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(table, rel)),
+      "commit 1 is still in the log — its change file must survive")
+    // expireLog drops commits below the checkpoint -> the sidecar ages out
+    assert(log.expireLog(retainMillis = 0L, nowMillis = now + 100000L)
+      .nonEmpty)
+    val swept = TableWriter.vacuum(spark, table,
+      retainMillis = 3600 * 1000L, nowMillis = now)
+    assert(swept.contains(rel), s"expected $rel swept, got $swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table, rel)))
+    assert(SnapshotReader.read(spark, table).count() == 50L)
+  }
+
   test("vacuum never sweeps live files whose commits EXPIRED from the log") {
     val table = freshTable("vac_expired")
     for (v <- 0L until 11L)

@@ -93,21 +93,22 @@ class LogRetentionSpec extends AnyFunSuite {
     // ckptTs = 10000, floor = 5000: b's tombstone (9500) survives, a's
     // (2000) and the cdc ref (commit ts 2000) age out
     log.writeCheckpoint(3L)
-    val (tombs, cdc) = log.readCheckpointExtras(3L)
+    val (tombs, cdc, marker3) = log.readCheckpointExtras(3L)
     assert(tombs.map(_.path) == Seq("b.parquet"), s"got $tombs")
     assert(cdc.isEmpty, s"got $cdc")
+    assert(marker3, "new checkpoints must carry the tombstone marker")
     // carry-forward: the NEXT checkpoint re-reads the prior one's
     // retained tombstones without replaying the expired commits
     log.commit(4L, Seq(CommitInfo("NOOP", 11000L)))
     log.writeCheckpoint(4L)
-    val (tombs2, _) = log.readCheckpointExtras(4L)
+    val (tombs2, _, _) = log.readCheckpointExtras(4L)
     assert(tombs2.map(_.path) == Seq("b.parquet"))
     // a young cdc ref rides along with its commit timestamp stamped
     log.commit(5L, Seq(
       CdcFile("_change_data/cd-5.parquet", Map.empty, 1L),
       CommitInfo("DELETE", 12000L)))
     log.writeCheckpoint(5L)
-    val (_, cdc5) = log.readCheckpointExtras(5L)
+    val (_, cdc5, _) = log.readCheckpointExtras(5L)
     assert(cdc5.map(c => (c.path, c.commitTimestamp)) ==
       Seq(("_change_data/cd-5.parquet", Some(12000L))))
     // snapshot replay is UNCHANGED by the extra rows
