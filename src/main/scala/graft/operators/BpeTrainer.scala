@@ -93,4 +93,19 @@ object BpeTrainer {
     }
     (merges.result(), words)
   }
+
+  /** Tokenize with an ALREADY-LEARNED ledger — the inference half of
+    * the trainer: each merge applies in ledger order as the same greedy
+    * left-to-right replace, entirely MAP-ONLY (k codegen'd string
+    * replaces fused into one projection; no shuffle, no collect) — the
+    * 100 TB corpus-encode pass a trained vocab exists for. `words` must
+    * carry the `(a)(b)(c)` form in column `s`; other columns pass
+    * through untouched.
+    */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(words) { (df, m) =>
+      df.withColumn("s", regexp_replace(col("s"),
+        lit(java.util.regex.Pattern.quote(s"(${m.x})(${m.y})")),
+        lit(java.util.regex.Matcher.quoteReplacement(s"(${m.x}${m.y})"))))
+    }
 }

@@ -1813,6 +1813,116 @@ object Text {
         ((99L, "_total_", "", total)))
         .toDF("round", "x", "y", "n")
         .orderBy(col("round"))
+    },
+
+    // BPE APPLY — the inference half of q335's trainer: merges learned
+    // on the EVEN-doc_id half encode the HELD-OUT odd half (the shape
+    // every trained vocab exists for: tokenize a corpus it wasn't fit
+    // on). Application is map-only (4 codegen'd replaces fused into one
+    // projection — zero shuffles after the word-table build); the
+    // per-source ledger reports word volume, character-level baseline
+    // tokens, and post-merge BPE tokens — the compression a vocab buys
+    // per source. DuckDB re-derives the SAME merges from the even half
+    // (q335's chained CTEs, filtered) and replays the replaces on the
+    // odd half's word table.
+    QueryDef.sqlBacked(
+      "q350_bpe_apply",
+      """WITH tok AS (
+        |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE len(t) BETWEEN 2 AND 20 GROUP BY 1),
+        |w0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, f
+        |  FROM tok),
+        |p1 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w0) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m1 AS (SELECT x, y, c FROM p1 ORDER BY c DESC, x, y LIMIT 1),
+        |w1 AS (SELECT replace(s,
+        |    '(' || (SELECT x FROM m1) || ')(' || (SELECT y FROM m1) || ')',
+        |    '(' || (SELECT x FROM m1) || (SELECT y FROM m1) || ')') AS s, f
+        |  FROM w0),
+        |p2 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w1) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m2 AS (SELECT x, y, c FROM p2 ORDER BY c DESC, x, y LIMIT 1),
+        |w2 AS (SELECT replace(s,
+        |    '(' || (SELECT x FROM m2) || ')(' || (SELECT y FROM m2) || ')',
+        |    '(' || (SELECT x FROM m2) || (SELECT y FROM m2) || ')') AS s, f
+        |  FROM w1),
+        |p3 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w2) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m3 AS (SELECT x, y, c FROM p3 ORDER BY c DESC, x, y LIMIT 1),
+        |w3 AS (SELECT replace(s,
+        |    '(' || (SELECT x FROM m3) || ')(' || (SELECT y FROM m3) || ')',
+        |    '(' || (SELECT x FROM m3) || (SELECT y FROM m3) || ')') AS s, f
+        |  FROM w2),
+        |p4 AS (SELECT z[1] AS x, z[2] AS y,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM (SELECT f, unnest(list_zip(l, l[2:])) AS z
+        |    FROM (SELECT f, str_split(substring(s, 2, length(s) - 2),
+        |      ')(') AS l FROM w3) WHERE len(l) >= 2)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |m4 AS (SELECT x, y, c FROM p4 ORDER BY c DESC, x, y LIMIT 1),
+        |ho AS (SELECT source, t AS w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE len(t) BETWEEN 2 AND 20 GROUP BY 1, 2),
+        |h0 AS (SELECT source, len(w) AS L,
+        |    regexp_replace(w, '(.)', '(\1)', 'g') AS s, f FROM ho),
+        |h1 AS (SELECT source, L, replace(s,
+        |    '(' || (SELECT x FROM m1) || ')(' || (SELECT y FROM m1) || ')',
+        |    '(' || (SELECT x FROM m1) || (SELECT y FROM m1) || ')') AS s, f
+        |  FROM h0),
+        |h2 AS (SELECT source, L, replace(s,
+        |    '(' || (SELECT x FROM m2) || ')(' || (SELECT y FROM m2) || ')',
+        |    '(' || (SELECT x FROM m2) || (SELECT y FROM m2) || ')') AS s, f
+        |  FROM h1),
+        |h3 AS (SELECT source, L, replace(s,
+        |    '(' || (SELECT x FROM m3) || ')(' || (SELECT y FROM m3) || ')',
+        |    '(' || (SELECT x FROM m3) || (SELECT y FROM m3) || ')') AS s, f
+        |  FROM h2),
+        |h4 AS (SELECT source, L, replace(s,
+        |    '(' || (SELECT x FROM m4) || ')(' || (SELECT y FROM m4) || ')',
+        |    '(' || (SELECT x FROM m4) || (SELECT y FROM m4) || ')') AS s, f
+        |  FROM h3)
+        |SELECT source, CAST(SUM(f) AS BIGINT) AS n_words,
+        |  CAST(SUM(f * L) AS BIGINT) AS base_tokens,
+        |  CAST(SUM(f * len(str_split(substring(s, 2, length(s) - 2),
+        |    ')('))) AS BIGINT) AS bpe_tokens
+        |FROM h4 GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val trainWords = graft.operators.BpeTrainer.wordTable(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      val (merges, fin) = graft.operators.BpeTrainer.train(trainWords, 4)
+      fin.unpersist()
+      val hoWords = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("source"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")).between(2, 20))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+        .select(col("source"), length(col("w")).as("L"),
+          regexp_replace(col("w"), "(.)", "($1)").as("s"), col("f"))
+      graft.operators.BpeTrainer.applyMerges(hoWords, merges)
+        .groupBy(col("source"))
+        .agg(sum(col("f")).cast("long").as("n_words"),
+          sum(col("f") * col("L")).cast("long").as("base_tokens"),
+          sum(col("f") * expr(
+            "size(split(substring(s, 2, length(s) - 2), '\\\\)\\\\('))"))
+            .cast("long").as("bpe_tokens"))
+        .orderBy(col("source"))
     }
   )
 }

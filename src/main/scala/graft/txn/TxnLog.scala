@@ -605,17 +605,35 @@ final class TxnLog(
         actions.count(_.isInstanceOf[RemoveFile]).toLong)
     }
 
-  /** Timestamp-as-of resolution: greatest version whose CommitInfo
-    * timestamp ≤ ts (reference intent: DeltaReader.java:134–146, made
-    * strict: no silent fallback).
+  /** Timestamp-as-of resolution: greatest version whose EFFECTIVE
+    * commit time ≤ ts (reference intent: DeltaReader.java:134–146, made
+    * strict: no silent fallback). Effective time is the MONOTONIZED
+    * stamp — each version's clock clamped up to the newest seen below
+    * it, Delta's own adjusted-timestamp rule — so a skewed backwards
+    * clock can never make a LATER version resolve for an EARLIER
+    * instant (version order and time order stay consistent).
+    *
+    * Bounded scan: ascending, stopping at the first effective time past
+    * `ts` — monotone effective times mean no later version can qualify,
+    * so resolution reads only the prefix up to the answer instead of
+    * the whole log.
     */
   def versionAtTimestamp(ts: Long): Long = {
-    val stamped = versions().flatMap { v =>
-      read(v).collectFirst { case c: CommitInfo => (v, c.timestamp) }
+    var runMax = Long.MinValue
+    var answer = -1L
+    val it = versions().iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val v = it.next()
+      val t = read(v).collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(Long.MaxValue)
+      runMax = math.max(runMax, t)
+      if (runMax <= ts) answer = v else done = true
     }
-    stamped.filter(_._2 <= ts).map(_._1).lastOption.getOrElse(
+    if (answer < 0)
       throw new IllegalArgumentException(
-        s"no commit at or before timestamp $ts in $tablePath"))
+        s"no commit at or before timestamp $ts in $tablePath")
+    answer
   }
 }
 

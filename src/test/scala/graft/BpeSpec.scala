@@ -57,4 +57,23 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == Seq(BpeTrainer.Merge(1, "a", "b", 1L)))
     fin.unpersist()
   }
+
+  test("applyMerges replays a ledger exactly (train's final state) and " +
+      "is MAP-ONLY — zero shuffles") {
+    val w0 = words("abab" -> 5L, "abc" -> 3L, "bc" -> 2L, "aa" -> 4L)
+    val (merges, fin) = BpeTrainer.train(w0, 3)
+    val replayed = BpeTrainer.applyMerges(w0, merges)
+    val a = fin.orderBy("s").collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = replayed.orderBy("s").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(a.sameElements(b),
+      s"apply must equal the trainer's final symbolization: " +
+        s"${a.toSeq} vs ${b.toSeq}")
+    fin.unpersist()
+    // inference is a fused projection: no Exchange anywhere in the plan
+    val plan = BpeTrainer.applyMerges(w0, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"applyMerges must not shuffle:\n$plan")
+  }
 }

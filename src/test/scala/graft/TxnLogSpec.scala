@@ -55,6 +55,29 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { log.versionAtTimestamp(99L) }
   }
 
+  test("timestamp-as-of MONOTONIZES skewed clocks (Delta's adjusted-" +
+      "timestamp rule) and reads only the prefix up to the answer") {
+    val log = freshLog()
+    // v2's clock is skewed BACKWARD: effective times are 100, 500, 500
+    log.commit(0L, Seq(CommitInfo("WRITE", 100L)))
+    log.commit(1L, Seq(CommitInfo("WRITE", 500L)))
+    log.commit(2L, Seq(CommitInfo("WRITE", 200L)))
+    log.commit(3L, Seq(CommitInfo("WRITE", 900L)))
+    // a later version must never resolve for an earlier instant: 300 is
+    // before v1's effective time, so the answer is v0 — NOT the skewed v2
+    assert(log.versionAtTimestamp(300L) == 0L)
+    assert(log.versionAtTimestamp(500L) == 2L,
+      "clamped v2 (effective 500) is the greatest at-or-before 500")
+    assert(log.versionAtTimestamp(899L) == 2L)
+    assert(log.versionAtTimestamp(900L) == 3L)
+    // bounded: resolving an early instant must not read the whole log
+    val reader = new TxnLog(log.tablePath,
+      SparkTestSession.spark.sessionState.newHadoopConf())
+    assert(reader.versionAtTimestamp(100L) == 0L)
+    assert(reader.commitReads <= 2,
+      s"early-instant resolution read ${reader.commitReads} commits")
+  }
+
   test("missing version errors (strict, no silent fallback)") {
     val log = freshLog()
     intercept[IllegalArgumentException] { log.snapshot(0L) }
