@@ -285,6 +285,23 @@ object Multimodal {
     * w=4+d%5 × h=3+d%4; sample i of clip d: (31d+17i)%2001 − 1000 over
     * n=8+d%9 samples.
     */
+  /** The fixture pixel field of doc `d` — shared by the codec table
+    * and the cross-format twin builder so both encode the SAME image.
+    */
+  private[graft] def synthPixels(d: Long): (Int, Int, Array[Byte]) = {
+    val w = (4 + d % 5).toInt
+    val h = (3 + d % 4).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      rgb(i * 3) = ((7 * d + 3 * i) % 256).toByte
+      rgb(i * 3 + 1) = ((11 * d + 5 * i) % 256).toByte
+      rgb(i * 3 + 2) = ((13 * d + 7 * i) % 256).toByte
+      i += 1
+    }
+    (w, h, rgb)
+  }
+
   def syntheticCodecTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -296,16 +313,7 @@ object Multimodal {
               encodeWavPcm16(Array.tabulate(n)(i =>
                 (((31 * d + 17 * i) % 2001) - 1000).toShort))
             } else {
-              val w = (4 + d % 5).toInt
-              val h = (3 + d % 4).toInt
-              val rgb = new Array[Byte](w * h * 3)
-              var i = 0
-              while (i < w * h) {
-                rgb(i * 3) = ((7 * d + 3 * i) % 256).toByte
-                rgb(i * 3 + 1) = ((11 * d + 5 * i) % 256).toByte
-                rgb(i * 3 + 2) = ((13 * d + 7 * i) % 256).toByte
-                i += 1
-              }
+              val (w, h, rgb) = synthPixels(d)
               if (d % 3 == 0) encodePpm(w, h, rgb) else encodeBmp(w, h, rgb)
             }
           (d, blob)
@@ -393,6 +401,60 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "kind", "px", "lum3_sum", "lum3_max")
+  }
+
+  /** Difference-hash (dHash) perceptual fingerprint of decoded pixels:
+    * nearest-neighbor resize to (hw+1)×hh, then one bit per horizontal
+    * neighbor pair — '1' iff luminance STRICTLY increases left-to-right
+    * (lum = r+g+b, exact integers). Returned as the hw·hh-char '0'/'1'
+    * string (engine-portable: no 64-bit sign games), row-major.
+    * The standard near-dup fingerprint for images: byte-level changes
+    * that preserve the luminance GRADIENT field (re-encoding, format
+    * conversion, uniform shifts) keep the hash; content changes flip
+    * bits proportionally to how much they alter structure.
+    */
+  def dHash(rgb: Array[Byte], w: Int, h: Int,
+      hw: Int = 8, hh: Int = 8): String = {
+    val r = resizeNearest(rgb, w, h, hw + 1, hh)
+    def lum3(x: Int, y: Int): Int = {
+      val p = (y * (hw + 1) + x) * 3
+      (r(p) & 0xff) + (r(p + 1) & 0xff) + (r(p + 2) & 0xff)
+    }
+    val sb = new java.lang.StringBuilder(hw * hh)
+    var y = 0
+    while (y < hh) {
+      var x = 0
+      while (x < hw) {
+        sb.append(if (lum3(x + 1, y) > lum3(x, y)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-parallel perceptual fingerprints: every decodable image
+    * blob surfaces (media_id, phash); non-images and corrupt blobs are
+    * dropped HERE (the caller's frame is images-only by contract — use
+    * [[extractDecodedStats]] to audit the corpus first).
+    */
+  def imagePhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        try {
+          val decoded =
+            if (blob.length >= 2 && blob(0) == 'P' && blob(1) == '6')
+              Some(decodePpm(blob))
+            else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M')
+              Some(decodeBmp(blob))
+            else None
+          decoded.map { case (w, h, rgb) => (id, dHash(rgb, w, h)) }
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+      }.toDF("media_id", "phash")
   }
 
   /** Windowed audio frame energy: decoded PCM samples split into

@@ -222,6 +222,69 @@ object Multimodal {
           sum(col("n_samples")).cast("long").as("n_samples"),
           sum(col("energy")).cast("long").as("energy"))
         .orderBy(col("frame_idx"))
+    },
+
+    // PERCEPTUAL image dedup (dHash over DECODED pixels): every BMP in
+    // the fixture corpus gains a cross-format twin — the SAME pixels
+    // re-encoded as PPM — which byte-exact dedup (md5) can never pair
+    // but the gradient fingerprint must: resize to 9x8, one bit per
+    // horizontal luminance step, fingerprints as portable 64-char bit
+    // strings. DuckDB re-derives every fingerprint from the pixel +
+    // nearest-neighbor index arithmetic, so a resize stride, channel
+    // order, or comparison-direction bug changes group counts and
+    // reddens the hash. The md5 negative control (zero byte-exact dup
+    // groups) rides the same row.
+    QueryDef.sqlBacked(
+      "q351_image_phash",
+      """WITH d AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 < 2),
+        |img AS (SELECT d, 4 + d % 5 AS w, 3 + d % 4 AS h FROM d),
+        |px AS (SELECT d, i.range AS o,
+        |    ((i.range // 8) * h // 8) * w + ((i.range % 8) * w // 9)
+        |      AS ia,
+        |    ((i.range // 8) * h // 8) * w + (((i.range % 8) + 1) * w // 9)
+        |      AS ib
+        |  FROM img CROSS JOIN range(64) i),
+        |bits AS (SELECT d, o, CASE WHEN
+        |    (7*d + 3*ib) % 256 + (11*d + 5*ib) % 256 + (13*d + 7*ib) % 256
+        |    > (7*d + 3*ia) % 256 + (11*d + 5*ia) % 256
+        |      + (13*d + 7*ia) % 256
+        |  THEN '1' ELSE '0' END AS b FROM px),
+        |ph AS (SELECT d, string_agg(b, '' ORDER BY o) AS phash
+        |  FROM bits GROUP BY d),
+        |corpus AS (SELECT d AS media_id, phash FROM ph
+        |  UNION ALL SELECT d + 1000000, phash FROM ph WHERE d % 3 = 1),
+        |g AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
+        |  GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_images,
+        |  CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS dup_groups,
+        |  CAST(COALESCE(SUM(n) FILTER (n > 1), 0) AS BIGINT)
+        |    AS dup_members,
+        |  CAST(0 AS BIGINT) AS md5_dup_groups
+        |FROM g""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = MM.syntheticCodecTable(s, dir)
+        .filter(col("media_id") % 3 < 2)
+      // cross-format twins: the SAME pixel field, PPM instead of BMP
+      val twins = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+        .as[Long].mapPartitions { ids =>
+          ids.map { d =>
+            val (w, h, rgb) = MM.synthPixels(d)
+            (d + 1000000L, MM.encodePpm(w, h, rgb))
+          }
+        }.toDF("media_id", "blob")
+      val corpus = base.unionByName(twins)
+      val groups = MM.imagePhash(s, corpus)
+        .groupBy(col("phash")).agg(count(lit(1)).as("n"))
+      val md5Groups = corpus
+        .groupBy(md5(col("blob"))).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      groups.agg(
+          sum(col("n")).cast("long").as("n_images"),
+          count(when(col("n") > 1, 1)).as("dup_groups"),
+          coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+            .cast("long").as("dup_members"))
+        .withColumn("md5_dup_groups", lit(md5Groups))
     }
   )
 }

@@ -86,6 +86,27 @@ class MultimodalSpec extends AnyFunSuite {
       st.max1 == lum3.max.toLong)
   }
 
+  test("dHash: invariant across re-encoding and uniform brightness, " +
+      "sensitive to structural change") {
+    val w = 7; val h = 5
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 41 + 3) % 200).toByte)
+    val hBmp = Multimodal.dHash(
+      Multimodal.decodeBmp(Multimodal.encodeBmp(w, h, rgb))._3, w, h)
+    val hPpm = Multimodal.dHash(
+      Multimodal.decodePpm(Multimodal.encodePpm(w, h, rgb))._3, w, h)
+    assert(hBmp == hPpm, "cross-format twins must fingerprint identically")
+    assert(hBmp.length == 64 && hBmp.forall(c => c == '0' || c == '1'))
+    // uniform brightness shift preserves every gradient
+    val brighter = rgb.map(b => ((b & 0xff) + 30).min(255).toByte)
+    assert(Multimodal.dHash(brighter, w, h) == hBmp)
+    // flipping the image horizontally reverses gradients: bits change
+    val flipped = new Array[Byte](rgb.length)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      flipped((y * w + x) * 3 + c) = rgb((y * w + (w - 1 - x)) * 3 + c)
+    assert(Multimodal.dHash(flipped, w, h) != hBmp,
+      "a structural change must move the fingerprint")
+  }
+
   test("stub decoder histogram matches a local recomputation") {
     val one = Multimodal.mediaTable(spark, sf)
       .filter(col("media_id") === 0).select("blob").collect()(0)
