@@ -185,15 +185,19 @@ object GraftExtensions {
         }),
       ("graft_history",
         info("graft_history",
-          "graft_history(tablePath) - commit history of a graft table " +
-            "(version, operation, commit_ts, n_added, n_removed), newest first"),
+          "graft_history(tablePath[, limit]) - commit history of a graft " +
+            "table (version, operation, commit_ts, n_added, n_removed), " +
+            "newest first; limit bounds the log read to the newest N"),
         (children: Seq[Expression]) => {
-          require(children.size == 1, "graft_history(tablePath)")
+          require(children.nonEmpty && children.size <= 2,
+            "graft_history(tablePath[, limit])")
           val path = strLitOf(children.head, "graft_history")
+          val limit = children.lift(1)
+            .map(longLitOf(_, "graft_history").toInt).getOrElse(Int.MaxValue)
           val spark = org.apache.spark.sql.SparkSession.active
           import spark.implicits._
           new graft.txn.TxnLog(path, spark.sessionState.newHadoopConf())
-            .history()
+            .history(limit)
             .toDF("version", "operation", "commit_ts", "n_added", "n_removed")
             .queryExecution.logical
         }),

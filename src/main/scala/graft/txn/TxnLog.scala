@@ -593,10 +593,13 @@ final class TxnLog(
       throw new IllegalArgumentException(s"empty table at $tablePath")))
 
   /** Commit history, newest first: (version, operation, timestamp,
-    * n_adds, n_removes) — the DESCRIBE HISTORY surface.
+    * n_adds, n_removes) — the DESCRIBE HISTORY surface. `limit` bounds
+    * the read to the newest N commits (Delta's DESCRIBE HISTORY LIMIT):
+    * an operator checking "what touched this table today" on a
+    * million-commit log must not replay the million.
     */
-  def history(): Seq[(Long, String, Long, Long, Long)] =
-    versions().reverse.map { v =>
+  def history(limit: Int = Int.MaxValue): Seq[(Long, String, Long, Long, Long)] =
+    versions().reverse.take(limit).map { v =>
       val actions = read(v)
       val ci = actions.collectFirst { case c: CommitInfo => c }
         .getOrElse(CommitInfo("UNKNOWN", 0L))

@@ -76,6 +76,13 @@ class TxnLogSpec extends AnyFunSuite {
     assert(reader.versionAtTimestamp(100L) == 0L)
     assert(reader.commitReads <= 2,
       s"early-instant resolution read ${reader.commitReads} commits")
+    // DESCRIBE HISTORY LIMIT: newest-first, reads only N commits
+    val hreader = new TxnLog(log.tablePath,
+      SparkTestSession.spark.sessionState.newHadoopConf())
+    val h = hreader.history(limit = 2)
+    assert(h.map(_._1) == Seq(3L, 2L))
+    assert(hreader.commitReads == 2,
+      s"history(2) read ${hreader.commitReads} commits")
   }
 
   test("missing version errors (strict, no silent fallback)") {
