@@ -485,6 +485,39 @@ object Multimodal {
       }.toDF("media_id", "frame_idx", "n_samples", "energy")
   }
 
+  /** Per-clip waveform statistics over decoded PCM — zero-crossing
+    * count (adjacent samples with strictly opposite signs: s·prev < 0,
+    * the classic voiced/unvoiced + noisiness feature) and near-silence
+    * count (|s| ≤ `silenceAbs`), both exact integers an independent
+    * engine replays from the samples. Non-audio and corrupt blobs
+    * surface with n_samples = -1 (counted, never dropped or fatal).
+    */
+  def audioWaveformStats(
+      spark: SparkSession, media: DataFrame,
+      silenceAbs: Int = 100): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, blob) =>
+        val isWav = blob.length >= 12 &&
+          new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(blob, 8, 4, "US-ASCII") == "WAVE"
+        if (!isWav) (id, -1L, 0L, 0L)
+        else try {
+          val s = decodeWavPcm16(blob)
+          var zc = 0L; var silent = 0L; var i = 0
+          while (i < s.length) {
+            if (i > 0 && s(i - 1).toLong * s(i) < 0) zc += 1
+            if (math.abs(s(i).toInt) <= silenceAbs) silent += 1
+            i += 1
+          }
+          (id, s.length.toLong, zc, silent)
+        } catch { case scala.util.control.NonFatal(_) =>
+          (id, -1L, 0L, 0L) // corrupt clip: counted, not fatal
+        }
+      }.toDF("media_id", "n_samples", "zero_crossings", "near_silent")
+  }
+
   /** Frame sampling stub: split the payload into `n` equal byte slices —
     * the plumbing shape of video frame extraction (one row per frame).
     */

@@ -3322,6 +3322,55 @@ object Maintenance {
         .withColumn("lost_listed_dry", lit(lostListed))
         .withColumn("repaired", lit(repaired))
         .orderBy(col("band"))
+    },
+
+    // CHECKPOINT through CALL: an explicit checkpoint between the
+    // automatic every-N writes — the op a team runs right before log
+    // expiry or a burst of time-travel readers. The forced checkpoint
+    // at v1 anchors expire_log (v0's commit file drops), a FRESH log
+    // then resolves purely from checkpoint + tail (time travel to the
+    // expired v0 refuses loudly), and the surviving state must equal
+    // the SQL recompute — both booleans ride the hash.
+    QueryDef.sqlBacked(
+      "q356_call_checkpoint",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS qty,
+        |  TRUE AS expired_below_anchor, TRUE AS resolves_from_checkpoint
+        |FROM lineitem WHERE l_orderkey % 7 = 0 OR l_orderkey % 11 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      val path = s"target/fixtures/ckpt_call_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val li = Tables.load(s, dir, "lineitem")
+      TableWriter.write(s, li.filter(col("l_orderkey") % 7 === 0), path,
+        version = 0L, commitTs = 1000L)
+      TableWriter.append(s,
+        li.filter(col("l_orderkey") % 11 === 0 &&
+          col("l_orderkey") % 7 =!= 0), path, commitTs = 2000L)
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", "target/fixtures")
+      val ck = s.sql(s"CALL gcat.system.checkpoint('$path')").collect()
+      val expired = s.sql(
+        s"CALL gcat.system.expire_log('$path', retain_millis => 0)")
+        .collect()
+      val expiredV0 = expired.map(_.getString(0))
+        .contains(f"${0L}%020d.json")
+      // a FRESH log must resolve purely from the forced checkpoint +
+      // tail; the expired v0 must refuse, never silently misread
+      val fresh = new TxnLog(path, conf)
+      val resolves = ck.head.getLong(0) == 1L &&
+        fresh.snapshotLatest().version == 1L &&
+        (try { fresh.snapshot(0L); false }
+         catch { case _: IllegalArgumentException => true })
+      s.read.format("graft").option("tablePath", path).load()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .withColumn("expired_below_anchor", lit(expiredV0))
+        .withColumn("resolves_from_checkpoint", lit(resolves))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -285,6 +285,47 @@ object Multimodal {
           coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
             .cast("long").as("dup_members"))
         .withColumn("md5_dup_groups", lit(md5Groups))
+    },
+
+    // Zero-crossing rate + near-silence over decoded PCM — the two
+    // cheapest audio-quality screens a speech-corpus pipeline runs
+    // before anything expensive (noisiness proxy; dead-air detector):
+    // per clip, adjacent-sample sign flips (s·prev < 0) and |s| ≤ 100
+    // samples, rolled up to the zero-crossing histogram (≤ 16 distinct
+    // values here — a bounded ledger however many clips). DuckDB
+    // replays the PCM generation formula and the same LAG arithmetic,
+    // so a sign-handling or off-by-one-sample decoder bug shifts the
+    // histogram and reddens the hash. Map-only decode + one
+    // histogram-sized aggregate.
+    QueryDef.sqlBacked(
+      "q353_audio_zcr",
+      """WITH d AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 2),
+        |wav AS (SELECT d, 8 + d % 9 AS n FROM d),
+        |smp AS (SELECT d, i.range AS i,
+        |    (31 * d + 17 * i.range) % 2001 - 1000 AS s
+        |  FROM wav CROSS JOIN range(17) i WHERE i.range < n),
+        |lg AS (SELECT d, s,
+        |    LAG(s) OVER (PARTITION BY d ORDER BY i) AS p FROM smp),
+        |per AS (SELECT d,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(COUNT(*) FILTER (p IS NOT NULL AND p * s < 0) AS BIGINT)
+        |      AS zc,
+        |    CAST(COUNT(*) FILTER (ABS(s) <= 100) AS BIGINT) AS silent
+        |  FROM lg GROUP BY d)
+        |SELECT CAST(zc AS INTEGER) AS zero_crossings,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(SUM(silent) AS BIGINT) AS silent_samples
+        |FROM per GROUP BY 1 ORDER BY zero_crossings""".stripMargin) {
+      (s, dir) =>
+      MM.audioWaveformStats(s,
+          MM.syntheticCodecTable(s, dir)
+            .filter(col("media_id") % 3 === 2), silenceAbs = 100)
+        .groupBy(col("zero_crossings").cast("int").as("zero_crossings"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples")).cast("long").as("n_samples"),
+          sum(col("near_silent")).cast("long").as("silent_samples"))
+        .orderBy(col("zero_crossings"))
     }
   )
 }

@@ -362,8 +362,56 @@ object Similarity {
       recallOracle("fivf", " AND e.label = 2")) { (s, dir) =>
       recallVsGt(s, dir, "fivf", filteredIvfTop5(s, dir),
         filteredBruteTop5(s, dir))
+    },
+
+    // Matryoshka-style truncated-dimension retrieval, recall-gated: the
+    // shortlist scans only the FIRST 16 of 64 dims (4× less vector math
+    // and shuffle bytes — the MRL/dimension-truncation trade every
+    // embedding store now offers), the 32-candidate shortlist re-ranks
+    // with exact full-dim cosine, and the per-query hit counts against
+    // the exact top-5 ride the driver hash via the same persisted-
+    // fixture harness as q117–q120. At 100 TB the shortlist pass is the
+    // whole cost — truncation cuts it 4× with re-ranking touching only
+    // 32 vectors per query.
+    QueryDef.sqlBacked("q355_ann_recall_truncated",
+      recallOracle("trunc", "")) { (s, dir) =>
+      recallVsGt(s, dir, "trunc", truncTop5(s, dir), bruteTop5(s, dir))
     }
   ) ++ moreDefs
+
+  /** Truncated-dim shortlist (first `dims` of 64, cosine over the
+    * prefix) + exact full-dim re-rank of the top-`shortlist` — the
+    * Matryoshka retrieval shape (q355's frame).
+    */
+  private def truncTop5(s: SparkSession, dir: String,
+      dims: Int = 16, shortlist: Int = 32): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("tv", slice(col("v"), 1, dims))
+      .withColumn("tnrm", norm(col("tv")))
+      .cache()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        col("tv").as("qtv"), col("tnrm").as("qtn"))
+    val byTrunc = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("neighbor_id"))
+    val byExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qn"), col("v"), col("nrm"),
+        cosine(col("qtv"), col("tv"), col("qtn"), col("tnrm")).as("tcos"))
+      .withColumn("trnk", row_number().over(byTrunc))
+      .filter(col("trnk") <= shortlist) // re-rank touches only these
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(byExact))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** IVF ANN top-5 (q54's frame). */
   private def ivfTop5(s: SparkSession, dir: String): DataFrame = {

@@ -1923,6 +1923,99 @@ object Text {
             "size(split(substring(s, 2, length(s) - 2), '\\\\)\\\\('))"))
             .cast("long").as("bpe_tokens"))
         .orderBy(col("source"))
+    },
+
+    // External cluster validation — pair-counting RAND components of
+    // the near-dup clustering AGAINST the source labels (the audit that
+    // tells a curation team whether dup clusters are within-source
+    // boilerplate or cross-source syndication/contamination): the four
+    // sufficient statistics of the Rand index / ARI as exact BIGINTs
+    // (agreeing pairs = same-cluster∧same-source + diff∧diff), plus
+    // rand_ppm and the headline cross-source cluster count. Singleton
+    // docs are their own clusters (0 same-cluster pairs). Every number
+    // is a pair COUNT from cluster/source-sized aggregate frames — the
+    // corpus shuffles once into CC and once into per-source counts; no
+    // pairwise materialization anywhere.
+    QueryDef.sqlBacked(
+      "q352_cluster_source_rand",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s),
+         |csrc AS (SELECT doc_id, source FROM documents
+         |         UNION ALL
+         |         SELECT doc_id + 100000, source FROM documents
+         |         WHERE doc_id % 10 = 0),
+         |mem AS (SELECT c.comp, s.source FROM comp c
+         |        JOIN csrc s ON s.doc_id = c.id),
+         |byc AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz,
+         |          CAST(COUNT(DISTINCT source) AS BIGINT) AS nsrc
+         |        FROM mem GROUP BY comp),
+         |byb AS (SELECT comp, source, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM mem GROUP BY 1, 2),
+         |bys AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m
+         |        FROM csrc GROUP BY 1),
+         |st AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM csrc) AS n,
+         |    (SELECT CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT)
+         |     FROM byc) AS same_cluster,
+         |    (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) FROM bys)
+         |      AS same_source,
+         |    (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+         |     FROM byb) AS same_both,
+         |    (SELECT CAST(COALESCE(COUNT(*) FILTER (nsrc > 1), 0)
+         |       AS BIGINT) FROM byc) AS cross_source_clusters)
+         |SELECT n AS n_docs,
+         |  n * (n - 1) // 2 AS pairs_total,
+         |  same_cluster AS pairs_same_cluster,
+         |  same_source AS pairs_same_source,
+         |  same_both AS pairs_same_both,
+         |  CAST((same_both
+         |      + (n * (n - 1) // 2 - same_cluster - same_source + same_both))
+         |    * 1000000 // (n * (n - 1) // 2) AS BIGINT) AS rand_ppm,
+         |  cross_source_clusters
+         |FROM st""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val csrc = d.select(col("doc_id"), col("source")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("source")))
+      val mem = graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir)
+          .select(col("doc_a"), col("doc_b")))
+        .join(csrc, col("id") === col("doc_id"))
+        .select(col("comp"), col("source"))
+        .persist()
+      try {
+        def pairSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+            .head().getLong(0)
+        // every frame below is cluster- or source-count-sized
+        val byc = mem.groupBy(col("comp"))
+          .agg(count(lit(1)).as("c"),
+            countDistinct(col("source")).as("nsrc")).persist()
+        val n = csrc.count()
+        val sameCluster = pairSum(byc)
+        val crossSrc = byc.filter(col("nsrc") > 1).count()
+        byc.unpersist()
+        val sameBoth = pairSum(
+          mem.groupBy(col("comp"), col("source")).agg(count(lit(1)).as("c")))
+        val sameSource = pairSum(
+          csrc.groupBy(col("source")).agg(count(lit(1)).as("c")))
+        val total = n * (n - 1) / 2
+        val agree = sameBoth + (total - sameCluster - sameSource + sameBoth)
+        Seq((n, total, sameCluster, sameSource, sameBoth,
+            agree * 1000000L / total, crossSrc))
+          .toDF("n_docs", "pairs_total", "pairs_same_cluster",
+            "pairs_same_source", "pairs_same_both", "rand_ppm",
+            "cross_source_clusters")
+      } finally mem.unpersist()
     }
   )
 }

@@ -256,6 +256,25 @@ private[sources] object GraftProcedures {
         Seq(Seq(after.version, rewritten.size.toLong,
           after.files.count(_.dv.isDefined).toLong))
       }
+    },
+
+    new P("checkpoint",
+      "force a parquet checkpoint of the latest version (one is written " +
+        "automatically every checkpointInterval commits): snapshot " +
+        "resolution then reads one checkpoint + a bounded tail, and " +
+        "expire_log gains an anchor below which commit files can drop",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("n_live_files", LongType)))) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val path = resolvePath(warehouse, in.getUTF8String(0).toString)
+        val l = log(spark, path)
+        val v = l.latestVersion().getOrElse(
+          throw new IllegalArgumentException(
+            s"no graft table at $path (empty or missing _txn_log)"))
+        l.writeCheckpoint(v)
+        Seq(Seq(v, l.snapshot(v).files.size.toLong))
+      }
     }
   ).map(p => p.name() -> (p: UnboundProcedure)).toMap
 

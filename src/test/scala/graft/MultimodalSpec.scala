@@ -107,6 +107,24 @@ class MultimodalSpec extends AnyFunSuite {
       "a structural change must move the fingerprint")
   }
 
+  test("waveform stats: zero crossings and near-silence from decoded PCM") {
+    // hand-computed: sign flips at (5,-3), (-3,100), (100,-101) — zero
+    // samples never cross (0·x is not < 0); |s| ≤ 100 admits the
+    // boundary value 100 but not -101
+    val samples = Array[Short](0, 5, -3, 100, -101, 0, 7)
+    val blob = Multimodal.encodeWavPcm16(samples)
+    import spark.implicits._
+    val df = Seq((1L, blob)).toDF("media_id", "blob")
+    val r = Multimodal.audioWaveformStats(spark, df).collect().head
+    assert(r.getLong(1) == 7L, "n_samples")
+    assert(r.getLong(2) == 3L, "zero_crossings")
+    assert(r.getLong(3) == 6L, "near_silent")
+    // non-audio blobs surface counted (n_samples = -1), never fatal
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "blob")
+    assert(Multimodal.audioWaveformStats(spark, junk)
+      .collect().head.getLong(1) == -1L)
+  }
+
   test("stub decoder histogram matches a local recomputation") {
     val one = Multimodal.mediaTable(spark, sf)
       .filter(col("media_id") === 0).select("blob").collect()(0)

@@ -122,4 +122,15 @@ class SimilaritySpec extends AnyFunSuite {
     val c2 = rows2.map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
     assert(c1 == c2)
   }
+
+  test("truncated-dim shortlist + exact re-rank keeps recall useful") {
+    val rows = SparkEntry.queries("q355_ann_recall_truncated")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 20 && rows.forall(_._2 <= 5))
+    // 16 of 64 dims keeps enough of the cosine ordering that a
+    // 32-candidate shortlist recovers well over chance (≈ 32/n) after
+    // the exact re-rank
+    val recall = rows.map(_._2).sum.toDouble / (rows.length * 5)
+    assert(recall >= 0.4, s"truncated recall@5 = $recall")
+  }
 }

@@ -182,4 +182,28 @@ class ProcedureSpec extends AnyFunSuite {
     assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(_.contains("optimize"))), e)
   }
+
+  test("CALL system.checkpoint forces a checkpoint that anchors expiry") {
+    fragmented("p9")
+    import spark.implicits._
+    TableWriter.append(spark, (1000L until 1100L).toDF("id"),
+      s"$wh/default/p9", commitTs = 2000L)
+    val l = log("p9")
+    assert(l.checkpointVersions().isEmpty, "interval not reached yet")
+    val row = spark.sql(
+      "CALL gproc.system.checkpoint(table => 'default.p9')").collect().head
+    assert(row.getLong(0) == 1L, "checkpointed version")
+    assert(l.checkpointVersions() == Seq(1L))
+    assert(row.getLong(1) == l.snapshotLatest().files.size.toLong)
+    // the forced checkpoint anchors expire_log: v0's commit file drops
+    // and the table still reads in full from checkpoint + tail
+    val del = spark.sql("CALL gproc.system.expire_log(" +
+        "table => 'default.p9', retain_millis => 0)")
+      .collect().map(_.getString(0))
+    assert(del.contains(f"${0L}%020d.json"), del.mkString(","))
+    assert(spark.sql("SELECT COUNT(*), SUM(id) FROM gproc.default.p9")
+      .head() match {
+        case r => r.getLong(0) == 1100L && r.getLong(1) == 1099L * 1100L / 2
+      })
+  }
 }
