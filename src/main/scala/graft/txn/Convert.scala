@@ -10,12 +10,16 @@ import org.apache.spark.sql.SparkSession
   * DV deletes, MERGE, OPTIMIZE, CDC streaming, data skipping from the
   * footers' own stats) applies to data that was never copied.
   *
-  * Discovery is one recursive listing; per-file column stats come from
-  * parquet FOOTERS (no data pages read). Hive `col=value` directory
-  * segments become the table's partition columns — they must agree
-  * across every file, and the schema (including inferred partition
-  * column types) is Spark's own unified read schema of the directory.
-  * Refuses if a transaction log already exists.
+  * Both discovery and per-file footer stats run as CLUSTER JOBS (one
+  * listing task per top-level directory, then one footer open per file
+  * in tasks — the vacuum orphan-listing shape): a million-file lake
+  * converts in parallel, never as a million serial driver RPCs. Only
+  * file METADATA reaches the driver — the same cardinality the commit
+  * itself must hold. Hive `col=value` directory segments become the
+  * table's partition columns — they must agree across every file, and
+  * the schema (including inferred partition column types) is Spark's
+  * own unified read schema of the directory. Refuses if a transaction
+  * log already exists.
   */
 object Convert {
 
@@ -32,23 +36,55 @@ object Convert {
       s"CONVERT: $dir already has a transaction log — refusing to " +
         "re-register (the log IS the table)")
 
-    val files = scala.collection.mutable.ArrayBuffer
-      .empty[(String, org.apache.hadoop.fs.FileStatus)]
-    def visit(p: org.apache.hadoop.fs.Path, rel: String): Unit =
-      fs.listStatus(p).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) ()
-        else if (st.isDirectory)
-          visit(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-        else if (name.endsWith(".parquet"))
-          files += (((if (rel.isEmpty) "" else s"$rel/") + name, st))
-      }
-    visit(root, "")
+    // discovery: (rel, size, mtime, qualified uri) per parquet file —
+    // top-level entries list once on the driver, subtrees walk in tasks
+    val rootUri = fs.makeQualified(root).toUri.toString
+    val entries = fs.listStatus(root).toSeq
+    def keep(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
+    val subDirs = entries
+      .filter(st => st.isDirectory && keep(st.getPath.getName))
+      .map(_.getPath.toString)
+    // 4th element is the PATH string (not the URI string): Hadoop's
+    // Path(String) does not decode percent-escapes, so a URI round-trip
+    // would mangle escaped partition values ("a b" → "a%20b")
+    val rootFiles = entries
+      .filter(st => !st.isDirectory && keep(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime,
+        fs.makeQualified(st.getPath).toString))
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val walked: Seq[(String, Long, Long, String)] =
+      if (subDirs.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(subDirs, math.max(1, math.min(subDirs.size, 64)))
+        .flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val dfs = p.getFileSystem(serConf.value)
+          val base = java.net.URI.create(rootUri)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, String)]
+          def walk(x: org.apache.hadoop.fs.Path): Unit =
+            dfs.listStatus(x).foreach { st =>
+              val name = st.getPath.getName
+              if (name.startsWith("_") || name.startsWith(".")) ()
+              else if (st.isDirectory) walk(st.getPath)
+              else if (name.endsWith(".parquet")) {
+                val q = dfs.makeQualified(st.getPath)
+                out += ((base.relativize(q.toUri).getPath, st.getLen,
+                  st.getModificationTime, q.toString))
+              }
+            }
+          walk(p)
+          out
+        }.collect().toSeq
+    val files = (rootFiles ++ walked).sortBy(_._1)
     require(files.nonEmpty, s"CONVERT: no parquet files under $dir")
 
     val partKeySets = files
-      .map { case (rel, _) => TableWriter.partitionValuesOf(rel).keySet }
-      .distinct
+      .map { case (rel, _, _, _) =>
+        TableWriter.partitionValuesOf(rel).keySet
+      }.distinct
     require(partKeySets.size == 1,
       s"CONVERT: inconsistent hive partitioning under $dir: " +
         partKeySets.mkString(" vs "))
@@ -76,24 +112,37 @@ object Convert {
       }
     }
 
+    // footer stats in tasks: one footer open per file, parallel —
+    // tight = false because these files come from ARBITRARY writers, and
+    // non-parquet-mr writers truncate binary min/max (max incremented
+    // past the real data) — sound for skipping, wrong for stats-only
+    // MIN/MAX answers, so the flag routes string MIN/MAX back to a scan
+    val statsByRel: Map[String, Option[FileStats]] =
+      spark.sparkContext
+        .parallelize(files.map(f => (f._1, f._4)),
+          math.max(1, math.min(files.size, 64)))
+        .mapPartitions { it =>
+          val c = serConf.value
+          it.map { case (rel, uri) =>
+            (rel, TableWriter
+              .footerStats(new org.apache.hadoop.fs.Path(uri), c)
+              .map(_.copy(tight = false)))
+          }
+        }.collect().toMap
+
     val now = System.currentTimeMillis()
     var rows = 0L
-    val adds = files.map { case (rel, st) =>
-      // tight = false: these files come from ARBITRARY writers, and
-      // non-parquet-mr writers truncate binary min/max (max incremented
-      // past the real data) — sound for skipping, wrong for stats-only
-      // MIN/MAX answers, so the flag routes string MIN/MAX back to a scan
-      val stats = TableWriter.footerStats(st.getPath, conf)
-        .map(_.copy(tight = false))
+    val adds = files.map { case (rel, len, mtime, _) =>
+      val stats = statsByRel(rel)
       rows += stats.map(_.numRecords).getOrElse(0L)
       AddFile(
         path = rel,
         partitionValues = TableWriter.partitionValuesOf(rel),
-        size = st.getLen,
-        modificationTime = st.getModificationTime,
+        size = len,
+        modificationTime = mtime,
         dataChange = true,
         stats = stats)
-    }.toSeq
+    }
     log.commit(0L,
       Metadata(schema.json, partCols) +: adds :+ CommitInfo("CONVERT", now))
     ConvertResult(0L, adds.size.toLong, rows)

@@ -11,11 +11,14 @@ import org.apache.spark.sql.SparkSession
   * files already recorded — there is no window where data landed but
   * the marker didn't (the failure mode of any two-commit design).
   *
-  * Scale shape: listing is one filesystem glob; the already-ingested
-  * check is a driver-side set lookup against the snapshot's txn map
-  * (bounded by ingested-file count, the same cardinality class as the
-  * log's file list); reading + writing the new files is fully
-  * distributed.
+  * Scale shape: source discovery runs as a CLUSTER JOB past one
+  * top-level directory (one recursive listing task per dir — the
+  * vacuum orphan-sweep shape), the already-ingested check is a set
+  * lookup against the snapshot's txn map (bounded by ingested-file
+  * count; see [[TxnLog]]'s txn-marker retention for how that set stays
+  * bounded over a table's life), reading + writing the new files is
+  * fully distributed, and the row count comes from the committed
+  * AddFiles' own stats — never a per-source-file driver footer loop.
   */
 object CopyInto {
 
@@ -39,32 +42,66 @@ object CopyInto {
     val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
     val fs = srcRoot.getFileSystem(conf)
     // RECURSIVE listing so a nested source layout ingests instead of
-    // silently returning CopyResult(0,0,0,0); hive-style `col=value`
-    // segments refuse loudly — flattening them would DROP the partition
-    // columns (they live in the path, not the files), and the right tool
-    // for a hive layout is CONVERT, which keeps them
-    val found = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.hadoop.fs.Path]
-    def visit(p: org.apache.hadoop.fs.Path): Unit =
-      fs.listStatus(p).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) ()
-        else if (st.isDirectory) {
-          require(!name.contains('='),
-            s"COPY INTO: $srcDir contains a hive-partitioned directory " +
-              s"($name) — its partition values live in the path and would " +
-              "be dropped by file-level ingestion; use graft_convert for " +
-              "hive layouts")
-          visit(st.getPath)
-        } else if (name.endsWith(".parquet")) found += st.getPath
-      }
-    visit(srcRoot)
+    // silently returning CopyResult(0,0,0,0) — top-level entries list
+    // once on the driver, subtrees walk in executor tasks. Hive-style
+    // `col=value` segments refuse loudly (driver-side, after the walk
+    // surfaces them) — flattening them would DROP the partition columns
+    // (they live in the path, not the files), and the right tool for a
+    // hive layout is CONVERT, which keeps them.
+    def keep(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
+    val entries = fs.listStatus(srcRoot).toSeq
+    val subDirs = entries
+      .filter(st => st.isDirectory && keep(st.getPath.getName))
+      .map(_.getPath.toString)
+    // (is_hive_dir, qualified file uri) rows from the walk: a hive dir
+    // anywhere — even an empty one — must surface, so the walk reports
+    // it instead of descending
+    val rootHive = subDirs.map(new org.apache.hadoop.fs.Path(_).getName)
+      .filter(_.contains('='))
+    val rootFiles = entries
+      .filter(st => !st.isDirectory && keep(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(st => fs.makeQualified(st.getPath).toUri.toString)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val walkDirs = subDirs.filterNot(d =>
+      new org.apache.hadoop.fs.Path(d).getName.contains('='))
+    val walked: Seq[(Boolean, String)] =
+      if (walkDirs.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(walkDirs, math.max(1, math.min(walkDirs.size, 64)))
+        .flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val dfs = p.getFileSystem(serConf.value)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Boolean, String)]
+          def walk(x: org.apache.hadoop.fs.Path): Unit =
+            dfs.listStatus(x).foreach { st =>
+              val name = st.getPath.getName
+              if (name.startsWith("_") || name.startsWith(".")) ()
+              else if (st.isDirectory) {
+                if (name.contains('=')) out += ((true, name))
+                else walk(st.getPath)
+              } else if (name.endsWith(".parquet"))
+                out += ((false,
+                  dfs.makeQualified(st.getPath).toUri.toString))
+            }
+          walk(p)
+          out
+        }.collect().toSeq
+    val hiveDirs = rootHive ++ walked.collect { case (true, n) => n }
+    require(hiveDirs.isEmpty,
+      s"COPY INTO: $srcDir contains a hive-partitioned directory " +
+        s"(${hiveDirs.head}) — its partition values live in the path and " +
+        "would be dropped by file-level ingestion; use graft_convert for " +
+        "hive layouts")
     // idempotence keys are FULLY-QUALIFIED URIs: two files with the same
     // path on different filesystems (mockfs:// vs file://) must not alias
     // as already-ingested. Markers written before the URI-keyed format
     // (scheme-less paths) still count — a format migration must not
     // re-ingest a table's whole history as duplicates.
-    val all = found.map(p => fs.makeQualified(p).toUri.toString).sorted.toSeq
+    val all = (rootFiles ++ walked.collect { case (false, u) => u })
+      .sorted
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     val ingested = snap.txns.keySet
@@ -87,11 +124,6 @@ object CopyInto {
         s"the table schema: ${extra.mkString(", ")} — refusing to drop " +
         "data silently")
     val df = spark.read.schema(declared).parquet(fresh: _*)
-    // row count from the source FOOTERS, not a second pass over the
-    // data pages (the write below is the only data read)
-    val rows = fresh.map(p => TableWriter
-      .footerStats(new org.apache.hadoop.fs.Path(p), conf)
-      .map(_.numRecords).getOrElse(0L)).sum
     val now = System.currentTimeMillis()
     val markers = fresh.map(p => SetTxn(AppPrefix + p, 1L, now)).toSeq
     val next = snap.version + 1
@@ -99,6 +131,11 @@ object CopyInto {
       partitionBy = snap.metadata.map(_.partitionColumns).getOrElse(Seq.empty),
       version = next, commitTs = now, operation = "COPY INTO",
       extraActions = markers)
+    // row count from the COMMITTED AddFiles' own stats (one commit read,
+    // bounded by output file count) — never a per-source-file footer loop
+    val rows = log.read(next).collect {
+      case a: AddFile => a.stats.map(_.numRecords).getOrElse(0L)
+    }.sum
     CopyResult(next, fresh.length.toLong, rows,
       (all.length - fresh.length).toLong)
   }

@@ -21,7 +21,8 @@ final class TxnLog(
     conf: Configuration,
     val checkpointInterval: Int = TxnLog.DefaultCheckpointInterval,
     val checkpointPartSize: Int = TxnLog.DefaultCheckpointPartSize,
-    val tombstoneRetentionMillis: Long = TxnLog.DefaultTombstoneRetentionMillis) {
+    val tombstoneRetentionMillis: Long = TxnLog.DefaultTombstoneRetentionMillis,
+    val txnRetentionMillis: Option[Long] = None) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -413,13 +414,29 @@ final class TxnLog(
       .filter(_.deletionTimestamp >= keepFloor).toSeq.sortBy(_.path)
     val cdcRefs = cdcByPath.valuesIterator
       .filter(_.commitTimestamp.forall(_ >= keepFloor)).toSeq.sortBy(_.path)
+    // txn-marker retention (Delta's setTransactionRetentionDuration):
+    // SetTxn idempotence markers otherwise accumulate FOREVER — a table
+    // ingesting 10⁸ files via COPY INTO carries 10⁸ markers in every
+    // snapshot. When a retention is configured, markers whose
+    // lastUpdated predates this checkpoint's floor drop here (the
+    // checkpoint is the only place markers persist across expireLog),
+    // with the DOCUMENTED trade: an idempotent retry older than the
+    // window may re-apply. Default None keeps every marker — opting
+    // into the bound is the operator's call, exactly as in Delta.
+    val txnFloor = txnRetentionMillis match {
+      case Some(r) if ckptTs != Long.MaxValue &&
+          ckptTs >= Long.MinValue + r => ckptTs - r
+      case _ => Long.MinValue
+    }
+    val keptTxns = snap.txnMarkers.valuesIterator
+      .filter(_.lastUpdated >= txnFloor).toSeq.sortBy(_.appId)
     // (kind, json) lines in deterministic order: control actions first,
     // then the live adds — chunked into parts when the state outgrows
     // checkpointPartSize. LAZY iterator end to end: JSON serialization
     // happens as each part streams out, so even the 5M-file state never
     // materializes its action strings in driver memory at once.
     val total = snap.metadata.size + snap.protocol.size +
-      snap.files.size + snap.txnMarkers.size + tombs.size + cdcRefs.size + 1
+      snap.files.size + keptTxns.size + tombs.size + cdcRefs.size + 1
     def lines: Iterator[(String, String)] =
       snap.metadata.iterator.map(m =>
         "meta" -> Serialization.write(LogLine(m))) ++
@@ -427,7 +444,7 @@ final class TxnLog(
         "protocol" -> Serialization.write(LogLine(p))) ++
       snap.files.iterator.map(a =>
         "add" -> Serialization.write(LogLine(a))) ++
-      snap.txnMarkers.valuesIterator.map(t =>
+      keptTxns.iterator.map(t =>
         "txn" -> Serialization.write(LogLine(t))) ++
       tombs.iterator.map(r =>
         "remove" -> Serialization.write(LogLine(r))) ++

@@ -75,6 +75,39 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(r.filesCopied == 0L && r.filesSkipped == 1L)
   }
 
+  test("txn-marker retention bounds the marker set at checkpoint time") {
+    val t = freshTable()
+    val now = 1000L * 1000L
+    val week = 7L * 24 * 3600 * 1000
+    // two markers: one ancient (beyond the window), one fresh
+    val log0 = new TxnLog(t, spark.sessionState.newHadoopConf())
+    log0.commit(1L, Seq(
+      SetTxn("copy:file:/old.parquet", 1L, now - week - 1),
+      SetTxn("copy:file:/new.parquet", 1L, now - 1),
+      CommitInfo("COPY INTO", now)))
+    // checkpoint WITH retention: the ancient marker drops (the documented
+    // idempotence-window trade), the fresh one survives the round-trip
+    val bounded = new TxnLog(t, spark.sessionState.newHadoopConf(),
+      txnRetentionMillis = Some(week))
+    bounded.writeCheckpoint(1L)
+    val resolved = new TxnLog(t, spark.sessionState.newHadoopConf())
+      .snapshotLatest().txns.keySet
+    assert(resolved.contains("copy:file:/new.parquet"))
+    assert(!resolved.contains("copy:file:/old.parquet"),
+      "a marker past the retention window must not persist")
+    // default (no retention), on a separate table — the same checkpoint
+    // version never rewrites: EVERY marker persists however old
+    val t2 = freshTable()
+    new TxnLog(t2, spark.sessionState.newHadoopConf()).commit(1L, Seq(
+      SetTxn("copy:file:/old.parquet", 1L, now - week - 1),
+      SetTxn("copy:file:/new.parquet", 1L, now - 1),
+      CommitInfo("COPY INTO", now)))
+    new TxnLog(t2, spark.sessionState.newHadoopConf()).writeCheckpoint(1L)
+    assert(new TxnLog(t2, spark.sessionState.newHadoopConf())
+      .snapshotLatest().txns.keySet
+      .count(_.startsWith("copy:")) == 2)
+  }
+
   test("appendIdempotent lands once per (appId, txnVersion)") {
     val t = freshTable()
     val batch = Seq((5L, 50L), (6L, 60L)).toDF("id", "v")

@@ -95,6 +95,46 @@ class RemoteFsSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).count() == 60)
   }
 
+  test("CONVERT's discovery and footer stats run as EXECUTOR tasks") {
+    scheme
+    import spark.implicits._
+    val local = java.nio.file.Files.createTempDirectory("mockfs_cnv")
+    java.nio.file.Files.delete(local)
+    val dir = s"mockfs://$local"
+    (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+      .write.partitionBy("g").parquet(dir)
+    val before = CountingMockFs.taskLists.get()
+    val r = Convert.run(spark, dir)
+    assert(CountingMockFs.taskLists.get() > before,
+      "per-directory discovery must run inside Spark tasks")
+    assert(r.rowsRegistered == 40L)
+    assert(SnapshotReader.read(spark, dir).count() == 40)
+  }
+
+  test("COPY INTO's source discovery runs as EXECUTOR tasks") {
+    scheme
+    import spark.implicits._
+    val local = java.nio.file.Files.createTempDirectory("mockfs_cpy")
+    java.nio.file.Files.delete(local)
+    val src = s"mockfs://$local"
+    (1 to 30).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .repartition(3).write.parquet(s"$src/nested")
+    val table = {
+      val t = java.nio.file.Files.createTempDirectory("mockfs_cpy_t")
+      java.nio.file.Files.delete(t)
+      val p = s"mockfs://$t"
+      TableWriter.write(spark, Seq((0L, 0L)).toDF("id", "v"), p,
+        version = 0L, commitTs = 1000L)
+      p
+    }
+    val before = CountingMockFs.taskLists.get()
+    val r = CopyInto.run(spark, table, src)
+    assert(CountingMockFs.taskLists.get() > before,
+      "source-subtree listing must run inside Spark tasks")
+    assert(r.rowsCopied == 30L)
+    assert(SnapshotReader.read(spark, table).count() == 31)
+  }
+
   test("maintenance ops (OPTIMIZE) work against the custom scheme") {
     val table = freshTable()
     TableWriter.compact(spark,
