@@ -1354,6 +1354,117 @@ object Pipeline {
             .as("n_admitted"),
           lit(flat).as("tails_favored"))
         .orderBy(col("source"))
+    },
+
+    // SOURCE-INTERLEAVED TRAINING ORDER (the curriculum shape every
+    // multi-source run wants: round-robin across sources in per-source
+    // quality order, so no source floods any window of the stream).
+    // Global order = sort by (rank-within-source, source) — but the
+    // GLOBAL POSITION is computed in CLOSED FORM, never a global sort:
+    // pos(r, s) = Σ_s' min(n_s', r−1) + |{s' < s : n_s' ≥ r}| over the
+    // broadcast |sources|-row size table (a higher-order aggregate over
+    // a 20-element array — map-only). The `round_robin_exact` boolean
+    // rides the hash: within the complete rounds (r ≤ min n_s) every
+    // position must equal (r−1)·|S| + alphabetical-index(s) exactly.
+    QueryDef.sqlBacked(
+      "q357_training_order",
+      """WITH r AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents),
+        |p AS (SELECT source, rnk,
+        |    ROW_NUMBER() OVER (ORDER BY rnk, source) - 1 AS pos
+        |  FROM r),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx
+        |  FROM r GROUP BY source),
+        |minn AS (SELECT MIN(n) AS m, COUNT(*) AS ns FROM sz),
+        |chk AS (SELECT COUNT(*) = 0 AS ok FROM p
+        |  JOIN sz ON p.source = sz.source
+        |  WHERE p.rnk <= (SELECT m FROM minn)
+        |    AND p.pos <> (p.rnk - 1) * (SELECT ns FROM minn) + sz.sidx)
+        |SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(pos) AS BIGINT) AS first_pos,
+        |  CAST(SUM(pos) AS BIGINT) AS sum_pos,
+        |  (SELECT ok FROM chk) AS round_robin_exact
+        |FROM p GROUP BY p.source ORDER BY p.source""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val ranked = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      // |sources| rows to the driver — the broadcast size table
+      val sizes = ranked.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      val minN = sizes.map(_._2).min
+      val nS = sizes.length
+      val szArr = array(sizes.map { case (src, n) =>
+        struct(lit(src).as("s"), lit(n).as("n"))
+      }: _*)
+      // closed-form global position: map-only over the broadcast array
+      val pos = ranked.withColumn("_sz", szArr)
+        .withColumn("pos", expr(
+          """aggregate(_sz, 0L, (acc, x) ->
+            |  acc + least(x.n, rnk - 1) +
+            |  IF(x.s < source AND x.n >= rnk, 1L, 0L))""".stripMargin))
+        .drop("_sz")
+      val sidx = sizes.map(_._1).zipWithIndex.toMap
+      val sidxArr = array(sizes.map { case (src, _) =>
+        struct(lit(src).as("s"), lit(sidx(src).toLong).as("i"))
+      }: _*)
+      val exact = pos.filter(col("rnk") <= minN)
+        .withColumn("_sz", sidxArr)
+        .withColumn("sidx", expr(
+          "filter(_sz, x -> x.s = source)[0].i"))
+        .filter(col("pos") =!=
+          (col("rnk") - 1) * lit(nS.toLong) + col("sidx"))
+        .count() == 0
+      pos.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).cast("long").as("first_pos"),
+          sum(col("pos")).cast("long").as("sum_pos"))
+        .withColumn("round_robin_exact", lit(exact))
+        .orderBy(col("source"))
+    },
+
+    // K-ANONYMITY release audit (the privacy screen before any event
+    // export): quasi-identifier groups (event_type × user cohort) with
+    // fewer than k = 5 members must suppress — the ledger prices the
+    // suppression per event type (groups below k, rows lost, exact
+    // ppm). Two nested aggregates, both group-bounded; no row-level
+    // state.
+    QueryDef.sqlBacked(
+      "q358_k_anonymity",
+      """WITH g AS (SELECT event_type, user_id % 50 AS cohort,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(COUNT(*) FILTER (n < 5) AS BIGINT) AS small_groups,
+        |  CAST(COALESCE(SUM(n) FILTER (n < 5), 0) AS BIGINT)
+        |    AS suppressed_rows,
+        |  CAST(COALESCE(SUM(n) FILTER (n < 5), 0) * 1000000
+        |    // SUM(n) AS BIGINT) AS suppressed_ppm
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(50L))
+          .as("cohort"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("n") < 5, 1)).as("small_groups"),
+          coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+            .cast("long").as("suppressed_rows"),
+          sum(col("n")).as("_total"))
+        // DIV, not `/`: Spark's slash on longs is FRACTIONAL division
+        .withColumn("suppressed_ppm",
+          expr("CAST(suppressed_rows * 1000000 DIV _total AS BIGINT)"))
+        .drop("_total")
+        .orderBy(col("event_type"))
     }
   )
 }
