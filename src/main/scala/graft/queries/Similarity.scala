@@ -376,8 +376,59 @@ object Similarity {
     QueryDef.sqlBacked("q355_ann_recall_truncated",
       recallOracle("trunc", "")) { (s, dir) =>
       recallVsGt(s, dir, "trunc", truncTop5(s, dir), bruteTop5(s, dir))
+    },
+
+    // BINARY-quantized retrieval (1 bit per dimension — the 32×
+    // memory/bandwidth trade behind every "binary embeddings" store):
+    // sign bits pack into two 32-bit halves (staying clear of 64-bit
+    // overflow, which Spark WRAPS and DuckDB ERRORS), the shortlist
+    // ranks by Hamming distance (xor + bit_count — register math, no
+    // float ops), and the 32-candidate exact re-rank restores ordering.
+    // Hit counts vs the exact top-5 ride the driver hash via the
+    // q117–q120 harness; SimilaritySpec pins the recall floor.
+    QueryDef.sqlBacked("q359_ann_recall_binary",
+      recallOracle("bq", "")) { (s, dir) =>
+      recallVsGt(s, dir, "bq", binaryTop5(s, dir), bruteTop5(s, dir))
     }
   ) ++ moreDefs
+
+  /** Sign-bit (1-bit) quantized shortlist + exact re-rank (q359's
+    * frame): Hamming over packed sign bits, then full-precision cosine
+    * on the top-`shortlist` candidates.
+    */
+  private def binaryTop5(s: SparkSession, dir: String,
+      shortlist: Int = 32): DataFrame = {
+    def pack(v: org.apache.spark.sql.Column,
+        from: Int): org.apache.spark.sql.Column =
+      aggregate(slice(v, from, 32), lit(0L),
+        (acc, x) => acc * 2 + when(x > 0, lit(1L)).otherwise(lit(0L)))
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bhi", pack(col("v"), 1))
+      .withColumn("blo", pack(col("v"), 33))
+      .cache()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        col("bhi").as("qhi"), col("blo").as("qlo"))
+    val byHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("neighbor_id"))
+    val byExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qn"), col("v"), col("nrm"),
+        expr("bit_count(qhi ^ bhi) + bit_count(qlo ^ blo)").as("ham"))
+      .withColumn("hrnk", row_number().over(byHam))
+      .filter(col("hrnk") <= shortlist) // re-rank touches only these
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(byExact))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** Truncated-dim shortlist (first `dims` of 64, cosine over the
     * prefix) + exact full-dim re-rank of the top-`shortlist` — the

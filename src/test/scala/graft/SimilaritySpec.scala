@@ -133,4 +133,15 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = rows.map(_._2).sum.toDouble / (rows.length * 5)
     assert(recall >= 0.4, s"truncated recall@5 = $recall")
   }
+
+  test("binary-quantized Hamming shortlist + re-rank recalls usefully") {
+    val rows = SparkEntry.queries("q359_ann_recall_binary")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 20 && rows.forall(_._2 <= 5))
+    // 1 bit/dim keeps the angular ordering well enough that a
+    // 32-candidate Hamming shortlist + exact re-rank beats chance by a
+    // wide margin (chance ≈ 32/n)
+    val recall = rows.map(_._2).sum.toDouble / (rows.length * 5)
+    assert(recall >= 0.3, s"binary recall@5 = $recall")
+  }
 }
