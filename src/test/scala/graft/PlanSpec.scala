@@ -92,6 +92,45 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the executed " +
+      "join) — and leaves a uniform join alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "-1") // force the shuffle join skew targets
+      spark.conf.set(keys(1), "32768") // test-scale skew thresholds
+      spark.conf.set(keys(2), "16384")
+      spark.conf.set(keys(3), "2.0")
+      // 90% of the fact on ONE key: the canonical skew shape
+      val fact = (1 to 200000)
+        .map(i => (if (i % 10 == 0) i.toLong % 97 else 0L, i.toLong))
+        .toDF("k", "v")
+      val dim = (0L to 96L).map(k => (k, s"d$k")).toDF("k", "name")
+      val skewed = fact.join(dim, "k").groupBy(col("name"))
+        .agg(sum(col("v")).as("s"))
+      skewed.collect() // finalize AQE
+      val p = skewed.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must split the hot partition:\n${p.take(2000)}")
+      // control: a uniform join under identical conf must NOT be split
+      val uniform = (1 to 200000).map(i => (i.toLong % 97, i.toLong))
+        .toDF("k", "v")
+      val plain = uniform.join(dim, "k").groupBy(col("name"))
+        .agg(sum(col("v")).as("s"))
+      plain.collect()
+      assert(!plain.queryExecution.executedPlan.toString
+        .contains("skew=true"), "a uniform join must not be skew-split")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q49 chunking: scan reads only doc_id and text") {
     val p = planOf("q49_doc_chunks")
     assert(p.contains("ReadSchema"))
