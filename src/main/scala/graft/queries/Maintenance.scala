@@ -3371,6 +3371,61 @@ object Maintenance {
         .withColumn("expired_below_anchor", lit(expiredV0))
         .withColumn("resolves_from_checkpoint", lit(resolves))
         .orderBy(col("l_returnflag"))
+    },
+
+    // RIGHT-TO-BE-FORGOTTEN, end to end (the GDPR/CCPA erasure path):
+    // DV delete of one user's rows (kilobyte sidecar, ZERO files
+    // rewritten — `delete_was_dv_only` rides the hash), REORG folds the
+    // vectors away, VACUUM removes the originals — and the proof is a
+    // RAW parquet read of the table directory that BYPASSES the log:
+    // after the pipeline, no byte on disk contains the user
+    // (`raw_files_clean` — also pins that vacuum actually removed the
+    // pre-purge files: the raw view must equal the logical view).
+    QueryDef.sqlBacked(
+      "q360_forget_user",
+      """SELECT CAST(event_id % 8 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS delete_was_dv_only, TRUE AS raw_files_clean
+        |FROM events WHERE user_id % 37 <> 3
+        |GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val path = s"target/fixtures/forget_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TableWriter.write(s,
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            (col("event_id") % 8).as("band"))
+          .repartition(4),
+        path, version = 0L, commitTs = 1000L)
+      val log = new TxnLog(path, conf)
+      val before = log.snapshotLatest().files.map(_.path).toSet
+      DeletionVectors.deleteWhere(s, path,
+        pmod(col("user_id"), lit(37L)) === 3,
+        version = 1L, commitTs = 2000L)
+      val afterDel = log.snapshotLatest().files
+      val dvOnly = afterDel.map(_.path).toSet == before &&
+        afterDel.exists(_.dv.isDefined)
+      DeletionVectors.purge(s, path, version = 2L, commitTs = 3000L)
+      TableWriter.vacuum(s, path, retainMillis = 0L,
+        nowMillis = System.currentTimeMillis() + 3600L * 1000)
+      // raw-bytes proof: a plain parquet read of the table dir bypasses
+      // the log entirely (underscore dirs are ignored by the reader) —
+      // the user must be gone from DISK, not just from the logical view
+      val logical = SnapshotReader.read(s, path)
+      val raw = s.read.parquet(path)
+      val rawClean =
+        raw.filter(pmod(col("user_id"), lit(37L)) === 3).count() == 0 &&
+          raw.count() == logical.count()
+      logical.groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("delete_was_dv_only", lit(dvOnly))
+        .withColumn("raw_files_clean", lit(rawClean))
+        .orderBy(col("band"))
     }
   )
 }
