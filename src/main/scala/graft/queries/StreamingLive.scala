@@ -544,6 +544,96 @@ object StreamingLive {
           col("event_type"), col("n"),
           col("total_value").cast("long").as("cents"))
         .orderBy(col("w"), col("event_type"))
+    },
+
+    // STREAMING TEMPORAL (AS-OF) JOIN — Flink's flagship operator,
+    // composed Spark-first from two BUILT-IN stateful operators chained
+    // in append mode (Spark 3.4+ multi-stateful support): a time-
+    // bounded stream-stream INNER join (dim versions within (ets−45m,
+    // ets] — the bound is also what lets Spark evict join state) feeds
+    // a windowed per-event argmax (dim values are strictly increasing
+    // in version time, so MAX(dval) IS the as-of value). Each event
+    // enriches with the dimension's state AS OF its own event time —
+    // never a later version (the lookup-table race every stream-static
+    // join has). Far-future sentinel versions close both watermarks;
+    // the drained per-cohort rollup must equal DuckDB's batch argmax
+    // arithmetic exactly.
+    QueryDef.sqlBacked(
+      "q361_stream_temporal_join",
+      """WITH ks AS (SELECT DISTINCT user_id % 20 AS k FROM events),
+        |dims AS (SELECT k, v * 30 AS vm, k * 100 + v AS dval
+        |  FROM ks CROSS JOIN (VALUES (0), (1), (2)) t(v)),
+        |ev AS (SELECT event_id, user_id % 20 AS k,
+        |    event_id % 90 AS em FROM events),
+        |m AS (SELECT e.event_id, e.k, MAX(d.dval) AS chosen
+        |  FROM ev e JOIN dims d ON d.k = e.k
+        |    AND d.vm <= e.em AND d.vm > e.em - 45
+        |  GROUP BY 1, 2)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(chosen) AS BIGINT) AS sum_chosen,
+        |  CAST(COUNT(DISTINCT chosen) AS BIGINT) AS n_versions_used
+        |FROM m GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dimT = s"target/fixtures/tjdim_${tag(dir)}"
+      val evT = s"target/fixtures/tjev_${tag(dir)}"
+      val out = s"target/fixtures/out_tj_${tag(dir)}"
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+      Seq(dimT, evT, out).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val base = "TIMESTAMP'2024-01-01 00:00:00'"
+      val events = Tables.load(s, dir, "events")
+      val dims = events.select(pmod(col("user_id"), lit(20L)).as("dk"))
+        .distinct()
+        .crossJoin(Seq(0L, 1L, 2L).toDF("v"))
+        .select(col("dk"),
+          expr(s"timestampadd(MINUTE, CAST(v * 30 AS INT), $base)")
+            .as("vts"),
+          (col("dk") * 100 + col("v")).as("dval"))
+      val ev = events.select(col("event_id"),
+        pmod(col("user_id"), lit(20L)).as("k"),
+        expr(s"timestampadd(MINUTE, CAST(event_id % 90 AS INT), $base)")
+          .as("ets"))
+      // far-future sentinels (key −1, matching nothing) close the
+      // watermarks as a SECOND version so the final micro-batch flushes
+      // every window — q336's two-batch clock discipline
+      val dimClock = Seq((-1L,
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), -1L))
+        .toDF("dk", "vts", "dval")
+      val evClock = Seq((-1L, -1L,
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+        .toDF("event_id", "k", "ets")
+      TableWriter.write(s, dims, dimT, version = 0L, commitTs = 1000L)
+      TableWriter.write(s, ev, evT, version = 0L, commitTs = 1000L)
+      val dimS = s.readStream.format("graft").option("tablePath", dimT)
+        .load().withWatermark("vts", "5 minutes")
+      val evS = s.readStream.format("graft").option("tablePath", evT)
+        .load().withWatermark("ets", "5 minutes")
+      val joined = evS.join(dimS,
+        expr("""k = dk AND vts <= ets AND
+               |vts > ets - INTERVAL 45 MINUTES""".stripMargin))
+      // dval strictly increases in version time per key → MAX is argmax
+      val asOf = joined
+        .groupBy(window(col("ets"), "15 minutes"),
+          col("event_id"), col("k"))
+        .agg(max(col("dval")).as("chosen"))
+      val q = asOf.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tj_ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        TableWriter.appendRebasing(s, dimClock, dimT, commitTs = 2000L)
+        TableWriter.appendRebasing(s, evClock, evT, commitTs = 2000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out).filter(col("k") >= 0)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("chosen")).cast("long").as("sum_chosen"),
+          countDistinct(col("chosen")).as("n_versions_used"))
+        .orderBy(col("k"))
     }
   )
 }
