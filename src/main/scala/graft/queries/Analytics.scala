@@ -2132,6 +2132,80 @@ object Analytics {
           expr("CAST((a2 - CAST(npos AS DECIMAL(38,0)) * (npos + 1)) " +
             "* 1000000 DIV (2 * CAST(npos AS DECIMAL(38,0)) * nneg) " +
             "AS BIGINT)").as("auc_ppm"))
+    },
+
+    // COHEN'S KAPPA between two quality screens (the filter-governance
+    // number: do two independent rules actually agree beyond chance,
+    // per source?): screen A = token-count band, screen B = lexical
+    // diversity floor — both pure arithmetic both engines state
+    // identically. Exact integer protocol in q338's style: the 2×2
+    // contingency counts ride the hash, kappa reports as sign +
+    // |num|·10⁶ DIV den over DECIMAL(38,0)/HUGEINT products (n² terms
+    // overflow longs at SF; DIV and // agree because both operands are
+    // kept non-negative). One token-stats scan + one |sources|-sized
+    // aggregate.
+    QueryDef.sqlBacked(
+      "q362_filter_kappa",
+      """WITH f AS (SELECT source,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt,
+        |    len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      AS nd
+        |  FROM documents),
+        |ab AS (SELECT source,
+        |    CASE WHEN nt BETWEEN 30 AND 500 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN nd * 1000 >= 400 * nt THEN 1 ELSE 0 END AS b
+        |  FROM f),
+        |ct AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (a = 1 AND b = 1) AS BIGINT) AS n11,
+        |    CAST(COUNT(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+        |    CAST(COUNT(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01,
+        |    CAST(COUNT(*) FILTER (a = 0 AND b = 0) AS BIGINT) AS n00
+        |  FROM ab GROUP BY source),
+        |k AS (SELECT source, n, n11, n10, n01, n00,
+        |    CAST((n11 + n00) AS HUGEINT) * n
+        |      - CAST((n11 + n10) AS HUGEINT) * (n11 + n01)
+        |      - CAST((n01 + n00) AS HUGEINT) * (n10 + n00) AS num,
+        |    CAST(n AS HUGEINT) * n
+        |      - CAST((n11 + n10) AS HUGEINT) * (n11 + n01)
+        |      - CAST((n01 + n00) AS HUGEINT) * (n10 + n00) AS den
+        |  FROM ct)
+        |SELECT source, n, n11, n10, n01, n00,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS kappa_sign,
+        |  CAST(ABS(num) * 1000000 // GREATEST(den, 1) AS BIGINT)
+        |    AS kappa_abs_ppm
+        |FROM k ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), size(toks).as("nt"),
+          size(array_distinct(toks)).as("nd"))
+        .select(col("source"),
+          when(col("nt").between(30, 500), 1).otherwise(0).as("a"),
+          when(col("nd") * 1000 >= col("nt") * 400, 1).otherwise(0)
+            .as("b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("a") === 1 && col("b") === 1, 1)).as("n11"),
+          count(when(col("a") === 1 && col("b") === 0, 1)).as("n10"),
+          count(when(col("a") === 0 && col("b") === 1, 1)).as("n01"),
+          count(when(col("a") === 0 && col("b") === 0, 1)).as("n00"))
+        .withColumn("num", expr(
+          """CAST((n11 + n00) AS DECIMAL(38,0)) * n
+            |  - CAST((n11 + n10) AS DECIMAL(38,0)) * (n11 + n01)
+            |  - CAST((n01 + n00) AS DECIMAL(38,0)) * (n10 + n00)"""
+            .stripMargin))
+        .withColumn("den", expr(
+          """CAST(n AS DECIMAL(38,0)) * n
+            |  - CAST((n11 + n10) AS DECIMAL(38,0)) * (n11 + n01)
+            |  - CAST((n01 + n00) AS DECIMAL(38,0)) * (n10 + n00)"""
+            .stripMargin))
+        .select(col("source"), col("n"), col("n11"), col("n10"),
+          col("n01"), col("n00"),
+          expr("CAST(SIGN(num) AS BIGINT)").as("kappa_sign"),
+          expr("CAST(ABS(num) * 1000000 DIV GREATEST(den, 1) AS BIGINT)")
+            .as("kappa_abs_ppm"))
+        .orderBy(col("source"))
     }
   )
 }
