@@ -1390,13 +1390,15 @@ object Pipeline {
         |FROM p GROUP BY p.source ORDER BY p.source""".stripMargin) {
       (s, dir) =>
       import s.implicits._
-      val ranked = Tables.load(s, dir, "documents")
+      val base = Tables.load(s, dir, "documents")
         .select(col("source"), col("doc_id"), col("n_chars"))
+      val ranked = base
         .withColumn("rnk", row_number().over(Window
           .partitionBy(col("source"))
           .orderBy(col("n_chars").desc, col("doc_id"))))
       // |sources| rows to the driver — the broadcast size table
-      val sizes = ranked.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // (counted off the BASE projection: no window pass just to count)
+      val sizes = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
         .sortBy(_._1)
       val minN = sizes.map(_._2).min

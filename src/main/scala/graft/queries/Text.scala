@@ -1935,7 +1935,11 @@ object Text {
     // docs are their own clusters (0 same-cluster pairs). Every number
     // is a pair COUNT from cluster/source-sized aggregate frames — the
     // corpus shuffles once into CC and once into per-source counts; no
-    // pairwise materialization anywhere.
+    // pairwise materialization anywhere. Pair products run WIDE
+    // (DECIMAL(38,0) ↔ HUGEINT — a long c·(c−1) wraps silently in
+    // Spark and errors in DuckDB); the BIGINT output columns saturate
+    // only past ~4.3e9 corpus rows, where both engines fail loudly at
+    // the final cast instead of diverging.
     QueryDef.sqlBacked(
       "q352_cluster_source_rand",
       s"""WITH RECURSIVE
@@ -1962,20 +1966,20 @@ object Text {
          |bys AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m
          |        FROM csrc GROUP BY 1),
          |st AS (SELECT
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM csrc) AS n,
-         |    (SELECT CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT)
+         |    (SELECT CAST(COUNT(*) AS HUGEINT) FROM csrc) AS n,
+         |    (SELECT COALESCE(SUM(CAST(sz AS HUGEINT) * (sz - 1)), 0) // 2
          |     FROM byc) AS same_cluster,
-         |    (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) FROM bys)
+         |    (SELECT SUM(CAST(m AS HUGEINT) * (m - 1)) // 2 FROM bys)
          |      AS same_source,
-         |    (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+         |    (SELECT COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1)), 0) // 2
          |     FROM byb) AS same_both,
          |    (SELECT CAST(COALESCE(COUNT(*) FILTER (nsrc > 1), 0)
          |       AS BIGINT) FROM byc) AS cross_source_clusters)
-         |SELECT n AS n_docs,
-         |  n * (n - 1) // 2 AS pairs_total,
-         |  same_cluster AS pairs_same_cluster,
-         |  same_source AS pairs_same_source,
-         |  same_both AS pairs_same_both,
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CAST(n * (n - 1) // 2 AS BIGINT) AS pairs_total,
+         |  CAST(same_cluster AS BIGINT) AS pairs_same_cluster,
+         |  CAST(same_source AS BIGINT) AS pairs_same_source,
+         |  CAST(same_both AS BIGINT) AS pairs_same_both,
          |  CAST((same_both
          |      + (n * (n - 1) // 2 - same_cluster - same_source + same_both))
          |    * 1000000 // (n * (n - 1) // 2) AS BIGINT) AS rand_ppm,
@@ -1993,9 +1997,14 @@ object Text {
         .select(col("comp"), col("source"))
         .persist()
       try {
-        def pairSum(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
-            .head().getLong(0)
+        // wide pair products: a long c·(c−1) wraps silently (non-ANSI);
+        // the (always even) sum halves ONCE, driver-side, in BigInt
+        def pairSum(df: org.apache.spark.sql.DataFrame): BigInt =
+          BigInt(df.agg(coalesce(
+              sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")),
+              lit(0L)).cast(org.apache.spark.sql.types
+              .DecimalType(38, 0)))
+            .head().getDecimal(0).toBigInteger) / 2
         // every frame below is cluster- or source-count-sized
         val byc = mem.groupBy(col("comp"))
           .agg(count(lit(1)).as("c"),
@@ -2008,10 +2017,16 @@ object Text {
           mem.groupBy(col("comp"), col("source")).agg(count(lit(1)).as("c")))
         val sameSource = pairSum(
           csrc.groupBy(col("source")).agg(count(lit(1)).as("c")))
-        val total = n * (n - 1) / 2
+        val total = BigInt(n) * (n - 1) / 2
         val agree = sameBoth + (total - sameCluster - sameSource + sameBoth)
-        Seq((n, total, sameCluster, sameSource, sameBoth,
-            agree * 1000000L / total, crossSrc))
+        // BIGINT outputs: exact until ~4.3e9 corpus rows, then a loud
+        // ArithmeticException here — never a silent wrap
+        Seq((n, total.bigInteger.longValueExact(),
+            sameCluster.bigInteger.longValueExact(),
+            sameSource.bigInteger.longValueExact(),
+            sameBoth.bigInteger.longValueExact(),
+            (agree * 1000000 / total).bigInteger.longValueExact(),
+            crossSrc))
           .toDF("n_docs", "pairs_total", "pairs_same_cluster",
             "pairs_same_source", "pairs_same_both", "rand_ppm",
             "cross_source_clusters")
