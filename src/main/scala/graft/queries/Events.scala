@@ -1060,6 +1060,64 @@ object Events {
         .count()
         .na.fill(0L)
         .orderBy(col("dow"))
+    },
+
+    // EVENT-PATH REGEX matching (the MATCH_RECOGNIZE generalization of
+    // the fixed-stage funnels q90/q202): each user's event-type
+    // sequence becomes a string over a DATA-DERIVED alphabet
+    // (alphabetical rank of the type → one char, so the mapping needs
+    // no hardcoding and both engines state it identically), and
+    // arbitrary regex patterns count matching users — "viewed then
+    // clicked then purchased, in order, anything between" is 'e.*a.*c'.
+    // One shuffle to the per-user frame; sequences are user-activity-
+    // bounded; the pattern pass is map-only over |users| strings.
+    QueryDef.sqlBacked(
+      "q363_path_regex",
+      """WITH tm AS (SELECT event_type,
+        |    chr(96 + CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS INT))
+        |      AS c
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |sq AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id)
+        |    AS seq
+        |  FROM events JOIN tm USING (event_type) GROUP BY user_id)
+        |SELECT p.pattern, CAST((SELECT COUNT(*) FROM sq) AS BIGINT)
+        |    AS n_users,
+        |  CAST((SELECT COUNT(*) FILTER (regexp_matches(seq, p.re))
+        |    FROM sq) AS BIGINT) AS n_matched
+        |FROM (VALUES
+        |    ('funnel_view_click_purchase', 'e.*a.*c'),
+        |    ('view_click_adjacent', 'ea'),
+        |    ('three_errors', 'b.*b.*b'),
+        |    ('purchase_never_errors_after', 'c[^b]*$')) p(pattern, re)
+        |ORDER BY p.pattern""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      // 5-row frame: the unpartitioned window is bounded by |types|
+      val tmap = ev.select(col("event_type")).distinct()
+        .withColumn("c", expr(
+          "chr(96 + row_number() OVER (ORDER BY event_type))"))
+      val seqs = ev.join(broadcast(tmap), "event_type")
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, c)))," +
+            " x -> x.c)")).as("seq"))
+        .persist()
+      try {
+        val patterns = Seq(
+          ("funnel_view_click_purchase", "e.*a.*c"),
+          ("view_click_adjacent", "ea"),
+          ("three_errors", "b.*b.*b"),
+          ("purchase_never_errors_after", "c[^b]*$"))
+        val agg = seqs.agg(
+          count(lit(1)).as("n_users"),
+          patterns.map { case (name, re) =>
+            count(when(col("seq").rlike(re), 1)).as(name)
+          }: _*).head()
+        patterns.zipWithIndex.map { case ((name, _), i) =>
+          (name, agg.getLong(0), agg.getLong(i + 1))
+        }.toDF("pattern", "n_users", "n_matched")
+          .orderBy(col("pattern"))
+      } finally { seqs.unpersist(); () }
     }
   )
 }
