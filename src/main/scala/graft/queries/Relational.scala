@@ -718,6 +718,54 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // MERGEABLE quantile sketch gate (KLL, the 100 TB quantile path the
+    // built-in approx_percentile can't offer: per-partition sketches
+    // persist and MERGE — the incremental-ANALYZE shape at query
+    // level): one pass builds a sketch per (partition, flag), merges
+    // run on a |flags|×|partitions| frame, and the EXACT ranks of the
+    // merged sketch's p10/p50/p90 must land within ±2% of their
+    // targets (k = 400 ⇒ ~0.45% guaranteed rank error — the booleans
+    // hold with overwhelming margin despite KLL's randomized
+    // compaction). Oracle recomputes only the exact anchors.
+    QueryDef.sqlBacked(
+      "q364_kll_quantile_gate",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS p10_within_2pct, TRUE AS p50_within_2pct,
+        |  TRUE AS p90_within_2pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val K = 400
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      val sk = li.as[(String, Double)]
+        .mapPartitions(it =>
+          graft.operators.KllQuantile.sketchPartition(it, K))
+        .groupByKey(_._1)
+        .reduceGroups((a, b) =>
+          (a._1, graft.operators.KllQuantile.merge(a._2, b._2, K)))
+        .map { case (g, (_, bytes)) =>
+          (g, graft.operators.KllQuantile.quantile(bytes, 0.1),
+            graft.operators.KllQuantile.quantile(bytes, 0.5),
+            graft.operators.KllQuantile.quantile(bytes, 0.9))
+        }.toDF("l_returnflag", "q10", "q50", "q90")
+      li.toDF("l_returnflag", "v")
+        .join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("v") <= col("q10"), 1)).as("r10"),
+          count(when(col("v") <= col("q50"), 1)).as("r50"),
+          count(when(col("v") <= col("q90"), 1)).as("r90"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("r10") * 100 - col("n_rows") * 10) <=
+            col("n_rows") * 2).as("p10_within_2pct"),
+          (abs(col("r50") * 100 - col("n_rows") * 50) <=
+            col("n_rows") * 2).as("p50_within_2pct"),
+          (abs(col("r90") * 100 - col("n_rows") * 90) <=
+            col("n_rows") * 2).as("p90_within_2pct"))
+        .orderBy(col("l_returnflag"))
+    },
+
     QueryDef.sparkOnly("q28_approx_distinct") { (s, dir) =>
       // exact and approx in SEPARATE aggregates: combining countDistinct
       // with approx_count_distinct in one agg triggers the distinct-rewrite
