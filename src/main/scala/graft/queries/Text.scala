@@ -2031,6 +2031,102 @@ object Text {
             "pairs_same_source", "pairs_same_both", "rand_ppm",
             "cross_source_clusters")
       } finally mem.unpersist()
+    },
+
+    // VOCABULARY TYPO MINING via FastSS deletion neighborhoods (Bocek
+    // et al. 2007): every vocab word emits itself + its |w| single-
+    // deletion variants; two words at edit distance ≤ 1 ALWAYS share a
+    // variant (substitution ⇒ same-position deletions collide;
+    // insert/delete ⇒ one word IS the other's variant), so the
+    // candidate join has guaranteed recall with NO blocking key —
+    // unlike q103's attribute blocking, which misses pairs differing
+    // in the key. Banded levenshtein verifies; the ledger surfaces the
+    // classic OCR/typo signal: rare words one edit from a ≥8×-more-
+    // common neighbor. Candidate volume is Σ(|w|+1) over the VOCAB
+    // (never the corpus), hash-partitioned on the variant. The
+    // synthetic vocabulary is typo-free (24 well-separated words), so
+    // the fixture PLANTS one: every 13th doc contributes a 2nd-char
+    // deletion of its alphabetically-first eligible word — rare by
+    // construction against the 850+-frequency originals.
+    QueryDef.sqlBacked(
+      "q365_vocab_typos",
+      """WITH corpus AS (SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT substr(tw, 1, 1) || substr(tw, 3) AS text
+        |  FROM (SELECT list_aggregate(list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> len(x) BETWEEN 5 AND 12), 'min') AS tw
+        |    FROM documents WHERE doc_id % 13 = 0)
+        |  WHERE tw IS NOT NULL),
+        |tok AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |    FROM corpus)
+        |  WHERE len(t) BETWEEN 4 AND 12 GROUP BY 1),
+        |var AS (SELECT w, f, unnest(list_append(
+        |    list_transform(range(1, len(w) + 1),
+        |      i -> substr(w, 1, i - 1) || substr(w, i + 1)), w)) AS v
+        |  FROM tok),
+        |cand AS (SELECT DISTINCT a.w AS w1, b.w AS w2
+        |  FROM var a JOIN var b ON a.v = b.v AND a.w < b.w),
+        |pairs AS (SELECT w1, w2 FROM cand
+        |  WHERE levenshtein(w1, w2) <= 1),
+        |scored AS (SELECT
+        |    CASE WHEN ta.f <= tb.f THEN w1 ELSE w2 END AS rare_word,
+        |    CASE WHEN ta.f <= tb.f THEN w2 ELSE w1 END AS common_word,
+        |    LEAST(ta.f, tb.f) AS rare_n, GREATEST(ta.f, tb.f) AS common_n
+        |  FROM pairs JOIN tok ta ON ta.w = w1 JOIN tok tb ON tb.w = w2),
+        |typo AS (SELECT *, common_n // rare_n AS ratio FROM scored
+        |  WHERE common_n >= 8 * rare_n)
+        |SELECT rare_word, common_word, rare_n, common_n,
+        |  CAST(ratio AS BIGINT) AS ratio,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_pairs_total
+        |FROM typo
+        |ORDER BY ratio DESC, rare_word, common_word LIMIT 15""".stripMargin) {
+      (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val planted = d.filter(col("doc_id") % 13 === 0)
+        .select(array_min(filter(split(lower(col("text")), "[^a-z]+"),
+          x => length(x).between(5, 12))).as("tw"))
+        .filter(col("tw").isNotNull)
+        .select(concat(substring(col("tw"), 1, 1),
+          expr("substring(tw, 3, 12)")).as("text"))
+      val tok = d.select(col("text")).unionAll(planted)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")).between(4, 12))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .persist()
+      try {
+        val vars = tok.select(col("w"), col("f"), explode(expr(
+          """array_append(transform(sequence(1, length(w)),
+            |  i -> concat(substring(w, 1, i - 1),
+            |              substring(w, i + 1, 12))), w)""".stripMargin))
+          .as("v"))
+        val cand = vars.as("a").join(vars.as("b"),
+            col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
+        val pairs = cand.filter(levenshtein(col("w1"), col("w2"), 1) >= 0)
+        val scored = pairs
+          .join(tok.select(col("w").as("w1"), col("f").as("f1")), "w1")
+          .join(tok.select(col("w").as("w2"), col("f").as("f2")), "w2")
+          .select(
+            when(col("f1") <= col("f2"), col("w1")).otherwise(col("w2"))
+              .as("rare_word"),
+            when(col("f1") <= col("f2"), col("w2")).otherwise(col("w1"))
+              .as("common_word"),
+            least(col("f1"), col("f2")).as("rare_n"),
+            greatest(col("f1"), col("f2")).as("common_n"))
+          .persist()
+        try {
+          val total = scored.count()
+          scored.filter(col("common_n") >= col("rare_n") * 8)
+            .withColumn("ratio",
+              expr("common_n DIV rare_n").cast("long"))
+            .withColumn("n_pairs_total", lit(total))
+            .orderBy(col("ratio").desc, col("rare_word"),
+              col("common_word"))
+            .limit(15)
+        } finally { scored.unpersist(); () }
+      } finally { tok.unpersist(); () }
     }
   )
 }
