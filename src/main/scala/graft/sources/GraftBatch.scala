@@ -1248,18 +1248,36 @@ private[sources] class GraftBatchScan(
     // key grouping, every partition must carry its typed key (Spark
     // groups same-key files into one task-side partition).
     val spj = spjColumns
-    kept.map { f =>
-      GraftBatchPartition(
-        TxnLog.dataPath(resolved.tablePath, f.path),
-        f.partitionValues,
-        physRequired.json,
-        serConf,
-        dvDir = f.dv.map(d => TxnLog.dataPath(resolved.tablePath, d))
-          .getOrElse(""),
-        limit = limit,
-        baseRowId = f.baseRowId,
-        keyValues = spj.map(_.map(fd => GroupRows.castPartitionValue(
-          f.partitionValues(fd.name), fd.dataType)).toArray))
+    // Large files SPLIT into byte ranges (spark.sql.files
+    // .maxPartitionBytes, Spark's own splitting contract): the reader
+    // keeps the row groups whose midpoint falls in its range, so a
+    // multi-GB file — a CONVERTed lake's, typically — reads as many
+    // parallel tasks, never one. Planning needs NO footer read (ranges
+    // are pure byte arithmetic on the logged size); limit scans stay
+    // whole-file (they stop after a handful of rows anyway).
+    val maxSplit = org.apache.spark.sql.internal.SQLConf.get
+      .filesMaxPartitionBytes
+    kept.flatMap { f =>
+      val ranges: Seq[(Long, Long)] =
+        if (limit >= 0 || f.size <= maxSplit || maxSplit <= 0)
+          Seq((0L, Long.MaxValue))
+        else (0L until f.size by maxSplit)
+          .map(s => (s, math.min(s + maxSplit, f.size)))
+      ranges.map { case (rs, re) =>
+        GraftBatchPartition(
+          TxnLog.dataPath(resolved.tablePath, f.path),
+          f.partitionValues,
+          physRequired.json,
+          serConf,
+          dvDir = f.dv.map(d => TxnLog.dataPath(resolved.tablePath, d))
+            .getOrElse(""),
+          limit = limit,
+          baseRowId = f.baseRowId,
+          keyValues = spj.map(_.map(fd => GroupRows.castPartitionValue(
+            f.partitionValues(fd.name), fd.dataType)).toArray),
+          rangeStart = rs,
+          rangeEnd = re)
+      }
     }.toArray
   }
 
@@ -1279,7 +1297,12 @@ private[sources] case class GraftBatchPartition(
     dvDir: String,
     limit: Int,
     baseRowId: Option[Long] = None,
-    keyValues: Option[Array[Any]] = None)
+    keyValues: Option[Array[Any]] = None,
+    // byte range of the split ((0, MaxValue) = whole file): the reader
+    // takes row groups whose MIDPOINT lands in [start, end) — parquet's
+    // own range rule, so every row group lands in exactly one split
+    rangeStart: Long = 0L,
+    rangeEnd: Long = Long.MaxValue)
   extends InputPartition with HasPartitionKey {
 
   /** Typed hive partition values in declared partition-column order.
@@ -1475,15 +1498,42 @@ private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
   private val fileFieldNames: Set[String] =
     schema.fields.map(_.name).toSet -- p.partitionValues.keySet
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader
+  private val isSplit: Boolean =
+    p.rangeStart != 0L || p.rangeEnd != Long.MaxValue
+
+  private val reader: ParquetReader[Group] = {
+    val b = ParquetReader
       .builder(new ProjectingGroupReadSupport(fileFieldNames),
         new org.apache.hadoop.fs.Path(p.filePath))
       .withConf(p.conf.value)
-      .build()
+    (if (isSplit) b.withFileRange(p.rangeStart, p.rangeEnd) else b).build()
+  }
+
+  /** File-absolute row position of this split's first row: row counts
+    * of the row groups BEFORE the range, by the same midpoint rule
+    * parquet's range filter applies — positions stay file-absolute, so
+    * deletion vectors and base+position row ids are split-invariant.
+    * One executor-side footer read, only for split partitions.
+    */
+  private val rowsBefore: Long =
+    if (!isSplit || p.rangeStart == 0L) 0L
+    else {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.filePath), p.conf.value))
+      try fr.getFooter.getBlocks.asScala.iterator
+        .filter { b =>
+          // parquet-mr's filterFileMetaDataByMidpoint arithmetic,
+          // verbatim: first chunk offset + Σ compressed chunk sizes / 2
+          val start = b.getColumns.get(0).getStartingPos
+          val total = b.getColumns.asScala.map(_.getTotalSize).sum
+          start + total / 2 < p.rangeStart
+        }.map(_.getRowCount).sum
+      finally fr.close()
+    }
 
   private var current: Group = _
-  private var rowIdx: Long = -1L
+  private var rowIdx: Long = rowsBefore - 1L
   private var emitted: Long = 0L
 
   /** Dead row positions of this file as ONE roaring bitmap — bounded

@@ -200,4 +200,43 @@ class GraftBatchSpec extends AnyFunSuite {
     assert(sortedRows(readGraft(dir)) ==
       sortedRows(SnapshotReader.read(spark, dir)))
   }
+
+  test("a large file SPLITS into byte ranges; DVs and row ids stay " +
+      "file-absolute across splits") {
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val confKey = "spark.sql.files.maxPartitionBytes"
+    val prevMax = spark.conf.get(confKey)
+    val dir = java.nio.file.Files.createTempDirectory("split_t").toString + "/t"
+    try {
+      // many small row groups in ONE file, then a split budget far
+      // below the file size — the multi-GB-converted-file shape in
+      // miniature
+      hc.setInt("parquet.block.size", 16 * 1024)
+      TableWriter.write(spark,
+        (0L until 50000L).map(i => (i, i * 3)).toDF("id", "v").coalesce(1),
+        dir, version = 0L, commitTs = 1000L)
+      hc.unset("parquet.block.size")
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0,
+        version = 1L, commitTs = 2000L)
+      def ridSet(): Set[(Long, Long)] = readGraft(dir)
+        .select(col("id"), col(TxnLog.RowIdColumn).as("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val whole = ridSet()
+      val wholeParts = readGraft(dir).rdd.getNumPartitions
+      spark.conf.set(confKey, (64 * 1024).toString)
+      val split = readGraft(dir)
+      assert(split.rdd.getNumPartitions > math.max(wholeParts, 4),
+        s"expected many range splits, got ${split.rdd.getNumPartitions}")
+      // DV-filtered content AND base+position row ids identical:
+      // positions are file-absolute, not split-relative
+      assert(ridSet() == whole)
+      assert(split.count() == 50000L - 50000L / 7 - 1)
+    } finally {
+      spark.conf.set(confKey, prevMax)
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+  }
 }
