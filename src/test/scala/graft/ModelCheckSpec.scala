@@ -1,0 +1,100 @@
+package graft
+
+import graft.txn._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based randomized DML: a SEEDED 30-op sequence of append /
+  * DV delete / COW update / compact / restore against one table,
+  * checked against a plain in-memory model AFTER EVERY OP, then a
+  * full time-travel audit replaying EVERY committed version against
+  * the model's history. Any divergence between the txn-log machinery
+  * (row ids, deletion vectors over mixed histories, compaction over DV
+  * files, restores across restores) and sequential semantics fails
+  * here with the op trace — the cross-feature interactions no
+  * single-feature spec exercises. Versions are read back from the LOG
+  * after every op (an op with nothing to do legitimately commits
+  * nothing), so the model history is keyed by real version numbers.
+  */
+class ModelCheckSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("30 seeded random DML ops match the model at every version") {
+    val rnd = new scala.util.Random(20260816L)
+    val dir =
+      java.nio.file.Files.createTempDirectory("model_t").toString + "/t"
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ =>
+        val i = nextId; nextId += 1; (i, rnd.nextInt(100).toLong)
+      }
+    var ts = 1000L
+    val init = fresh(20)
+    TableWriter.write(spark, init.toDF("id", "v"), dir,
+      version = 0L, commitTs = ts)
+    var model: Map[Long, Long] = init.toMap
+    // model state BY REAL VERSION NUMBER (ops that no-op commit nothing)
+    val history = scala.collection.mutable.LinkedHashMap[Long, Map[Long, Long]](
+      0L -> model)
+    def latest: Long = log.latestVersion().get
+    def stateAt(ver: Option[Long]): Seq[(Long, Long)] =
+      SnapshotReader.read(spark, dir, ver)
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def check(op: String): Unit = {
+      history(latest) = model
+      // Seq compare, not Map: a duplicated row (the classic DV/rewrite
+      // bug class) must fail as a length mismatch, not collapse away
+      assert(stateAt(None) == model.toSeq.sorted,
+        s"divergence after v$latest ($op)")
+    }
+    (1 to 30).foreach { _ =>
+      ts += 1000
+      val v = latest
+      rnd.nextInt(6) match {
+        case 0 | 1 =>
+          val rows = fresh(5 + rnd.nextInt(10))
+          TableWriter.appendRebasing(spark, rows.toDF("id", "v"), dir,
+            commitTs = ts)
+          model = model ++ rows
+          check(s"append(${rows.size})")
+        case 2 =>
+          val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          DeletionVectors.deleteWhere(spark, dir,
+            pmod(col("id"), lit(m.toLong)) === r.toLong,
+            version = v + 1, commitTs = ts)
+          model = model.filter { case (id, _) => id % m != r }
+          check(s"dvDelete(%$m==$r)")
+        case 3 =>
+          val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val add = rnd.nextInt(50).toLong
+          TableWriter.updateWhere(spark, dir,
+            pmod(col("id"), lit(m.toLong)) === r.toLong,
+            Map("v" -> (col("v") + add)), version = v + 1, commitTs = ts)
+          model = model.map { case (id, vv) =>
+            id -> (if (id % m == r) vv + add else vv)
+          }
+          check(s"update(%$m==$r,+$add)")
+        case 4 =>
+          TableWriter.compact(spark, dir, version = v + 1, commitTs = ts,
+            targetFiles = 2)
+          check("compact")
+        case 5 =>
+          val versions = history.keys.toIndexedSeq
+          val to = versions(rnd.nextInt(versions.size))
+          TableWriter.restore(spark, dir, toVersion = to,
+            version = v + 1, commitTs = ts)
+          model = history(to)
+          check(s"restore($to)")
+      }
+    }
+    // full-history audit: EVERY committed version time-travels to the
+    // model state recorded when it was the head
+    history.foreach { case (ver, m) =>
+      assert(stateAt(Some(ver)) == m.toSeq.sorted,
+        s"time travel to v$ver diverged")
+    }
+  }
+}
