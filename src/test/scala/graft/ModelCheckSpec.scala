@@ -97,4 +97,79 @@ class ModelCheckSpec extends AnyFunSuite {
         s"time travel to v$ver diverged")
     }
   }
+
+  test("25 seeded SQL row-level ops (merge-on-read default) match " +
+      "the model") {
+    val rnd = new scala.util.Random(77L)
+    val wh = java.nio.file.Files.createTempDirectory("model_wh").toString
+    spark.conf.set("spark.sql.catalog.mck",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mck.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mck.default")
+    spark.sql("DROP TABLE IF EXISTS mck.default.m")
+    spark.sql("CREATE TABLE mck.default.m (id BIGINT, v BIGINT)")
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ =>
+        val i = nextId; nextId += 1; (i, rnd.nextInt(100).toLong)
+      }
+    var model = Map.empty[Long, Long]
+    def insert(rows: Seq[(Long, Long)]): Unit = {
+      spark.sql("INSERT INTO mck.default.m VALUES " +
+        rows.map { case (i, vv) => s"($i, $vv)" }.mkString(", "))
+      model = model ++ rows
+    }
+    insert(fresh(15))
+    def check(op: String): Unit = {
+      val got = spark.sql("SELECT id, v FROM mck.default.m").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == model.toSeq.sorted, s"divergence after $op")
+    }
+    (1 to 25).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          insert(fresh(3 + rnd.nextInt(5))); check("insert")
+        case 1 =>
+          val m = 3 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          spark.sql(s"DELETE FROM mck.default.m WHERE id % $m = $r")
+          model = model.filter { case (id, _) => id % m != r }
+          check(s"delete(%$m==$r)")
+        case 2 =>
+          val m = 3 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          val add = rnd.nextInt(50)
+          spark.sql(
+            s"UPDATE mck.default.m SET v = v + $add WHERE id % $m = $r")
+          model = model.map { case (id, vv) =>
+            id -> (if (id % m == r) vv + add else vv)
+          }
+          check(s"update(%$m==$r,+$add)")
+        case 3 =>
+          // MERGE: half the source updates (doubling v), half inserts
+          val hits = model.keys.toSeq.sorted
+            .take(2 + rnd.nextInt(3)).map(k => (k, model(k)))
+          val news = fresh(2)
+          val src = (hits ++ news)
+            .map { case (i, vv) => s"($i, $vv)" }.mkString(", ")
+          spark.sql(
+            s"""MERGE INTO mck.default.m t
+               |USING (SELECT * FROM VALUES $src AS x(id, v)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET v = t.v * 2
+               |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+               |""".stripMargin)
+          model = model.map { case (id, vv) =>
+            id -> (if (hits.exists(_._1 == id)) vv * 2 else vv)
+          } ++ news
+          check(s"merge(${hits.size}u+${news.size}i)")
+      }
+    }
+    // the MoR default really engaged: some live file must carry a DV
+    val t = new TxnLog(s"$wh/default/m",
+      spark.sessionState.newHadoopConf())
+    assert(t.snapshotLatest().files.exists(_.dv.isDefined) ||
+      t.changes(0L).exists(_._2.exists {
+        case a: AddFile => a.dv.isDefined
+        case _ => false
+      }), "expected deletion-vector commits under the MoR default")
+  }
 }
