@@ -1998,17 +1998,20 @@ object Analytics {
     // at value v is c<(v) + (cnt+1)/2, so 2·rank = 2·c< + cnt + 1 —
     // always integral), the mean scaled rank is exactly n+1, and ρ is
     // Pearson over the centered scaled ranks in DECIMAL(38,0)/HUGEINT.
-    // Reported as q251's exact protocol: sign plus
-    // ρ²_e6 = num² DIV GREATEST(den DIV 10⁶, 1) — pure integer ops both
-    // engines state identically (num²·10⁶ would blow 38 digits at SF).
-    // Moment terms grow as n³, so their PRODUCTS reach n⁶ — past
-    // n ≈ 10⁷ rows that exceeds DECIMAL(38,0)/HUGEINT and Spark
-    // (non-ANSI) would NULL silently while DuckDB errors. Both engines
-    // therefore pre-scale identically: K = max(1, n³ DIV 10¹⁵) divides
-    // |sxy|, sxx, syy before any multiplication (floor division on
-    // non-negative terms — engine-identical), capping every product
-    // near 10³⁰ for ANY n while K = 1 keeps small-n results bit-exact
-    // with the unscaled formula.
+    // Reported as sign plus ρ²_e6 = (A²·10⁶) DIV GREATEST(B·C, 1)
+    // where A = |sxy|//K, B = sxx//K, C = syy//K — pure integer ops
+    // both engines state identically. Moment terms grow as n³, so
+    // their PRODUCTS reach n⁶ — past n ≈ 10⁷ rows that exceeds
+    // DECIMAL(38,0)/HUGEINT and Spark (non-ANSI) would NULL silently
+    // while DuckDB errors. Both engines therefore pre-scale
+    // identically: K = max(1, n³ DIV 10¹⁵) divides each term before
+    // any multiplication (floor division on non-negative terms —
+    // engine-identical), capping A²·10⁶ near 10³⁶ for ANY n while
+    // K = 1 keeps small-n results bit-exact. CRITICAL shape note
+    // (found by the sf0.1 gate): the ONLY narrowing division is the
+    // final one (result ≤ 10⁶) — Spark's DIV always returns LONG, so
+    // an intermediate like `B·C DIV 10⁶` (≈ 10²¹ at sf0.1) wraps
+    // silently while DuckDB's `//` stays wide: the engines diverge.
     // Shape: two value-grouped prefix-sum rank tables (distinct-value-
     // sized) joined back on value, then ONE aggregate — the corpus is
     // never globally sorted row-wise. The operator answers "does my
@@ -2039,9 +2042,9 @@ object Analytics {
         |  CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END
         |    AS BIGINT) AS sign,
         |  CAST((ABS(sxy) // (SELECT kdiv FROM k))
-        |      * (ABS(sxy) // (SELECT kdiv FROM k))
+        |      * (ABS(sxy) // (SELECT kdiv FROM k)) * 1000000
         |    // GREATEST((sxx // (SELECT kdiv FROM k))
-        |      * (syy // (SELECT kdiv FROM k)) // 1000000, 1)
+        |      * (syy // (SELECT kdiv FROM k)), 1)
         |    AS BIGINT) AS rho2_e6
         |FROM agg""".stripMargin) { (s, dir) =>
       val f = Tables.load(s, dir, "lineitem")
@@ -2072,14 +2075,16 @@ object Analytics {
             sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
           .select(lit(n).as("n"),
             signum(col("sxy")).cast("long").as("sign"),
-            // Spark's DIV yields LONG — re-widen each scaled term to
-            // DECIMAL(38,0) before multiplying or the products would
-            // wrap silently in non-ANSI long arithmetic
+            // Spark's DIV yields LONG — so each scaled term re-widens
+            // to DECIMAL(38,0) before multiplying, AND the ONLY
+            // narrowing DIV is the final one (result ≤ 10⁶): an
+            // intermediate `.. DIV 1000000` here held ~10²¹ at sf0.1
+            // and wrapped silently (the sf0.1 gate caught it)
             expr("CAST(" +
               s"CAST(ABS(sxy) DIV $kdiv AS DECIMAL(38,0)) * " +
-              s"CAST(ABS(sxy) DIV $kdiv AS DECIMAL(38,0)) DIV " +
+              s"CAST(ABS(sxy) DIV $kdiv AS DECIMAL(38,0)) * 1000000 DIV " +
               s"GREATEST(CAST(sxx DIV $kdiv AS DECIMAL(38,0)) * " +
-              s"CAST(syy DIV $kdiv AS DECIMAL(38,0)) DIV 1000000, 1) " +
+              s"CAST(syy DIV $kdiv AS DECIMAL(38,0)), 1) " +
               "AS BIGINT)").as("rho2_e6"))
       } finally f.unpersist()
     },

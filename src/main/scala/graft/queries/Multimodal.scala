@@ -232,8 +232,14 @@ object Multimodal {
     // strings. DuckDB re-derives every fingerprint from the pixel +
     // nearest-neighbor index arithmetic, so a resize stride, channel
     // order, or comparison-direction bug changes group counts and
-    // reddens the hash. The md5 negative control (zero byte-exact dup
-    // groups) rides the same row.
+    // reddens the hash. The md5 control rides the same row — COMPUTED,
+    // not hardcoded: blob bytes are a bijection of (format, d mod 1280)
+    // (pixel byte 0 = 7d mod 256 recovers d mod 256; width recovers
+    // d mod 5; lcm(20, 256) = 1280), so DuckDB replays byte-exact
+    // groups from that identity. At sf0.1 the formulas genuinely
+    // collide (period 1280 < corpus size) and both engines must agree
+    // on the real collision count — the hardcoded-zero version of this
+    // control went red there.
     QueryDef.sqlBacked(
       "q351_image_phash",
       """WITH d AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 < 2),
@@ -254,12 +260,18 @@ object Multimodal {
         |corpus AS (SELECT d AS media_id, phash FROM ph
         |  UNION ALL SELECT d + 1000000, phash FROM ph WHERE d % 3 = 1),
         |g AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |mfmt AS (SELECT d, CASE WHEN d % 3 = 0 THEN 'ppm' ELSE 'bmp' END
+        |    AS fmt FROM d
+        |  UNION ALL SELECT d, 'ppm' FROM d WHERE d % 3 = 1),
+        |mg AS (SELECT fmt, d % 1280 AS sig, COUNT(*) AS n FROM mfmt
+        |  GROUP BY 1, 2)
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_images,
         |  CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS dup_groups,
         |  CAST(COALESCE(SUM(n) FILTER (n > 1), 0) AS BIGINT)
         |    AS dup_members,
-        |  CAST(0 AS BIGINT) AS md5_dup_groups
+        |  (SELECT CAST(COUNT(*) FILTER (n > 1) AS BIGINT) FROM mg)
+        |    AS md5_dup_groups
         |FROM g""".stripMargin) { (s, dir) =>
       import s.implicits._
       val base = MM.syntheticCodecTable(s, dir)

@@ -1046,8 +1046,18 @@ object Text {
       val blocks = fp.select(col("doc_id"),
         posexplode(TextOps.simhashBlocks64(col("sig")))
           .as(Seq("blk_idx", "blk_val")))
-      val cand = graft.operators.SkewGuard.boundedSelfJoinPairs(
-        blocks, "doc_id", Seq("blk_idx", "blk_val"), "doc_a", "doc_b")
+      // UNCAPPED block join here, deliberately: this row PINS the
+      // pigeonhole guarantee, and SkewGuard's candidate cap (the
+      // production trade q47/q116 keep) can drop pairs once a block
+      // value grows popular — at sf0.1 that turned the boolean red.
+      // The row's brute side is already a labeled O(n²) anchor, so the
+      // uncapped verification join matches its nature.
+      val cand = blocks.as("x").join(blocks.as("y"),
+          col("x.blk_idx") === col("y.blk_idx") &&
+            col("x.blk_val") === col("y.blk_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
       val sim = cand
         .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
