@@ -52,14 +52,22 @@ private[sources] class CdcFileReader(p: CdcFilePartition)
     StructType(full.fields.drop(GraftCdc.EnvelopeCols))
   }
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader
+  private val isSplit: Boolean = ParquetSplits.isSplit(p.rangeStart, p.rangeEnd)
+
+  private val reader: ParquetReader[Group] = {
+    val b = ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.filePath))
       .withConf(p.conf.value)
-      .build()
+    (if (isSplit) b.withFileRange(p.rangeStart, p.rangeEnd) else b).build()
+  }
 
   private var current: Group = _
-  private var rowIdx: Long = -1L
+  // file-absolute row numbering: a byte-range split starts counting at
+  // the row count of the row groups before its range, so resume bounds
+  // (skipRows/untilRow) and DV positions apply unchanged across splits
+  private var rowIdx: Long =
+    (if (isSplit) ParquetSplits.rowsBefore(p.filePath, p.conf.value,
+      p.rangeStart) else 0L) - 1L
 
   /** Deletion-vector row positions for THIS file, loaded lazily from the
     * sidecar (small by design — dead rows, not file rows): in "live" mode

@@ -1259,10 +1259,8 @@ private[sources] class GraftBatchScan(
       .filesMaxPartitionBytes
     kept.flatMap { f =>
       val ranges: Seq[(Long, Long)] =
-        if (limit >= 0 || f.size <= maxSplit || maxSplit <= 0)
-          Seq((0L, Long.MaxValue))
-        else (0L until f.size by maxSplit)
-          .map(s => (s, math.min(s + maxSplit, f.size)))
+        if (limit >= 0) Seq(ParquetSplits.WholeFile)
+        else ParquetSplits.ranges(f.size, maxSplit)
       ranges.map { case (rs, re) =>
         GraftBatchPartition(
           TxnLog.dataPath(resolved.tablePath, f.path),
@@ -1509,28 +1507,14 @@ private[sources] class GraftBatchFileReader(p: GraftBatchPartition)
     (if (isSplit) b.withFileRange(p.rangeStart, p.rangeEnd) else b).build()
   }
 
-  /** File-absolute row position of this split's first row: row counts
-    * of the row groups BEFORE the range, by the same midpoint rule
-    * parquet's range filter applies — positions stay file-absolute, so
-    * deletion vectors and base+position row ids are split-invariant.
-    * One executor-side footer read, only for split partitions.
+  /** File-absolute row position of this split's first row — positions
+    * stay file-absolute, so deletion vectors and base+position row ids
+    * are split-invariant. Derived from parquet's own range filter (see
+    * [[ParquetSplits.rowsBefore]]), never re-implemented arithmetic.
     */
   private val rowsBefore: Long =
-    if (!isSplit || p.rangeStart == 0L) 0L
-    else {
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.filePath), p.conf.value))
-      try fr.getFooter.getBlocks.asScala.iterator
-        .filter { b =>
-          // parquet-mr's filterFileMetaDataByMidpoint arithmetic,
-          // verbatim: first chunk offset + Σ compressed chunk sizes / 2
-          val start = b.getColumns.get(0).getStartingPos
-          val total = b.getColumns.asScala.map(_.getTotalSize).sum
-          start + total / 2 < p.rangeStart
-        }.map(_.getRowCount).sum
-      finally fr.close()
-    }
+    if (!isSplit) 0L
+    else ParquetSplits.rowsBefore(p.filePath, p.conf.value, p.rangeStart)
 
   private var current: Group = _
   private var rowIdx: Long = rowsBefore - 1L

@@ -20,13 +20,19 @@ import scala.jdk.CollectionConverters._
   * offsets, FULL_COPY snapshot first when `includeHistory=true`
   * (two-phase backfill, reference semantics T2).
   *
-  * Each data-file event becomes one InputPartition; the reader streams
-  * rows from the file (parquet-mr) and attaches the CDC envelope. This is
-  * deliberately the row-granular path — batch analytics go through the
-  * vectorized [[CdcReader.cdc]]; the streaming tail's per-commit volume
-  * is small, matching the reference's design point
-  * (ParquetReaderUtils.java:72–91, minus the whole-file materialization
-  * and the defects).
+  * Each data-file event becomes one InputPartition — or SEVERAL, when the
+  * file exceeds `spark.sql.files.maxPartitionBytes`: large files (a
+  * CONVERTed foreign lake's multi-GB backfill, typically) byte-range
+  * split exactly like the batch scan ([[ParquetSplits]]), so a snapshot
+  * phase parallelizes across the cluster instead of serializing each file
+  * through one task. Row positions stay file-absolute across splits, so
+  * mid-file resume offsets and deletion-vector positions are
+  * split-invariant. The reader streams rows from its range (parquet-mr)
+  * and attaches the CDC envelope. This is deliberately the row-granular
+  * path — batch analytics go through the vectorized [[CdcReader.cdc]];
+  * the streaming tail's per-commit volume is small, matching the
+  * reference's design point (ParquetReaderUtils.java:72–91, minus the
+  * whole-file materialization and the defects).
   */
 class GraftCdc extends TableProvider
   with org.apache.spark.sql.sources.DataSourceRegister {
@@ -101,6 +107,12 @@ private[sources] class GraftCdcMicroBatchStream(
   // each partition — s3a/hdfs credentials configured on the session work
   private val serConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  // session SQLConf handle captured here (planInputPartitions runs on the
+  // stream-execution thread, where the thread-local SQLConf.get is not
+  // guaranteed to be this session's) — read live at plan time so conf
+  // changes between micro-batches apply
+  private val sqlConf =
+    org.apache.spark.sql.SparkSession.active.sessionState.conf
   private def log = new TxnLog(opts.tablePath, serConf.value)
 
 
@@ -154,13 +166,14 @@ private[sources] class GraftCdcMicroBatchStream(
     val dvPaths = actions.collect {
       case a: AddFile if a.dataChange && a.dv.isDefined => a.path
     }.toSet
-    // Pre-commit DV pointers, resolved only if this commit actually
-    // removes a file outside a DV transition (rewrite-style ops): a
-    // removed file that carried a vector emits only its LIVE rows as 'r'
-    // — its dead rows already streamed as op='d' at an earlier version.
-    lazy val preDv: Map[String, String] =
-      l.snapshot(v - 1).files.iterator
-        .flatMap(f => f.dv.map(f.path -> _)).toMap
+    // Pre-commit file state (DV pointers + sizes), resolved only if this
+    // commit actually removes a file outside a DV transition
+    // (rewrite-style ops): a removed file that carried a vector emits
+    // only its LIVE rows as 'r' — its dead rows already streamed as
+    // op='d' at an earlier version. Sizes let the planner byte-range
+    // split large removed files too.
+    lazy val preFiles: Map[String, AddFile] =
+      l.snapshot(v - 1).files.iterator.map(f => f.path -> f).toMap
     actions.collect {
       // dataChange=false (compaction) is invisible to the CDC stream;
       // partitionFilter prunes at the file-event level, so offsets
@@ -169,15 +182,19 @@ private[sources] class GraftCdcMicroBatchStream(
       case a: AddFile if a.dataChange && opts.keepPartition(a.partitionValues) =>
         if (a.dv.isDefined)
           CdcFileEvent(a.path, a.partitionValues, "d", a.modificationTime,
-            dvMode = "dead", dvDir = a.dv.get, dvVersion = v)
-        else CdcFileEvent(a.path, a.partitionValues, "c", a.modificationTime)
+            dvMode = "dead", dvDir = a.dv.get, dvVersion = v, size = a.size)
+        else CdcFileEvent(a.path, a.partitionValues, "c", a.modificationTime,
+          size = a.size)
       case r: RemoveFile if r.dataChange && opts.keepPartition(r.partitionValues) &&
           !dvPaths.contains(r.path) =>
-        preDv.get(r.path) match {
+        val pre = preFiles.get(r.path)
+        pre.flatMap(_.dv) match {
           case Some(d) => CdcFileEvent(r.path, r.partitionValues, "r",
-            r.deletionTimestamp, dvMode = "live", dvDir = d)
+            r.deletionTimestamp, dvMode = "live", dvDir = d,
+            size = pre.map(_.size).getOrElse(-1L))
           case None =>
-            CdcFileEvent(r.path, r.partitionValues, "r", r.deletionTimestamp)
+            CdcFileEvent(r.path, r.partitionValues, "r", r.deletionTimestamp,
+              size = pre.map(_.size).getOrElse(-1L))
         }
     }.toIndexedSeq
   }
@@ -191,9 +208,9 @@ private[sources] class GraftCdcMicroBatchStream(
       .map { f =>
         f.dv match {
           case Some(d) => CdcFileEvent(f.path, f.partitionValues, "c",
-            f.modificationTime, dvMode = "live", dvDir = d)
+            f.modificationTime, dvMode = "live", dvDir = d, size = f.size)
           case None => CdcFileEvent(f.path, f.partitionValues, "c",
-            f.modificationTime)
+            f.modificationTime, size = f.size)
         }
       }
       .toIndexedSeq
@@ -350,15 +367,24 @@ private[sources] class GraftCdcMicroBatchStream(
     val physJson = graft.txn.ColumnMapping.physicalSchema(schema,
       latestMeta.map(_.columnMapping).getOrElse(Map.empty)).json
 
+    // Large files byte-range split (the batch scan's contract): each
+    // range carries the SAME file-absolute skip/until resume bounds —
+    // every range reader emits only rows in its row groups ∩ [skip,
+    // until), so the union across ranges is exactly the unsplit read and
+    // offsets never learn about splitting.
+    val maxSplit = sqlConf.filesMaxPartitionBytes
     def filePart(ev: CdcFileEvent, v: Long, skipRows: Long,
         untilRow: Long): Unit =
-      parts += CdcFilePartition(TxnLog.dataPath(opts.tablePath, ev.rel), ev.op,
-        CdcReader.partitionValueString(ev.pv), ev.pv, ev.ts, v, physJson,
-        partCols, serConf, skipRows, untilRow,
-        dvMode = ev.dvMode,
-        dvDir = if (ev.dvDir.isEmpty) ""
-          else TxnLog.dataPath(opts.tablePath, ev.dvDir),
-        dvVersion = ev.dvVersion)
+      ParquetSplits.ranges(ev.size, maxSplit).foreach { case (rs, re) =>
+        parts += CdcFilePartition(TxnLog.dataPath(opts.tablePath, ev.rel), ev.op,
+          CdcReader.partitionValueString(ev.pv), ev.pv, ev.ts, v, physJson,
+          partCols, serConf, skipRows, untilRow,
+          dvMode = ev.dvMode,
+          dvDir = if (ev.dvDir.isEmpty) ""
+            else TxnLog.dataPath(opts.tablePath, ev.dvDir),
+          dvVersion = ev.dvVersion,
+          rangeStart = rs, rangeEnd = re)
+      }
 
     // Emit the events of one indexed segment (snapshot or a commit),
     // bounded below by the start position and above by the end position.
@@ -437,7 +463,10 @@ private[sources] case class CdcFileEvent(
     ts: Long,
     dvMode: String = "none",
     dvDir: String = "",
-    dvVersion: Long = -1L)
+    dvVersion: Long = -1L,
+    // logged file size (bytes) for byte-range split planning; -1 =
+    // unknown (pre-size-retention removes) → plan the whole file
+    size: Long = -1L)
 
 /** One data-file CDC event; fields are all JVM-serializable.
   * `skipRows`/`untilRow` bound the rows read for mid-file resume: the
@@ -458,7 +487,13 @@ private[sources] case class CdcFilePartition(
     untilRow: Long = -1L,
     dvMode: String = "none",
     dvDir: String = "",
-    dvVersion: Long = -1L) extends InputPartition
+    dvVersion: Long = -1L,
+    // byte range of the split ((0, MaxValue) = whole file): the reader
+    // keeps row groups whose midpoint lands in [start, end) and numbers
+    // rows file-absolutely from ParquetSplits.rowsBefore, so skip/until
+    // and DV positions are split-invariant
+    rangeStart: Long = 0L,
+    rangeEnd: Long = Long.MaxValue) extends InputPartition
 
 /** A schema-change control row (op='m'). */
 private[sources] case class CdcMetaPartition(

@@ -140,6 +140,11 @@ private[sources] class GraftCdfMicroBatchStream(
 
   private val serConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  // captured like serConf: planInputPartitions runs on the
+  // stream-execution thread where the thread-local SQLConf is not
+  // guaranteed to be this session's
+  private val sqlConf =
+    org.apache.spark.sql.SparkSession.active.sessionState.conf
   private def log = new TxnLog(tablePath, serConf.value)
 
   // payload = declared table columns (the three change columns are
@@ -231,6 +236,12 @@ private[sources] class GraftCdfMicroBatchStream(
           org.apache.spark.sql.SparkSession.active, declared, p, rangePvs,
           knownRefs = Some(predRefs))
     }
+    // Large files byte-range split, exactly like the batch scan and the
+    // CDC source: change sidecars are change-volume-sized (rarely split),
+    // but inferred-insert AddFiles of a CONVERTed lake can be multi-GB —
+    // those must backfill as many parallel tasks, never one. The CDF
+    // reader tracks no row positions, so ranges need no rowsBefore.
+    val maxSplit = sqlConf.filesMaxPartitionBytes
     versioned.flatMap { case (v, actions) =>
       val ts = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L)
@@ -257,12 +268,15 @@ private[sources] class GraftCdfMicroBatchStream(
         cdcFiles
           .filter(c => (c.partitionValues.isEmpty ||
             keepPv(c.partitionValues)) && keepFn(c.partitionValues))
-          .map(c => CdfFilePartition(
-            TxnLog.dataPath(tablePath, c.path), constKind = None,
-            partitionValues = Map.empty, version = v, ts = ts,
-            schemaJson = payloadJson, mapping = Map.empty, conf = serConf,
-            rowFilter =
-              if (c.partitionValues.isEmpty) partitionFilter else Map.empty))
+          .flatMap(c => ParquetSplits.ranges(c.size, maxSplit).map {
+            case (rs, re) => CdfFilePartition(
+              TxnLog.dataPath(tablePath, c.path), constKind = None,
+              partitionValues = Map.empty, version = v, ts = ts,
+              schemaJson = payloadJson, mapping = Map.empty, conf = serConf,
+              rowFilter =
+                if (c.partitionValues.isEmpty) partitionFilter else Map.empty,
+              rangeStart = rs, rangeEnd = re)
+          })
       } else {
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         val removes = actions.collect {
@@ -283,15 +297,18 @@ private[sources] class GraftCdfMicroBatchStream(
               s"${refs.mkString(", ")} — use the batch graft_table_changes")
         }
         adds.filter(a => keepPv(a.partitionValues) &&
-            keepFn(a.partitionValues)).map { a =>
+            keepFn(a.partitionValues)).flatMap { a =>
           require(a.dv.isEmpty,
             s"streaming change feed: version $v of $tablePath adds " +
               s"${a.path} with a deletion vector (a clone import?) — " +
               "start from a later version or use the batch feed")
-          CdfFilePartition(TxnLog.dataPath(tablePath, a.path),
-            constKind = Some(ChangeDataFeed.Insert),
-            partitionValues = a.partitionValues, version = v, ts = ts,
-            schemaJson = payloadJson, mapping = mapping, conf = serConf)
+          ParquetSplits.ranges(a.size, maxSplit).map { case (rs, re) =>
+            CdfFilePartition(TxnLog.dataPath(tablePath, a.path),
+              constKind = Some(ChangeDataFeed.Insert),
+              partitionValues = a.partitionValues, version = v, ts = ts,
+              schemaJson = payloadJson, mapping = mapping, conf = serConf,
+              rangeStart = rs, rangeEnd = re)
+          }
         }
       }
     }.toArray
@@ -312,7 +329,11 @@ private[sources] final case class CdfFilePartition(
     conf: SerializableConfiguration,
     // partition-column equality filter applied ROW-side — only for
     // legacy pv-less sidecars that action-level pruning can't prove out
-    rowFilter: Map[String, String] = Map.empty) extends InputPartition
+    rowFilter: Map[String, String] = Map.empty,
+    // byte range of the split ((0, MaxValue) = whole file); CDF rows
+    // carry no positions, so ranges compose with nothing else
+    rangeStart: Long = 0L,
+    rangeEnd: Long = Long.MaxValue) extends InputPartition
 
 private[sources] class CdfReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -331,11 +352,15 @@ private[sources] class CdfFileReader(p: CdfFilePartition)
   private val payload =
     DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
 
-  private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(p.filePath))
-    .withConf(p.conf.value)
-    .build()
+  private val reader = {
+    val b = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p.filePath))
+      .withConf(p.conf.value)
+    (if (ParquetSplits.isSplit(p.rangeStart, p.rangeEnd))
+      b.withFileRange(p.rangeStart, p.rangeEnd)
+    else b).build()
+  }
 
   private var current: org.apache.parquet.example.data.Group = _
 
