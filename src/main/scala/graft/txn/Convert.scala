@@ -10,10 +10,12 @@ import org.apache.spark.sql.SparkSession
   * DV deletes, MERGE, OPTIMIZE, CDC streaming, data skipping from the
   * footers' own stats) applies to data that was never copied.
   *
-  * Both discovery and per-file footer stats run as CLUSTER JOBS (one
-  * listing task per top-level directory, then one footer open per file
-  * in tasks — the vacuum orphan-listing shape): a million-file lake
-  * converts in parallel, never as a million serial driver RPCs. Only
+  * Both discovery and per-file footer stats run as CLUSTER JOBS
+  * (breadth-first frontier listing via [[DistributedLs]] — re-
+  * parallelizing each discovered directory LEVEL, so even a lake whose
+  * files all sit under one top-level directory fans out — then one
+  * footer open per file in tasks): a million-file lake converts in
+  * parallel, never as a million serial driver RPCs. Only
   * file METADATA reaches the driver — the same cardinality the commit
   * itself must hold. Hive `col=value` directory segments become the
   * table's partition columns — they must agree across every file, and
@@ -36,49 +38,29 @@ object Convert {
       s"CONVERT: $dir already has a transaction log — refusing to " +
         "re-register (the log IS the table)")
 
-    // discovery: (rel, size, mtime, qualified uri) per parquet file —
-    // top-level entries list once on the driver, subtrees walk in tasks
-    val rootUri = fs.makeQualified(root).toUri.toString
-    val entries = fs.listStatus(root).toSeq
-    def keep(name: String): Boolean =
-      !name.startsWith("_") && !name.startsWith(".")
-    val subDirs = entries
-      .filter(st => st.isDirectory && keep(st.getPath.getName))
-      .map(_.getPath.toString)
-    // 4th element is the PATH string (not the URI string): Hadoop's
+    // discovery: (rel, size, mtime, qualified path) per parquet file —
+    // breadth-first cluster listing (DistributedLs), so even a skewed
+    // tree with one top-level directory fans out. rel derives from the
+    // URI rendering; the 4th element is the PATH string: Hadoop's
     // Path(String) does not decode percent-escapes, so a URI round-trip
     // would mangle escaped partition values ("a b" → "a%20b")
-    val rootFiles = entries
-      .filter(st => !st.isDirectory && keep(st.getPath.getName) &&
-        st.getPath.getName.endsWith(".parquet"))
-      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime,
-        fs.makeQualified(st.getPath).toString))
+    val rootUri = fs.makeQualified(root).toUri
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val walked: Seq[(String, Long, Long, String)] =
-      if (subDirs.isEmpty) Seq.empty
-      else spark.sparkContext
-        .parallelize(subDirs, math.max(1, math.min(subDirs.size, 64)))
-        .flatMap { d =>
-          val p = new org.apache.hadoop.fs.Path(d)
-          val dfs = p.getFileSystem(serConf.value)
-          val base = java.net.URI.create(rootUri)
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(String, Long, Long, String)]
-          def walk(x: org.apache.hadoop.fs.Path): Unit =
-            dfs.listStatus(x).foreach { st =>
-              val name = st.getPath.getName
-              if (name.startsWith("_") || name.startsWith(".")) ()
-              else if (st.isDirectory) walk(st.getPath)
-              else if (name.endsWith(".parquet")) {
-                val q = dfs.makeQualified(st.getPath)
-                out += ((base.relativize(q.toUri).getPath, st.getLen,
-                  st.getModificationTime, q.toString))
-              }
-            }
-          walk(p)
-          out
-        }.collect().toSeq
-    val files = (rootFiles ++ walked).sortBy(_._1)
+    val files: Seq[(String, Long, Long, String)] =
+      DistributedLs.parquetFiles(spark, conf, dir).map { e =>
+        val rel = rootUri.relativize(java.net.URI.create(e.uriStr)).getPath
+        // URI.relativize returns the CHILD URI unchanged when the
+        // executor-side qualified URI does not prefix-match the driver's
+        // root (authority/normalization drift between the two
+        // makeQualified calls) — an absolute rel would silently corrupt
+        // AddFile.path and hive partition parsing; fail loudly instead
+        require(rel.nonEmpty && !rel.startsWith("/") && !rel.contains("://"),
+          s"CONVERT: executor-qualified file URI ${e.uriStr} does not " +
+            s"relativize under the table root $rootUri — filesystem " +
+            "qualification drift between driver and executors; refusing " +
+            "to register a corrupt path")
+        (rel, e.size, e.mtime, e.pathStr)
+      }.sortBy(_._1)
     require(files.nonEmpty, s"CONVERT: no parquet files under $dir")
 
     val partKeySets = files
@@ -94,8 +76,14 @@ object Convert {
 
     // schema AFTER discovery so the partition-column types can be vetted:
     // Spark's directory read unifies footers and types the hive partition
-    // columns (date/numeric inference included)
-    val schema = spark.read.parquet(dir).schema
+    // columns (date/numeric inference included). An UNPARTITIONED lake
+    // infers from the discovered FILE LIST instead — a directory read
+    // does not descend plain (non-hive) nested subdirectories, so a
+    // skewed deep tree would fail schema inference despite a complete
+    // discovery (footers only either way; metadata-cheap)
+    val schema =
+      if (partCols.isEmpty) spark.read.parquet(files.map(_._4): _*).schema
+      else spark.read.parquet(dir).schema
     partCols.foreach { c =>
       schema.find(_.name == c).map(_.dataType).foreach {
         case org.apache.spark.sql.types.TimestampType |

@@ -11,9 +11,9 @@ import org.apache.spark.sql.SparkSession
   * files already recorded — there is no window where data landed but
   * the marker didn't (the failure mode of any two-commit design).
   *
-  * Scale shape: source discovery runs as a CLUSTER JOB past one
-  * top-level directory (one recursive listing task per dir — the
-  * vacuum orphan-sweep shape), the already-ingested check is a set
+  * Scale shape: source discovery runs as CLUSTER JOBS (breadth-first
+  * frontier listing via [[DistributedLs]] — skewed trees fan out past
+  * one task), the already-ingested check is a set
   * lookup against the snapshot's txn map (bounded by ingested-file
   * count; see [[TxnLog]]'s txn-marker retention for how that set stays
   * bounded over a table's life), reading + writing the new files is
@@ -42,54 +42,16 @@ object CopyInto {
     val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
     val fs = srcRoot.getFileSystem(conf)
     // RECURSIVE listing so a nested source layout ingests instead of
-    // silently returning CopyResult(0,0,0,0) — top-level entries list
-    // once on the driver, subtrees walk in executor tasks. Hive-style
-    // `col=value` segments refuse loudly (driver-side, after the walk
-    // surfaces them) — flattening them would DROP the partition columns
-    // (they live in the path, not the files), and the right tool for a
-    // hive layout is CONVERT, which keeps them.
-    def keep(name: String): Boolean =
-      !name.startsWith("_") && !name.startsWith(".")
-    val entries = fs.listStatus(srcRoot).toSeq
-    val subDirs = entries
-      .filter(st => st.isDirectory && keep(st.getPath.getName))
-      .map(_.getPath.toString)
-    // (is_hive_dir, qualified file uri) rows from the walk: a hive dir
-    // anywhere — even an empty one — must surface, so the walk reports
-    // it instead of descending
-    val rootHive = subDirs.map(new org.apache.hadoop.fs.Path(_).getName)
-      .filter(_.contains('='))
-    val rootFiles = entries
-      .filter(st => !st.isDirectory && keep(st.getPath.getName) &&
-        st.getPath.getName.endsWith(".parquet"))
-      .map(st => fs.makeQualified(st.getPath).toUri.toString)
-    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val walkDirs = subDirs.filterNot(d =>
-      new org.apache.hadoop.fs.Path(d).getName.contains('='))
-    val walked: Seq[(Boolean, String)] =
-      if (walkDirs.isEmpty) Seq.empty
-      else spark.sparkContext
-        .parallelize(walkDirs, math.max(1, math.min(walkDirs.size, 64)))
-        .flatMap { d =>
-          val p = new org.apache.hadoop.fs.Path(d)
-          val dfs = p.getFileSystem(serConf.value)
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Boolean, String)]
-          def walk(x: org.apache.hadoop.fs.Path): Unit =
-            dfs.listStatus(x).foreach { st =>
-              val name = st.getPath.getName
-              if (name.startsWith("_") || name.startsWith(".")) ()
-              else if (st.isDirectory) {
-                if (name.contains('=')) out += ((true, name))
-                else walk(st.getPath)
-              } else if (name.endsWith(".parquet"))
-                out += ((false,
-                  dfs.makeQualified(st.getPath).toUri.toString))
-            }
-          walk(p)
-          out
-        }.collect().toSeq
-    val hiveDirs = rootHive ++ walked.collect { case (true, n) => n }
+    // silently returning CopyResult(0,0,0,0) — breadth-first cluster
+    // listing (DistributedLs), so a skewed source tree fans out past one
+    // task. Hive-style `col=value` segments refuse loudly (the walk
+    // REPORTS them instead of descending) — flattening them would DROP
+    // the partition columns (they live in the path, not the files), and
+    // the right tool for a hive layout is CONVERT, which keeps them.
+    require(fs.exists(srcRoot), s"COPY INTO: $srcDir does not exist")
+    val discovered = DistributedLs.parquetFiles(spark, conf, srcDir,
+      descend = name => !name.contains('='))
+    val hiveDirs = discovered.collect { case e if e.isDir => e.name }
     require(hiveDirs.isEmpty,
       s"COPY INTO: $srcDir contains a hive-partitioned directory " +
         s"(${hiveDirs.head}) — its partition values live in the path and " +
@@ -100,8 +62,7 @@ object CopyInto {
     // as already-ingested. Markers written before the URI-keyed format
     // (scheme-less paths) still count — a format migration must not
     // re-ingest a table's whole history as duplicates.
-    val all = (rootFiles ++ walked.collect { case (false, u) => u })
-      .sorted
+    val all = discovered.collect { case e if !e.isDir => e.uriStr }.sorted
     val log = new TxnLog(tablePath, conf)
     val snap = log.snapshotLatest()
     val ingested = snap.txns.keySet

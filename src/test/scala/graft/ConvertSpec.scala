@@ -162,4 +162,23 @@ class ConvertSpec extends AnyFunSuite {
       .contains("GraftBatchAgg"))
     assert(nAgg.head().getLong(0) == 1L)
   }
+
+  test("a skewed tree (everything under ONE top-level dir, nested deep) " +
+      "discovers completely") {
+    // the breadth-first frontier shape: root → a → b → {c0..c9} → files;
+    // a one-task-per-top-level-dir walk would serialize this whole tree
+    val dir = freshDir()
+    (0 until 10).foreach { i =>
+      (1L to 5L).map(k => (i * 100L + k, s"v$k")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(s"$dir/a/b/c$i")
+    }
+    val r = Convert.run(spark, dir)
+    assert(r.filesRegistered >= 10L && r.rowsRegistered == 50L)
+    assert(SnapshotReader.read(spark, dir).count() == 50L)
+    // registered paths relativized correctly through the deep chain
+    val snap = new TxnLog(dir, spark.sessionState.newHadoopConf())
+      .snapshotLatest()
+    assert(snap.files.forall(f =>
+      f.path.startsWith("a/b/c") && !f.path.startsWith("/")))
+  }
 }
