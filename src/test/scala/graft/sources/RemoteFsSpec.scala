@@ -135,6 +135,16 @@ class RemoteFsSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).count() == 31)
   }
 
+  test("manifest export writes its parts in EXECUTOR tasks, not one " +
+      "driver stream") {
+    val table = freshTable()
+    val before = CountingMockFs.taskCreates.get()
+    Manifest.generate(spark, table)
+    assert(CountingMockFs.taskCreates.get() > before,
+      "manifest part files must be created inside Spark tasks")
+    assert(Manifest.read(spark, table).count() == 3)
+  }
+
   test("maintenance ops (OPTIMIZE) work against the custom scheme") {
     val table = freshTable()
     TableWriter.compact(spark,
@@ -165,9 +175,20 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       CountingMockFs.taskLists.incrementAndGet()
     super.listStatus(p)
   }
+  // EVERY create overload of RawLocalFileSystem funnels through this
+  // protected hook — the one reliable interception point for "a file was
+  // created", however the writer called in
+  override def createOutputStreamWithMode(p: Path, append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+      : java.io.OutputStream = {
+    if (org.apache.spark.TaskContext.get() != null)
+      CountingMockFs.taskCreates.incrementAndGet()
+    super.createOutputStreamWithMode(p, append, permission)
+  }
 }
 
 object CountingMockFs {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskLists = new java.util.concurrent.atomic.AtomicInteger(0)
+  val taskCreates = new java.util.concurrent.atomic.AtomicInteger(0)
 }
