@@ -44,9 +44,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {{SF_TAG}} substitution: oracle SQL referencing run-written
+    // fixtures (the ANN recall family) derives its fixture path from the
+    // SAME sfDir this run used — so the 10×-SF sweep reaches those rows
+    // instead of reading another SF's fixture by a hardcoded path
+    val sfTag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{SF_TAG}}", sfTag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

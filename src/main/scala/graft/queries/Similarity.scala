@@ -94,14 +94,16 @@ object Similarity {
        |    WHERE q.vec_id <> e.vec_id$extraPred)
        |  WHERE rnk <= 5""".stripMargin
 
-  /** The fixture path tag is fixed to the driver's correctness SF
-    * (sf0.01) because oracle SQL is a static string; Verify at that SF
-    * writes the fixture the oracle reads. Absolute path: the DuckDB
-    * process's cwd is not ours to assume.
+  /** The fixture path tag is SF-parameterized through Verify's
+    * `{{SF_TAG}}` substitution (resolved at oracle-dump time from the
+    * run's actual sfDir), so the 10×-SF sweep verifies the ANN recall
+    * family too — each Verify run writes the fixture its own oracle
+    * reads. Absolute path: the DuckDB process's cwd is not ours to
+    * assume.
     */
   private def recallOracle(variant: String, extraPred: String): String =
     s"""WITH ann AS (SELECT query_id, neighbor_id FROM
-       |  '/root/repo/target/fixtures/annrecall_${variant}__root_testdata_sf0_01/*.parquet'),
+       |  '/root/repo/target/fixtures/annrecall_${variant}_{{SF_TAG}}/*.parquet'),
        |gt AS (${gtSql(extraPred)})
        |SELECT gt.query_id, CAST(COUNT(ann.neighbor_id) AS BIGINT) AS hits
        |FROM gt LEFT JOIN ann ON ann.query_id = gt.query_id
