@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY.md §2.9): media as opaque binary
   * columns with typed metadata, processed by per-partition batch UDFs.
   *
-  * DECODE is real for the header+arithmetic formats a few dozen lines
-  * can implement from their public specs — PPM (P6) and BMP (24-bit
-  * uncompressed) pixels, WAV 16-bit PCM samples — with matching
-  * encoders for fixtures and sinks; [[decodeStats]] dispatches on the
-  * magic bytes. Codec-bound formats (JPEG/PNG/MP3 — no codecs in this
-  * container) still fall to the clearly-marked deterministic STUB
-  * histogram, and every Spark-side piece around either path is real and
+  * DECODE is real for the formats implementable from their public specs
+  * with zero codec dependencies — PPM (P6) and BMP (24-bit uncompressed)
+  * pixels, non-interlaced 8-bit RGB/RGBA PNG (zlib via the JDK's
+  * Inflater + the 5 per-row filters), WAV 16-bit PCM samples — with
+  * matching encoders for fixtures and sinks; [[decodeStats]] dispatches
+  * on the magic bytes. Genuinely codec-bound formats (JPEG/MP3 — no
+  * codecs in this container) still fall to the clearly-marked
+  * deterministic STUB histogram, and every Spark-side piece around
+  * either path is real and
   * tested: the (blob, struct metadata) schema, partition-parallel
   * execution via typed mapPartitions (the Scala analogue of
   * mapInPandas' batched shape), the feature-vector output schema, and
@@ -137,6 +139,207 @@ object Multimodal {
     (w, h, rgb)
   }
 
+  // ---- PNG (non-interlaced, 8-bit, RGB/RGBA): the one compressed
+  // image format decodable with ZERO codec dependencies — zlib lives in
+  // the JDK (java.util.zip.Inflater), and the rest is the public spec's
+  // chunk walk (CRC32-validated) plus the 5 per-row filters. RGBA's
+  // alpha is dropped on decode (stats/phash work on RGB).
+
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def wrBe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG Paeth predictor (spec §9.4), on unsigned byte values. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode 8-bit RGB (or RGBA when `alpha` is given) as a valid
+    * non-interlaced PNG. `rowFilter` picks the filter type (0–4) per
+    * row — the spec round-trips all five against the decoder's
+    * unfiltering; production callers keep the default 0.
+    */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte],
+      alpha: Option[Array[Byte]] = None,
+      rowFilter: Int => Int = _ => 0): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes")
+    alpha.foreach(a => require(a.length == w * h, s"need ${w * h} alpha"))
+    val bpp = if (alpha.isDefined) 4 else 3
+    val stride = w * bpp
+    val px = alpha match {
+      case None => rgb
+      case Some(al) =>
+        val out = new Array[Byte](w * h * 4)
+        var i = 0
+        while (i < w * h) {
+          out(i * 4) = rgb(i * 3); out(i * 4 + 1) = rgb(i * 3 + 1)
+          out(i * 4 + 2) = rgb(i * 3 + 2); out(i * 4 + 3) = al(i)
+          i += 1
+        }
+        out
+    }
+    // filter (the forward transform of the decoder's unfiltering)
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = rowFilter(y)
+      require(ft >= 0 && ft <= 4, s"filter type $ft")
+      raw(y * (1 + stride)) = ft.toByte
+      var k = 0
+      while (k < stride) {
+        val x = px(y * stride + k) & 0xff
+        val a = if (k >= bpp) px(y * stride + k - bpp) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * stride + k) & 0xff else 0
+        val c = if (y > 0 && k >= bpp) px((y - 1) * stride + k - bpp) & 0xff
+          else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + k) = (f & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(tmp)
+      zBuf.write(tmp, 0, n)
+    }
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(64 + zBuf.size())
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      wrBe32(out, data.length)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t, 0, 4); crc.update(data, 0, data.length)
+      wrBe32(out, crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    wrBe32(ihdr, w); wrBe32(ihdr, h)
+    ihdr.write(8); ihdr.write(if (alpha.isDefined) 6 else 2)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", zBuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** (width, height, packed RGB top-down) of a non-interlaced 8-bit
+    * RGB/RGBA PNG. Chunk CRCs are validated; RGBA's alpha is dropped.
+    * Corrupt streams (bad CRC, truncated zlib, wrong lengths) refuse
+    * loudly — the extraction wrappers count them as kind='corrupt'.
+    */
+  private[graft] def decodePng(blob: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(blob.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(blob, 8), PngSig), "not PNG")
+    var i = 8
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var seenEnd = false
+    while (!seenEnd) {
+      require(i + 12 <= blob.length, "truncated chunk header")
+      val len = beInt(blob, i)
+      require(len >= 0 && i + 12L + len <= blob.length,
+        s"corrupt chunk size $len at offset $i")
+      val typ = new String(blob, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(blob, i + 4, 4 + len)
+      require(crc.getValue.toInt == beInt(blob, i + 8 + len),
+        s"bad CRC for chunk $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          w = beInt(blob, i + 8); h = beInt(blob, i + 12)
+          val bitDepth = blob(i + 16) & 0xff
+          colorType = blob(i + 17) & 0xff
+          require(bitDepth == 8, s"only 8-bit supported, got $bitDepth")
+          require(colorType == 2 || colorType == 6,
+            s"only RGB/RGBA supported, got color type $colorType")
+          require((blob(i + 18) & 0xff) == 0 && (blob(i + 19) & 0xff) == 0,
+            "unknown compression/filter method")
+          require((blob(i + 20) & 0xff) == 0, "interlaced PNG unsupported")
+          require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+            s"bad dimensions ${w}x$h")
+        case "IDAT" => idat.write(blob, i + 8, len)
+        case "IEND" => seenEnd = true
+        case _      => () // ancillary chunks skip cleanly
+      }
+      i += 12 + len
+    }
+    require(colorType >= 0, "no IHDR chunk")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        require(n > 0 || !inf.needsInput(), "truncated zlib stream")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt zlib stream: ${e.getMessage}")
+    } finally inf.end()
+    require(off == raw.length, s"short pixel data: $off of ${raw.length}")
+    // unfilter (spec §9): each row's filter byte then recon in place
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"unknown filter type $ft")
+      var k = 0
+      while (k < stride) {
+        val f = raw(y * (1 + stride) + 1 + k) & 0xff
+        val a = if (k >= bpp) px(y * stride + k - bpp) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * stride + k) & 0xff else 0
+        val c = if (y > 0 && k >= bpp) px((y - 1) * stride + k - bpp) & 0xff
+          else 0
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+        }
+        px(y * stride + k) = (recon & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    if (colorType == 2) (w, h, px)
+    else {
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        rgb(p * 3) = px(p * 4); rgb(p * 3 + 1) = px(p * 4 + 1)
+        rgb(p * 3 + 2) = px(p * 4 + 2)
+        p += 1
+      }
+      (w, h, rgb)
+    }
+  }
+
   // ---- WAV: RIFF/WAVE container, PCM (format 1) 16-bit mono/stereo;
   // chunks walked by id+size so extra chunks (LIST, fact) skip cleanly.
 
@@ -189,6 +392,20 @@ object Multimodal {
     data
   }
 
+  /** Magic-byte dispatch to the real IMAGE decoders (PPM/BMP/PNG);
+    * None for non-images and codec-bound formats.
+    */
+  private[graft] def decodeImage(blob: Array[Byte])
+      : Option[(String, Int, Int, Array[Byte])] =
+    if (blob.length >= 2 && blob(0) == 'P' && blob(1) == '6') {
+      val (w, h, rgb) = decodePpm(blob); Some(("ppm", w, h, rgb))
+    } else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') {
+      val (w, h, rgb) = decodeBmp(blob); Some(("bmp", w, h, rgb))
+    } else if (blob.length >= 8 && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(blob, 8), PngSig)) {
+      val (w, h, rgb) = decodePng(blob); Some(("png", w, h, rgb))
+    } else None
+
   /** Magic-byte dispatch to the real decoders; None for codec-bound
     * formats (those take the labeled stub-histogram path).
     */
@@ -202,10 +419,11 @@ object Multimodal {
       }
       DecodedStats(kind, rgb.length / 3, sum, mx)
     }
-    if (blob.length >= 2 && blob(0) == 'P' && blob(1) == '6')
-      Some(imageStats("ppm", decodePpm(blob)._3))
-    else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M')
-      Some(imageStats("bmp", decodeBmp(blob)._3))
+    val img = decodeImage(blob)
+    if (img.isDefined) {
+      val (kind, _, _, rgb) = img.get
+      Some(imageStats(kind, rgb))
+    }
     else if (blob.length >= 12 &&
         new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
         new String(blob, 8, 4, "US-ASCII") == "WAVE") {
@@ -246,11 +464,11 @@ object Multimodal {
         (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
         col("text").cast("binary").as("blob"))
 
-  /** STUB decoder for CODEC-BOUND formats only (JPEG/PNG/MP3 — no
-    * codecs in this container): a real implementation would decode and
+  /** STUB decoder for CODEC-BOUND formats only (JPEG/MP3 — no codecs
+    * in this container): a real implementation would decode and
     * extract model features; here it computes a 16-bin byte histogram,
     * normalized — deterministic, schema-identical to a real extractor.
-    * PPM/BMP/WAV take the REAL decoders above via [[decodeStats]].
+    * PPM/BMP/PNG/WAV take the REAL decoders above via [[decodeStats]].
     */
   private[graft] def decodeFeaturesStub(blob: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
@@ -321,6 +539,30 @@ object Multimodal {
       }.toDF("media_id", "blob")
   }
 
+  /** Deterministic PNG fixture over the SAME pixel field as
+    * [[syntheticCodecTable]]'s images ([[synthPixels]]): every doc_id
+    * encodes as a genuine zlib-compressed PNG — RGB for even ids, RGBA
+    * for odd ids (alpha = (17d+11i)%256, which decode must DROP — a
+    * decoder that leaks alpha into the pixel stream shifts the stats) —
+    * with the row filter varying (d+y)%5, so all five unfilter rules sit
+    * on the value-gated path, not just the spec.
+    */
+  def syntheticPngTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val (w, h, rgb) = synthPixels(d)
+          val alpha =
+            if (d % 2 == 0) None
+            else Some(Array.tabulate(w * h)(i =>
+              ((17 * d + 11 * i) % 256).toByte))
+          (d, encodePng(w, h, rgb, alpha = alpha,
+            rowFilter = y => ((d + y) % 5).toInt))
+        }
+      }.toDF("media_id", "blob")
+  }
+
   /** Partition-parallel REAL decode: one [[decodeStats]] per blob,
     * batched per partition; rows whose format has no offline decoder
     * surface with kind='undecodable', and blobs whose known-magic bytes
@@ -379,13 +621,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, blob) =>
-          def decoded: Option[(String, Int, Int, Array[Byte])] =
-            if (blob.length >= 2 && blob(0) == 'P' && blob(1) == '6') {
-              val (w, h, rgb) = decodePpm(blob); Some(("ppm", w, h, rgb))
-            } else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') {
-              val (w, h, rgb) = decodeBmp(blob); Some(("bmp", w, h, rgb))
-            } else None
-          try decoded match {
+          try decodeImage(blob) match {
             case Some((kind, w, h, rgb)) =>
               val r = resizeNearest(rgb, w, h, ow, oh)
               var sum = 0L; var mx = 0L; var i = 0
@@ -443,14 +679,8 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, blob) =>
-        try {
-          val decoded =
-            if (blob.length >= 2 && blob(0) == 'P' && blob(1) == '6')
-              Some(decodePpm(blob))
-            else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M')
-              Some(decodeBmp(blob))
-            else None
-          decoded.map { case (w, h, rgb) => (id, dHash(rgb, w, h)) }
+        try decodeImage(blob).map { case (_, w, h, rgb) =>
+          (id, dHash(rgb, w, h))
         } catch {
           case scala.util.control.NonFatal(_) => None
         }

@@ -338,6 +338,42 @@ object Multimodal {
           sum(col("n_samples")).cast("long").as("n_samples"),
           sum(col("near_silent")).cast("long").as("silent_samples"))
         .orderBy(col("zero_crossings"))
+    },
+
+    // REAL PNG decode (zlib via the JDK Inflater + the 5 per-row
+    // filters), value-gated: every document's pixel field encodes as a
+    // genuine compressed PNG — RGB for even ids, RGBA for odd (whose
+    // alpha plane the decoder must DROP; leaking it into the pixel
+    // stream shifts sum1) — with the filter type varying per row, so
+    // Sub/Up/Average/Paeth unfiltering all sit under the driver hash.
+    // DuckDB replays the pure pixel formula; any inflate, unfilter or
+    // channel bug reddens the row. Map-only decode, histogram-sized
+    // aggregate.
+    QueryDef.sqlBacked(
+      "q366_png_decode",
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |img AS (SELECT d, 4 + d % 5 AS w, 3 + d % 4 AS h FROM d),
+        |px AS (SELECT d, w * h AS units, i.range AS i
+        |  FROM img CROSS JOIN range(48) i WHERE i.range < w * h),
+        |lum AS (SELECT d, units,
+        |    (7 * d + 3 * i) % 256 + (11 * d + 5 * i) % 256
+        |      + (13 * d + 7 * i) % 256 AS lum3
+        |  FROM px),
+        |agg AS (SELECT d, units, SUM(lum3) AS s1, MAX(lum3) AS m1
+        |  FROM lum GROUP BY 1, 2)
+        |SELECT CAST(d % 2 AS BIGINT) AS parity,
+        |  CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(units) AS BIGINT) AS units,
+        |  CAST(SUM(s1) AS BIGINT) AS sum1,
+        |  CAST(MAX(m1) AS BIGINT) AS max1
+        |FROM agg GROUP BY 1 ORDER BY parity""".stripMargin) { (s, dir) =>
+      MM.extractDecodedStats(s, MM.syntheticPngTable(s, dir))
+        .groupBy((col("media_id") % 2).cast("long").as("parity"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("units")).cast("long").as("units"),
+          sum(col("sum1")).cast("long").as("sum1"),
+          max(col("max1")).cast("long").as("max1"))
+        .orderBy(col("parity"))
     }
   )
 }

@@ -125,6 +125,45 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head.getLong(1) == -1L)
   }
 
+  test("PNG round-trips: all 5 filter types, RGB and RGBA, and the " +
+      "cross-format dHash twin") {
+    val (w, h) = (7, 6)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    // every filter type exercised in one image (row y uses filter y%5),
+    // both color types (RGBA's alpha must decode away losslessly)
+    val filters = (y: Int) => y % 5
+    val png = Multimodal.encodePng(w, h, rgb, rowFilter = filters)
+    val (dw0, dh0, drgb0) = Multimodal.decodePng(png)
+    assert(dw0 == w && dh0 == h && drgb0.sameElements(rgb))
+    val alpha = Array.tabulate(w * h)(i => ((i * 13 + 5) % 256).toByte)
+    val rgba = Multimodal.encodePng(w, h, rgb, alpha = Some(alpha),
+      rowFilter = filters)
+    assert(Multimodal.decodePng(rgba)._3.sameElements(rgb))
+    // single-filter round-trips too (isolates each unfilter rule)
+    (0 to 4).foreach { ft =>
+      val p = Multimodal.encodePng(w, h, rgb, rowFilter = _ => ft)
+      assert(Multimodal.decodePng(p)._3.sameElements(rgb), s"filter $ft")
+    }
+    // decodeStats dispatches PNG by signature
+    assert(Multimodal.decodeStats(png).exists(_.kind == "png"))
+    // the perceptual hash sees THROUGH the format: the same pixels as
+    // PPM, BMP and PNG give one identical dHash
+    val ppm = Multimodal.encodePpm(w, h, rgb)
+    val bmp = Multimodal.encodeBmp(w, h, rgb)
+    val dh = Multimodal.dHash(rgb, w, h)
+    Seq(png, rgba, ppm, bmp).foreach { blob =>
+      val (_, dw, dhh, drgb) = Multimodal.decodeImage(blob).get
+      assert(Multimodal.dHash(drgb, dw, dhh) == dh)
+    }
+    // corrupt streams refuse loudly: CRC flip and truncated zlib
+    val crcFlip = png.clone(); crcFlip(png.length - 1) =
+      (crcFlip(png.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Multimodal.decodePng(crcFlip))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePng(png.take(png.length / 2) ++
+        png.takeRight(12))) // keep a valid IEND so the walk terminates
+  }
+
   test("stub decoder histogram matches a local recomputation") {
     val one = Multimodal.mediaTable(spark, sf)
       .filter(col("media_id") === 0).select("blob").collect()(0)
