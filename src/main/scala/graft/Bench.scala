@@ -184,6 +184,22 @@ object Bench {
     val totalIso = results.map { case (k, v) =>
       math.min(v, remeasured.getOrElse(k, v))
     }.sum
+    // Adjudicated cost anchors ride the prior resource and are echoed
+    // into the artifact, so a reader sees WHY a row is expensive without
+    // hunting past verdicts (q210 serial oracle anchor, q361 streaming
+    // machinery). Echo only anchors for queries actually in this run.
+    val anchors: Map[String, String] = Option(
+        getClass.getResourceAsStream("/graft/bench_prior.json"))
+      .map { in =>
+        val txt = try scala.io.Source.fromInputStream(in).mkString
+          finally in.close()
+        "\"(q\\d+)\":\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }.getOrElse(Map.empty)
+      .filter { case (k, _) => results.keys.exists(short(_) == k) }
+    val as = anchors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val loadEnd = loadavg()
     val calibEnd = calibrate()
     spark.stop()
@@ -192,6 +208,6 @@ object Bench {
     // FIRST and the summary + noise annotations (value / value_isolated /
     // remeasured / load + calibration) LAST so the numbers that matter
     // survive tail truncation.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"remeasured":$rs,"loadavg":"$loadStart","loadavg_end":"$loadEnd","calib_s":${f"$calibStart%.3f"},"calib_end_s":${f"$calibEnd%.3f"},"value_isolated":${f"$totalIso%.3f"},"value":${f"$total%.3f"}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"remeasured":$rs,"anchors":$as,"loadavg":"$loadStart","loadavg_end":"$loadEnd","calib_s":${f"$calibStart%.3f"},"calib_end_s":${f"$calibEnd%.3f"},"value_isolated":${f"$totalIso%.3f"},"value":${f"$total%.3f"}}""")
   }
 }

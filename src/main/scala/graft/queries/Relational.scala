@@ -724,9 +724,13 @@ object Relational {
     // level): one pass builds a sketch per (partition, flag), merges
     // run on a |flags|×|partitions| frame, and the EXACT ranks of the
     // merged sketch's p10/p50/p90 must land within ±2% of their
-    // targets (k = 400 ⇒ ~0.45% guaranteed rank error — the booleans
-    // hold with overwhelming margin despite KLL's randomized
-    // compaction). Oracle recomputes only the exact anchors.
+    // targets. PROBABILISTIC GATE, deliberately: DataSketches KLL has
+    // no seeding API (compaction uses its own RNG), so the booleans
+    // are nondeterministic in principle — k = 800 puts the 99%-
+    // confidence rank error at ~0.22%, nine-sigma-class margin under
+    // the 2% gate, so a red here means a BUG (merge/serialization
+    // corruption), not sketch luck. Oracle recomputes only the exact
+    // anchors.
     QueryDef.sqlBacked(
       "q364_kll_quantile_gate",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -735,7 +739,7 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val K = 400
+      val K = 800
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
       val sk = li.as[(String, Double)]
