@@ -752,15 +752,34 @@ object TableWriter {
     // with the files already on disk. Callers hand in logical frames;
     // this is the single point where every write path translates.
     // (Partition columns never map — renameColumn refuses them.)
-    val mapping =
-      if (version == 0L) Map.empty[String, String]
+    val tableMeta: Option[Metadata] =
+      if (version == 0L) None
       else {
         val l = new TxnLog(tablePath, conf)
-        if (l.latestVersion().isEmpty) Map.empty[String, String]
-        else l.snapshotLatest().metadata.map(_.columnMapping)
-          .getOrElse(Map.empty)
+        if (l.latestVersion().isEmpty) None else l.snapshotLatest().metadata
       }
-    val physDf = ColumnMapping.toPhysical(df, mapping)
+    val mapping = tableMeta.map(_.columnMapping).getOrElse(Map.empty)
+    val physDf0 = ColumnMapping.toPhysical(df, mapping)
+
+    // Optimized write (`graft.optimizeWrite` table property, Delta's
+    // optimizeWrite idea): ONE adaptive REBALANCE before staging sizes
+    // output files at birth — N tiny upstream shuffle partitions (the
+    // classic 32-shuffle-partitions × many-partition-values flood)
+    // bin-pack to `spark.sql.adaptive.advisoryPartitionSizeInBytes`-
+    // sized tasks, and a skewed partition value SPLITS instead of
+    // funneling one giant file. AQE does the sizing from runtime map
+    // statistics, so there is no extra count job or second computation
+    // of the input. Partitioned tables rebalance ON the partition
+    // columns, co-locating each value's rows so a task writes whole
+    // files per value instead of a sliver of every value. Prevention at
+    // write time; autoCompact stays the after-the-fact repair.
+    val physDf = tableMeta.map(_.properties).getOrElse(Map.empty)
+      .get("graft.optimizeWrite").filter(_.equalsIgnoreCase("true"))
+      .map { _ =>
+        if (partitionBy.nonEmpty)
+          physDf0.hint("rebalance", partitionBy.map(col): _*)
+        else physDf0.hint("rebalance")
+      }.getOrElse(physDf0)
 
     val writer = if (partitionBy.nonEmpty) physDf.write.partitionBy(partitionBy: _*)
     else physDf.write
