@@ -75,15 +75,22 @@ object Convert {
       .filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
 
     // schema AFTER discovery so the partition-column types can be vetted:
-    // Spark's directory read unifies footers and types the hive partition
-    // columns (date/numeric inference included). An UNPARTITIONED lake
-    // infers from the discovered FILE LIST instead — a directory read
-    // does not descend plain (non-hive) nested subdirectories, so a
-    // skewed deep tree would fail schema inference despite a complete
-    // discovery (footers only either way; metadata-cheap)
+    // Spark's directory read types the hive partition columns
+    // (date/numeric inference included). An UNPARTITIONED lake infers
+    // from the discovered list instead — a directory read does not
+    // descend plain (non-hive) nesting — and from ONE footer by default:
+    // Spark's own mergeSchema=false semantics read a single footer
+    // anyway, and handing it all N paths re-LISTS every file (an
+    // O(files) walk the rehearsal spec flagged); opting into
+    // spark.sql.parquet.mergeSchema=true unions all footers, as it
+    // would for any parquet read
     val schema =
-      if (partCols.isEmpty) spark.read.parquet(files.map(_._4): _*).schema
-      else spark.read.parquet(dir).schema
+      if (partCols.isEmpty) {
+        val merge = spark.conf.getOption("spark.sql.parquet.mergeSchema")
+          .exists(_.equalsIgnoreCase("true"))
+        val srcs = if (merge) files.map(_._4) else Seq(files.head._4)
+        spark.read.parquet(srcs: _*).schema
+      } else spark.read.parquet(dir).schema
     partCols.foreach { c =>
       schema.find(_.name == c).map(_.dataType).foreach {
         case org.apache.spark.sql.types.TimestampType |

@@ -173,6 +173,7 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     // listing (the 100 TB shape) from a driver walk
     if (org.apache.spark.TaskContext.get() != null)
       CountingMockFs.taskLists.incrementAndGet()
+    else CountingMockFs.driverLists.incrementAndGet()
     super.listStatus(p)
   }
   // EVERY create overload of RawLocalFileSystem funnels through this
@@ -190,5 +191,6 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 object CountingMockFs {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskLists = new java.util.concurrent.atomic.AtomicInteger(0)
+  val driverLists = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskCreates = new java.util.concurrent.atomic.AtomicInteger(0)
 }
