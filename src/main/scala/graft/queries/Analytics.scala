@@ -2211,6 +2211,50 @@ object Analytics {
           expr("CAST(ABS(num) * 1000000 DIV GREATEST(den, 1) AS BIGINT)")
             .as("kappa_abs_ppm"))
         .orderBy(col("source"))
+    },
+
+    // Classifier CALIBRATION curve + Brier score (the reliability
+    // diagram every quality-filter model ships with): a deterministic
+    // length-based "predicted quality" in exact ppm vs a deterministic
+    // binary label, rolled to 10 score deciles — per bin the count,
+    // the mean prediction, the observed positive rate, and the mean
+    // Brier term Σ(p−y)²/n, all in the wide-integer protocol
+    // (DECIMAL(38,0) sums ↔ HUGEINT; the only narrowing DIV is the
+    // final small per-bin result). A well-calibrated screen has
+    // mean_p_ppm ≈ frac_pos_ppm per bin — the drift between them is
+    // the number a curation pipeline alerts on.
+    QueryDef.sqlBacked(
+      "q367_calibration_curve",
+      """WITH s AS (SELECT
+        |    LEAST(n_chars, 2000) * 500 AS p,
+        |    CASE WHEN length(text) - length(replace(text, 'e', '')) > 40
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT LEAST(p // 100000, 9) AS bin, p, y FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(p) AS HUGEINT) // COUNT(*) AS BIGINT)
+        |    AS mean_p_ppm,
+        |  CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS frac_pos_ppm,
+        |  CAST(CAST(SUM((p - y * 1000000) * (p - y * 1000000))
+        |    AS HUGEINT) // COUNT(*) AS BIGINT) AS brier_e12
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(expr("least(n_chars, 2000) * 500").as("p"),
+          expr("CASE WHEN length(text) - length(replace(text, 'e', '')) " +
+            "> 40 THEN 1 ELSE 0 END").as("y"))
+        .withColumn("bin", expr("least(p DIV 100000, 9)"))
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(p AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)")
+            .as("mean_p_ppm"),
+          expr("CAST(SUM(CAST(y AS DECIMAL(38,0))) * 1000000 DIV COUNT(*) " +
+            "AS BIGINT)").as("frac_pos_ppm"),
+          expr("CAST(SUM(CAST(p - y * 1000000 AS DECIMAL(38,0)) * " +
+            "CAST(p - y * 1000000 AS DECIMAL(38,0))) DIV COUNT(*) " +
+            "AS BIGINT)").as("brier_e12"))
+        .orderBy(col("bin"))
     }
   )
 }

@@ -48,6 +48,28 @@ object Maintenance {
     dir
   }
 
+  /** Overlapping-file-range fixture for the clustering-depth audit:
+    * v0 lays lineitem out in 6 disjoint l_orderkey ranges (depth 1);
+    * v1 appends an UNSORTED slice in 2 full-range files, so every key
+    * range now has depth ≥ 1 with spans reaching 3 — the layout decay
+    * OPTIMIZE exists to repair.
+    */
+  def overlapFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"target/fixtures/ovl_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new TxnLog(dir, conf)
+    if (log.versions() == Seq(0L, 1L)) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    TableWriter.write(spark, li.repartitionByRange(6, col("l_orderkey")),
+      dir, version = 0L, commitTs = 1000L)
+    TableWriter.write(spark,
+      li.filter(col("l_orderkey") % 3 === 0).coalesce(2),
+      dir, version = 1L, commitTs = 2000L)
+    dir
+  }
+
   /** v0: lineitem %7 partitioned by l_returnflag; v1: full-sync of the
     * 'R' partition — kept rows (%5≠0) arrive with qty+100, %5=0 rows
     * are absent from the source (deleted), %11-not-%7 rows are new
@@ -3426,6 +3448,56 @@ object Maintenance {
         .withColumn("delete_was_dv_only", lit(dvOnly))
         .withColumn("raw_files_clean", lit(rawClean))
         .orderBy(col("band"))
+    },
+
+    // CLUSTERING-DEPTH audit (the OPTIMIZE advisor's headline number,
+    // Delta/Iceberg's "overlap depth"): per key range, how many files a
+    // point lookup on l_orderkey must open — computed by the classic
+    // interval SWEEP over per-file [min, max] envelopes (+1 at min, -1
+    // past max, running sum), NEVER a file-pair join. The per-file
+    // envelopes come from grouping the scan by the _graft_file metadata
+    // column; DuckDB re-derives them with read_parquet(filename=true)
+    // over the same fixture (path SF-parameterized via {{SF_TAG}}), so
+    // the metadata column, the envelope math and the sweep all ride the
+    // driver hash. The fixture overlays 2 unsorted full-range files on
+    // 6 disjoint ranges — depth spans 1..3, the decay OPTIMIZE repairs.
+    // The event frame is 2·|files| rows, so the unpartitioned running-
+    // sum window is CONSTANT-bounded by design (q315's rule).
+    QueryDef.sqlBacked(
+      "q368_clustering_depth",
+      """WITH f AS (SELECT filename,
+        |    MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+        |  FROM read_parquet(
+        |    '/root/repo/target/fixtures/ovl_{{SF_TAG}}/*.parquet',
+        |    filename=true)
+        |  GROUP BY 1),
+        |ev AS (SELECT pos, SUM(d) AS d FROM (
+        |    SELECT mn AS pos, 1 AS d FROM f
+        |    UNION ALL SELECT mx + 1, -1 FROM f) GROUP BY pos),
+        |sw AS (SELECT pos,
+        |    SUM(d) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS depth,
+        |    LEAD(pos) OVER (ORDER BY pos) AS nxt
+        |  FROM ev)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(SUM(nxt - pos) AS BIGINT) AS span_keys
+        |FROM sw WHERE depth > 0 AND nxt IS NOT NULL
+        |GROUP BY 1 ORDER BY depth""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val table = overlapFixture(s, dir)
+      val t = s.read.format("graft").option("tablePath", table).load()
+      val f = t.groupBy(col("_graft_file"))
+        .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+      val ev = f.select(col("mn").as("pos"), lit(1L).as("d"))
+        .unionAll(f.select((col("mx") + 1).as("pos"), lit(-1L).as("d")))
+        .groupBy(col("pos")).agg(sum(col("d")).as("d"))
+      val byPos = Window.orderBy(col("pos"))
+      ev.withColumn("depth", sum(col("d")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nxt", lead(col("pos"), 1).over(byPos))
+        .filter(col("depth") > 0 && col("nxt").isNotNull)
+        .groupBy(col("depth").cast("long").as("depth"))
+        .agg(sum(col("nxt") - col("pos")).cast("long").as("span_keys"))
+        .orderBy(col("depth"))
     }
   )
 }

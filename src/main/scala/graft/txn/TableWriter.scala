@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions.{coalesce, col, expr}
   * partition), so the data path scales with the cluster; only the
   * file-list commit is driver-side.
   */
-object TableWriter {
+// Serializable because the big-commit move pass ships a closure over
+// this module's helpers (footerStats, partitionValuesOf) to executors —
+// the module is stateless, so serializing the reference is free.
+object TableWriter extends Serializable {
 
   /** Max CODE POINTS of a string min/max bound in the log (Delta caps at
     * 32 by default; 64 keeps every current fixture's bounds exact).
@@ -783,34 +786,78 @@ object TableWriter {
 
     val writer = if (partitionBy.nonEmpty) physDf.write.partitionBy(partitionBy: _*)
     else physDf.write
-    writer.mode("overwrite").parquet(staging.toString)
+    // Staging writes use the TASK-COMMIT committer (fileoutputcommitter
+    // algorithm 2): each task renames its output into the staging dir
+    // at task end, so job commit never walks _temporary on the driver —
+    // an O(output files) listing walk at a 5k-file commit. v2's usual
+    // caveat (partial output visible after a failed job) is moot HERE:
+    // the staging dir is private to this attempt, table-level atomicity
+    // is the LOG commit, and leftover staging dirs are deleted/swept.
+    writer
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .mode("overwrite").parquet(staging.toString)
 
-    val adds = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    // Enumerate staged output: one listStatus per STAGING DIRECTORY
+    // (driver O(dirs) — the file metadata rides the listing); the
+    // per-FILE work (one rename RPC + one footer read each) is what
+    // scales with output size, and runs as a cluster job past the
+    // threshold — a 5k-file commit must not serialize 5k footer opens
+    // through the driver. Small commits (the overwhelmingly common
+    // case) keep the zero-job driver loop.
+    val staged = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)] // (src path, rel dir, size)
     def visit(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) visit(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-        else if (name.endsWith(".parquet")) {
-          val destRel =
-            (if (rel.isEmpty) "" else s"$rel/") +
-              f"part-$version%05d-${adds.size}%05d-$attemptId.parquet"
-          val dest = new Path(table, destRel)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
-            throw new IllegalStateException(s"rename failed: $dest")
-          adds += AddFile(
-            path = destRel,
-            partitionValues = partitionValuesOf(rel),
-            size = st.getLen,
-            modificationTime = commitTs,
-            dataChange = dataChange,
-            stats = footerStats(dest, conf))
-        }
+        else if (name.endsWith(".parquet"))
+          staged += ((st.getPath.toString, rel, st.getLen))
       }
     visit(staging, "")
+    val named = staged.sortBy(t => (t._2, t._1)).zipWithIndex.map {
+      case ((src, rel, len), i) =>
+        val destRel = (if (rel.isEmpty) "" else s"$rel/") +
+          f"part-$version%05d-$i%05d-$attemptId.parquet"
+        (src, rel, len, destRel)
+    }.toSeq
+    // destination dirs pre-created on the driver (O(dirs), idempotent)
+    named.map(_._4).map(r => new Path(table, r).getParent).distinct
+      .foreach(fs.mkdirs)
+    def moveOne(src: String, rel: String, len: Long, destRel: String,
+        c: org.apache.hadoop.conf.Configuration): AddFile = {
+      val s = new Path(src)
+      val dest = new Path(TxnLog.dataPath(tablePath, destRel))
+      val dfs = dest.getFileSystem(c)
+      if (!dfs.rename(s, dest))
+        throw new IllegalStateException(s"rename failed: $dest")
+      AddFile(
+        path = destRel,
+        partitionValues = partitionValuesOf(rel),
+        size = len,
+        modificationTime = commitTs,
+        dataChange = dataChange,
+        stats = footerStats(dest, c))
+    }
+    val adds: Seq[AddFile] =
+      if (named.size <= DriverMoveThreshold)
+        named.map { case (s, r, l, d) => moveOne(s, r, l, d, conf) }
+      else {
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        spark.sparkContext
+          .parallelize(named, math.max(1, math.min(named.size, 64)))
+          .map { case (s, r, l, d) => moveOne(s, r, l, d, serConf.value) }
+          .collect().toSeq.sortBy(_.path)
+      }
     fs.delete(staging, true)
-    adds.toSeq
+    adds
   }
+
+  /** Staged-file count above which the rename + footer-stats pass runs
+    * as a cluster job instead of the driver loop (Fsck's
+    * DriverDirThreshold pattern): small commits stay zero-job, big ones
+    * never serialize per-file RPCs through the driver.
+    */
+  private val DriverMoveThreshold = 64
 
   /** Column stats from the parquet footer (no data read): row count plus
     * min/max for long/int/double/float/string columns across row groups.

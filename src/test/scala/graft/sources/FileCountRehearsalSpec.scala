@@ -106,6 +106,33 @@ class FileCountRehearsalSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, lake).count() == Files.toLong)
   }
 
+  test("a thousands-of-files COMMIT moves and footer-reads in tasks, " +
+      "never a driver-serial loop") {
+    scheme
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("mockfs_5k_w")
+    java.nio.file.Files.delete(p)
+    val table = s"mockfs://$p"
+    val d0 = CountingMockFs.driverOpens.get()
+    val dl0 = CountingMockFs.driverLists.get()
+    TableWriter.write(spark,
+      spark.range(0L, 3000L, 1L, 32).select(col("id")).repartition(3000),
+      table, version = 0L, commitTs = 1000L)
+    val dOpens = CountingMockFs.driverOpens.get() - d0
+    val dLists = CountingMockFs.driverLists.get() - dl0
+    info(s"bigWrite: driverOpens=$dOpens driverLists=$dLists")
+    // footer stats of ~1.8k staged files must read in tasks; the
+    // driver's opens are log/schema-scale, its listings staging-dir-scale
+    assert(dOpens <= 50, s"driver footer reads must not scale with " +
+      s"files, got $dOpens")
+    assert(dLists <= 100, s"driver listings must stay O(dirs), got $dLists")
+    val snap = new TxnLog(table, spark.sessionState.newHadoopConf())
+      .snapshotLatest()
+    assert(snap.files.size > 1000)
+    assert(snap.files.forall(_.stats.isDefined), "footer stats required")
+    assert(SnapshotReader.read(spark, table).count() == 3000L)
+  }
+
   test("COPY INTO ingesting 5k source files: discovery in tasks, one " +
       "commit with 5k idempotence markers") {
     converted

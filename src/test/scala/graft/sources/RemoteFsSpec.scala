@@ -165,6 +165,8 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def open(p: Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream = {
     CountingMockFs.opens.incrementAndGet()
+    if (org.apache.spark.TaskContext.get() == null)
+      CountingMockFs.driverOpens.incrementAndGet()
     super.open(p, bufferSize)
   }
   override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
@@ -190,6 +192,7 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 
 object CountingMockFs {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val driverOpens = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskLists = new java.util.concurrent.atomic.AtomicInteger(0)
   val driverLists = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskCreates = new java.util.concurrent.atomic.AtomicInteger(0)
