@@ -1551,6 +1551,57 @@ object Relational {
       }
       import s.implicits._
       rows.toDF("suppkey", "true_cnt", "never_undercounts", "within_eps")
+    },
+
+    // REFERENTIAL-INTEGRITY audit (the warehouse DQ screen before any
+    // FK-assuming join): orphan rate of orders→customer and
+    // lineitem→orders in exact ppm, with orphans PLANTED (re-added
+    // orders under negated keys) so the detector provably fires — the
+    // TPC-H generator itself never breaks a FK. One left join + one
+    // conditional aggregate per edge; at scale the dim side broadcasts
+    // or shuffles by the FK as AQE sizes it.
+    QueryDef.sqlBacked(
+      "q369_referential_integrity",
+      """WITH ords AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT -o_orderkey, -o_custkey FROM orders
+        |  WHERE o_orderkey % 1000 = 0),
+        |o AS (SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS orph
+        |  FROM ords LEFT JOIN customer c ON o_custkey = c.c_custkey),
+        |l AS (SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE o2.o_orderkey IS NULL) AS orph
+        |  FROM lineitem LEFT JOIN ords o2 ON l_orderkey = o2.o_orderkey)
+        |SELECT CAST(o.n AS BIGINT) AS orders_n,
+        |  CAST(o.orph AS BIGINT) AS orphan_orders,
+        |  CAST(o.orph * 1000000 // o.n AS BIGINT) AS orphan_orders_ppm,
+        |  CAST(l.n AS BIGINT) AS lineitem_n,
+        |  CAST(l.orph AS BIGINT) AS orphan_lineitems,
+        |  CAST(l.orph * 1000000 // l.n AS BIGINT) AS orphan_lineitems_ppm
+        |FROM o, l""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "orders")
+      val ords = base.select(col("o_orderkey"), col("o_custkey"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            (-col("o_custkey")).as("o_custkey")))
+      val cust = Tables.load(s, dir, "customer").select(col("c_custkey"))
+      val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"))
+      val o = ords.join(cust, col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("c_custkey").isNull, 1)).as("orph"))
+        .select(col("n").as("orders_n"), col("orph").as("orphan_orders"),
+          expr("orph * 1000000 DIV n").as("orphan_orders_ppm"))
+      val l = li.join(ords, col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_orderkey").isNull, 1)).as("orph"))
+        .select(col("n").as("lineitem_n"),
+          col("orph").as("orphan_lineitems"),
+          expr("orph * 1000000 DIV n").as("orphan_lineitems_ppm"))
+      o.crossJoin(l) // two 1-row frames
+        .select(col("orders_n"), col("orphan_orders"),
+          col("orphan_orders_ppm"), col("lineitem_n"),
+          col("orphan_lineitems"), col("orphan_lineitems_ppm"))
     }
   )
 }

@@ -1627,6 +1627,46 @@ object Text {
         .orderBy(col("source"))
     },
 
+    // PII REDACTION as a TRANSFORM (q327 audits; this one produces the
+    // cleaned corpus): emails/phones replace with fixed masks, and the
+    // gate is the STRONGEST form — one md5 fingerprint per CHANGED
+    // document rides the driver hash, so a single wrong replacement
+    // boundary in one document reddens the row. Same planted PII and
+    // the same regexes as q327 (DuckDB needs the 'g' flag — its
+    // regexp_replace is first-match by default, Spark's is global).
+    // Map-only; output is changed-docs-sized.
+    QueryDef.sqlBacked(
+      "q370_pii_redact",
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' contact user'
+        |        || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE text END
+        |    || CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567 now'
+        |      ELSE '' END AS t FROM documents),
+        |r AS (SELECT doc_id, t, regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g'), '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS red
+        |  FROM c)
+        |SELECT doc_id, md5(red) AS fp FROM r WHERE red <> t
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val t = concat(
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(col("text")),
+        when(col("doc_id") % 17 === 0, lit(" call 555-123-4567 now"))
+          .otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .withColumn("red", regexp_replace(
+          regexp_replace(col("t"), email, "[EMAIL]"), phone, "[PHONE]"))
+        .filter(col("red") =!= col("t"))
+        .select(col("doc_id"), md5(col("red")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // Character-set overhead screen: UTF-8 multibyte share per language
     // — bytes vs chars on one raw scan, the cheap proxy for "is this
     // slice really the script it claims" (a 'zh' slice that is 100%
