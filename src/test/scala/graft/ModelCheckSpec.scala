@@ -172,4 +172,67 @@ class ModelCheckSpec extends AnyFunSuite {
         case _ => false
       }), "expected deletion-vector commits under the MoR default")
   }
+
+  test("20 seeded random DML ops under graft.optimizeWrite match the " +
+      "model (the rebalance pass must not bend DML semantics)") {
+    val rnd = new scala.util.Random(20260817L)
+    val dir =
+      java.nio.file.Files.createTempDirectory("model_ow").toString + "/t"
+    val log = new TxnLog(dir, spark.sessionState.newHadoopConf())
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ =>
+        val i = nextId; nextId += 1; (i, rnd.nextInt(100).toLong)
+      }
+    var ts = 1000L
+    val init = fresh(20)
+    TableWriter.write(spark, init.toDF("id", "v"), dir,
+      version = 0L, commitTs = ts)
+    TableWriter.setTableProperties(spark, dir,
+      Map("graft.optimizeWrite" -> "true"), version = 1L, commitTs = 1500L)
+    var model: Map[Long, Long] = init.toMap
+    def latest: Long = log.latestVersion().get
+    def state(): Seq[(Long, Long)] =
+      SnapshotReader.read(spark, dir)
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def check(op: String): Unit =
+      assert(state() == model.toSeq.sorted,
+        s"divergence after v$latest ($op)")
+    (1 to 20).foreach { _ =>
+      ts += 1000
+      val v = latest
+      rnd.nextInt(5) match {
+        case 0 | 1 =>
+          // appends arrive as a many-sliver frame — exactly the shape
+          // the rebalance bin-packs; content must be untouched
+          val rows = fresh(5 + rnd.nextInt(10))
+          TableWriter.appendRebasing(spark,
+            rows.toDF("id", "v").repartition(8), dir, commitTs = ts)
+          model = model ++ rows
+          check(s"append(${rows.size})")
+        case 2 =>
+          val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          DeletionVectors.deleteWhere(spark, dir,
+            pmod(col("id"), lit(m.toLong)) === r.toLong,
+            version = v + 1, commitTs = ts)
+          model = model.filter { case (id, _) => id % m != r }
+          check(s"dvDelete(%$m==$r)")
+        case 3 =>
+          val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val add = rnd.nextInt(50).toLong
+          TableWriter.updateWhere(spark, dir,
+            pmod(col("id"), lit(m.toLong)) === r.toLong,
+            Map("v" -> (col("v") + add)), version = v + 1, commitTs = ts)
+          model = model.map { case (id, vv) =>
+            id -> (if (id % m == r) vv + add else vv)
+          }
+          check(s"update(%$m==$r,+$add)")
+        case 4 =>
+          TableWriter.compact(spark, dir, version = v + 1, commitTs = ts,
+            targetFiles = 2)
+          check("compact")
+      }
+    }
+  }
 }
