@@ -1467,6 +1467,61 @@ object Pipeline {
           expr("CAST(suppressed_rows * 1000000 DIV _total AS BIGINT)"))
         .drop("_total")
         .orderBy(col("event_type"))
+    },
+
+    // Cross-lingual VOCABULARY overlap (exact Jaccard between language
+    // vocabularies — the mislabeled-language / transliteration detector:
+    // two langs sharing most of their token vocabulary are one corpus
+    // wearing two tags): distinct (lang, token), then ONE groupBy token
+    // collecting its <=|langs| languages and emitting ordered pairs from
+    // the array (q328's shape — never a vocabulary self-join), joined to
+    // the per-lang vocabulary sizes for |A intersect B| * 1e6 DIV
+    // |A union B|. The synthetic corpus shares its generator across
+    // langs, so overlaps are provably nonzero.
+    QueryDef.sqlBacked(
+      "q371_crosslingual_vocab",
+      """WITH tok AS (SELECT DISTINCT lang, w FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text),
+        |      '[^a-z]+')) AS w FROM documents)
+        |  WHERE length(w) BETWEEN 2 AND 20),
+        |sizes AS (SELECT lang, COUNT(*) AS nv FROM tok GROUP BY 1),
+        |langs AS (SELECT w, list_sort(list(lang)) AS ls
+        |  FROM tok GROUP BY w HAVING COUNT(*) >= 2),
+        |l1 AS (SELECT ls, unnest(ls) AS la FROM langs),
+        |pairs AS (SELECT la, unnest(ls) AS lb FROM l1),
+        |inter AS (SELECT la, lb, COUNT(*) AS shared FROM pairs
+        |  WHERE la < lb GROUP BY 1, 2)
+        |SELECT la AS lang_a, lb AS lang_b,
+        |  CAST(shared AS BIGINT) AS shared_tokens,
+        |  CAST(shared * 1000000 // (a.nv + b.nv - shared) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM inter JOIN sizes a ON a.lang = la JOIN sizes b ON b.lang = lb
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")).between(2, 20))
+        .distinct()
+      val sizes = tok.groupBy(col("lang")).agg(count(lit(1)).as("nv"))
+      val inter = tok.groupBy(col("w"))
+        .agg(sort_array(collect_set(col("lang"))).as("ls"))
+        .filter(size(col("ls")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ls, (x, i) -> transform(" +
+            "slice(ls, i + 2, size(ls)), y -> " +
+            "struct(x AS a, y AS b))))")).as("p"))
+        .groupBy(col("p.a").as("la"), col("p.b").as("lb"))
+        .agg(count(lit(1)).as("shared"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("lang", "la")
+          .withColumnRenamed("nv", "nva")), "la")
+        .join(broadcast(sizes.withColumnRenamed("lang", "lb")
+          .withColumnRenamed("nv", "nvb")), "lb")
+        .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+          col("shared").cast("long").as("shared_tokens"),
+          expr("CAST(shared * 1000000 DIV (nva + nvb - shared) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("lang_a"), col("lang_b"))
     }
   )
 }
