@@ -1118,6 +1118,47 @@ object Events {
         }.toDF("pattern", "n_users", "n_matched")
           .orderBy(col("pattern"))
       } finally { seqs.unpersist(); () }
+    },
+
+    // Traffic BURSTINESS (Fano factor = variance/mean of per-hour event
+    // counts, per event type — the dispersion screen behind rate-limit
+    // and anomaly thresholds; ≈1e6 ppm means Poisson-like, far above
+    // means bursty): counts per (type, hour) then ONE aggregate per type
+    // over its hour frame, the whole statistic in exact integers —
+    // fano_ppm = (n·Σc² − (Σc)²)·1e6 DIV (n·Σc) over OBSERVED hours
+    // (stated: empty hours are out of frame), sums carried wide
+    // (DECIMAL(38,0) ↔ HUGEINT) so the only narrowing DIV is the final
+    // small ratio. Hours from exact MICROSECONDS so bucket edges cannot
+    // drift between engines.
+    QueryDef.sqlBacked(
+      "q373_burstiness",
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST((COUNT(*) * CAST(SUM(n * n) AS HUGEINT)
+        |      - CAST(SUM(n) AS HUGEINT) * SUM(n)) * 1000000
+        |    // (COUNT(*) * CAST(SUM(n) AS HUGEINT)) AS BIGINT)
+        |    AS fano_ppm
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      Tables.load(s, dir, "events")
+        // integer DIV, not `/`: double division of ~1e15 micros then a
+        // cast could truncate differently at exact hour boundaries
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).cast("long").as("n_events"),
+          expr("""CAST((COUNT(*) * SUM(CAST(n AS DECIMAL(38,0)) * n)
+            - SUM(CAST(n AS DECIMAL(38,0))) * SUM(CAST(n AS DECIMAL(38,0))))
+            * 1000000 DIV (COUNT(*) * SUM(CAST(n AS DECIMAL(38,0))))
+            AS BIGINT)""").as("fano_ppm"))
+        .orderBy(col("event_type"))
     }
   )
 }

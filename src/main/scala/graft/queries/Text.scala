@@ -2177,6 +2177,59 @@ object Text {
             .limit(15)
         } finally { scored.unpersist(); () }
       } finally { tok.unpersist(); () }
+    },
+
+    // VOCABULARY GROWTH curve (Heaps' law): cumulative distinct tokens
+    // vs cumulative token volume at 10 corpus checkpoints (doc_id-order
+    // deciles) — the curve that sizes a tokenizer vocab and detects a
+    // corpus going stale (flattening) or drifting (re-steepening).
+    // Scale shape: "cumulative distinct at checkpoint k" NEVER walks the
+    // corpus in order — a token counts at the decile of its FIRST
+    // occurrence (one MIN per token), so the whole curve is two hash
+    // aggregates plus running sums over a 10-row frame.
+    QueryDef.sqlBacked(
+      "q372_vocab_growth",
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |tok AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text),
+        |      '[^a-z]+')) AS w FROM documents)
+        |  WHERE length(w) BETWEEN 2 AND 20),
+        |fo AS (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w),
+        |vb AS (SELECT LEAST(fd * 10 // (m + 1), 9) AS b, COUNT(*) AS nv
+        |  FROM fo, mx GROUP BY 1),
+        |tb AS (SELECT LEAST(doc_id * 10 // (m + 1), 9) AS b,
+        |    COUNT(*) AS nt FROM tok, mx GROUP BY 1)
+        |SELECT CAST(tb.b AS BIGINT) AS decile,
+        |  CAST(SUM(nt) OVER (ORDER BY tb.b
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+        |  CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY tb.b
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+        |FROM tb LEFT JOIN vb ON tb.b = vb.b
+        |ORDER BY decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m"))
+      val tok = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")).between(2, 20))
+      val vb = tok.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(mx))
+        .select(expr("LEAST(fd * 10 DIV (m + 1), 9)").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+      val tb = tok.crossJoin(broadcast(mx))
+        .select(expr("LEAST(doc_id * 10 DIV (m + 1), 9)").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("nt"))
+      // running sums over the 10-row decile frame (constant-bounded)
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tb.join(vb.withColumnRenamed("b", "vbb"),
+          col("b") === col("vbb"), "left")
+        .select(col("b").cast("long").as("decile"),
+          sum(col("nt")).over(w).cast("long").as("tokens_cum"),
+          sum(coalesce(col("nv"), lit(0L))).over(w).cast("long")
+            .as("vocab_cum"))
+        .orderBy(col("decile"))
     }
   )
 }
