@@ -519,6 +519,61 @@ object Text {
         .orderBy(col("comp"))
     },
 
+    // Dedup PROVENANCE matrix — who gets deduped away into whom: for
+    // every near-dup component, the keeper is the min doc_id and each
+    // loser emits one (keeper_source, loser_source) cell — the
+    // direction-of-copying report (q328 shows byte-identical sharing;
+    // this shows NEAR-dup absorption, the planted 'mirror' slice
+    // collapsing into its originals). Loser/keeper frames are
+    // dup-count-sized — tiny next to the corpus — so the source joins
+    // are cheap however big the table.
+    QueryDef.sqlBacked(
+      "q374_dedup_provenance",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+         |          UNION SELECT doc_b, doc_a FROM dup_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach
+         |         GROUP BY s),
+         |losers AS (SELECT id, comp FROM comp WHERE id <> comp),
+         |src AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT
+         |    CASE WHEN l.comp >= 100000 THEN 'mirror'
+         |      ELSE sk.source END AS keeper_source,
+         |    CASE WHEN l.id >= 100000 THEN 'mirror'
+         |      ELSE si.source END AS loser_source
+         |  FROM losers l
+         |  LEFT JOIN src si ON si.doc_id = l.id
+         |  LEFT JOIN src sk ON sk.doc_id = l.comp)
+         |SELECT keeper_source, loser_source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_deduped
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val losers = graft.operators.ConnectedComponents
+        .components(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .filter(col("id") =!= col("comp"))
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      losers
+        .join(src.withColumnRenamed("doc_id", "_li")
+          .withColumnRenamed("source", "_ls"), col("id") === col("_li"),
+          "left")
+        .join(src.withColumnRenamed("doc_id", "_ki")
+          .withColumnRenamed("source", "_ks"), col("comp") === col("_ki"),
+          "left")
+        .select(
+          when(col("comp") >= 100000, lit("mirror"))
+            .otherwise(col("_ks")).as("keeper_source"),
+          when(col("id") >= 100000, lit("mirror"))
+            .otherwise(col("_ls")).as("loser_source"))
+        .groupBy(col("keeper_source"), col("loser_source"))
+        .agg(count(lit(1)).as("n_deduped"))
+        .orderBy(col("keeper_source"), col("loser_source"))
+    },
+
     // Dup-cluster SIZE DISTRIBUTION — the dedup report's headline
     // histogram ("how much of the corpus sits in 2-clusters vs
     // mega-clusters"): component sizes from the q77 clustering, rolled
