@@ -180,21 +180,24 @@ private[sources] class GraftCdcMicroBatchStream(
       // index the FILTERED list (stable across restarts: the filter is
       // part of the query's options)
       case a: AddFile if a.dataChange && opts.keepPartition(a.partitionValues) =>
+        val rows = a.stats.map(_.numRecords).getOrElse(-1L)
         if (a.dv.isDefined)
           CdcFileEvent(a.path, a.partitionValues, "d", a.modificationTime,
-            dvMode = "dead", dvDir = a.dv.get, dvVersion = v, size = a.size)
+            dvMode = "dead", dvDir = a.dv.get, dvVersion = v, size = a.size,
+            rows = rows)
         else CdcFileEvent(a.path, a.partitionValues, "c", a.modificationTime,
-          size = a.size)
+          size = a.size, rows = rows)
       case r: RemoveFile if r.dataChange && opts.keepPartition(r.partitionValues) &&
           !dvPaths.contains(r.path) =>
         val pre = preFiles.get(r.path)
+        val rows = pre.flatMap(_.stats).map(_.numRecords).getOrElse(-1L)
         pre.flatMap(_.dv) match {
           case Some(d) => CdcFileEvent(r.path, r.partitionValues, "r",
             r.deletionTimestamp, dvMode = "live", dvDir = d,
-            size = pre.map(_.size).getOrElse(-1L))
+            size = pre.map(_.size).getOrElse(-1L), rows = rows)
           case None =>
             CdcFileEvent(r.path, r.partitionValues, "r", r.deletionTimestamp,
-              size = pre.map(_.size).getOrElse(-1L))
+              size = pre.map(_.size).getOrElse(-1L), rows = rows)
         }
     }.toIndexedSeq
   }
@@ -206,22 +209,28 @@ private[sources] class GraftCdcMicroBatchStream(
     l.snapshot(v).files
       .filter(f => opts.keepPartition(f.partitionValues))
       .map { f =>
+        val rows = f.stats.map(_.numRecords).getOrElse(-1L)
         f.dv match {
           case Some(d) => CdcFileEvent(f.path, f.partitionValues, "c",
-            f.modificationTime, dvMode = "live", dvDir = d, size = f.size)
+            f.modificationTime, dvMode = "live", dvDir = d, size = f.size,
+            rows = rows)
           case None => CdcFileEvent(f.path, f.partitionValues, "c",
-            f.modificationTime, size = f.size)
+            f.modificationTime, size = f.size, rows = rows)
         }
       }
       .toIndexedSeq
 
-  // parquet footer row counts, cached per stream instance; only the files
-  // a row-capped trigger walks are ever read (bounded driver work)
+  // RAW row counts for row-capped admission: the LOG's own
+  // FileStats.numRecords answers with zero I/O (exact physical counts —
+  // a DV only narrows the logical view); footer reads remain only as
+  // the fallback for stats-less files (pre-stats logs), cached per
+  // stream instance and bounded by what a capped trigger walks
   private val rowCountCache = scala.collection.mutable.HashMap.empty[String, Long]
-  private def rowCountOf(rel: String): Long =
-    rowCountCache.getOrElseUpdate(rel, {
+  private def rowCountOf(ev: CdcFileEvent): Long =
+    if (ev.rows >= 0) ev.rows
+    else rowCountCache.getOrElseUpdate(ev.rel, {
       val p = new org.apache.hadoop.fs.Path(
-        TxnLog.dataPath(opts.tablePath, rel))
+        TxnLog.dataPath(opts.tablePath, ev.rel))
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, serConf.value)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -277,7 +286,7 @@ private[sources] class GraftCdcMicroBatchStream(
           return Some(CdcOffset(phase, v, i, 0))
         // raw row positions, even under a DV (the reader skips dead rows
         // but never renumbers) — caps bound IO, emission may be less
-        val avail = rowCountOf(events(i).rel) - row
+        val avail = rowCountOf(events(i)) - row
         if (remaining < avail)
           return Some(CdcOffset(phase, v, i, row + remaining))
         remaining -= avail
@@ -466,7 +475,11 @@ private[sources] case class CdcFileEvent(
     dvVersion: Long = -1L,
     // logged file size (bytes) for byte-range split planning; -1 =
     // unknown (pre-size-retention removes) → plan the whole file
-    size: Long = -1L)
+    size: Long = -1L,
+    // logged RAW row count (FileStats.numRecords — physical rows, exact
+    // even under a DV, which only narrows the logical view); -1 =
+    // stats-less file → admission falls back to one footer read
+    rows: Long = -1L)
 
 /** One data-file CDC event; fields are all JVM-serializable.
   * `skipRows`/`untilRow` bound the rows read for mid-file resume: the

@@ -135,6 +135,27 @@ class RemoteFsSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).count() == 31)
   }
 
+  test("row-capped CDC admission answers from LOG STATS: zero driver " +
+      "file opens") {
+    val table = freshTable()
+    val d0 = CountingMockFs.driverDataOpens.get()
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", table)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .option("maxRowsPerTrigger", "2")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stats_admission_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mockfs_adm").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("stats_admission_out").count() == 3)
+    assert(CountingMockFs.driverDataOpens.get() == d0,
+      "admission must use FileStats.numRecords, not driver footer reads")
+  }
+
   test("manifest export writes its parts in EXECUTOR tasks, not one " +
       "driver stream") {
     val table = freshTable()
@@ -165,8 +186,14 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def open(p: Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream = {
     CountingMockFs.opens.incrementAndGet()
-    if (org.apache.spark.TaskContext.get() == null)
+    if (org.apache.spark.TaskContext.get() == null) {
       CountingMockFs.driverOpens.incrementAndGet()
+      // DATA-file driver opens, separately: log/commit reads are
+      // legitimate O(commits) driver work; per-data-file driver reads
+      // are the scale bug the pins watch for
+      if (!p.toString.contains("_txn_log"))
+        CountingMockFs.driverDataOpens.incrementAndGet()
+    }
     super.open(p, bufferSize)
   }
   override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
@@ -193,6 +220,7 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 object CountingMockFs {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val driverOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val driverDataOpens = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskLists = new java.util.concurrent.atomic.AtomicInteger(0)
   val driverLists = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskCreates = new java.util.concurrent.atomic.AtomicInteger(0)
