@@ -1159,6 +1159,52 @@ object Events {
             * 1000000 DIV (COUNT(*) * SUM(CAST(n AS DECIMAL(38,0))))
             AS BIGINT)""").as("fano_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // TIME-WEIGHTED average (TWAP — the right mean for irregularly
+    // sampled state: each event's value HOLDS until the user's next
+    // event): per user Σ cents·Δt DIV (last−first) over exact
+    // MICROSECOND gaps and floor-cents values (the established
+    // conventions), rolled to a bucket histogram so the output is
+    // distribution-sized. Products carried in DECIMAL(38,0) ↔ HUGEINT
+    // (cents·Δt reaches ~1e16 per term); the only narrowing DIVs are
+    // the final small ratios, all operands non-negative. One
+    // user-partitioned window + two aggregates.
+    QueryDef.sqlBacked(
+      "q375_twap",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS c,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nt
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    SUM(CAST(c AS HUGEINT) * (nt - t)) AS ws,
+        |    MAX(t) - MIN(t) AS span
+        |  FROM e GROUP BY user_id HAVING MAX(t) > MIN(t)),
+        |tw AS (SELECT CAST(ws // span AS BIGINT) AS twap_cents FROM u)
+        |SELECT CAST(twap_cents // 500 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MIN(twap_cents) AS BIGINT) AS min_twap,
+        |  CAST(MAX(twap_cents) AS BIGINT) AS max_twap
+        |FROM tw GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          floor(col("value") * 100).cast("long").as("c"),
+          col("ts"), col("event_id"))
+        .withColumn("nt", lead(col("t"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * (nt - t)")).as("ws"),
+          (max(col("t")) - min(col("t"))).as("span"))
+        .filter(col("span") > 0)
+        .select(expr("CAST(ws DIV span AS BIGINT)").as("twap_cents"))
+        .groupBy(expr("twap_cents DIV 500").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("twap_cents")).cast("long").as("min_twap"),
+          max(col("twap_cents")).cast("long").as("max_twap"))
+        .orderBy(col("bucket"))
     }
   )
 }
