@@ -193,12 +193,34 @@ object Bench {
       .map { in =>
         val txt = try scala.io.Source.fromInputStream(in).mkString
           finally in.close()
-        "\"(q\\d+)\":\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
+        // scope to the "anchors" object only — the resource also carries
+        // qN-keyed TIME entries and a free-text "source" line; matching
+        // the whole file would sweep any future string value in as a
+        // bogus anchor
+        val anchorsBlock =
+          "\"anchors\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+        "\"(q\\d+)\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(anchorsBlock)
           .map(m => m.group(1) -> m.group(2)).toMap
       }.getOrElse(Map.empty)
       .filter { case (k, _) => results.keys.exists(short(_) == k) }
+    // values re-escape on the way out (Verify's jsonEscape contract): the
+    // regex above captures RAW escaped text, so unescape then re-quote —
+    // a backslash or quote in a future anchor must not corrupt the line
+    def unesc(s: String): String =
+      s.replace("\\\"", "\"").replace("\\\\", "\\")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val as = anchors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .map { case (k, v) => s"\"" + k + "\":" + jq(unesc(v)) }
       .mkString("{", ",", "}")
     val loadEnd = loadavg()
     val calibEnd = calibrate()

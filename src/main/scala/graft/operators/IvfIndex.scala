@@ -83,4 +83,179 @@ object IvfIndex {
     fs.mkdirs(path.getParent)
     if (!fs.rename(tmp, path)) fs.delete(tmp, true)
   }
+
+  // ------ incremental lifecycle: build → refresh* → search ------
+  // The 100 TB embedding corpus GROWS continuously; rebuilding the index
+  // per ingest batch is the scale-killer (a full KMeans fit + full-corpus
+  // assignment per batch). The incremental index instead:
+  //   build    — one bounded-sample fit + ONE full assignment job;
+  //              vectors persist cell-ordered (the IVF layout: search
+  //              scans only probed cells), plus a drift baseline (mean
+  //              nearest-centroid squared distance at build time);
+  //   refresh  — assigns ONLY the new batch to the existing centroids
+  //              (broadcast join, map-only, batch-sized output appended
+  //              to the cell table) and retrains ONLY when the batch's
+  //              mean assignment distance drifts past DriftFactor × the
+  //              baseline — distribution shift is the one case where
+  //              stale centroids silently degrade recall;
+  //   search   — probe ~k/4 nearest cells per query, exact re-rank on
+  //              the probed candidates only.
+  // IvfRefreshSpec pins refresh-recall ≥ rebuild-recall − ε and the
+  // drift-gate trip; q376 drives the grown-corpus recall gate through
+  // the DuckDB oracle at both SFs.
+
+  /** Mean batch assignment distance above `DriftFactor` × the build-time
+    * baseline forces a full retrain on the next refresh.
+    */
+  val DriftFactor = 1.5
+
+  final case class RefreshResult(
+      retrained: Boolean, assigned: Long, driftRatio: Double)
+
+  private def centroidsPath(root: String) = s"$root/centroids"
+  private def cellsPath(root: String) = s"$root/cells"
+  private def metaPath(root: String) = s"$root/meta"
+
+  /** Persisted cell table: (vec_id, v, nrm, cell) — the corpus in IVF
+    * layout. Search reads only probed cells; retrain reconstructs the
+    * corpus from here, so refresh never needs the source table.
+    */
+  def cellsDF(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(cellsPath(root))
+
+  def centroidsDF(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(centroidsPath(root))
+
+  /** Fit k centroids on a bounded sample of `vecs` (vec_id, v). */
+  private def fitCentroids(spark: SparkSession, vecs: DataFrame,
+      n: Long, k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val frac = math.min(1.0, MaxFitSample.toDouble / math.max(1L, n))
+    val sample =
+      (if (frac < 1.0) vecs.sample(withReplacement = false, frac, seed = 42)
+       else vecs)
+        .limit(MaxFitSample)
+        .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(sample)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      (i, arr.toSeq, arr.map(x => x * x).sum)
+    }.toSeq.toDF("cell", "cv", "cnorm2")
+  }
+
+  /** Assign (vec_id, v) rows to their nearest centroid — broadcast
+    * join + per-vector argmin, map-only at any corpus size. Output:
+    * (vec_id, v, nrm, cell, dist2) with dist2 the true squared distance
+    * (drift is measured in it).
+    */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import EmbeddingOps._
+    val byAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("adist"), col("cell"))
+    vecs.join(broadcast(cents))
+      .withColumn("adist",
+        col("cnorm2") - lit(2.0) * dot(col("v"), col("cv")))
+      .withColumn("arnk", row_number().over(byAssign))
+      .filter(col("arnk") === 1)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (col("adist") + dot(col("v"), col("v"))).as("dist2"))
+  }
+
+  /** Build the incremental index at `root` from `corpus` (vec_id,
+    * v: array<double>): one sample fit, one full assignment job, and
+    * the drift baseline. Overwrites any prior index at `root`.
+    */
+  def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    val n = corpus.count()
+    val k = kFor(n)
+    val cents = fitCentroids(spark, corpus, n, k)
+    cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(root))
+    val assigned = assign(corpus,
+      spark.read.parquet(centroidsPath(root))).cache()
+    try {
+      assigned.select("vec_id", "v", "nrm", "cell")
+        .write.mode("overwrite").parquet(cellsPath(root))
+      val base = assigned.agg(avg(col("dist2"))).head.getDouble(0)
+      import spark.implicits._
+      Seq((k, n, base)).toDF("k", "n", "base_dist")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** Ingest a new batch (vec_id, v) into the index at `root`: assign to
+    * the EXISTING centroids and append (batch-sized work), or retrain
+    * from scratch when the batch's mean assignment distance exceeds
+    * DriftFactor × the build-time baseline. The retrain corpus is the
+    * cell table ∪ batch — the index is self-contained.
+    */
+  def refresh(spark: SparkSession, root: String,
+      batch: DataFrame): RefreshResult = {
+    val meta = spark.read.parquet(metaPath(root)).head
+    val (k, n, baseDist) =
+      (meta.getInt(0), meta.getLong(1), meta.getDouble(2))
+    val assigned = assign(batch, centroidsDF(spark, root)).cache()
+    try {
+      val agg = assigned.agg(avg(col("dist2")), count(lit(1))).head
+      val (batchDist, m) = (agg.getDouble(0), agg.getLong(1))
+      val ratio = if (baseDist > 0) batchDist / baseDist else 1.0
+      if (ratio <= DriftFactor) {
+        assigned.select("vec_id", "v", "nrm", "cell")
+          .write.mode("append").parquet(cellsPath(root))
+        import spark.implicits._
+        Seq((k, n + m, baseDist)).toDF("k", "n", "base_dist")
+          .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+        RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
+      } else {
+        // distribution shift: stale centroids would silently starve
+        // recall — retrain from the index's own vectors plus the batch
+        val corpus = cellsDF(spark, root).select("vec_id", "v")
+          .unionByName(batch.select("vec_id", "v"))
+          // the cell table must be fully materialized BEFORE build
+          // overwrites it (read-under-overwrite)
+          .cache()
+        corpus.count()
+        try build(spark, root, corpus)
+        finally { corpus.unpersist(); () }
+        RefreshResult(retrained = true, assigned = m, driftRatio = ratio)
+      }
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** ANN top-`topK` over the incremental index: probe the ~k/4 nearest
+    * cells per query, exact-cosine re-rank over probed candidates only.
+    * `queries`: (query_id, qv: array<double>).
+    */
+  def searchTopK(spark: SparkSession, root: String, queries: DataFrame,
+      topK: Int = 5): DataFrame = {
+    import EmbeddingOps._
+    val cents = centroidsDF(spark, root)
+    val k = spark.read.parquet(metaPath(root)).head.getInt(0)
+    val probes = probesFor(k)
+    val q = queries.select(col("query_id"), col("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
+    val probed = broadcast(q).join(broadcast(cents))
+      .withColumn("cdist",
+        col("cnorm2") - lit(2.0) * dot(col("qv"), col("cv")))
+      .withColumn("cell_rank", row_number().over(byDist))
+      .filter(col("cell_rank") <= probes)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(cellsDF(spark, root), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(byCos))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

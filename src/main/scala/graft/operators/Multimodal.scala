@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *
   * DECODE is real for the formats implementable from their public specs
   * with zero codec dependencies — PPM (P6) and BMP (24-bit uncompressed)
-  * pixels, non-interlaced 8-bit RGB/RGBA PNG (zlib via the JDK's
+  * pixels, non-interlaced 8-bit RGB/RGBA/palette PNG (zlib via the JDK's
   * Inflater + the 5 per-row filters), WAV 16-bit PCM samples — with
   * matching encoders for fixtures and sinks; [[decodeStats]] dispatches
   * on the magic bytes. Genuinely codec-bound formats (JPEG/MP3 — no
@@ -139,7 +139,7 @@ object Multimodal {
     (w, h, rgb)
   }
 
-  // ---- PNG (non-interlaced, 8-bit, RGB/RGBA): the one compressed
+  // ---- PNG (non-interlaced, 8-bit, RGB/RGBA/palette): the one compressed
   // image format decodable with ZERO codec dependencies — zlib lives in
   // the JDK (java.util.zip.Inflater), and the rest is the public spec's
   // chunk walk (CRC32-validated) plus the 5 per-row filters. RGBA's
@@ -186,7 +186,29 @@ object Multimodal {
         }
         out
     }
-    // filter (the forward transform of the decoder's unfiltering)
+    val raw = filterRows(w, h, bpp, px, rowFilter)
+    pngContainer(w, h, if (alpha.isDefined) 6 else 2, raw, None)
+  }
+
+  /** Encode an 8-bit indexed (color type 3) PNG: `palette` is packed RGB
+    * (3 bytes per entry, ≤256 entries), `idx` one palette index per
+    * pixel. The spec round-trips this against the palette decode path.
+    */
+  def encodePngPalette(w: Int, h: Int, palette: Array[Byte],
+      idx: Array[Byte], rowFilter: Int => Int = _ => 0): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length <= 256 * 3,
+      s"palette must be ≤256 packed RGB entries, got ${palette.length} bytes")
+    require(idx.length == w * h, s"need ${w * h} index bytes")
+    idx.foreach(b => require((b & 0xff) < palette.length / 3,
+      s"index ${b & 0xff} outside ${palette.length / 3}-entry palette"))
+    val raw = filterRows(w, h, bpp = 1, idx, rowFilter)
+    pngContainer(w, h, colorType = 3, raw, Some(palette))
+  }
+
+  /** Forward PNG row filtering (the inverse of the decoder's unfilter). */
+  private def filterRows(w: Int, h: Int, bpp: Int, px: Array[Byte],
+      rowFilter: Int => Int): Array[Byte] = {
+    val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
     var y = 0
     while (y < h) {
@@ -212,6 +234,14 @@ object Multimodal {
       }
       y += 1
     }
+    raw
+  }
+
+  /** Deflate filtered scanlines and wrap them in the PNG chunk container
+    * (IHDR [PLTE] IDAT IEND, each CRC-stamped).
+    */
+  private def pngContainer(w: Int, h: Int, colorType: Int,
+      raw: Array[Byte], plte: Option[Array[Byte]]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
@@ -234,24 +264,30 @@ object Multimodal {
     }
     val ihdr = new java.io.ByteArrayOutputStream(13)
     wrBe32(ihdr, w); wrBe32(ihdr, h)
-    ihdr.write(8); ihdr.write(if (alpha.isDefined) 6 else 2)
+    ihdr.write(8); ihdr.write(colorType)
     ihdr.write(0); ihdr.write(0); ihdr.write(0)
     chunk("IHDR", ihdr.toByteArray)
+    plte.foreach(chunk("PLTE", _))
     chunk("IDAT", zBuf.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
   /** (width, height, packed RGB top-down) of a non-interlaced 8-bit
-    * RGB/RGBA PNG. Chunk CRCs are validated; RGBA's alpha is dropped.
-    * Corrupt streams (bad CRC, truncated zlib, wrong lengths) refuse
+    * RGB/RGBA/palette PNG. Chunk CRCs are validated; RGBA's alpha is
+    * dropped; palette (color type 3) indices resolve through PLTE.
+    * Corrupt streams (bad CRC, truncated zlib, wrong lengths, a hostile
+    * IHDR whose w×h would overflow the scanline allocation) refuse
     * loudly — the extraction wrappers count them as kind='corrupt'.
+    * Palette transparency (tRNS) refuses loudly too: silently treating
+    * transparent indices as opaque would corrupt perceptual hashes.
     */
   private[graft] def decodePng(blob: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(blob.length >= 8 && java.util.Arrays.equals(
       java.util.Arrays.copyOf(blob, 8), PngSig), "not PNG")
     var i = 8
     var w = 0; var h = 0; var colorType = -1
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var seenEnd = false
     while (!seenEnd) {
@@ -271,13 +307,25 @@ object Multimodal {
           val bitDepth = blob(i + 16) & 0xff
           colorType = blob(i + 17) & 0xff
           require(bitDepth == 8, s"only 8-bit supported, got $bitDepth")
-          require(colorType == 2 || colorType == 6,
-            s"only RGB/RGBA supported, got color type $colorType")
+          require(colorType == 2 || colorType == 3 || colorType == 6,
+            s"only RGB/palette/RGBA supported, got color type $colorType")
           require((blob(i + 18) & 0xff) == 0 && (blob(i + 19) & 0xff) == 0,
             "unknown compression/filter method")
           require((blob(i + 20) & 0xff) == 0, "interlaced PNG unsupported")
-          require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+          // per-axis caps AND a total-pixel cap: a CRC-valid hostile
+          // IHDR (2^20 × 2^20) would otherwise overflow h*(1+stride)
+          // into a negative allocation before the zlib length check
+          require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20) &&
+            w.toLong * h <= (1L << 26),
             s"bad dimensions ${w}x$h")
+        case "PLTE" =>
+          require(len % 3 == 0 && len > 0 && len <= 256 * 3,
+            s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(blob, i + 8, i + 8 + len)
+        case "tRNS" =>
+          require(colorType != 3,
+            "palette transparency (tRNS) unsupported — refusing rather " +
+              "than decoding transparent indices as opaque")
         case "IDAT" => idat.write(blob, i + 8, len)
         case "IEND" => seenEnd = true
         case _      => () // ancillary chunks skip cleanly
@@ -285,7 +333,12 @@ object Multimodal {
       i += 12 + len
     }
     require(colorType >= 0, "no IHDR chunk")
-    val bpp = if (colorType == 6) 4 else 3
+    require(colorType != 3 || plte != null, "palette PNG without PLTE")
+    val bpp = colorType match {
+      case 6 => 4
+      case 3 => 1
+      case _ => 3
+    }
     val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
@@ -327,16 +380,30 @@ object Multimodal {
       }
       y += 1
     }
-    if (colorType == 2) (w, h, px)
-    else {
-      val rgb = new Array[Byte](w * h * 3)
-      var p = 0
-      while (p < w * h) {
-        rgb(p * 3) = px(p * 4); rgb(p * 3 + 1) = px(p * 4 + 1)
-        rgb(p * 3 + 2) = px(p * 4 + 2)
-        p += 1
-      }
-      (w, h, rgb)
+    colorType match {
+      case 2 => (w, h, px)
+      case 3 =>
+        // palette lookup: one PLTE entry per index byte
+        val entries = plte.length / 3
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val ix = px(p) & 0xff
+          require(ix < entries, s"palette index $ix outside $entries entries")
+          rgb(p * 3) = plte(ix * 3); rgb(p * 3 + 1) = plte(ix * 3 + 1)
+          rgb(p * 3 + 2) = plte(ix * 3 + 2)
+          p += 1
+        }
+        (w, h, rgb)
+      case _ =>
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          rgb(p * 3) = px(p * 4); rgb(p * 3 + 1) = px(p * 4 + 1)
+          rgb(p * 3 + 2) = px(p * 4 + 2)
+          p += 1
+        }
+        (w, h, rgb)
     }
   }
 
@@ -558,6 +625,40 @@ object Multimodal {
             else Some(Array.tabulate(w * h)(i =>
               ((17 * d + 11 * i) % 256).toByte))
           (d, encodePng(w, h, rgb, alpha = alpha,
+            rowFilter = y => ((d + y) % 5).toInt))
+        }
+      }.toDF("media_id", "blob")
+  }
+
+  /** Palette (color-type 3) PNG fixture over the SAME pixel field as
+    * [[syntheticPngTable]]: each image's palette is its distinct colors
+    * in first-occurrence order (synthPixels images hold ≤ 48 ≤ 256
+    * distinct colors, so the encoding is EXACT), indices per pixel,
+    * filter varying (d+y)%5 — so PLTE lookup + index unfiltering sit on
+    * the value-gated path (q377). A decoder bug that permutes the
+    * palette, mis-sizes PLTE, or leaks index bytes as pixels shifts the
+    * replayed stats and reddens the hash.
+    */
+  def syntheticPalettePngTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val (w, h, rgb) = synthPixels(d)
+          val seen = scala.collection.mutable.LinkedHashMap
+            .empty[(Byte, Byte, Byte), Int]
+          val idx = new Array[Byte](w * h)
+          var i = 0
+          while (i < w * h) {
+            val c = (rgb(3 * i), rgb(3 * i + 1), rgb(3 * i + 2))
+            idx(i) = seen.getOrElseUpdate(c, seen.size).toByte
+            i += 1
+          }
+          val plte = new Array[Byte](seen.size * 3)
+          seen.foreach { case ((r, g, b), j) =>
+            plte(3 * j) = r; plte(3 * j + 1) = g; plte(3 * j + 2) = b
+          }
+          (d, encodePngPalette(w, h, plte, idx,
             rowFilter = y => ((d + y) % 5).toInt))
         }
       }.toDF("media_id", "blob")

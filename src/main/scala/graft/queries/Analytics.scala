@@ -1605,12 +1605,14 @@ object Analytics {
 
     // BFS / shortest-hop distance over the supplier↔part bipartite
     // graph from a seed supplier set — the frontier-expansion shape
-    // (Pregel BFS): each round is ONE distributed join frontier⋈edges
-    // minus visited; round count is the distance bound (4), never data
-    // size. Output: node count per (distance, side) — min-distance
-    // semantics, so a node reached twice counts once at its first
-    // level. Oracle: bounded recursive CTE with a MATERIALIZED edge
-    // list (the memory-checklist convention) and MIN(d) per node.
+    // (Pregel BFS): each round is ONE distributed join frontier⋈edges.
+    // Frontiers are NOT anti-joined against visited nodes — re-expansion
+    // is bounded by the 4-round cap, and the final MIN(d) per node is
+    // what enforces min-distance semantics (a node reached twice counts
+    // once, at its first level); add the visited anti-join if the round
+    // bound ever grows. Oracle: bounded recursive CTE with a
+    // MATERIALIZED edge list (the memory-checklist convention) and
+    // MIN(d) per node.
     QueryDef.sqlBacked(
       "q281_bfs_reach",
       """WITH RECURSIVE e2 AS MATERIALIZED (

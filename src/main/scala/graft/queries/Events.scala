@@ -1168,15 +1168,19 @@ object Events {
     // conventions), rolled to a bucket histogram so the output is
     // distribution-sized. Products carried in DECIMAL(38,0) ↔ HUGEINT
     // (cents·Δt reaches ~1e16 per term); the only narrowing DIVs are
-    // the final small ratios, all operands non-negative. One
-    // user-partitioned window + two aggregates.
+    // the final small ratios. DIV↔`//` agree only on non-negative
+    // operands (Spark truncates toward zero, DuckDB floors), so the
+    // sign invariant is ENFORCED, not assumed: both sides filter to
+    // value >= 0 (the whole fixture today — the filter is a no-op that
+    // exists to keep the protocol sign-safe if the data ever isn't).
+    // One user-partitioned window + two aggregates.
     QueryDef.sqlBacked(
       "q375_twap",
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
         |    CAST(FLOOR(value * 100) AS BIGINT) AS c,
         |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS nt
-        |  FROM events),
+        |  FROM events WHERE value >= 0),
         |u AS (SELECT user_id,
         |    SUM(CAST(c AS HUGEINT) * (nt - t)) AS ws,
         |    MAX(t) - MIN(t) AS span
@@ -1191,6 +1195,7 @@ object Events {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       Tables.load(s, dir, "events")
+        .filter(col("value") >= 0)
         .select(col("user_id"), unix_micros(col("ts")).as("t"),
           floor(col("value") * 100).cast("long").as("c"),
           col("ts"), col("event_id"))

@@ -374,6 +374,66 @@ object Multimodal {
           sum(col("sum1")).cast("long").as("sum1"),
           max(col("max1")).cast("long").as("max1"))
         .orderBy(col("parity"))
+    },
+
+    // PALETTE (color-type 3) PNG decode, value-gated: the SAME pixel
+    // field as q366 re-encoded as indexed PNG — each image's palette is
+    // its distinct colors in first-occurrence order, so the encoding is
+    // exact and DuckDB replays the pure pixel formula with no knowledge
+    // of the palette at all. The per-image distinct-color count rides
+    // the hash too: a decoder that permutes PLTE entries or leaks index
+    // bytes as pixels can keep sum1 by luck but not the color set.
+    // Map-only decode, 3-row output.
+    QueryDef.sqlBacked(
+      "q377_png_palette",
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |img AS (SELECT d, 4 + d % 5 AS w, 3 + d % 4 AS h FROM d),
+        |px AS (SELECT d, w * h AS units, i.range AS i
+        |  FROM img CROSS JOIN range(48) i WHERE i.range < w * h),
+        |lum AS (SELECT d, units,
+        |    (7 * d + 3 * i) % 256 + (11 * d + 5 * i) % 256
+        |      + (13 * d + 7 * i) % 256 AS lum3,
+        |    ((7 * d + 3 * i) % 256) * 65536 + ((11 * d + 5 * i) % 256) * 256
+        |      + (13 * d + 7 * i) % 256 AS packed
+        |  FROM px),
+        |agg AS (SELECT d, units, SUM(lum3) AS s1, MAX(lum3) AS m1,
+        |    COUNT(DISTINCT packed) AS nc
+        |  FROM lum GROUP BY 1, 2)
+        |SELECT CAST(d % 3 AS BIGINT) AS grp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(units) AS BIGINT) AS units,
+        |  CAST(SUM(s1) AS BIGINT) AS sum1,
+        |  CAST(MAX(m1) AS BIGINT) AS max1,
+        |  CAST(SUM(nc) AS BIGINT) AS n_colors
+        |FROM agg GROUP BY 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      MM.syntheticPalettePngTable(s, dir)
+        .select(col("media_id").cast("long"), col("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, blob) =>
+            val (_, w, h, rgb) = MM.decodeImage(blob).get
+            var s1 = 0L; var m1 = 0L
+            val colors = scala.collection.mutable.HashSet.empty[Int]
+            var i = 0
+            while (i < w * h) {
+              val l3 = (rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) +
+                (rgb(3 * i + 2) & 0xff)
+              s1 += l3; if (l3 > m1) m1 = l3
+              colors += (((rgb(3 * i) & 0xff) << 16) |
+                ((rgb(3 * i + 1) & 0xff) << 8) | (rgb(3 * i + 2) & 0xff))
+              i += 1
+            }
+            (id, w.toLong * h, s1, m1, colors.size.toLong)
+          }
+        }.toDF("media_id", "units", "sum1", "max1", "n_colors")
+        .groupBy((col("media_id") % 3).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("units")).cast("long").as("units"),
+          sum(col("sum1")).cast("long").as("sum1"),
+          max(col("max1")).cast("long").as("max1"),
+          sum(col("n_colors")).cast("long").as("n_colors"))
+        .orderBy(col("grp"))
     }
   )
 }

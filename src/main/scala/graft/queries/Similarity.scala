@@ -391,8 +391,49 @@ object Similarity {
     QueryDef.sqlBacked("q359_ann_recall_binary",
       recallOracle("bq", "")) { (s, dir) =>
       recallVsGt(s, dir, "bq", binaryTop5(s, dir), bruteTop5(s, dir))
+    },
+
+    // INCREMENTAL index maintenance, recall-gated end to end: the IVF
+    // index is BUILT on 80% of the corpus, the remaining 20% arrives as
+    // two refresh batches assigned to the EXISTING centroids
+    // (IvfIndex.refresh — batch-sized map-only work appended to the
+    // cell table; full retrain only past the drift gate, which these
+    // same-distribution batches must not trip), then search runs over
+    // the GROWN index. The continuously-growing 100 TB corpus is the
+    // norm — rebuilding the index per ingest batch is the scale-killer
+    // this path removes. Hits vs the exact top-5 ride the driver hash
+    // via the q117–q120 harness at both SFs; IvfRefreshSpec pins
+    // refresh-recall ≥ rebuild-recall − ε and the drift-gate trip.
+    QueryDef.sqlBacked("q376_ann_recall_refresh",
+      recallOracle("rivf", "")) { (s, dir) =>
+      recallVsGt(s, dir, "rivf", refreshIvfTop5(s, dir), bruteTop5(s, dir))
     }
   ) ++ moreDefs
+
+  /** q376's frame — build on 80%, refresh in the last 20% (two batches),
+    * search the grown index. The index root is wiped per run: stale
+    * cells from a prior run's corpus would double-count vectors.
+    */
+  private def refreshIvfTop5(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"target/fixtures/ivf_refresh_$tag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    graft.operators.IvfIndex.build(s, root,
+      e.filter(col("vec_id") % 5 =!= 4))
+    graft.operators.IvfIndex.refresh(s, root,
+      e.filter(col("vec_id") % 10 === 4))
+    graft.operators.IvfIndex.refresh(s, root,
+      e.filter(col("vec_id") % 10 === 9))
+    graft.operators.IvfIndex.searchTopK(s, root,
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** Sign-bit (1-bit) quantized shortlist + exact re-rank (q359's
     * frame): Hamming over packed sign bits, then full-precision cosine

@@ -2285,6 +2285,50 @@ object Text {
           sum(coalesce(col("nv"), lit(0L))).over(w).cast("long")
             .as("vocab_cum"))
         .orderBy(col("decile"))
+    },
+
+    // VOCABULARY TRUNCATION curve — the standard "pick your vocab size"
+    // table every tokenizer build starts from: for each min-count
+    // threshold, the surviving vocabulary size and the corpus-level OOV
+    // token rate (tokens whose type falls below the threshold). One
+    // token-count shuffle (vocab-sized frame), thresholds broadcast —
+    // the corpus is scanned ONCE however many thresholds; exact-integer
+    // permille (operands non-negative, DIV ↔ //). Complements q372
+    // (Heaps growth: vocab vs corpus size) with vocab vs CUTOFF.
+    QueryDef.sqlBacked(
+      "q378_vocab_truncation",
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT tok FROM tok WHERE LENGTH(tok) > 0),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t2
+        |  GROUP BY tok),
+        |n AS (SELECT SUM(c) AS n_total FROM c),
+        |th AS (SELECT UNNEST([1, 2, 4, 8, 16, 32]) AS threshold)
+        |SELECT CAST(th.threshold AS BIGINT) AS threshold,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |  CAST(SUM(c.c) AS BIGINT) AS kept_tokens,
+        |  CAST((n.n_total - SUM(c.c)) * 1000 // n.n_total AS BIGINT)
+        |    AS oov_permille
+        |FROM th JOIN c ON c.c >= th.threshold, n
+        |GROUP BY th.threshold, n.n_total
+        |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val counts = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("n_total"))
+      val th = Seq(1L, 2L, 4L, 8L, 16L, 32L).toDF("threshold")
+      counts.join(broadcast(th), col("c") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("vocab_size"), sum(col("c")).as("kept"))
+        .crossJoin(broadcast(total))
+        .select(col("threshold").cast("long").as("threshold"),
+          col("vocab_size").cast("long").as("vocab_size"),
+          col("kept").cast("long").as("kept_tokens"),
+          expr("(n_total - kept) * 1000 DIV n_total").cast("long")
+            .as("oov_permille"))
+        .orderBy(col("threshold"))
     }
   )
 }

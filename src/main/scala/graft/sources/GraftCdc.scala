@@ -152,8 +152,35 @@ private[sources] class GraftCdcMicroBatchStream(
   // events, so a restart against a deep backlog drains in bounded batches
   // instead of swallowing the whole log at once.
 
+  // ------ planner memo ------
+  // rowCappedEnd and planInputPartitions both need the SAME event list
+  // within a trigger, and a row-capped FULL_COPY backfill re-enters the
+  // same snapshot version for O(rows/cap) consecutive triggers. Without
+  // this memo every call replays checkpoint+tail on the driver, so a
+  // 5M-file backfill drained at maxRowsPerTrigger would pay
+  // O(files × triggers) total driver work. Committed versions are
+  // immutable, so entries never invalidate; access-order eviction bounds
+  // driver state on a long-running tail (the backfill holds one key, the
+  // tail a rolling handful).
+  private val eventCache =
+    new java.util.LinkedHashMap[(Int, Long), IndexedSeq[CdcFileEvent]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Long), IndexedSeq[CdcFileEvent]])
+          : Boolean = size() > 64
+    }
+  private def memoEvents(phase: Int, v: Long)(
+      build: => IndexedSeq[CdcFileEvent]): IndexedSeq[CdcFileEvent] =
+    eventCache.synchronized {
+      val k = (phase, v)
+      val hit = eventCache.get(k)
+      if (hit != null) hit
+      else { val b = build; eventCache.put(k, b); b }
+    }
+
   /** Ordered file events of one commit (log order — the index space of
-    * CdcOffset.fileIndex for INCREMENTAL offsets).
+    * CdcOffset.fileIndex for INCREMENTAL offsets). Memoized per version:
+    * admission walks a version and planning replays the same one.
     *
     * Deletion-vector transitions (Remove(p) + Add(p, dv) in one commit)
     * surface as ONE op='d' event whose reader emits only the rows that
@@ -161,7 +188,10 @@ private[sources] class GraftCdcMicroBatchStream(
     * Offsets stay in RAW row-position space (the reader skips, never
     * renumbers), so mid-file resume is unchanged.
     */
-  private def fileEventsOf(l: TxnLog, v: Long): IndexedSeq[CdcFileEvent] = {
+  private def fileEventsOf(l: TxnLog, v: Long): IndexedSeq[CdcFileEvent] =
+    memoEvents(CdcOffset.Incremental, v)(buildFileEventsOf(l, v))
+
+  private def buildFileEventsOf(l: TxnLog, v: Long): IndexedSeq[CdcFileEvent] = {
     val actions = l.read(v)
     val dvPaths = actions.collect {
       case a: AddFile if a.dataChange && a.dv.isDefined => a.path
@@ -171,9 +201,17 @@ private[sources] class GraftCdcMicroBatchStream(
     // (rewrite-style ops): a removed file that carried a vector emits
     // only its LIVE rows as 'r' — its dead rows already streamed as
     // op='d' at an earlier version. Sizes let the planner byte-range
-    // split large removed files too.
+    // split large removed files too. Retained entries are bounded by the
+    // commit's own remove set — a MERGE touching 10 files on a 5M-file
+    // table keeps 10 entries, not 5M (the snapshot tail still replays
+    // once, but only matching paths are materialized).
+    val removedPaths = actions.collect {
+      case r: RemoveFile if r.dataChange && !dvPaths.contains(r.path) => r.path
+    }.toSet
     lazy val preFiles: Map[String, AddFile] =
-      l.snapshot(v - 1).files.iterator.map(f => f.path -> f).toMap
+      l.snapshot(v - 1).files.iterator
+        .filter(f => removedPaths.contains(f.path))
+        .map(f => f.path -> f).toMap
     actions.collect {
       // dataChange=false (compaction) is invisible to the CDC stream;
       // partitionFilter prunes at the file-event level, so offsets
@@ -203,9 +241,13 @@ private[sources] class GraftCdcMicroBatchStream(
   }
 
   /** Snapshot file list at v (replay order — the FULL_COPY index space).
-    * DV-carrying files emit live rows only (mode "live").
+    * DV-carrying files emit live rows only (mode "live"). Memoized per
+    * version: a row-capped backfill replays THIS list every trigger.
     */
   private def snapshotEventsOf(l: TxnLog, v: Long): IndexedSeq[CdcFileEvent] =
+    memoEvents(CdcOffset.FullCopy, v)(buildSnapshotEventsOf(l, v))
+
+  private def buildSnapshotEventsOf(l: TxnLog, v: Long): IndexedSeq[CdcFileEvent] =
     l.snapshot(v).files
       .filter(f => opts.keepPartition(f.partitionValues))
       .map { f =>
@@ -362,12 +404,25 @@ private[sources] class GraftCdcMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     WrappedOffset(CdcOffset.fromJson(json))
 
+  // Latest-version metadata memo: planning needs the current partition
+  // columns + column mapping, and metadata can only move when the version
+  // does — keying by latestVersion (one log-directory listing) turns the
+  // per-trigger snapshotLatest() replay into O(1) per new commit.
+  @volatile private var metaCache: (Long, Option[graft.txn.Metadata]) =
+    (-1L, None)
+  private def latestMetadata(l: TxnLog): Option[graft.txn.Metadata] = {
+    val lv = l.latestVersion().getOrElse(-1L)
+    if (metaCache._1 != lv)
+      metaCache = (lv, if (lv < 0) None else l.snapshot(lv).metadata)
+    metaCache._2
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WrappedOffset].o
     val e = end.asInstanceOf[WrappedOffset].o
     val l = log
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    val latestMeta = l.snapshotLatest().metadata
+    val latestMeta = latestMetadata(l)
     val partCols = latestMeta.map(_.partitionColumns).getOrElse(Nil)
     // Column mapping (RENAME COLUMN): the per-file reader resolves parquet
     // fields BY NAME, so partitions carry the PHYSICAL spelling of the

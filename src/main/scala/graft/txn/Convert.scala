@@ -32,7 +32,13 @@ object Convert {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
+    // fail fast ON THE DRIVER with a clear error: a nonexistent root
+    // would otherwise surface as a wrapped SparkException from the first
+    // discovery task, and a file-typed root as a confusing
+    // qualification-drift refusal from the relativize guard below
     require(fs.exists(root), s"CONVERT: $dir does not exist")
+    require(fs.getFileStatus(root).isDirectory,
+      s"CONVERT: $dir is a file, not a directory")
     val log = new TxnLog(dir, conf)
     require(log.versions().isEmpty,
       s"CONVERT: $dir already has a transaction log — refusing to " +

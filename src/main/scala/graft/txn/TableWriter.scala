@@ -828,12 +828,11 @@ object TableWriter extends Serializable {
       val s = new Path(src)
       val dest = new Path(TxnLog.dataPath(tablePath, destRel))
       val dfs = dest.getFileSystem(c)
-      if (!dfs.rename(s, dest))
-        throw new IllegalStateException(s"rename failed: $dest")
+      val renamed = renameIdempotent(dfs, s, dest)
       AddFile(
         path = destRel,
         partitionValues = partitionValuesOf(rel),
-        size = len,
+        size = if (renamed) len else dfs.getFileStatus(dest).getLen,
         modificationTime = commitTs,
         dataChange = dataChange,
         stats = footerStats(dest, c))
@@ -858,6 +857,28 @@ object TableWriter extends Serializable {
     * never serialize per-file RPCs through the driver.
     */
   private val DriverMoveThreshold = 64
+
+  /** Move a staged file into the table tree, idempotent under Spark task
+    * retry/speculation: a re-executed task whose first attempt already
+    * moved this file sees rename fail with dest present and src gone —
+    * that IS success (dest names are deterministic per (version, index,
+    * attemptId), so no other writer can have claimed the slot), and the
+    * caller recomputes the size from dest rather than trusting the stale
+    * src length. Throws only when the move genuinely didn't happen —
+    * without this, one transient task failure after a partial move would
+    * abort the whole otherwise-successful commit and orphan the files
+    * the first attempt already renamed.
+    *
+    * @return true when THIS call performed the rename, false when a
+    *         prior attempt already had
+    */
+  private[txn] def renameIdempotent(
+      dfs: org.apache.hadoop.fs.FileSystem, s: Path, dest: Path): Boolean = {
+    val renamed = dfs.rename(s, dest)
+    if (!renamed && !(dfs.exists(dest) && !dfs.exists(s)))
+      throw new IllegalStateException(s"rename failed: $dest")
+    renamed
+  }
 
   /** Column stats from the parquet footer (no data read): row count plus
     * min/max for long/int/double/float/string columns across row groups.

@@ -164,6 +164,77 @@ class MultimodalSpec extends AnyFunSuite {
         png.takeRight(12))) // keep a valid IEND so the walk terminates
   }
 
+  test("palette PNG (color type 3): round-trip, cross-format dHash twin, " +
+      "tRNS and hostile-IHDR refusal") {
+    val (w, h) = (8, 6)
+    // 5-entry palette, every filter type exercised across rows
+    val palette = Array.tabulate(5 * 3)(i => ((i * 53 + 7) % 256).toByte)
+    val idx = Array.tabulate(w * h)(i => ((i * 3 + 1) % 5).toByte)
+    val png = Multimodal.encodePngPalette(w, h, palette, idx,
+      rowFilter = y => y % 5)
+    val (dw, dh2, drgb) = Multimodal.decodePng(png)
+    assert(dw == w && dh2 == h)
+    // decoded pixels are exactly the palette lookup of each index
+    val expect = idx.flatMap { b =>
+      val e = (b & 0xff) * 3
+      Seq(palette(e), palette(e + 1), palette(e + 2))
+    }
+    assert(drgb.sameElements(expect))
+    // same pixels as truecolor: a palette re-encode of an image must
+    // dHash-match its RGB twin (the cross-format dedup contract)
+    val truePng = Multimodal.encodePng(w, h, expect)
+    val (_, tw, th, trgb) = Multimodal.decodeImage(truePng).get
+    assert(Multimodal.dHash(drgb, dw, dh2) == Multimodal.dHash(trgb, tw, th))
+    assert(Multimodal.decodeStats(png).exists(_.kind == "png"))
+    // palette index outside PLTE refuses at encode time
+    intercept[IllegalArgumentException](
+      Multimodal.encodePngPalette(2, 1, palette, Array(0.toByte, 9.toByte)))
+    // tRNS (palette transparency) refuses loudly rather than decoding
+    // transparent indices as opaque
+    val withTrns = insertChunkBefore(png, "IDAT", "tRNS", Array(0.toByte))
+    val eTrns = intercept[IllegalArgumentException](
+      Multimodal.decodePng(withTrns))
+    assert(eTrns.getMessage.contains("tRNS"))
+    // a CRC-VALID hostile IHDR (2^20 × 2^20) must refuse as a normal
+    // IllegalArgumentException, not overflow into a negative allocation
+    val hostile = patchIhdrDims(png, 1 << 20, 1 << 20)
+    val eDim = intercept[IllegalArgumentException](
+      Multimodal.decodePng(hostile))
+    assert(eDim.getMessage.contains("bad dimensions"))
+  }
+
+  /** Insert a chunk (with a correct CRC) immediately before the first
+    * chunk of type `before` — builds hostile-but-well-formed streams.
+    */
+  private def insertChunkBefore(png: Array[Byte], before: String,
+      typ: String, data: Array[Byte]): Array[Byte] = {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val tBytes = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tBytes); crc.update(data)
+    val chunk = be32(data.length) ++ tBytes ++ data ++ be32(crc.getValue.toInt)
+    var i = 8
+    while (new String(png, i + 4, 4, "US-ASCII") != before)
+      i += 12 + (((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+        ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff))
+    png.take(i) ++ chunk ++ png.drop(i)
+  }
+
+  /** Overwrite IHDR's width/height and restamp its CRC. */
+  private def patchIhdrDims(png: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = png.clone()
+    def wr32(o: Int, v: Int): Unit = {
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+    }
+    wr32(16, w); wr32(20, h) // IHDR data starts at offset 16
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 12, 4 + 13) // type + data
+    wr32(16 + 13, crc.getValue.toInt)
+    out
+  }
+
   test("stub decoder histogram matches a local recomputation") {
     val one = Multimodal.mediaTable(spark, sf)
       .filter(col("media_id") === 0).select("blob").collect()(0)

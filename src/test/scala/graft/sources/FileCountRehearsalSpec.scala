@@ -133,6 +133,51 @@ class FileCountRehearsalSpec extends AnyFunSuite {
     assert(SnapshotReader.read(spark, table).count() == 3000L)
   }
 
+  test("row-capped streaming backfill of the 5k-file snapshot: O(1) " +
+      "snapshot replays, not O(triggers × files)") {
+    converted
+    // the drain below runs ~10 row-capped triggers over ONE snapshot
+    // version; every trigger needs the snapshot event list in BOTH
+    // latestOffset (admission walk) and planInputPartitions — without
+    // the per-(phase, version) memo each need replays checkpoint+tail
+    // on the driver, so driver log opens would scale with triggers.
+    val logOpens0 = CountingMockFs.driverOpens.get() -
+      CountingMockFs.driverDataOpens.get()
+    val dData0 = CountingMockFs.driverDataOpens.get()
+    val q = spark.readStream.format("graft.sources.GraftCdc")
+      .option("tablePath", lake)
+      .option("startingVersion", "0")
+      .option("includeHistory", "true")
+      .option("maxRowsPerTrigger", "500")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rehearsal_drain_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mockfs_5k_drain").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val triggers = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      .recentProgress.count(_.numInputRows > 0)
+    val logOpens = CountingMockFs.driverOpens.get() -
+      CountingMockFs.driverDataOpens.get() - logOpens0
+    val dData = CountingMockFs.driverDataOpens.get() - dData0
+    info(s"drain: triggers=$triggers driverLogOpens=$logOpens " +
+      s"driverDataOpens=$dData")
+    assert(spark.table("rehearsal_drain_out").count() == Files.toLong)
+    assert(triggers >= 8, s"expected a multi-trigger row-capped drain, " +
+      s"got $triggers")
+    // one snapshot build + one metadata resolve — NOT 2-3 replays per
+    // trigger (each replay of the 3k-AddFile commit is ≥1 driver open,
+    // so an unmemoized planner reads ≥2× triggers here)
+    assert(logOpens <= triggers,
+      s"driver log reads must not replay the snapshot per trigger, " +
+        s"got $logOpens over $triggers triggers")
+    // admission answers from FileStats.numRecords — zero footer reads
+    assert(dData == 0,
+      s"row-capped admission must use log stats, got $dData driver " +
+        "data-file opens")
+  }
+
   test("COPY INTO ingesting 5k source files: discovery in tasks, one " +
       "commit with 5k idempotence markers") {
     converted
