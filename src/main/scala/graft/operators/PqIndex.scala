@@ -84,6 +84,169 @@ object PqIndex {
       throw new IllegalStateException(s"could not persist PQ codebooks at $path")
   }
 
+  // ------ incremental lifecycle (the IvfIndex build/refresh discipline
+  // applied to PQ): the encoded CODES are corpus-sized state worth
+  // persisting — at 100 TB, re-encoding the whole corpus per ingest
+  // batch is a full corpus scan. refresh() encodes ONLY the batch with
+  // the EXISTING codebooks and appends; a retrain happens only when the
+  // batch's mean quantization error drifts past DriftFactor × the
+  // build-time baseline. Unlike the IVF cell table, codes deliberately
+  // do NOT hold the vectors (compression is the point), so the retrain
+  // corpus comes from the caller (by-name — evaluated only on drift).
+
+  val DriftFactor = 1.5
+
+  final case class RefreshResult(
+      retrained: Boolean, assigned: Long, driftRatio: Double)
+
+  private def booksPath(root: String) = s"$root/codebooks"
+  private def codesPath(root: String) = s"$root/codes"
+  private def metaPath(root: String) = s"$root/meta"
+
+  def booksDF(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(booksPath(root))
+
+  /** Persisted codes: (vec_id, nrm, m, code) — M rows per vector. */
+  def codesDF(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(codesPath(root))
+
+  /** Fit M per-subspace codebooks on a bounded sample of `corpus`
+    * (vec_id, v) — same shape as [[buildAndPersist]]'s fit, corpus
+    * passed in rather than loaded from a table dir.
+    */
+  private def fitBooks(
+      spark: SparkSession, corpus: DataFrame, n: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val frac = math.min(1.0, MaxFitSample.toDouble / math.max(1L, n))
+    val sample = (if (frac < 1.0)
+        corpus.sample(withReplacement = false, frac, seed = 42)
+      else corpus).limit(MaxFitSample).cache()
+    val dim = sample.select(size(col("v"))).first().getInt(0)
+    require(dim % M == 0, s"dim $dim must split into $M subspaces")
+    val sub = dim / M
+    val rows = (0 until M).flatMap { m =>
+      val sm = sample.select(
+        array_to_vector(slice(col("v"), m * sub + 1, sub)).as("features"))
+      val model = new KMeans().setK(K).setSeed(42 + m)
+        .setFeaturesCol("features").setPredictionCol("code").fit(sm)
+      model.clusterCenters.zipWithIndex.map { case (c, j) =>
+        val arr = c.toArray
+        (m, j, arr.toSeq, arr.map(x => x * x).sum)
+      }
+    }
+    sample.unpersist()
+    import spark.implicits._
+    rows.toDF("m", "code", "cv", "cnorm2")
+  }
+
+  /** Encode (vec_id, v) rows against the given codebooks: broadcast
+    * join + per-(vector, subspace) argmin. Output (vec_id, nrm, m,
+    * code, qerr) with qerr the subspace's true squared quantization
+    * error — drift is measured in its per-vector sum.
+    */
+  private def encodeWith(books: DataFrame, vecs: DataFrame): DataFrame = {
+    val sub = books.select(size(col("cv"))).first().getInt(0)
+    val exploded = vecs
+      .withColumn("nrm", EmbeddingOps.norm(col("v")))
+      .select(col("vec_id"), col("nrm"),
+        posexplode(expr(
+          s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $sub + 1, $sub))"))
+          .as(Seq("m", "vm")))
+    val byFit = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("adist"), col("code"))
+    exploded.join(broadcast(books), Seq("m"))
+      .withColumn("adist",
+        col("cnorm2") - lit(2.0) * EmbeddingOps.dot(col("vm"), col("cv")))
+      .withColumn("arnk", row_number().over(byFit))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("nrm"), col("m"), col("code"),
+        (col("adist") + EmbeddingOps.dot(col("vm"), col("vm"))).as("qerr"))
+  }
+
+  /** Build the incremental PQ index at `root` from `corpus` (vec_id,
+    * v: array<double>): fit codebooks, encode the whole corpus ONCE,
+    * persist codes + the quantization-error baseline.
+    */
+  def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    val n = corpus.count()
+    fitBooks(spark, corpus, n)
+      .coalesce(1).write.mode("overwrite").parquet(booksPath(root))
+    val coded = encodeWith(booksDF(spark, root), corpus).cache()
+    try {
+      coded.select("vec_id", "nrm", "m", "code")
+        .write.mode("overwrite").parquet(codesPath(root))
+      val base = coded.groupBy(col("vec_id"))
+        .agg(sum(col("qerr")).as("e"))
+        .agg(avg(col("e"))).head.getDouble(0)
+      import spark.implicits._
+      Seq((n, base)).toDF("n", "base_err")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+    } finally { coded.unpersist(); () }
+  }
+
+  /** Ingest a batch (vec_id, v): encode against the EXISTING codebooks
+    * and append (batch-sized work), or — when the batch's mean
+    * quantization error exceeds DriftFactor × the baseline — retrain
+    * from `corpus` (by-name; evaluated only on drift, because codes
+    * deliberately don't hold vectors).
+    */
+  def refresh(spark: SparkSession, root: String, batch: DataFrame,
+      corpus: => DataFrame): RefreshResult = {
+    val meta = spark.read.parquet(metaPath(root)).head
+    val (n, baseErr) = (meta.getLong(0), meta.getDouble(1))
+    val coded = encodeWith(booksDF(spark, root), batch).cache()
+    try {
+      val agg = coded.groupBy(col("vec_id"))
+        .agg(sum(col("qerr")).as("e"))
+        .agg(avg(col("e")), count(lit(1))).head
+      val (batchErr, m) = (agg.getDouble(0), agg.getLong(1))
+      val ratio = if (baseErr > 0) batchErr / baseErr else 1.0
+      if (ratio <= DriftFactor) {
+        coded.select("vec_id", "nrm", "m", "code")
+          .write.mode("append").parquet(codesPath(root))
+        import spark.implicits._
+        Seq((n + m, baseErr)).toDF("n", "base_err")
+          .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+        RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
+      } else {
+        build(spark, root, corpus)
+        RefreshResult(retrained = true, assigned = m, driftRatio = ratio)
+      }
+    } finally { coded.unpersist(); () }
+  }
+
+  /** ADC top-`topK` over the incremental index (`queries`: query_id,
+    * qv): one lookup table of query-to-centroid dots per subspace,
+    * approximate cosine = Σₘ lut[codeₘ] / (‖q‖·‖v‖) with exact norms.
+    */
+  def scoreTopK(spark: SparkSession, root: String, queries: DataFrame,
+      topK: Int = 5): DataFrame = {
+    val books = booksDF(spark, root)
+    val sub = books.select(size(col("cv"))).first().getInt(0)
+    val lut = queries
+      .withColumn("qn", EmbeddingOps.norm(col("qv")))
+      .select(col("query_id"), col("qn"),
+        posexplode(expr(
+          s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $sub + 1, $sub))"))
+          .as(Seq("m", "qm")))
+      .join(broadcast(books), Seq("m"))
+      .select(col("query_id"), col("qn"), col("m"), col("code"),
+        EmbeddingOps.dot(col("qm"), col("cv")).as("part"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    codesDF(spark, root).join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg((sum(col("part")) / (max(col("qn")) * max(col("nrm")))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Encode the corpus: (vec_id, nrm, m, code) — one row per subspace
     * per vector (the shuffle-friendly long form of the M-nibble code).
     */

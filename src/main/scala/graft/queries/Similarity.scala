@@ -407,8 +407,44 @@ object Similarity {
     QueryDef.sqlBacked("q376_ann_recall_refresh",
       recallOracle("rivf", "")) { (s, dir) =>
       recallVsGt(s, dir, "rivf", refreshIvfTop5(s, dir), bruteTop5(s, dir))
+    },
+
+    // Incremental PQ maintenance, recall-gated (q376's discipline on the
+    // compressed path): codebooks fit on 80% of the corpus, the rest
+    // arrives as two refresh batches encoded against the EXISTING
+    // codebooks and appended to the persisted codes (batch-sized work —
+    // re-encoding 100 TB of codes per ingest batch is the scale-killer);
+    // ADC search runs over the grown code table. Same-distribution
+    // batches must not trip the quantization-error drift gate.
+    QueryDef.sqlBacked("q380_ann_recall_pq_refresh",
+      recallOracle("rpq", "")) { (s, dir) =>
+      recallVsGt(s, dir, "rpq", refreshPqTop5(s, dir), bruteTop5(s, dir))
     }
   ) ++ moreDefs
+
+  /** q380's frame — PQ build on 80%, refresh the last 20% (two
+    * batches), ADC-search the grown codes. Root wiped per run.
+    */
+  private def refreshPqTop5(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"target/fixtures/pq_refresh_$tag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    graft.operators.PqIndex.build(s, root,
+      e.filter(col("vec_id") % 5 =!= 4))
+    graft.operators.PqIndex.refresh(s, root,
+      e.filter(col("vec_id") % 10 === 4), e)
+    graft.operators.PqIndex.refresh(s, root,
+      e.filter(col("vec_id") % 10 === 9), e)
+    graft.operators.PqIndex.scoreTopK(s, root,
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** q376's frame — build on 80%, refresh in the last 20% (two batches),
     * search the grown index. The index root is wiped per run: stale

@@ -2329,6 +2329,63 @@ object Text {
           expr("(n_total - kept) * 1000 DIV n_total").cast("long")
             .as("oov_permille"))
         .orderBy(col("threshold"))
+    },
+
+    // CROSS-SOURCE trigram contamination matrix — the directional
+    // "how much of source A's text already lives in source B" report
+    // (q374 answers this at the document level via near-dup components;
+    // this answers it at the PHRASE level, catching partial copying no
+    // doc-level dedup sees; q371 is the unigram-vocab/lang cut). One
+    // distinct-(source, trigram) shuffle, then a self-join on the gram:
+    // the joined frame is gram-vocabulary-sized and a ubiquitous gram
+    // fans out to at most |sources|² pairs — bounded however large the
+    // corpus. Output: |sources|² rows of directional containment ppm.
+    QueryDef.sqlBacked(
+      "q379_source_contamination",
+      """WITH toks AS (SELECT source,
+        |    string_split_regex(lower(trim(text)), '[^a-z]+') AS w
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT source,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        |  WHERE length(w[i]) > 0 AND length(w[i+1]) > 0
+        |    AND length(w[i+2]) > 0),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tri
+        |  GROUP BY 1),
+        |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared_trigrams
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_trigrams,
+        |  CAST(shared_trigrams * 1000000 // s.n AS BIGINT)
+        |    AS containment_ppm
+        |FROM shared JOIN sizes s ON s.source = src_a
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val tri = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          split(lower(trim(col("text"))), "[^a-z]+").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "i -> struct(w[i] AS a, w[i+1] AS b, w[i+2] AS c))")).as("t"))
+        .filter(length(col("t.a")) > 0 && length(col("t.b")) > 0 &&
+          length(col("t.c")) > 0)
+        .select(col("source"),
+          concat_ws(" ", col("t.a"), col("t.b"), col("t.c")).as("g"))
+        .distinct()
+        .cache()
+      val sizes = tri.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      tri.withColumnRenamed("source", "src_a")
+        .join(tri.withColumnRenamed("source", "src_b"), "g")
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_trigrams"))
+        .join(broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a")
+        .select(col("src_a"), col("src_b"),
+          col("shared_trigrams").cast("long").as("shared_trigrams"),
+          expr("shared_trigrams * 1000000 DIV n").cast("long")
+            .as("containment_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 }

@@ -86,6 +86,59 @@ class IvfRefreshSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("PQ refresh: codes reconcile across batches, same-distribution " +
+      "batches never retrain, ADC recall tracks a full rebuild") {
+    val all = vecs.cache()
+    val n = all.count()
+    val rootInc = freshRoot("pq_inc")
+    graft.operators.PqIndex.build(spark, rootInc,
+      all.filter(col("vec_id") % 5 =!= 4))
+    val r1 = graft.operators.PqIndex.refresh(spark, rootInc,
+      all.filter(col("vec_id") % 10 === 4), all)
+    val r2 = graft.operators.PqIndex.refresh(spark, rootInc,
+      all.filter(col("vec_id") % 10 === 9), all)
+    assert(!r1.retrained && !r2.retrained,
+      s"same-distribution PQ batches tripped the drift gate: " +
+        s"${r1.driftRatio}, ${r2.driftRatio}")
+    val codes = graft.operators.PqIndex.codesDF(spark, rootInc).cache()
+    assert(codes.count() == n * graft.operators.PqIndex.M)
+    assert(codes.select("vec_id").distinct().count() == n)
+    val rootFull = freshRoot("pq_full")
+    graft.operators.PqIndex.build(spark, rootFull, all)
+    val q = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = exactTop5
+    def recall(root: String): Double = {
+      val hits = top5(graft.operators.PqIndex.scoreTopK(spark, root, q))
+      (exact intersect hits).size.toDouble / exact.size
+    }
+    val (inc, full) = (recall(rootInc), recall(rootFull))
+    info(s"PQ recall@5: refresh=$inc rebuild=$full")
+    assert(inc >= full - 0.1,
+      s"PQ refresh recall $inc collapsed vs rebuild $full")
+    assert(inc > 0.1, s"PQ refresh recall $inc below chance floor")
+    codes.unpersist(); all.unpersist()
+  }
+
+  test("PQ drift gate: a shifted batch trips the retrain (corpus " +
+      "evaluated only then)") {
+    val root = freshRoot("pq_drift")
+    val all = vecs.cache()
+    val base = all.filter(col("vec_id") % 5 =!= 4)
+    graft.operators.PqIndex.build(spark, root, base)
+    val shifted = all.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"),
+        transform(col("v"), x => x + lit(10.0)).as("v"))
+    val r = graft.operators.PqIndex.refresh(spark, root, shifted,
+      base.unionByName(shifted))
+    assert(r.retrained,
+      s"shifted PQ batch must retrain, ratio=${r.driftRatio}")
+    val n = graft.operators.PqIndex.codesDF(spark, root)
+      .select("vec_id").distinct().count()
+    assert(n == all.count(), "retrain must cover base ∪ batch")
+    all.unpersist()
+  }
+
   test("drift gate: a genuinely shifted batch trips a retrain and the " +
       "retrained index covers base ∪ batch") {
     val root = freshRoot("ivf_drift")
