@@ -103,6 +103,15 @@ object IvfIndex {
   // IvfRefreshSpec pins refresh-recall ≥ rebuild-recall − ε and the
   // drift-gate trip; q376 drives the grown-corpus recall gate through
   // the DuckDB oracle at both SFs.
+  //
+  // Crash/exactly-once notes (stated, not hidden): meta writes LAST in
+  // both build and refresh, so a crash mid-build leaves the old meta
+  // pointing at possibly-new files — callers that need atomic cutover
+  // should build into a fresh root and swap the root reference (the
+  // graft table itself, when the index rides one, gives this for free).
+  // A foreachBatch maintenance stream is at-least-once: a retried batch
+  // re-appends its vectors; dedup by (vec_id) at read time or key the
+  // append by the micro-batch id if the source can replay.
 
   /** Mean batch assignment distance above `DriftFactor` × the build-time
     * baseline forces a full retrain on the next refresh.
@@ -147,24 +156,54 @@ object IvfIndex {
     }.toSeq.toDF("cell", "cv", "cnorm2")
   }
 
-  /** Assign (vec_id, v) rows to their nearest centroid — broadcast
-    * join + per-vector argmin, map-only at any corpus size. Output:
+  /** Assign (vec_id, v) rows to their nearest centroid — centroids
+    * collected and BROADCAST (k ≤ 4096 × dim 64 doubles ≈ 2 MB), then a
+    * tight per-row loop: truly map-only, zero shuffle. The obvious
+    * join(broadcast(cents)) + window-argmin formulation materializes
+    * corpus × k rows through a row_number shuffle — a k-fold network
+    * amplification that is THE scale bug of IVF assignment at 100 TB.
+    * Arithmetic order matches the expression form bit-for-bit
+    * (sequential left-to-right dot, cnorm2 − 2·dot, ties → lowest
+    * cell), so results are identical to the window formulation. Output:
     * (vec_id, v, nrm, cell, dist2) with dist2 the true squared distance
     * (drift is measured in it).
     */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    import EmbeddingOps._
-    val byAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("adist"), col("cell"))
-    vecs.join(broadcast(cents))
-      .withColumn("adist",
-        col("cnorm2") - lit(2.0) * dot(col("v"), col("cv")))
-      .withColumn("arnk", row_number().over(byAssign))
-      .filter(col("arnk") === 1)
-      .withColumn("nrm", norm(col("v")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        (col("adist") + dot(col("v"), col("v"))).as("dist2"))
+  private[graft] def assignTo(spark: SparkSession, cents: DataFrame,
+      vecs: DataFrame): DataFrame = {
+    val cArr = cents.select(col("cell"), col("cv"), col("cnorm2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cArr)
+    import spark.implicits._
+    vecs.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = -1
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val (cell, cv, cn2) = cs(j)
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += v(i) * cv(i); i += 1 }
+            val d = cn2 - 2.0 * dot
+            // ascending cell order: strict < keeps the LOWEST cell on
+            // ties — the window formulation's (adist, cell) order
+            if (d < bestD) { bestD = d; best = cell }
+            j += 1
+          }
+          var nrm2 = 0.0
+          var i = 0
+          while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
+          (id, v, math.sqrt(nrm2), best, bestD + nrm2)
+        }
+      }.toDF("vec_id", "v", "nrm", "cell", "dist2")
   }
+
+  private def assign(spark: SparkSession, vecs: DataFrame,
+      cents: DataFrame): DataFrame = assignTo(spark, cents, vecs)
 
   /** Build the incremental index at `root` from `corpus` (vec_id,
     * v: array<double>): one sample fit, one full assignment job, and
@@ -175,7 +214,7 @@ object IvfIndex {
     val k = kFor(n)
     val cents = fitCentroids(spark, corpus, n, k)
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(root))
-    val assigned = assign(corpus,
+    val assigned = assign(spark, corpus,
       spark.read.parquet(centroidsPath(root))).cache()
     try {
       assigned.select("vec_id", "v", "nrm", "cell")
@@ -198,7 +237,7 @@ object IvfIndex {
     val meta = spark.read.parquet(metaPath(root)).head
     val (k, n, baseDist) =
       (meta.getInt(0), meta.getLong(1), meta.getDouble(2))
-    val assigned = assign(batch, centroidsDF(spark, root)).cache()
+    val assigned = assign(spark, batch, centroidsDF(spark, root)).cache()
     try {
       val agg = assigned.agg(avg(col("dist2")), count(lit(1))).head
       val (batchDist, m) = (agg.getDouble(0), agg.getLong(1))
@@ -212,15 +251,20 @@ object IvfIndex {
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
       } else {
         // distribution shift: stale centroids would silently starve
-        // recall — retrain from the index's own vectors plus the batch
-        val corpus = cellsDF(spark, root).select("vec_id", "v")
+        // recall — retrain from the index's own vectors plus the batch.
+        // The corpus is staged to DURABLE parquet first, not a cache:
+        // build() overwrites the cells directory this corpus reads
+        // from, and a cache-evicted partition recomputing mid-build
+        // would read the overwritten path. Retrain is rare (the gate);
+        // one extra corpus write is its price.
+        val staged = s"$root/retrain_staging"
+        cellsDF(spark, root).select("vec_id", "v")
           .unionByName(batch.select("vec_id", "v"))
-          // the cell table must be fully materialized BEFORE build
-          // overwrites it (read-under-overwrite)
-          .cache()
-        corpus.count()
-        try build(spark, root, corpus)
-        finally { corpus.unpersist(); () }
+          .write.mode("overwrite").parquet(staged)
+        val p = new org.apache.hadoop.fs.Path(staged)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        try build(spark, root, spark.read.parquet(staged))
+        finally { fs.delete(p, true); () }
         RefreshResult(retrained = true, assigned = m, driftRatio = ratio)
       }
     } finally { assigned.unpersist(); () }

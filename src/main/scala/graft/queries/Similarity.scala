@@ -130,13 +130,14 @@ object Similarity {
     val cents = graft.operators.IvfIndex.centroids(s, dir, n)
     val c = nearDupCorpus(s, dir).withColumn("nrm", norm(col("v")))
       .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
-    val byAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("adist"), col("cell"))
     val byCell = Window.partitionBy(col("cell"))
-    val assigned = c.join(broadcast(cents))
-      .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("vhat"), col("cv")))
-      .withColumn("arnk", row_number().over(byAssign))
-      .filter(col("arnk") === 1)
+    // assignment on the NORMALIZED vector (cosine geometry), via the
+    // map-only broadcast loop; cells join back by vec_id — one
+    // corpus-sized shuffle instead of the corpus × k window
+    val cellsOf = graft.operators.IvfIndex.assignTo(s, cents,
+        c.select(col("vec_id"), col("vhat").as("v")))
+      .select(col("vec_id"), col("cell"))
+    val assigned = c.join(cellsOf, "vec_id")
       .withColumn("_cn", count(lit(1)).over(byCell))
       .withColumn("sub",
         when(col("_cn") > CellCap,
@@ -550,19 +551,16 @@ object Similarity {
       val n = base.count()
       val e = base
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
-        .cache()
       val cents = graft.operators.IvfIndex.centroids(s, dir, n)
       val probes = graft.operators.IvfIndex.probesFor(
         graft.operators.IvfIndex.kFor(n))
-      // cell assignment: argmin_c ||v-c||² = argmin_c (cnorm2 - 2·v·c)
-      val byAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("adist"), col("cell"))
-      val assigned = e.join(broadcast(cents))
-        .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("v"), col("cv")))
-        .withColumn("arnk", row_number().over(byAssign))
-        .filter(col("arnk") === 1)
+      // cell assignment: argmin_c ||v-c||² = argmin_c (cnorm2 - 2·v·c),
+      // via the broadcast-centroid map-only loop (IvfIndex.assignTo) —
+      // the join+window form would push corpus × k rows through a
+      // shuffle, a k-fold network amplification at scale
+      val assigned = graft.operators.IvfIndex.assignTo(s, cents, e)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .cache()
       val q = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       // rank cells per query by the same metric, probe the top cells
@@ -811,11 +809,16 @@ object Similarity {
       val dist = expr(
         "aggregate(zip_with(iv, cv, (x, y) -> (x - y) * (x - y)), 0L, " +
           "(acc, v) -> acc + v)")
+      // argmin as MIN over struct(dist, cid) — lexicographic order IS
+      // the (dist, cid) tie rule, and min partial-aggregates, so the
+      // K-fold expansion collapses map-side BEFORE the shuffle (the
+      // row_number window would shuffle corpus × K rows)
       e.join(broadcast(seeds))
-        .select(col("vec_id"), col("cid"), dist.as("dist"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("cid"))))
-        .filter(col("rn") === 1)
+        .select(col("vec_id"),
+          struct(dist.as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"),
+          col("best.dist").as("dist"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
           sum("vec_id").cast("long").as("id_sum"),
@@ -827,11 +830,12 @@ object Similarity {
     // STATISTICS: per cluster, the exact-integer aggregates the new
     // centroid derives from — member count, the total of all component
     // sums, the first component's sum (pins dimension alignment), and
-    // the old-centroid·member dot total (the drift numerator). All four
-    // are COMMUTING aggregates over the assigned rows, so the whole
-    // M-step is the E-step's broadcast probe + ONE hash aggregate — no
-    // vector-payload shuffle, the 100 TB Lloyd-iteration plan. Together
-    // with q300 the full clustering iteration is value-level-oracled.
+    // the old-centroid·member dot total (the drift numerator). The
+    // argmin runs over SLIM (vec_id, dist, cid) rows with a map-side-
+    // combining min(struct), and ONE corpus-sized join pulls each
+    // winner's payload — vectors never ride a K-fold expansion through
+    // a shuffle, the 100 TB Lloyd-iteration plan. Together with q300
+    // the full clustering iteration is value-level-oracled.
     QueryDef.sqlBacked(
       "q311_kmeans_update",
       """WITH e AS (SELECT vec_id,
@@ -861,12 +865,17 @@ object Similarity {
       val dist = expr(
         "aggregate(zip_with(iv, cv, (x, y) -> (x - y) * (x - y)), 0L, " +
           "(acc, v) -> acc + v)")
-      e.join(broadcast(seeds))
-        .select(col("vec_id"), col("cid"), col("iv"), col("cv"),
-          dist.as("dist"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("cid"))))
-        .filter(col("rn") === 1)
+      // argmin over SLIM rows only (vec_id, dist, cid — min(struct)
+      // partial-aggregates map-side), then ONE corpus-sized join pulls
+      // each winner's vector payload back: the iv/cv arrays never ride
+      // a K-fold expansion through a shuffle
+      val winners = e.join(broadcast(seeds))
+        .select(col("vec_id"),
+          struct(dist.as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+      winners.join(e, "vec_id")
+        .join(broadcast(seeds), "cid")
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
           sum(expr("aggregate(iv, 0L, (acc, v) -> acc + v)"))
@@ -889,22 +898,20 @@ object Similarity {
       val n = base.count()
       val e = base
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
-        .cache()
       val cents = graft.operators.IvfIndex.centroids(s, dir, n)
       val probes = graft.operators.IvfIndex.probesFor(
         graft.operators.IvfIndex.kFor(n))
-      val byAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("adist"), col("cell"))
-      val assigned = e.join(broadcast(cents))
-        .withColumn("adist", col("cnorm2") - lit(2.0) * dot(col("v"), col("cv")))
-        .withColumn("arnk", row_number().over(byAssign))
-        .filter(col("arnk") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
-      val q = assigned.filter(col("vec_id") < 20)
+      // assignment runs on the FILTERED sliver only (queries never use
+      // their cell — they probe by distance), so at 100 TB both the
+      // assignment and the candidate join cost |matching corpus|; the
+      // map-only assignTo avoids the corpus × k window shuffle besides
+      val filtered = graft.operators.IvfIndex.assignTo(s, cents,
+          e.filter(col("label") === 2))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      val q = e.filter(col("vec_id") < 20)
+        .withColumn("nrm", norm(col("v")))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
-      val filtered = assigned.filter(col("label") === 2)
       val byDist = Window.partitionBy(col("query_id"))
         .orderBy(col("cdist"), col("cell"))
       val probed = broadcast(q).join(broadcast(cents))
