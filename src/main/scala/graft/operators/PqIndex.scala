@@ -62,17 +62,9 @@ object PqIndex {
     require(dim % M == 0, s"dim $dim must split into $M subspaces")
     val sub = dim / M
     // M independent small fits over the SAME cached sample — training
-    // touches sample × M subvector projections, never the corpus
-    val rows = (0 until M).flatMap { m =>
-      val sm = sample.select(
-        array_to_vector(slice(col("v"), m * sub + 1, sub)).as("features"))
-      val model = new KMeans().setK(K).setSeed(42 + m)
-        .setFeaturesCol("features").setPredictionCol("code").fit(sm)
-      model.clusterCenters.zipWithIndex.map { case (c, j) =>
-        val arr = c.toArray
-        (m, j, arr.toSeq, arr.map(x => x * x).sum)
-      }
-    }
+    // touches sample × M subvector projections, never the corpus;
+    // submitted concurrently (fitSubspaces)
+    val rows = fitSubspaces(sample, sub)
     sample.unpersist()
     import spark.implicits._
     val tmp = new Path(path.getParent, s".${path.getName}.tmp")
@@ -125,19 +117,37 @@ object PqIndex {
     val dim = sample.select(size(col("v"))).first().getInt(0)
     require(dim % M == 0, s"dim $dim must split into $M subspaces")
     val sub = dim / M
-    val rows = (0 until M).flatMap { m =>
-      val sm = sample.select(
-        array_to_vector(slice(col("v"), m * sub + 1, sub)).as("features"))
-      val model = new KMeans().setK(K).setSeed(42 + m)
-        .setFeaturesCol("features").setPredictionCol("code").fit(sm)
-      model.clusterCenters.zipWithIndex.map { case (c, j) =>
-        val arr = c.toArray
-        (m, j, arr.toSeq, arr.map(x => x * x).sum)
-      }
-    }
+    val rows = fitSubspaces(sample, sub)
     sample.unpersist()
     import spark.implicits._
     rows.toDF("m", "code", "cv", "cnorm2")
+  }
+
+  /** The M independent per-subspace KMeans fits, run CONCURRENTLY:
+    * each fit is a small Spark job over the same cached sample, so
+    * serializing them leaves the cluster idle M−1/M of the time —
+    * concurrent submission is the standard multi-job Spark pattern and
+    * each fit stays deterministic (own seed, same sample).
+    */
+  private def fitSubspaces(
+      sample: DataFrame, sub: Int): Seq[(Int, Int, Seq[Double], Double)] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until M).map { m =>
+      Future {
+        val sm = sample.select(
+          array_to_vector(slice(col("v"), m * sub + 1, sub)).as("features"))
+        val model = new KMeans().setK(K).setSeed(42 + m)
+          .setFeaturesCol("features").setPredictionCol("code").fit(sm)
+        model.clusterCenters.zipWithIndex.map { case (c, j) =>
+          val arr = c.toArray
+          (m, j, arr.toSeq, arr.map(x => x * x).sum)
+        }.toSeq
+      }
+    }), Duration.Inf).flatten
   }
 
   /** Encode (vec_id, v) rows against the given codebooks: broadcast

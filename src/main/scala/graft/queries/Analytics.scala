@@ -2257,6 +2257,60 @@ object Analytics {
             "CAST(p - y * 1000000 AS DECIMAL(38,0))) DIV COUNT(*) " +
             "AS BIGINT)").as("brier_e12"))
         .orderBy(col("bin"))
+    },
+
+    // Distribution-rank window trio — NTILE / PERCENT_RANK / CUME_DIST,
+    // the three standard position-in-distribution windows the registry
+    // didn't yet cover (W1 family growth). percent_rank and cume_dist
+    // are replayed in EXACT integers from their defining counts
+    // ((rank−1)·10⁶ DIV (n−1); peers-inclusive running count ·10⁶ DIV
+    // n) — no float window output ever reaches the hash. NTILE needs a
+    // TOTAL order to be deterministic, so it tiebreaks on the key;
+    // rank/cume keep value-only order so ties genuinely collapse. One
+    // nation-partitioned window pass, quartile-bucketed output.
+    QueryDef.sqlBacked(
+      "q381_rank_spectrum",
+      """WITH c2 AS (SELECT c.c_custkey AS id, n.n_name AS nation,
+        |    CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |r AS (SELECT nation, bal,
+        |    RANK() OVER (PARTITION BY nation ORDER BY bal) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY nation) AS n,
+        |    NTILE(4) OVER (PARTITION BY nation ORDER BY bal, id)
+        |      AS quartile,
+        |    COUNT(*) OVER (PARTITION BY nation ORDER BY bal
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le_n
+        |  FROM c2)
+        |SELECT nation, CAST(quartile AS BIGINT) AS quartile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(MIN((rnk - 1) * 1000000 // GREATEST(n - 1, 1)) AS BIGINT)
+        |    AS min_pr_ppm,
+        |  CAST(MAX(le_n * 1000000 // n) AS BIGINT) AS max_cume_ppm,
+        |  CAST(SUM(bal) AS BIGINT) AS bal_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c2 = Tables.load(s, dir, "customer").as("c")
+        .join(Tables.load(s, dir, "nation").as("n"),
+          col("n.n_nationkey") === col("c.c_nationkey"))
+        .select(col("c.c_custkey").as("id"), col("n.n_name").as("nation"),
+          floor(col("c.c_acctbal") * 100).cast("long").as("bal"))
+      val byVal = Window.partitionBy(col("nation")).orderBy(col("bal"))
+      val total = Window.partitionBy(col("nation"))
+        .orderBy(col("bal"), col("id"))
+      c2.select(col("nation"), col("bal"),
+          rank().over(byVal).as("rnk"),
+          count(lit(1)).over(Window.partitionBy(col("nation"))).as("n"),
+          ntile(4).over(total).as("quartile"),
+          count(lit(1)).over(byVal
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("le_n"))
+        .groupBy(col("nation"), col("quartile").cast("long").as("quartile"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(expr("(rnk - 1) * 1000000 DIV GREATEST(n - 1, 1)"))
+            .cast("long").as("min_pr_ppm"),
+          max(expr("le_n * 1000000 DIV n")).cast("long").as("max_cume_ppm"),
+          sum(col("bal")).cast("long").as("bal_cents"))
+        .orderBy(col("nation"), col("quartile"))
     }
   )
 }

@@ -1522,6 +1522,64 @@ object Pipeline {
           expr("CAST(shared * 1000000 DIV (nva + nvb - shared) AS BIGINT)")
             .as("jaccard_ppm"))
         .orderBy(col("lang_a"), col("lang_b"))
+    },
+
+    // Quantile-quantile calibration bridge — per source, the exact
+    // decile cuts of a quality proxy (n_chars) against the GLOBAL cuts:
+    // the table a pipeline normalizing heterogeneous per-source scores
+    // reads before reweighting ("src12's median sits at the corpus's
+    // 7th decile"). Per-source cuts ride source-PARTITIONED windows;
+    // the global cuts come from ExactQuantile (histogram-bracket, 3
+    // scans) — no global sort anywhere on the Spark side. Rank
+    // k = ceil(d·n/10) in integer arithmetic on both sides (the q147
+    // convention); the cut VALUE at a rank is tiebreak-invariant, so
+    // the window (n_chars, doc_id) order and the operator's value-only
+    // bracket agree exactly.
+    QueryDef.sqlBacked(
+      "q382_quantile_bridge",
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |s AS (SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+        |k AS (SELECT UNNEST(generate_series(1, 9)) AS k),
+        |sc AS (SELECT s.source, k.k, s.n_chars AS src_cut
+        |  FROM s JOIN k ON s.rn = (k.k * s.n + 9) // 10),
+        |g2 AS (SELECT n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n FROM d),
+        |gc AS (SELECT k.k, g2.n_chars AS global_cut
+        |  FROM g2 JOIN k ON g2.rn = (k.k * g2.n + 9) // 10)
+        |SELECT sc.source, CAST(sc.k AS BIGINT) AS decile,
+        |  CAST(sc.src_cut AS BIGINT) AS src_cut,
+        |  CAST(gc.global_cut AS BIGINT) AS global_cut,
+        |  CAST(sc.src_cut - gc.global_cut AS BIGINT) AS gap
+        |FROM sc JOIN gc ON gc.k = sc.k
+        |ORDER BY sc.source, decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ks = (1 to 9).map(_.toLong).toDF("k")
+      val srcCuts = d.select(col("source"), col("n_chars"),
+          row_number().over(bySrc).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("source"))).as("n"))
+        .crossJoin(broadcast(ks))
+        .filter(col("rn") === expr("(k * n + 9) DIV 10"))
+        .select(col("source"), col("k"), col("n_chars").as("src_cut"))
+      val globalCuts = graft.operators.ExactQuantile.quantiles(
+          d, lit("all"), col("n_chars").cast("long"),
+          (1 to 9).map(i => (s"d$i", i.toLong, 10L)))
+        .select(expr("CAST(substring(label, 2, 8) AS BIGINT)").as("k"),
+          col("v").as("global_cut"))
+      srcCuts.join(broadcast(globalCuts), "k")
+        .select(col("source"), col("k").cast("long").as("decile"),
+          col("src_cut").cast("long").as("src_cut"),
+          col("global_cut").cast("long").as("global_cut"),
+          (col("src_cut") - col("global_cut")).cast("long").as("gap"))
+        .orderBy(col("source"), col("decile"))
     }
   )
 }

