@@ -123,14 +123,25 @@ object IvfIndex {
 
   private def centroidsPath(root: String) = s"$root/centroids"
   private def cellsPath(root: String) = s"$root/cells"
+  private def batchesPath(root: String) = s"$root/cells_batches"
   private def metaPath(root: String) = s"$root/meta"
 
   /** Persisted cell table: (vec_id, v, nrm, cell) — the corpus in IVF
-    * layout. Search reads only probed cells; retrain reconstructs the
-    * corpus from here, so refresh never needs the source table.
+    * layout (the build-time base under `cells` plus one subdirectory
+    * per keyed refresh batch). Search reads only probed cells; retrain
+    * reconstructs the corpus from here, so refresh never needs the
+    * source table.
     */
-  def cellsDF(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(cellsPath(root))
+  def cellsDF(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.parquet(cellsPath(root))
+    val bp = new org.apache.hadoop.fs.Path(batchesPath(root))
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(bp))
+      base.unionByName(spark.read
+        .option("recursiveFileLookup", "true")
+        .parquet(batchesPath(root)))
+    else base
+  }
 
   def centroidsDF(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(centroidsPath(root))
@@ -231,23 +242,49 @@ object IvfIndex {
     * from scratch when the batch's mean assignment distance exceeds
     * DriftFactor × the build-time baseline. The retrain corpus is the
     * cell table ∪ batch — the index is self-contained.
+    *
+    * `batchId` makes the append IDEMPOTENT under at-least-once
+    * delivery (a foreachBatch maintenance stream's retried
+    * micro-batch): a keyed batch writes its OWN subdirectory with
+    * overwrite semantics, so a replay rewrites the same rows instead of
+    * appending duplicates, and the bookkeeping n bumps only on first
+    * delivery. The rare drift-retrain path stays at-least-once (a crash
+    * between the rebuild and the replay re-appends; the gate makes
+    * retrains exceptional, and a keyed replay after a COMPLETED retrain
+    * is detected via the consumed-batch marker below).
     */
-  def refresh(spark: SparkSession, root: String,
-      batch: DataFrame): RefreshResult = {
+  def refresh(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Option[Long] = None): RefreshResult = {
     val meta = spark.read.parquet(metaPath(root)).head
     val (k, n, baseDist) =
       (meta.getInt(0), meta.getLong(1), meta.getDouble(2))
+    val conf = spark.sessionState.newHadoopConf()
+    // a keyed batch already consumed by a completed retrain replays as
+    // a no-op: its rows live in the rebuilt base now
+    val consumedMarker = new org.apache.hadoop.fs.Path(
+      s"$root/consumed_batches${batchId.fold("")(id => s"/b$id")}")
+    if (batchId.isDefined &&
+        consumedMarker.getFileSystem(conf).exists(consumedMarker))
+      return RefreshResult(retrained = false, assigned = 0L, driftRatio = 1.0)
     val assigned = assign(spark, batch, centroidsDF(spark, root)).cache()
     try {
       val agg = assigned.agg(avg(col("dist2")), count(lit(1))).head
       val (batchDist, m) = (agg.getDouble(0), agg.getLong(1))
       val ratio = if (baseDist > 0) batchDist / baseDist else 1.0
       if (ratio <= DriftFactor) {
+        val (target, mode, replay) = batchId match {
+          case Some(id) =>
+            val dir = s"${batchesPath(root)}/b$id"
+            val p = new org.apache.hadoop.fs.Path(dir)
+            (dir, "overwrite", p.getFileSystem(conf).exists(p))
+          case None => (cellsPath(root), "append", false)
+        }
         assigned.select("vec_id", "v", "nrm", "cell")
-          .write.mode("append").parquet(cellsPath(root))
+          .write.mode(mode).parquet(target)
         import spark.implicits._
-        Seq((k, n + m, baseDist)).toDF("k", "n", "base_dist")
-          .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+        if (!replay)
+          Seq((k, n + m, baseDist)).toDF("k", "n", "base_dist")
+            .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
       } else {
         // distribution shift: stale centroids would silently starve
@@ -262,24 +299,38 @@ object IvfIndex {
           .unionByName(batch.select("vec_id", "v"))
           .write.mode("overwrite").parquet(staged)
         val p = new org.apache.hadoop.fs.Path(staged)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        try build(spark, root, spark.read.parquet(staged))
-        finally { fs.delete(p, true); () }
+        val fs = p.getFileSystem(conf)
+        try {
+          build(spark, root, spark.read.parquet(staged))
+          // the rebuilt base absorbed every keyed batch (and this one):
+          // mark them consumed so a later keyed replay is a no-op, then
+          // drop the now-duplicate subdirectories
+          val bp = new org.apache.hadoop.fs.Path(batchesPath(root))
+          val consumed = (if (fs.exists(bp))
+            fs.listStatus(bp).toSeq.map(_.getPath.getName) else Nil) ++
+            batchId.map(id => s"b$id")
+          consumed.distinct.foreach { name =>
+            fs.mkdirs(new org.apache.hadoop.fs.Path(
+              s"$root/consumed_batches/$name"))
+          }
+          fs.delete(bp, true)
+        } finally { fs.delete(p, true); () }
         RefreshResult(retrained = true, assigned = m, driftRatio = ratio)
       }
     } finally { assigned.unpersist(); () }
   }
 
   /** ANN top-`topK` over the incremental index: probe the ~k/4 nearest
-    * cells per query, exact-cosine re-rank over probed candidates only.
-    * `queries`: (query_id, qv: array<double>).
+    * cells per query (or `probesOverride` — the recall/cost knob every
+    * IVF deployment tunes), exact-cosine re-rank over probed candidates
+    * only. `queries`: (query_id, qv: array<double>).
     */
   def searchTopK(spark: SparkSession, root: String, queries: DataFrame,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5, probesOverride: Option[Int] = None): DataFrame = {
     import EmbeddingOps._
     val cents = centroidsDF(spark, root)
     val k = spark.read.parquet(metaPath(root)).head.getInt(0)
-    val probes = probesFor(k)
+    val probes = probesOverride.getOrElse(probesFor(k))
     val q = queries.select(col("query_id"), col("qv"))
       .withColumn("qn", norm(col("qv")))
     val byDist = org.apache.spark.sql.expressions.Window

@@ -420,17 +420,61 @@ object Similarity {
     QueryDef.sqlBacked("q380_ann_recall_pq_refresh",
       recallOracle("rpq", "")) { (s, dir) =>
       recallVsGt(s, dir, "rpq", refreshPqTop5(s, dir), bruteTop5(s, dir))
+    },
+
+    // IVF probe-sweep recall curve — the recall/cost OPERATING CURVE
+    // every IVF deployment tunes (probes = fraction of the corpus
+    // scanned): hits vs the exact top-5 at probes ∈ {1, 2, 4, 8}, per
+    // query, through the q117 fixture harness. The index builds once
+    // (pristine, read-only here); each level is one search pass over
+    // only its probed cells. IvfRefreshSpec pins monotonicity (more
+    // probes never lose recall).
+    QueryDef.sqlBacked(
+      "q383_ivf_probe_curve",
+      s"""WITH ann AS (SELECT probes, query_id, neighbor_id FROM
+         |  '/root/repo/target/fixtures/annrecall_pcurve_{{SF_TAG}}/*.parquet'),
+         |lv AS (SELECT DISTINCT probes FROM ann),
+         |gt AS (${gtSql("")})
+         |SELECT CAST(lv.probes AS BIGINT) AS probes, gt.query_id,
+         |  CAST(COUNT(ann.neighbor_id) AS BIGINT) AS hits
+         |FROM lv CROSS JOIN gt
+         |LEFT JOIN ann ON ann.probes = lv.probes
+         |  AND ann.query_id = gt.query_id
+         |  AND ann.neighbor_id = gt.neighbor_id
+         |GROUP BY lv.probes, gt.query_id
+         |ORDER BY probes, gt.query_id""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val root = pristineIndexRoot(s, e, "ivfsweep", tag)(
+        graft.operators.IvfIndex.build(s, _, e))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val ann = Seq(1, 2, 4, 8).map { p =>
+        graft.operators.IvfIndex
+          .searchTopK(s, root, q, probesOverride = Some(p))
+          .select(lit(p.toLong).as("probes"), col("query_id"),
+            col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      val path = s"target/fixtures/annrecall_pcurve_$tag"
+      ann.coalesce(1).write.mode("overwrite").parquet(path)
+      val annBack = s.read.parquet(path).withColumn("hit", lit(1))
+      val levels = annBack.select(col("probes")).distinct()
+      val gt = bruteTop5(s, dir).select(col("query_id"), col("neighbor_id"))
+      broadcast(levels).crossJoin(gt)
+        .join(annBack, Seq("probes", "query_id", "neighbor_id"), "left")
+        .groupBy(col("probes"), col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .orderBy(col("probes"), col("query_id"))
     }
   ) ++ moreDefs
 
-  /** Build-once pristine base index, copied to a FRESH working dir per
-    * run: the refresh path (the thing under test) runs every time; the
-    * base fit — a one-time production cost — does not repeat per run.
-    * The pristine key carries a content fingerprint of the base corpus
-    * (ids × quantized first components), so regenerated test data can
-    * never silently reuse a stale index.
+  /** Build-once pristine index keyed by a content fingerprint of the
+    * corpus (ids × quantized first components — regenerated test data
+    * can never silently reuse a stale index). Read-only consumers use
+    * it directly; mutating gates go through [[stagedIndexRoot]].
     */
-  private def stagedIndexRoot(s: SparkSession, base: DataFrame,
+  private def pristineIndexRoot(s: SparkSession, base: DataFrame,
       kind: String, tag: String)(build: String => Unit): String = {
     val agg = base.agg(
       count(lit(1)),
@@ -439,12 +483,24 @@ object Similarity {
     val (n, fp) = (agg.getLong(0), agg.getLong(1))
     val pristine =
       s"target/fixtures/${kind}_base_${tag}_${java.lang.Long.toHexString(fp)}_n$n"
+    val pp = new org.apache.hadoop.fs.Path(pristine)
+    val fs = pp.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$pristine/meta")))
+      build(pristine)
+    pristine
+  }
+
+  /** [[pristineIndexRoot]] copied to a FRESH working dir per run: the
+    * refresh path (the thing under test) runs every time; the base fit
+    * — a one-time production cost — does not repeat per run.
+    */
+  private def stagedIndexRoot(s: SparkSession, base: DataFrame,
+      kind: String, tag: String)(build: String => Unit): String = {
+    val pristine = pristineIndexRoot(s, base, kind, tag)(build)
     val working = s"target/fixtures/${kind}_refresh_$tag"
     val conf = s.sessionState.newHadoopConf()
     val pp = new org.apache.hadoop.fs.Path(pristine)
     val fs = pp.getFileSystem(conf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$pristine/meta")))
-      build(pristine)
     val wp = new org.apache.hadoop.fs.Path(working)
     fs.delete(wp, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, pp, fs, wp, false, conf)

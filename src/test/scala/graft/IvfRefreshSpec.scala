@@ -86,6 +86,48 @@ class IvfRefreshSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("keyed refresh is IDEMPOTENT: a replayed batchId rewrites its " +
+      "own rows instead of appending duplicates") {
+    val root = freshRoot("ivf_idem")
+    val all = vecs.cache()
+    val n = all.count()
+    graft.operators.IvfIndex.build(spark, root,
+      all.filter(col("vec_id") % 5 =!= 4))
+    val batch = all.filter(col("vec_id") % 5 === 4)
+    val r1 = graft.operators.IvfIndex.refresh(spark, root, batch,
+      batchId = Some(7L))
+    // the at-least-once replay every foreachBatch stream eventually does
+    val r2 = graft.operators.IvfIndex.refresh(spark, root, batch,
+      batchId = Some(7L))
+    assert(!r1.retrained && !r2.retrained)
+    val cells = graft.operators.IvfIndex.cellsDF(spark, root)
+    assert(cells.count() == n, "replay must not duplicate rows")
+    assert(cells.select("vec_id").distinct().count() == n)
+    // bookkeeping n bumped exactly once
+    assert(spark.read.parquet(s"$root/meta").head.getLong(1) == n)
+    all.unpersist()
+  }
+
+  test("probe sweep: recall is monotone in probes and the default " +
+      "probe count is on the curve") {
+    val all = vecs.cache()
+    val root = freshRoot("ivf_sweep")
+    graft.operators.IvfIndex.build(spark, root, all)
+    val q = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = exactTop5
+    def hitsAt(p: Int): Int =
+      (exact intersect top5(graft.operators.IvfIndex
+        .searchTopK(spark, root, q, probesOverride = Some(p)))).size
+    val curve = Seq(1, 2, 4, 8).map(p => p -> hitsAt(p))
+    info(s"probe curve: ${curve.mkString(", ")}")
+    curve.sliding(2).foreach { case Seq((pa, a), (pb, b)) =>
+      assert(b >= a, s"recall fell from $a (probes=$pa) to $b (probes=$pb)")
+    }
+    assert(curve.last._2 > 0)
+    all.unpersist()
+  }
+
   test("PQ refresh: codes reconcile across batches, same-distribution " +
       "batches never retrain, ADC recall tracks a full rebuild") {
     val all = vecs.cache()

@@ -54,11 +54,15 @@ class StreamingIvfSpec extends AnyFunSuite {
       .option("maxVersionsPerTrigger", "1") // one commit per batch
       .load()
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
         val batch = df.filter(col("op") === "c")
           .select(col("vec_id"), col("v"))
         if (!batch.isEmpty) {
-          val r = graft.operators.IvfIndex.refresh(spark, root, batch)
+          // keyed by the micro-batch id: Spark's foreachBatch is
+          // at-least-once, and the key makes a replayed batch rewrite
+          // its own rows instead of appending duplicates
+          val r = graft.operators.IvfIndex.refresh(spark, root, batch,
+            batchId = Some(id))
           batches += 1
           if (r.retrained) retrains += 1
         }
