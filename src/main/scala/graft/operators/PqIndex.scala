@@ -93,14 +93,26 @@ object PqIndex {
 
   private def booksPath(root: String) = s"$root/codebooks"
   private def codesPath(root: String) = s"$root/codes"
+  private def codeBatchesPath(root: String) = s"$root/codes_batches"
   private def metaPath(root: String) = s"$root/meta"
 
   def booksDF(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(booksPath(root))
 
-  /** Persisted codes: (vec_id, nrm, m, code) — M rows per vector. */
-  def codesDF(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(codesPath(root))
+  /** Persisted codes: (vec_id, nrm, m, code) — M rows per vector; the
+    * build-time base under `codes` plus one subdirectory per keyed
+    * refresh batch (the IvfIndex idempotence layout).
+    */
+  def codesDF(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.parquet(codesPath(root))
+    val bp = new org.apache.hadoop.fs.Path(codeBatchesPath(root))
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(bp))
+      base.unionByName(spark.read
+        .option("recursiveFileLookup", "true")
+        .parquet(codeBatchesPath(root)))
+    else base
+  }
 
   /** Fit M per-subspace codebooks on a bounded sample of `corpus`
     * (vec_id, v) — same shape as [[buildAndPersist]]'s fit, corpus
@@ -201,11 +213,23 @@ object PqIndex {
     * quantization error exceeds DriftFactor × the baseline — retrain
     * from `corpus` (by-name; evaluated only on drift, because codes
     * deliberately don't hold vectors).
+    *
+    * `batchId` gives the same at-least-once idempotence as
+    * [[IvfIndex.refresh]]: a keyed batch overwrites its own codes
+    * subdirectory on replay, bookkeeping n bumps on first delivery
+    * only, and a completed retrain leaves consumed-markers so keyed
+    * replays after it are no-ops.
     */
   def refresh(spark: SparkSession, root: String, batch: DataFrame,
-      corpus: => DataFrame): RefreshResult = {
+      corpus: => DataFrame, batchId: Option[Long] = None): RefreshResult = {
     val meta = spark.read.parquet(metaPath(root)).head
     val (n, baseErr) = (meta.getLong(0), meta.getDouble(1))
+    val conf = spark.sessionState.newHadoopConf()
+    val consumedMarker = new org.apache.hadoop.fs.Path(
+      s"$root/consumed_batches${batchId.fold("")(id => s"/b$id")}")
+    if (batchId.isDefined &&
+        consumedMarker.getFileSystem(conf).exists(consumedMarker))
+      return RefreshResult(retrained = false, assigned = 0L, driftRatio = 1.0)
     val coded = encodeWith(booksDF(spark, root), batch).cache()
     try {
       val agg = coded.groupBy(col("vec_id"))
@@ -214,14 +238,32 @@ object PqIndex {
       val (batchErr, m) = (agg.getDouble(0), agg.getLong(1))
       val ratio = if (baseErr > 0) batchErr / baseErr else 1.0
       if (ratio <= DriftFactor) {
+        val (target, mode, replay) = batchId match {
+          case Some(id) =>
+            val dir = s"${codeBatchesPath(root)}/b$id"
+            val p = new org.apache.hadoop.fs.Path(dir)
+            (dir, "overwrite", p.getFileSystem(conf).exists(p))
+          case None => (codesPath(root), "append", false)
+        }
         coded.select("vec_id", "nrm", "m", "code")
-          .write.mode("append").parquet(codesPath(root))
+          .write.mode(mode).parquet(target)
         import spark.implicits._
-        Seq((n + m, baseErr)).toDF("n", "base_err")
-          .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+        if (!replay)
+          Seq((n + m, baseErr)).toDF("n", "base_err")
+            .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
       } else {
         build(spark, root, corpus)
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+        val bp = new org.apache.hadoop.fs.Path(codeBatchesPath(root))
+        val consumed = (if (fs.exists(bp))
+          fs.listStatus(bp).toSeq.map(_.getPath.getName) else Nil) ++
+          batchId.map(id => s"b$id")
+        consumed.distinct.foreach { name =>
+          fs.mkdirs(new org.apache.hadoop.fs.Path(
+            s"$root/consumed_batches/$name"))
+        }
+        fs.delete(bp, true)
         RefreshResult(retrained = true, assigned = m, driftRatio = ratio)
       }
     } finally { coded.unpersist(); () }

@@ -162,6 +162,24 @@ class IvfRefreshSpec extends AnyFunSuite {
     codes.unpersist(); all.unpersist()
   }
 
+  test("PQ keyed refresh is idempotent under replay") {
+    val root = freshRoot("pq_idem")
+    val all = vecs.cache()
+    val n = all.count()
+    graft.operators.PqIndex.build(spark, root,
+      all.filter(col("vec_id") % 5 =!= 4))
+    val batch = all.filter(col("vec_id") % 5 === 4)
+    graft.operators.PqIndex.refresh(spark, root, batch, all,
+      batchId = Some(3L))
+    graft.operators.PqIndex.refresh(spark, root, batch, all,
+      batchId = Some(3L))
+    val codes = graft.operators.PqIndex.codesDF(spark, root)
+    assert(codes.count() == n * graft.operators.PqIndex.M,
+      "replay must not duplicate code rows")
+    assert(spark.read.parquet(s"$root/meta").head.getLong(0) == n)
+    all.unpersist()
+  }
+
   test("PQ drift gate: a shifted batch trips the retrain (corpus " +
       "evaluated only then)") {
     val root = freshRoot("pq_drift")
