@@ -2386,6 +2386,75 @@ object Text {
           expr("shared_trigrams * 1000000 DIV n").cast("long")
             .as("containment_ppm"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // DEDUP THRESHOLD sensitivity curve — the q383 operating-curve
+    // discipline applied to near-dup dedup: pair and dedupable-doc
+    // counts at Jaccard cutoffs 0.60–0.95, the table that decides the
+    // aggressiveness knob before a corpus-wide dedup run. Candidates
+    // come from ONE shared-shingle inverted-index pass (the q45
+    // machinery — never all pairs); each threshold is then a
+    // CROSS-MULTIPLIED integer compare (inter·1000 ≥ t·union — no
+    // division, no float, both engines decide ties identically).
+    QueryDef.sqlBacked(
+      "q384_dedup_threshold_curve",
+      s"""WITH corpus AS (${TextOps.nearDupCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+         |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |             FROM corpus)),
+         |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(COUNT(*) AS BIGINT) AS inter
+         |         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sg) AS n FROM sh),
+         |p2 AS (SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS un
+         |       FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+         |         JOIN sizes sb ON sb.doc_id = doc_b),
+         |th AS (SELECT UNNEST([600, 700, 800, 900, 950]) AS t),
+         |tagged AS (SELECT th.t, doc_a, doc_b FROM p2
+         |           JOIN th ON inter * 1000 >= th.t * un),
+         |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM tagged GROUP BY t),
+         |nd AS (SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+         |       FROM (SELECT t, doc_a AS d FROM tagged
+         |             UNION ALL SELECT t, doc_b FROM tagged) GROUP BY t)
+         |SELECT CAST(np.t AS BIGINT) AS threshold_permille, n_pairs, n_docs
+         |FROM np JOIN nd ON nd.t = np.t
+         |ORDER BY threshold_permille""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val cand = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+      val p2 = cand
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sa.n") + col("sb.n") - col("inter")).as("un"))
+      val th = Seq(600L, 700L, 800L, 900L, 950L).toDF("t")
+      val tagged = p2.crossJoin(broadcast(th))
+        .filter(col("inter") * 1000 >= col("t") * col("un"))
+        .select(col("t"), col("doc_a"), col("doc_b"))
+        .cache()
+      val np = tagged.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+      val nd = tagged.select(col("t"), col("doc_a").as("d"))
+        .unionByName(tagged.select(col("t"), col("doc_b").as("d")))
+        .groupBy(col("t"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      np.join(nd, "t")
+        .select(col("t").cast("long").as("threshold_permille"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          col("n_docs").cast("long").as("n_docs"))
+        .orderBy(col("threshold_permille"))
     }
   )
 }
