@@ -115,6 +115,20 @@ object TextOps {
         xxhash64(element_at(sig, b * 2 + 1),
           element_at(sig, b * 2 + 2)).as("band_hash")))
 
+  /** Band split at an EXPLICIT band count (rows/band = NumHashes ÷
+    * numBands) — the (bands, rows) knob of the MinHash S-curve that
+    * q385's sensitivity sweep tunes; [[bands]] is the production
+    * 16 × 2 point of this family.
+    */
+  def bandsAt(sig: Column, numBands: Int): Column = {
+    require(NumHashes % numBands == 0,
+      s"$numBands bands must divide $NumHashes hashes")
+    val r = NumHashes / numBands
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band_id"),
+        xxhash64(slice(sig, b * r + 1, lit(r))).as("band_hash")))
+  }
+
   /** Exact Jaccard between two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

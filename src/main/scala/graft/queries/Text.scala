@@ -2455,6 +2455,91 @@ object Text {
           col("n_pairs").cast("long").as("n_pairs"),
           col("n_docs").cast("long").as("n_docs"))
         .orderBy(col("threshold_permille"))
+    },
+
+    // MinHash BAND-COUNT sensitivity curve — the OTHER dedup knob
+    // (q384 tunes the verify threshold; this tunes candidate
+    // generation): with 32 hashes, bands ∈ {4, 8, 16, 32} ⇒ rows/band
+    // {8, 4, 2, 1}, sweeping the S-curve from strict (few candidates,
+    // misses) to loose (catches all, candidate flood). Candidates come
+    // from the PRODUCTION generator (SkewGuard-capped band buckets —
+    // deterministic star fallback), written as a fixture; both engines
+    // then count candidates and true-pair catches against an exact
+    // cross-multiplied Jaccard ≥ 0.8 ground truth. Signatures compute
+    // ONCE; each level is a re-banding of the same 32 hashes.
+    QueryDef.sqlBacked(
+      "q385_lsh_band_curve",
+      s"""WITH cand AS (SELECT bands, doc_a, doc_b FROM
+         |  '/root/repo/target/fixtures/lsh_band_curve_{{SF_TAG}}/*.parquet'),
+         |corpus AS (${TextOps.nearDupCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sg
+         |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |             FROM corpus)),
+         |inv AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(COUNT(*) AS BIGINT) AS inter
+         |          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sg) AS n FROM sh),
+         |gt AS (SELECT doc_a, doc_b
+         |       FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |         JOIN sizes sb ON sb.doc_id = doc_b
+         |       WHERE inter * 10 >= 8 * (sa.n + sb.n - inter)),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM gt),
+         |nc AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |       FROM cand GROUP BY 1),
+         |cg AS (SELECT c.bands, CAST(COUNT(*) AS BIGINT) AS caught
+         |       FROM cand c JOIN gt ON gt.doc_a = c.doc_a
+         |         AND gt.doc_b = c.doc_b GROUP BY 1)
+         |SELECT CAST(nc.bands AS BIGINT) AS bands, nc.n_candidates,
+         |  CAST(COALESCE(cg.caught, 0) AS BIGINT) AS caught, nt.n_true
+         |FROM nc LEFT JOIN cg ON cg.bands = nc.bands, nt
+         |ORDER BY bands""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val sh = TextOps.nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          TextOps.hashedShingles(TextOps.tokens(col("text"))).as("sg"))
+        .cache()
+      val sigs = sh.select(col("doc_id"),
+        TextOps.minhashSignature(col("sg")).as("sig")).cache()
+      val cand = Seq(4, 8, 16, 32).map { nb =>
+        val banded = sigs.select(col("doc_id"),
+            explode(TextOps.bandsAt(col("sig"), nb)).as("band"))
+          .select(col("doc_id"), col("band.band_id").as("band_id"),
+            col("band.band_hash").as("band_hash"))
+        graft.operators.SkewGuard.boundedSelfJoinPairs(
+            banded, "doc_id", Seq("band_id", "band_hash"), "doc_a", "doc_b")
+          .select(lit(nb.toLong).as("bands"), col("doc_a"), col("doc_b"))
+      }.reduce(_ unionByName _)
+      val path = s"target/fixtures/lsh_band_curve_$tag"
+      cand.coalesce(1).write.mode("overwrite").parquet(path)
+      val candBack = s.read.parquet(path)
+      val inv = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val sizes = sh.select(col("doc_id"), size(col("sg")).as("n"))
+      val gtPairs = inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .filter(col("inter") * 10 >= lit(8) * (col("na") + col("nb") - col("inter")))
+        .select(col("doc_a"), col("doc_b"))
+        .cache()
+      val nTrue = gtPairs.count()
+      val nc = candBack.groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val cg = candBack.join(gtPairs, Seq("doc_a", "doc_b"))
+        .groupBy(col("bands")).agg(count(lit(1)).as("caught"))
+      nc.join(cg, Seq("bands"), "left")
+        .select(col("bands").cast("long").as("bands"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          coalesce(col("caught"), lit(0L)).cast("long").as("caught"),
+          lit(nTrue).as("n_true"))
+        .orderBy(col("bands"))
     }
   )
 }
