@@ -208,8 +208,30 @@ object Bench {
     // values re-escape on the way out (Verify's jsonEscape contract): the
     // regex above captures RAW escaped text, so unescape then re-quote —
     // a backslash or quote in a future anchor must not corrupt the line
-    def unesc(s: String): String =
-      s.replace("\\\"", "\"").replace("\\\\", "\\")
+    def unesc(s: String): String = {
+      // full JSON-escape coverage: a raw \n / \t / \uXXXX in an anchor
+      // must round-trip through jq, not end up literal-then-double-escaped
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+          case '"'  => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '/'  => sb += '/'; i += 2
+          case 'n'  => sb += '\n'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case 'b'  => sb += '\b'; i += 2
+          case 'f'  => sb += '\f'; i += 2
+          case 'u' if i + 5 < s.length =>
+            try { sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6 }
+            catch { case _: NumberFormatException => sb += c; i += 1 }
+          case _ => sb += c; i += 1 // malformed escape: keep literal
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -89,29 +89,34 @@ object IvfIndex {
   // per ingest batch is the scale-killer (a full KMeans fit + full-corpus
   // assignment per batch). The incremental index instead:
   //   build    — one bounded-sample fit + ONE full assignment job;
-  //              vectors persist cell-ordered (the IVF layout: search
-  //              scans only probed cells), plus a drift baseline (mean
-  //              nearest-centroid squared distance at build time);
+  //              vectors persist PHYSICALLY cell-partitioned (hive
+  //              `cell=` dirs): the IVF layout is in the file layout,
+  //              not just a column, so search prunes at the FILE level;
+  //              plus a drift baseline (mean nearest-centroid squared
+  //              distance at build time);
   //   refresh  — assigns ONLY the new batch to the existing centroids
-  //              (broadcast join, map-only, batch-sized output appended
-  //              to the cell table) and retrains ONLY when the batch's
-  //              mean assignment distance drifts past DriftFactor × the
-  //              baseline — distribution shift is the one case where
-  //              stale centroids silently degrade recall;
-  //   search   — probe ~k/4 nearest cells per query, exact re-rank on
-  //              the probed candidates only.
+  //              (map-only loop, batch-sized output appended to the
+  //              cell overlay, re-clustered by cell on write) and
+  //              retrains ONLY when the batch's mean assignment distance
+  //              drifts past DriftFactor × the baseline — distribution
+  //              shift is the one case where stale centroids silently
+  //              degrade recall;
+  //   search   — probe ~k/4 nearest cells per query, push the probed
+  //              cell ids as a PARTITION filter (only probed cells'
+  //              files are opened — IvfLayoutSpec pins the opened-file
+  //              set with a counting filesystem), exact re-rank on the
+  //              probed candidates only.
+  // Crash consistency rides [[IndexGen]]: every (re)build stages into a
+  // hidden dir and publishes with one atomic rename to the next `g<n>`
+  // generation — a crash mid-retrain leaves the OLD generation serving,
+  // never a torn index; consumed-batch markers ride inside the staged
+  // dir so keyed-replay idempotence holds on both sides of the swap.
+  // Overlay growth between retrains is bounded by [[BatchOverlays]]
+  // folding (auto-triggered past [[CompactAfter]] keyed batches).
   // IvfRefreshSpec pins refresh-recall ≥ rebuild-recall − ε and the
   // drift-gate trip; q376 drives the grown-corpus recall gate through
-  // the DuckDB oracle at both SFs.
-  //
-  // Crash/exactly-once notes (stated, not hidden): meta writes LAST in
-  // both build and refresh, so a crash mid-build leaves the old meta
-  // pointing at possibly-new files — callers that need atomic cutover
-  // should build into a fresh root and swap the root reference (the
-  // graft table itself, when the index rides one, gives this for free).
-  // A foreachBatch maintenance stream is at-least-once: a retried batch
-  // re-appends its vectors; dedup by (vec_id) at read time or key the
-  // append by the micro-batch id if the source can replay.
+  // the DuckDB oracle at both SFs; IndexCrashSpec pins old-or-new-never-
+  // torn; IndexCompactionSpec pins the bounded overlay dir count.
 
   /** Mean batch assignment distance above `DriftFactor` × the build-time
     * baseline forces a full retrain on the next refresh.
@@ -121,30 +126,56 @@ object IvfIndex {
   final case class RefreshResult(
       retrained: Boolean, assigned: Long, driftRatio: Double)
 
-  private def centroidsPath(root: String) = s"$root/centroids"
-  private def cellsPath(root: String) = s"$root/cells"
-  private def batchesPath(root: String) = s"$root/cells_batches"
-  private def metaPath(root: String) = s"$root/meta"
+  /** Keyed overlay dirs tolerated before refresh auto-folds them into a
+    * merged tier (see [[BatchOverlays.compact]] — overlay-sized cost,
+    * the base is never rewritten).
+    */
+  val CompactAfter = 16
 
-  /** Persisted cell table: (vec_id, v, nrm, cell) — the corpus in IVF
-    * layout (the build-time base under `cells` plus one subdirectory
-    * per keyed refresh batch). Search reads only probed cells; retrain
-    * reconstructs the corpus from here, so refresh never needs the
-    * source table.
+  private val OverlayName = "cells_batches"
+
+  /** Static cell-table schema: handed to every read so neither the
+    * driver nor the planner ever opens a data-file footer to infer it —
+    * at 100 TB schema inference is itself a scale bug, and the counting-
+    * filesystem layout pin requires zero non-probed opens.
+    */
+  private val cellSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def genOf(spark: SparkSession, root: String): String =
+    IndexGen.resolveOrFail(IndexGen.fsOf(spark, root), root).toString
+
+  def isBuilt(spark: SparkSession, root: String): Boolean =
+    IndexGen.isBuilt(IndexGen.fsOf(spark, root), root)
+
+  /** Persisted cell table: (vec_id, v, nrm, cell) — the corpus in
+    * PHYSICAL IVF layout: hive `cell=` partition dirs in the build-time
+    * base plus the keyed-batch overlay (each overlay dir cell-partitioned
+    * too). A filter on `cell` prunes at the FILE level in every part.
+    * Retrain reconstructs the corpus from here, so refresh never needs
+    * the source table.
     */
   def cellsDF(spark: SparkSession, root: String): DataFrame = {
-    val base = spark.read.parquet(cellsPath(root))
-    val bp = new org.apache.hadoop.fs.Path(batchesPath(root))
-    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(bp))
-      base.unionByName(spark.read
-        .option("recursiveFileLookup", "true")
-        .parquet(batchesPath(root)))
-    else base
+    val gen = genOf(spark, root)
+    val base = spark.read.schema(cellSchema).parquet(s"$gen/cells")
+    BatchOverlays.readActive(spark, s"$gen/$OverlayName", cellSchema)
+      .map(base.unionByName(_)).getOrElse(base)
   }
 
   def centroidsDF(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(centroidsPath(root))
+    spark.read.parquet(s"${genOf(spark, root)}/centroids")
+
+  /** (k, n, base_dist) bookkeeping of the active generation. */
+  def metaDF(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"${genOf(spark, root)}/meta")
 
   /** Fit k centroids on a bounded sample of `vecs` (vec_id, v). */
   private def fitCentroids(spark: SparkSession, vecs: DataFrame,
@@ -216,25 +247,45 @@ object IvfIndex {
   private def assign(spark: SparkSession, vecs: DataFrame,
       cents: DataFrame): DataFrame = assignTo(spark, cents, vecs)
 
-  /** Build the incremental index at `root` from `corpus` (vec_id,
-    * v: array<double>): one sample fit, one full assignment job, and
-    * the drift baseline. Overwrites any prior index at `root`.
+  /** One sample fit + one full assignment job, written into `staging`
+    * (centroids, then the cell-partitioned base, meta LAST). The caller
+    * publishes staging via [[IndexGen.commit]] — shared by build and the
+    * retrain path of refresh, and the crash-injection point of
+    * IndexCrashSpec (a staged-but-uncommitted build must be invisible).
     */
-  def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+  private[graft] def buildInto(spark: SparkSession, staging: String,
+      corpus: DataFrame): Unit = {
     val n = corpus.count()
     val k = kFor(n)
     val cents = fitCentroids(spark, corpus, n, k)
-    cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(root))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
     val assigned = assign(spark, corpus,
-      spark.read.parquet(centroidsPath(root))).cache()
+      spark.read.parquet(s"$staging/centroids")).cache()
     try {
+      // PHYSICAL cell layout: repartition(cell) clusters each cell into
+      // one task, partitionBy(cell) encodes it in the directory layout —
+      // ~1 file per cell, and search's probed-cell filter prunes at file
+      // listing instead of post-scan (the whole point of IVF at 100 TB)
       assigned.select("vec_id", "v", "nrm", "cell")
-        .write.mode("overwrite").parquet(cellsPath(root))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$staging/cells")
       val base = assigned.agg(avg(col("dist2"))).head.getDouble(0)
       import spark.implicits._
       Seq((k, n, base)).toDF("k", "n", "base_dist")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
     } finally { assigned.unpersist(); () }
+  }
+
+  /** Build the incremental index at `root` from `corpus` (vec_id,
+    * v: array<double>): stage a full build, publish it as the next
+    * generation with one atomic rename.
+    */
+  def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    val staging = IndexGen.staging(root)
+    buildInto(spark, staging, corpus)
+    IndexGen.commit(IndexGen.fsOf(spark, root), root, staging)
+    ()
   }
 
   /** Ingest a new batch (vec_id, v) into the index at `root`: assign to
@@ -255,16 +306,16 @@ object IvfIndex {
     */
   def refresh(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Option[Long] = None): RefreshResult = {
-    val meta = spark.read.parquet(metaPath(root)).head
+    val fs = IndexGen.fsOf(spark, root)
+    val gen = genOf(spark, root)
+    val meta = spark.read.parquet(s"$gen/meta").head
     val (k, n, baseDist) =
       (meta.getInt(0), meta.getLong(1), meta.getDouble(2))
-    val conf = spark.sessionState.newHadoopConf()
-    // a keyed batch already consumed by a completed retrain replays as
-    // a no-op: its rows live in the rebuilt base now
-    val consumedMarker = new org.apache.hadoop.fs.Path(
-      s"$root/consumed_batches${batchId.fold("")(id => s"/b$id")}")
-    if (batchId.isDefined &&
-        consumedMarker.getFileSystem(conf).exists(consumedMarker))
+    // a keyed batch already consumed by a completed retrain or an
+    // overlay fold replays as a no-op: its rows live in the rebuilt
+    // base / merged tier now
+    if (batchId.exists(id => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$gen/consumed_batches/b$id"))))
       return RefreshResult(retrained = false, assigned = 0L, driftRatio = 1.0)
     val assigned = assign(spark, batch, centroidsDF(spark, root)).cache()
     try {
@@ -274,77 +325,126 @@ object IvfIndex {
       if (ratio <= DriftFactor) {
         val (target, mode, replay) = batchId match {
           case Some(id) =>
-            val dir = s"${batchesPath(root)}/b$id"
+            val dir = s"$gen/$OverlayName/b$id"
             val p = new org.apache.hadoop.fs.Path(dir)
-            (dir, "overwrite", p.getFileSystem(conf).exists(p))
-          case None => (cellsPath(root), "append", false)
+            (dir, "overwrite", fs.exists(p))
+          case None => (s"$gen/cells", "append", false)
         }
+        // overlay rows carry the same physical cell layout as the base
+        // (batch-sized repartition — the assignment itself stays
+        // map-only), so search's partition filter prunes them too
         assigned.select("vec_id", "v", "nrm", "cell")
-          .write.mode(mode).parquet(target)
+          .repartition(col("cell"))
+          .write.partitionBy("cell").mode(mode).parquet(target)
         import spark.implicits._
         if (!replay)
-          Seq((k, n + m, baseDist)).toDF("k", "n", "base_dist")
-            .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+          IndexGen.writeMetaAtomic(spark, gen,
+            Seq((k, n + m, baseDist)).toDF("k", "n", "base_dist"))
+        // bound the overlay dir growth between (rare) retrains: fold
+        // past the threshold — overlay-sized cost, base untouched
+        if (batchId.isDefined &&
+            BatchOverlays.count(fs, s"$gen/$OverlayName") > CompactAfter)
+          BatchOverlays.compact(spark, gen, OverlayName, cellSchema,
+            clusterBy = Some("cell"))
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
       } else {
         // distribution shift: stale centroids would silently starve
-        // recall — retrain from the index's own vectors plus the batch.
-        // The corpus is staged to DURABLE parquet first, not a cache:
-        // build() overwrites the cells directory this corpus reads
-        // from, and a cache-evicted partition recomputing mid-build
-        // would read the overwritten path. Retrain is rare (the gate);
-        // one extra corpus write is its price.
-        val staged = s"$root/retrain_staging"
-        cellsDF(spark, root).select("vec_id", "v")
-          .unionByName(batch.select("vec_id", "v"))
-          .write.mode("overwrite").parquet(staged)
-        val p = new org.apache.hadoop.fs.Path(staged)
-        val fs = p.getFileSystem(conf)
-        try {
-          build(spark, root, spark.read.parquet(staged))
-          // the rebuilt base absorbed every keyed batch (and this one):
-          // mark them consumed so a later keyed replay is a no-op, then
-          // drop the now-duplicate subdirectories
-          val bp = new org.apache.hadoop.fs.Path(batchesPath(root))
-          val consumed = (if (fs.exists(bp))
-            fs.listStatus(bp).toSeq.map(_.getPath.getName) else Nil) ++
-            batchId.map(id => s"b$id")
-          consumed.distinct.foreach { name =>
-            fs.mkdirs(new org.apache.hadoop.fs.Path(
-              s"$root/consumed_batches/$name"))
-          }
-          fs.delete(bp, true)
-        } finally { fs.delete(p, true); () }
+        // recall — retrain from the index's own vectors plus the batch
+        // into a STAGED next generation. The staging dir is disjoint
+        // from the (immutable) current generation the corpus reads, so
+        // no durable corpus copy is needed, and the single publish
+        // rename means a crash anywhere in here leaves the old
+        // generation serving — never a torn index.
+        val staging = IndexGen.staging(root)
+        buildInto(spark, staging,
+          cellsDF(spark, root).select("vec_id", "v")
+            .unionByName(batch.select("vec_id", "v")))
+        // consumed markers ride INSIDE the staged generation, so they
+        // become visible exactly iff the retrain that absorbed those
+        // batches published — keyed-replay idempotence holds on both
+        // sides of the crash window
+        val overlay = s"$gen/$OverlayName"
+        val prior = {
+          val cb = new org.apache.hadoop.fs.Path(s"$gen/consumed_batches")
+          if (fs.exists(cb)) fs.listStatus(cb).toSeq.map(_.getPath.getName)
+          else Seq.empty
+        }
+        val absorbed =
+          BatchOverlays.activeDirs(fs, overlay).map(_.getName) ++
+          BatchOverlays.foldedNames(fs, overlay) ++
+          batchId.map(id => s"b$id")
+        (prior ++ absorbed.filter(_.startsWith("b"))).distinct.foreach { nm =>
+          fs.mkdirs(new org.apache.hadoop.fs.Path(
+            s"$staging/consumed_batches/$nm"))
+        }
+        IndexGen.commit(fs, root, staging)
         RefreshResult(retrained = true, assigned = m, driftRatio = ratio)
       }
     } finally { assigned.unpersist(); () }
   }
 
-  /** ANN top-`topK` over the incremental index: probe the ~k/4 nearest
-    * cells per query (or `probesOverride` — the recall/cost knob every
-    * IVF deployment tunes), exact-cosine re-rank over probed candidates
-    * only. `queries`: (query_id, qv: array<double>).
+  /** Index OPTIMIZE: fold the keyed overlay into one merged tier now
+    * (the auto-trigger's manual entry point).
     */
-  def searchTopK(spark: SparkSession, root: String, queries: DataFrame,
-      topK: Int = 5, probesOverride: Option[Int] = None): DataFrame = {
+  def compact(spark: SparkSession, root: String): Unit =
+    BatchOverlays.compact(spark, genOf(spark, root), OverlayName,
+      cellSchema, clusterBy = Some("cell"))
+
+  /** Per-query probed cells: (query_id, qv, qn, cell) — each query's
+    * `probes` nearest centroids by the same (cdist, cell) order the
+    * assignment uses. A corpus-independent job: queries × k slim rows
+    * through one bounded window.
+    */
+  private def probeAssignments(spark: SparkSession, root: String,
+      queries: DataFrame, probes: Int): DataFrame = {
     import EmbeddingOps._
     val cents = centroidsDF(spark, root)
-    val k = spark.read.parquet(metaPath(root)).head.getInt(0)
-    val probes = probesOverride.getOrElse(probesFor(k))
     val q = queries.select(col("query_id"), col("qv"))
       .withColumn("qn", norm(col("qv")))
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
-    val probed = broadcast(q).join(broadcast(cents))
+    broadcast(q).join(broadcast(cents))
       .withColumn("cdist",
         col("cnorm2") - lit(2.0) * dot(col("qv"), col("cv")))
       .withColumn("cell_rank", row_number().over(byDist))
       .filter(col("cell_rank") <= probes)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+  }
+
+  /** The distinct probed-cell id set for a query batch — ≤ k ≤ 4096
+    * values however many queries, so collecting it driver-side is
+    * bounded; searchTopK pushes it as the partition filter and
+    * IvfLayoutSpec asserts against it.
+    */
+  private[graft] def probedCells(spark: SparkSession, root: String,
+      queries: DataFrame, probes: Int): Array[Int] =
+    probeAssignments(spark, root, queries, probes)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+
+  /** ANN top-`topK` over the incremental index: probe the ~k/4 nearest
+    * cells per query (or `probesOverride` — the recall/cost knob every
+    * IVF deployment tunes), exact-cosine re-rank over probed candidates
+    * only. The probed-cell IN-list is pushed as a PARTITION filter on
+    * the physically cell-partitioned read, so only probed cells' files
+    * are listed into scan tasks — the other cells' bytes are never read
+    * (the probe job runs twice, once to collect the ≤ k cell ids and
+    * once in the final plan; it is queries × k slim rows, independent of
+    * corpus size). `queries`: (query_id, qv: array<double>).
+    */
+  def searchTopK(spark: SparkSession, root: String, queries: DataFrame,
+      topK: Int = 5, probesOverride: Option[Int] = None): DataFrame = {
+    import EmbeddingOps._
+    val k = metaDF(spark, root).head.getInt(0)
+    val probes = probesOverride.getOrElse(probesFor(k))
+    val probed = probeAssignments(spark, root, queries, probes)
+    val cellIds = probedCells(spark, root, queries, probes)
+    val pruned = cellsDF(spark, root)
+      .filter(col("cell").isin(cellIds.map(Int.box).toSeq: _*))
     val byCos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    probed.join(cellsDF(spark, root), Seq("cell"))
+    probed.join(pruned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))

@@ -85,33 +85,58 @@ object PqIndex {
   // build-time baseline. Unlike the IVF cell table, codes deliberately
   // do NOT hold the vectors (compression is the point), so the retrain
   // corpus comes from the caller (by-name — evaluated only on drift).
+  // Crash consistency and overlay folding ride the same [[IndexGen]] /
+  // [[BatchOverlays]] machinery as IvfIndex: staged generations
+  // published by one atomic rename, consumed markers inside the staged
+  // dir, keyed overlay dirs auto-folded past [[CompactAfter]].
 
   val DriftFactor = 1.5
+
+  /** Keyed overlay dirs tolerated before refresh auto-folds them. */
+  val CompactAfter = 16
 
   final case class RefreshResult(
       retrained: Boolean, assigned: Long, driftRatio: Double)
 
-  private def booksPath(root: String) = s"$root/codebooks"
-  private def codesPath(root: String) = s"$root/codes"
-  private def codeBatchesPath(root: String) = s"$root/codes_batches"
-  private def metaPath(root: String) = s"$root/meta"
+  private val OverlayName = "codes_batches"
+
+  /** Static packed-codes schema — handed to every read so no data-file
+    * footer is ever opened for inference.
+    */
+  private val codeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))))
+
+  private def genOf(spark: SparkSession, root: String): String =
+    IndexGen.resolveOrFail(IndexGen.fsOf(spark, root), root).toString
+
+  def isBuilt(spark: SparkSession, root: String): Boolean =
+    IndexGen.isBuilt(IndexGen.fsOf(spark, root), root)
 
   def booksDF(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(booksPath(root))
+    spark.read.parquet(s"${genOf(spark, root)}/codebooks")
 
-  /** Persisted codes: (vec_id, nrm, m, code) — M rows per vector; the
-    * build-time base under `codes` plus one subdirectory per keyed
-    * refresh batch (the IvfIndex idempotence layout).
+  /** (n, base_err) bookkeeping of the active generation. */
+  def metaDF(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"${genOf(spark, root)}/meta")
+
+  /** Persisted codes, PACKED: one row per vector — (vec_id, nrm,
+    * codes: array<int> of length M). One row per (vec, subspace) would
+    * repeat vec_id + nrm M times and put 8× the rows through every
+    * scan and aggregation ADC does; the M-nibble claim should be the
+    * row layout too. Build-time base under `codes` plus the keyed
+    * overlay (the IvfIndex idempotence layout).
     */
   def codesDF(spark: SparkSession, root: String): DataFrame = {
-    val base = spark.read.parquet(codesPath(root))
-    val bp = new org.apache.hadoop.fs.Path(codeBatchesPath(root))
-    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(bp))
-      base.unionByName(spark.read
-        .option("recursiveFileLookup", "true")
-        .parquet(codeBatchesPath(root)))
-    else base
+    val gen = genOf(spark, root)
+    val base = spark.read.schema(codeSchema).parquet(s"$gen/codes")
+    BatchOverlays.readActive(spark, s"$gen/$OverlayName", codeSchema)
+      .map(base.unionByName(_)).getOrElse(base)
   }
 
   /** Fit M per-subspace codebooks on a bounded sample of `corpus`
@@ -162,50 +187,110 @@ object PqIndex {
     }), Duration.Inf).flatten
   }
 
-  /** Encode (vec_id, v) rows against the given codebooks: broadcast
-    * join + per-(vector, subspace) argmin. Output (vec_id, nrm, m,
-    * code, qerr) with qerr the subspace's true squared quantization
-    * error — drift is measured in its per-vector sum.
+  /** Codebooks collected for broadcast: `[m][code] = (cv, cnorm2)`.
+    * M × K × sub doubles ≈ 8 KB at the defaults — driver-side by design.
     */
-  private def encodeWith(books: DataFrame, vecs: DataFrame): DataFrame = {
-    val sub = books.select(size(col("cv"))).first().getInt(0)
-    val exploded = vecs
-      .withColumn("nrm", EmbeddingOps.norm(col("v")))
-      .select(col("vec_id"), col("nrm"),
-        posexplode(expr(
-          s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $sub + 1, $sub))"))
-          .as(Seq("m", "vm")))
-    val byFit = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("adist"), col("code"))
-    exploded.join(broadcast(books), Seq("m"))
-      .withColumn("adist",
-        col("cnorm2") - lit(2.0) * EmbeddingOps.dot(col("vm"), col("cv")))
-      .withColumn("arnk", row_number().over(byFit))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("nrm"), col("m"), col("code"),
-        (col("adist") + EmbeddingOps.dot(col("vm"), col("vm"))).as("qerr"))
+  private[graft] def collectBooks(
+      books: DataFrame): Array[Array[(Array[Double], Double)]] = {
+    val rows = books.select(col("m"), col("code"), col("cv"), col("cnorm2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(c => (c._3, c._4))
+    }.toArray
+  }
+
+  /** Encode (vec_id, v) rows against the given codebooks: codebooks
+    * broadcast (≈8 KB), then a tight per-row loop over all M subspaces —
+    * truly map-only, zero shuffle, one output row per vector. The
+    * join(broadcast)+window-argmin formulation this replaces pushed
+    * corpus × M × K = 128× the rows through a row_number SHUFFLE on
+    * every build, retrain, and refresh — the exact scale bug
+    * [[IvfIndex.assignTo]] eradicated from IVF assignment. Arithmetic
+    * matches it bit-for-bit: sequential left-to-right dots, adist =
+    * cnorm2 − 2·dot, strict < keeps the LOWEST code on ties (the
+    * (adist, code) window order). Output (vec_id, nrm, codes, qerr)
+    * with qerr the vector's total squared quantization error — drift is
+    * measured in its corpus mean.
+    */
+  private[graft] def encodePacked(spark: SparkSession, books: DataFrame,
+      vecs: DataFrame): DataFrame = {
+    val bArr = collectBooks(books)
+    val bc = spark.sparkContext.broadcast(bArr)
+    import spark.implicits._
+    vecs.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        val mCount = bks.length
+        val sub = bks(0)(0)._1.length
+        it.map { case (id, v) =>
+          var nrm2 = 0.0
+          var i = 0
+          while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
+          val codes = new Array[Int](mCount)
+          var qerr = 0.0
+          var m = 0
+          while (m < mCount) {
+            val off = m * sub
+            val book = bks(m)
+            var best = -1
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              val (cv, cn2) = book(c)
+              var dotv = 0.0
+              var j = 0
+              while (j < sub) { dotv += v(off + j) * cv(j); j += 1 }
+              val d = cn2 - 2.0 * dotv
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            var vm2 = 0.0
+            var j = 0
+            while (j < sub) { vm2 += v(off + j) * v(off + j); j += 1 }
+            qerr += bestD + vm2
+            codes(m) = best
+            m += 1
+          }
+          (id, math.sqrt(nrm2), codes, qerr)
+        }
+      }.toDF("vec_id", "nrm", "codes", "qerr")
+  }
+
+  /** Fit + whole-corpus encode, written into `staging` (codebooks, then
+    * packed codes, meta LAST); the caller publishes via
+    * [[IndexGen.commit]].
+    */
+  private[graft] def buildInto(spark: SparkSession, staging: String,
+      corpus: DataFrame): Unit = {
+    val n = corpus.count()
+    fitBooks(spark, corpus, n)
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
+    val coded = encodePacked(spark,
+      spark.read.parquet(s"$staging/codebooks"), corpus).cache()
+    try {
+      coded.select("vec_id", "nrm", "codes")
+        .write.mode("overwrite").parquet(s"$staging/codes")
+      // packed rows: the baseline is a straight corpus mean — no
+      // per-vector regroup needed
+      val base = coded.agg(avg(col("qerr"))).head.getDouble(0)
+      import spark.implicits._
+      Seq((n, base)).toDF("n", "base_err")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+    } finally { coded.unpersist(); () }
   }
 
   /** Build the incremental PQ index at `root` from `corpus` (vec_id,
     * v: array<double>): fit codebooks, encode the whole corpus ONCE,
-    * persist codes + the quantization-error baseline.
+    * publish codes + the quantization-error baseline as the next
+    * generation with one atomic rename.
     */
   def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
-    val n = corpus.count()
-    fitBooks(spark, corpus, n)
-      .coalesce(1).write.mode("overwrite").parquet(booksPath(root))
-    val coded = encodeWith(booksDF(spark, root), corpus).cache()
-    try {
-      coded.select("vec_id", "nrm", "m", "code")
-        .write.mode("overwrite").parquet(codesPath(root))
-      val base = coded.groupBy(col("vec_id"))
-        .agg(sum(col("qerr")).as("e"))
-        .agg(avg(col("e"))).head.getDouble(0)
-      import spark.implicits._
-      Seq((n, base)).toDF("n", "base_err")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
-    } finally { coded.unpersist(); () }
+    val staging = IndexGen.staging(root)
+    buildInto(spark, staging, corpus)
+    IndexGen.commit(IndexGen.fsOf(spark, root), root, staging)
+    ()
   }
 
   /** Ingest a batch (vec_id, v): encode against the EXISTING codebooks
@@ -222,105 +307,152 @@ object PqIndex {
     */
   def refresh(spark: SparkSession, root: String, batch: DataFrame,
       corpus: => DataFrame, batchId: Option[Long] = None): RefreshResult = {
-    val meta = spark.read.parquet(metaPath(root)).head
+    val fs = IndexGen.fsOf(spark, root)
+    val gen = genOf(spark, root)
+    val meta = spark.read.parquet(s"$gen/meta").head
     val (n, baseErr) = (meta.getLong(0), meta.getDouble(1))
-    val conf = spark.sessionState.newHadoopConf()
-    val consumedMarker = new org.apache.hadoop.fs.Path(
-      s"$root/consumed_batches${batchId.fold("")(id => s"/b$id")}")
-    if (batchId.isDefined &&
-        consumedMarker.getFileSystem(conf).exists(consumedMarker))
+    if (batchId.exists(id => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$gen/consumed_batches/b$id"))))
       return RefreshResult(retrained = false, assigned = 0L, driftRatio = 1.0)
-    val coded = encodeWith(booksDF(spark, root), batch).cache()
+    val coded = encodePacked(spark, booksDF(spark, root), batch).cache()
     try {
-      val agg = coded.groupBy(col("vec_id"))
-        .agg(sum(col("qerr")).as("e"))
-        .agg(avg(col("e")), count(lit(1))).head
+      val agg = coded.agg(avg(col("qerr")), count(lit(1))).head
       val (batchErr, m) = (agg.getDouble(0), agg.getLong(1))
       val ratio = if (baseErr > 0) batchErr / baseErr else 1.0
       if (ratio <= DriftFactor) {
         val (target, mode, replay) = batchId match {
           case Some(id) =>
-            val dir = s"${codeBatchesPath(root)}/b$id"
+            val dir = s"$gen/$OverlayName/b$id"
             val p = new org.apache.hadoop.fs.Path(dir)
-            (dir, "overwrite", p.getFileSystem(conf).exists(p))
-          case None => (codesPath(root), "append", false)
+            (dir, "overwrite", fs.exists(p))
+          case None => (s"$gen/codes", "append", false)
         }
-        coded.select("vec_id", "nrm", "m", "code")
+        coded.select("vec_id", "nrm", "codes")
           .write.mode(mode).parquet(target)
         import spark.implicits._
         if (!replay)
-          Seq((n + m, baseErr)).toDF("n", "base_err")
-            .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+          IndexGen.writeMetaAtomic(spark, gen,
+            Seq((n + m, baseErr)).toDF("n", "base_err"))
+        if (batchId.isDefined &&
+            BatchOverlays.count(fs, s"$gen/$OverlayName") > CompactAfter)
+          BatchOverlays.compact(spark, gen, OverlayName, codeSchema,
+            clusterBy = None)
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
       } else {
-        build(spark, root, corpus)
-        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-        val bp = new org.apache.hadoop.fs.Path(codeBatchesPath(root))
-        val consumed = (if (fs.exists(bp))
-          fs.listStatus(bp).toSeq.map(_.getPath.getName) else Nil) ++
-          batchId.map(id => s"b$id")
-        consumed.distinct.foreach { name =>
-          fs.mkdirs(new org.apache.hadoop.fs.Path(
-            s"$root/consumed_batches/$name"))
+        // retrain corpus = caller corpus ∪ THIS batch, batch winning on
+        // vec_id overlap: a caller whose corpus snapshot predates the
+        // pending batch must not have it silently and unrecoverably
+        // dropped (the anti-join runs once, on the rare drift path).
+        // NOTE the caller's corpus must still cover the base and all
+        // previously refreshed vectors — codes deliberately hold no
+        // vectors, so the index cannot reconstruct them itself.
+        val full = corpus.select(col("vec_id"), col("v"))
+          .join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(batch.select(col("vec_id"), col("v")))
+        val staging = IndexGen.staging(root)
+        buildInto(spark, staging, full)
+        val overlay = s"$gen/$OverlayName"
+        val prior = {
+          val cb = new org.apache.hadoop.fs.Path(s"$gen/consumed_batches")
+          if (fs.exists(cb)) fs.listStatus(cb).toSeq.map(_.getPath.getName)
+          else Seq.empty
         }
-        fs.delete(bp, true)
+        val absorbed =
+          BatchOverlays.activeDirs(fs, overlay).map(_.getName) ++
+          BatchOverlays.foldedNames(fs, overlay) ++
+          batchId.map(id => s"b$id")
+        (prior ++ absorbed.filter(_.startsWith("b"))).distinct.foreach { nm =>
+          fs.mkdirs(new org.apache.hadoop.fs.Path(
+            s"$staging/consumed_batches/$nm"))
+        }
+        IndexGen.commit(fs, root, staging)
         RefreshResult(retrained = true, assigned = m, driftRatio = ratio)
       }
     } finally { coded.unpersist(); () }
   }
 
+  /** Index OPTIMIZE: fold the keyed overlay into one merged tier now. */
+  def compact(spark: SparkSession, root: String): Unit =
+    BatchOverlays.compact(spark, genOf(spark, root), OverlayName,
+      codeSchema, clusterBy = None)
+
+  /** Per-query ADC lookup tables, computed map-only against the
+    * broadcast codebooks: (query_id, qn, luts) with
+    * `luts[m][code] = qₘ · cv(m, code)` — M × K doubles per query.
+    */
+  private def lutDF(spark: SparkSession, books: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val bArr = collectBooks(books)
+    val bc = spark.sparkContext.broadcast(bArr)
+    import spark.implicits._
+    queries.select(col("query_id"), col("qv")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        val mCount = bks.length
+        val sub = bks(0)(0)._1.length
+        it.map { case (id, qv) =>
+          var qn2 = 0.0
+          var i = 0
+          while (i < qv.length) { qn2 += qv(i) * qv(i); i += 1 }
+          val luts = Array.tabulate(mCount) { m =>
+            val off = m * sub
+            val book = bks(m)
+            Array.tabulate(book.length) { c =>
+              val cv = book(c)._1
+              var d = 0.0
+              var j = 0
+              while (j < sub) { d += qv(off + j) * cv(j); j += 1 }
+              d
+            }
+          }
+          (id, math.sqrt(qn2), luts)
+        }
+      }.toDF("query_id", "qn", "luts")
+  }
+
   /** ADC top-`topK` over the incremental index (`queries`: query_id,
     * qv): one lookup table of query-to-centroid dots per subspace,
-    * approximate cosine = Σₘ lut[codeₘ] / (‖q‖·‖v‖) with exact norms.
+    * approximate cosine = Σₘ lut[m][codeₘ] / (‖q‖·‖v‖) with exact
+    * norms. With packed codes the whole score is computed MAP-SIDE per
+    * (vector, query) row — no ×M×K row explosion, no argmin; the only
+    * shuffles are the duplicate collapse and the per-query top-k
+    * window over corpus × queries slim rows. The max() collapse makes
+    * ranking robust to duplicate code rows (an unkeyed at-least-once
+    * replay, or re-ingesting an existing vec_id): duplicates carry
+    * identical codes, so max is exact — where the former per-subspace
+    * sum(part) roughly DOUBLED the numerator and corrupted ranking.
     */
   def scoreTopK(spark: SparkSession, root: String, queries: DataFrame,
       topK: Int = 5): DataFrame = {
-    val books = booksDF(spark, root)
-    val sub = books.select(size(col("cv"))).first().getInt(0)
-    val lut = queries
-      .withColumn("qn", EmbeddingOps.norm(col("qv")))
-      .select(col("query_id"), col("qn"),
-        posexplode(expr(
-          s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $sub + 1, $sub))"))
-          .as(Seq("m", "qm")))
-      .join(broadcast(books), Seq("m"))
-      .select(col("query_id"), col("qn"), col("m"), col("code"),
-        EmbeddingOps.dot(col("qm"), col("cv")).as("part"))
+    val lut = lutDF(spark, booksDF(spark, root), queries)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    codesDF(spark, root).join(broadcast(lut), Seq("m", "code"))
+    codesDF(spark, root).crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg((sum(col("part")) / (max(col("qn")) * max(col("nrm")))).as("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(s"aggregate(sequence(0, ${M - 1}), CAST(0.0 AS DOUBLE), " +
+          "(acc, m) -> acc + luts[m][codes[m]])")
+          / (col("qn") * col("nrm"))).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Encode the corpus: (vec_id, nrm, m, code) — one row per subspace
-    * per vector (the shuffle-friendly long form of the M-nibble code).
+  /** Encode the corpus: (vec_id, nrm, m, code) — the long form some
+    * consumers join on, produced by a map-only posexplode of the packed
+    * encoder (no shuffle; the window-argmin long-form encode this
+    * replaces pushed corpus × M × K rows through a row_number shuffle).
     */
   def encode(spark: SparkSession, dir: String, n: Long): DataFrame = {
     val booksDf = codebooks(spark, dir, n)
-    val sub = booksDf.select(size(col("cv"))).first().getInt(0)
-    val books = broadcast(booksDf)
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), EmbeddingOps.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", EmbeddingOps.norm(col("v")))
-    val exploded = e.select(col("vec_id"), col("nrm"),
-      posexplode(expr(
-        s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $sub + 1, $sub))"))
-        .as(Seq("m", "vm")))
-    val byFit = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("adist"), col("code"))
-    exploded.join(books, Seq("m"))
-      .withColumn("adist",
-        col("cnorm2") - lit(2.0) * EmbeddingOps.dot(col("vm"), col("cv")))
-      .withColumn("arnk", row_number().over(byFit))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("nrm"), col("m"), col("code"))
+    encodePacked(spark, booksDf, e)
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("codes")).as(Seq("m", "code")))
   }
 }

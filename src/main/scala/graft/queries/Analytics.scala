@@ -2306,7 +2306,11 @@ object Analytics {
             .as("le_n"))
         .groupBy(col("nation"), col("quartile").cast("long").as("quartile"))
         .agg(count(lit(1)).as("n_cust"),
-          min(expr("(rnk - 1) * 1000000 DIV GREATEST(n - 1, 1)"))
+          // rank() is IntegerType: without the BIGINT widening the
+          // int×int product wraps once a nation partition exceeds ~2148
+          // rows (SF≥1), silently diverging from DuckDB's HUGEINT math
+          min(expr("(CAST(rnk AS BIGINT) - 1) * 1000000" +
+              " DIV GREATEST(n - 1, 1)"))
             .cast("long").as("min_pr_ppm"),
           max(expr("le_n * 1000000 DIV n")).cast("long").as("max_cume_ppm"),
           sum(col("bal")).cast("long").as("bal_cents"))

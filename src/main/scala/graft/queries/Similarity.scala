@@ -485,8 +485,12 @@ object Similarity {
       s"target/fixtures/${kind}_base_${tag}_${java.lang.Long.toHexString(fp)}_n$n"
     val pp = new org.apache.hadoop.fs.Path(pristine)
     val fs = pp.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$pristine/meta")))
+    // generation-resolved build check (a dir in the pre-generation
+    // layout fails it and is rebuilt from scratch)
+    if (!graft.operators.IndexGen.isBuilt(fs, pristine)) {
+      fs.delete(pp, true)
       build(pristine)
+    }
     pristine
   }
 

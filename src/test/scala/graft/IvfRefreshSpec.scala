@@ -104,7 +104,7 @@ class IvfRefreshSpec extends AnyFunSuite {
     assert(cells.count() == n, "replay must not duplicate rows")
     assert(cells.select("vec_id").distinct().count() == n)
     // bookkeeping n bumped exactly once
-    assert(spark.read.parquet(s"$root/meta").head.getLong(1) == n)
+    assert(graft.operators.IvfIndex.metaDF(spark, root).head.getLong(1) == n)
     all.unpersist()
   }
 
@@ -143,7 +143,10 @@ class IvfRefreshSpec extends AnyFunSuite {
       s"same-distribution PQ batches tripped the drift gate: " +
         s"${r1.driftRatio}, ${r2.driftRatio}")
     val codes = graft.operators.PqIndex.codesDF(spark, rootInc).cache()
-    assert(codes.count() == n * graft.operators.PqIndex.M)
+    // packed layout: ONE row per vector, M codes in the array
+    assert(codes.count() == n)
+    assert(codes.select(size(col("codes"))).distinct().head.getInt(0) ==
+      graft.operators.PqIndex.M)
     assert(codes.select("vec_id").distinct().count() == n)
     val rootFull = freshRoot("pq_full")
     graft.operators.PqIndex.build(spark, rootFull, all)
@@ -174,9 +177,8 @@ class IvfRefreshSpec extends AnyFunSuite {
     graft.operators.PqIndex.refresh(spark, root, batch, all,
       batchId = Some(3L))
     val codes = graft.operators.PqIndex.codesDF(spark, root)
-    assert(codes.count() == n * graft.operators.PqIndex.M,
-      "replay must not duplicate code rows")
-    assert(spark.read.parquet(s"$root/meta").head.getLong(0) == n)
+    assert(codes.count() == n, "replay must not duplicate code rows")
+    assert(graft.operators.PqIndex.metaDF(spark, root).head.getLong(0) == n)
     all.unpersist()
   }
 
@@ -220,7 +222,7 @@ class IvfRefreshSpec extends AnyFunSuite {
       "retrain must cover the index's own vectors plus the batch")
     // post-retrain the index is queryable and centroids reflect the
     // grown corpus (k is recomputed from the new n)
-    val k = spark.read.parquet(s"$root/meta").head.getInt(0)
+    val k = graft.operators.IvfIndex.metaDF(spark, root).head.getInt(0)
     assert(k == graft.operators.IvfIndex.kFor(nBase + nShift))
     val q = all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
