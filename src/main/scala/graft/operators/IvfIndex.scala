@@ -305,7 +305,8 @@ object IvfIndex {
     * is detected via the consumed-batch marker below).
     */
   def refresh(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Option[Long] = None): RefreshResult = {
+      batchId: Option[Long] = None,
+      compactAfter: Int = CompactAfter): RefreshResult = {
     val fs = IndexGen.fsOf(spark, root)
     val gen = genOf(spark, root)
     val meta = spark.read.parquet(s"$gen/meta").head
@@ -343,7 +344,7 @@ object IvfIndex {
         // bound the overlay dir growth between (rare) retrains: fold
         // past the threshold — overlay-sized cost, base untouched
         if (batchId.isDefined &&
-            BatchOverlays.count(fs, s"$gen/$OverlayName") > CompactAfter)
+            BatchOverlays.count(fs, s"$gen/$OverlayName") > compactAfter)
           BatchOverlays.compact(spark, gen, OverlayName, cellSchema,
             clusterBy = Some("cell"))
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)

@@ -306,7 +306,8 @@ object PqIndex {
     * replays after it are no-ops.
     */
   def refresh(spark: SparkSession, root: String, batch: DataFrame,
-      corpus: => DataFrame, batchId: Option[Long] = None): RefreshResult = {
+      corpus: => DataFrame, batchId: Option[Long] = None,
+      compactAfter: Int = CompactAfter): RefreshResult = {
     val fs = IndexGen.fsOf(spark, root)
     val gen = genOf(spark, root)
     val meta = spark.read.parquet(s"$gen/meta").head
@@ -334,7 +335,7 @@ object PqIndex {
           IndexGen.writeMetaAtomic(spark, gen,
             Seq((n + m, baseErr)).toDF("n", "base_err"))
         if (batchId.isDefined &&
-            BatchOverlays.count(fs, s"$gen/$OverlayName") > CompactAfter)
+            BatchOverlays.count(fs, s"$gen/$OverlayName") > compactAfter)
           BatchOverlays.compact(spark, gen, OverlayName, codeSchema,
             clusterBy = None)
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)

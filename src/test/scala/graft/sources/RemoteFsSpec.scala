@@ -186,6 +186,7 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def open(p: Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream = {
     CountingMockFs.opens.incrementAndGet()
+    if (CountingMockFs.recordPaths) CountingMockFs.recordedOpens.add(p.toString)
     if (org.apache.spark.TaskContext.get() == null) {
       CountingMockFs.driverOpens.incrementAndGet()
       // DATA-file driver opens, separately: log/commit reads are
@@ -219,6 +220,10 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 
 object CountingMockFs {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  // per-path capture for layout pins (IvfLayoutSpec): off by default,
+  // scoped on around the operation under test
+  @volatile var recordPaths = false
+  val recordedOpens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val driverOpens = new java.util.concurrent.atomic.AtomicInteger(0)
   val driverDataOpens = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskLists = new java.util.concurrent.atomic.AtomicInteger(0)
