@@ -123,8 +123,21 @@ private[sources] class GraftCdcMicroBatchStream(
     WrappedOffset(CdcOffset(phase, start, -1, -1))
   }
 
+  // Last version this stream instance CONFIRMED committed — seeds the
+  // forward probe so steady-state latest-version discovery is O(new
+  // commits) exists() probes, never an O(retained log) directory
+  // listing per trigger (TxnLog.latestVersionFrom has the contiguity
+  // argument; FileCountRehearsalSpec pins the economics).
+  @volatile private var lastSeenVersion: Long = -1L
+
+  private def latestVersionProbed(): Option[Long] = {
+    val lv = log.latestVersionFrom(lastSeenVersion)
+    lv.foreach(v => if (v > lastSeenVersion) lastSeenVersion = v)
+    lv
+  }
+
   override def latestOffset(): Offset = {
-    val latest = cappedV(log.latestVersion().getOrElse(0L))
+    val latest = cappedV(latestVersionProbed().getOrElse(0L))
     WrappedOffset(CdcOffset(CdcOffset.Incremental, latest, -1, -1))
   }
 
@@ -139,7 +152,7 @@ private[sources] class GraftCdcMicroBatchStream(
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(log.latestVersion().getOrElse(0L))
+    availableNowCap = Some(latestVersionProbed().getOrElse(0L))
 
   /** Clamp a candidate end version to the AvailableNow pin (if armed). */
   private def cappedV(v: Long): Long =
@@ -406,12 +419,13 @@ private[sources] class GraftCdcMicroBatchStream(
 
   // Latest-version metadata memo: planning needs the current partition
   // columns + column mapping, and metadata can only move when the version
-  // does — keying by latestVersion (one log-directory listing) turns the
-  // per-trigger snapshotLatest() replay into O(1) per new commit.
+  // does — keying by latestVersion (one forward probe, see
+  // latestVersionProbed) turns the per-trigger snapshotLatest() replay
+  // into O(1) per new commit.
   @volatile private var metaCache: (Long, Option[graft.txn.Metadata]) =
     (-1L, None)
   private def latestMetadata(l: TxnLog): Option[graft.txn.Metadata] = {
-    val lv = l.latestVersion().getOrElse(-1L)
+    val lv = latestVersionProbed().getOrElse(-1L)
     if (metaCache._1 != lv)
       metaCache = (lv, if (lv < 0) None else l.snapshot(lv).metadata)
     metaCache._2

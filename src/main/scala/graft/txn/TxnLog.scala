@@ -90,6 +90,27 @@ final class TxnLog(
 
   def latestVersion(): Option[Long] = versions().lastOption
 
+  /** Latest committed version, probed FORWARD from a known-committed
+    * `hint` with exists() calls instead of a whole-log-dir listing.
+    *
+    * Sound because commit versions are CONTIGUOUS in the retained
+    * range: allocation happens only at [[commit]]'s fail-if-exists
+    * choke point (a conflicting writer retries at v+1, never skips),
+    * and retention deletes only log PREFIXES — so the first missing
+    * version after a committed one is the end of the log. A streaming
+    * tail polling an idle 10⁶-commit table pays ONE exists probe per
+    * trigger this way, versus an O(retained log) listStatus per trigger
+    * (the directory-listing cost Delta pays on _delta_log — priced in
+    * FileCountRehearsalSpec, red-on-regression). Falls back to the full
+    * listing when the hint is unknown or vacuumed past.
+    */
+  def latestVersionFrom(hint: Long): Option[Long] = {
+    if (hint < 0 || !fs.exists(commitFile(hint))) return latestVersion()
+    var v = hint
+    while (fs.exists(commitFile(v + 1))) v += 1
+    Some(v)
+  }
+
   /** Atomically commit `actions` as version `v`. Fails if v exists.
     *
     * Mutual exclusion comes from `fs.create(dest, overwrite = false)`,

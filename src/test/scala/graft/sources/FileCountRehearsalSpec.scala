@@ -201,4 +201,36 @@ class FileCountRehearsalSpec extends AnyFunSuite {
     assert(again.filesCopied == 0L &&
       again.filesSkipped == converted.filesRegistered)
   }
+
+  test("latest-version tail probe: polling an idle table does ZERO " +
+      "log-dir listings; new commits are found by forward probes; an " +
+      "unknown hint falls back to the listing") {
+    scheme
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("mockfs_probe")
+    java.nio.file.Files.delete(p)
+    val table = s"mockfs://$p"
+    TableWriter.write(spark, Seq((1L, "a")).toDF("id", "tag"), table)
+    TableWriter.append(spark, Seq((2L, "b")).toDF("id", "tag"), table)
+    TableWriter.append(spark, Seq((3L, "c")).toDF("id", "tag"), table)
+    val log = new TxnLog(table, spark.sessionState.newHadoopConf())
+    val lv = log.latestVersion().get // one listing, seeds the hint
+    assert(lv == 2L)
+    // the steady-state stream shape: 10 idle polls = 10 exists probes,
+    // zero listings of the (potentially 10⁶-entry) log directory
+    val (polls, dl, _) = driverDelta((1 to 10).map(_ =>
+      log.latestVersionFrom(lv)))
+    assert(polls.forall(_.contains(lv)))
+    assert(dl == 0,
+      s"an idle-table poll must probe forward, not list the log dir ($dl)")
+    // a new commit is discovered by the probe alone
+    TableWriter.append(spark, Seq((4L, "d")).toDF("id", "tag"), table)
+    val (found, dl2, _) = driverDelta(log.latestVersionFrom(lv))
+    assert(found.contains(lv + 1))
+    assert(dl2 == 0, s"discovery of a new commit must not list ($dl2)")
+    // unknown / vacuumed-past hint: correct answer via the fallback
+    val (fb, dl3, _) = driverDelta(log.latestVersionFrom(-1L))
+    assert(fb.contains(lv + 1))
+    assert(dl3 >= 1, "the fallback path is the listing, by design")
+  }
 }
