@@ -466,8 +466,238 @@ object Similarity {
         .groupBy(col("probes"), col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
         .orderBy(col("probes"), col("query_id"))
+    },
+
+    // COMPACTED-index recall gates (r16): the overlay-fold lifecycle
+    // (BatchOverlays — keyed batch dirs merged into tiers past the
+    // threshold, base never rewritten) driven END TO END through the
+    // DuckDB oracle: build on 40%, six keyed refresh batches through a
+    // fold threshold of 2 (two fold events), search the grown,
+    // fold-compacted index. Recall vs the exact top-5 rides the driver
+    // hash at both SFs; IndexCompactionSpec pins dir bounds and
+    // idempotence — this row pins that folding changes NO answer.
+    QueryDef.sqlBacked("q386_ann_recall_compacted",
+      recallOracle("civf", "")) { (s, dir) =>
+      recallVsGt(s, dir, "civf", compactedIvfTop5(s, dir), bruteTop5(s, dir))
+    },
+
+    // PQ twin of q386: packed codes through six keyed refreshes + two
+    // overlay folds, ADC search over the fold-compacted code table.
+    QueryDef.sqlBacked("q391_ann_recall_pq_compacted",
+      recallOracle("cpq", "")) { (s, dir) =>
+      recallVsGt(s, dir, "cpq", compactedPqTop5(s, dir), bruteTop5(s, dir))
+    },
+
+    // PQ code-usage histogram (r16): the packed (vec_id, nrm, codes[M])
+    // layout value-gated through DuckDB's UNNEST WITH ORDINALITY — per
+    // (subspace, code) vector counts plus the independently-recomputed
+    // corpus size. A packing bug (wrong order, dropped subspace,
+    // duplicated row) shifts a count and reds the hash; balanced-ish
+    // code usage is also the index health metric PQ deployments watch
+    // (a dead code = wasted codebook capacity).
+    QueryDef.sqlBacked(
+      "q387_pq_code_histogram",
+      s"""WITH c AS (SELECT vec_id, codes FROM
+         |  '/root/repo/target/fixtures/pqcodes_{{SF_TAG}}/*.parquet'),
+         |u AS (SELECT CAST(ms.m AS BIGINT) AS m,
+         |             CAST(c.codes[ms.m + 1] AS BIGINT) AS code
+         |      FROM c CROSS JOIN
+         |        (SELECT unnest(range(${graft.operators.PqIndex.M})) AS m) ms)
+         |SELECT m, code, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_corpus
+         |FROM u GROUP BY m, code ORDER BY m, code""".stripMargin) {
+      (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = Tables.load(s, dir, "embeddings")
+      val n = base.count()
+      val e = base.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val packed = graft.operators.PqIndex.encodePacked(s,
+        graft.operators.PqIndex.codebooks(s, dir, n), e)
+        .select(col("vec_id"), col("codes"))
+      val path = s"target/fixtures/pqcodes_$tag"
+      packed.coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(posexplode(col("codes")).as(Seq("m", "code")))
+        .groupBy(col("m").cast("long").as("m"),
+          col("code").cast("long").as("code"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n_corpus", lit(n))
+        .orderBy(col("m"), col("code"))
+    },
+
+    // Binary-quantization shortlist operating curve (r16): recall vs
+    // the exact top-5 at re-rank shortlist ∈ {4, 8, 16, 32} — the
+    // memory/recall knob of every 1-bit embedding store (q359 fixes 32;
+    // this row shows what each budget buys). One Hamming scan per
+    // level over the same packed sign bits.
+    QueryDef.sqlBacked(
+      "q388_binary_shortlist_curve",
+      s"""WITH ann AS (SELECT shortlist, query_id, neighbor_id FROM
+         |  '/root/repo/target/fixtures/annrecall_bcurve_{{SF_TAG}}/*.parquet'),
+         |lv AS (SELECT DISTINCT shortlist FROM ann),
+         |gt AS (${gtSql("")})
+         |SELECT CAST(lv.shortlist AS BIGINT) AS shortlist, gt.query_id,
+         |  CAST(COUNT(ann.neighbor_id) AS BIGINT) AS hits
+         |FROM lv CROSS JOIN gt
+         |LEFT JOIN ann ON ann.shortlist = lv.shortlist
+         |  AND ann.query_id = gt.query_id
+         |  AND ann.neighbor_id = gt.neighbor_id
+         |GROUP BY lv.shortlist, gt.query_id
+         |ORDER BY shortlist, gt.query_id""".stripMargin) { (s, dir) =>
+      curveVsGt(s, dir, "bcurve", "shortlist", Seq(4, 8, 16, 32),
+        sl => binaryTop5(s, dir, shortlist = sl))
+    },
+
+    // Matryoshka truncation-dim operating curve (r16): recall at prefix
+    // dims ∈ {8, 16, 32, 64} with the same 32-candidate exact re-rank —
+    // the "how many dims does the shortlist need" table behind every
+    // matryoshka-embedding deployment (q355 fixes 16; dims = 64 is the
+    // degenerate exact-prefix case and must sit at the top of the curve).
+    QueryDef.sqlBacked(
+      "q389_trunc_dims_curve",
+      s"""WITH ann AS (SELECT dims, query_id, neighbor_id FROM
+         |  '/root/repo/target/fixtures/annrecall_tcurve_{{SF_TAG}}/*.parquet'),
+         |lv AS (SELECT DISTINCT dims FROM ann),
+         |gt AS (${gtSql("")})
+         |SELECT CAST(lv.dims AS BIGINT) AS dims, gt.query_id,
+         |  CAST(COUNT(ann.neighbor_id) AS BIGINT) AS hits
+         |FROM lv CROSS JOIN gt
+         |LEFT JOIN ann ON ann.dims = lv.dims
+         |  AND ann.query_id = gt.query_id
+         |  AND ann.neighbor_id = gt.neighbor_id
+         |GROUP BY lv.dims, gt.query_id
+         |ORDER BY dims, gt.query_id""".stripMargin) { (s, dir) =>
+      curveVsGt(s, dir, "tcurve", "dims", Seq(8, 16, 32, 64),
+        d => truncTop5(s, dir, dims = d))
+    },
+
+    // IVF scan-economics table (r16): per probe level, how many cells
+    // are probed and how many candidate rows the searches actually scan
+    // — the BYTES-READ claim of the physical cell layout as a queryable
+    // operating table (scanned_ppm ≈ probes/k of the corpus). Candidate
+    // counts ride the driver hash from the Spark-written fixture;
+    // DuckDB independently recomputes the corpus size and the exact
+    // integer ppm arithmetic. Reuses q383's pristine index root — no
+    // extra build cost.
+    QueryDef.sqlBacked(
+      "q390_ivf_scan_economics",
+      s"""WITH f AS (SELECT probes, cells_probed, candidates FROM
+         |  '/root/repo/target/fixtures/ivfecon_{{SF_TAG}}/*.parquet')
+         |SELECT CAST(probes AS BIGINT) AS probes,
+         |  CAST(cells_probed AS BIGINT) AS cells_probed,
+         |  CAST(candidates AS BIGINT) AS candidates,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_corpus,
+         |  CAST(candidates AS BIGINT) * 1000000
+         |    // (20 * (SELECT COUNT(*) FROM embeddings)) AS scanned_ppm
+         |FROM f ORDER BY probes""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val n = e.count()
+      val root = pristineIndexRoot(s, e, "ivfsweep", tag)(
+        graft.operators.IvfIndex.build(s, _, e))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      import s.implicits._
+      val rows = Seq(1, 2, 4, 8).map { p =>
+        val cells = graft.operators.IvfIndex.probedCells(s, root, q, p)
+        // candidates = rows the per-query probed-cell scans touch, i.e.
+        // Σ_query |rows in that query's probed cells| — the quantity the
+        // partition filter bounds (counted over the pruned read)
+        val cand = graft.queries.Similarity.probedCandidateCount(
+          s, root, q, p)
+        (p.toLong, cells.length.toLong, cand)
+      }
+      val path = s"target/fixtures/ivfecon_$tag"
+      rows.toDF("probes", "cells_probed", "candidates")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .withColumn("n_corpus", lit(n))
+        .withColumn("scanned_ppm",
+          expr(s"candidates * 1000000 DIV (20 * ${n}L)"))
+        .select(col("probes"), col("cells_probed"), col("candidates"),
+          col("n_corpus"), col("scanned_ppm"))
+        .orderBy(col("probes"))
     }
   ) ++ moreDefs
+
+  /** Per-query candidate-row count of a probes=p search: the join of
+    * probe assignments against the PARTITION-PRUNED cell read, counted —
+    * the scan volume the physical layout bounds.
+    */
+  private[queries] def probedCandidateCount(s: SparkSession, root: String,
+      q: DataFrame, probes: Int): Long =
+    graft.operators.IvfIndex.searchTopK(s, root, q,
+      topK = Int.MaxValue, probesOverride = Some(probes)).count()
+
+  /** Shared operating-curve harness (q388/q389's frame; q383 predates
+    * it): one ANN pass per level, levels × ground-truth hit counts via
+    * the fixture the oracle reads back.
+    */
+  private def curveVsGt(s: SparkSession, dir: String, variant: String,
+      levelCol: String, levels: Seq[Int],
+      annAt: Int => DataFrame): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ann = levels.map { lv =>
+      annAt(lv).select(lit(lv.toLong).as(levelCol), col("query_id"),
+        col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val path = s"target/fixtures/annrecall_${variant}_$tag"
+    ann.coalesce(1).write.mode("overwrite").parquet(path)
+    val annBack = s.read.parquet(path).withColumn("hit", lit(1))
+    val lvls = annBack.select(col(levelCol)).distinct()
+    val gt = bruteTop5(s, dir).select(col("query_id"), col("neighbor_id"))
+    broadcast(lvls).crossJoin(gt)
+      .join(annBack, Seq(levelCol, "query_id", "neighbor_id"), "left")
+      .groupBy(col(levelCol), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .orderBy(col(levelCol), col("query_id"))
+  }
+
+  /** q386's frame: build on 40% (pristine, once per corpus), six keyed
+    * refresh batches through fold threshold 2 (the overlay compacts
+    * twice), search the grown, fold-compacted index.
+    */
+  private def compactedIvfTop5(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = e.filter(col("vec_id") % 10 < 4)
+    val root = stagedIndexRoot(s, base, "ivfc", tag)(
+      graft.operators.IvfIndex.build(s, _, base))
+    (4 to 9).foreach { i =>
+      graft.operators.IvfIndex.refresh(s, root,
+        e.filter(col("vec_id") % 10 === i),
+        batchId = Some(i.toLong), compactAfter = 2)
+    }
+    graft.operators.IvfIndex.searchTopK(s, root,
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** q391's frame: the PQ fold path — same six keyed batches and two
+    * folds over the packed code table, ADC search after.
+    */
+  private def compactedPqTop5(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = e.filter(col("vec_id") % 10 < 4)
+    val root = stagedIndexRoot(s, base, "pqc", tag)(
+      graft.operators.PqIndex.build(s, _, base))
+    (4 to 9).foreach { i =>
+      graft.operators.PqIndex.refresh(s, root,
+        e.filter(col("vec_id") % 10 === i), e,
+        batchId = Some(i.toLong), compactAfter = 2)
+    }
+    graft.operators.PqIndex.scoreTopK(s, root,
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** Build-once pristine index keyed by a content fingerprint of the
     * corpus (ids × quantized first components — regenerated test data
