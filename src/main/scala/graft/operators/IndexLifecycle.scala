@@ -181,6 +181,20 @@ private[graft] object BatchOverlays {
     val overlays = s"$genDir/$name"
     val fs = new Path(overlays)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // finish any crashed fold's step 3 first: a dir already named in a
+    // tier's manifest is reader-invisible but still on disk (crash
+    // between the tier rename and the marker/delete loop) — complete
+    // its marker-then-delete so it cannot sit as an excluded zombie
+    // that a keyed replay would keep rewriting invisibly
+    if (fs.exists(new Path(overlays))) {
+      val folded = foldedNames(fs, overlays)
+      fs.listStatus(new Path(overlays)).toSeq.filter(_.isDirectory)
+        .map(_.getPath).filter(p => folded(p.getName)).foreach { p =>
+          if (p.getName.startsWith("b"))
+            fs.mkdirs(new Path(s"$genDir/consumed_batches/${p.getName}"))
+          fs.delete(p, true)
+        }
+    }
     val active = activeDirs(fs, overlays)
     if (active.size <= 1) return
     val df = active.map(d => spark.read.schema(schema).parquet(d.toString))

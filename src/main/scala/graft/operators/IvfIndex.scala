@@ -262,12 +262,15 @@ object IvfIndex {
     val assigned = assign(spark, corpus,
       spark.read.parquet(s"$staging/centroids")).cache()
     try {
-      // PHYSICAL cell layout: repartition(cell) clusters each cell into
-      // one task, partitionBy(cell) encodes it in the directory layout —
-      // ~1 file per cell, and search's probed-cell filter prunes at file
-      // listing instead of post-scan (the whole point of IVF at 100 TB)
+      // PHYSICAL cell layout: partitionBy(cell) encodes the cell in the
+      // directory layout so search's probed-cell filter prunes at file
+      // listing instead of post-scan (the whole point of IVF at 100 TB).
+      // Range-clustering on (cell, vec_id) — not hash(cell) — keeps
+      // small cells one-file while letting a HOT cell span several
+      // tasks/files: a skewed cluster must not become one straggler
+      // task writing one unsplittable-at-write giant file.
       assigned.select("vec_id", "v", "nrm", "cell")
-        .repartition(col("cell"))
+        .repartitionByRange(col("cell"), col("vec_id"))
         .write.partitionBy("cell").mode("overwrite")
         .parquet(s"$staging/cells")
       val base = assigned.agg(avg(col("dist2"))).head.getDouble(0)

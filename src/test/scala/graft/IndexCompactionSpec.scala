@@ -102,6 +102,36 @@ class IndexCompactionSpec extends AnyFunSuite {
     codes.unpersist(); all.unpersist()
   }
 
+  test("a crashed fold's leftover dir (folded-but-present, marker " +
+      "missing) is swept by the next compact: marker completed, dir " +
+      "deleted") {
+    val root = freshRoot("ivf_zombie")
+    val all = vecs.cache()
+    IvfIndex.build(spark, root, all.filter(col("vec_id") % 10 < 7))
+    (7 to 9).foreach { i =>
+      IvfIndex.refresh(spark, root, all.filter(col("vec_id") % 10 === i),
+        batchId = Some(i.toLong), compactAfter = 1)
+    }
+    val fs = IndexGen.fsOf(spark, root)
+    val gen = IndexGen.resolveOrFail(fs, root).toString
+    val folded = BatchOverlays
+      .foldedNames(fs, s"$gen/cells_batches").filter(_.startsWith("b"))
+    assert(folded.nonEmpty, "harness: no fold happened")
+    val victim = folded.head
+    // reconstruct the crash window: the folded dir is back on disk and
+    // its consumed marker is gone (crash after tier rename, before the
+    // marker-then-delete loop)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$gen/consumed_batches/$victim"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/cells_batches/$victim"))
+    IvfIndex.compact(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$gen/cells_batches/$victim")), "zombie dir must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$gen/consumed_batches/$victim")), "its marker must be completed")
+    all.unpersist()
+  }
+
   test("duplicate code rows cannot corrupt ADC ranking: scoring " +
       "collapses them exactly (the sum(part) double-count, closed)") {
     val root = freshRoot("pq_dup")
