@@ -102,6 +102,35 @@ class IndexCompactionSpec extends AnyFunSuite {
     codes.unpersist(); all.unpersist()
   }
 
+  test("folding is answer-preserving: search over the folded index " +
+      "equals the never-folded twin bit-for-bit") {
+    val all = vecs.cache()
+    val base = all.filter(col("vec_id") % 10 < 4)
+    def grown(threshold: Int, name: String): String = {
+      val root = freshRoot(name)
+      IvfIndex.build(spark, root, base)
+      (4 to 9).foreach { i =>
+        IvfIndex.refresh(spark, root, all.filter(col("vec_id") % 10 === i),
+          batchId = Some(i.toLong), compactAfter = threshold)
+      }
+      root
+    }
+    val folded = grown(2, "ivf_fold_a")     // two fold events
+    val unfolded = grown(100, "ivf_fold_b") // never folds
+    assert(overlayDirs(folded, "cells_batches")
+      .exists(_.startsWith("merged_")), "harness: no fold happened")
+    assert(!overlayDirs(unfolded, "cells_batches")
+      .exists(_.startsWith("merged_")))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def res(root: String) = IvfIndex.searchTopK(spark, root, q).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(res(folded) == res(unfolded),
+      "folding changed an answer — rows or cosines drifted")
+    all.unpersist()
+  }
+
   test("a crashed fold's leftover dir (folded-but-present, marker " +
       "missing) is swept by the next compact: marker completed, dir " +
       "deleted") {
