@@ -327,27 +327,31 @@ object IvfIndex {
       val (batchDist, m) = (agg.getDouble(0), agg.getLong(1))
       val ratio = if (baseDist > 0) batchDist / baseDist else 1.0
       if (ratio <= DriftFactor) {
-        val (target, mode, replay) = batchId match {
+        // EVERY batch lands in the overlay store — keyed batches in
+        // their own replay-idempotent b<id> dir, unkeyed ones in a
+        // fresh u<uuid> dir (appending into the BASE would accumulate
+        // per-batch file slivers folding can never reclaim)
+        val (target, replay) = batchId match {
           case Some(id) =>
             val dir = s"$gen/$OverlayName/b$id"
-            val p = new org.apache.hadoop.fs.Path(dir)
-            (dir, "overwrite", fs.exists(p))
-          case None => (s"$gen/cells", "append", false)
+            (dir, fs.exists(new org.apache.hadoop.fs.Path(dir)))
+          case None =>
+            (s"$gen/$OverlayName/u${java.util.UUID.randomUUID()
+              .toString.take(8)}", false)
         }
         // overlay rows carry the same physical cell layout as the base
         // (batch-sized repartition — the assignment itself stays
         // map-only), so search's partition filter prunes them too
         assigned.select("vec_id", "v", "nrm", "cell")
           .repartition(col("cell"))
-          .write.partitionBy("cell").mode(mode).parquet(target)
+          .write.partitionBy("cell").mode("overwrite").parquet(target)
         import spark.implicits._
         if (!replay)
           IndexGen.writeMetaAtomic(spark, gen,
             Seq((k, n + m, baseDist)).toDF("k", "n", "base_dist"))
         // bound the overlay dir growth between (rare) retrains: fold
         // past the threshold — overlay-sized cost, base untouched
-        if (batchId.isDefined &&
-            BatchOverlays.count(fs, s"$gen/$OverlayName") > compactAfter)
+        if (BatchOverlays.count(fs, s"$gen/$OverlayName") > compactAfter)
           BatchOverlays.compact(spark, gen, OverlayName, cellSchema,
             clusterBy = Some("cell"))
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)

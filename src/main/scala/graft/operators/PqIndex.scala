@@ -321,21 +321,24 @@ object PqIndex {
       val (batchErr, m) = (agg.getDouble(0), agg.getLong(1))
       val ratio = if (baseErr > 0) batchErr / baseErr else 1.0
       if (ratio <= DriftFactor) {
-        val (target, mode, replay) = batchId match {
+        // every batch lands in the overlay store (unkeyed in a fresh
+        // u<uuid> dir) so folding bounds ALL refresh-file growth, not
+        // just the keyed path's — see IvfIndex.refresh
+        val (target, replay) = batchId match {
           case Some(id) =>
             val dir = s"$gen/$OverlayName/b$id"
-            val p = new org.apache.hadoop.fs.Path(dir)
-            (dir, "overwrite", fs.exists(p))
-          case None => (s"$gen/codes", "append", false)
+            (dir, fs.exists(new org.apache.hadoop.fs.Path(dir)))
+          case None =>
+            (s"$gen/$OverlayName/u${java.util.UUID.randomUUID()
+              .toString.take(8)}", false)
         }
         coded.select("vec_id", "nrm", "codes")
-          .write.mode(mode).parquet(target)
+          .write.mode("overwrite").parquet(target)
         import spark.implicits._
         if (!replay)
           IndexGen.writeMetaAtomic(spark, gen,
             Seq((n + m, baseErr)).toDF("n", "base_err"))
-        if (batchId.isDefined &&
-            BatchOverlays.count(fs, s"$gen/$OverlayName") > compactAfter)
+        if (BatchOverlays.count(fs, s"$gen/$OverlayName") > compactAfter)
           BatchOverlays.compact(spark, gen, OverlayName, codeSchema,
             clusterBy = None)
         RefreshResult(retrained = false, assigned = m, driftRatio = ratio)
