@@ -163,12 +163,21 @@ object IvfIndex {
     * Retrain reconstructs the corpus from here, so refresh never needs
     * the source table.
     */
-  def cellsDF(spark: SparkSession, root: String): DataFrame = {
-    val gen = genOf(spark, root)
+  /** Gen-scoped readers: every multi-artifact operation resolves the
+    * generation ONCE and reads all artifacts from it — resolving per
+    * artifact would let a concurrently-published retrain flip the gen
+    * between reads and silently mix OLD centroids with NEW cells
+    * (cell ids are centroid-specific: wrong pruning, degraded recall,
+    * no error).
+    */
+  private def cellsAt(spark: SparkSession, gen: String): DataFrame = {
     val base = spark.read.schema(cellSchema).parquet(s"$gen/cells")
     BatchOverlays.readActive(spark, s"$gen/$OverlayName", cellSchema)
       .map(base.unionByName(_)).getOrElse(base)
   }
+
+  def cellsDF(spark: SparkSession, root: String): DataFrame =
+    cellsAt(spark, genOf(spark, root))
 
   def centroidsDF(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"${genOf(spark, root)}/centroids")
@@ -321,7 +330,8 @@ object IvfIndex {
     if (batchId.exists(id => fs.exists(
         new org.apache.hadoop.fs.Path(s"$gen/consumed_batches/b$id"))))
       return RefreshResult(retrained = false, assigned = 0L, driftRatio = 1.0)
-    val assigned = assign(spark, batch, centroidsDF(spark, root)).cache()
+    val assigned = assign(spark, batch,
+      spark.read.parquet(s"$gen/centroids")).cache()
     try {
       val agg = assigned.agg(avg(col("dist2")), count(lit(1))).head
       val (batchDist, m) = (agg.getDouble(0), agg.getLong(1))
@@ -365,7 +375,7 @@ object IvfIndex {
         // generation serving — never a torn index.
         val staging = IndexGen.staging(root)
         buildInto(spark, staging,
-          cellsDF(spark, root).select("vec_id", "v")
+          cellsAt(spark, gen).select("vec_id", "v")
             .unionByName(batch.select("vec_id", "v")))
         // consumed markers ride INSIDE the staged generation, so they
         // become visible exactly iff the retrain that absorbed those
@@ -403,10 +413,10 @@ object IvfIndex {
     * assignment uses. A corpus-independent job: queries × k slim rows
     * through one bounded window.
     */
-  private def probeAssignments(spark: SparkSession, root: String,
+  private def probeAssignments(spark: SparkSession, gen: String,
       queries: DataFrame, probes: Int): DataFrame = {
     import EmbeddingOps._
-    val cents = centroidsDF(spark, root)
+    val cents = spark.read.parquet(s"$gen/centroids")
     val q = queries.select(col("query_id"), col("qv"))
       .withColumn("qn", norm(col("qv")))
     val byDist = org.apache.spark.sql.expressions.Window
@@ -426,7 +436,11 @@ object IvfIndex {
     */
   private[graft] def probedCells(spark: SparkSession, root: String,
       queries: DataFrame, probes: Int): Array[Int] =
-    probeAssignments(spark, root, queries, probes)
+    probedCellsAt(spark, genOf(spark, root), queries, probes)
+
+  private def probedCellsAt(spark: SparkSession, gen: String,
+      queries: DataFrame, probes: Int): Array[Int] =
+    probeAssignments(spark, gen, queries, probes)
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
 
@@ -443,11 +457,13 @@ object IvfIndex {
   def searchTopK(spark: SparkSession, root: String, queries: DataFrame,
       topK: Int = 5, probesOverride: Option[Int] = None): DataFrame = {
     import EmbeddingOps._
-    val k = metaDF(spark, root).head.getInt(0)
+    val gen = genOf(spark, root) // ONE resolve: meta, centroids and
+    // cells must come from the same generation (see cellsAt)
+    val k = spark.read.parquet(s"$gen/meta").head.getInt(0)
     val probes = probesOverride.getOrElse(probesFor(k))
-    val probed = probeAssignments(spark, root, queries, probes)
-    val cellIds = probedCells(spark, root, queries, probes)
-    val pruned = cellsDF(spark, root)
+    val probed = probeAssignments(spark, gen, queries, probes)
+    val cellIds = probedCellsAt(spark, gen, queries, probes)
+    val pruned = cellsAt(spark, gen)
       .filter(col("cell").isin(cellIds.map(Int.box).toSeq: _*))
     val byCos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -132,12 +132,14 @@ object PqIndex {
     * row layout too. Build-time base under `codes` plus the keyed
     * overlay (the IvfIndex idempotence layout).
     */
-  def codesDF(spark: SparkSession, root: String): DataFrame = {
-    val gen = genOf(spark, root)
+  private def codesAt(spark: SparkSession, gen: String): DataFrame = {
     val base = spark.read.schema(codeSchema).parquet(s"$gen/codes")
     BatchOverlays.readActive(spark, s"$gen/$OverlayName", codeSchema)
       .map(base.unionByName(_)).getOrElse(base)
   }
+
+  def codesDF(spark: SparkSession, root: String): DataFrame =
+    codesAt(spark, genOf(spark, root))
 
   /** Fit M per-subspace codebooks on a bounded sample of `corpus`
     * (vec_id, v) — same shape as [[buildAndPersist]]'s fit, corpus
@@ -315,7 +317,8 @@ object PqIndex {
     if (batchId.exists(id => fs.exists(
         new org.apache.hadoop.fs.Path(s"$gen/consumed_batches/b$id"))))
       return RefreshResult(retrained = false, assigned = 0L, driftRatio = 1.0)
-    val coded = encodePacked(spark, booksDF(spark, root), batch).cache()
+    val coded = encodePacked(spark,
+      spark.read.parquet(s"$gen/codebooks"), batch).cache()
     try {
       val agg = coded.agg(avg(col("qerr")), count(lit(1))).head
       val (batchErr, m) = (agg.getDouble(0), agg.getLong(1))
@@ -428,11 +431,15 @@ object PqIndex {
     */
   def scoreTopK(spark: SparkSession, root: String, queries: DataFrame,
       topK: Int = 5): DataFrame = {
-    val lut = lutDF(spark, booksDF(spark, root), queries)
+    // ONE gen resolve: LUTs from one generation's codebooks scored
+    // against another generation's codes would be garbage — the same
+    // cross-gen mixing hazard IvfIndex.searchTopK pins out
+    val gen = genOf(spark, root)
+    val lut = lutDF(spark, spark.read.parquet(s"$gen/codebooks"), queries)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    codesDF(spark, root).crossJoin(broadcast(lut))
+    codesAt(spark, gen).crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (expr(s"aggregate(sequence(0, ${M - 1}), CAST(0.0 AS DOUBLE), " +
