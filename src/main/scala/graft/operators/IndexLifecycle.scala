@@ -73,8 +73,14 @@ private[graft] object IndexGen {
     if (!fs.rename(new Path(staging), dest))
       throw new IllegalStateException(
         s"could not publish index generation $dest (concurrent retrain?)")
-    val keep = genDirs(fs, root).map(_._1).sorted.takeRight(2).toSet
-    genDirs(fs, root).filterNot { case (n, _) => keep(n) }
+    // retention = the two highest COMPLETE generations (current +
+    // previous, for long-running readers); a meta-less junk dir must
+    // not displace the real previous gen from the keep set — it gets
+    // deleted as the incomplete debris it is
+    val all = genDirs(fs, root)
+    val keep = all.filter { case (_, p) => fs.exists(new Path(p, "meta")) }
+      .map(_._1).sorted.takeRight(2).toSet
+    all.filterNot { case (n, _) => keep(n) }
       .foreach { case (_, p) => fs.delete(p, true) }
     fs.listStatus(new Path(root)).toSeq
       .filter(_.getPath.getName.startsWith(".staging_"))

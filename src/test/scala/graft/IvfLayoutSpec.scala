@@ -76,6 +76,31 @@ class IvfLayoutSpec extends AnyFunSuite {
     // schema comes from the static StructType, never an inference
     // footer read: with inference, Spark would open a data file of an
     // arbitrary (possibly non-probed) cell before planning
+
+    // ... and the pin must survive FOLDING: force the overlay into a
+    // merged tier and re-assert — a tier written without the cell
+    // layout would silently un-prune the refreshed slice of the corpus
+    graft.operators.IvfIndex.refresh(spark, root,
+      all.filter(col("vec_id") % 10 === 3), batchId = Some(2L),
+      compactAfter = 1)
+    CountingMockFs.recordedOpens.clear()
+    CountingMockFs.recordPaths = true
+    val res2 =
+      try graft.operators.IvfIndex
+        .searchTopK(spark, root, q, probesOverride = Some(probes))
+        .collect()
+      finally CountingMockFs.recordPaths = false
+    assert(res2.nonEmpty)
+    val expected2 = graft.operators.IvfIndex
+      .probedCells(spark, root, q, probes).toSet
+    val opened2 = CountingMockFs.recordedOpens.asScala.toSet
+      .filter(p => p.contains("/cells") && p.endsWith(".parquet"))
+    assert(opened2.exists(_.contains("merged_")),
+      "harness: the fold did not produce a probed merged tier")
+    val openedCells2 = opened2.flatMap(p =>
+      "cell=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+    assert(openedCells2.subsetOf(expected2),
+      s"post-fold search read NON-probed cells ${openedCells2 -- expected2}")
     all.unpersist()
   }
 
